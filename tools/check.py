@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only local approximation of the driver's correctness gate.
+
+Runs DuckDB on outDir/oracle_sql.json over the same sf tables and compares
+with the parquet dumps Verify wrote. NOT part of the shipped library.
+
+Usage: python3 tools/check.py <outDir> <sfDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); failures += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}"); failures += 1; continue
+        got, exp = got[gc], exp[ec]
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); failures += 1; continue
+        g = got.sort_values(gc, ignore_index=True)
+        e = exp.sort_values(ec, ignore_index=True)
+        bad = None
+        for c in gc:
+            gv, ev = g[c], e[c]
+            if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+                neq = ~((gv == ev) | (gv.isna() & ev.isna()))
+            else:
+                try:
+                    neq = ~((gv == ev) | (gv.isna() & ev.isna()))
+                except Exception:
+                    neq = gv.astype(str) != ev.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                bad = (c, i, gv[i], ev[i]); break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col {c} row {i}: spark={a!r} duckdb={b!r}"); failures += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows")
+    print(f"\n{len(oracle)-failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
