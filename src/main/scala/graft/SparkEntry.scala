@@ -11,13 +11,11 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Relational.q1Agg _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> Relational.q1AggSql
-  )
+  def oracleSql: Map[String, String] =
+    Relational.sql
 }

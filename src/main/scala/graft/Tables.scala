@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish tables (see TESTDATA.md).
   *
@@ -13,8 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    // (PARQUET_TYPE_ILLEGAL). Read it as a raw long and truncate to µs —
+    // the same truncation DuckDB applies when it loads nanos into its µs
+    // timestamps, so oracle comparisons agree.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views named after the table, for SQL use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

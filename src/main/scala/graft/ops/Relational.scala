@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,40 +14,51 @@ import graft.Tables
   * at the output — both engines then produce bit-identical doubles. Ratios
   * (averages) are computed as double-division of those exact components with
   * identical expressions on both sides.
+  *
+  * Scale notes are inline per query: what broadcasts, what shuffles, and why
+  * the plan survives 100 TB.
   */
 object Relational {
 
   private def dec(c: Column, scale: Int = 2): Column =
     c.cast(s"decimal(18,$scale)")
 
+  /** l_extendedprice * (1 - l_discount) in exact decimal arithmetic. */
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  // ---------------------------------------------------------------- q1
   /** TPC-H Q1 shape: scan → filter → groupBy → multi-aggregate.
-    * At 100 TB: partial aggregation happens map-side (hash agg), only
-    * |groups| rows shuffle; the shipdate filter and 7-column projection
-    * push down to the parquet scan.
+    * 100 TB: partial aggregation map-side; only |groups| rows shuffle;
+    * filter + 7-column projection push down to the parquet scan.
     */
-  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
         round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
-        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))), 4)
-          .cast("double").as("sum_disc_price"),
-        round(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
-          * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))), 6).cast("double").as("sum_charge"),
+        round(sum(discPrice), 4).cast("double").as("sum_disc_price"),
+        round(sum(discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))), 6)
+          .cast("double").as("sum_charge"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 6) AS DOUBLE) AS sum_charge,
+      |  CAST(round(sum($discPriceSql), 4) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum($discPriceSql * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 6) AS DOUBLE) AS sum_charge,
       |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
       |  count(*) AS count_order
@@ -54,4 +66,633 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  /** Selective filter + narrow projection. 100 TB: both the shipdate range
+    * predicate and the 5-column ReadSchema reach the parquet scan — no row
+    * materializes outside the selected window.
+    */
+  def q2FilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_quantity") <= 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' AND l_quantity <= 3
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** TPC-H Q3 shape: 3-way join + agg + top-k.
+    * 100 TB: customer is the small side of customer⋈orders (broadcast when
+    * filtered segment fits, else shuffle-hash); orders⋈lineitem shuffles on
+    * orderkey; top-10 via TakeOrderedAndProject (no global sort).
+    */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, sfDir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(spark, sfDir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(discPrice), 4).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+      |  CAST(round(sum($discPriceSql), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  /** TPC-H Q5 shape: 5-way star join.
+    * 100 TB: region/nation broadcast (tiny); customer⋈orders and
+    * orders⋈lineitem shuffle on their keys; agg output is |nations| rows.
+    */
+  def q4MultiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(discPrice), 4).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  val q4Sql: String =
+    s"""SELECT n_name,
+      |  CAST(round(sum($discPriceSql), 4) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** Global top-k with tiebreakers. 100 TB: planner emits
+    * TakeOrderedAndProject — per-partition heaps, k rows to the driver, no
+    * global sort.
+    */
+  def q5SortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  val q5Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Distinct counts. 100 TB: countDistinct expands to a two-phase partial
+    * distinct (map-side dedup before shuffle). approx_count_distinct (HLL)
+    * is the cheap path at scale — exercised in the spec, not the oracle.
+    */
+  def q6Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("total_rows"))
+
+  val q6Sql: String =
+    """SELECT count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps,
+      |  count(*) AS total_rows FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  /** Top-5 customers per segment by balance (window rank).
+    * 100 TB: one shuffle on the partition key; row_number with a full
+    * tiebreak keeps output deterministic.
+    */
+  def q7WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val q7Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) WHERE rn <= 5
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  /** Running sum + lag deltas per supplier over ship time.
+    * 100 TB: single shuffle by suppkey; running frame is streaming within
+    * each sorted partition. Skewed suppliers would need key-splitting with a
+    * second pass (documented, not needed at this cardinality).
+    */
+  def q8WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, sfDir, "lineitem")
+      .withColumn("run_qty",
+        sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("gap_days",
+        coalesce(datediff(col("l_shipdate").cast("date"),
+          lag(col("l_shipdate"), 1).over(w).cast("date")), lit(-1)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("run_qty"), col("gap_days"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q8Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_qty,
+      |  coalesce(date_diff('day',
+      |    CAST(lag(l_shipdate, 1) OVER w AS DATE),
+      |    CAST(l_shipdate AS DATE)), -1) AS gap_days
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** EXISTS via left-semi join. 100 TB: semi-join needs only the key column
+    * of the right side; broadcast when the distinct keyset fits.
+    */
+  def q9SemiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  val q9Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** NOT EXISTS via left-anti join: customers with no large order.
+    * (Every customer has *some* order in this data, so the anti-join is
+    * against the filtered subquery to keep the result non-trivial.)
+    */
+  def q10AntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Union of two filtered branches + aggregate. 100 TB: both branches scan
+    * with pushed filters; union is metadata-only (no shuffle) before agg.
+    */
+  def q11UnionAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val big = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), lit("big").as("tag"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), lit("urgent").as("tag"))
+    big.unionAll(urgent)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("tag"))
+  }
+
+  val q11Sql: String =
+    """SELECT tag, count(*) AS n, count(DISTINCT o_orderkey) AS n_orders FROM (
+      |  SELECT o_orderkey, 'big' AS tag FROM orders WHERE o_totalprice > 400000
+      |  UNION ALL
+      |  SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+      |) GROUP BY tag ORDER BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** ROLLUP hierarchy totals; NULL group markers coalesced to 'ALL' so the
+    * oracle compare never faces NULL-ordering differences.
+    */
+  def q12Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q12Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** CUBE over two dims. */
+  def q13Cube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double").as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  val q13Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Pivot event_type → columns. Spark's pivot with an explicit value list
+    * compiles to one pass of conditional aggregation (no extra shuffle vs a
+    * plain groupBy).
+    */
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q14Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(pivoted) { (df, et) =>
+      df.withColumn(et, coalesce(col(et), lit(0L)))
+    }.orderBy(col("user_id"))
+  }
+
+  val q14Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** String functions: upper/length/regexp_extract/concat/LIKE — all
+    * codegen'd expressions inside one WholeStageCodegen span.
+    */
+  def q15StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .filter(col("p_name").like("%e%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int").as("brand_num"),
+        concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"))
+      .orderBy(col("p_partkey"))
+
+  val q15Sql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+      |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS brand_num,
+      |  concat_ws('/', p_type, p_brand) AS type_brand
+      |FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Monthly revenue series via date_trunc. */
+  def q16DateAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
+  val q16Sql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** TPC-H Q17 shape: compare each row against its group's average.
+    * Spark-first: the correlated scalar subquery is expressed as a pre-agg +
+    * join (what a good optimizer decorrelates to anyway). 100 TB: per-part
+    * averages are |part| rows → broadcast; lineitem streams through once.
+    */
+  def q17ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+      |  count(*) AS n
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS ap_partkey,
+      |        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) a
+      |  ON l.l_partkey = a.ap_partkey
+      |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** IN (subquery) via semi-join + aggregate. */
+  def q18InSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer").filter(col("c_mktsegment") === "MACHINERY"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val q18Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Non-equi interval (range) join against a tiny bands relation.
+    * 100 TB: the bands side is literal/small → broadcast nested loop with a
+    * range predicate; the big side streams through once. For big-big range
+    * joins the scale path is bucketing both sides by floor(value/width) and
+    * equi-joining on bucket ± 1 (documented in SURVEY §5).
+    */
+  val priceBands: Seq[(Int, Double, Double)] = Seq(
+    (0, 900.0, 925.0), (1, 925.0, 950.0), (2, 950.0, 975.0), (3, 975.0, 1000.0))
+
+  def q19RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    t(spark, sfDir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("p_retailprice"))), 2).cast("double").as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  val q19Sql: String =
+    """SELECT band, count(*) AS n,
+      |  CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM part
+      |JOIN (SELECT * FROM (VALUES (0, 900.0, 925.0), (1, 925.0, 950.0),
+      |      (2, 950.0, 975.0), (3, 975.0, 1000.0)) AS t(band, lo, hi)) b
+      |  ON p_retailprice >= b.lo AND p_retailprice < b.hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** As-of join: for each event, the most recent order (by o_orderdate ≤ ts)
+    * of the same user/customer. Spark lacks a native as-of join; the
+    * scalable composition is the union trick: tag both sides, union, sort
+    * within each key partition, carry the last seen right-side row forward.
+    * One shuffle, no cross product — survives 100 TB on both sides.
+    * Oracle uses DuckDB's native ASOF JOIN as an independent check.
+    */
+  def q20AsOfJoin(spark: SparkSession, sfDir: String): DataFrame =
+    AsOfJoin.eventsToOrders(spark, sfDir)
+
+  val q20Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+      |FROM events e
+      |ASOF JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY o_custkey, o_orderdate) o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Top-3 lineitems per returnflag (top-k per group). 100 TB: one shuffle
+    * on the group key; row_number is evaluated streaming per sorted
+    * partition — no per-group materialization.
+    */
+  def q21TopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  val q21Sql: String =
+    """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) WHERE rn <= 3
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Exact percentiles per group (median + p90). Both engines linearly
+    * interpolate; inputs are 2-decimal data so interpolated values land on a
+    * ≤3-decimal grid and round(4) is exact on both sides.
+    */
+  def q22Percentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val q22Sql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Fixed-width histogram via integer bucketing — single agg pass, no
+    * width_bucket dependency (floor division is portable).
+    */
+  def q23Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q23Sql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Gap-based sessionization (30-min inactivity). One shuffle by user;
+    * two stacked windows (lag → cumulative sum of session-start flags)
+    * evaluate in a single sort per partition.
+    */
+  def q24Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q24Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, ts, event_id,
+      |            lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id) AS prev_ms
+      |          FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** High-cardinality aggregation, computed through an explicit salted
+    * two-phase plan (salt → partial agg → final agg). Result is identical
+    * to a plain groupBy; the shape is the scale path for skewed keys where
+    * AQE's skew handling isn't enough. Distinct-set union via flatten +
+    * array_distinct keeps phase 2 associative.
+    */
+  def q25SkewAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("value"))).as("psum"),
+        collect_set(col("event_type")).as("ptypes"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("psum")), 2).cast("double").as("sum_value"),
+        size(array_distinct(flatten(collect_list(col("ptypes"))))).as("n_types"))
+      .orderBy(col("user_id"))
+
+  val q25Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |  CAST(count(DISTINCT event_type) AS INT) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Explicit GROUPING SETS via the SQL front-end over registered views. */
+  def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q26Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_multi_join" -> (q4MultiJoin _),
+    "q5_sort_limit" -> (q5SortLimit _),
+    "q6_distinct" -> (q6Distinct _),
+    "q7_window_rank" -> (q7WindowRank _),
+    "q8_window_running" -> (q8WindowRunning _),
+    "q9_semi_join" -> (q9SemiJoin _),
+    "q10_anti_join" -> (q10AntiJoin _),
+    "q11_union_agg" -> (q11UnionAgg _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_cube" -> (q13Cube _),
+    "q14_pivot" -> (q14Pivot _),
+    "q15_string_funcs" -> (q15StringFuncs _),
+    "q16_date_agg" -> (q16DateAgg _),
+    "q17_scalar_subquery" -> (q17ScalarSubquery _),
+    "q18_in_subquery" -> (q18InSubquery _),
+    "q19_range_join" -> (q19RangeJoin _),
+    "q20_asof_join" -> (q20AsOfJoin _),
+    "q21_topk_per_group" -> (q21TopKPerGroup _),
+    "q22_percentile" -> (q22Percentile _),
+    "q23_histogram" -> (q23Histogram _),
+    "q24_sessionize" -> (q24Sessionize _),
+    "q25_skew_agg" -> (q25SkewAgg _),
+    "q26_grouping_sets" -> (q26GroupingSets _))
+
+  val sql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join_agg" -> q3Sql,
+    "q4_multi_join" -> q4Sql,
+    "q5_sort_limit" -> q5Sql,
+    "q6_distinct" -> q6Sql,
+    "q7_window_rank" -> q7Sql,
+    "q8_window_running" -> q8Sql,
+    "q9_semi_join" -> q9Sql,
+    "q10_anti_join" -> q10Sql,
+    "q11_union_agg" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_cube" -> q13Sql,
+    "q14_pivot" -> q14Sql,
+    "q15_string_funcs" -> q15Sql,
+    "q16_date_agg" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_in_subquery" -> q18Sql,
+    "q19_range_join" -> q19Sql,
+    "q20_asof_join" -> q20Sql,
+    "q21_topk_per_group" -> q21Sql,
+    "q22_percentile" -> q22Sql,
+    "q23_histogram" -> q23Sql,
+    "q24_sessionize" -> q24Sql,
+    "q25_skew_agg" -> q25Sql,
+    "q26_grouping_sets" -> q26Sql)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SparkEntry query runs at sf0.001, is non-degenerate, and has the
+  * aliased (oracle-matching) column names. Value-level parity vs DuckDB is
+  * the driver's gate; these are fast structural invariants.
+  */
+class QueriesSpec extends GraftSuite {
+
+  // Queries whose result is legitimately tiny/empty are exempt from rows>0.
+  private val mayBeEmpty = Set.empty[String]
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and is non-degenerate at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.columns.forall(c => c == c.toLowerCase || c.nonEmpty))
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query has an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
+
+/** Semantics checks that don't depend on the DuckDB oracle. */
+class OperatorSemanticsSpec extends GraftSuite {
+
+  test("asof join picks the most recent order at-or-before the event") {
+    val out = ops.AsOfJoin.eventsToOrders(spark, sf)
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val joined = out.alias("a").join(orders.alias("o"),
+      col("a.user_id") === col("o.o_custkey") &&
+        col("o.o_orderdate") <= col("a.ts") &&
+        col("o.o_orderdate") > col("a.o_orderdate"))
+    // no order of the same user lies strictly between the match and the event
+    assert(joined.count() === 0)
+  }
+
+  test("salted two-phase agg equals plain groupBy") {
+    val salted = ops.Relational.q25SkewAgg(spark, sf)
+    val plain = Tables(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
+        countDistinct(col("event_type")).cast("int").as("n_types"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("top-k per group returns at most k per group") {
+    val df = ops.Relational.q21TopKPerGroup(spark, sf)
+    val over = df.groupBy(col("l_returnflag")).count().filter(col("count") > 3)
+    assert(over.count() === 0)
+  }
+
+  test("approx_count_distinct tracks exact within 5% on lineitem partkeys") {
+    val li = Tables(spark, sf, "lineitem")
+    val Array(approx, exact) = li.agg(
+      approx_count_distinct(col("l_partkey")).cast("double"),
+      countDistinct(col("l_partkey")).cast("double")).head().toSeq
+      .map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}
