@@ -12,10 +12,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all
+    Relational.all ++ text.TextOps.all ++ dedup.Dedup.all ++
+      similarity.Similarity.all ++ multimodal.Multimodal.all ++
+      streaming.EventStreams.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.sql
+    Relational.sql ++ text.TextOps.sql ++ dedup.Dedup.sql ++
+      similarity.Similarity.sql ++ multimodal.Multimodal.sql ++
+      streaming.EventStreams.sql
 }

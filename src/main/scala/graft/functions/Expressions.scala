@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths of the dedup/similarity
+  * operators.
+  *
+  * The higher-order-function formulations in `graft.functions` are
+  * declarative but interpret one lambda call per element — measured ~50×
+  * too slow for the pair-join workloads (a minhash over sf0.01 pegged a
+  * core for minutes). These expressions compute the *identical* arithmetic
+  * (same fold order, same modular math — the DuckDB oracles don't change)
+  * in tight JVM loops inside a single eval call. CodegenFallback costs one
+  * virtual call per row, irrelevant next to the O(tokens·perms) inner work.
+  */
+object PortableHash {
+  final val P: Long = 2147483647L
+  final val ShingleBase: Long = 1000003L
+
+  /** fold(h*31 + codepoint) mod P — identical to functions.charFoldHash. */
+  def charFold(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def tokenHashes(text: String): Array[Long] = {
+    val toks = text.split(" ", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = charFold(toks(i)); i += 1 }
+    out
+  }
+
+  /** Distinct word-3-gram shingle hashes, first-occurrence order. */
+  def shingles(text: String): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var k = 0
+    while (k <= th.length - 3) {
+      val s = ((th(k) * ShingleBase + th(k + 1)) % P * ShingleBase + th(k + 2)) % P
+      seen.add(s)
+      k += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
+/** array<long> of distinct word-3-gram shingle hashes of a string. */
+case class ShingleHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(PortableHash.shingles(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(c)
+}
+
+/** MinHash signature (nPerms longs) of a shingle-hash array.
+  * mh_i = min over s of ((a_i·s + b_i) mod P),
+  * a_i = (i·2654435761+1) mod P, b_i = (i·40503+7) mod P.
+  */
+case class MinHashSigExpr(child: Expression, nPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  import PortableHash.P
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sh = v.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](nPerms)
+    var i = 0
+    while (i < nPerms) {
+      val a = (i * 2654435761L + 1L) % P
+      val b = (i * 40503L + 7L) % P
+      var mn = Long.MaxValue
+      var k = 0
+      while (k < sh.length) {
+        val h = (a * sh(k) + b) % P
+        if (h < mn) mn = h
+        k += 1
+      }
+      out(i) = if (sh.isEmpty) 0L else mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+/** SimHash bit vector (nBits longs of 0/1) over token hashes WITH
+  * multiplicity: bit_j = [Σ_tokens (2·parity((h·a_j+b_j) mod P) − 1) ≥ 0].
+  */
+case class SimHashBitsExpr(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  import PortableHash.P
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val th = PortableHash.tokenHashes(v.asInstanceOf[UTF8String].toString)
+    val out = new Array[Long](nBits)
+    var j = 0
+    while (j < nBits) {
+      val a = (j * 1099511628211L + 3L) % P
+      val b = (j * 2654435761L + 7L) % P
+      var acc = 0L
+      var k = 0
+      while (k < th.length) {
+        acc += 2L * (((th(k) * a + b) % P) % 2L) - 1L
+        k += 1
+      }
+      out(j) = if (acc >= 0) 1L else 0L
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashBitsExpr =
+    copy(child = c)
+}
+
+/** Sequential-fold dot product of two double arrays (index order — matches
+  * the DuckDB list fold bit-for-bit).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance between two equal-length long arrays. */
+case class HammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    var d = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+    d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket of a double array. Planes are globally
+  * indexed (planeOffset + j) so multiple hash tables draw disjoint planes
+  * from one family:
+  * plane(g,i) = ((g·dim+i)·2654435761 mod 2^32)/2^31 − 1;
+  * bucket = Σ_j [Σ_i v_i·plane(planeOffset+j,i) ≥ 0]·2^j  (i-ascending fold).
+  */
+case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, dim: Int,
+    planeOffset: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toDoubleArray()
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val g = (planeOffset + j).toLong
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        val plane = ((g * dim + i) * 2654435761L % 4294967296L).toDouble /
+          2147483648.0 - 1.0
+        s += a(i) * plane
+        i += 1
+      }
+      if (s >= 0) bucket += 1L << j
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
+    copy(child = c)
+}
+
+/** Portable char-fold hash of a string (fold(h*31 + codepoint) mod P). */
+case class CharFoldExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PortableHash.charFold(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): CharFoldExpr = copy(c)
+}

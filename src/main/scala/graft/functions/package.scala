@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+/** Shared column builders for the LLM-pipeline operators, plus the DuckDB
+  * SQL spellings of the same arithmetic.
+  *
+  * Everything here follows one rule: the math must be *portable* — exactly
+  * re-expressible in DuckDB SQL so the driver's oracle can recompute it.
+  * That means pure integer arithmetic (no engine hash functions, no float
+  * accumulation ambiguity) on a prime field mod P = 2^31 - 1. Products stay
+  * under 2^63 (P² ≈ 4.6e18), so everything fits in BIGINT on both engines.
+  *
+  * Hot-path builders delegate to the native expressions in
+  * [[graft.functions.Expressions]] (identical arithmetic, ~50× faster than
+  * the interpreted higher-order-function formulation); the lightweight
+  * token-level helpers stay as Catalyst HOFs.
+  */
+package object functions {
+
+  /** Prime modulus for all portable hashing (2^31 - 1, Mersenne). */
+  val P: Long = PortableHash.P
+
+  /** Word-level combine base for shingles. */
+  val ShingleBase: Long = PortableHash.ShingleBase
+
+  private def native(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftColumnBridge.column(e)
+  private def ex(c: Column) = GraftColumnBridge.expression(c)
+
+  // ------------------------------------------------------------ Spark side
+
+  /** Polynomial char-fold hash of a string column: fold(h*31 + code(c)) mod P. */
+  def charFoldHash(c: Column): Column = native(CharFoldExpr(ex(c)))
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-token portable hashes, order-preserving (with multiplicity). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => charFoldHash(t))
+
+  /** Distinct word-3-gram shingle hashes (combine consecutive token hashes
+    * in the prime field).
+    */
+  def shingleHashes(text: Column): Column = native(ShingleHashesExpr(ex(text)))
+
+  /** MinHash signature: for perm i, min over shingles s of (a_i·s+b_i) mod P. */
+  def minHashSignature(shingles: Column, n: Int): Column =
+    native(MinHashSigExpr(ex(shingles), n))
+
+  /** SimHash bit vector over token hashes with multiplicity. */
+  def simHashBits(text: Column, nBits: Int): Column =
+    native(SimHashBitsExpr(ex(text), nBits))
+
+  /** Hamming distance between two equal-length long arrays. */
+  def hamming(a: Column, b: Column): Column = native(HammingExpr(ex(a), ex(b)))
+
+  /** Sequential-fold dot product (index order — matches DuckDB bitwise). */
+  def dot(a: Column, b: Column): Column = native(DotProductExpr(ex(a), ex(b)))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Random-hyperplane LSH bucket: Σ_j [dot(plane_{off+j}, v) ≥ 0] · 2^j
+    * with plane(g,i) = ((g·dim+i)·2654435761 mod 2^32) / 2^31 − 1.
+    */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column =
+    native(HyperplaneBucketExpr(ex(v), nPlanes, dim, planeOffset))
+
+  // ------------------------------------------------------------ DuckDB side
+
+  /** DuckDB spelling of [[charFoldHash]] applied to SQL expression `e`. */
+  def sqlCharFold(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % $P)"
+
+  /** DuckDB: list of portable token hashes of text expression `e`. */
+  def sqlTokenHashes(e: String): String =
+    s"list_transform(string_split($e, ' '), t -> ${sqlCharFold("t")})"
+
+  /** DuckDB: distinct shingle hashes from a token-hash list expression. */
+  def sqlShingles(ths: String): String =
+    s"list_distinct([(($ths[k+1] * $ShingleBase + $ths[k+2]) % $P * $ShingleBase " +
+      s"+ $ths[k+3]) % $P for k in range(len($ths) - 2)])"
+}

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.6).
+  *
+  * The container ships no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB — but everything Spark-side is real:
+  * binary columns, schema, micro-batched per-partition processing (the
+  * Arrow-batch shape a Python `mapInPandas` decoder would see), and
+  * partition-parallel execution with no shuffle.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  /** STUB decoder: stands in for image/audio decode. Deterministic byte
+    * arithmetic (sum mod 997, length-derived "dimensions") so the oracle
+    * can recompute it. A real deployment swaps only this function.
+    */
+  private def stubDecode(payload: Array[Byte]): (Long, Int) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    (sum % 997, payload.length % 64)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("stub_dim", IntegerType, nullable = false)))
+
+  // ---------------------------------------------------------------- m1
+  /** Binary metadata + stub feature extraction. Documents' text bytes stand
+    * in for media payloads. The per-partition iterator processes rows in
+    * batches of [[BatchSize]] — the same batch shape a vectorized decoder
+    * (Arrow / mapInPandas) would get — without materializing a partition.
+    */
+  def m1BinaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(outSchema)
+    bin.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (checksum, dim) = stubDecode(payload)
+          Row(id, payload.length, checksum, dim)
+        }
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  // Text is ASCII, so byte values = codepoints and the oracle can fold them.
+  val m1Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS byte_len,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, c) -> a + c) % 997 AS checksum,
+      |  CAST(length(text) % 64 AS INT) AS stub_dim
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> (m1BinaryMeta _))
+
+  val sql: Map[String, String] = Map(
+    "m1_binary_meta" -> m1Sql)
+}

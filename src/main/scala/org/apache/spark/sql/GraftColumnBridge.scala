@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's package-private Column ↔ Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils), needed to expose graft's
+  * native Catalyst expressions as user-facing Columns on Spark 4.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
