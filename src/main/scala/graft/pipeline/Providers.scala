@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** Concrete sources/sinks (SURVEY.md §2.1 P6/P7). */
+
+/** Parquet-backed source for the test star schema. Filters arrive as query
+  * params `filter_<col> -> value` and are applied BEFORE returning, so
+  * Catalyst pushes them into the scan — the pipeline abstraction costs no
+  * pushdown.
+  */
+class ParquetTablesSource(sfDir: String) extends DataSource {
+  override def provides: Set[String] = Tables.names.toSet
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (!provides(dataType)) throw new UnsupportedError(s"unknown table '$dataType'")
+    val df = Tables(spark, sfDir, dataType)
+    query.params.collect { case (k, v) if k.startsWith("filter_") =>
+      (k.stripPrefix("filter_"), v)
+    }.foldLeft(df) { case (acc, (c, v)) => acc.filter(col(c) === lit(v)) }
+  }
+}
+
+/** CSV source with an explicit schema (header line expected). */
+final class CsvSource(name: String, path: String, schema: StructType) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    spark.read.schema(schema).option("header", "true").csv(path)
+  }
+}
+
+/** JSON-lines source with an explicit schema. */
+final class JsonSource(name: String, path: String, schema: StructType) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    spark.read.schema(schema).json(path)
+  }
+}
+
+/** In-memory source over pre-registered DataFrames; throws NotFoundError
+  * for types it advertises but has no entry for (exercises fall-through).
+  */
+final class MemorySource(data: Map[String, DataFrame], advertised: Set[String] = Set.empty)
+    extends DataSource {
+  override def provides: Set[String] = data.keySet ++ advertised
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (!provides(dataType)) throw new UnsupportedError(dataType)
+    data.getOrElse(dataType, throw new NotFoundError(s"no data for '$dataType'"))
+  }
+}
+
+/** In-memory cache tier: keyed by (type, query), persists the cached plan's
+  * blocks so repeated gets skip recomputation. `puts`/`hits` counters let
+  * tests observe cache behavior.
+  */
+final class MemoryCacheSink(acceptTypes: Set[String]) extends DataSink {
+  private val cache = TrieMap.empty[(String, Query), DataFrame]
+  @volatile var puts: Int = 0
+  @volatile var hits: Int = 0
+
+  override def accepts: Set[String] = acceptTypes
+  override def put(dataType: String, df: DataFrame): Unit =
+    put(dataType, df, Query.empty)
+  override def put(dataType: String, df: DataFrame, query: Query): Unit = {
+    puts += 1
+    cache.put((dataType, query), df.persist())
+  }
+  override def lookup(dataType: String, query: Query, spark: SparkSession): Option[DataFrame] = {
+    val r = cache.get((dataType, query))
+    if (r.isDefined) hits += 1
+    r
+  }
+}
+
+/** Parquet directory sink/store: `put` writes <base>/<type>, `lookup`
+  * serves it back if present — a durable cache tier.
+  */
+final class ParquetDirSink(baseDir: String, acceptTypes: Set[String]) extends DataSink {
+  override def accepts: Set[String] = acceptTypes
+  override def put(dataType: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/$dataType")
+  override def lookup(dataType: String, query: Query, spark: SparkSession): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(baseDir, dataType)
+    if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+}
+
+/** The driver-gate pipeline queries (SURVEY §2.1 P1/P3). */
+object PipelineQueries {
+
+  /** orders → orders_enriched (join customer) → orders_by_nation
+    * (join nation + aggregate): a 2-hop transformer chain resolved by the
+    * pipeline, producing one Catalyst plan with broadcast dimension joins.
+    */
+  def p1PipelineGet(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val enrich = new Transformer {
+      val from = "orders"; val to = "orders_enriched"
+      def transform(df: DataFrame): DataFrame =
+        df.join(broadcast(Tables(s, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+    }
+    val byNation = new Transformer {
+      val from = "orders_enriched"; val to = "orders_by_nation"
+      def transform(df: DataFrame): DataFrame =
+        df.join(broadcast(Tables(s, sfDir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+              .cast("double").as("revenue"))
+    }
+    val pipeline = new DataPipeline(
+      Seq(Left(new ParquetTablesSource(sfDir))), Seq(enrich, byNation))
+    pipeline.get("orders_by_nation").orderBy(col("n_name"))
+  }
+
+  val p1Sql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Validated get: the validator coerces/defaults query params, the source
+    * applies them as pushed-down filters.
+    */
+  def p3ValidatedGet(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val source = new ParquetTablesSource(sfDir) {
+      override def validator(dataType: String): Option[QueryValidator] =
+        if (dataType == "orders")
+          Some(QueryValidator.builder
+            .has("filter_o_orderstatus").asType[String]
+            .canHave("filter_o_orderpriority").withDefault("1-URGENT"))
+        else None
+    }
+    val pipeline = new DataPipeline(Seq(Left(source)))
+    pipeline.get("orders", Query.of("filter_o_orderstatus" -> "F"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val p3Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pipeline_get" -> (p1PipelineGet _),
+    "p3_validated_get" -> (p3ValidatedGet _))
+
+  val sql: Map[String, String] = Map(
+    "p1_pipeline_get" -> p1Sql,
+    "p3_validated_get" -> p3Sql)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline._
+
+/** Pipeline framework semantics (SURVEY §2.1 P2/P4/P5/P6/P7/P8). */
+class PipelineSpec extends GraftSuite {
+  implicit def s: SparkSession = spark
+
+  private def countingSource(data: Map[String, DataFrame]): (DataSource, () => Int) = {
+    var calls = 0
+    val src = new DataSource {
+      override def provides: Set[String] = data.keySet
+      override def get(dt: String, q: Query, sp: SparkSession): DataFrame = {
+        calls += 1
+        data.getOrElse(dt, throw new NotFoundError(dt))
+      }
+    }
+    (src, () => calls)
+  }
+
+  test("P2: a sink before the source caches; second get is served from it") {
+    val orders = Tables(spark, sf, "orders")
+    val (src, calls) = countingSource(Map("orders" -> orders))
+    val cache = new MemoryCacheSink(Set("orders"))
+    val p = new DataPipeline(Seq(Right(cache), Left(src)))
+    val q = Query.of("k" -> 1)
+    val first = p.get("orders", q)
+    assert(calls() === 1 && cache.puts === 1 && cache.hits === 0)
+    val second = p.get("orders", q)
+    assert(calls() === 1, "source must not be re-queried on a cache hit")
+    assert(cache.hits === 1)
+    assert(first.count() === second.count())
+    // a different query misses the cache
+    p.get("orders", Query.of("k" -> 2))
+    assert(calls() === 2)
+  }
+
+  test("P4: cheapest transformer chain wins (A→B→C over direct A→C)") {
+    import spark.implicits._
+    val base = Seq((1, "x")).toDF("id", "v")
+    val (src, _) = countingSource(Map("A" -> base))
+    def tagger(f: String, t: String, c: Double): Transformer = new Transformer {
+      val from = f; val to = t; override val cost = c
+      def transform(df: DataFrame): DataFrame =
+        df.withColumn("path", concat_ws("→", col("path_tmp"), lit(t)))
+          .withColumnRenamed("path", "path_tmp")
+    }
+    // simpler tagging: append to an array column
+    def tag(f: String, t: String, c: Double): Transformer = new Transformer {
+      val from = f; val to = t; override val cost = c
+      def transform(df: DataFrame): DataFrame = {
+        val withTrail = if (df.columns.contains("trail")) df
+          else df.withColumn("trail", array())
+        withTrail.withColumn("trail", array_union(col("trail"), array(lit(t))))
+      }
+    }
+    val p = new DataPipeline(Seq(Left(src)),
+      Seq(tag("A", "B", 1.0), tag("B", "C", 1.0), tag("A", "C", 5.0)))
+    val out = p.get("C")
+    val trail = out.select(col("trail")).head().getSeq[String](0)
+    assert(trail === Seq("B", "C"), s"expected chain A→B→C, got $trail")
+    // and the graph resolver agrees
+    assert(p.chain("A", "C").get._2 === 2.0)
+  }
+
+  test("P5: composite source falls through NotFound; Unsupported propagates") {
+    import spark.implicits._
+    val empty = new MemorySource(Map.empty, advertised = Set("T"))
+    val full = new MemorySource(Map("T" -> Seq(1).toDF("x")))
+    val composite = new CompositeDataSource(Seq(empty, full))
+    assert(composite.get("T", Query.empty, spark).count() === 1)
+    intercept[UnsupportedError] { composite.get("nope", Query.empty, spark) }
+    val p = new DataPipeline(Seq(Left(new MemorySource(Map.empty))))
+    intercept[NotFoundError] { p.get("missing") }
+  }
+
+  test("P3: validator rejects wrong types and missing keys, applies defaults") {
+    val v = QueryValidator.builder
+      .has("status").asType[String]
+      .canHave("limit").withDefault(10)
+    val ok = v.validate(Query.of("status" -> "F"))
+    assert(ok[Int]("limit") === 10)
+    intercept[QueryValidationError] { v.validate(Query.empty) }
+    intercept[QueryValidationError] { v.validate(Query.of("status" -> 42)) }
+  }
+
+  test("P6/P7: csv and json round-trip through sinks and sources") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val orders = Tables(spark, sf, "orders").limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    orders.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    orders.write.mode("overwrite").json(s"$tmp/json")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val csv = new CsvSource("orders_csv", s"$tmp/csv", schema)
+      .get("orders_csv", Query.empty, spark)
+    val json = new JsonSource("orders_json", s"$tmp/json", schema)
+      .get("orders_json", Query.empty, spark)
+    assert(csv.count() === 100 && json.count() === 100)
+    assert(csv.exceptAll(json).count() === 0)
+    // parquet store tier serves back what was put
+    val store = new ParquetDirSink(s"$tmp/pq", Set("orders_sel"))
+    store.put("orders_sel", orders)
+    val back = store.lookup("orders_sel", Query.empty, spark)
+    assert(back.isDefined && back.get.exceptAll(orders).count() === 0)
+  }
+
+  test("P8: getMany returns one result per query") {
+    val (src, calls) = countingSource(Map("orders" -> Tables(spark, sf, "orders")))
+    val p = new DataPipeline(Seq(Left(src)))
+    val res = p.getMany("orders", Seq(Query.of("a" -> 1), Query.of("a" -> 2)))
+    assert(res.size === 2 && calls() === 2)
+  }
+}
