@@ -150,51 +150,59 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d4
-  /** N-gram Jaccard near-dup pairs on *string* shingles, blocked by token
-    * count: docs are bucketed by n_tokens div 32 and only adjacent buckets
-    * are compared (J ≥ 0.8 bounds the size ratio at 1.25, so qualifying
-    * pairs can't be further than one bucket apart). The oracle applies the
-    * identical banding, so results match exactly regardless.
+  /** N-gram Jaccard near-dup pairs on *string* shingles, with
+    * prefix-filter blocking: candidates must share one of their two
+    * smallest shingle *hashes* (deterministic blocking keys — for a random
+    * hash family, a J≥0.8 pair shares the global minimum with prob ≥ J, and
+    * one of the two smallest with prob ≈ 1−(1−J)²). Length banding is
+    * useless on a uniform-length corpus (every doc lands in 2–3 bands →
+    * O(n²) candidates); min-hash prefix keys keep buckets tiny. The oracle
+    * applies the identical blocking, so results match exactly.
     */
-  val TokenBand = 32
-
   def d4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(tokens(col("text"))) - 3), k =>
-          concat_ws(" ",
-            element_at(tokens(col("text")), k + 1),
-            element_at(tokens(col("text")), k + 2),
-            element_at(tokens(col("text")), k + 3)))).as("sh"),
-        floor(size(tokens(col("text"))).cast("double") / TokenBand).cast("long").as("band"))
-    val expanded = docs.select(col("doc_id").as("j"), col("sh").as("sh_j"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    docs.alias("x").join(expanded,
-        col("x.band") === expanded("band") && col("x.doc_id") < col("j"))
+        stringShingles(col("text")).as("sh"),
+        slice(array_sort(shingleHashes(col("text"))), 1, 2).as("keys"))
+    // candidate ids dedup BEFORE touching the heavy shingle arrays — the
+    // distinct shuffles two longs, the arrays join back afterwards by id
+    val keyed = docs.select(col("doc_id"), explode(col("keys")).as("key"))
+    val cand = keyed.alias("x").join(keyed.alias("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
       .withColumn("jac",
-        size(array_intersect(col("sh"), col("sh_j"))).cast("double") /
-          size(array_union(col("sh"), col("sh_j"))))
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
       .filter(col("jac") >= 0.8)
-      .select(col("x.doc_id").as("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
       .orderBy(col("i"), col("j"))
   }
 
-  val d4Sql: String =
-    s"""SELECT a.doc_id AS i, b.doc_id AS j,
-      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      |FROM (SELECT doc_id, list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
-      |        for k in range(len(t) - 2)]) AS sh,
-      |        CAST(floor(len(t) / $TokenBand.0) AS BIGINT) AS band
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) a
-      |JOIN (SELECT doc_id, list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
-      |        for k in range(len(t) - 2)]) AS sh,
-      |        CAST(floor(len(t) / $TokenBand.0) AS BIGINT) AS band
-      |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)) b
-      |  ON a.doc_id < b.doc_id AND abs(a.band - b.band) <= 1
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+  val d4Sql: String = {
+    val ths = sqlTokenHashes("text")
+    val docsSub =
+      s"""SELECT doc_id,
+         | list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
+         |   for k in range(len(t) - 2)]) AS sh,
+         | list_sort(${sqlShingles("ths")})[1:2] AS keys
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t, $ths AS ths
+         |      FROM documents)""".stripMargin.replaceAll("\n", " ")
+    s"""SELECT i, j,
+      |  round(CAST(len(list_intersect(sh_i, sh_j)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(sh_i, sh_j))), 6) AS jaccard
+      |FROM (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.sh AS sh_i, b.sh AS sh_j
+      |  FROM (SELECT doc_id, sh, unnest(keys) AS key FROM ($docsSub)) a
+      |  JOIN (SELECT doc_id, sh, unnest(keys) AS key FROM ($docsSub)) b
+      |    ON a.key = b.key AND a.doc_id < b.doc_id)
+      |WHERE CAST(len(list_intersect(sh_i, sh_j)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(sh_i, sh_j))) >= 0.8
       |ORDER BY i, j""".stripMargin
+  }
 
   // ---------------------------------------------------------------- d5
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Exact pair join at test
@@ -205,10 +213,13 @@ object Dedup {
   val CosineThreshold = 0.4
 
   def d5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Norms are computed once per vector (not per pair) — both engines then
+    // evaluate cos = dot / (norm_a · norm_b) with identical float steps.
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= CosineThreshold)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         round(col("cos"), 6).as("cos"))
@@ -217,13 +228,13 @@ object Dedup {
 
   val d5Sql: String =
     s"""SELECT a.vec_id AS i, b.vec_id AS j,
-      |  round(list_dot_product(a.v, b.v)
-      |        / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
-      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
-      |JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+      |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+      |FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)) a
+      |JOIN (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)) b
       |  ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v)
-      |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= $CosineThreshold
+      |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $CosineThreshold
       |ORDER BY i, j""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -208,3 +208,26 @@ case class CharFoldExpr(child: Expression)
     PortableHash.charFold(v.asInstanceOf[UTF8String].toString)
   override protected def withNewChildInternal(c: Expression): CharFoldExpr = copy(c)
 }
+
+/** array<string> of distinct word-3-gram shingles ("w1 w2 w3"), first-
+  * occurrence order — the string-level counterpart of ShingleHashesExpr.
+  */
+case class StringShinglesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var k = 0
+    while (k <= toks.length - 3) {
+      seen.add(toks(k) + " " + toks(k + 1) + " " + toks(k + 2))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): StringShinglesExpr = copy(c)
+}

@@ -47,6 +47,9 @@ package object functions {
     */
   def shingleHashes(text: Column): Column = native(ShingleHashesExpr(ex(text)))
 
+  /** Distinct word-3-gram shingles as strings ("w1 w2 w3"). */
+  def stringShingles(text: Column): Column = native(StringShinglesExpr(ex(text)))
+
   /** MinHash signature: for perm i, min over shingles s of (a_i·s+b_i) mod P. */
   def minHashSignature(shingles: Column, n: Int): Column =
     native(MinHashSigExpr(ex(shingles), n))

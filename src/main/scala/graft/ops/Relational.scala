@@ -494,14 +494,20 @@ object Relational {
       |ORDER BY e.event_id""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** Top-3 lineitems per returnflag (top-k per group). 100 TB: one shuffle
-    * on the group key; row_number is evaluated streaming per sorted
-    * partition — no per-group materialization.
+  /** Top-3 lineitems per returnflag (top-k per group). With only 3 group
+    * keys a single window shuffles everything onto 3 tasks; instead phase 1
+    * takes a local top-3 per (group, input partition) — any global top-3
+    * row is also top-3 in its partition — and phase 2 ranks the ≤3·P·G
+    * survivors. Both phases parallelize; result identical.
     */
   def q21TopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val w1 = Window.partitionBy(col("l_returnflag"), col("__pid")).orderBy(ord: _*)
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
     t(spark, sfDir, "lineitem")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("rn1", row_number().over(w1))
+      .filter(col("rn1") <= 3)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),

@@ -26,12 +26,14 @@ object Similarity {
   def s1CosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     q.join(broadcast(e), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 9))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -41,14 +43,15 @@ object Similarity {
   val s1Sql: String =
     s"""SELECT q_id, rank, neighbor_id, cos FROM (
       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-      |    round(list_dot_product(q.v, e.v)
-      |          / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) AS cos,
+      |    round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) AS cos,
       |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(list_dot_product(q.v, e.v)
-      |        / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) DESC,
+      |      ORDER BY round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) DESC,
       |        e.vec_id) AS rank
-      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $NQueries) q
-      |  JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+      |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |        WHERE vec_id < $NQueries) q
+      |  JOIN (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)) e
       |    ON e.vec_id <> q.vec_id)
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
@@ -70,20 +73,23 @@ object Similarity {
   def s2AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val buckets = array((0 until NTables).map(t =>
       hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
-    val eb = e.select(col("vec_id"), col("v"), posexplode(buckets))
+    val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
     val qb = eb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("t"), col("bucket"))
     val cand = qb.join(eb, Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"), col("v"), col("norm"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 9))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -106,13 +112,12 @@ object Similarity {
       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM (
       |    SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-      |      round(list_dot_product(q.v, e.v)
-      |            / sqrt(list_dot_product(q.v, q.v) * list_dot_product(e.v, e.v)), 9) AS cos
-      |    FROM (SELECT vec_id, v, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
-      |          FROM (SELECT vec_id, v, ${sqlBuckets("v")} AS tb
+      |      round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) AS cos
+      |    FROM (SELECT vec_id, v, norm, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |          FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, ${sqlBuckets("v")} AS tb
       |                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) q
-      |    JOIN (SELECT vec_id, v, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
-      |          FROM (SELECT vec_id, v, ${sqlBuckets("v")} AS tb
+      |    JOIN (SELECT vec_id, v, norm, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |          FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, ${sqlBuckets("v")} AS tb
       |                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) e
       |      ON e.t = q.t AND e.bucket = q.bucket AND e.vec_id <> q.vec_id
       |    WHERE q.vec_id < $NQueries))
