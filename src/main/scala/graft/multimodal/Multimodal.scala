@@ -68,6 +68,29 @@ object Multimodal {
       |  CAST(length(text) % 64 AS INT) AS stub_dim
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- M2
+  private val batchSchema = StructType(Seq(
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("batch_idx", IntegerType, nullable = false),
+    StructField("batch_len", IntegerType, nullable = false)))
+
+  /** Batch-shape introspection for the vectorized-decode path: one row per
+    * micro-batch the stub decoder would receive. MultimodalSpec asserts the
+    * shape (every batch ≤ BatchSize, counts add up) — i.e., the plumbing a
+    * real Arrow-batched decoder plugs into is actually batched.
+    */
+  def m2BatchShapes(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(batchSchema)
+    bin.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      rows.grouped(BatchSize).zipWithIndex.map { case (batch, idx) =>
+        Row(pid, idx, batch.size)
+      }
+    }(enc)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _))
 

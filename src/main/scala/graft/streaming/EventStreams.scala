@@ -56,6 +56,34 @@ object EventStreams {
     hourlyAgg(stream.withWatermark("ts", "2 hours"))
   }
 
+  /** ST3: custom stateful streaming via flatMapGroupsWithState — first-seen
+    * dedup of (user_id, event_type) pairs. State per key is one boolean, so
+    * the store stays at |keys| entries no matter how many events stream
+    * through; Append mode emits each key exactly once.
+    */
+  case class EvKey(user_id: Long, event_type: String)
+
+  def streamingFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.readStream.schema(raw).parquet(dir.toString)
+      .select(col("user_id"), col("event_type")).as[EvKey]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, EvKey](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: EvKey, rows: Iterator[EvKey], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(key) }
+      }
+      .toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _))
 

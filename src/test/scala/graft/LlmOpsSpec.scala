@@ -158,3 +158,38 @@ class StreamingSpec extends GraftSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 }
+
+class StatefulStreamingSpec extends GraftSuite {
+
+  test("ST3: flatMapGroupsWithState first-seen dedup equals batch distinct") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = streaming.EventStreams.streamingFirstSeen(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st3_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st3_out")
+    val expected = Tables(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type")).distinct()
+    assert(streamed.count() === expected.count())
+    assert(streamed.exceptAll(expected).count() === 0)
+  }
+}
+
+class MultimodalBatchSpec extends GraftSuite {
+
+  test("M2: decoder receives bounded batches that cover every row") {
+    import org.apache.spark.sql.functions._
+    val shapes = multimodal.Multimodal.m2BatchShapes(spark, sf)
+    val total = Tables(spark, sf, "documents").count()
+    assert(shapes.filter(col("batch_len") > multimodal.Multimodal.BatchSize).count() === 0)
+    assert(shapes.agg(sum(col("batch_len"))).head().getLong(0) === total)
+    // batches are consecutively indexed within each partition
+    val bad = shapes.groupBy(col("partition_id"))
+      .agg(max(col("batch_idx")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0)
+  }
+}
