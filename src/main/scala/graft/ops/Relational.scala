@@ -645,6 +645,226 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+
+  // ---------------------------------------------------------------- q27
+  /** Explode/unnest: token frequencies via generator + agg. 100 TB: the
+    * generator runs inside the scan stage (no materialized exploded table);
+    * the agg shuffles one (token, partial_count) row per distinct token per
+    * partition.
+    */
+  def q27Explode(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val q27Sql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Null-handling surface: nullif / coalesce / conditional defaults. */
+  def q28NullOps(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_c"),
+        when(col("o_totalprice") > 250000, col("o_totalprice")).otherwise(lit(null))
+          .as("big_price"))
+      .groupBy(col("status_c"))
+      .agg(count(lit(1)).as("n"),
+        count(col("big_price")).as("n_big"),
+        round(sum(dec(coalesce(col("big_price"), lit(0)))), 2).cast("double").as("big_sum"))
+      .orderBy(col("status_c"))
+
+  val q28Sql: String =
+    """SELECT status_c, count(*) AS n, count(big_price) AS n_big,
+      |  CAST(round(sum(CAST(coalesce(big_price, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS big_sum
+      |FROM (SELECT o_orderkey,
+      |        coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_c,
+      |        CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS big_price
+      |      FROM orders)
+      |GROUP BY status_c ORDER BY status_c""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Ranking-window statistics: ntile / percent_rank / cume_dist. */
+  def q29WindowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WHERE o_orderkey < 2000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Set operations: INTERSECT / EXCEPT between yearly customer sets. */
+  def q30SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    def custs(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = custs(1996).intersect(custs(1997))
+      .agg(count(lit(1)).as("n")).select(lit("both").as("tag"), col("n"))
+    val only96 = custs(1996).except(custs(1997))
+      .agg(count(lit(1)).as("n")).select(lit("only_1996").as("tag"), col("n"))
+    both.unionAll(only96).orderBy(col("tag"))
+  }
+
+  val q30Sql: String =
+    """SELECT 'both' AS tag, count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |UNION ALL
+      |SELECT 'only_1996' AS tag, count(*) AS n FROM (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |ORDER BY tag""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Full-outer join match categories. */
+  def q31OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer").select(col("c_custkey"))
+    val o = t(spark, sfDir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(when(col("c_custkey").isNull, "order_only")
+        .when(col("o_custkey").isNull, "cust_only")
+        .otherwise("both").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .orderBy(col("side"))
+
+  }
+
+  val q31Sql: String =
+    """SELECT side, count(*) AS n FROM (
+      |  SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |              WHEN o_custkey IS NULL THEN 'cust_only'
+      |              ELSE 'both' END AS side
+      |  FROM customer
+      |  FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders
+      |                   WHERE o_totalprice > 400000) o
+      |    ON c_custkey = o_custkey)
+      |GROUP BY side ORDER BY side""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Exact math scalar functions (sqrt/abs/ceil/floor/mod — IEEE-exact on
+    * both engines, no libm dependency).
+    */
+  def q32MathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        round(sqrt(col("o_totalprice")), 6).as("sqrt_p"),
+        abs(col("o_totalprice") - 250000).as("dist_mid"),
+        ceil(col("o_totalprice") / 1000).cast("long").as("k_ceil"),
+        floor(col("o_totalprice") / 1000).cast("long").as("k_floor"),
+        pmod(col("o_orderkey"), lit(7)).as("mod7"))
+      .orderBy(col("o_orderkey"))
+
+  val q32Sql: String =
+    """SELECT o_orderkey,
+      |  round(sqrt(o_totalprice), 6) AS sqrt_p,
+      |  abs(o_totalprice - 250000) AS dist_mid,
+      |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS k_ceil,
+      |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_floor,
+      |  o_orderkey % 7 AS mod7
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Semi-structured: JSON field extraction from the events props column. */
+  def q33Json(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Calendar extraction: year / quarter / month grouping. */
+  def q34DateParts(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double").as("revenue"))
+      .orderBy(col("y"), col("q"))
+
+  val q34Sql: String =
+    """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY y, q""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Moving average over a rows frame. The average is computed as exact
+    * decimal moving-sum divided by the frame row count (both engines would
+    * otherwise disagree on avg(decimal) result types).
+    */
+  def q35MovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-3, 0)
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("mavg_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q35Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |        / count(*) OVER w, 6) AS mavg_qty
+      |FROM lineitem WHERE l_suppkey <= 2
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Custom typed aggregate (Aggregator API): geometric mean of order
+    * totals per status. exp/ln cross-engine noise is ~1e-11 relative —
+    * round(4) on a ~1e5 value absorbs it.
+    */
+  def q36GeomMean(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(round(graft.functions.GeomMean.column(col("o_totalprice")), 4)
+        .as("geo_mean"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  val q36Sql: String =
+    """SELECT o_orderstatus,
+      |  round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -672,7 +892,17 @@ object Relational {
     "q23_histogram" -> (q23Histogram _),
     "q24_sessionize" -> (q24Sessionize _),
     "q25_skew_agg" -> (q25SkewAgg _),
-    "q26_grouping_sets" -> (q26GroupingSets _))
+    "q26_grouping_sets" -> (q26GroupingSets _),
+    "q27_explode" -> (q27Explode _),
+    "q28_null_ops" -> (q28NullOps _),
+    "q29_window_stats" -> (q29WindowStats _),
+    "q30_set_ops" -> (q30SetOps _),
+    "q31_outer_join" -> (q31OuterJoin _),
+    "q32_math_funcs" -> (q32MathFuncs _),
+    "q33_json" -> (q33Json _),
+    "q34_date_parts" -> (q34DateParts _),
+    "q35_moving_avg" -> (q35MovingAvg _),
+    "q36_geomean" -> (q36GeomMean _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -700,5 +930,15 @@ object Relational {
     "q23_histogram" -> q23Sql,
     "q24_sessionize" -> q24Sql,
     "q25_skew_agg" -> q25Sql,
-    "q26_grouping_sets" -> q26Sql)
+    "q26_grouping_sets" -> q26Sql,
+    "q27_explode" -> q27Sql,
+    "q28_null_ops" -> q28Sql,
+    "q29_window_stats" -> q29Sql,
+    "q30_set_ops" -> q30Sql,
+    "q31_outer_join" -> q31Sql,
+    "q32_math_funcs" -> q32Sql,
+    "q33_json" -> q33Sql,
+    "q34_date_parts" -> q34Sql,
+    "q35_moving_avg" -> q35Sql,
+    "q36_geomean" -> q36Sql)
 }
