@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,11 +124,90 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s3
+  /** IVF-flat approximate NN — the inverted-file scale path. A coarse
+    * quantizer of NLists centroids partitions the corpus into inverted
+    * lists (assignment = argmin L2²); queries probe the NProbe nearest
+    * lists and exact-rerank only those. Centroid "training" is stubbed
+    * deterministically (the first NLists vectors) so the oracle can rebuild
+    * the identical index — a real deployment k-means-trains the centroids
+    * and ONLY this stub changes.
+    * 100 TB: assignment is a broadcast join (NLists rows) + one shuffle by
+    * list id; probe cost is corpus/NLists × NProbe per query.
+    */
+  val NLists = 16
+  val NProbe = 2
+
+  def s3AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cent = e.filter(col("vec_id") < NLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // L2² to each centroid via the same fold order both engines use
+    def d2(vc: Column, cc: Column): Column =
+      dot(vc, vc) - lit(2.0) * dot(vc, cc) + dot(cc, cc)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val assign = e.join(broadcast(cent), lit(true))
+      .withColumn("d2", d2(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("d2", d2(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s3Sql: String =
+    s"""WITH e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NLists),
+      |assign AS (
+      |  SELECT vec_id, v, norm, cid FROM (
+      |    SELECT e.vec_id, e.v, e.norm, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, qv, qnorm, cid FROM (
+      |    SELECT e.vec_id AS q_id, e.v AS qv, e.norm AS qnorm, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) WHERE rn <= $NProbe)
+      |SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 9) AS cos,
+      |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |      round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 9) DESC,
+      |      a.vec_id) AS rank
+      |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
-    "s2_ann_lsh" -> (s2AnnLsh _))
+    "s2_ann_lsh" -> (s2AnnLsh _),
+    "s3_ann_ivf" -> (s3AnnIvf _))
 
   val sql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
-    "s2_ann_lsh" -> s2Sql)
+    "s2_ann_lsh" -> s2Sql,
+    "s3_ann_ivf" -> s3Sql)
 }

@@ -117,3 +117,24 @@ class PipelineSpec extends GraftSuite {
     assert(res.size === 2 && calls() === 2)
   }
 }
+
+/** P7 partitioned writes: a sink that partitions by a column, pruned reads. */
+class PartitionedSinkSpec extends GraftSuite {
+  test("partitionBy write produces prunable directories served back whole") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$tmp/orders")
+    // partition directories exist
+    val dirs = new java.io.File(s"$tmp/orders").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("o_orderstatus=")))
+    val back = spark.read.parquet(s"$tmp/orders")
+    assert(back.count() === orders.count())
+    // a partition-filtered read only lists that directory (partition pruning)
+    val one = back.filter(col("o_orderstatus") === "F")
+    val expected = orders.filter(col("o_orderstatus") === "F").count()
+    assert(one.count() === expected)
+  }
+}

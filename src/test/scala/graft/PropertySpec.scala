@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.PortableHash
+
+/** Property-based checks over scalacheck-generated inputs (deterministic
+  * seeds; the scalatest↔scalacheck bridge artifact isn't vendored, so
+  * sampling is driven manually).
+  */
+class PropertySpec extends GraftSuite {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val asciiWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val sentence: Gen[String] =
+    Gen.listOfN(8, asciiWord).map(_.mkString(" "))
+
+  test("charFold: native Catalyst expression equals the reference fold") {
+    import spark.implicits._
+    val texts = samples(sentence, 60)
+    val df = texts.toDF("text")
+    val got = df.select(graft.functions.charFoldHash(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    val expect = texts.map(PortableHash.charFold)
+    assert(got === expect)
+  }
+
+  test("charFold stays in the prime field; distinct sentences hash apart") {
+    val words = samples(asciiWord, 200)
+    words.foreach { w =>
+      val h = PortableHash.charFold(w)
+      assert(h >= 0 && h < PortableHash.P)
+    }
+    val distinct = words.distinct
+    assert(distinct.map(PortableHash.charFold).distinct.size === distinct.size,
+      "hash collision among short ascii words would be a structural bug")
+  }
+
+  test("asof join equals the naive argmax join on generated data") {
+    import spark.implicits._
+    val pairGen = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+    } yield rows
+    for (i <- 0 until 5) {
+      val left = samples(pairGen, 10)(i * 2)
+      val right = samples(pairGen, 10)(i * 2 + 1)
+      val l = left.zipWithIndex.map { case ((k, t), idx) => (idx.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      // dedupe right per (k,t) like the operator requires (keep max rid)
+      val rRows = right.distinct.zipWithIndex
+        .map { case ((k, t), idx) => (idx.toLong, k, t) }
+        .groupBy(x => (x._2, x._3)).map(_._2.maxBy(_._1)).toSeq
+      val r = rRows.toDF("rid", "rk", "rt")
+      val got = ops.AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid", "rt"))
+        .select(col("lid"), col("rid")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val expect = left.zipWithIndex.flatMap { case ((k, t), idx) =>
+        val cands = rRows.filter(x => x._2 == k && x._3 <= t)
+        if (cands.isEmpty) None
+        else Some(idx.toLong -> cands.maxBy(x => (x._3, x._1))._1)
+      }.toMap
+      assert(got === expect, s"iteration $i")
+    }
+  }
+}
