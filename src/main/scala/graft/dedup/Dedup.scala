@@ -58,9 +58,15 @@ object Dedup {
   val RowsPerBand = 4
 
   def d2MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+    // Signatures materialize ONCE (localCheckpoint) — the bands self-join
+    // and both array join-backs would otherwise recompute shingles+minhash
+    // per plan branch (4 scans in the naive plan). At cluster scale this
+    // materialization is the signature table a real pipeline persists.
+    val withSig = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-    val withSig = docs.withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
+      .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
+      .localCheckpoint()
+    val docs = withSig.select(col("doc_id"), col("sh"))
     val bands = withSig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           concat_ws("_", transform(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
@@ -110,6 +116,7 @@ object Dedup {
   def d3SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
+      .localCheckpoint()
     val blockLen = SimHashBitsN / SimHashBlocks
     val blocks = docs.select(col("doc_id"), col("bits"),
         posexplode(transform(sequence(lit(0), lit(SimHashBlocks - 1)), k =>
@@ -164,6 +171,7 @@ object Dedup {
       .select(col("doc_id"),
         stringShingles(col("text")).as("sh"),
         slice(array_sort(shingleHashes(col("text"))), 1, 2).as("keys"))
+      .localCheckpoint()
     // candidate ids dedup BEFORE touching the heavy shingle arrays — the
     // distinct shuffles two longs, the arrays join back afterwards by id
     val keyed = docs.select(col("doc_id"), explode(col("keys")).as("key"))

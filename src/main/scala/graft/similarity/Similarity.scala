@@ -78,6 +78,7 @@ object Similarity {
       hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
     val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
     val qb = eb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("t"), col("bucket"))
