@@ -6,9 +6,12 @@ import graft.ops.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * end-to-end corpus-curation pipeline — exact dedup → near-dup drop →
+    * quality gate → annotation (see graft.ops.Curation).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    ops.Curation.curate(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/** Flagship composition (SparkEntry.entry): an end-to-end LLM training-data
+  * curation pass over `documents`, built from the §2 operators:
+  *
+  *  1. exact dedup   — keep min doc_id per md5(text)
+  *  2. near-dup drop — MinHash-LSH pairs (Jaccard ≥ 0.8); drop the higher
+  *                     doc_id of each pair
+  *  3. quality gate  — stopword/word-length composite ≥ 0.3
+  *  4. annotation    — token count + portable fingerprint for the survivors
+  *
+  * Every stage is one more transform on the same lazy plan; nothing
+  * collects to the driver. At 100 TB each stage is shuffle-bounded the way
+  * its underlying operator is (hash dedup by digest, LSH by band buckets,
+  * the rest embarrassingly parallel).
+  */
+object Curation {
+
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+
+    // 1. exact dedup
+    val keep = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+    // 2. near-dup pairs → drop the j side
+    val dupJ = graft.dedup.Dedup.d2MinHashLsh(spark, sfDir)
+      .select(col("j").as("doc_id")).distinct()
+
+    // 3+4. quality + annotation on the survivors
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stop = size(filter(toks, t =>
+      t.isin(Seq("the", "a", "and", "of", "to", "in", "is").map(x => x: Any): _*)))
+      .cast("double")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(dupJ, Seq("doc_id"), "left_anti")
+      .withColumn("quality",
+        round((stop / nTok) * 0.5 + least(sumLen / nTok / 8.0, lit(1.0)) * 0.5, 6))
+      .filter(col("quality") >= 0.3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        charFoldHash(col("text")).as("fingerprint"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -193,3 +193,44 @@ class MultimodalBatchSpec extends GraftSuite {
     assert(bad.count() === 0)
   }
 }
+
+class CurationSpec extends GraftSuite {
+  test("flagship curation keeps a deduped, quality-gated corpus") {
+    import org.apache.spark.sql.functions._
+    val out = ops.Curation.curate(spark, sf)
+    val n = out.count()
+    assert(n > 0, "curated corpus must be non-empty")
+    assert(n <= Tables(spark, sf, "documents").count())
+    // no near-dup pair survives: every LSH pair lost its j side
+    val pairs = dedup.Dedup.d2MinHashLsh(spark, sf).select(col("i"), col("j"))
+    val ids = out.select(col("doc_id"))
+    val surviving = pairs
+      .join(ids.withColumnRenamed("doc_id", "j"), Seq("j"), "left_semi")
+    assert(surviving.count() === 0)
+    assert(out.filter(col("quality") < 0.3).count() === 0)
+  }
+}
+
+/** Approximate/sampling operators that can't be oracle-checked exactly. */
+class ApproxOpsSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("percentile_approx tracks exact percentile within 2%") {
+    val o = Tables(spark, sf, "orders")
+    val row = o.agg(
+      expr("percentile_approx(o_totalprice, 0.5, 10000)").as("approx"),
+      expr("percentile(o_totalprice, 0.5)").as("exact")).head()
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+  }
+
+  test("seeded sample is deterministic and near the target fraction") {
+    val li = Tables(spark, sf, "lineitem")
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 7)
+    val s2 = li.sample(withReplacement = false, 0.1, seed = 7)
+    assert(s1.count() === s2.count())
+    assert(s1.exceptAll(s2).count() === 0)
+    val frac = s1.count().toDouble / li.count()
+    assert(frac > 0.05 && frac < 0.15)
+  }
+}
