@@ -865,6 +865,72 @@ object Relational {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+
+  // ---------------------------------------------------------------- q37
+  /** TPC-H Q22 shape: customers above the global average balance with no
+    * recent orders. The global average is a 1-row broadcast (exact decimal
+    * sum / count, identical double both sides); the NOT EXISTS is an
+    * anti-join.
+    */
+  def q37AboveAvgInactive(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    cust.join(broadcast(avgBal), lit(true))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(dec(col("c_acctbal"))), 2).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q37Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                          / count(*)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** TPC-H Q2 shape: argmin per group via pre-aggregated self-join (the
+    * decorrelated form of a correlated min subquery): the poorest customer
+    * of each nation, custkey tiebreak.
+    */
+  def q38ArgminPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer")
+    val minBal = cust.groupBy(col("c_nationkey").as("mk"))
+      .agg(min(col("c_acctbal")).as("min_bal"))
+    val winner = cust
+      .join(broadcast(minBal),
+        col("c_nationkey") === col("mk") && col("c_acctbal") === col("min_bal"))
+      .groupBy(col("c_nationkey"), col("c_acctbal"))
+      .agg(min(col("c_custkey")).as("c_custkey"))
+    winner
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_acctbal").as("min_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q38Sql: String =
+    """SELECT n_name, c_custkey, min_bal FROM (
+      |  SELECT c.c_nationkey, c.c_acctbal AS min_bal, min(c.c_custkey) AS c_custkey
+      |  FROM customer c
+      |  JOIN (SELECT c_nationkey AS mk, min(c_acctbal) AS mb
+      |        FROM customer GROUP BY c_nationkey) m
+      |    ON c.c_nationkey = m.mk AND c.c_acctbal = m.mb
+      |  GROUP BY c.c_nationkey, c.c_acctbal)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -902,7 +968,9 @@ object Relational {
     "q33_json" -> (q33Json _),
     "q34_date_parts" -> (q34DateParts _),
     "q35_moving_avg" -> (q35MovingAvg _),
-    "q36_geomean" -> (q36GeomMean _))
+    "q36_geomean" -> (q36GeomMean _),
+    "q37_above_avg_inactive" -> (q37AboveAvgInactive _),
+    "q38_argmin_per_group" -> (q38ArgminPerGroup _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -940,5 +1008,7 @@ object Relational {
     "q33_json" -> q33Sql,
     "q34_date_parts" -> q34Sql,
     "q35_moving_avg" -> q35Sql,
-    "q36_geomean" -> q36Sql)
+    "q36_geomean" -> q36Sql,
+    "q37_above_avg_inactive" -> q37Sql,
+    "q38_argmin_per_group" -> q38Sql)
 }

@@ -35,6 +35,15 @@ final class CsvSource(name: String, path: String, schema: StructType) extends Da
   }
 }
 
+/** ORC source with an explicit schema. */
+final class OrcSource(name: String, path: String, schema: StructType) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    spark.read.schema(schema).orc(path)
+  }
+}
+
 /** JSON-lines source with an explicit schema. */
 final class JsonSource(name: String, path: String, schema: StructType) extends DataSource {
   override def provides: Set[String] = Set(name)

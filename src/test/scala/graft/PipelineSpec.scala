@@ -138,3 +138,31 @@ class PartitionedSinkSpec extends GraftSuite {
     assert(one.count() === expected)
   }
 }
+
+/** SQL registration of graft's native expressions + ORC source. */
+class SqlSurfaceSpec extends GraftSuite {
+  test("registered SQL functions compute the same values as the Column API") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT doc_id, charfold(text) AS fp, dot_product(ARRAY(1.0d,2.0d), ARRAY(3.0d,4.0d)) AS d FROM documents ORDER BY doc_id LIMIT 5")
+    val viaApi = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.charFoldHash(col("text")).as("fp"))
+      .orderBy(col("doc_id")).limit(5)
+    assert(viaSql.select(col("doc_id"), col("fp")).exceptAll(viaApi).count() === 0)
+    assert(viaSql.head().getDouble(2) === 11.0)
+  }
+
+  test("orc source round-trips") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = Tables(spark, sf, "orders").limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    orders.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = new pipeline.OrcSource("orders_orc", s"$tmp/orc", orders.schema)
+      .get("orders_orc", pipeline.Query.empty, spark)
+    assert(back.count() === 50)
+    assert(back.exceptAll(orders).count() === 0)
+  }
+}
