@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * under 2^63 (P² ≈ 4.6e18), so everything fits in BIGINT on both engines.
   *
   * Hot-path builders delegate to the native expressions in
-  * [[graft.functions.Expressions]] (identical arithmetic, ~50× faster than
-  * the interpreted higher-order-function formulation); the lightweight
-  * token-level helpers stay as Catalyst HOFs.
+  * Expressions.scala ([[graft.functions.MinHashSigExpr]],
+  * [[graft.functions.DotProductExpr]], …) — identical arithmetic, ~50×
+  * faster than the interpreted higher-order-function formulation; the
+  * lightweight token-level helpers stay as Catalyst HOFs.
   */
 package object functions {
 

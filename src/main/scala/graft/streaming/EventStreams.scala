@@ -84,6 +84,40 @@ object EventStreams {
       .toDF()
   }
 
+  /** ST4: watermarked stream-stream join — purchases joined to the same
+    * user's clicks within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * state store retains only one hour of rows (the unbounded-state trap
+    * of naive stream joins is exactly what the time bound removes).
+    */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Streaming flavor over the staged file source (see ST3). */
+  def streamingPurchaseClicks(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    streamStreamJoin(stream)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _))
 

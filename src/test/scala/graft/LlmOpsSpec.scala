@@ -234,3 +234,20 @@ class ApproxOpsSpec extends GraftSuite {
     assert(frac > 0.05 && frac < 0.15)
   }
 }
+
+class StreamStreamJoinSpec extends GraftSuite {
+  test("ST4: watermarked stream-stream join equals the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = streaming.EventStreams.streamingPurchaseClicks(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st4_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st4_out")
+    val batch = streaming.EventStreams.streamStreamJoin(Tables(spark, sf, "events"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+}
