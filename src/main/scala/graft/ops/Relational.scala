@@ -931,6 +931,55 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY n_name""".stripMargin
 
+
+  // ---------------------------------------------------------------- q39
+  /** GROUP BY … HAVING: segments whose average balance clears a floor.
+    * HAVING is a post-aggregation filter — no extra pass.
+    */
+  def q39Having(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      .filter(col("avg_bal") > 4000)
+      .select(col("c_mktsegment"), col("n"), round(col("avg_bal"), 6).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  val q39Sql: String =
+    """SELECT c_mktsegment, n, round(avg_bal, 6) AS avg_bal FROM (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer GROUP BY c_mktsegment)
+      |WHERE avg_bal > 4000
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** TPC-H Q4 shape: EXISTS-driven aggregate — orders having at least one
+    * deep-discount item and at least one bulk item, counted by priority.
+    * Both EXISTS become left-semi joins on the orderkey (each needs only
+    * the key column of lineitem — minimal shuffle).
+    */
+  def q40ExistsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    t(spark, sfDir, "orders")
+      .join(li.filter(col("l_discount") >= 0.08).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(li.filter(col("l_quantity") >= 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q40Sql: String =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -970,7 +1019,9 @@ object Relational {
     "q35_moving_avg" -> (q35MovingAvg _),
     "q36_geomean" -> (q36GeomMean _),
     "q37_above_avg_inactive" -> (q37AboveAvgInactive _),
-    "q38_argmin_per_group" -> (q38ArgminPerGroup _))
+    "q38_argmin_per_group" -> (q38ArgminPerGroup _),
+    "q39_having" -> (q39Having _),
+    "q40_exists_agg" -> (q40ExistsAgg _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1010,5 +1061,7 @@ object Relational {
     "q35_moving_avg" -> q35Sql,
     "q36_geomean" -> q36Sql,
     "q37_above_avg_inactive" -> q37Sql,
-    "q38_argmin_per_group" -> q38Sql)
+    "q38_argmin_per_group" -> q38Sql,
+    "q39_having" -> q39Sql,
+    "q40_exists_agg" -> q40Sql)
 }

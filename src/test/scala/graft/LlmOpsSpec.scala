@@ -251,3 +251,49 @@ class StreamStreamJoinSpec extends GraftSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 }
+
+/** Array / map / struct function surface (kept out of the oracle gate —
+  * array-valued result cells don't compare portably — but fully exercised
+  * here).
+  */
+class ArrayMapOpsSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("collect_list/collect_set/sort_array aggregate per group") {
+    val per = Tables(spark, sf, "lineitem").filter(col("l_orderkey") < 10)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+    val row = per.orderBy(col("l_orderkey")).head()
+    assert(row.getSeq[Int](1).sorted === row.getSeq[Int](1))
+    assert(per.count() > 0)
+  }
+
+  test("map and struct construction round-trips through expressions") {
+    val df = Tables(spark, sf, "orders").limit(100)
+      .select(col("o_orderkey"),
+        map(lit("price"), col("o_totalprice"),
+            lit("key"), col("o_orderkey").cast("double")).as("m"),
+        struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")).as("s"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "price").as("price_back"),
+        col("s.p").as("p_back"))
+    val bad = df.join(Tables(spark, sf, "orders").limit(100), Seq("o_orderkey"))
+      .filter(col("price_back") =!= col("o_totalprice") ||
+        col("p_back") =!= col("o_totalprice"))
+    assert(bad.count() === 0)
+  }
+
+  test("zip_with / transform / filter / aggregate HOFs behave") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val out = df.select(
+      zip_with(col("a"), col("b"), (x, y) => x * y).as("prod"),
+      filter(col("a"), _ > 1.5).as("flt"),
+      aggregate(col("a"), lit(0.0), (acc, x) => acc + x).as("sum"))
+      .head()
+    assert(out.getSeq[Double](0) === Seq(4.0, 10.0, 18.0))
+    assert(out.getSeq[Double](1) === Seq(2.0, 3.0))
+    assert(out.getDouble(2) === 6.0)
+  }
+}
