@@ -91,9 +91,69 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------- m2
+  val FrameBytes = 256
+  val SampleEvery = 4
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("sample_checksum", LongType, nullable = false)))
+
+  /** Frame sampling over binary payloads: the payload is treated as a
+    * sequence of fixed-size frames ([[FrameBytes]] bytes); every
+    * [[SampleEvery]]-th frame is "decoded" (stub: byte-sum) — the chunked
+    * random-access pattern of real video frame extraction, with the codec
+    * stubbed. Resize/thumbnail is the same plumbing with a different
+    * per-frame function.
+    */
+  def m2FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(frameSchema)
+    bin.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+        var checksum = 0L
+        var sampled = 0
+        var f = 0
+        while (f < nFrames) {
+          val start = f * FrameBytes
+          val end = math.min(start + FrameBytes, payload.length)
+          var s = 0L
+          var i = start
+          while (i < end) { s += payload(i) & 0xff; i += 1 }
+          checksum = (checksum + s) % 2147483647L
+          sampled += 1
+          f += SampleEvery
+        }
+        Row(id, nFrames, sampled, checksum)
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  // ASCII text: byte == codepoint, frames = substr windows.
+  val m2Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(ceil(length(text) / $FrameBytes.0) AS INT) AS n_frames,
+      |  CAST(ceil(ceil(length(text) / $FrameBytes.0) / $SampleEvery.0) AS INT) AS n_sampled,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(string_split(substr(text, f * $FrameBytes + 1, $FrameBytes), ''),
+      |         c -> CAST(unicode(c) AS BIGINT))),
+      |       (a, c) -> a + c)
+      |     for f in range(0, CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT), $SampleEvery)]),
+      |    (a, s) -> (a + s) % 2147483647) AS sample_checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_binary_meta" -> (m1BinaryMeta _))
+    "m1_binary_meta" -> (m1BinaryMeta _),
+    "m2_frame_sample" -> (m2FrameSample _))
 
   val sql: Map[String, String] = Map(
-    "m1_binary_meta" -> m1Sql)
+    "m1_binary_meta" -> m1Sql,
+    "m2_frame_sample" -> m2Sql)
 }
