@@ -980,6 +980,35 @@ object Relational {
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+
+  // ---------------------------------------------------------------- q41
+  /** RANGE interval frame: per-customer order totals summed over a sliding
+    * 90-day event-time window (range frame = value-based bounds, unlike
+    * q35's row-count frame). One shuffle by customer; frames evaluate
+    * streaming over each sorted partition.
+    */
+  def q41RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-90L * 24 * 3600, 0)
+    t(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double")
+          .as("sum_90d"),
+        count(lit(1)).over(w).as("n_90d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q41Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS sum_90d,
+      |  count(*) OVER w AS n_90d
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1021,7 +1050,8 @@ object Relational {
     "q37_above_avg_inactive" -> (q37AboveAvgInactive _),
     "q38_argmin_per_group" -> (q38ArgminPerGroup _),
     "q39_having" -> (q39Having _),
-    "q40_exists_agg" -> (q40ExistsAgg _))
+    "q40_exists_agg" -> (q40ExistsAgg _),
+    "q41_range_frame" -> (q41RangeFrame _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1063,5 +1093,6 @@ object Relational {
     "q37_above_avg_inactive" -> q37Sql,
     "q38_argmin_per_group" -> q38Sql,
     "q39_having" -> q39Sql,
-    "q40_exists_agg" -> q40Sql)
+    "q40_exists_agg" -> q40Sql,
+    "q41_range_frame" -> q41Sql)
 }
