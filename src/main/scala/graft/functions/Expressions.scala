@@ -140,10 +140,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toDoubleArray()
     val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    require(a.length == b.length,
+      s"dot_product: mismatched vector lengths ${a.length} vs ${b.length}")
     var acc = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -157,10 +158,11 @@ case class HammingExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toLongArray()
     val b = r.asInstanceOf[ArrayData].toLongArray()
+    require(a.length == b.length,
+      s"hamming: mismatched signature lengths ${a.length} vs ${b.length}")
     var d = 0L
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+    while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
     d
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -179,6 +181,8 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, dim: Int,
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData].toDoubleArray()
+    require(a.length >= dim,
+      s"hyperplane_bucket: vector length ${a.length} < dim $dim")
     var bucket = 0L
     var j = 0
     while (j < nPlanes) {

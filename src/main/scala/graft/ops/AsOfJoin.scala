@@ -42,6 +42,12 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__key", "__t", "__isRight") ++
+      payload.flatMap(p => Seq(s"__p_$p", s"__c_$p"))
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      s"asof: input columns collide with reserved names $reserved")
+    require(payload.forall(right.columns.contains),
+      s"asof: payload columns $payload must exist on the right side")
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))

@@ -35,18 +35,11 @@ object Curation {
     val dupJ = graft.dedup.Dedup.d2MinHashLsh(spark, sfDir)
       .select(col("j").as("doc_id")).distinct()
 
-    // 3+4. quality + annotation on the survivors
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stop = size(filter(toks, t =>
-      t.isin(Seq("the", "a", "and", "of", "to", "in", "is").map(x => x: Any): _*)))
-      .cast("double")
-    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+    // 3+4. quality + annotation on the survivors (same scorer as t2)
     docs
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
-      .withColumn("quality",
-        round((stop / nTok) * 0.5 + least(sumLen / nTok / 8.0, lit(1.0)) * 0.5, 6))
+      .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
       .select(col("doc_id"), col("lang"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),

@@ -213,7 +213,11 @@ final class DataPipeline(
       case Right(sink) =>
         if (sink.accepts(dataType)) {
           sink.lookup(dataType, query, spark) match {
-            case Some(df) => return df
+            case Some(df) =>
+              // promote the hit into the faster tiers in front of this one
+              sinksBefore.filter(_.accepts(dataType))
+                .foreach(_.put(dataType, df, query))
+              return df
             case None => ()
           }
         }

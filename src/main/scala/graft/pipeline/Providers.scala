@@ -78,25 +78,36 @@ final class MemoryCacheSink(acceptTypes: Set[String]) extends DataSink {
   override def put(dataType: String, df: DataFrame): Unit =
     put(dataType, df, Query.empty)
   override def put(dataType: String, df: DataFrame, query: Query): Unit = {
-    puts += 1
+    synchronized { puts += 1 }
     cache.put((dataType, query), df.persist())
+      .foreach(_.unpersist()) // don't leak blocks of a replaced entry
   }
   override def lookup(dataType: String, query: Query, spark: SparkSession): Option[DataFrame] = {
     val r = cache.get((dataType, query))
-    if (r.isDefined) hits += 1
+    if (r.isDefined) synchronized { hits += 1 }
     r
   }
 }
 
-/** Parquet directory sink/store: `put` writes <base>/<type>, `lookup`
-  * serves it back if present — a durable cache tier.
+/** Parquet directory sink/store: `put` writes <base>/<type>/<query-fp>,
+  * `lookup` serves it back if present — a durable cache tier. Entries are
+  * keyed by a deterministic fingerprint of the query params so a result
+  * cached for one query is never served for another.
   */
 final class ParquetDirSink(baseDir: String, acceptTypes: Set[String]) extends DataSink {
+  private def fp(query: Query): String = {
+    val canonical = query.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
   override def accepts: Set[String] = acceptTypes
   override def put(dataType: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$baseDir/$dataType")
+    put(dataType, df, Query.empty)
+  override def put(dataType: String, df: DataFrame, query: Query): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/$dataType/${fp(query)}")
   override def lookup(dataType: String, query: Query, spark: SparkSession): Option[DataFrame] = {
-    val p = java.nio.file.Paths.get(baseDir, dataType)
+    val p = java.nio.file.Paths.get(baseDir, dataType, fp(query))
     if (java.nio.file.Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 }

@@ -31,7 +31,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    q.join(broadcast(e), col("vec_id") =!= col("q_id"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
       .withColumn("rank", row_number().over(w))

@@ -15,6 +15,15 @@ import graft.Tables
   */
 object EventStreams {
 
+  /** Same nanos-long → µs-timestamp normalization as Tables, guarded on
+    * the column actually being a long (a regenerated micros file passes
+    * through untouched — batch and stream stay equivalent).
+    */
+  private def fixTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
   /** Shared transform: 1-hour tumbling window counts/sums per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -52,7 +61,7 @@ object EventStreams {
     val stream = spark.readStream
       .schema(raw)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(fixTs)
     hourlyAgg(stream.withWatermark("ts", "2 hours"))
   }
 
@@ -73,6 +82,7 @@ object EventStreams {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     spark.readStream.schema(raw).parquet(dir.toString)
+      .transform(fixTs)
       .select(col("user_id"), col("event_type")).as[EvKey]
       .groupByKey(identity)
       .flatMapGroupsWithState[Boolean, EvKey](
@@ -114,7 +124,7 @@ object EventStreams {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = spark.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(fixTs)
     streamStreamJoin(stream)
   }
 

@@ -16,8 +16,21 @@ import graft.functions._
   */
 object TextOps {
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  /** Shared stopword list — Curation reuses it so the flagship gate can't
+    * drift from the verified t2 operator. */
+  val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The t2 composite quality score as a reusable Column over `text`. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopCount = size(filter(toks, t =>
+      t.isin(stopwords.map(x => x: Any): _*))).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+    round((stopCount / nTok) * 0.5 +
+      least(sumLen / nTok / lit(8.0), lit(1.0)) * 0.5, 6)
+  }
 
   // ---------------------------------------------------------------- t1
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -57,8 +70,7 @@ object TextOps {
         round(stopCount / nTok, 6).as("stop_ratio"),
         round(sumLen / nTok, 6).as("avg_word_len"),
         round(punct.cast("double") / length(col("text")), 6).as("punct_ratio"),
-        round((stopCount / nTok) * 0.5 +
-          least(sumLen / nTok / lit(8.0), lit(1.0)) * 0.5, 6).as("quality"))
+        qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
 

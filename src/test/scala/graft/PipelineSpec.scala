@@ -166,3 +166,36 @@ class SqlSurfaceSpec extends GraftSuite {
     assert(back.exceptAll(orders).count() === 0)
   }
 }
+
+/** Review follow-ups: store hits promote into faster tiers; durable store
+  * entries are query-keyed.
+  */
+class CacheTierSpec extends GraftSuite {
+  test("a hit in a later store populates the cache tiers in front of it") {
+    val orders = Tables(spark, sf, "orders").limit(10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tier").toString
+    val store = new pipeline.ParquetDirSink(tmp, Set("orders"))
+    val q = pipeline.Query.of("k" -> 1)
+    store.put("orders", orders, q) // durable tier pre-populated
+    val mem = new pipeline.MemoryCacheSink(Set("orders"))
+    val p = new pipeline.DataPipeline(Seq(
+      Right(mem), Right(store),
+      Left(new pipeline.MemorySource(Map.empty, advertised = Set("orders")))))
+    implicit val s = spark
+    val got = p.get("orders", q)
+    assert(got.count() === 10)
+    assert(mem.puts === 1, "memory tier must be populated from the store hit")
+    p.get("orders", q)
+    assert(mem.hits === 1, "second get must be served by the memory tier")
+  }
+
+  test("durable store entries are keyed by query, not just type") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-keyed").toString
+    val store = new pipeline.ParquetDirSink(tmp, Set("orders"))
+    val a = Tables(spark, sf, "orders").limit(5)
+    store.put("orders", a, pipeline.Query.of("f" -> "A"))
+    assert(store.lookup("orders", pipeline.Query.of("f" -> "B"), spark).isEmpty,
+      "a different query must MISS")
+    assert(store.lookup("orders", pipeline.Query.of("f" -> "A"), spark).isDefined)
+  }
+}
