@@ -33,3 +33,34 @@ object GraftFunctions {
       e => HyperplaneBucketExpr(one(e), 8, 64), "built-in")
   }
 }
+
+/** Conf-activatable extensions entry point: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every new session gets the
+  * graft SQL functions without calling [[GraftFunctions.register]] — the
+  * standard way a library ships Catalyst additions.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    ext.injectFunction((FunctionIdentifier("charfold"), info("charfold"),
+      (e: Seq[Expression]) => CharFoldExpr(e.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
+      (e: Seq[Expression]) => ShingleHashesExpr(e.head)))
+    ext.injectFunction((FunctionIdentifier("string_shingles"), info("string_shingles"),
+      (e: Seq[Expression]) => StringShinglesExpr(e.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (e: Seq[Expression]) => MinHashSigExpr(e.head, 128)))
+    ext.injectFunction((FunctionIdentifier("simhash_bits"), info("simhash_bits"),
+      (e: Seq[Expression]) => SimHashBitsExpr(e.head, 48)))
+    ext.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (e: Seq[Expression]) => DotProductExpr(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("hamming"), info("hamming"),
+      (e: Seq[Expression]) => HammingExpr(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_bucket"), info("hyperplane_bucket"),
+      (e: Seq[Expression]) => HyperplaneBucketExpr(e.head, 8, 64)))
+  }
+}

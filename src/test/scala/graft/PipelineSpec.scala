@@ -199,3 +199,14 @@ class CacheTierSpec extends GraftSuite {
     assert(store.lookup("orders", pipeline.Query.of("f" -> "A"), spark).isDefined)
   }
 }
+
+/** GraftExtensions injects without error; SQL parity itself is covered by
+  * SqlSurfaceSpec via the runtime registry (one shared session per suite —
+  * extensions only apply to sessions built with them).
+  */
+class ExtensionsSpec extends GraftSuite {
+  test("GraftExtensions builds its injection list cleanly") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+  }
+}
