@@ -245,17 +245,53 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $CosineThreshold
       |ORDER BY i, j""".stripMargin
 
+
+  // ---------------------------------------------------------------- d6
+  /** Scoped dedup: exact dedup WITHIN each source (a corpus mixed from many
+    * crawls often dedups per-provenance before global passes). Same hash
+    * grouping as d1, keyed by (source, digest) — the shuffle key gains the
+    * scope column and nothing else changes, which is the point: scoping a
+    * dedup is free at any scale.
+    */
+  def d6ScopedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = docs.unionAll(docs
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"), col("text")))
+    corpus
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_total"),
+        min(col("keep_id")).as("first_keep"))
+      .orderBy(col("source"))
+  }
+
+  val d6Sql: String =
+    """SELECT source, count(*) AS n_unique, sum(n_copies) AS n_total,
+      |  min(keep_id) AS first_keep
+      |FROM (
+      |  SELECT source, md5(text) AS h, min(doc_id) AS keep_id,
+      |    count(*) AS n_copies
+      |  FROM (SELECT doc_id, source, text FROM documents
+      |        UNION ALL SELECT doc_id + 1000000, source, text FROM documents)
+      |  GROUP BY source, md5(text))
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
-    "d5_embedding_dedup" -> (d5EmbeddingDedup _))
+    "d5_embedding_dedup" -> (d5EmbeddingDedup _),
+    "d6_scoped_dedup" -> (d6ScopedDedup _))
 
   val sql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
-    "d5_embedding_dedup" -> d5Sql)
+    "d5_embedding_dedup" -> d5Sql,
+    "d6_scoped_dedup" -> d6Sql)
 }

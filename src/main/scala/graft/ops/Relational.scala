@@ -1009,6 +1009,35 @@ object Relational {
       |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+
+  // ---------------------------------------------------------------- q42
+  /** Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicities (they de-sugar to count-based joins, unlike the
+    * distinct-based q30 variants).
+    */
+  def q42BagSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val a = li.filter(col("l_quantity") >= 25).select(col("l_partkey"))
+    val b = li.filter(col("l_discount") >= 0.05).select(col("l_partkey"))
+    val inter = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val exc = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    inter.unionAll(exc).orderBy(col("op"))
+  }
+
+  val q42Sql: String =
+    """SELECT 'except_all' AS op, count(*) AS n FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, count(*) AS n FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
+      |ORDER BY op""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1051,7 +1080,8 @@ object Relational {
     "q38_argmin_per_group" -> (q38ArgminPerGroup _),
     "q39_having" -> (q39Having _),
     "q40_exists_agg" -> (q40ExistsAgg _),
-    "q41_range_frame" -> (q41RangeFrame _))
+    "q41_range_frame" -> (q41RangeFrame _),
+    "q42_bag_set_ops" -> (q42BagSetOps _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1094,5 +1124,6 @@ object Relational {
     "q38_argmin_per_group" -> q38Sql,
     "q39_having" -> q39Sql,
     "q40_exists_agg" -> q40Sql,
-    "q41_range_frame" -> q41Sql)
+    "q41_range_frame" -> q41Sql,
+    "q42_bag_set_ops" -> q42Sql)
 }

@@ -166,15 +166,52 @@ object TextOps {
       |ORDER BY doc_id""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------- t5
+  /** Unigram surprisal scoring — a language-model-ish quality signal:
+    * build corpus-wide token frequencies (pass 1), then score each doc by
+    * the mean negative log-probability of its tokens (pass 2, a join from
+    * exploded tokens back to the frequency table). Common-word documents
+    * score low, rare-token soup scores high.
+    * 100 TB: the frequency table is |vocab| rows — broadcast; the token
+    * explode never materializes (generator inside the scan stage).
+    * Parity: ln/exp noise is ~1e-16 per term; round(4) absorbs it.
+    */
+  def t5Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val total = toks.count().toDouble
+    val freqs = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("logp", log(col("tf") / lit(total)))
+    toks.join(broadcast(freqs), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(col("logp")) / count(lit(1)), 4).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t5Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |freqs AS (SELECT token, ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS logp
+      |          FROM toks GROUP BY token)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(-sum(logp) / count(*), 4) AS surprisal
+      |FROM toks JOIN freqs USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> (t1TokenCount _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_surprisal" -> (t5Surprisal _))
 
   val sql: Map[String, String] = Map(
     "t1_token_count" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_langid" -> t3Sql,
-    "t4_fingerprint" -> t4Sql)
+    "t4_fingerprint" -> t4Sql,
+    "t5_surprisal" -> t5Sql)
 }

@@ -210,3 +210,29 @@ class ExtensionsSpec extends GraftSuite {
     new graft.functions.GraftExtensions()(ext)
   }
 }
+
+/** Element-order semantics: the FIRST source that can provide (directly or
+  * via a chain) wins, even when a later source provides the type directly —
+  * matching the reference's ordered-walk contract.
+  */
+class PipelineOrderSpec extends GraftSuite {
+  test("earlier source + transformer chain beats later direct source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val srcA = new pipeline.MemorySource(Map("A" -> Seq(("a", 1)).toDF("origin", "x")))
+    val srcC = new pipeline.MemorySource(Map("C" -> Seq(("c", 2)).toDF("origin", "x")))
+    val aToC = new pipeline.Transformer {
+      val from = "A"; val to = "C"
+      def transform(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("via", lit("chain"))
+    }
+    implicit val s = spark
+    val p = new pipeline.DataPipeline(Seq(Left(srcA), Left(srcC)), Seq(aToC))
+    val out = p.get("C")
+    assert(out.select(col("origin")).head().getString(0) === "a",
+      "the earlier source (via the chain) must win the ordered walk")
+    // reversed order: the direct provider wins
+    val p2 = new pipeline.DataPipeline(Seq(Left(srcC), Left(srcA)), Seq(aToC))
+    assert(p2.get("C").select(col("origin")).head().getString(0) === "c")
+  }
+}
