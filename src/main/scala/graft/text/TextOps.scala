@@ -180,10 +180,14 @@ object TextOps {
   def t5Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val total = toks.count().toDouble
+    // corpus total as a 1-row aggregate cross-joined in — keeps the whole
+    // operator one lazy plan (no driver-side count during construction)
+    val totals = toks.agg(count(lit(1)).cast("double").as("total"))
     val freqs = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("logp", log(col("tf") / lit(total)))
+      .crossJoin(broadcast(totals))
+      .withColumn("logp", log(col("tf") / col("total")))
+      .select(col("token"), col("logp"))
     toks.join(broadcast(freqs), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
