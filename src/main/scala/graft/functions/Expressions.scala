@@ -133,20 +133,47 @@ case class SimHashBitsExpr(child: Expression, nBits: Int)
 
 /** Sequential-fold dot product of two double arrays (index order — matches
   * the DuckDB list fold bit-for-bit).
+  *
+  * Implements `doGenCode` (unlike the other graft expressions, which use
+  * CodegenFallback): the dot product sits inside pair-join loops — d5
+  * evaluates it millions of times per task — and generating the loop keeps
+  * the whole projection inside whole-stage codegen with no per-row array
+  * copying (`getDouble` reads straight out of the unsafe array).
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    require(a.length == b.length,
-      s"dot_product: mismatched vector lengths ${a.length} vs ${b.length}")
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    require(a.numElements() == b.numElements(),
+      s"dot_product: mismatched vector lengths ${a.numElements()} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
-    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    val n = a.numElements()
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: mismatched vector lengths " + $n + " vs " + $r.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $l.getDouble($i) * $r.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
