@@ -202,6 +202,91 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------- IVF training
+  /** DataFrame-native Lloyd's k-means for the IVF coarse quantizer.
+    * Each iteration: broadcast the k centroids, assign every vector by
+    * argmin-L2² (one pass), recompute means per (cluster, dimension) via
+    * posexplode + groupBy, collect the k×dim model to the driver (the only
+    * collect — model parameters, not data). Returns the centroids and the
+    * per-iteration inertia (Σ min-dist², which Lloyd's monotonically
+    * non-increases — asserted in SimilaritySpec).
+    * 100 TB: every iteration is one scan + one k×dim-row shuffle.
+    */
+  def trainCentroids(spark: SparkSession, sfDir: String,
+      k: Int = NLists, iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val inertias = scala.collection.mutable.ListBuffer.empty[Double]
+    for (_ <- 1 to iters) {
+      val centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cid", "cv")
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val assign = e.join(broadcast(centDf), lit(true))
+        .withColumn("d2",
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+            + dot(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("d2"))
+        .localCheckpoint()
+      inertias += assign.agg(sum(col("d2"))).head().getDouble(0)
+      val means = assign.select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)).toArray).toArray
+    }
+    (cents, inertias.toList)
+  }
+
+  /** s3 with k-means-trained centroids (spec-only — the oracle uses the
+    * deterministic stub so DuckDB can rebuild the index).
+    */
+  def s3AnnIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, _) = trainCentroids(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cid", "cv")
+    def d2(vc: Column, cc: Column): Column =
+      dot(vc, vc) - lit(2.0) * dot(vc, cc) + dot(cc, cc)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val assign = e.join(broadcast(cent), lit(true))
+      .withColumn("d2", d2(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("d2", d2(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),

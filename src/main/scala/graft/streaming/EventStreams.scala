@@ -128,9 +128,54 @@ object EventStreams {
     streamStreamJoin(stream)
   }
 
+
+  // ---------------------------------------------------------------- st2
+  /** Built-in session windows: `session_window(ts, gap)` assigns each event
+    * to a gap-delimited session (same 30-min semantics as the manual
+    * lag+cumsum sessionization in q24, computed by the native operator).
+    * Works identically over batch and streams; the oracle recomputes the
+    * session bounds with the q24-style window SQL.
+    */
+  def st2SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // Session end = last event + gap (session_window semantics); the manual
+  // SQL reproduces exactly that from the lag+cumsum construction.
+  val st2Sql: String =
+    """SELECT user_id, session_start, session_end, n_events, sum_value FROM (
+      |  SELECT user_id,
+      |    min(ts) AS session_start,
+      |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, value, event_id,
+      |        CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM (SELECT user_id, ts, value, event_id,
+      |              lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id) AS prev_ms
+      |            FROM events)))
+      |  GROUP BY user_id, session_id)
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_window_agg" -> (st1WindowAgg _))
+    "st1_window_agg" -> (st1WindowAgg _),
+    "st2_session_window" -> (st2SessionWindow _))
 
   val sql: Map[String, String] = Map(
-    "st1_window_agg" -> st1Sql)
+    "st1_window_agg" -> st1Sql,
+    "st2_session_window" -> st2Sql)
 }

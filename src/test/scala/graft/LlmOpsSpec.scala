@@ -297,3 +297,19 @@ class ArrayMapOpsSpec extends GraftSuite {
     assert(out.getDouble(2) === 6.0)
   }
 }
+
+class IvfTrainingSpec extends GraftSuite {
+  test("k-means inertia is monotonically non-increasing over iterations") {
+    val (cents, inertias) = similarity.Similarity.trainCentroids(spark, sf, 16, 4)
+    assert(cents.length === 16)
+    assert(cents.forall(_.length === 64))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"inertia increased: $inertias")
+    }
+  }
+
+  test("trained IVF returns a full top-k result set") {
+    val out = similarity.Similarity.s3AnnIvfTrained(spark, sf)
+    assert(out.count() === similarity.Similarity.NQueries * similarity.Similarity.TopK)
+  }
+}
