@@ -1038,6 +1038,31 @@ object Relational {
       |  SELECT l_partkey FROM lineitem WHERE l_discount >= 0.05)
       |ORDER BY op""".stripMargin
 
+
+  // ---------------------------------------------------------------- q43
+  /** Correlated LATERAL subquery: top-2 customers per nation by balance —
+    * the SQL-level dual of the q21 window pattern (the optimizer
+    * decorrelates the per-row subquery into a ranked join).
+    */
+  def q43Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+  }
+
+  val q43Sql: String =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1081,7 +1106,8 @@ object Relational {
     "q39_having" -> (q39Having _),
     "q40_exists_agg" -> (q40ExistsAgg _),
     "q41_range_frame" -> (q41RangeFrame _),
-    "q42_bag_set_ops" -> (q42BagSetOps _))
+    "q42_bag_set_ops" -> (q42BagSetOps _),
+    "q43_lateral" -> (q43Lateral _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1125,5 +1151,6 @@ object Relational {
     "q39_having" -> q39Sql,
     "q40_exists_agg" -> q40Sql,
     "q41_range_frame" -> q41Sql,
-    "q42_bag_set_ops" -> q42Sql)
+    "q42_bag_set_ops" -> q42Sql,
+    "q43_lateral" -> q43Sql)
 }

@@ -313,3 +313,56 @@ class IvfTrainingSpec extends GraftSuite {
     assert(out.count() === similarity.Similarity.NQueries * similarity.Similarity.TopK)
   }
 }
+
+class StreamOuterJoinSpec extends GraftSuite {
+  test("ST6: left-outer stream-stream join emits unmatched rows after watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssoj").toString
+    // stage events as two time-ordered files so the second batch advances
+    // the watermark past the first batch's join windows
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("st6_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val out = spark.table("st6_out")
+    assert(out.count() > 0)
+    // unmatched purchases surface with null click columns once state evicts
+    assert(out.filter(col("c_id").isNull).count() > 0,
+      "expected watermark-evicted unmatched purchases")
+    // every matched row agrees with the batch join
+    val batchMatched = streaming.EventStreams.streamStreamJoin(events)
+    assert(out.filter(col("c_id").isNotNull).exceptAll(batchMatched).count() === 0)
+    ordered.unpersist()
+  }
+}
