@@ -67,10 +67,14 @@ object Dedup {
       .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
       .localCheckpoint()
     val docs = withSig.select(col("doc_id"), col("sh"))
+    // Band signature = the 4 minhash values folded into one long (prime
+    // combine). A fold collision only ever ADDS a candidate pair, and the
+    // exact-Jaccard verify removes it — so the 8-byte join key is safe and
+    // shuffles ~5x less than the concat-string signature.
     val bands = withSig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          concat_ws("_", transform(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string"))))))
+          aggregate(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            lit(0L), (acc, x) => (acc * ShingleBase + x) % P))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val cand = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -118,10 +122,12 @@ object Dedup {
       .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
       .localCheckpoint()
     val blockLen = SimHashBitsN / SimHashBlocks
+    // Pack each 12-bit block into a long (fold acc*2+bit — exact, so block
+    // equality is preserved bit-for-bit, unlike a lossy hash).
     val blocks = docs.select(col("doc_id"), col("bits"),
         posexplode(transform(sequence(lit(0), lit(SimHashBlocks - 1)), k =>
-          concat_ws("", transform(slice(col("bits"), k * blockLen + 1, lit(blockLen)),
-            x => x.cast("string"))))))
+          aggregate(slice(col("bits"), k * blockLen + 1, lit(blockLen)),
+            lit(0L), (acc, x) => acc * 2 + x))))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "sig")
     blocks.alias("x").join(blocks.alias("y"),
         col("x.blk") === col("y.blk") && col("x.sig") === col("y.sig") &&
