@@ -90,4 +90,22 @@ object AsOfJoin {
       payload = Seq("o_orderkey", "o_orderdate"))
       .orderBy(col("event_id"))
   }
+
+  /** q20 gate entry: the NATIVE whole-operator implementation
+    * (graft.plans.AsOfJoinNative) — one merge sweep over two sorted sides
+    * instead of the union+window. Same result as [[eventsToOrders]]
+    * (asserted in NativeAsOfJoinSpec and PropertySpec).
+    */
+  def eventsToOrdersNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    graft.plans.AsOfJoinNative.asof(events, orders,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      payload = Seq("o_orderkey", "o_orderdate"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -483,7 +483,7 @@ object Relational {
     * Oracle uses DuckDB's native ASOF JOIN as an independent check.
     */
   def q20AsOfJoin(spark: SparkSession, sfDir: String): DataFrame =
-    AsOfJoin.eventsToOrders(spark, sfDir)
+    AsOfJoin.eventsToOrdersNative(spark, sfDir)
 
   val q20Sql: String =
     """SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate

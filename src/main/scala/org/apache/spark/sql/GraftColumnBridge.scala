@@ -11,3 +11,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge for constructing a DataFrame from a hand-built LogicalPlan
+  * (classic.Dataset.ofRows is private[sql]).
+  */
+object GraftDatasetBridge {
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

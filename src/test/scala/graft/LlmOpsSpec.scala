@@ -366,3 +366,34 @@ class StreamOuterJoinSpec extends GraftSuite {
     ordered.unpersist()
   }
 }
+
+class NativeAsOfJoinSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  private def dedupedOrders = Tables(spark, sf, "orders")
+    .groupBy(col("o_custkey"), col("o_orderdate"))
+    .agg(max(col("o_orderkey")).as("o_orderkey"))
+
+  test("native as-of operator equals the composed union+window form") {
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val native = plans.AsOfJoinNative.asof(events, dedupedOrders,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_orderdate"))
+    val composed = ops.AsOfJoin.eventsToOrders(spark, sf)
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
+  test("the custom strategy actually plans AsOfJoinExec with inserted exchanges") {
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val native = plans.AsOfJoinNative.asof(events, dedupedOrders,
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected custom exec in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "EnsureRequirements should insert hash exchanges from the declared distribution")
+  }
+}

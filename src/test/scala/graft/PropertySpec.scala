@@ -62,12 +62,16 @@ class PropertySpec extends GraftSuite {
       val got = ops.AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid", "rt"))
         .select(col("lid"), col("rid")).collect()
         .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val gotNative = plans.AsOfJoinNative.asof(l, r, "k", "rk", "t", "rt", Seq("rid", "rt"))
+        .select(col("lid"), col("rid")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
       val expect = left.zipWithIndex.flatMap { case ((k, t), idx) =>
         val cands = rRows.filter(x => x._2 == k && x._3 <= t)
         if (cands.isEmpty) None
         else Some(idx.toLong -> cands.maxBy(x => (x._3, x._1))._1)
       }.toMap
-      assert(got === expect, s"iteration $i")
+      assert(got === expect, s"iteration $i (composed)")
+      assert(gotNative === expect, s"iteration $i (native operator)")
     }
   }
 }
