@@ -397,3 +397,26 @@ class NativeAsOfJoinSpec extends GraftSuite {
       "EnsureRequirements should insert hash exchanges from the declared distribution")
   }
 }
+
+class TopKAggregatorSpec extends GraftSuite {
+  test("heap top-k aggregator equals the window top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TopKAgg, TopKRow}
+    val spark2 = spark
+    import spark2.implicits._
+    val li = Tables(spark, sf, "lineitem")
+    val viaAgg = li
+      .groupBy(col("l_returnflag"))
+      .agg(TopKAgg.topK(3, -col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.id1").as("l_orderkey"), col("col.id2").as("l_linenumber"),
+        (-col("col.priceNeg")).as("l_extendedprice"))
+    val viaWindow = ops.Relational.q21TopKPerGroup(spark, sf)
+      .select(col("l_returnflag"), col("rn").cast("int").as("rn"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+  }
+}
