@@ -285,13 +285,81 @@ object Dedup {
       |  GROUP BY source, md5(text))
       |GROUP BY source ORDER BY source""".stripMargin
 
+
+  // ---------------------------------------------------------------- d7
+  /** Near-dup CLUSTER resolution: the d2 pair list turned into connected
+    * components (min-doc_id label per component) — the step that converts
+    * pairwise similarity into an actionable keep/drop set when dup chains
+    * overlap (a~b, b~c ⇒ one cluster {a,b,c}, keep a).
+    * Spark side: iterative min-label propagation over the symmetric edge
+    * list (each round: label = min(own, neighbors'); converges in
+    * O(component diameter) rounds — components here are tiny, and at
+    * 100 TB this is the standard large-graph CC loop, one join+agg per
+    * round). The oracle computes the same components with a recursive-CTE
+    * transitive closure.
+    */
+  def d7DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = d2MinHashLsh(spark, sfDir).select(col("i"), col("j"))
+      .localCheckpoint()
+    val edges = pairs.unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+    val nodes = edges.select(col("i").as("doc_id")).distinct()
+    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "j_id"),
+          col("j") === col("j_id"))
+        .groupBy(col("i").as("doc_id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changes = updated.alias("u")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .filter(col("u.cluster") =!= col("l.cluster")).count()
+      labels = updated
+      converged = changes == 0
+      rounds += 1
+    }
+    labels
+      .withColumn("is_kept", (col("doc_id") === col("cluster")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d7Sql: String = {
+    // same pair predicate as the d2 oracle, then transitive closure
+    val ths = sqlTokenHashes("text")
+    val docsSub =
+      s"""SELECT doc_id, ${sqlShingles("ths")} AS sh
+         |FROM (SELECT doc_id, $ths AS ths FROM documents)""".stripMargin
+        .replaceAll("\n", " ")
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM ($docsSub) a JOIN ($docsSub) b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT i, j FROM edges
+      |  UNION
+      |  SELECT r.src, e.j FROM reach r JOIN edges e ON r.dst = e.i),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)
+      |SELECT doc_id, cluster, CAST(doc_id = cluster AS INT) AS is_kept
+      |FROM labels ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
-    "d6_scoped_dedup" -> (d6ScopedDedup _))
+    "d6_scoped_dedup" -> (d6ScopedDedup _),
+    "d7_dedup_clusters" -> (d7DedupClusters _))
 
   val sql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -299,5 +367,6 @@ object Dedup {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_dedup" -> d5Sql,
-    "d6_scoped_dedup" -> d6Sql)
+    "d6_scoped_dedup" -> d6Sql,
+    "d7_dedup_clusters" -> d7Sql)
 }

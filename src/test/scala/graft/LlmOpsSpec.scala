@@ -420,3 +420,22 @@ class TopKAggregatorSpec extends GraftSuite {
     assert(viaWindow.exceptAll(viaAgg).count() === 0)
   }
 }
+
+class DedupClustersSpec extends GraftSuite {
+  test("d7 clusters: every pair lands in one cluster labeled by its min id") {
+    import org.apache.spark.sql.functions._
+    val clusters = dedup.Dedup.d7DedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = dedup.Dedup.d2MinHashLsh(spark, sf)
+      .select(col("i"), col("j")).collect()
+    pairs.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(clusters(i) === clusters(j), s"pair ($i,$j) split across clusters")
+    }
+    // labels are the minimum member of each component
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+}
