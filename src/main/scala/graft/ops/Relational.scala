@@ -1063,6 +1063,37 @@ object Relational {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
       |ORDER BY n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
 
+
+  // ---------------------------------------------------------------- q44
+  /** first_value / last_value with IGNORE NULLS over a full-partition
+    * frame: each lineitem carries its supplier's first and latest BIG
+    * shipment price (nulls for non-big rows are skipped by the frame walk).
+    */
+  def q44FirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val big = when(col("l_extendedprice") > 80000, col("l_extendedprice"))
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        first(big, ignoreNulls = true).over(w).as("first_big"),
+        last(big, ignoreNulls = true).over(w).as("last_big"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q44Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(big IGNORE NULLS) OVER w AS first_big,
+      |  last_value(big IGNORE NULLS) OVER w AS last_big
+      |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |        CASE WHEN l_extendedprice > 80000 THEN l_extendedprice END AS big
+      |      FROM lineitem WHERE l_suppkey <= 2)
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1107,7 +1138,8 @@ object Relational {
     "q40_exists_agg" -> (q40ExistsAgg _),
     "q41_range_frame" -> (q41RangeFrame _),
     "q42_bag_set_ops" -> (q42BagSetOps _),
-    "q43_lateral" -> (q43Lateral _))
+    "q43_lateral" -> (q43Lateral _),
+    "q44_first_last" -> (q44FirstLast _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1152,5 +1184,6 @@ object Relational {
     "q40_exists_agg" -> q40Sql,
     "q41_range_frame" -> q41Sql,
     "q42_bag_set_ops" -> q42Sql,
-    "q43_lateral" -> q43Sql)
+    "q43_lateral" -> q43Sql,
+    "q44_first_last" -> q44Sql)
 }
