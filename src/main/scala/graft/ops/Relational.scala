@@ -1094,6 +1094,36 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+
+  // ---------------------------------------------------------------- q45
+  /** UNPIVOT (wide → long) via the native Dataset.unpivot operator, then
+    * per-metric aggregation — the inverse of q14's pivot.
+    */
+  def q45Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total"))
+      .orderBy(col("metric"))
+
+  val q45Sql: String =
+    """SELECT metric, count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY metric ORDER BY metric""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1139,7 +1169,8 @@ object Relational {
     "q41_range_frame" -> (q41RangeFrame _),
     "q42_bag_set_ops" -> (q42BagSetOps _),
     "q43_lateral" -> (q43Lateral _),
-    "q44_first_last" -> (q44FirstLast _))
+    "q44_first_last" -> (q44FirstLast _),
+    "q45_unpivot" -> (q45Unpivot _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1185,5 +1216,6 @@ object Relational {
     "q41_range_frame" -> q41Sql,
     "q42_bag_set_ops" -> q42Sql,
     "q43_lateral" -> q43Sql,
-    "q44_first_last" -> q44Sql)
+    "q44_first_last" -> q44Sql,
+    "q45_unpivot" -> q45Sql)
 }
