@@ -1124,6 +1124,27 @@ object Relational {
       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
       |GROUP BY metric ORDER BY metric""".stripMargin
 
+
+  // ---------------------------------------------------------------- q46
+  /** Weighted average with exact-decimal numerator/denominator (quantity-
+    * weighted unit price per return flag) — the ratio is a double division
+    * of two exact decimal sums, identical on both engines.
+    */
+  def q46WeightedAvg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast("double")
+        / sum(dec(col("l_quantity"))).cast("double"), 6).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q46Sql: String =
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |        / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1170,7 +1191,8 @@ object Relational {
     "q42_bag_set_ops" -> (q42BagSetOps _),
     "q43_lateral" -> (q43Lateral _),
     "q44_first_last" -> (q44FirstLast _),
-    "q45_unpivot" -> (q45Unpivot _))
+    "q45_unpivot" -> (q45Unpivot _),
+    "q46_weighted_avg" -> (q46WeightedAvg _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1217,5 +1239,6 @@ object Relational {
     "q42_bag_set_ops" -> q42Sql,
     "q43_lateral" -> q43Sql,
     "q44_first_last" -> q44Sql,
-    "q45_unpivot" -> q45Sql)
+    "q45_unpivot" -> q45Sql,
+    "q46_weighted_avg" -> q46Sql)
 }
