@@ -75,3 +75,40 @@ class PropertySpec extends GraftSuite {
     }
   }
 }
+
+/** Additional generated-input parity checks for the native expressions. */
+class HashExprFuzzSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(77L + i)))
+
+  test("minhash signature: native expression equals a reference fold") {
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val sentence = Gen.choose(4, 30)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(sentence, 25)
+    val got = texts.toDF("text")
+      .select(graft.functions.minHashSignature(
+        graft.functions.shingleHashes(col("text")), 16))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val P = PortableHash.P
+    texts.zip(got).foreach { case (text, sig) =>
+      val sh = PortableHash.shingles(text)
+      (0 until 16).foreach { i =>
+        val a = (i * 2654435761L + 1L) % P
+        val b = (i * 40503L + 7L) % P
+        val expect = if (sh.isEmpty) 0L else sh.map(s => (a * s + b) % P).min
+        assert(sig(i) === expect, s"perm $i of '$text'")
+      }
+    }
+  }
+
+  test("oracleSql keys are a subset of queries (no orphan oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+}
