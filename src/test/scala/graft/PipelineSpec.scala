@@ -236,3 +236,40 @@ class PipelineOrderSpec extends GraftSuite {
     assert(p2.get("C").select(col("origin")).head().getString(0) === "c")
   }
 }
+
+/** Edge-behavior robustness (additive; no operator changes). */
+class EdgeCaseSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("validator chains multiple rules and later defaults see earlier keys") {
+    val v = QueryValidator.builder
+      .has("a").asType[String]
+      .canHave("b").withDefault(1)
+      .canHave("c").withDefault("x")
+    val q = v.validate(Query.of("a" -> "ok", "b" -> 5))
+    assert(q[String]("a") === "ok" && q[Int]("b") === 5 && q[String]("c") === "x")
+  }
+
+  test("operators degrade gracefully on empty inputs (impossible filters)") {
+    val li = Tables(spark, sf, "lineitem").filter(col("l_quantity") < -1)
+    // aggregation over empty input: one row of zeros/nulls, no crash
+    assert(li.groupBy(col("l_returnflag")).count().count() === 0)
+    // window over empty input
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
+    assert(li.withColumn("rn", row_number().over(w)).count() === 0)
+    // shingles of empty token stream don't blow up
+    import spark.implicits._
+    val tiny = Seq("ab", "a b", "a b c").toDF("text")
+      .select(graft.functions.shingleHashes(col("text")).as("sh"))
+      .collect().map(_.getSeq[Long](0).length)
+    assert(tiny.toSeq === Seq(0, 0, 1))
+  }
+
+  test("registerAll is idempotent and re-registration points at the same data") {
+    Tables.registerAll(spark, sf)
+    val n1 = spark.table("orders").count()
+    Tables.registerAll(spark, sf)
+    assert(spark.table("orders").count() === n1)
+  }
+}
