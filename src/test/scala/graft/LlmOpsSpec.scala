@@ -439,3 +439,28 @@ class DedupClustersSpec extends GraftSuite {
     }
   }
 }
+
+class MinHashEstimatorSpec extends GraftSuite {
+  test("minhash signature agreement estimates true Jaccard within 0.15") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("mh", minHashSignature(col("sh"), dedup.Dedup.MinHashPerms))
+    val pairs = dedup.Dedup.d2MinHashLsh(spark, sf) // planted pairs, J >= 0.8
+    val joined = pairs
+      .join(docs.select(col("doc_id").as("i"), col("mh").as("mh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("mh").as("mh_j")), Seq("j"))
+      .withColumn("est",
+        aggregate(zip_with(col("mh_i"), col("mh_j"),
+          (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / dedup.Dedup.MinHashPerms)
+      .select(col("jaccard"), col("est")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (truth, est) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(truth - est) < 0.15,
+        s"minhash estimate $est too far from true Jaccard $truth")
+    }
+  }
+}
