@@ -275,7 +275,7 @@ object Dedup {
   }
 
   val d6Sql: String =
-    """SELECT source, count(*) AS n_unique, sum(n_copies) AS n_total,
+    """SELECT source, count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_total,
       |  min(keep_id) AS first_keep
       |FROM (
       |  SELECT source, md5(text) AS h, min(doc_id) AS keep_id,

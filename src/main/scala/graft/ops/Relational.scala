@@ -586,8 +586,8 @@ object Relational {
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM (
       |  SELECT user_id, ts, event_id,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id,
       |      CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
@@ -799,7 +799,7 @@ object Relational {
 
   val q33Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -36,6 +36,23 @@ def main(outdir, sfdir):
         g = got.sort_values(gc, ignore_index=True)
         e = exp.sort_values(ec, ignore_index=True)
         bad = None
+        # Mirror the driver's representation-sensitive hash compare: a value
+        # match across dtype KINDS (e.g. spark int64 vs DuckDB HUGEINT
+        # surfacing as float64/object) hash-mismatches at the driver, so it
+        # must FAIL here too. Width differences within a kind (int32 vs
+        # int64) are normalized by the driver — round-1 artifact shows
+        # q7/s1/s2/s3 (int32 rank vs int64) hash-matching.
+        dbad = None
+        for c in gc:
+            gd, ed = g[c].dtype, e[c].dtype
+            gk = 'i' if gd.kind == 'u' else gd.kind
+            ek = 'i' if ed.kind == 'u' else ed.kind
+            if (gk in 'if' or ek in 'if') and gk != ek:
+                dbad = (c, gd, ed); break
+        if dbad:
+            c, gd, ed = dbad
+            print(f"FAIL {name}: col {c} dtype spark={gd} duckdb={ed} (driver hash is dtype-kind-sensitive)")
+            failures += 1; continue
         for c in gc:
             gv, ev = g[c], e[c]
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
