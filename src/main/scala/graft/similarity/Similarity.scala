@@ -101,11 +101,7 @@ object Similarity {
     * (plane index = t·k + jj, same family as HyperplaneBucketExpr).
     */
   private def sqlBuckets(v: String): String =
-    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN
-       | list_sum([$v[i+1] * (CAST(((t*$PlanesPerTable+jj)*$Dim + i) * 2654435761 % 4294967296 AS DOUBLE)
-       |   / 2147483648.0 - 1.0) for i in range($Dim)]) >= 0
-       | THEN CAST(2 ** jj AS BIGINT) ELSE 0 END for jj in range($PlanesPerTable)]),
-       | (a, x) -> a + x) for t in range($NTables)]""".stripMargin.replaceAll("\n", " ")
+    sqlHyperplaneBuckets(v, NTables, PlanesPerTable, Dim)
 
   val s2Sql: String =
     s"""SELECT q_id, rank, neighbor_id, cos FROM (

@@ -93,6 +93,34 @@ class SimilaritySpec extends GraftSuite {
       assert(math.abs(r.getDouble(2) - expect) < 1e-6)
     }
   }
+
+  test("d5 plan is bucket-blocked: no cartesian / nested-loop join") {
+    val plan = dedup.Dedup.d5EmbeddingDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "d5 plans a CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "d5 plans a BroadcastNestedLoopJoin")
+  }
+
+  test("d5 blocked pairs are a subset of brute-force pairs with high recall") {
+    import org.apache.spark.sql.expressions.Window
+    val got = dedup.Dedup.d5EmbeddingDedup(spark, sf)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val brute = (for {
+      (i, vi) <- e; (j, vj) <- e if i < j
+      if cos(vi, vj) >= dedup.Dedup.CosineThreshold
+    } yield (i, j)).toSet
+    assert(got.subsetOf(brute), s"blocked pairs not a subset: ${got -- brute}")
+    assert(brute.isEmpty || got.size.toDouble / brute.size >= 0.5,
+      s"blocked recall ${got.size}/${brute.size} below 0.5")
+  }
 }
 
 class TextOpsSpec extends GraftSuite {
