@@ -135,29 +135,60 @@ object Similarity {
   val NLists = 16
   val NProbe = 2
 
+  /** Per-row nearest-centroid candidates: for each (cid, cv) build a
+    * (d2, cid) struct with d2 = |v|² − 2·v·cv + |cv|²; struct ordering is
+    * (d2 asc, cid asc) — exactly the window `ORDER BY d2, cid` tiebreak.
+    * All dot products fold sequentially (DotProductExpr ≡ DuckDB
+    * list_dot_product ≡ the driver-side |cv|² fold below), so the argmin
+    * is bitwise identical to the oracle's window form.
+    * 100 TB: centroids are MODEL parameters (k×dim doubles), inlined as
+    * literals — assignment is one narrow codegen'd projection with ZERO
+    * shuffle, vs the corpus×k row explosion a cross-join + window costs.
+    */
+  private def centroidCandidates(v: Column,
+      cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cid, c) =>
+      // sequential left-to-right fold — same binary result as list_dot_product
+      val cc = c.foldLeft(0.0)((s, x) => s + x * x)
+      struct(
+        (dot(v, v) - lit(2.0) * dot(v, typedlit(c.toSeq)) + lit(cc)).as("d2"),
+        lit(cid).as("cid"))
+    }
+
+  /** Argmin centroid id — `least` over the candidate structs. */
+  def assignCid(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    least(centroidCandidates(v, cents): _*).getField("cid")
+
+  /** Best (d2, cid) struct — for inertia as well as the id. */
+  private def assignBest(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    least(centroidCandidates(v, cents): _*)
+
+  /** The nProbe nearest centroid ids, as an array (sort the k-element
+    * candidate array per row, slice — still one narrow projection).
+    */
+  def probeCids(v: Column, cents: Seq[(Int, Array[Double])], nProbe: Int): Column =
+    slice(array_sort(array(centroidCandidates(v, cents): _*)), 1, nProbe)
+      .getField("cid")
+
+  /** Collect the deterministic stub centroids (first NLists vectors) —
+    * model-scale collect: NLists×Dim doubles, same class of collect as the
+    * k-means trainer's model.
+    */
+  private def stubCentroids(e: DataFrame): Seq[(Int, Array[Double])] =
+    e.filter(col("vec_id") < NLists).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+
   def s3AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val cent = e.filter(col("vec_id") < NLists)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // L2² to each centroid via the same fold order both engines use
-    def d2(vc: Column, cc: Column): Column =
-      dot(vc, vc) - lit(2.0) * dot(vc, cc) + dot(cc, cc)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val assign = e.join(broadcast(cent), lit(true))
-      .withColumn("d2", d2(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val cents = stubCentroids(e)
+    val assign = e.withColumn("cid", assignCid(col("v"), cents))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("d2", d2(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, NProbe)))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     probes.join(assign, Seq("cid"))
@@ -210,7 +241,6 @@ object Similarity {
     */
   def trainCentroids(spark: SparkSession, sfDir: String,
       k: Int = NLists, iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
-    import spark.implicits._
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .localCheckpoint()
@@ -219,16 +249,11 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val inertias = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to iters) {
-      val centDf = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("cid", "cv")
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val assign = e.join(broadcast(centDf), lit(true))
-        .withColumn("d2",
-          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
-            + dot(col("cv"), col("cv")))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"), col("d2"))
+      val centSeq = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      val assign = e
+        .withColumn("best", assignBest(col("v"), centSeq))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cid"), col("best.d2").as("d2"))
         .localCheckpoint()
       inertias += assign.agg(sum(col("d2"))).head().getDouble(0)
       val means = assign.select(col("cid"), posexplode(col("v")))
@@ -248,29 +273,16 @@ object Similarity {
     * deterministic stub so DuckDB can rebuild the index).
     */
   def s3AnnIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val (cents, _) = trainCentroids(spark, sfDir)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val cent = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-      .toDF("cid", "cv")
-    def d2(vc: Column, cc: Column): Column =
-      dot(vc, vc) - lit(2.0) * dot(vc, cc) + dot(cc, cc)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-    val assign = e.join(broadcast(cent), lit(true))
-      .withColumn("d2", d2(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val centSeq = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val assign = e.withColumn("cid", assignCid(col("v"), centSeq))
       .select(col("vec_id"), col("v"), col("norm"), col("cid"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("d2", d2(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
+      .withColumn("cid", explode(probeCids(col("qv"), centSeq, NProbe)))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     probes.join(assign, Seq("cid"))

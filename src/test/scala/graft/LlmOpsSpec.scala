@@ -340,6 +340,35 @@ class IvfTrainingSpec extends GraftSuite {
     val out = similarity.Similarity.s3AnnIvfTrained(spark, sf)
     assert(out.count() === similarity.Similarity.NQueries * similarity.Similarity.TopK)
   }
+
+  test("fold-argmin assignment equals the window form and plans zero shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < similarity.Similarity.NLists)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+    val fold = e.withColumn("cid", similarity.Similarity.assignCid(col("v"), cents))
+      .select(col("vec_id"), col("cid"))
+    // the assignment stage itself must be one narrow projection
+    val plan = fold.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment plan has a window:\n$plan")
+    // oracle-parity cross-check: the retired cross-join + window form
+    val s = spark; import s.implicits._
+    val centDf = cents.map { case (i, v) => (i, v.toSeq) }.toDF("cid", "cv")
+    val windowForm = e.join(broadcast(centDf), lit(true))
+      .withColumn("d2",
+        graft.functions.dot(col("v"), col("v"))
+          - lit(2.0) * graft.functions.dot(col("v"), col("cv"))
+          + graft.functions.dot(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    assert(fold.count() === windowForm.count())
+    assert(fold.exceptAll(windowForm).count() === 0)
+  }
 }
 
 class StreamOuterJoinSpec extends GraftSuite {
