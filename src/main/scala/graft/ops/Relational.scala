@@ -99,8 +99,11 @@ object Relational {
     val cust = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, sfDir, "orders").filter(col("o_orderdate") < cutoff)
     val li = t(spark, sfDir, "lineitem").filter(col("l_shipdate") > cutoff)
+    // no broadcast hint on customer: it scales with SF (unbounded at 100×);
+    // below the threshold Catalyst/AQE auto-broadcasts the filtered side,
+    // above it the join correctly shuffles on o_custkey.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(discPrice), 4).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -131,6 +134,8 @@ object Relational {
           col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      // nation (25 rows) and region (5 rows) are SF-invariant constants —
+      // broadcast is size-bounded at any scale
       .join(broadcast(t(spark, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, sfDir, "region")).filter(col("r_name") === "ASIA"),
         col("n_regionkey") === col("r_regionkey"))
@@ -402,14 +407,17 @@ object Relational {
   // ---------------------------------------------------------------- q17
   /** TPC-H Q17 shape: compare each row against its group's average.
     * Spark-first: the correlated scalar subquery is expressed as a pre-agg +
-    * join (what a good optimizer decorrelates to anyway). 100 TB: per-part
-    * averages are |part| rows → broadcast; lineitem streams through once.
+    * join (what a good optimizer decorrelates to anyway). 100 TB: the
+    * per-part average side is |part| rows — UNBOUNDED, so no broadcast
+    * hint: both sides shuffle on l_partkey (the pre-agg already sits on
+    * that key) and AQE promotes to broadcast only when the agg actually
+    * fits.
     */
   def q17ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
     val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+    li.join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("total_price"),
         count(lit(1)).as("n"))
@@ -909,11 +917,13 @@ object Relational {
     val minBal = cust.groupBy(col("c_nationkey").as("mk"))
       .agg(min(col("c_acctbal")).as("min_bal"))
     val winner = cust
+      // minBal is one row per nation (≤25, SF-invariant) — bounded broadcast
       .join(broadcast(minBal),
         col("c_nationkey") === col("mk") && col("c_acctbal") === col("min_bal"))
       .groupBy(col("c_nationkey"), col("c_acctbal"))
       .agg(min(col("c_custkey")).as("c_custkey"))
     winner
+      // nation is 25 rows at any SF — bounded broadcast
       .join(broadcast(t(spark, sfDir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"), col("c_acctbal").as("min_bal"))

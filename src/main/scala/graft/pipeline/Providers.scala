@@ -123,13 +123,16 @@ object PipelineQueries {
     implicit val s: SparkSession = spark
     val enrich = new Transformer {
       val from = "orders"; val to = "orders_enriched"
+      // customer scales with SF — no hint; Catalyst auto-broadcasts it
+      // below the threshold and shuffles on o_custkey above it
       def transform(df: DataFrame): DataFrame =
-        df.join(broadcast(Tables(s, sfDir, "customer")),
+        df.join(Tables(s, sfDir, "customer"),
           col("o_custkey") === col("c_custkey"))
     }
     val byNation = new Transformer {
       val from = "orders_enriched"; val to = "orders_by_nation"
       def transform(df: DataFrame): DataFrame =
+        // nation is 25 rows at any SF — bounded broadcast
         df.join(broadcast(Tables(s, sfDir, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))

@@ -173,8 +173,13 @@ object TextOps {
     * the mean negative log-probability of its tokens (pass 2, a join from
     * exploded tokens back to the frequency table). Common-word documents
     * score low, rare-token soup scores high.
-    * 100 TB: the frequency table is |vocab| rows — broadcast; the token
-    * explode never materializes (generator inside the scan stage).
+    * 100 TB: the frequency table is |vocab| rows. Natural-language vocab
+    * grows sublinearly (Heaps' law, |V| ≈ K·N^0.5): ~10⁷ distinct tokens
+    * per TB of text → tens of MB of (token, logp) — broadcastable, and a
+    * production run caps it anyway (frequency floor / top-M vocab with an
+    * OOV bucket), which hard-bounds the broadcast. Broadcasting freqs is
+    * load-bearing: it keeps the exploded token stream from re-shuffling on
+    * token before its final groupBy(doc_id).
     * Parity: ln/exp noise is ~1e-16 per term; round(4) absorbs it.
     */
   def t5Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
