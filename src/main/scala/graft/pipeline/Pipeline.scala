@@ -54,15 +54,21 @@ final class QueryValidator private (
   private[pipeline] def withRule(r: Rule): QueryValidator =
     new QueryValidator(rules :+ r)
 
-  /** Returns the query with defaults applied; throws QueryValidationError. */
+  /** Returns the query with defaults applied and compatible values coerced
+    * to the declared type (reference: queries.py `as_(int)` coerces "5" →
+    * 5); throws QueryValidationError on missing keys or uncoercible values.
+    */
   def validate(q: Query): Query = rules.foldLeft(q) { (acc, rule) =>
     acc.params.get(rule.key) match {
       case Some(v) =>
-        if (!rule.tpe.isInstance(v))
-          throw new QueryValidationError(
-            s"key '${rule.key}' expected ${rule.tpe.getSimpleName}, " +
-              s"got ${v.getClass.getSimpleName}")
-        acc
+        if (rule.tpe.isInstance(v)) acc
+        else coerce(v, rule.tpe) match {
+          case Some(cv) => Query(acc.params + (rule.key -> cv))
+          case None =>
+            throw new QueryValidationError(
+              s"key '${rule.key}' expected ${rule.tpe.getSimpleName}, " +
+                s"got ${v.getClass.getSimpleName}")
+        }
       case None =>
         rule.default match {
           case Some(d) => Query(acc.params + (rule.key -> d))
@@ -79,6 +85,40 @@ object QueryValidator {
       key: String, required: Boolean, tpe: Class[_], default: Option[Any])
 
   def builder: QueryValidator = new QueryValidator(Vector.empty)
+
+  /** Lossless coercion of compatible primitives to the declared rule type
+    * (String→Int/Long/Double/Boolean, integer widening, whole doubles
+    * narrowing). Returns None when the value can't represent the type.
+    */
+  private[pipeline] def coerce(v: Any, tpe: Class[_]): Option[Any] =
+    try {
+      if (tpe == classOf[java.lang.Integer]) v match {
+        case s: String => Some(s.trim.toInt)
+        case l: java.lang.Long if l.longValue.isValidInt => Some(l.intValue)
+        case d: java.lang.Double
+            if d.doubleValue.isWhole && d.doubleValue.isValidInt =>
+          Some(d.intValue)
+        case _ => None
+      } else if (tpe == classOf[java.lang.Long]) v match {
+        case s: String => Some(s.trim.toLong)
+        case i: java.lang.Integer => Some(i.longValue)
+        case d: java.lang.Double if d.doubleValue.isWhole => Some(d.longValue)
+        case _ => None
+      } else if (tpe == classOf[java.lang.Double]) v match {
+        case s: String => Some(s.trim.toDouble)
+        case i: java.lang.Integer => Some(i.doubleValue)
+        case l: java.lang.Long => Some(l.doubleValue)
+        case _ => None
+      } else if (tpe == classOf[java.lang.Boolean]) v match {
+        case s: String if s.equalsIgnoreCase("true") => Some(true)
+        case s: String if s.equalsIgnoreCase("false") => Some(false)
+        case _ => None
+      } else if (tpe == classOf[String]) v match {
+        case n: Number => Some(n.toString)
+        case b: java.lang.Boolean => Some(b.toString)
+        case _ => None
+      } else None
+    } catch { case _: NumberFormatException => None }
 
   /** Fluent step naming the expected type and optional default. */
   final class TypeStep(parent: QueryValidator, key: String, required: Boolean) {
@@ -249,4 +289,37 @@ final class DataPipeline(
   def getMany(dataType: String, queries: Seq[Query])
       (implicit spark: SparkSession): Seq[DataFrame] =
     queries.map(q => get(dataType, q))
+
+  /** The reference write path (pipelines.py DataPipeline.put): offer the
+    * DataFrame to EVERY sink in chain order that accepts the type — either
+    * directly or via the cheapest transformer chain from the given type.
+    * Throws UnsupportedError when no sink can take it.
+    */
+  def put(dataType: String, df: DataFrame, query: Query = Query.empty): Unit = {
+    var accepted = false
+    elements.foreach {
+      case Right(sink) =>
+        if (sink.accepts(dataType)) {
+          sink.put(dataType, df, query)
+          accepted = true
+        } else {
+          // cheapest conversion into any type this sink accepts
+          val conv = sink.accepts.toSeq.sorted
+            .flatMap(to => chain(dataType, to).map { case (c, d) => (c, to, d) })
+            .filter(_._1.nonEmpty)
+            .sortBy(_._3).headOption
+          conv.foreach { case (transforms, to, _) =>
+            sink.put(to, transforms.foldLeft(df)((d, t) => t.transform(d)), query)
+            accepted = true
+          }
+        }
+      case Left(_) => ()
+    }
+    if (!accepted)
+      throw new UnsupportedError(s"no sink in the pipeline accepts '$dataType'")
+  }
+
+  def putMany(dataType: String, dfs: Seq[DataFrame],
+      query: Query = Query.empty): Unit =
+    dfs.foreach(put(dataType, _, query))
 }

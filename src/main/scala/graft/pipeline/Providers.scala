@@ -80,7 +80,10 @@ final class MemoryCacheSink(acceptTypes: Set[String]) extends DataSink {
   override def put(dataType: String, df: DataFrame, query: Query): Unit = {
     synchronized { puts += 1 }
     cache.put((dataType, query), df.persist())
-      .foreach(_.unpersist()) // don't leak blocks of a replaced entry
+      // don't leak blocks of a replaced entry — but an idempotent re-put of
+      // the SAME DataFrame (e.g. a lookup hit promoted back) must not
+      // unpersist the blocks just persisted
+      .filter(_ ne df).foreach(_.unpersist())
   }
   override def lookup(dataType: String, query: Query, spark: SparkSession): Option[DataFrame] = {
     val r = cache.get((dataType, query))

@@ -85,7 +85,76 @@ class PipelineSpec extends GraftSuite {
     val ok = v.validate(Query.of("status" -> "F"))
     assert(ok[Int]("limit") === 10)
     intercept[QueryValidationError] { v.validate(Query.empty) }
-    intercept[QueryValidationError] { v.validate(Query.of("status" -> 42)) }
+    // an int coerces to a declared String key (reference as_(str) semantics)
+    assert(v.validate(Query.of("status" -> 42))[String]("status") === "42")
+    // but an unparsable string against an int key is rejected
+    intercept[QueryValidationError] {
+      v.validate(Query.of("status" -> "F", "limit" -> "lots"))
+    }
+  }
+
+  test("P3: validator coerces compatible primitives to the declared type") {
+    val v = QueryValidator.builder
+      .has("n").asType[Int]
+      .has("big").asType[Long]
+      .has("ratio").asType[Double]
+      .has("flag").asType[Boolean]
+    val out = v.validate(Query.of(
+      "n" -> "5", "big" -> 7, "ratio" -> "0.25", "flag" -> "true"))
+    assert(out[Int]("n") === 5)
+    assert(out[Long]("big") === 7L)
+    assert(out[Double]("ratio") === 0.25)
+    assert(out[Boolean]("flag") === true)
+    // lossy narrowings are rejected: fractional double → int
+    intercept[QueryValidationError] {
+      QueryValidator.builder.has("n").asType[Int]
+        .validate(Query.of("n" -> 2.5))
+    }
+    // whole double narrows losslessly
+    assert(QueryValidator.builder.has("n").asType[Int]
+      .validate(Query.of("n" -> 2.0))[Int]("n") === 2)
+  }
+
+  test("put routes through every accepting sink; putMany fans out; no-sink errors") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val c1 = new MemoryCacheSink(Set("T"))
+    val c2 = new MemoryCacheSink(Set("T", "U"))
+    val (src, _) = countingSource(Map.empty)
+    val p = new DataPipeline(Seq(Right(c1), Left(src), Right(c2)))
+    p.put("T", df)
+    assert(c1.puts === 1 && c2.puts === 1,
+      "put must reach every accepting sink in the chain")
+    assert(p.get("T").count() === 2) // served back from a cache tier
+    p.putMany("U", Seq(df, df))
+    assert(c2.puts === 3 && c1.puts === 1)
+    intercept[UnsupportedError] { p.put("unknown", df) }
+  }
+
+  test("put converts through the transformer chain for sinks of another type") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val sink = new MemoryCacheSink(Set("B"))
+    val double = new Transformer {
+      val from = "A"; val to = "B"
+      def transform(d: DataFrame): DataFrame = d.withColumn("x", col("x") * 2)
+    }
+    val p = new DataPipeline(Seq(Right(sink)), Seq(double))
+    p.put("A", df)
+    assert(sink.puts === 1)
+    val cached = sink.lookup("B", Query.empty, spark).get
+    assert(cached.agg(sum(col("x"))).head().getLong(0) === 12)
+  }
+
+  test("re-putting the same DataFrame keeps its persisted blocks") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val sink = new MemoryCacheSink(Set("T"))
+    sink.put("T", df)
+    sink.put("T", df) // idempotent re-put (e.g. a promoted lookup hit)
+    assert(df.storageLevel.useMemory,
+      "re-put of the same DataFrame must not unpersist it")
+    df.unpersist()
   }
 
   test("P6/P7: csv and json round-trip through sinks and sources") {
