@@ -100,7 +100,7 @@ object EventStreams {
     * state store retains only one hour of rows (the unbounded-state trap
     * of naive stream joins is exactly what the time bound removes).
     */
-  def streamStreamJoin(events: DataFrame): DataFrame = {
+  def streamStreamJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_id"))
@@ -112,8 +112,65 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
   }
+
+  // ---------------------------------------------------------------- st3
+  /** ST4's batch equivalent, oracle-checked: the purchases×clicks-within-
+    * one-hour join is the SAME transform batch or streaming (watermarks are
+    * no-ops on batch); the driver verifies the batch result against plain
+    * SQL while StreamStreamJoinSpec asserts stream ≡ batch.
+    */
+  def st3StreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    streamStreamJoin(Tables(spark, sfDir, "events"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("p_id"), col("c_id"))
+
+  val st3Sql: String =
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |  c.event_id AS c_id, c.ts AS c_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
+
+  // ---------------------------------------------------------------- st4
+  /** ST3's batch equivalent, oracle-checked: first-seen dedup of
+    * (user_id, event_type) emits each key exactly once — over a bounded
+    * input that is exactly DISTINCT. StatefulStreamingSpec asserts the
+    * flatMapGroupsWithState stream produces the same key set.
+    */
+  def st4FirstSeenKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val st4Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- st5
+  /** ST6's batch equivalent, oracle-checked: the left-outer time-bounded
+    * join — unmatched purchases surface with null click columns (what the
+    * streaming form emits after watermark eviction).
+    */
+  def st5StreamJoinOuter(spark: SparkSession, sfDir: String): DataFrame =
+    streamStreamJoin(Tables(spark, sfDir, "events"), "left_outer")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("c_id"), col("c_ts"))
+      .orderBy(col("p_id"), col("c_id"))
+
+  val st5Sql: String =
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |  c.event_id AS c_id, c.ts AS c_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |ORDER BY p_id, c_id""".stripMargin
 
   /** Streaming flavor over the staged file source (see ST3). */
   def streamingPurchaseClicks(spark: SparkSession, sfDir: String): DataFrame = {
@@ -148,7 +205,9 @@ object EventStreams {
       .orderBy(col("user_id"), col("session_start"))
 
   // Session end = last event + gap (session_window semantics); the manual
-  // SQL reproduces exactly that from the lag+cumsum construction.
+  // SQL reproduces exactly that from the lag+cumsum construction. The gap
+  // compare is in µs with >=: Spark's session window is end-EXCLUSIVE, so
+  // an inter-event gap of exactly 30:00.000000 starts a NEW session.
   val st2Sql: String =
     """SELECT user_id, session_start, session_end, n_events, sum_value FROM (
       |  SELECT user_id,
@@ -162,20 +221,26 @@ object EventStreams {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |    FROM (
       |      SELECT user_id, ts, value, event_id,
-      |        CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
+      |        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 30*60*1000000
       |             THEN 1 ELSE 0 END AS new_session
       |      FROM (SELECT user_id, ts, value, event_id,
-      |              lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
-      |                ORDER BY ts, event_id) AS prev_ms
+      |              lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id) AS prev_us
       |            FROM events)))
       |  GROUP BY user_id, session_id)
       |ORDER BY user_id, session_start""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _),
-    "st2_session_window" -> (st2SessionWindow _))
+    "st2_session_window" -> (st2SessionWindow _),
+    "st3_stream_join" -> (st3StreamJoin _),
+    "st4_first_seen_keys" -> (st4FirstSeenKeys _),
+    "st5_stream_join_outer" -> (st5StreamJoinOuter _))
 
   val sql: Map[String, String] = Map(
     "st1_window_agg" -> st1Sql,
-    "st2_session_window" -> st2Sql)
+    "st2_session_window" -> st2Sql,
+    "st3_stream_join" -> st3Sql,
+    "st4_first_seen_keys" -> st4Sql,
+    "st5_stream_join_outer" -> st5Sql)
 }
