@@ -350,6 +350,11 @@ object Dedup {
       converged = changes == 0
       rounds += 1
     }
+    // the oracle computes the FULL transitive closure — returning
+    // non-converged labels would surface as an opaque hash mismatch
+    require(converged,
+      s"d7DedupClusters: label propagation did not converge in $rounds rounds " +
+        "(component diameter exceeds the cap — raise the round limit)")
     labels
       .withColumn("is_kept", (col("doc_id") === col("cluster")).cast("int"))
       .orderBy(col("doc_id"))

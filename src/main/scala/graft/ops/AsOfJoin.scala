@@ -42,35 +42,40 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val reserved = Seq("__key", "__t", "__isRight") ++
-      payload.flatMap(p => Seq(s"__p_$p", s"__c_$p"))
+    val reserved = Seq("__key", "__t", "__isRight", "__p", "__c")
     require(!(leftCols ++ right.columns).exists(reserved.contains),
       s"asof: input columns collide with reserved names $reserved")
     require(payload.forall(right.columns.contains),
       s"asof: payload columns $payload must exist on the right side")
+    // ALL payload columns ride in ONE struct carried by a single
+    // last(ignoreNulls=true): the struct itself is the match marker (it is
+    // non-null for every right row even when every payload FIELD is null),
+    // so legitimately-null payload values can neither drop a matched left
+    // row nor mix payload fields from different right rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(right.schema.fieldIndex(p))))
     val l = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__isRight", lit(0))
-      .select((Seq("__key", "__t", "__isRight") ++ leftCols).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+      .select((Seq("__key", "__t", "__isRight") ++ leftCols).map(col) :+
+        lit(null).cast(payloadType).as("__p"): _*)
     val r = right
       .withColumn("__key", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__isRight", lit(1))
       .select(Seq(col("__key"), col("__t"), col("__isRight")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(p => col(p).as(p)): _*).as("__p"): _*)
     // Right rows first at equal time → inclusive (<=) semantics.
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__isRight").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("__isRight") === 0 && col(s"__c_${payload.head}").isNotNull)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p)): _*)
+    l.unionByName(r)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__isRight") === 0 && col("__c").isNotNull)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__c").getField(p).as(p)): _*)
   }
 
   /** SURVEY §2.2 q20: for each event, the most recent order

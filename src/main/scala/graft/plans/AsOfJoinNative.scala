@@ -93,7 +93,11 @@ case class AsOfJoinExec(
           else if (c == 0 &&
               timeOrd.asInstanceOf[Ordering[Any]].compare(rTime.eval(r), t) <= 0) {
             lastMatch = rBuf.next().copy() // newest match so far for this key
-            lastMatchKey = rk
+            // re-evaluate the key from the COPIED row: a value evaluated from
+            // the buffered row (e.g. a UTF8String) may point into the
+            // upstream sort iterator's reused UnsafeRow buffer and be
+            // silently overwritten by the next right row
+            lastMatchKey = rKey.eval(lastMatch)
           } else advance = false
         }
         if (lastMatch != null &&

@@ -443,6 +443,38 @@ class NativeAsOfJoinSpec extends GraftSuite {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("composed asof keeps matches with null payload fields, from ONE right row") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 10L, "L1"), (1L, 20L, "L2")).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 5L, Option.empty[Long], Option("a")),
+      (1L, 15L, Option(7L), Option.empty[String])
+    ).toDF("k2", "t2", "pay1", "pay2")
+    val out = ops.AsOfJoin.asof(left, right, "k", "k2", "t", "t2",
+      Seq("pay1", "pay2")).orderBy(col("t")).collect()
+    assert(out.length === 2, "a null first-payload field must not drop the match")
+    // t=10 matches the t2=5 row wholesale: (null, "a")
+    assert(out(0).isNullAt(3) && out(0).getString(4) === "a")
+    // t=20 matches the t2=15 row wholesale: (7, null) — NOT pay2 carried
+    // from the older t2=5 row
+    assert(out(1).getLong(3) === 7L && out(1).isNullAt(4))
+  }
+
+  test("native as-of join is correct for STRING keys (buffer-reuse safety)") {
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), concat(lit("u"), col("user_id")).as("ukey"), col("ts"))
+    val orders = dedupedOrders
+      .select(concat(lit("u"), col("o_custkey")).as("okey"),
+        col("o_orderdate"), col("o_orderkey"))
+    val native = plans.AsOfJoinNative.asof(events, orders,
+      "ukey", "okey", "ts", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+    val composed = ops.AsOfJoin.asof(events, orders,
+      "ukey", "okey", "ts", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
   test("the custom strategy actually plans AsOfJoinExec with inserted exchanges") {
     val events = Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
