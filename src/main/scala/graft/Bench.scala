@@ -36,7 +36,29 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Round-over-round regression guard: compare against the committed
+    // anchor (tools/bench_anchor.json, round-1 numbers) and flag >1.5×
+    // slowdowns loudly. Queries under 0.3 s anchor sit on the scheduler
+    // floor and jitter freely — skipped. Reported, not fatal: the driver
+    // must still receive the bench line.
+    val regressions: Seq[String] = {
+      val anchorFile = new java.io.File("tools/bench_anchor.json")
+      if (!anchorFile.exists()) Nil
+      else {
+        val txt = scala.io.Source.fromFile(anchorFile).mkString
+        val anchor = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (name, sec) =>
+          anchor.get(name).collect {
+            case base if base >= 0.3 && sec > base * 1.5 =>
+              f"$name: ${sec}%.2fs vs anchor ${base}%.2fs (${sec / base}%.1fx)"
+          }
+        }
+      }
+    }
+    regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
+    val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
