@@ -250,6 +250,7 @@ object Dedup {
     // ids only through the pair space — payloads join back after distinct
     val eb = e.select(col("vec_id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .localCheckpoint() // buckets compute once, not per self-join side
     val pairs = eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))

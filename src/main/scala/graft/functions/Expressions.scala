@@ -178,20 +178,46 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Hamming distance between two equal-length long arrays. */
+/** Hamming distance between two equal-length long arrays.
+  *
+  * Generates code (like DotProductExpr): it sits inside d3's candidate
+  * pair loop, and the generated loop reads straight out of the unsafe
+  * arrays with no toLongArray copies.
+  */
 case class HammingExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
-    require(a.length == b.length,
-      s"hamming: mismatched signature lengths ${a.length} vs ${b.length}")
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    require(a.numElements() == b.numElements(),
+      s"hamming: mismatched signature lengths ${a.numElements()} vs ${b.numElements()}")
     var d = 0L
     var i = 0
-    while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
+    val n = a.numElements()
+    while (i < n) { if (a.getLong(i) != b.getLong(i)) d += 1; i += 1 }
     d
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "hamming: mismatched signature lengths " + $n + " vs " + $r.numElements());
+         |}
+         |long $d = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($l.getLong($i) != $r.getLong($i)) $d++;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -204,28 +230,72 @@ case class HammingExpr(left: Expression, right: Expression)
   */
 case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, dim: Int,
     planeOffset: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData].toDoubleArray()
-    require(a.length >= dim,
-      s"hyperplane_bucket: vector length ${a.length} < dim $dim")
-    var bucket = 0L
+
+  /** Plane matrix precomputed ONCE per expression (row j = plane
+    * planeOffset+j) — the plane values are a pure function of the indices,
+    * so recomputing the `(g·dim+i)·2654435761 …` arithmetic per input row
+    * was pure waste. Same values bit-for-bit as the inline formula.
+    */
+  @transient private lazy val planes: Array[Double] = {
+    val out = new Array[Double](nPlanes * dim)
     var j = 0
     while (j < nPlanes) {
       val g = (planeOffset + j).toLong
-      var s = 0.0
       var i = 0
       while (i < dim) {
-        val plane = ((g * dim + i) * 2654435761L % 4294967296L).toDouble /
-          2147483648.0 - 1.0
-        s += a(i) * plane
+        out(j * dim + i) =
+          ((g * dim + i) * 2654435761L % 4294967296L).toDouble / 2147483648.0 - 1.0
         i += 1
       }
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    require(a.numElements() >= dim,
+      s"hyperplane_bucket: vector length ${a.numElements()} < dim $dim")
+    val pl = planes
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += a.getDouble(i) * pl(j * dim + i); i += 1 }
       if (s >= 0) bucket += 1L << j
       j += 1
     }
     bucket
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
+      s"""
+         |if ($v.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_bucket: vector length " + $v.numElements() + " < dim $dim");
+         |}
+         |long $b = 0L;
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $s += $v.getDouble($i) * $planesRef[$j * $dim + $i];
+         |  }
+         |  if ($s >= 0) $b += 1L << $j;
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
     copy(child = c)
