@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ text.TextOps.all ++ dedup.Dedup.all ++
       similarity.Similarity.all ++ multimodal.Multimodal.all ++
-      streaming.EventStreams.all ++ pipeline.PipelineQueries.all
+      streaming.EventStreams.all ++ pipeline.PipelineQueries.all ++
+      ops.Sampling.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.sql ++ text.TextOps.sql ++ dedup.Dedup.sql ++
       similarity.Similarity.sql ++ multimodal.Multimodal.sql ++
-      streaming.EventStreams.sql ++ pipeline.PipelineQueries.sql
+      streaming.EventStreams.sql ++ pipeline.PipelineQueries.sql ++
+      ops.Sampling.sql
 }

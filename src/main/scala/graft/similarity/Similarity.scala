@@ -295,13 +295,42 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- s4
+  /** Per-dimension corpus statistics (the normalization-preprocessing pass
+    * of an embedding pipeline): count/mean/stddev for every dimension.
+    * 100 TB: posexplode is a generator inside the scan stage; the groupBy
+    * shuffles only dim×partial-agg rows (partial aggregation map-side), so
+    * shuffle volume is O(dims · partitions) regardless of corpus size.
+    * Float parity: cross-engine summation order differs; round(6) absorbs
+    * the ~1e-12 accumulation noise at these magnitudes.
+    */
+  def s4EmbedDimStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("col")), 6).as("mean"),
+        round(stddev_pop(col("col")), 6).as("sd"))
+      .orderBy(col("dim"))
+
+  val s4Sql: String =
+    """SELECT dim, count(*) AS n,
+      |  round(avg(x), 6) AS mean,
+      |  round(stddev_pop(x), 6) AS sd
+      |FROM (SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+      |             unnest(v) AS x
+      |      FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings))
+      |GROUP BY dim ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
-    "s3_ann_ivf" -> (s3AnnIvf _))
+    "s3_ann_ivf" -> (s3AnnIvf _),
+    "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
-    "s3_ann_ivf" -> s3Sql)
+    "s3_ann_ivf" -> s3Sql,
+    "s4_embed_dimstats" -> s4Sql)
 }

@@ -210,17 +210,215 @@ object TextOps {
       |FROM toks JOIN freqs USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t6
+  /** Repetition signals (the Gopher/MassiveText-style repetition filters):
+    * type-token ratio plus duplicate word-2-gram and word-3-gram fractions.
+    * Highly repetitive machine-generated text scores high on rep_n and low
+    * on ttr. One narrow projection per doc; the k-gram arrays combine the
+    * portable token hashes WITH multiplicity (unlike the deduped shingle
+    * machinery), since multiplicity is exactly what repetition measures.
+    */
+  def t6Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val th = tokenHashes(col("text"))
+    val nTok = size(th)
+    def gram2 = transform(sequence(lit(0), nTok - 2), k =>
+      (element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P)
+    def gram3 = transform(sequence(lit(0), nTok - 3), k =>
+      ((element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P
+        * ShingleBase + element_at(th, k + 3)) % P)
+    def repFrac(g: Column): Column =
+      round(lit(1.0) - size(array_distinct(g)).cast("double")
+        / size(g).cast("double"), 6)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), th.as("th"), nTok.as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(size(array_distinct(col("th"))).cast("double")
+          / col("n_tokens").cast("double"), 6).as("ttr"),
+        when(col("n_tokens") >= 2, repFrac(gram2)).otherwise(0.0).as("rep2"),
+        when(col("n_tokens") >= 3, repFrac(gram3)).otherwise(0.0).as("rep3"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t6Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""SELECT doc_id, CAST(len(ths) AS INT) AS n_tokens,
+      |  round(CAST(len(list_distinct(ths)) AS DOUBLE) / len(ths), 6) AS ttr,
+      |  CASE WHEN len(ths) >= 2 THEN round(1.0 -
+      |    CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) ELSE 0.0 END AS rep2,
+      |  CASE WHEN len(ths) >= 3 THEN round(1.0 -
+      |    CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) ELSE 0.0 END AS rep3
+      |FROM (
+      |  SELECT doc_id, ths,
+      |    [(ths[k+1] * $ShingleBase + ths[k+2]) % $P
+      |     for k in range(len(ths) - 1)] AS g2,
+      |    [((ths[k+1] * $ShingleBase + ths[k+2]) % $P * $ShingleBase + ths[k+3]) % $P
+      |     for k in range(len(ths) - 2)] AS g3
+      |  FROM (SELECT doc_id, $ths AS ths FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t7
+  /** Gopher-style rule gate: hard quality rules as independent flags plus
+    * the conjunction — word count bounds, mean word length bounds, minimum
+    * alphabetic-token fraction, minimum stopword hits. Flags are kept
+    * per-rule (ints) so downstream mixing can weight them; one narrow
+    * projection, no shuffle.
+    */
+  def t7GopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nTok
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok
+    val stopHits = size(filter(toks, t =>
+      t.isin(stopwords.map(x => x: Any): _*)))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (size(toks) >= 50 && size(toks) <= 500).cast("int").as("wc_ok"),
+        (meanLen >= 3.0 && meanLen <= 10.0).cast("int").as("len_ok"),
+        (alphaFrac >= 0.8).cast("int").as("alpha_ok"),
+        (stopHits >= 2).cast("int").as("stop_ok"))
+      .withColumn("pass",
+        (col("wc_ok") === 1 && col("len_ok") === 1 &&
+          col("alpha_ok") === 1 && col("stop_ok") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t7Sql: String =
+    s"""SELECT doc_id, wc_ok, len_ok, alpha_ok, stop_ok,
+      |  CAST(wc_ok = 1 AND len_ok = 1 AND alpha_ok = 1 AND stop_ok = 1 AS INT) AS pass
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(n_tok >= 50 AND n_tok <= 500 AS INT) AS wc_ok,
+      |    CAST(sum_len / n_tok >= 3.0 AND sum_len / n_tok <= 10.0 AS INT) AS len_ok,
+      |    CAST(alpha_n / n_tok >= 0.8 AS INT) AS alpha_ok,
+      |    CAST(stop_n >= 2 AS INT) AS stop_ok
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+      |        (a, x) -> a + x) AS DOUBLE) AS sum_len,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS alpha_n,
+      |      len(list_filter(string_split(text, ' '), t -> t IN $stopSql)) AS stop_n
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t8
+  /** PII detection + redaction. The synthetic corpus carries no PII, so the
+    * operator first builds a deterministic augmented text (every 3rd doc
+    * gains an email, every 5th an IPv4, every 7th a phone number — both
+    * engines construct the identical string), then counts and redacts with
+    * dialect-portable regexes (no backrefs, no lookaround — Java and RE2
+    * agree). The redacted text is fingerprinted with the portable char fold
+    * so the oracle verifies the FULL redacted string, not just counts.
+    * Scale: narrow projection, regex state machines stream per row.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def t8PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 192.168."), (col("doc_id") % 250).cast("string"),
+          lit(".7"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    Tables(spark, sfDir, "documents")
+      .withColumn("aug", aug)
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("aug"), lit(Ipv4Re)).cast("int").as("n_ips"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("int").as("n_phones"),
+        charFoldHash(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t8Sql: String = {
+    val aug = "text || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END)"
+    val redacted = s"regexp_replace(regexp_replace(regexp_replace(aug, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS INT) AS n_ips,
+      |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INT) AS n_phones,
+      |  ${sqlCharFold(redacted)} AS redacted_fp
+      |FROM (SELECT doc_id, $aug AS aug FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t9
+  /** Benchmark-contamination check: shared word-3-gram shingles between
+    * each document and a "benchmark" set (every 97th doc stands in for the
+    * eval suite). Per doc: how many of its distinct shingles appear
+    * anywhere in the benchmark, and a contaminated flag.
+    * 100 TB: benchmark suites are BOUNDED (fixed eval sets) — their distinct
+    * shingles broadcast; the corpus streams through one semi-join + count,
+    * no pair space.
+    */
+  def t9Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .localCheckpoint() // shingles compute once for both roles
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("bsh")).distinct()
+    val shared = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), col("s") === col("bsh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // sh is distinct per doc already
+    docs.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t9Sql: String = {
+    val ths = sqlTokenHashes("text")
+    val docsSub = s"SELECT doc_id, ${sqlShingles("ths")} AS sh " +
+      s"FROM (SELECT doc_id, $ths AS ths FROM documents)"
+    s"""WITH sh AS (SELECT doc_id, unnest(sh) AS s FROM ($docsSub)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |shared AS (SELECT doc_id, count(*) AS n_shared FROM sh
+      |           WHERE s IN (SELECT s FROM bench) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(coalesce(shared.n_shared, 0) > 0 AS INT) AS contaminated
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN shared ON d.doc_id = shared.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_count" -> (t1TokenCount _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
-    "t5_surprisal" -> (t5Surprisal _))
+    "t5_surprisal" -> (t5Surprisal _),
+    "t6_repetition" -> (t6Repetition _),
+    "t7_gopher_rules" -> (t7GopherRules _),
+    "t8_pii_redact" -> (t8PiiRedact _),
+    "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
     "t1_token_count" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_langid" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
-    "t5_surprisal" -> t5Sql)
+    "t5_surprisal" -> t5Sql,
+    "t6_repetition" -> t6Sql,
+    "t7_gopher_rules" -> t7Sql,
+    "t8_pii_redact" -> t8Sql,
+    "t9_contamination" -> t9Sql)
 }

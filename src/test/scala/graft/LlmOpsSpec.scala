@@ -123,6 +123,64 @@ class SimilaritySpec extends GraftSuite {
   }
 }
 
+class TrainingDataOpsSpec extends GraftSuite {
+
+  test("t6 repetition signals stay in range and n_tokens agrees with t1") {
+    val rep = text.TextOps.t6Repetition(spark, sf)
+    assert(rep.filter(col("ttr") <= 0 || col("ttr") > 1).count() === 0)
+    assert(rep.filter(col("rep2") < 0 || col("rep2") >= 1).count() === 0)
+    assert(rep.filter(col("rep3") < 0 || col("rep3") >= 1).count() === 0)
+    val t1 = text.TextOps.t1TokenCount(spark, sf)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    assert(rep.join(t1, Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("n_ws_tokens")).count() === 0)
+  }
+
+  test("t7 gopher pass flag is exactly the conjunction of the rules") {
+    val out = text.TextOps.t7GopherRules(spark, sf)
+    val bad = out.filter(col("pass") =!=
+      (col("wc_ok") === 1 && col("len_ok") === 1 &&
+        col("alpha_ok") === 1 && col("stop_ok") === 1).cast("int"))
+    assert(bad.count() === 0)
+  }
+
+  test("t8 finds exactly the injected PII and redaction changes the fingerprint") {
+    val out = text.TextOps.t8PiiRedact(spark, sf)
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_emails") =!= 1).count() === 0)
+    assert(out.filter(col("doc_id") % 3 =!= 0 && col("n_emails") =!= 0).count() === 0)
+    assert(out.filter(col("doc_id") % 5 === 0 && col("n_ips") =!= 1).count() === 0)
+    assert(out.filter(col("doc_id") % 7 === 0 && col("n_phones") =!= 1).count() === 0)
+  }
+
+  test("t9 benchmark members are contaminated; non-members can be clean") {
+    val out = text.TextOps.t9Contamination(spark, sf)
+    assert(out.filter(col("doc_id") % 97 === 0 && col("contaminated") =!= 1)
+      .count() === 0, "benchmark docs share all their shingles with the benchmark")
+    assert(out.count() === Tables(spark, sf, "documents").count())
+  }
+
+  test("a4 stratified sampling is deterministic and respects per-source rates") {
+    val s1 = ops.Sampling.a4StratifiedSample(spark, sf)
+    val s2 = ops.Sampling.a4StratifiedSample(spark, sf)
+    assert(s1.exceptAll(s2).count() === 0 && s1.count() === s2.count())
+    // rate column derives from the source name
+    val badRate = s1.filter(col("rate") =!=
+      lit(20) + lit(3) * substring(col("source"), 4, 10).cast("int"))
+    assert(badRate.count() === 0)
+    // sampling keeps a strict subset per source at these rates
+    val total = Tables(spark, sf, "documents").count()
+    assert(s1.count() > 0 && s1.count() < total)
+  }
+
+  test("s4 dim stats cover every dimension with full counts") {
+    val out = similarity.Similarity.s4EmbedDimStats(spark, sf)
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.count() === 64)
+    assert(out.filter(col("n") =!= n).count() === 0)
+    assert(out.filter(col("sd") <= 0).count() === 0)
+  }
+}
+
 class TextOpsSpec extends GraftSuite {
 
   test("token counts equal whitespace-split length") {
