@@ -230,8 +230,12 @@ object Dedup {
     * 100 TB: the pair space is never materialized — candidates come from an
     * equi-join on (table, bucket) carrying ids only; payload vectors join
     * back AFTER an id-level distinct, so wide rows never enter the shuffle.
-    * Dot products fold sequentially in index order on both engines, so
-    * doubles agree bitwise.
+    * Candidate volume per table is O(n²/2^planes): with FIXED planes that
+    * is still quadratic in n, so a production deployment scales planes ≈
+    * log₂(n / target-bucket-size) (adding tables to hold recall) — the
+    * plane count is fixed here only so the DuckDB oracle stays a static
+    * SQL string. Dot products fold sequentially in index order on both
+    * engines, so doubles agree bitwise.
     */
   val CosineThreshold = 0.4
   val D5Tables = 12

@@ -9,16 +9,20 @@ import graft.functions._
 /** Flagship composition (SparkEntry.entry): an end-to-end LLM training-data
   * curation pass over `documents`, built from the §2 operators:
   *
-  *  1. exact dedup   — keep min doc_id per md5(text)
-  *  2. near-dup drop — MinHash-LSH pairs (Jaccard ≥ 0.8); drop the higher
-  *                     doc_id of each pair
-  *  3. quality gate  — stopword/word-length composite ≥ 0.3
-  *  4. annotation    — token count + portable fingerprint for the survivors
+  *  1. exact dedup      — keep min doc_id per md5(text)
+  *  2. near-dup drop    — MinHash-LSH pairs (Jaccard ≥ 0.8); drop the
+  *                        higher doc_id of each pair
+  *  3. quality gate     — stopword/word-length composite ≥ 0.3
+  *  4. repetition gate  — duplicate-3-gram fraction < 0.5 (t6 signal)
+  *  5. decontamination  — drop docs sharing shingles with the benchmark
+  *                        set (t9 semantics; benchmark shingles broadcast)
+  *  6. annotation       — token count + portable fingerprint + quality for
+  *                        the survivors
   *
   * Every stage is one more transform on the same lazy plan; nothing
   * collects to the driver. At 100 TB each stage is shuffle-bounded the way
   * its underlying operator is (hash dedup by digest, LSH by band buckets,
-  * the rest embarrassingly parallel).
+  * bounded-benchmark broadcast, the rest embarrassingly parallel).
   */
 object Curation {
 
@@ -35,12 +39,28 @@ object Curation {
     val dupJ = graft.dedup.Dedup.d2MinHashLsh(spark, sfDir)
       .select(col("j").as("doc_id")).distinct()
 
-    // 3+4. quality + annotation on the survivors (same scorer as t2)
+    // 5. contaminated ids (shared shingle with the benchmark subset)
+    val contaminated = graft.text.TextOps.t9Contamination(spark, sfDir)
+      .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+
+    // 4. repetition signal inline (same arithmetic as t6's rep3)
+    val th = tokenHashes(col("text"))
+    val gram3 = transform(sequence(lit(0), size(th) - 3), k =>
+      ((element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P
+        * ShingleBase + element_at(th, k + 3)) % P)
+    val rep3 = when(size(th) >= 3,
+      lit(1.0) - size(array_distinct(gram3)).cast("double")
+        / size(gram3).cast("double")).otherwise(0.0)
+
+    // 3+4+5+6 on the survivors (same scorer as t2)
     docs
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
+      .filter(rep3 < 0.5)
       .select(col("doc_id"), col("lang"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),
         charFoldHash(col("text")).as("fingerprint"),

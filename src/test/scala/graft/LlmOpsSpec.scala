@@ -294,6 +294,11 @@ class CurationSpec extends GraftSuite {
       .join(ids.withColumnRenamed("doc_id", "j"), Seq("j"), "left_semi")
     assert(surviving.count() === 0)
     assert(out.filter(col("quality") < 0.3).count() === 0)
+    // no contaminated non-benchmark doc survives the decontamination gate
+    val contaminated = text.TextOps.t9Contamination(spark, sf)
+      .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+    assert(out.join(contaminated, Seq("doc_id"), "left_semi").count() === 0)
   }
 }
 
