@@ -111,4 +111,41 @@ class HashExprFuzzSpec extends GraftSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
+
+  test("t6 repetition fractions equal a reference computation on generated text") {
+    import spark.implicits._
+    import graft.functions.{P, ShingleBase}
+    // small vocab → guaranteed repeats
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(3, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = samples(doc, 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val th = graft.functions.tokenHashes(col("text"))
+    val gram2 = transform(sequence(lit(0), size(th) - 2), k =>
+      (element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P)
+    val got = df.select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(gram2)).cast("double")
+          / size(gram2).cast("double"), 6).as("rep2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val hs = t.split(" ").map(PortableHash.charFold)
+      val g2 = hs.sliding(2).map { case Array(a, b) => (a * ShingleBase + b) % P }.toSeq
+      val expect = BigDecimal(1.0 - g2.distinct.size.toDouble / g2.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(i.toLong) - expect) < 1e-9, s"doc $i: $t")
+    }
+  }
+
+  test("a4 sampling keep-decision equals a reference hash computation") {
+    val out = ops.Sampling.a4StratifiedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.filter { case (id, src) =>
+      val rate = 20 + 3 * src.drop(3).toInt
+      PortableHash.charFold(s"$src#$id") % 100 < rate
+    }.map { case (id, src) => (id, src, 20 + 3 * src.drop(3).toInt) }.toSet
+    assert(out.toSet === expect)
+  }
 }
