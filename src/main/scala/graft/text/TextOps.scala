@@ -400,7 +400,85 @@ object TextOps {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t10
+  /** Fixed-window chunking: split each document into consecutive 32-token
+    * chunks (the pretraining tokenize-and-split step). Each chunk carries
+    * its token count and a portable fingerprint of its text, so the oracle
+    * verifies the exact chunk CONTENT, not just the arithmetic.
+    * 100 TB: explode(sequence) is a generator inside the scan stage — rows
+    * fan out map-side, no shuffle (the ORDER BY is oracle determinism).
+    */
+  val ChunkTokens = 32
+
+  def t10Chunking(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / ChunkTokens).cast("int")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("t"), nChunks.as("nc"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), col("chunk_id") * ChunkTokens + 1, lit(ChunkTokens)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).as("n_chunk_tokens"),
+        charFoldHash(array_join(col("ct"), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val t10Sql: String =
+    s"""SELECT doc_id, chunk_id,
+      |  CAST(len(ct) AS INT) AS n_chunk_tokens,
+      |  ${sqlCharFold("array_to_string(ct, ' ')")} AS chunk_fp
+      |FROM (
+      |  SELECT doc_id, c AS chunk_id,
+      |    list_slice(t, c * $ChunkTokens + 1, c * $ChunkTokens + $ChunkTokens) AS ct
+      |  FROM (
+      |    SELECT doc_id, t,
+      |      unnest(range(CAST(ceil(len(t) / ${ChunkTokens}.0) AS INT))) AS c
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- t11
+  /** Sequence packing: assign documents (in deterministic doc_id order,
+    * per source) to fixed-token-budget bins by cumulative token offset —
+    * the distributed approximation of greedy context-window packing. A
+    * doc's bin is floor(start_offset / budget), so bins fill in order and
+    * the assignment is one window over the per-source ordering.
+    * 100 TB: ONE shuffle by source; within-source packing is a running sum.
+    * A pathologically hot source is split by a secondary key (e.g. day) in
+    * production — the bin id stays deterministic either way.
+    */
+  val PackBudget = 256
+
+  def t11SeqPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / PackBudget)
+          .cast("bigint").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t11Sql: String =
+    s"""SELECT doc_id, source, n_tokens,
+      |  CAST(floor((cum - n_tokens) / ${PackBudget}.0) AS BIGINT) AS bin
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_chunking" -> (t10Chunking _),
+    "t11_seq_packing" -> (t11SeqPacking _),
     "t1_token_count" -> (t1TokenCount _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_langid" -> (t3LangId _),
@@ -412,6 +490,8 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t10_chunking" -> t10Sql,
+    "t11_seq_packing" -> t11Sql,
     "t1_token_count" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_langid" -> t3Sql,

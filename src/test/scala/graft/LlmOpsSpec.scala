@@ -172,6 +172,38 @@ class TrainingDataOpsSpec extends GraftSuite {
     assert(s1.count() > 0 && s1.count() < total)
   }
 
+  test("t10 chunks partition every document's tokens exactly") {
+    val chunks = text.TextOps.t10Chunking(spark, sf)
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(sum(col("n_chunk_tokens")).as("total"),
+        max(col("chunk_id")).as("last_chunk"))
+    val t1 = text.TextOps.t1TokenCount(spark, sf)
+      .select(col("doc_id"), col("n_ws_tokens"))
+    assert(perDoc.join(t1, Seq("doc_id"))
+      .filter(col("total") =!= col("n_ws_tokens")).count() === 0,
+      "chunk token counts must sum to the document token count")
+    // every chunk except a doc's last is exactly full
+    val notLast = chunks.join(perDoc.select(col("doc_id"), col("last_chunk")), Seq("doc_id"))
+      .filter(col("chunk_id") < col("last_chunk"))
+    assert(notLast.filter(col("n_chunk_tokens") =!= text.TextOps.ChunkTokens)
+      .count() === 0)
+  }
+
+  test("t11 packing bins are the floor of each doc's start offset over the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val out = text.TextOps.t11SeqPacking(spark, sf)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withStart = out.withColumn("start",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val bad = withStart.filter(
+      col("bin") =!= floor(col("start").cast("double") / text.TextOps.PackBudget)
+        .cast("bigint"))
+    assert(bad.count() === 0)
+    // bins are monotone in doc order within a source
+    assert(withStart.filter(col("bin") < 0).count() === 0)
+  }
+
   test("s4 dim stats cover every dimension with full counts") {
     val out = similarity.Similarity.s4EmbedDimStats(spark, sf)
     val n = Tables(spark, sf, "embeddings").count()
