@@ -503,19 +503,17 @@ object Relational {
 
   // ---------------------------------------------------------------- q21
   /** Top-3 lineitems per returnflag (top-k per group). With only 3 group
-    * keys a single window shuffles everything onto 3 tasks; instead phase 1
-    * takes a local top-3 per (group, input partition) — any global top-3
-    * row is also top-3 in its partition — and phase 2 ranks the ≤3·P·G
-    * survivors. Both phases parallelize; result identical.
+    * keys a naive window would shuffle everything onto 3 tasks; Spark 4's
+    * WindowGroupLimit rewrite inserts a PARTIAL top-3 filter per input
+    * partition BEFORE the exchange (and a final one after), so the plain
+    * declarative window IS the two-phase plan — only ≤3·P·G survivors
+    * shuffle. (Round 1 hand-built the two-phase via spark_partition_id;
+    * the optimizer's rewrite does it with one window and one shuffle.)
     */
   def q21TopKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    val w1 = Window.partitionBy(col("l_returnflag"), col("__pid")).orderBy(ord: _*)
     val w = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
     t(spark, sfDir, "lineitem")
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("rn1", row_number().over(w1))
-      .filter(col("rn1") <= 3)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
