@@ -53,6 +53,31 @@ final class JsonSource(name: String, path: String, schema: StructType) extends D
   }
 }
 
+/** Line-oriented text source: one row per line, column `value`. */
+final class TextSource(name: String, path: String) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    spark.read.text(path)
+  }
+}
+
+/** Binary-file source (Spark's built-in `binaryFile` format): one row per
+  * file with (path, modificationTime, length, content) — the ingestion
+  * path for image/audio/video corpora feeding graft.multimodal. A glob
+  * filter narrows the listing; `pathGlobFilter` prunes at FILE level, so
+  * at 100 TB the scan never opens non-matching objects.
+  */
+final class BinaryFileSource(name: String, path: String,
+    globFilter: Option[String] = None) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    val reader = spark.read.format("binaryFile")
+    globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path)
+  }
+}
+
 /** In-memory source over pre-registered DataFrames; throws NotFoundError
   * for types it advertises but has no entry for (exercises fall-through).
   */

@@ -146,6 +146,49 @@ class PipelineSpec extends GraftSuite {
     assert(cached.agg(sum(col("x"))).head().getLong(0) === 12)
   }
 
+  test("binaryFile and text sources read raw files through the pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binsrc")
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    java.nio.file.Files.write(dir.resolve("a.bin"), payload)
+    java.nio.file.Files.write(dir.resolve("b.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    val p = new DataPipeline(Seq(
+      Left(new BinaryFileSource("blobs", dir.toString, Some("*.bin"))),
+      Left(new TextSource("lines", s"$dir/b.txt"))))
+    val blobs = p.get("blobs")
+    assert(blobs.count() === 1, "glob filter must prune non-matching files")
+    val row = blobs.select(col("length"), col("content")).head()
+    assert(row.getLong(0) === payload.length)
+    assert(row.getAs[Array[Byte]](1).toSeq === payload.toSeq)
+    assert(p.get("lines").count() === 2)
+  }
+
+  test("streaming foreachBatch bridges into a pipeline sink") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    Tables(spark, sf, "orders").limit(50).coalesce(1)
+      .write.parquet(s"$dir/in")
+    val sink = new MemoryCacheSink(Set("orders_agg"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = stream.groupBy(col("o_orderstatus")).count()
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.put("orders_agg", batch.persist())
+        // materialize every partition — Spark 4 validates that foreachBatch
+        // processed the whole batch (state-store commit tracking)
+        batch.count(): Unit
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val cached = sink.lookup("orders_agg", Query.empty, spark)
+    assert(cached.isDefined, "foreachBatch must have put a batch into the sink")
+    assert(cached.get.count() > 0)
+  }
+
   test("re-putting the same DataFrame keeps its persisted blocks") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")
