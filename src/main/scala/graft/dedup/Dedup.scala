@@ -330,26 +330,32 @@ object Dedup {
     * round). The oracle computes the same components with a recursive-CTE
     * transitive closure.
     */
-  def d7DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = d2MinHashLsh(spark, sfDir).select(col("i"), col("j"))
-      .localCheckpoint()
-    val edges = pairs.unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
-    val nodes = edges.select(col("i").as("doc_id")).distinct()
-    var labels = nodes.withColumn("cluster", col("doc_id")).localCheckpoint()
+  /** Shared CC engine: iterative min-label propagation over an undirected
+    * (i, j) pair list. Returns (<idCol>, cluster, is_kept) for every node
+    * with at least one edge. One join+agg per round, `localCheckpoint` to
+    * truncate the growing lineage, a converged-flag count as the only
+    * driver-side state — the standard large-graph CC loop.
+    */
+  private def labelClusters(pairs: DataFrame, idCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))
+    val nodes = edges.select(col("i").as(idCol)).distinct()
+    var labels = nodes.withColumn("cluster", col(idCol)).localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "j_id"),
+        .join(labels.withColumnRenamed(idCol, "j_id"),
           col("j") === col("j_id"))
-        .groupBy(col("i").as("doc_id"))
+        .groupBy(col("i").as(idCol))
         .agg(min(col("cluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      val updated = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint()
       val changes = updated.alias("u")
-        .join(labels.alias("l"), Seq("doc_id"))
+        .join(labels.alias("l"), Seq(idCol))
         .filter(col("u.cluster") =!= col("l.cluster")).count()
       labels = updated
       converged = changes == 0
@@ -358,12 +364,15 @@ object Dedup {
     // the oracle computes the FULL transitive closure — returning
     // non-converged labels would surface as an opaque hash mismatch
     require(converged,
-      s"d7DedupClusters: label propagation did not converge in $rounds rounds " +
+      s"labelClusters: label propagation did not converge in $rounds rounds " +
         "(component diameter exceeds the cap — raise the round limit)")
     labels
-      .withColumn("is_kept", (col("doc_id") === col("cluster")).cast("int"))
-      .orderBy(col("doc_id"))
+      .withColumn("is_kept", (col(idCol) === col("cluster")).cast("int"))
+      .orderBy(col(idCol))
   }
+
+  def d7DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    labelClusters(d2MinHashLsh(spark, sfDir).select(col("i"), col("j")), "doc_id")
 
   val d7Sql: String = {
     // same pair predicate as the d2 oracle, then transitive closure
@@ -389,6 +398,42 @@ object Dedup {
       |FROM labels ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d8
+  /** Semantic (embedding) near-dup clusters: the d5 blocked cosine pairs
+    * resolved into connected components — same keep/drop semantics as d7
+    * but over vector similarity, via the shared [[labelClusters]] engine.
+    * The oracle rebuilds the identical blocked pair list (same hyperplane
+    * arithmetic as d5Sql) and closes it with a recursive CTE.
+    */
+  def d8EmbedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    labelClusters(
+      d5EmbeddingDedup(spark, sfDir).select(col("i"), col("j")), "vec_id")
+
+  val d8Sql: String =
+    s"""WITH RECURSIVE e AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |eb AS (SELECT vec_id, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |       FROM (SELECT vec_id, ${sqlHyperplaneBuckets("v", D5Tables, D5Planes, D5Dim)} AS tb
+      |             FROM e)),
+      |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |         FROM eb a JOIN eb b
+      |           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pairs AS (
+      |  SELECT i, j FROM cand
+      |  JOIN e ea ON ea.vec_id = i JOIN e eb2 ON eb2.vec_id = j
+      |  WHERE list_dot_product(ea.v, eb2.v) / (ea.norm * eb2.norm) >= $CosineThreshold),
+      |edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT i, j FROM edges
+      |  UNION
+      |  SELECT r.src, e2.j FROM reach r JOIN edges e2 ON r.dst = e2.i),
+      |labels AS (
+      |  SELECT src AS vec_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)
+      |SELECT vec_id, cluster, CAST(vec_id = cluster AS INT) AS is_kept
+      |FROM labels ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
@@ -396,7 +441,8 @@ object Dedup {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_dedup" -> (d5EmbeddingDedup _),
     "d6_scoped_dedup" -> (d6ScopedDedup _),
-    "d7_dedup_clusters" -> (d7DedupClusters _))
+    "d7_dedup_clusters" -> (d7DedupClusters _),
+    "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
@@ -405,5 +451,6 @@ object Dedup {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_dedup" -> d5Sql,
     "d6_scoped_dedup" -> d6Sql,
-    "d7_dedup_clusters" -> d7Sql)
+    "d7_dedup_clusters" -> d7Sql,
+    "d8_embed_clusters" -> d8Sql)
 }

@@ -622,6 +622,23 @@ class DedupClustersSpec extends GraftSuite {
       assert(label === members.keys.min)
     }
   }
+
+  test("d8 embedding clusters share labels across every d5 pair") {
+    import org.apache.spark.sql.functions._
+    val clusters = dedup.Dedup.d8EmbedClusters(spark, sf)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = dedup.Dedup.d5EmbeddingDedup(spark, sf)
+      .select(col("i"), col("j")).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(clusters(i) === clusters(j), s"pair ($i,$j) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
 }
 
 class MinHashEstimatorSpec extends GraftSuite {
