@@ -350,6 +350,11 @@ object Dedup {
           col("j") === col("j_id"))
         .groupBy(col("i").as(idCol))
         .agg(min(col("cluster")).as("nmin"))
+      // Plain min-propagation (no pointer doubling): near-dup components
+      // are SHALLOW in practice (dup chains, not long paths), so the
+      // O(diameter) rounds stay small and the extra label-of-label join a
+      // pointer-doubling variant needs per round costs more than the
+      // rounds it saves (measured: d8 5.7 s → 6.1 s at sf0.1).
       val updated = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
