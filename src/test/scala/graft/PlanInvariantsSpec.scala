@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-level regression guards over the WHOLE query suite: the properties
+  * that make these plans survive 100 TB are asserted, not just narrated.
+  */
+class PlanInvariantsSpec extends GraftSuite {
+
+  /** Queries where a nested-loop/cartesian shape is the INTENDED plan:
+    * each joins a bounded side (literal bands, a broadcast query set, a
+    * 1-row aggregate) under a non-equi or constant-true condition.
+    */
+  private val intendedNestedLoop = Set(
+    "q19_range_join", // 4-row literal bands, non-equi range predicate
+    "q37_above_avg_inactive", // 1-row global average, constant-true join
+    "s1_cosine_topk", // bounded broadcast query set, =!= predicate
+    "t5_surprisal" // 1-row corpus total cross-joined into freqs
+  )
+
+  test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (intendedNestedLoop(name)) None
+        else {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct") ||
+              plan.contains("BroadcastNestedLoopJoin")) Some(name)
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unintended nested-loop/cartesian plans: $offenders")
+  }
+
+  test("q2's filters and projection reach the parquet scan") {
+    val plan = ops.Relational.q2FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      !plan.contains("PushedFilters: []"),
+      s"expected pushed filters in scan:\n$plan")
+  }
+
+  test("q5 plans as TakeOrderedAndProject (no global sort)") {
+    val plan = ops.Relational.q5SortLimit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q21 plans the partial-then-final WindowGroupLimit rewrite") {
+    val plan = ops.Relational.q21TopKPerGroup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+}
