@@ -149,11 +149,64 @@ object Multimodal {
       |    (a, s) -> (a + s) % 2147483647) AS sample_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m3
+  val ResizeStride = 8
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("n_resized", IntegerType, nullable = false),
+    StructField("resized_fp", LongType, nullable = false)))
+
+  /** Resize/thumbnail plumbing: decimate the payload by taking every
+    * [[ResizeStride]]-th byte (the strided-subsampling access pattern of a
+    * real nearest-neighbor image downscale; the pixel math is the stubbed
+    * part). The decimated bytes are fingerprinted with the portable
+    * char-fold so the oracle verifies the exact SELECTED bytes, not just
+    * counts. Partition-parallel, batched like m1, no shuffle.
+    */
+  def m3Resize(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = graft.functions.PortableHash.P
+    val bin = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    bin.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          var fp = 0L
+          var n = 0
+          var i = 0
+          while (i < payload.length) {
+            fp = (fp * 31 + (payload(i) & 0xff)) % P
+            n += 1
+            i += ResizeStride
+          }
+          Row(id, payload.length, n, fp)
+        }
+      }
+    }(enc).orderBy(col("doc_id"))
+  }
+
+  // ASCII text: byte == codepoint; decimation = substr at strided positions.
+  val m3Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_bytes,
+      |  CAST(ceil(length(text) / $ResizeStride.0) AS INT) AS n_resized,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(unicode(substr(text, i * $ResizeStride + 1, 1)) AS BIGINT)
+      |     for i in range(CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT))]),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS resized_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
-    "m2_frame_sample" -> (m2FrameSample _))
+    "m2_frame_sample" -> (m2FrameSample _),
+    "m3_resize" -> (m3Resize _))
 
   val sql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
-    "m2_frame_sample" -> m2Sql)
+    "m2_frame_sample" -> m2Sql,
+    "m3_resize" -> m3Sql)
 }

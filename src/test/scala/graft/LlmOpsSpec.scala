@@ -257,6 +257,27 @@ class MultimodalSpec extends GraftSuite {
     val again = multimodal.Multimodal.m1BinaryMeta(spark, sf)
     assert(out.exceptAll(again).count() === 0)
   }
+
+  test("m3 resize decimates to ceil(len/stride) bytes with the right fingerprint") {
+    val stride = multimodal.Multimodal.ResizeStride
+    val out = multimodal.Multimodal.m3Resize(spark, sf)
+    val joined = out.join(Tables(spark, sf, "documents"), Seq("doc_id"))
+    assert(joined.filter(col("n_resized") =!=
+      ceil(length(col("text")).cast("double") / stride).cast("int")).count() === 0)
+    // fingerprint equals a driver-side recomputation on a sample
+    val sample = joined.select(col("doc_id"), col("text"), col("resized_fp"))
+      .limit(20).collect()
+    sample.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      var fp = 0L
+      var i = 0
+      while (i < bytes.length) {
+        fp = (fp * 31 + (bytes(i) & 0xff)) % functions.PortableHash.P
+        i += stride
+      }
+      assert(r.getLong(2) === fp, s"doc ${r.getLong(0)}")
+    }
+  }
 }
 
 class StreamingSpec extends GraftSuite {
