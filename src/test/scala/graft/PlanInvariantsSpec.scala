@@ -53,4 +53,33 @@ class PlanInvariantsSpec extends GraftSuite {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
+
+  test("generated code for the graft expressions compiles (no silent fallback)") {
+    // CODEGEN_ONLY + fallback off: a broken doGenCode throws instead of
+    // quietly interpreting — guards DotProductExpr/HammingExpr/
+    // HyperplaneBucketExpr's generated loops.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = Tables(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dot = e.select(functions.dot(col("v"), col("v")).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+      assert(dot > 0)
+      val bucket = e.select(
+          functions.hyperplaneBucket(col("v"), 4, 64, 0).as("b"))
+        .agg(countDistinct(col("b"))).head().getLong(0)
+      assert(bucket > 1)
+      val docs = Tables(spark, sf, "documents")
+      val ham = docs.select(
+          functions.simHashBits(col("text"), 16).as("s1"),
+          functions.simHashBits(concat(col("text"), lit(" x")), 16).as("s2"))
+        .select(functions.hamming(col("s1"), col("s2")).as("h"))
+        .agg(sum(col("h"))).head().getLong(0)
+      assert(ham >= 0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
 }
