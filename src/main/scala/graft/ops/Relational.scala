@@ -1153,6 +1153,76 @@ object Relational {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** BIG-BIG range join — the scale path q19's scaladoc documents, shipped:
+    * orders self-joined on price proximity (|pa − pb| ≤ δ). Bucketing both
+    * sides by floor(price/δ) and exploding ONE side to bucket ± 1 turns the
+    * non-equi predicate into an equi-join on bucket: each true pair meets
+    * in exactly one bucket (the exploded neighbor set is distinct), shuffle
+    * volume is O(n·3), and no nested-loop join appears at any size.
+    * Gap sums are exact decimals (2-dec inputs), so parity is exact.
+    */
+  val RangeDelta = 1.0
+
+  def q47BucketRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("pd"))
+      .withColumn("p", col("pd").cast("double"))
+    val a = o.withColumn("bucket", floor(col("p") / RangeDelta).cast("long"))
+    val b = o
+      .select(col("k").as("k2"), col("pd").as("pd2"), col("p").as("p2"))
+      .withColumn("b0", floor(col("p2") / RangeDelta).cast("long"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    a.join(b, Seq("bucket"))
+      .filter(col("k") < col("k2") && abs(col("p") - col("p2")) <= RangeDelta)
+      .groupBy(floor(col("p") / 10000).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(abs(col("pd") - col("pd2"))).cast("double")
+          / count(lit(1)), 6).as("avg_gap"))
+      .orderBy(col("band"))
+  }
+
+  val q47Sql: String =
+    s"""SELECT CAST(floor(a.p / 10000) AS BIGINT) AS band, count(*) AS n_pairs,
+      |  round(CAST(sum(abs(a.pd - b.pd)) AS DOUBLE) / count(*), 6) AS avg_gap
+      |FROM (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS pd,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p FROM orders) a
+      |JOIN (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS pd,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p FROM orders) b
+      |  ON a.k < b.k AND abs(a.p - b.p) <= $RangeDelta
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Salted skew join — the explicit hot-key mitigation when AQE's runtime
+    * skew split isn't available (e.g. a stream-static join): the probe side
+    * derives a deterministic salt from its row id, the build side replicates
+    * across all salts, and the join key becomes (key, salt) so one hot user
+    * spreads over NSalts tasks. The oracle runs the PLAIN join — proof the
+    * salting is semantically invisible.
+    */
+  val NSalts = 8
+
+  def q48SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = t(spark, sfDir, "orders")
+      .select(col("o_custkey"), dec(col("o_totalprice")).as("pd"))
+      .withColumn("o_salt", explode(array((0 until NSalts).map(lit): _*)))
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("salt", (col("event_id") % NSalts).cast("int"))
+      .join(salted,
+        col("user_id") === col("o_custkey") && col("o_salt") === col("salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("pd")), 2).cast("double").as("sum_price"))
+      .orderBy(col("event_type"))
+  }
+
+  val q48Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM events JOIN orders ON user_id = o_custkey
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1200,7 +1270,9 @@ object Relational {
     "q43_lateral" -> (q43Lateral _),
     "q44_first_last" -> (q44FirstLast _),
     "q45_unpivot" -> (q45Unpivot _),
-    "q46_weighted_avg" -> (q46WeightedAvg _))
+    "q46_weighted_avg" -> (q46WeightedAvg _),
+    "q47_bucket_range_join" -> (q47BucketRangeJoin _),
+    "q48_salted_join" -> (q48SaltedJoin _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1248,5 +1320,7 @@ object Relational {
     "q43_lateral" -> q43Sql,
     "q44_first_last" -> q44Sql,
     "q45_unpivot" -> q45Sql,
-    "q46_weighted_avg" -> q46Sql)
+    "q46_weighted_avg" -> q46Sql,
+    "q47_bucket_range_join" -> q47Sql,
+    "q48_salted_join" -> q48Sql)
 }
