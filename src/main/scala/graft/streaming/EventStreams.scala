@@ -94,6 +94,27 @@ object EventStreams {
       .toDF()
   }
 
+  /** ST7: built-in streaming dedup with bounded state —
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's last-seen event time, so state size is
+    * bounded by the watermark horizon regardless of stream length (the
+    * flatMapGroupsWithState dedup above keeps state forever; this is the
+    * operator to reach for when duplicates arrive close together).
+    */
+  def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-wmdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.readStream.schema(raw).parquet(dir.toString)
+      .transform(fixTs)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

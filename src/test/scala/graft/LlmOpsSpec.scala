@@ -315,6 +315,24 @@ class StatefulStreamingSpec extends GraftSuite {
     assert(streamed.count() === expected.count())
     assert(streamed.exceptAll(expected).count() === 0)
   }
+
+  test("ST7: dropDuplicatesWithinWatermark dedups a single-batch stream to distinct keys") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = streaming.EventStreams.streamingDedupWithinWatermark(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st7_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st7_out")
+    // all duplicates arrive in one batch (well inside the watermark
+    // horizon), so the result is exactly the distinct key set
+    val expected = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(streamed.count() === expected.count())
+    assert(streamed.exceptAll(expected).count() === 0)
+  }
 }
 
 class MultimodalBatchSpec extends GraftSuite {

@@ -54,6 +54,38 @@ class PlanInvariantsSpec extends GraftSuite {
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
+  test("runtime bloom-filter pruning injects into a selective fact-fact join") {
+    // At 100 TB a selective dim filter should prune the fact scan through a
+    // runtime bloom filter (semi-join reduction). Thresholds are lowered so
+    // the tiny test tables qualify; the assertion is that the optimizer
+    // actually injects BloomFilterMightContain on the probe side.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than its threshold (default 10MB —
+      // fine); application side must be LARGER than its scan threshold
+      // (default 10GB — lower it so the test fact table qualifies)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders")
+          .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilterMightContain") ||
+        optimized.toLowerCase.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("generated code for the graft expressions compiles (no silent fallback)") {
     // CODEGEN_ONLY + fallback off: a broken doGenCode throws instead of
     // quietly interpreting — guards DotProductExpr/HammingExpr/
