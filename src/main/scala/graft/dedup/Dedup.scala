@@ -337,7 +337,7 @@ object Dedup {
     * driver-side state — the standard large-graph CC loop.
     */
   private def labelClusters(pairs: DataFrame, idCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))
     val nodes = edges.select(col("i").as(idCol)).distinct()
