@@ -136,6 +136,43 @@ class HashExprFuzzSpec extends GraftSuite {
     }
   }
 
+  test("bucket±1 range blocking is lossless on generated values") {
+    // the q47 claim: |a−b| ≤ δ ⟹ floor(a/δ) ∈ {floor(b/δ)−1, floor(b/δ), floor(b/δ)+1}
+    // and each true pair meets in EXACTLY one exploded bucket
+    val δ = 1.0
+    val vals = samples(Gen.choose(0.0, 50.0), 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, math.rint(v * 100) / 100) }
+    val brute = (for {
+      (i, a) <- vals; (j, b) <- vals if i < j && math.abs(a - b) <= δ
+    } yield (i, j)).toSet
+    val blocked = (for {
+      (i, a) <- vals; (j, b) <- vals if i < j
+      nb <- Seq(-1L, 0L, 1L)
+      if math.floor(a / δ).toLong == math.floor(b / δ).toLong + nb
+      if math.abs(a - b) <= δ
+    } yield (i, j)).toSet
+    assert(blocked === brute, "bucket±1 blocking must be lossless")
+    // exactly-once: count multiplicity of bucket meetings per true pair
+    for { (i, a) <- vals; (j, b) <- vals if i < j && math.abs(a - b) <= δ } {
+      val meetings = Seq(-1L, 0L, 1L).count(nb =>
+        math.floor(a / δ).toLong == math.floor(b / δ).toLong + nb)
+      assert(meetings === 1, s"pair ($a,$b) meets in $meetings buckets")
+    }
+  }
+
+  test("q48 salted join equals the plain join") {
+    val salted = ops.Relational.q48SaltedJoin(spark, sf)
+    val plain = Tables(spark, sf, "events")
+      .join(Tables(spark, sf, "orders"), col("user_id") === col("o_custkey"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("event_type"))
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
   test("a4 sampling keep-decision equals a reference hash computation") {
     val out = ops.Sampling.a4StratifiedSample(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
