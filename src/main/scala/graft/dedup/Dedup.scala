@@ -439,7 +439,62 @@ object Dedup {
       |SELECT vec_id, cluster, CAST(vec_id = cluster AS INT) AS is_kept
       |FROM labels ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- d9
+  /** Segment-level (paragraph) exact dedup — the C4/RefinedWeb-style pass
+    * that removes REPEATED SPANS across documents, not whole documents:
+    * split each doc into fixed 16-token segments, keep a segment only in
+    * the lowest-doc_id document that contains it, and reassemble each doc
+    * from its surviving segments (docs whose every segment is owned
+    * elsewhere disappear — the fully-boilerplate case).
+    * 100 TB: two shuffles, both narrow — ownership groups on md5(segment)
+    * (32-char key, not the text), reassembly groups on doc_id; the segment
+    * explode is a generator inside the scan stage. Segment payloads only
+    * travel in the reassembly shuffle, whose volume ≤ corpus size.
+    */
+  val SegTokens = 16
+
+  def d9SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val segs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("t"),
+        ceil(size(toks).cast("double") / SegTokens).cast("int").as("n_seg_total"))
+      .select(col("doc_id"), col("n_seg_total"), col("t"),
+        explode(sequence(lit(0), col("n_seg_total") - 1)).as("seg_idx"))
+      .select(col("doc_id"), col("n_seg_total"), col("seg_idx"),
+        array_join(slice(col("t"), col("seg_idx") * SegTokens + 1, lit(SegTokens)), " ")
+          .as("seg"))
+    val owners = segs.groupBy(md5(col("seg").cast("binary")).as("seg_hash"))
+      .agg(min(col("doc_id")).as("keeper"))
+    segs.join(owners,
+        md5(col("seg").cast("binary")) === col("seg_hash") &&
+          col("doc_id") === col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_seg_total")).as("n_seg_total"),
+        count(lit(1)).as("n_seg_kept"),
+        charFoldHash(array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ")).as("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d9Sql: String =
+    s"""WITH segs AS (
+      |  SELECT doc_id, n_seg_total, c AS seg_idx,
+      |    array_to_string(list_slice(t, c * $SegTokens + 1, c * $SegTokens + $SegTokens), ' ') AS seg
+      |  FROM (
+      |    SELECT doc_id, t, CAST(ceil(len(t) / ${SegTokens}.0) AS INT) AS n_seg_total,
+      |      unnest(range(CAST(ceil(len(t) / ${SegTokens}.0) AS INT))) AS c
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |owners AS (SELECT md5(seg) AS seg_hash, min(doc_id) AS keeper
+      |           FROM segs GROUP BY md5(seg))
+      |SELECT doc_id, max(n_seg_total) AS n_seg_total, count(*) AS n_seg_kept,
+      |  ${sqlCharFold("string_agg(seg, ' ' ORDER BY seg_idx)")} AS text_fp
+      |FROM segs s JOIN owners o ON md5(s.seg) = o.seg_hash AND s.doc_id = o.keeper
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_segment_dedup" -> (d9SegmentDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
@@ -450,6 +505,7 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    "d9_segment_dedup" -> d9Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

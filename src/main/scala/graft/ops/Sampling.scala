@@ -41,9 +41,52 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 
+  /** a5: temperature-based language mixing — the multilingual-rebalance
+    * primitive (sample stratum s at a rate ∝ n_s^(α−1), α = 1/2, so
+    * post-sample shares flatten toward n_s^α). Downsampling-only form:
+    * rate_s = √(n_min / n_s) scaled to integer per-mille, so the smallest
+    * stratum keeps everything and the dominant one is thinned hardest.
+    * 100 TB: stratum counts are one partial-aggregated pass (|langs| rows,
+    * a model-scale broadcast); the keep decision is then the same
+    * deterministic map-side hash filter as a4 — no RNG state, reproducible
+    * across runs/retries, and the filter runs inside the scan stage.
+    * Parity: the only float op is √ of a BIGINT ratio — IEEE-exact on both
+    * engines; floor to per-mille before the integer compare.
+    */
+  def a5TemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("n"))
+    // |langs| rows — bounded by the language inventory at any SF
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .select(col("cl"),
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n")))
+          .cast("int").as("rate_permille"))
+    val key = charFoldHash(concat(col("lang"), lit("#"), col("doc_id").cast("string")))
+    docs.join(broadcast(rates), col("lang") === col("cl"))
+      .filter(key % 1000 < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val a5Sql: String = {
+    val key = sqlCharFold("lang || '#' || CAST(doc_id AS VARCHAR)")
+    """WITH counts AS (SELECT lang AS cl, count(*) AS n FROM documents GROUP BY lang),
+      |rates AS (
+      |  SELECT cl, CAST(floor(1000 * sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n)) AS INT)
+      |    AS rate_permille
+      |  FROM counts)
+      |SELECT doc_id, lang, rate_permille
+      |FROM documents JOIN rates ON lang = cl
+      |WHERE KEYEXPR % 1000 < rate_permille
+      |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a4_stratified_sample" -> (a4StratifiedSample _))
+    "a4_stratified_sample" -> (a4StratifiedSample _),
+    "a5_temperature_mix" -> (a5TemperatureMix _))
 
   val sql: Map[String, String] = Map(
-    "a4_stratified_sample" -> a4Sql)
+    "a4_stratified_sample" -> a4Sql,
+    "a5_temperature_mix" -> a5Sql)
 }
