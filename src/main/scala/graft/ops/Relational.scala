@@ -1223,6 +1223,55 @@ object Relational {
       |FROM events JOIN orders ON user_id = o_custkey
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Bucketed co-located join — the REPEATED-join amortization at 100 TB:
+    * write both fact tables bucketed AND per-bucket sorted by the join key
+    * once, and every later join on that key reads pre-shuffled, pre-sorted
+    * data — the SortMergeJoin plans with ZERO exchange and ZERO sort on
+    * either side (asserted in PlanInvariantsSpec). The pre-write
+    * `repartition(NBuckets, key)` matches the bucket hash-partitioning so
+    * each bucket lands in exactly one file, which is what lets the scan
+    * report its sort order (exchange elimination needs no conf; the
+    * sort elimination additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, off by
+    * default since 3.0 because it lists files at planning time — set it
+    * when bucket-sorted reads matter). The oracle runs the PLAIN join on
+    * the raw parquet — bucketing is semantically invisible, like q48's
+    * salt.
+    * 100 TB: bucket count scales to data/bucket-target (e.g. 2^10–2^12);
+    * the one-time bucketed write costs a single shuffle, then N downstream
+    * joins/aggregations on the key are all exchange-free.
+    */
+  val NBuckets = 8
+
+  /** Write-once (per session+SF) bucketed copy of a table, keyed by `key`. */
+  def bucketedTable(spark: SparkSession, sfDir: String, table: String,
+      key: String): DataFrame = {
+    val name = s"graft_b_${table}_" +
+      (sfDir.hashCode.toLong & 0xffffffffL).toString
+    if (!spark.catalog.tableExists(name))
+      t(spark, sfDir, table)
+        .repartition(NBuckets, col(key))
+        .write.bucketBy(NBuckets, key).sortBy(key)
+        .mode("overwrite").format("parquet").saveAsTable(name)
+    spark.table(name)
+  }
+
+  def q49BucketedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedTable(spark, sfDir, "lineitem", "l_orderkey")
+      .join(bucketedTable(spark, sfDir, "orders", "o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(discPrice), 2).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  val q49Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+      |  CAST(round(sum($discPriceSql), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -1272,7 +1321,8 @@ object Relational {
     "q45_unpivot" -> (q45Unpivot _),
     "q46_weighted_avg" -> (q46WeightedAvg _),
     "q47_bucket_range_join" -> (q47BucketRangeJoin _),
-    "q48_salted_join" -> (q48SaltedJoin _))
+    "q48_salted_join" -> (q48SaltedJoin _),
+    "q49_bucketed_join" -> (q49BucketedJoin _))
 
   val sql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1322,5 +1372,6 @@ object Relational {
     "q45_unpivot" -> q45Sql,
     "q46_weighted_avg" -> q46Sql,
     "q47_bucket_range_join" -> q47Sql,
-    "q48_salted_join" -> q48Sql)
+    "q48_salted_join" -> q48Sql,
+    "q49_bucketed_join" -> q49Sql)
 }

@@ -15,7 +15,8 @@ class PlanInvariantsSpec extends GraftSuite {
     "q19_range_join", // 4-row literal bands, non-equi range predicate
     "q37_above_avg_inactive", // 1-row global average, constant-true join
     "s1_cosine_topk", // bounded broadcast query set, =!= predicate
-    "t5_surprisal" // 1-row corpus total cross-joined into freqs
+    "t5_surprisal", // 1-row corpus total cross-joined into freqs
+    "a5_temperature_mix" // 1-row min-count aggregate crossed into rates
   )
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
@@ -83,6 +84,42 @@ class PlanInvariantsSpec extends GraftSuite {
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q49's bucketed join plans with zero exchange and zero sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // force SMJ so the assertion is about bucketing, not broadcast luck;
+    // AQE off so the static plan is inspectable (it wraps everything in
+    // AdaptiveSparkPlanExec otherwise)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // report per-bucket sort order from the scan (off by default since 3.0
+    // because it lists files at planning time; q49 writes 1 file/bucket,
+    // which is the layout that makes it valid)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = ops.Relational.q49BucketedJoin(spark, sf)
+      val smjs = df.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, "expected a SortMergeJoin over the bucketed scans")
+      smjs.foreach { j =>
+        val bad = j.collect {
+          case e: ShuffleExchangeExec => e.getClass.getSimpleName
+          case s: SortExec => s.getClass.getSimpleName
+        }
+        assert(bad.isEmpty,
+          s"bucketed+sorted scans must feed the join directly, found: $bad\n$j")
+      }
+      assert(df.count() > 0)
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
 
