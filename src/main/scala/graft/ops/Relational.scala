@@ -1249,11 +1249,19 @@ object Relational {
       key: String): DataFrame = {
     val name = s"graft_b_${table}_" +
       (sfDir.hashCode.toLong & 0xffffffffL).toString
-    if (!spark.catalog.tableExists(name))
+    if (!spark.catalog.tableExists(name)) {
+      // the in-memory catalog forgets tables across sessions but their
+      // managed location persists — a leftover directory fails the create
+      // with LOCATION_ALREADY_EXISTS, so clear it first
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
       t(spark, sfDir, table)
         .repartition(NBuckets, col(key))
         .write.bucketBy(NBuckets, key).sortBy(key)
         .mode("overwrite").format("parquet").saveAsTable(name)
+    }
     spark.table(name)
   }
 

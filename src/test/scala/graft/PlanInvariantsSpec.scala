@@ -15,6 +15,7 @@ class PlanInvariantsSpec extends GraftSuite {
     "q19_range_join", // 4-row literal bands, non-equi range predicate
     "q37_above_avg_inactive", // 1-row global average, constant-true join
     "s1_cosine_topk", // bounded broadcast query set, =!= predicate
+    "s5_ann_pq", // bounded broadcast query set over PQ codes, =!= predicate
     "t5_surprisal", // 1-row corpus total cross-joined into freqs
     "a5_temperature_mix" // 1-row min-count aggregate crossed into rates
   )
