@@ -115,6 +115,77 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
   }
 
+  /** ST8: full sessionization as CUSTOM streaming state — the operator to
+    * reach for when session semantics outgrow `session_window` (per-session
+    * derived features, mid-session triggers, cross-session carryover).
+    * flatMapGroupsWithState with EventTimeTimeout: per-user state is the
+    * list of OPEN session intervals only; events merge into intervals with
+    * the same end-exclusive 30-min gap rule as st2 (a gap of exactly 30:00
+    * starts a new session); a session emits EXACTLY ONCE, when the
+    * watermark passes its end (= last event + gap) — either on the batch
+    * that advances the watermark or via the registered timeout on a
+    * no-data batch. State is bounded: open sessions span at most the
+    * watermark horizon + gap of event time per user.
+    * StatefulStreamingSpec asserts emitted ≡ the st2 batch sessions that
+    * the final watermark finalized.
+    */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  case class SessOpen(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def streamingSessionize(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessOpen], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[List[SessOpen]]) =>
+          // merge open intervals + incoming points, end-exclusive gap rule
+          // (merge iff next.start − cur.last < gap, matching session_window)
+          val incoming = rows.map(r => toUs(r._2)).toSeq.sorted
+          val pieces = (state.getOption.getOrElse(Nil) ++
+            incoming.map(t => SessOpen(t, t, 1L))).sortBy(s => (s.startUs, s.lastUs))
+          val merged = pieces.foldLeft(List.empty[SessOpen]) { (acc, s) =>
+            acc match {
+              case h :: t if s.startUs - h.lastUs < SessionGapUs =>
+                SessOpen(h.startUs, math.max(h.lastUs, s.lastUs), h.n + s.n) :: t
+              case _ => s :: acc
+            }
+          }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => s.lastUs + SessionGapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val nextCloseMs = open.map(s => s.lastUs + SessionGapUs).min / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextCloseMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map(s => SessionOut(user, toTs(s.startUs),
+            toTs(s.lastUs + SessionGapUs), s.n))
+      }
+      .toDF()
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

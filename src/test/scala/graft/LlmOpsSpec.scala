@@ -349,6 +349,49 @@ class StatefulStreamingSpec extends GraftSuite {
     assert(streamed.exceptAll(expected).count() === 0)
   }
 
+  test("ST8: custom flatMapGroupsWithState sessionization emits exactly the watermark-finalized st2 sessions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st8").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingSessionize(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st8_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st8_out")
+    val batch = streaming.EventStreams.st2SessionWindow(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    // 1) everything emitted is a true batch session (exactly-once, correct
+    //    bounds and counts)
+    assert(emitted.count() > 0, "watermark never finalized any session")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a session the batch computation doesn't have")
+    // 2) every batch session safely inside the final watermark was emitted
+    //    (1s slack dodges the ms-granularity watermark boundary)
+    val wmEnd = events.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      .minusSeconds(2 * 3600 + 1)
+    val mustEmit = batch.filter(col("session_end") <= lit(java.sql.Timestamp.from(wmEnd)))
+    assert(mustEmit.exceptAll(emitted).count() === 0,
+      "a watermark-finalized batch session was never emitted")
+    ordered.unpersist()
+  }
+
   test("ST7: dropDuplicatesWithinWatermark dedups a single-batch stream to distinct keys") {
     import org.apache.spark.sql.streaming.Trigger
     val q = streaming.EventStreams.streamingDedupWithinWatermark(spark, sf)
