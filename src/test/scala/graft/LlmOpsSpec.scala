@@ -756,6 +756,50 @@ class DedupClustersSpec extends GraftSuite {
   }
 }
 
+class HeavyHittersSpec extends GraftSuite {
+
+  test("Misra-Gries sketch honors both deterministic guarantees vs exact counts") {
+    val k = 32
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sketch = toks
+      .select(functions.HeavyHitters.misraGries(k, col("tok")).as("mg"))
+      .head().getMap[String, Long](0).toMap
+    assert(sketch.size <= k - 1, s"sketch overflowed: ${sketch.size} counters")
+    // guarantee 1: every item with true frequency > n/k is retained
+    val mustHave = exact.filter(_._2 > n / k).keySet
+    val missing = mustHave -- sketch.keySet
+    assert(missing.isEmpty, s"heavy hitters missing from sketch: $missing")
+    // guarantee 2: estimates never overcount and undercount by at most n/k
+    sketch.foreach { case (item, est) =>
+      val truth = exact(item)
+      assert(est <= truth, s"$item overcounted: $est > $truth")
+      assert(truth - est <= n / k,
+        s"$item undercounted past the bound: $truth - $est > ${n / k}")
+    }
+  }
+
+  test("Misra-Gries merge is order-insensitive on the guarantees (repartitioned run)") {
+    val k = 16
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sketch = toks.repartition(13)
+      .select(functions.HeavyHitters.misraGries(k, col("tok")).as("mg"))
+      .head().getMap[String, Long](0).toMap
+    val mustHave = exact.filter(_._2 > n / k).keySet
+    assert((mustHave -- sketch.keySet).isEmpty)
+    sketch.foreach { case (item, est) =>
+      assert(est <= exact(item) && exact(item) - est <= n / k)
+    }
+  }
+}
+
 class MinHashEstimatorSpec extends GraftSuite {
   test("minhash signature agreement estimates true Jaccard within 0.15") {
     import org.apache.spark.sql.functions._
