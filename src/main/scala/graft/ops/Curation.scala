@@ -16,7 +16,12 @@ import graft.functions._
   *  4. repetition gate  — duplicate-3-gram fraction < 0.5 (t6 signal)
   *  5. decontamination  — drop docs sharing shingles with the benchmark
   *                        set (t9 semantics; benchmark shingles broadcast)
-  *  6. annotation       — token count + portable fingerprint + quality for
+  *  6. segment scrub    — drop docs that lose ≥ half their 16-token
+  *                        segments to cross-document span dedup (d9
+  *                        semantics: boilerplate-heavy survivors go)
+  *  7. language mixing  — a5 temperature sampling over the survivor
+  *                        language distribution (deterministic hash keep)
+  *  8. annotation       — token count + portable fingerprint + quality for
   *                        the survivors
   *
   * Every stage is one more transform on the same lazy plan; nothing
@@ -26,7 +31,7 @@ import graft.functions._
   */
 object Curation {
 
-  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+  private def gatedSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
 
     // 1. exact dedup
@@ -53,14 +58,52 @@ object Curation {
       lit(1.0) - size(array_distinct(gram3)).cast("double")
         / size(gram3).cast("double")).otherwise(0.0)
 
+    // 6. boilerplate-heavy docs: more than half their segments are owned
+    //    by an earlier document (d9's cross-doc span dedup)
+    val boilerplate = graft.dedup.Dedup.d9SegmentDedup(spark, sfDir)
+      .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
+      .select(col("doc_id"))
+
     // 3+4+5+6 on the survivors (same scorer as t2)
     docs
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(boilerplate, Seq("doc_id"), "left_anti")
       .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
       .filter(rep3 < 0.5)
+  }
+
+  /** Stages 1–6: the gated (pre-mixing) survivor set — exposed so the spec
+    * can assert the mixing stage flattens THIS distribution.
+    */
+  def curateUnmixed(spark: SparkSession, sfDir: String): DataFrame =
+    gatedSurvivors(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        charFoldHash(col("text")).as("fingerprint"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+
+  def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val curated = gatedSurvivors(spark, sfDir)
+
+    // 7. temperature mixing over the SURVIVOR language distribution (a5
+    //    semantics: counts are one aggregated pass, keep is a map-side
+    //    deterministic hash filter)
+    val counts = curated.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n")).as("n_min"))))
+      .select(col("cl"),
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n")))
+          .cast("int").as("rate_permille"))
+    val mixKey = hashBucket(
+      concat(col("lang"), lit("#"), col("doc_id").cast("string")), 1000)
+
+    curated
+      .join(broadcast(rates), col("lang") === col("cl"))
+      .filter(mixKey < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("source"),
         size(tokens(col("text"))).as("n_tokens"),
         charFoldHash(col("text")).as("fingerprint"),

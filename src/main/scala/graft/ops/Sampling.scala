@@ -18,24 +18,28 @@ import graft.functions._
   */
 object Sampling {
 
-  /** a4: per-source stratified sample at rate (20 + 3·K)% for srcK. */
+  /** a4: per-source stratified sample at rate (20 + 3·K)% for srcK.
+    * The keep decision uses [[graft.functions.hashBucket]] (scrambled
+    * fold) — the raw fold is non-uniform mod 100 over `src#id` keys with
+    * sequential ids, which skews realized rates by tens of percent.
+    */
   def a4StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val rate = lit(20) + lit(3) * substring(col("source"), 4, 10).cast("int")
-    val key = charFoldHash(
-      concat(col("source"), lit("#"), col("doc_id").cast("string")))
+    val key = hashBucket(
+      concat(col("source"), lit("#"), col("doc_id").cast("string")), 100)
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"))
       .withColumn("rate", rate)
-      .filter(key % 100 < col("rate"))
+      .filter(key < col("rate"))
       .orderBy(col("doc_id"))
   }
 
   val a4Sql: String = {
-    val key = sqlCharFold("source || '#' || CAST(doc_id AS VARCHAR)")
+    val key = sqlHashBucket("source || '#' || CAST(doc_id AS VARCHAR)", 100)
     """SELECT doc_id, source, rate FROM (
       |  SELECT doc_id, source,
       |    20 + 3 * CAST(substr(source, 4) AS INT) AS rate,
-      |    KEYEXPR % 100 AS bucket
+      |    KEYEXPR AS bucket
       |  FROM documents)
       |WHERE bucket < rate
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
@@ -62,15 +66,15 @@ object Sampling {
       .select(col("cl"),
         floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n")))
           .cast("int").as("rate_permille"))
-    val key = charFoldHash(concat(col("lang"), lit("#"), col("doc_id").cast("string")))
+    val key = hashBucket(concat(col("lang"), lit("#"), col("doc_id").cast("string")), 1000)
     docs.join(broadcast(rates), col("lang") === col("cl"))
-      .filter(key % 1000 < col("rate_permille"))
+      .filter(key < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("rate_permille"))
       .orderBy(col("doc_id"))
   }
 
   val a5Sql: String = {
-    val key = sqlCharFold("lang || '#' || CAST(doc_id AS VARCHAR)")
+    val key = sqlHashBucket("lang || '#' || CAST(doc_id AS VARCHAR)", 1000)
     """WITH counts AS (SELECT lang AS cl, count(*) AS n FROM documents GROUP BY lang),
       |rates AS (
       |  SELECT cl, CAST(floor(1000 * sqrt(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n)) AS INT)
@@ -78,7 +82,7 @@ object Sampling {
       |  FROM counts)
       |SELECT doc_id, lang, rate_permille
       |FROM documents JOIN rates ON lang = cl
-      |WHERE KEYEXPR % 1000 < rate_permille
+      |WHERE KEYEXPR < rate_permille
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 

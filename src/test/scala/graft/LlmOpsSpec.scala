@@ -203,6 +203,15 @@ class TrainingDataOpsSpec extends GraftSuite {
     // sampling keeps a strict subset per source at these rates
     val total = Tables(spark, sf, "documents").count()
     assert(s1.count() > 0 && s1.count() < total)
+    // the scrambled hash makes realized rates track targets: overall keep
+    // fraction within 8pp of the mean configured rate (the raw fold was
+    // off by tens of pp on these sequential-id keys)
+    val meanRate = Tables(spark, sf, "documents")
+      .select(avg(lit(20) + lit(3) * substring(col("source"), 4, 10).cast("int")))
+      .head().getDouble(0) / 100.0
+    val realized = s1.count().toDouble / total
+    assert(math.abs(realized - meanRate) < 0.08,
+      s"realized keep rate $realized vs configured mean $meanRate")
   }
 
   test("t10 chunks partition every document's tokens exactly") {
@@ -446,6 +455,24 @@ class CurationSpec extends GraftSuite {
       .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
       .select(col("doc_id"))
     assert(out.join(contaminated, Seq("doc_id"), "left_semi").count() === 0)
+    // no boilerplate-heavy doc (lost >= half its segments to d9) survives
+    val boilerplate = dedup.Dedup.d9SegmentDedup(spark, sf)
+      .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
+      .select(col("doc_id"))
+    assert(out.join(boilerplate, Seq("doc_id"), "left_semi").count() === 0)
+    // temperature mixing flattens the survivor language shares: the
+    // max/min language count ratio must not exceed the PRE-MIX survivor
+    // ratio (sampling is deterministic, so this is stable)
+    def ratio(df: org.apache.spark.sql.DataFrame): Double = {
+      val counts = df.groupBy(col("lang")).count()
+        .collect().map(_.getLong(1).toDouble)
+      counts.max / counts.min
+    }
+    assert(ratio(out) <= ratio(ops.Curation.curateUnmixed(spark, sf)) + 1e-9,
+      "mixing must not make language shares more skewed")
+    // and mixing only ever removes rows, never invents them
+    assert(out.join(ops.Curation.curateUnmixed(spark, sf),
+      Seq("doc_id"), "left_anti").count() === 0)
   }
 }
 

@@ -181,7 +181,7 @@ class HashExprFuzzSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     val expect = docs.filter { case (id, src) =>
       val rate = 20 + 3 * src.drop(3).toInt
-      PortableHash.charFold(s"$src#$id") % 100 < rate
+      PortableHash.charFold(s"$src#$id") * 2654435761L % 4294967296L % 100 < rate
     }.map { case (id, src) => (id, src, 20 + 3 * src.drop(3).toInt) }.toSet
     assert(out.toSet === expect)
   }
