@@ -54,12 +54,7 @@ object Bench {
         name -> math.min(sec, time(name, fn))
       else name -> sec
     }
-    // ms precision keeps the 80+-query JSON line inside the driver's
-    // bounded tail capture (round-2's full-precision line overflowed it
-    // and the driver recorded parsed:null).
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Round-over-round regression guard: compare against the committed
@@ -74,9 +69,36 @@ object Bench {
       }
     }
     regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
-    // regressions go to stderr + a compact count in the line; the full
-    // strings made the line overflow the driver's tail buffer.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_regressions":${regressions.size},"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt's "[success] Total time…" footer
+    // (~80 chars) prints after us. An 86-query map at any useful precision
+    // overflows that window (rounds 1+2 both recorded parsed:null), so:
+    // full per-query results always go to BENCH_FULL.json, and the stdout
+    // line carries as many queries as fit a hard budget, slowest first
+    // (the slow ones are the ones a regression check needs).
+    val sortedByName = results.sortBy(_._1)
+    val fullQs = sortedByName.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"errors":$errJson,"regressions":$regJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val lineBudget = 1800
+    val fixed =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"errors":$errJson,"n_regressions":${regressions.size},"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""".length
+    val slowestFirst = results.sortBy(-_._2)
+    val picked = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var used = fixed
+    for ((k, v) <- slowestFirst) {
+      val cost = k.length + r3(v).length + 4 // quotes + colon + comma
+      if (used + cost <= lineBudget) { picked += ((k, v)); used += cost }
+    }
+    val qs = picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_regressions":${regressions.size},"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
