@@ -453,9 +453,13 @@ object Dedup {
     */
   val SegTokens = 16
 
-  def d9SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (doc_id, n_seg_total, seg_idx, seg): each document split into fixed
+    * [[SegTokens]]-token segments — a generator inside the scan stage, no
+    * shuffle. Shared by d9 (ownership dedup) and t12 (boilerplate removal).
+    */
+  private[graft] def segments(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val segs = Tables(spark, sfDir, "documents")
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), toks.as("t"),
         ceil(size(toks).cast("double") / SegTokens).cast("int").as("n_seg_total"))
       .select(col("doc_id"), col("n_seg_total"), col("t"),
@@ -463,6 +467,19 @@ object Dedup {
       .select(col("doc_id"), col("n_seg_total"), col("seg_idx"),
         array_join(slice(col("t"), col("seg_idx") * SegTokens + 1, lit(SegTokens)), " ")
           .as("seg"))
+  }
+
+  /** DuckDB spelling of [[segments]] (a CTE body named `segs`). */
+  private[graft] val segmentsSql: String =
+    s"""SELECT doc_id, n_seg_total, c AS seg_idx,
+      |    array_to_string(list_slice(t, c * $SegTokens + 1, c * $SegTokens + $SegTokens), ' ') AS seg
+      |  FROM (
+      |    SELECT doc_id, t, CAST(ceil(len(t) / ${SegTokens}.0) AS INT) AS n_seg_total,
+      |      unnest(range(CAST(ceil(len(t) / ${SegTokens}.0) AS INT))) AS c
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  def d9SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = segments(spark, sfDir)
     val owners = segs.groupBy(md5(col("seg").cast("binary")).as("seg_hash"))
       .agg(min(col("doc_id")).as("keeper"))
     segs.join(owners,
@@ -479,12 +496,7 @@ object Dedup {
 
   val d9Sql: String =
     s"""WITH segs AS (
-      |  SELECT doc_id, n_seg_total, c AS seg_idx,
-      |    array_to_string(list_slice(t, c * $SegTokens + 1, c * $SegTokens + $SegTokens), ' ') AS seg
-      |  FROM (
-      |    SELECT doc_id, t, CAST(ceil(len(t) / ${SegTokens}.0) AS INT) AS n_seg_total,
-      |      unnest(range(CAST(ceil(len(t) / ${SegTokens}.0) AS INT))) AS c
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |  $segmentsSql),
       |owners AS (SELECT md5(seg) AS seg_hash, min(doc_id) AS keeper
       |           FROM segs GROUP BY md5(seg))
       |SELECT doc_id, max(n_seg_total) AS n_seg_total, count(*) AS n_seg_kept,
@@ -493,8 +505,66 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Asymmetric containment near-dup pairs: C(A→B) = |sh_A ∩ sh_B| / |sh_A|
+    * ≥ [[ContainmentTau]] over word-3-gram shingle sets — catches
+    * doc-inside-doc duplication (quoting, aggregation, page wrappers) that
+    * symmetric Jaccard misses when the container is much larger.
+    * Blocking is the PPJoin-style prefix filter, and for containment it is
+    * exactly lossless: sort A's shingle hashes ascending and take the first
+    * p = ⌊(1−τ)|A|⌋+1 as A's prefix; any B with C(A→B) ≥ τ shares ≥ τ|A|
+    * shingles with A, and |A| − p < τ|A|, so at least one shared shingle is
+    * in the prefix. Candidates therefore come from an equi-join of A-prefix
+    * hashes against B's full inverted index — ids only, distinct'ed before
+    * the payload join-back. The oracle brute-forces all ordered pairs
+    * (losslessness makes both sides agree exactly).
+    * 100 TB: shuffle volume is O(n·p + n·|sh|) 8-byte keys, never the pair
+    * space; the big-side explode is the standard inverted-index build.
+    */
+  val ContainmentTau = 0.9
+
+  def d10Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint() // shingles compute once, not per join branch
+    val prefixLen = (col("n") - col("n") % 10) / 10 + 1 // ⌊0.1·n⌋ + 1, integer-exact
+    val prefixes = docs
+      .select(col("doc_id").as("i"), col("n").as("n_i"),
+        explode(slice(col("sh"), lit(1), prefixLen.cast("int"))).as("key"))
+    val index = docs.select(col("doc_id").as("j"), explode(col("sh")).as("key"))
+    val cand = prefixes.join(index, Seq("key"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(col("sh_i")))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d10Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+      |    AS containment
+      |FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) a
+      |JOIN (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) b
+      |  ON a.doc_id <> b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= $ContainmentTau
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_segment_dedup" -> (d9SegmentDedup _),
+    "d10_containment" -> (d10Containment _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
@@ -506,6 +576,7 @@ object Dedup {
 
   val sql: Map[String, String] = Map(
     "d9_segment_dedup" -> d9Sql,
+    "d10_containment" -> d10Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -1280,8 +1280,48 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Changelog (CDC) compaction — the upsert/SCD-Type-1 primitive: treat
+    * `events` as a keyed change stream and keep only the LATEST row per
+    * (user_id, event_type) key, ordered by (ts, event_id) with the unique
+    * event_id as the deterministic tiebreak; n_updates reports how many
+    * versions were compacted away. This is the batch form of Kafka log
+    * compaction / Delta MERGE latest-wins.
+    * 100 TB: expressed as max(struct(ts, event_id, payload)) — a plain
+    * aggregation, so the map side pre-compacts each partition to its local
+    * latest row per key and the ONE shuffle carries O(live keys), not the
+    * changelog (a window row_number formulation cannot do this here: the
+    * partition-wide n_updates count pins every row through the sort). The
+    * struct ordering is field-lexicographic, and (ts, event_id) is unique,
+    * so the trailing payload field can never influence the argmax. The
+    * oracle recomputes independently via window row_number.
+    */
+  def q50CdcCompact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("last_event_id"), col("m.ts").as("last_ts"),
+        col("m.value").as("last_value"), col("n_updates"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q50Sql: String =
+    """SELECT user_id, event_type, last_event_id, last_ts, last_value, n_updates
+      |FROM (
+      |  SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+      |    value AS last_value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n_updates
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_cdc_compact" -> (q50CdcCompact _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -1381,5 +1421,6 @@ object Relational {
     "q46_weighted_avg" -> q46Sql,
     "q47_bucket_range_join" -> q47Sql,
     "q48_salted_join" -> q48Sql,
-    "q49_bucketed_join" -> q49Sql)
+    "q49_bucketed_join" -> q49Sql,
+    "q50_cdc_compact" -> q50Sql)
 }

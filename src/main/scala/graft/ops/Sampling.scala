@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -86,11 +87,84 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 
+  /** a6: per-domain cap (FineWeb-style): keep at most [[DomainCap]] docs per
+    * source, preferring longer documents (n_chars DESC, doc_id tiebreak) —
+    * the anti-spam guard against a single domain dominating the corpus.
+    * 100 TB: one shuffle by source; Spark 4 rewrites the rank-filter into
+    * WindowGroupLimit, so each map task forwards only its local top-K per
+    * source and the shuffle carries O(sources·K), not the corpus. A skewed
+    * mega-domain therefore costs its top-K per upstream partition, not its
+    * full row count.
+    */
+  val DomainCap = 15
+
+  def a6DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DomainCap)
+      .orderBy(col("doc_id"))
+  }
+
+  val a6Sql: String =
+    s"""SELECT doc_id, source, n_chars, rk FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= $DomainCap
+      |ORDER BY doc_id""".stripMargin
+
+  /** a7: weighted upsampling ("epochs"): replicate each document
+    * n_copies = ⌊w⌋ (+1 for a deterministic hash-fraction of rows to realize
+    * the fractional part), with per-source weight w = 1 + 0.25·(K mod 8) for
+    * srcK — the mixture-weights primitive for curriculum/recipe training
+    * (high-quality sources repeat, the rest pass through once).
+    * 100 TB: pure map-side — the weight is a function of the row, the
+    * replication is a generator (explode) inside the scan stage; no shuffle,
+    * no RNG state, identical output on retry. Integer centi-weights keep the
+    * fraction compare exact on both engines.
+    */
+  def a7WeightedUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = substring(col("source"), 4, 10).cast("int")
+    val wCenti = lit(100) + lit(25) * (k % 8)
+    val frac = wCenti % 100
+    val whole = ((wCenti - frac) / 100).cast("int")
+    val bucket = hashBucket(
+      concat(col("source"), lit("@"), col("doc_id").cast("string")), 100)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("n_copies",
+        whole + when(bucket < frac, 1).otherwise(0))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val a7Sql: String = {
+    val key = sqlHashBucket("source || '@' || CAST(doc_id AS VARCHAR)", 100)
+    """SELECT doc_id, source, n_copies, unnest(range(1, n_copies + 1)) AS copy_idx
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST((w_centi - w_centi % 100) / 100 AS INT)
+      |      + CASE WHEN KEYEXPR < w_centi % 100 THEN 1 ELSE 0 END AS n_copies
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      100 + 25 * (CAST(substr(source, 4) AS INT) % 8) AS w_centi
+      |    FROM documents))
+      |ORDER BY doc_id, copy_idx""".stripMargin.replace("KEYEXPR", key)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a4_stratified_sample" -> (a4StratifiedSample _),
-    "a5_temperature_mix" -> (a5TemperatureMix _))
+    "a5_temperature_mix" -> (a5TemperatureMix _),
+    "a6_domain_cap" -> (a6DomainCap _),
+    "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
     "a4_stratified_sample" -> a4Sql,
-    "a5_temperature_mix" -> a5Sql)
+    "a5_temperature_mix" -> a5Sql,
+    "a6_domain_cap" -> a6Sql,
+    "a7_weighted_upsample" -> a7Sql)
 }

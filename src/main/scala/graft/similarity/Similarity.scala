@@ -459,8 +459,62 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s6
+  /** Range (radius) search: ALL corpus vectors with cosine ≥ [[RangeTau]]
+    * of each query — the retrieval primitive when the answer set is "every
+    * thing this similar" (dedup sweeps, recall-oriented RAG, label
+    * propagation), not a fixed top-k. Candidates come from the SAME
+    * multi-table hyperplane buckets as s2 (OR-amplified, ids-only join);
+    * exact cosine verifies inside buckets, then the threshold filters — no
+    * ranking window at all, so the operator is pure join + filter.
+    * The oracle mirrors the bucket predicate exactly (the operator's
+    * contract is the blocked semantics, recall tunes with tables/planes).
+    * 100 TB: identical shuffle shape to s2 — O(n·tables) bucket keys, never
+    * the pair space; the threshold filter is map-side after the verify.
+    */
+  val RangeTau = 0.3
+
+  def s6RangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val buckets = array((0 until NTables).map(t =>
+      hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
+    val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .localCheckpoint() // buckets compute once, not per self-join side
+    val qb = eb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("t"), col("bucket"))
+    qb.join(eb, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"), col("v"), col("norm"))
+      .distinct()
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  val s6Sql: String =
+    s"""SELECT q_id, neighbor_id, cos FROM (
+      |  SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) AS cos
+      |  FROM (SELECT vec_id, v, norm, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, ${sqlHyperplaneBuckets("v", NTables, PlanesPerTable, Dim)} AS tb
+      |              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) q
+      |  JOIN (SELECT vec_id, v, norm, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm, ${sqlHyperplaneBuckets("v", NTables, PlanesPerTable, Dim)} AS tb
+      |              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))) e
+      |    ON e.t = q.t AND e.bucket = q.bucket AND e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < $NQueries)
+      |WHERE cos >= $RangeTau
+      |ORDER BY q_id, neighbor_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_ann_pq" -> (s5AnnPq _),
+    "s6_range_search" -> (s6RangeSearch _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -468,6 +522,7 @@ object Similarity {
 
   val sql: Map[String, String] = Map(
     "s5_ann_pq" -> s5Sql,
+    "s6_range_search" -> s6Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,

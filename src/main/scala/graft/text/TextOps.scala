@@ -476,7 +476,57 @@ object TextOps {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t12
+  /** Corpus-frequency boilerplate removal — the C4 rule proper: any
+    * [[graft.dedup.Dedup.SegTokens]]-token segment appearing in
+    * [[BoilerplateMinDocs]] or more DISTINCT documents is boilerplate
+    * (navigation chrome, license banners, cookie notices) and is removed
+    * from EVERY document, including the first. Complements d9, which keeps
+    * one owner per repeated segment; here repetition across ≥3 docs is
+    * evidence the segment is template noise, not content.
+    * 100 TB: doc-frequency pass groups md5(segment) after an id-level
+    * distinct (32-char keys, no payloads); the boilerplate set is a tiny
+    * fraction of the corpus, so the removal anti-join broadcasts (AQE picks
+    * that up; a runtime bloom filter serves the same role at cluster scale).
+    * Reassembly is the one payload-carrying shuffle, volume ≤ corpus.
+    */
+  val BoilerplateMinDocs = 3
+
+  def t12Boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = graft.dedup.Dedup.segments(spark, sfDir)
+    val boiler = segs
+      .select(col("doc_id"), md5(col("seg").cast("binary")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= BoilerplateMinDocs)
+      .select(col("h"))
+    segs.join(boiler, md5(col("seg").cast("binary")) === col("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_seg_total")).as("n_seg_total"),
+        count(lit(1)).as("n_seg_kept"),
+        charFoldHash(array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ")).as("text_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t12Sql: String =
+    s"""WITH segs AS (
+      |  ${graft.dedup.Dedup.segmentsSql}),
+      |boiler AS (
+      |  SELECT h FROM (
+      |    SELECT h, count(*) AS nd
+      |    FROM (SELECT DISTINCT doc_id, md5(seg) AS h FROM segs)
+      |    GROUP BY h)
+      |  WHERE nd >= $BoilerplateMinDocs)
+      |SELECT doc_id, max(n_seg_total) AS n_seg_total, count(*) AS n_seg_kept,
+      |  ${sqlCharFold("string_agg(seg, ' ' ORDER BY seg_idx)")} AS text_fp
+      |FROM segs WHERE md5(seg) NOT IN (SELECT h FROM boiler)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_boilerplate" -> (t12Boilerplate _),
     "t10_chunking" -> (t10Chunking _),
     "t11_seq_packing" -> (t11SeqPacking _),
     "t1_token_count" -> (t1TokenCount _),
@@ -490,6 +540,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t12_boilerplate" -> t12Sql,
     "t10_chunking" -> t10Sql,
     "t11_seq_packing" -> t11Sql,
     "t1_token_count" -> t1Sql,
