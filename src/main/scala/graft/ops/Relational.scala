@@ -1319,9 +1319,91 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** TPC-H Q21 shape (sole-blame suppliers): returned lines (l1, flag 'R')
+    * in multi-supplier orders — EXISTS another supplier's line in the same
+    * order — where NO other supplier's line was returned (NOT EXISTS), i.e.
+    * this supplier alone "failed" a shared order; count per supplier, top
+    * 10. The exists/not-exists pair over the SAME fact table is the classic
+    * big-big semi + anti self-join.
+    * 100 TB: all three lineitem branches hash-partition on l_orderkey, so
+    * the semi and anti run as co-partitioned SortMergeJoins (at toy SF they
+    * broadcast — both are the right call at their size); the supplier name
+    * join broadcasts (bounded dim); final top-10 is TakeOrderedAndProject,
+    * no global sort.
+    */
+  def q51SoleBlame(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem")
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val othersR = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1
+      .join(others,
+        col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(othersR,
+        col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
+        "left_anti")
+      .join(broadcast(t(spark, sfDir, "supplier")), // bounded dim at any SF
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q51Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** TPC-H Q11 shape (value-share filter): per-part revenue HAVING more
+    * than 1.25× the average per-part revenue. The threshold compare is
+    * multiply-only in DECIMAL — v·nparts·4 > total·5 — so both engines
+    * decide every boundary case identically (no decimal division, no float
+    * epsilon), and it is scale-free (a fixed fraction-of-total threshold
+    * degenerates as the part count grows).
+    * 100 TB: one shuffle for the per-part agg; the (total, nparts) pair is
+    * a 1-row aggregate broadcast into a map-side filter.
+    */
+  def q52ValueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val perPart = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("v"))
+    val totals = perPart.agg(sum(col("v")).as("tot"), count(lit(1)).as("nparts"))
+    perPart.join(broadcast(totals), lit(true)) // 1-row aggregate
+      .filter(col("v") * col("nparts") * 4 > col("tot") * 5)
+      .select(col("l_partkey"), round(col("v"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q52Sql: String =
+    s"""WITH pv AS (
+      |  SELECT l_partkey, sum($discPriceSql) AS v
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+      |FROM pv
+      |WHERE v * (SELECT count(*) FROM pv) * 4 > (SELECT sum(v) FROM pv) * 5
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cdc_compact" -> (q50CdcCompact _),
+    "q51_sole_blame" -> (q51SoleBlame _),
+    "q52_value_share" -> (q52ValueShare _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join_agg" -> (q3JoinAgg _),
@@ -1422,5 +1504,7 @@ object Relational {
     "q47_bucket_range_join" -> q47Sql,
     "q48_salted_join" -> q48Sql,
     "q49_bucketed_join" -> q49Sql,
-    "q50_cdc_compact" -> q50Sql)
+    "q50_cdc_compact" -> q50Sql,
+    "q51_sole_blame" -> q51Sql,
+    "q52_value_share" -> q52Sql)
 }

@@ -186,6 +186,62 @@ object EventStreams {
       .toDF()
   }
 
+  /** ST9: streaming CDC compaction — the LIVE materialization of
+    * q50_cdc_compact: per (user_id, event_type) key, maintain the latest
+    * (ts, event_id)-ordered row and the running version count as keyed
+    * state; each batch emits the key's current compacted row (Update mode),
+    * so downstream always sees the freshest state and the FINAL emission
+    * per key equals the batch compaction of the whole changelog
+    * (StatefulStreamingSpec replays a two-file time-split stream and
+    * asserts exactly that).
+    * State size is |live keys| × one small struct — the same bound as the
+    * compacted table itself, the natural floor for this operator (no
+    * watermark needed; a TTL'd production variant would evict keys idle
+    * past a horizon via EventTimeTimeout).
+    */
+  case class CdcKey(user_id: Long, event_type: String)
+  case class CdcState(tsUs: Long, eventId: Long, value: Double, n: Long)
+  case class CdcOut(user_id: Long, event_type: String, last_event_id: Long,
+      last_ts: java.sql.Timestamp, last_value: Double, n_updates: Long)
+
+  def streamingCdcCompact(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(r => CdcKey(r._1, r._2))
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (key: CdcKey, rows: Iterator[(Long, String, java.sql.Timestamp, Long, Double)],
+            state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, 0.0, 0L))
+          rows.foreach { r =>
+            val us = toUs(r._3)
+            if (us > st.tsUs || (us == st.tsUs && r._4 > st.eventId))
+              st = CdcState(us, r._4, r._5, st.n + 1)
+            else st = st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          CdcOut(key.user_id, key.event_type, st.eventId, toTs(st.tsUs),
+            st.value, st.n)
+      }
+      .toDF()
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

@@ -401,6 +401,50 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST9: streaming CDC compaction's final emission per key equals batch q50") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st9").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingCdcCompact(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("st9_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st9_out")
+    // keys seen in both batches emitted twice; n_updates strictly grows, so
+    // the final compacted row per key is its argmax-n_updates emission
+    val finalPerKey = emitted
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("n_updates"), col("last_ts"), col("last_event_id"),
+        col("last_value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_ts").as("last_ts"),
+        col("m.last_value").as("last_value"),
+        col("m.n_updates").as("n_updates"))
+    val batch = ops.Relational.q50CdcCompact(spark, sf)
+    assert(finalPerKey.count() === batch.count())
+    assert(finalPerKey.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(finalPerKey).count() === 0,
+      "streaming compaction's final state disagrees with batch q50")
+    ordered.unpersist()
+  }
+
   test("ST7: dropDuplicatesWithinWatermark dedups a single-batch stream to distinct keys") {
     import org.apache.spark.sql.streaming.Trigger
     val q = streaming.EventStreams.streamingDedupWithinWatermark(spark, sf)
