@@ -62,5 +62,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (e: Seq[Expression]) => HammingExpr(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("hyperplane_bucket"), info("hyperplane_bucket"),
       (e: Seq[Expression]) => HyperplaneBucketExpr(e.head, 8, 64)))
+    // optimizer: nested-loop range joins → bucketed equi-joins, gated on
+    // spark.graft.rangeJoin.width (see graft.plans.BucketedRangeJoinRule)
+    ext.injectOptimizerRule(s => graft.plans.BucketedRangeJoinRule(s))
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BucketedRangeJoinRule: the optimizer must turn a natural range
+  * theta-join into a bucketed equi-join (no nested loop) without changing
+  * its result — including boundary and null cases.
+  */
+class RangeJoinRuleSpec extends GraftSuite {
+
+  private val rule = plans.BucketedRangeJoinRule(spark)
+
+  private def probe: DataFrame = Tables(spark, sf, "orders")
+    .select(col("o_orderkey"), col("o_totalprice"))
+  private def intervals: DataFrame = Tables(spark, sf, "part")
+    .select(col("p_partkey"), (col("p_retailprice") * 50).as("lo"),
+      (col("p_retailprice") * 50 + 2000).as("hi"))
+
+  private def natural: DataFrame = probe.join(intervals,
+    col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+
+  private def withRule[A](width: Long)(f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    spark.conf.set(rule.WidthConf, width.toString)
+    try f finally {
+      spark.conf.unset(rule.WidthConf)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
+  }
+
+  test("rewrites the nested-loop range join to an equi-join with identical results") {
+    val expected = natural.collect().toSet // rule not installed
+    assert(expected.nonEmpty, "test join must match something")
+    withRule(1000) {
+      val df = natural
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"range join must not plan a nested loop under the rule:\n$plan")
+      assert(plan.contains("Generate"),
+        s"expected the interval-side bucket explode:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        s"expected an equi join on the bucket:\n$plan")
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("strict bounds and flipped operand order are recognized too") {
+    // def, not val: a Dataset pins its QueryExecution at creation, so it
+    // must be rebuilt after the rule is installed to see the rewrite
+    def flipped = probe.join(intervals,
+      col("lo") < col("o_totalprice") && col("hi") > col("o_totalprice"))
+    val expected = flipped.collect().toSet
+    withRule(500) {
+      val df = flipped
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("null bounds and null probe values drop out exactly as in the theta-join") {
+    import spark.implicits._
+    val p = Seq((1L, java.lang.Double.valueOf(5.0)), (2L, null.asInstanceOf[java.lang.Double]))
+      .toDF("pid", "v")
+    val iv = Seq((10L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(10.0)),
+      (11L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(10.0)))
+      .toDF("iid", "lo", "hi")
+    def theta = p.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+    val expected = theta.collect().toSet
+    assert(expected.map(_.getLong(0)) === Set(1L)) // only the non-null pair
+    withRule(3) {
+      val df = theta // rebuilt under the rule — plan must be rewritten
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("joins that already have an equi key are left untouched") {
+    val equi = probe.join(intervals.withColumnRenamed("p_partkey", "o_orderkey"),
+      Seq("o_orderkey")).filter(col("o_totalprice") >= col("lo"))
+    withRule(1000) {
+      val plan = equi.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bucket"),
+        s"equi join must not be rewritten:\n$plan")
+    }
+    // width unset (0) => rule inert even on a pure range join
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      val plan = natural.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bucket"),
+        s"rule must be off without the width conf:\n$plan")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+  }
+}
