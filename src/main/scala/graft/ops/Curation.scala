@@ -19,9 +19,15 @@ import graft.functions._
   *  6. segment scrub    — drop docs that lose ≥ half their 16-token
   *                        segments to cross-document span dedup (d9
   *                        semantics: boilerplate-heavy survivors go)
-  *  7. language mixing  — a5 temperature sampling over the survivor
+  *  7. containment drop — drop docs contained in an earlier doc (d10
+  *                        semantics, C ≥ 0.9: the doc-inside-doc cases
+  *                        symmetric Jaccard misses)
+  *  8. domain cap       — keep at most DomainCap survivors per source,
+  *                        preferring HIGHER QUALITY (a6 semantics over the
+  *                        already-computed quality score)
+  *  9. language mixing  — a5 temperature sampling over the survivor
   *                        language distribution (deterministic hash keep)
-  *  8. annotation       — token count + portable fingerprint + quality for
+  * 10. annotation       — token count + portable fingerprint + quality for
   *                        the survivors
   *
   * Every stage is one more transform on the same lazy plan; nothing
@@ -64,15 +70,32 @@ object Curation {
       .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
       .select(col("doc_id"))
 
-    // 3+4+5+6 on the survivors (same scorer as t2)
-    docs
+    // 7. contained docs: drop the i side of containment pairs where the
+    //    container comes EARLIER (keep-the-original rule, mirroring d1/d9)
+    val contained = graft.dedup.Dedup.d10Containment(spark, sfDir)
+      .filter(col("j") < col("i"))
+      .select(col("i").as("doc_id")).distinct()
+
+    // 3+4+5+6+7 on the survivors (same scorer as t2)
+    val gated = docs
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
+      .join(contained, Seq("doc_id"), "left_anti")
       .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
       .filter(rep3 < 0.5)
+
+    // 8. per-domain cap, preferring the higher-quality survivors (a6
+    //    semantics; WindowGroupLimit keeps the shuffle at O(sources·cap))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    gated
+      .withColumn("__rk", row_number().over(bySource))
+      .filter(col("__rk") <= Sampling.DomainCap)
+      .drop("__rk")
   }
 
   /** Stages 1–6: the gated (pre-mixing) survivor set — exposed so the spec

@@ -504,6 +504,16 @@ class CurationSpec extends GraftSuite {
       .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
       .select(col("doc_id"))
     assert(out.join(boilerplate, Seq("doc_id"), "left_semi").count() === 0)
+    // no doc contained (C >= 0.9) in an EARLIER doc survives
+    val contained = dedup.Dedup.d10Containment(spark, sf)
+      .filter(col("j") < col("i")).select(col("i").as("doc_id"))
+    assert(out.join(contained, Seq("doc_id"), "left_semi").count() === 0)
+    // the domain cap holds on the pre-mix survivor set (mixing only
+    // removes rows, so it holds post-mix too)
+    val overCap = ops.Curation.curateUnmixed(spark, sf)
+      .groupBy(col("source")).count()
+      .filter(col("count") > ops.Sampling.DomainCap)
+    assert(overCap.count() === 0, "a source exceeded the domain cap")
     // temperature mixing flattens the survivor language shares: the
     // max/min language count ratio must not exceed the PRE-MIX survivor
     // ratio (sampling is deterministic, so this is stable)
