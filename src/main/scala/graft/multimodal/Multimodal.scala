@@ -200,13 +200,46 @@ object Multimodal {
       |    (h, c) -> (h * 31 + c) % 2147483647) AS resized_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m4
+  /** Modality-coverage accounting — the text↔media pairing bookkeeping of a
+    * multimodal corpus (LAION-style): join the text table against the
+    * payload manifest (derived deterministically here: doc_id % 3 != 0
+    * "has an image") and report per-source coverage and payload volume.
+    * The real pipeline decision this feeds: which sources are usable for
+    * image-text training vs text-only.
+    * 100 TB: one partial-aggregated pass over the manifest-joined corpus;
+    * per-source rows are model-scale. Sums are CAST to BIGINT on the
+    * oracle side (DuckDB widens integer sums to HUGEINT).
+    */
+  def m4ModalityCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("has_image", (col("doc_id") % 3 =!= 0).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_image")).cast("long").as("n_with_image"),
+        sum(when(col("has_image") === 1, octet_length(col("payload")))
+          .otherwise(0)).cast("long").as("image_bytes"))
+      .orderBy(col("source"))
+
+  val m4Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_image,
+      |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN length(text) ELSE 0 END) AS BIGINT) AS image_bytes
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
-    "m3_resize" -> (m3Resize _))
+    "m3_resize" -> (m3Resize _),
+    "m4_modality_coverage" -> (m4ModalityCoverage _))
 
   val sql: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
-    "m3_resize" -> m3Sql)
+    "m3_resize" -> m3Sql,
+    "m4_modality_coverage" -> m4Sql)
 }

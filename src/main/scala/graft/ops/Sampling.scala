@@ -156,13 +156,48 @@ object Sampling {
       |ORDER BY doc_id, copy_idx""".stripMargin.replace("KEYEXPR", key)
   }
 
+  /** a8: fixed-SIZE uniform sample per stratum (a4 samples at a RATE; audits
+    * and eval sets need exactly-k): rank docs within each source by the
+    * scrambled hash (uniform pseudo-random order, no RNG state) with doc_id
+    * as tiebreak, keep the first [[SamplePerSource]]. Deterministic across
+    * runs/retries/engines — the distributed replacement for reservoir
+    * sampling, without its merge-order sensitivity.
+    * 100 TB: the rank filter is WindowGroupLimit (same partial top-k as
+    * a6) — each map task forwards k rows per source, shuffle is
+    * O(sources·k).
+    */
+  val SamplePerSource = 8
+
+  def a8GroupSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = hashBucket(
+      concat(col("source"), lit("~"), col("doc_id").cast("string")), 1000000)
+    val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SamplePerSource)
+      .orderBy(col("doc_id"))
+  }
+
+  val a8Sql: String = {
+    val key = sqlHashBucket("source || '~' || CAST(doc_id AS VARCHAR)", 1000000)
+    s"""SELECT doc_id, source, rk FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY KEYEXPR, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= $SamplePerSource
+      |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a8_group_sample" -> (a8GroupSample _),
     "a4_stratified_sample" -> (a4StratifiedSample _),
     "a5_temperature_mix" -> (a5TemperatureMix _),
     "a6_domain_cap" -> (a6DomainCap _),
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a8_group_sample" -> a8Sql,
     "a4_stratified_sample" -> a4Sql,
     "a5_temperature_mix" -> a5Sql,
     "a6_domain_cap" -> a6Sql,

@@ -72,6 +72,27 @@ class CurationOpsSpec extends GraftSuite {
       s"corpus expansion ${total / docs} vs target ${targetTotal / docs}")
   }
 
+  test("a8 draws exactly k per source, uniformly (not the first k by id)") {
+    val out = ops.Sampling.a8GroupSample(spark, sf)
+    val sizes = out.groupBy(col("source")).agg(count(lit(1)).as("k")).collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach(r => assert(r.getAs[Long]("k") == ops.Sampling.SamplePerSource.toLong,
+      s"${r.getAs[String]("source")} drew ${r.getAs[Long]("k")}"))
+    // the scrambled-hash order must differ from plain doc_id order: if the
+    // sample were just the k lowest ids per source, the hash adds nothing
+    val firstK = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ops.Sampling.SamplePerSource)
+        .select(col("doc_id"))
+    }
+    assert(out.select(col("doc_id")).exceptAll(firstK).count() > 0,
+      "hash-ordered sample degenerated to the first k ids")
+  }
+
   test("t12 removes exactly the segments present in >= BoilerplateMinDocs distinct docs") {
     val segs = dedup.Dedup.segments(spark, sf).localCheckpoint()
     val docFreq = segs.select(col("doc_id"), col("seg")).distinct()
