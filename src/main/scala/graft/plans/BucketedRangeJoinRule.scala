@@ -74,6 +74,13 @@ case class BucketedRangeJoinRule(session: SparkSession)
     }
   }
 
+  /** floor(e / W) as LONG. Only MONOTONICITY matters for exactness — the
+    * original predicate re-verifies every candidate — and every step here
+    * is monotone: long→double cast is order-preserving even above 2^53
+    * (rounding to nearest never swaps order), divide by a positive
+    * constant, floor. Negative values floor toward −∞, which keeps
+    * bucket(lo) ≤ bucket(v) ≤ bucket(hi) for lo ≤ v ≤ hi.
+    */
   private def bucketOf(e: Expression, w: Long): Expression =
     Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
 

@@ -80,6 +80,28 @@ class RangeJoinRuleSpec extends GraftSuite {
     }
   }
 
+  test("fuzz: rule ≡ nested loop over random data incl. negative ranges and widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 3) {
+      val probe = Seq.fill(300)((rnd.nextInt(100000).toLong,
+        rnd.nextDouble() * 2000 - 1000)).toDF("pid", "v")
+      val iv = Seq.fill(80) {
+        val lo = rnd.nextDouble() * 1800 - 900
+        (rnd.nextInt(100000).toLong, lo, lo + rnd.nextDouble() * 300)
+      }.toDF("iid", "lo", "hi")
+      def theta = probe.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+      val expected = theta.collect().toSet
+      val width = Seq(7L, 100L, 5000L)(round - 1) // incl. width >> value span
+      withRule(width) {
+        val df = theta
+        assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+          s"round $round: rule did not fire")
+        assert(df.collect().toSet === expected, s"round $round, width $width")
+      }
+    }
+  }
+
   test("joins that already have an equi key are left untouched") {
     val equi = probe.join(intervals.withColumnRenamed("p_partkey", "o_orderkey"),
       Seq("o_orderkey")).filter(col("o_totalprice") >= col("lo"))
