@@ -205,11 +205,36 @@ object PipelineQueries {
       |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The reference WRITE path, oracle-checked end-to-end: `put` routes a
+    * curated subset into a parquet sink, `get` serves it back from that
+    * sink (sink-as-cache lookup, P2 semantics). The oracle recomputes the
+    * subset straight from the base table — so the round trip through the
+    * sink's on-disk parquet must be value-exact, column types included.
+    */
+  def p2PutRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-put-rt").toString
+    val pipeline = new DataPipeline(
+      Seq(Right(new ParquetDirSink(tmp, Set("orders_f")))))
+    pipeline.put("orders_f",
+      Tables(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    pipeline.get("orders_f").orderBy(col("o_orderkey"))
+  }
+
+  val p2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pipeline_get" -> (p1PipelineGet _),
+    "p2_put_roundtrip" -> (p2PutRoundtrip _),
     "p3_validated_get" -> (p3ValidatedGet _))
 
   val sql: Map[String, String] = Map(
     "p1_pipeline_get" -> p1Sql,
+    "p2_put_roundtrip" -> p2Sql,
     "p3_validated_get" -> p3Sql)
 }
