@@ -1399,10 +1399,63 @@ object Relational {
       |WHERE v * (SELECT count(*) FROM pv) * 4 > (SELECT sum(v) FROM pv) * 5
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Data profiling — the ANALYZE/summary surface a pipeline framework
+    * owes its users: per-column row count, non-null count, exact distinct
+    * count, and numeric min/max, in ONE pass. Spark plans the multiple
+    * count(DISTINCT) aggregates via a single scan + Expand (|cols|× row
+    * multiplication map-side, one shuffle) — the scalable profile shape;
+    * the wide 1-row aggregate then unpivots to one row per column with
+    * `stack`. The nullable derived column exercises the null accounting.
+    */
+  def q53Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .withColumn("o_prio_opt", nullif(col("o_orderpriority"), lit("1-URGENT")))
+    val stats = o.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+      min(col("o_orderkey").cast("double")).as("mn1"),
+      max(col("o_orderkey").cast("double")).as("mx1"),
+      count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+      min(col("o_custkey").cast("double")).as("mn2"),
+      max(col("o_custkey").cast("double")).as("mx2"),
+      count(col("o_totalprice")).as("nn3"), countDistinct(col("o_totalprice")).as("nd3"),
+      min(col("o_totalprice")).as("mn3"), max(col("o_totalprice")).as("mx3"),
+      count(col("o_prio_opt")).as("nn4"), countDistinct(col("o_prio_opt")).as("nd4"))
+    stats.select(col("n"), expr(
+      """stack(4,
+        |  'o_orderkey',  nn1, nd1, mn1, mx1,
+        |  'o_custkey',   nn2, nd2, mn2, mx2,
+        |  'o_totalprice',nn3, nd3, mn3, mx3,
+        |  'o_prio_opt',  nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |AS (col_name, n_nonnull, n_distinct, min_d, max_d)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
+  val q53Sql: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+      |    min(CAST(o_orderkey AS DOUBLE)) AS mn1, max(CAST(o_orderkey AS DOUBLE)) AS mx1,
+      |    count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+      |    min(CAST(o_custkey AS DOUBLE)) AS mn2, max(CAST(o_custkey AS DOUBLE)) AS mx2,
+      |    count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+      |    min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+      |    count(nullif(o_orderpriority, '1-URGENT')) AS nn4,
+      |    count(DISTINCT nullif(o_orderpriority, '1-URGENT')) AS nd4
+      |  FROM orders)
+      |SELECT n, col_name, n_nonnull, n_distinct, min_d, max_d FROM (
+      |  SELECT n, 'o_orderkey' AS col_name, nn1 AS n_nonnull, nd1 AS n_distinct, mn1 AS min_d, mx1 AS max_d FROM s
+      |  UNION ALL SELECT n, 'o_custkey', nn2, nd2, mn2, mx2 FROM s
+      |  UNION ALL SELECT n, 'o_totalprice', nn3, nd3, mn3, mx3 FROM s
+      |  UNION ALL SELECT n, 'o_prio_opt', nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s)
+      |ORDER BY col_name""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_cdc_compact" -> (q50CdcCompact _),
     "q51_sole_blame" -> (q51SoleBlame _),
+    "q53_profile" -> (q53Profile _),
     "q52_value_share" -> (q52ValueShare _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1506,5 +1559,6 @@ object Relational {
     "q49_bucketed_join" -> q49Sql,
     "q50_cdc_compact" -> q50Sql,
     "q51_sole_blame" -> q51Sql,
+    "q53_profile" -> q53Sql,
     "q52_value_share" -> q52Sql)
 }
