@@ -562,9 +562,56 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d11
+  /** Signature-based Jaccard ESTIMATION — what a 100 TB deployment actually
+    * ships: at scale the exact verify (intersecting full shingle sets)
+    * is the expensive step, and the unbiased MinHash estimator
+    * matches/nPerms replaces it at 8 bytes × 128 per doc. This operator
+    * reports, for every verified d2 near-dup pair, the exact Jaccard next
+    * to the 128-perm estimate — the operator a pipeline uses to CALIBRATE
+    * how many perms its estimate-only dedup needs (σ = √(J(1−J)/n) ≈ 0.035
+    * here). The oracle rebuilds the identical signatures (same affine
+    * perms) in SQL.
+    */
+  def d11MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSig = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
+      .localCheckpoint()
+    d2MinHashLsh(spark, sfDir) // verified (i, j, jaccard) pairs
+      .join(withSig.select(col("doc_id").as("i"), col("mh").as("mh_i")), Seq("i"))
+      .join(withSig.select(col("doc_id").as("j"), col("mh").as("mh_j")), Seq("j"))
+      .withColumn("jaccard_est", round(
+        size(filter(zip_with(col("mh_i"), col("mh_j"), (a, b) => a === b),
+          x => x)).cast("double") / MinHashPerms, 6))
+      .select(col("i"), col("j"), col("jaccard"), col("jaccard_est"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d11Sql: String = {
+    val ths = sqlTokenHashes("text")
+    val jac = """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      | / len(list_distinct(list_concat(a.sh, b.sh)))""".stripMargin.replaceAll("\n", " ")
+    s"""WITH m AS (
+      |  SELECT doc_id, sh,
+      |    [list_min([((i * 2654435761 + 1) % $P * s + (i * 40503 + 7) % $P) % $P
+      |      for s in sh]) for i in range($MinHashPerms)] AS mh
+      |  FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |        FROM (SELECT doc_id, $ths AS ths FROM documents)))
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round($jac, 6) AS jaccard,
+      |  round(CAST(len([x for x in range($MinHashPerms)
+      |                  if a.mh[x+1] = b.mh[x+1]]) AS DOUBLE) / $MinHashPerms, 6)
+      |    AS jaccard_est
+      |FROM m a JOIN m b ON a.doc_id < b.doc_id
+      |WHERE $jac >= 0.8
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_segment_dedup" -> (d9SegmentDedup _),
     "d10_containment" -> (d10Containment _),
+    "d11_minhash_estimate" -> (d11MinhashEstimate _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
@@ -577,6 +624,7 @@ object Dedup {
   val sql: Map[String, String] = Map(
     "d9_segment_dedup" -> d9Sql,
     "d10_containment" -> d10Sql,
+    "d11_minhash_estimate" -> d11Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

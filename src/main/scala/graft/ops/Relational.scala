@@ -219,8 +219,16 @@ object Relational {
     * second pass (documented, not needed at this cardinality).
     */
   def q8WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique at sf0.1 (the generator
+    // reuses keys across SF scale-up; 118k duplicate pairs, and one
+    // full-key tie inside a suppkey partition with DIFFERENT quantities —
+    // engine-dependent tie order then changes the running sums; caught by
+    // the full sf0.1 oracle sweep, invisible at sf0.001/sf0.01). Appending
+    // l_quantity to the ordering makes any remaining tie quantity-equal,
+    // which leaves every prefix sum invariant under tie permutation.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     t(spark, sfDir, "lineitem")
       .withColumn("run_qty",
         sum(dec(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -241,7 +249,7 @@ object Relational {
       |    CAST(l_shipdate AS DATE)), -1) AS gap_days
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
 
@@ -1399,6 +1407,32 @@ object Relational {
       |WHERE v * (SELECT count(*) FROM pv) * 4 > (SELECT sum(v) FROM pv) * 5
       |ORDER BY part_value DESC, l_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** TPC-H Q13 shape (distribution of group sizes): orders per customer —
+    * LEFT OUTER so customers with zero orders appear — then the histogram
+    * of those counts. The double aggregation is the shape that matters:
+    * first agg shuffles on the join/grouping key, second agg runs over
+    * |distinct counts| rows (tiny at any scale).
+    * 100 TB: customer⋈orders co-partitions on custkey (one exchange each
+    * side with AQE); the count histogram is a near-free second pass.
+    */
+  def q54CountDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(t(spark, sfDir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val q54Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Data profiling — the ANALYZE/summary surface a pipeline framework
     * owes its users: per-column row count, non-null count, exact distinct
@@ -1456,6 +1490,7 @@ object Relational {
     "q50_cdc_compact" -> (q50CdcCompact _),
     "q51_sole_blame" -> (q51SoleBlame _),
     "q53_profile" -> (q53Profile _),
+    "q54_count_distribution" -> (q54CountDistribution _),
     "q52_value_share" -> (q52ValueShare _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1560,5 +1595,6 @@ object Relational {
     "q50_cdc_compact" -> q50Sql,
     "q51_sole_blame" -> q51Sql,
     "q53_profile" -> q53Sql,
+    "q54_count_distribution" -> q54Sql,
     "q52_value_share" -> q52Sql)
 }
