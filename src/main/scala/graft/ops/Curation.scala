@@ -37,6 +37,24 @@ import graft.functions._
   */
 object Curation {
 
+  /** The per-row gates — quality ≥ 0.3 AND duplicate-3-gram fraction
+    * (t6's rep3) < 0.5 — as one reusable transform, shared by the batch
+    * flagship, the streaming pipeline (ST10), and their specs so the gate
+    * definition cannot drift between them. Adds the `quality` column.
+    */
+  def rowGates(df: DataFrame): DataFrame = {
+    val th = tokenHashes(col("text"))
+    val gram3 = transform(sequence(lit(0), size(th) - 3), k =>
+      ((element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P
+        * ShingleBase + element_at(th, k + 3)) % P)
+    val rep3 = when(size(th) >= 3,
+      lit(1.0) - size(array_distinct(gram3)).cast("double")
+        / size(gram3).cast("double")).otherwise(0.0)
+    df.withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .filter(rep3 < 0.5)
+  }
+
   private def gatedSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
 
@@ -54,15 +72,6 @@ object Curation {
     val contaminated = graft.text.TextOps.t9Contamination(spark, sfDir)
       .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
       .select(col("doc_id"))
-
-    // 4. repetition signal inline (same arithmetic as t6's rep3)
-    val th = tokenHashes(col("text"))
-    val gram3 = transform(sequence(lit(0), size(th) - 3), k =>
-      ((element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P
-        * ShingleBase + element_at(th, k + 3)) % P)
-    val rep3 = when(size(th) >= 3,
-      lit(1.0) - size(array_distinct(gram3)).cast("double")
-        / size(gram3).cast("double")).otherwise(0.0)
 
     // 6. boilerplate-heavy docs: more than half their segments are owned
     //    by an earlier document (d9's cross-doc span dedup)
@@ -83,9 +92,7 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
       .join(contained, Seq("doc_id"), "left_anti")
-      .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
-      .filter(col("quality") >= 0.3)
-      .filter(rep3 < 0.5)
+      .transform(rowGates)
 
     // 8. per-domain cap, preferring the higher-quality survivors (a6
     //    semantics; WindowGroupLimit keeps the shuffle at O(sources·cap))
@@ -108,6 +115,28 @@ object Curation {
         charFoldHash(col("text")).as("fingerprint"),
         col("quality"))
       .orderBy(col("doc_id"))
+
+  /** ST10: the curation gates as a STREAMING pipeline — the shape of a
+    * live ingest feed: per-row gates (quality + repetition, identical
+    * Column expressions to the batch flagship, pure map-side) followed by
+    * cross-batch exact dedup on the content hash via
+    * `dropDuplicatesWithinWatermark` (state bounded by the watermark
+    * horizon over the ingest timestamp; a duplicate arriving within the
+    * horizon is dropped no matter which micro-batch carried it).
+    * The spec replays a two-file stream where every second-file doc is a
+    * re-ingest of a first-file doc and asserts the output is exactly the
+    * batch-gated originals.
+    */
+  def streamingCurate(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(rowGates)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withWatermark("ingest_ts", "6 hours")
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     val curated = gatedSurvivors(spark, sfDir)

@@ -445,6 +445,51 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(base.getTime / 1000) + col("doc_id")))
+    // second batch: every doc re-ingested ~2.8h later under a NEW id —
+    // all must be dropped by cross-batch dedup state, not the gates
+    val reingest = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(base.getTime / 1000 + 10000) + col("doc_id")))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(docs, "01_orig")
+    stage(reingest, "02_reingest")
+    val q = ops.Curation.streamingCurate(spark, s"$dir/in",
+        docs.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st10_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st10_out")
+    // expected: exactly the original docs that pass the SHARED row gates —
+    // every re-ingest is a content duplicate and must die to batch-1 state
+    val expected = ops.Curation.rowGates(Tables(spark, sf, "documents"))
+      .select(col("doc_id"))
+    assert(streamed.filter(col("doc_id") >= 10000).count() === 0,
+      "a re-ingested duplicate survived cross-batch dedup")
+    val streamedIds = streamed.select(col("doc_id"))
+    assert(streamedIds.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(streamedIds).count() === 0,
+      "streamed curation disagrees with the batch-gated originals")
+  }
+
   test("ST7: dropDuplicatesWithinWatermark dedups a single-batch stream to distinct keys") {
     import org.apache.spark.sql.streaming.Trigger
     val q = streaming.EventStreams.streamingDedupWithinWatermark(spark, sf)
