@@ -26,6 +26,18 @@ class QueriesSpec extends GraftSuite {
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
+  test("no query name collides across family maps (Map ++ overwrites silently)") {
+    val families = Seq(
+      ops.Relational.all, text.TextOps.all, dedup.Dedup.all,
+      similarity.Similarity.all, multimodal.Multimodal.all,
+      streaming.EventStreams.all, pipeline.PipelineQueries.all,
+      ops.Sampling.all)
+    val total = families.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      s"family maps hold $total entries but the merged registry has " +
+        s"${SparkEntry.queries.size} — a duplicate key silently dropped a query")
+  }
+
   test("entry() flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
