@@ -355,14 +355,14 @@ object Dedup {
       // O(diameter) rounds stay small and the extra label-of-label join a
       // pointer-doubling variant needs per round costs more than the
       // rounds it saves (measured: d8 5.7 s → 6.1 s at sf0.1).
-      val updated = labels.join(neighborMin, Seq(idCol), "left")
-        .select(col(idCol),
+      // carry the old label through the SAME join so convergence detection
+      // costs a filter on the checkpointed result, not a second join
+      val joined = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      val changes = updated.alias("u")
-        .join(labels.alias("l"), Seq(idCol))
-        .filter(col("u.cluster") =!= col("l.cluster")).count()
-      labels = updated
+      val changes = joined.filter(col("cluster") =!= col("old")).count()
+      labels = joined.select(col(idCol), col("cluster"))
       converged = changes == 0
       rounds += 1
     }
