@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
 
 /** Optimizer rule: rewrite a big-big interval (range) theta-join into the
   * bucketed equi-join q47 composes by hand — the user writes the natural
@@ -57,10 +57,16 @@ case class BucketedRangeJoinRule(session: SparkSession)
     */
   private def rangeBound(e: Expression, pSet: AttributeSet, iSet: AttributeSet)
       : Option[(Expression, Expression, Boolean)] = {
+    def compatible(v: DataType, b: DataType): Boolean = (v, b) match {
+      case (_: NumericType, _: NumericType) => true
+      case (TimestampType, TimestampType) => true
+      case (DateType, DateType) => true
+      case _ => false
+    }
     def sided(v: Expression, b: Expression): Boolean =
       v.references.nonEmpty && v.references.subsetOf(pSet) &&
         b.references.nonEmpty && b.references.subsetOf(iSet) &&
-        v.dataType.isInstanceOf[NumericType] && b.dataType.isInstanceOf[NumericType]
+        compatible(v.dataType, b.dataType)
     e match {
       case GreaterThanOrEqual(v, b) if sided(v, b) => Some((v, b, true))
       case GreaterThan(v, b) if sided(v, b) => Some((v, b, true))
@@ -80,9 +86,18 @@ case class BucketedRangeJoinRule(session: SparkSession)
     * (rounding to nearest never swaps order), divide by a positive
     * constant, floor. Negative values floor toward −∞, which keeps
     * bucket(lo) ≤ bucket(v) ≤ bucket(hi) for lo ≤ v ≤ hi.
+    * Event-time types go through their epoch expressions (ANSI forbids a
+    * direct timestamp→numeric cast), so W is in the column's native unit:
+    * value units for numerics, MICROSECONDS for timestamps, DAYS for dates.
     */
-  private def bucketOf(e: Expression, w: Long): Expression =
-    Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val numeric = e.dataType match {
+      case TimestampType => UnixMicros(e)
+      case DateType => UnixDate(e)
+      case _ => e
+    }
+    Floor(Divide(Cast(numeric, DoubleType), Literal(w.toDouble)))
+  }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {

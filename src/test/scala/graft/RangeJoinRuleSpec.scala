@@ -102,6 +102,26 @@ class RangeJoinRuleSpec extends GraftSuite {
     }
   }
 
+  test("timestamp bounds rewrite through epoch-micros bucketing (ANSI-safe)") {
+    // events probed against per-order [orderdate, orderdate + 2h) windows —
+    // the event-time range join every attribution pipeline runs
+    def evs = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"))
+    def iv = Tables(spark, sf, "orders").limit(50)
+      .select(col("o_orderkey"), col("o_orderdate").as("w_lo"),
+        (col("o_orderdate") + expr("INTERVAL 2 HOURS")).as("w_hi"))
+    def theta = evs.join(iv, col("ts") >= col("w_lo") && col("ts") < col("w_hi"))
+    val expected = theta.collect().toSet
+    withRule(3600L * 1000000) { // 1-hour buckets, in MICROSECONDS
+      val df = theta
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bucket"),
+        s"timestamp range join must be rewritten:\n$plan")
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.collect().toSet === expected)
+    }
+  }
+
   test("joins that already have an equi key are left untouched") {
     val equi = probe.join(intervals.withColumnRenamed("p_partkey", "o_orderkey"),
       Seq("o_orderkey")).filter(col("o_totalprice") >= col("lo"))
