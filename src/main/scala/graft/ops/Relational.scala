@@ -1433,6 +1433,69 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** TPC-H Q15 shape (top-revenue supplier with TIES-ALL semantics): an
+    * aggregated revenue view, then every supplier whose revenue EQUALS the
+    * global max — not top-1-with-tiebreak, the equality keeps all
+    * co-maxima, which is why the compare must be exact (DECIMAL = DECIMAL,
+    * no float epsilon, both engines decide ties identically).
+    * 100 TB: one shuffle for the revenue agg; the max is a 1-row broadcast
+    * into a map-side equality filter.
+    */
+  def q55TopRevenueSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val revenue = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice).as("rev"))
+    val mx = revenue.agg(max(col("rev")).as("mx"))
+    t(spark, sfDir, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(mx), lit(true)) // 1-row aggregate
+      .filter(col("rev") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q55Sql: String =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no, sum($discPriceSql) AS rev
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE rev = (SELECT max(rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** TPC-H Q16 shape: distinct supplier counts per part attribute group,
+    * with a NOT IN exclusion subquery. NOT IN compiles to a left-anti join,
+    * which is equivalent ONLY because s_suppkey is non-null (a NULL in the
+    * subquery would empty a SQL NOT IN — kept out of scope by schema).
+    * 100 TB: part attributes prune map-side, the exclusion list is a
+    * broadcast anti, countDistinct shuffles (group, suppkey) pairs.
+    */
+  def q56SupplierCnt(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = t(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 2000).select(col("s_suppkey"))
+    t(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13))
+      .join(t(spark, sfDir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  val q56Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q53
   /** Data profiling — the ANALYZE/summary surface a pipeline framework
     * owes its users: per-column row count, non-null count, exact distinct
@@ -1491,6 +1554,8 @@ object Relational {
     "q51_sole_blame" -> (q51SoleBlame _),
     "q53_profile" -> (q53Profile _),
     "q54_count_distribution" -> (q54CountDistribution _),
+    "q55_top_revenue_supplier" -> (q55TopRevenueSupplier _),
+    "q56_supplier_cnt" -> (q56SupplierCnt _),
     "q52_value_share" -> (q52ValueShare _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1596,5 +1661,7 @@ object Relational {
     "q51_sole_blame" -> q51Sql,
     "q53_profile" -> q53Sql,
     "q54_count_distribution" -> q54Sql,
+    "q55_top_revenue_supplier" -> q55Sql,
+    "q56_supplier_cnt" -> q56Sql,
     "q52_value_share" -> q52Sql)
 }

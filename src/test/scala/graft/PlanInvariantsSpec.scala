@@ -18,7 +18,8 @@ class PlanInvariantsSpec extends GraftSuite {
     "s5_ann_pq", // bounded broadcast query set over PQ codes, =!= predicate
     "t5_surprisal", // 1-row corpus total cross-joined into freqs
     "a5_temperature_mix", // 1-row min-count aggregate crossed into rates
-    "q52_value_share" // 1-row (total, nparts) aggregate crossed into the filter
+    "q52_value_share", // 1-row (total, nparts) aggregate crossed into the filter
+    "q55_top_revenue_supplier" // 1-row max-revenue aggregate crossed into the filter
   )
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
