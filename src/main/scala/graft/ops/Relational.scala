@@ -1433,6 +1433,67 @@ object Relational {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    * join sides — the disjunctive-pushdown test. Catalyst extracts the
+    * common per-side conjuncts out of the disjunction (brand set and the
+    * covering size/quantity bounds) and pushes them below the join, so
+    * each side scans a fraction of its table before the residual OR runs.
+    * 100 TB: the join itself is partkey-equi (broadcast part at this SF).
+    */
+  def q57DisjunctivePredicate(spark: SparkSession, sfDir: String): DataFrame = {
+    val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part"), col("p_partkey") === col("l_partkey"))
+      .filter(branch("Brand#1", 15, 1, 20) ||
+        branch("Brand#2", 25, 10, 30) ||
+        branch("Brand#3", 35, 20, 40))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q57Sql: String =
+    s"""SELECT CAST(round(sum($discPriceSql), 2) AS DOUBLE) AS revenue, count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** TPC-H Q18 shape (large-volume orders): IN over a HAVING subquery —
+    * orders whose lineitems sum past a quantity threshold, joined back for
+    * the order payload, top 10 by volume. The IN-HAVING compiles to an
+    * aggregate + equi-join (never a correlated loop).
+    * 100 TB: the qty aggregate shuffles on l_orderkey once; the join back
+    * to orders reuses the same key partitioning; top-10 is
+    * TakeOrderedAndProject. DECIMAL > INT threshold compare is exact.
+    */
+  def q58LargeVolumeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 150)
+    t(spark, sfDir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("qty"), 2).cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q58Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(round(qty, 2) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING qty > 150) big
+      |  ON o_orderkey = big.l_orderkey
+      |ORDER BY sum_qty DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** TPC-H Q15 shape (top-revenue supplier with TIES-ALL semantics): an
     * aggregated revenue view, then every supplier whose revenue EQUALS the
@@ -1556,6 +1617,8 @@ object Relational {
     "q54_count_distribution" -> (q54CountDistribution _),
     "q55_top_revenue_supplier" -> (q55TopRevenueSupplier _),
     "q56_supplier_cnt" -> (q56SupplierCnt _),
+    "q57_disjunctive_predicate" -> (q57DisjunctivePredicate _),
+    "q58_large_volume_orders" -> (q58LargeVolumeOrders _),
     "q52_value_share" -> (q52ValueShare _),
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -1663,5 +1726,7 @@ object Relational {
     "q54_count_distribution" -> q54Sql,
     "q55_top_revenue_supplier" -> q55Sql,
     "q56_supplier_cnt" -> q56Sql,
+    "q57_disjunctive_predicate" -> q57Sql,
+    "q58_large_volume_orders" -> q58Sql,
     "q52_value_share" -> q52Sql)
 }
