@@ -242,6 +242,31 @@ object EventStreams {
       .toDF()
   }
 
+  /** ST11: windowed heavy hitters over a stream — the Misra-Gries typed
+    * Aggregator (graft.functions.MisraGriesAggregator) running INSIDE a
+    * watermarked streaming window aggregation: per 1-hour event-time
+    * window, the ≤(k−1)-counter sketch of the hottest users. Shows custom
+    * mergeable sketches compose with Structured Streaming state — the
+    * map-side-partial property that makes MG scale in batch is exactly
+    * what bounds its per-window streaming state at O(k).
+    * The sketch is arrival-order dependent, so the spec asserts the
+    * DETERMINISTIC MG guarantees per emitted window (retention above
+    * n/k, undercount ≤ n/k vs exact counts), not map equality.
+    */
+  val HHSketchK = 11
+
+  def streamingHeavyHitters(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HeavyHitters
+        .misraGries(HHSketchK, col("user_id").cast("string")).as("hh"))
+      .select(col("window.start").as("window_start"), col("hh"))
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

@@ -490,6 +490,62 @@ class StatefulStreamingSpec extends GraftSuite {
       "streamed curation disagrees with the batch-gated originals")
   }
 
+  test("ST11: Misra-Gries guarantees hold inside a watermarked streaming window agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st11").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingHeavyHitters(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st11_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st11_out").collect()
+    assert(emitted.nonEmpty, "watermark never finalized any window")
+    val k = streaming.EventStreams.HHSketchK
+    // exact per-window user counts for the emitted windows
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("user_id").cast("string").as("u"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("ws"))
+      .map { case (ws, rows) =>
+        ws -> rows.map(r => r.getAs[String]("u") -> r.getAs[Long]("c")).toMap }
+    emitted.foreach { row =>
+      val ws = row.getAs[java.sql.Timestamp]("window_start")
+      val sketch = row.getAs[Map[String, Long]]("hh")
+      val truth = exact(ws)
+      val n = truth.values.sum
+      assert(sketch.size <= k - 1, s"window $ws: sketch exceeded k-1 counters")
+      truth.filter(_._2 > n.toDouble / k).keys.foreach { hot =>
+        assert(sketch.contains(hot),
+          s"window $ws: item $hot with count ${truth(hot)} > n/k=${n / k} missing")
+      }
+      sketch.foreach { case (item, est) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(est <= t, s"window $ws: $item overestimated ($est > $t)")
+        assert(t - est <= n.toDouble / k,
+          s"window $ws: $item undercount ${t - est} exceeds n/k=${n / k}")
+      }
+    }
+    ordered.unpersist()
+  }
+
   test("ST7: dropDuplicatesWithinWatermark dedups a single-batch stream to distinct keys") {
     import org.apache.spark.sql.streaming.Trigger
     val q = streaming.EventStreams.streamingDedupWithinWatermark(spark, sf)
