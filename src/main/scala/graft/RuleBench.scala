@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: measure BucketedRangeJoinRule's rewrite vs the nested loop on
-  * the same range theta-join (orders probed against part-derived intervals).
+/** Dev tool: measure BucketedRangeJoinRule's rewrite vs the un-rewritten
+  * plan on two shapes:
+  *  1. pure range theta-join (orders probed against part-derived
+  *     intervals) — nested loop vs bucketed equi-join;
+  *  2. equi+range on a SKEWED equi key (3 distinct keys) — hash join whose
+  *     per-key cross product the range post-filter must chew through, vs
+  *     the (key, bucket) composite join the rule rewrites to.
   * Usage: runMain graft.RuleBench [sfDir] [width]
   */
 object RuleBench {
@@ -18,27 +23,52 @@ object RuleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val rule = plans.BucketedRangeJoinRule(spark)
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      n
+    }
+    def withRule[A](f: => A): A = {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+      spark.conf.set(rule.WidthConf, width.toString)
+      try f finally {
+        spark.conf.unset(rule.WidthConf)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ eq rule)
+      }
+    }
+    spark.range(1000).selectExpr("sum(id)").collect() // warm up
+
+    // -- shape 1: pure range join ------------------------------------
     def probe = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     def intervals = Tables(spark, sfDir, "part")
       .select(col("p_partkey"), (col("p_retailprice") * 50).as("lo"),
         (col("p_retailprice") * 50 + 2000).as("hi"))
-    def joined = probe.join(intervals,
+    def rangeJoin = probe.join(intervals,
       col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
-    def time(tag: String): Long = {
-      val t0 = System.nanoTime()
-      val n = joined.count()
-      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      n
-    }
-    spark.range(1000).selectExpr("sum(id)").collect() // warm up
-    val slow = time("nested-loop (no rule)")
-    val rule = plans.BucketedRangeJoinRule(spark)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ rule
-    spark.conf.set(rule.WidthConf, width.toString)
-    val fast = time(s"bucketed (rule, W=$width)")
-    require(slow == fast, s"result mismatch: $slow vs $fast")
+    val slow = timed("range: nested-loop (no rule)")(rangeJoin)
+    val fast = withRule(timed(s"range: bucketed (rule, W=$width)")(rangeJoin))
+    require(slow == fast, s"range result mismatch: $slow vs $fast")
+
+    // -- shape 2: equi+range, skewed key -----------------------------
+    // 3 distinct keys: the hash join co-locates ~1/3 of each side per key
+    // and the range predicate is a post-filter over that cross product
+    def skewProbe = Tables(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 3).as("k"), col("o_totalprice").as("v"))
+    def skewIntervals = Tables(spark, sfDir, "part")
+      .select((col("p_partkey") % 3).as("ik"),
+        (col("p_retailprice") * 50).as("lo"),
+        (col("p_retailprice") * 50 + 2000).as("hi"))
+    def equiRange = skewProbe.join(skewIntervals,
+      col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
+    val slow2 = timed("equi+range skewed: hash join + post-filter (no rule)")(equiRange)
+    val fast2 = withRule(
+      timed(s"equi+range skewed: (key, bucket) join (rule, W=$width)")(equiRange))
+    require(slow2 == fast2, s"equi+range result mismatch: $slow2 vs $fast2")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, NumericType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, NumericType, StringType, TimestampType}
 
 /** Optimizer rule: rewrite a big-big interval (range) theta-join into the
   * bucketed equi-join q47 composes by hand — the user writes the natural
@@ -22,11 +22,31 @@ import org.apache.spark.sql.types.{DataType, DateType, DoubleType, LongType, Num
   * bucket and the interval emits each covered bucket once — no pair can
   * meet twice, so no dedup is needed (the invariant PropertySpec
   * fuzz-proves for q47). A null v or null bound produces a null bucket /
-  * empty sequence and drops out, matching the theta-join's null semantics.
+  * a null (dropped) sequence, matching the theta-join's null semantics.
+  * An INVERTED interval (lo > hi — matches nothing under the theta-join)
+  * likewise emits a null sequence and drops out: the generator is wrapped
+  * in `IF(bucket(lo) <= bucket(hi), sequence(...), NULL)` because Spark's
+  * sequence() throws on start > stop rather than returning empty.
   *
-  * The rule fires only when the join has NO equi conjunct (with one, Spark
-  * already hash-partitions and the range is a cheap post-filter — and the
-  * bucket equality the rewrite introduces is itself the fixpoint guard).
+  * Equi+range ("join on key AND ts within window"): when the condition
+  * ALSO carries equi conjuncts, the same rewrite applies — the bucket
+  * equality is appended and Spark's ExtractEquiJoinKeys picks up
+  * (key, bucket) as the composite join key, so rows co-partition by
+  * key AND time-bucket instead of post-filtering the full per-key cross
+  * product (the skewed-key production shape). The fixpoint guard is the
+  * presence of the synthetic bucket attribute in the condition, NOT
+  * "any equi conjunct exists" — the rewritten join carries the bucket
+  * equality, so the rule never fires twice on the same join.
+  *
+  * Wide-interval guard (`spark.graft.rangeJoin.maxSpan`, buckets; 0 = off,
+  * default 4,194,304): an interval spanning more than maxSpan buckets
+  * means W is mis-sized for the data — the explode would emit millions of
+  * rows per interval (and Spark's sequence() hard-errors near 2^31
+  * elements). Rather than crash with an opaque array-size error mid-stage,
+  * the generator raises a named error telling the operator to raise W or
+  * disable the rule. This is a loud-failure guard, not a semantics change:
+  * no row that the theta-join would match is ever silently dropped.
+  *
   * Cost: shuffle O(|probe| + |intervals| · spans) instead of O(|probe| ×
   * |intervals|) compute; W tunes spans-per-interval against rows-per-bucket
   * exactly as in q47.
@@ -38,9 +58,19 @@ case class BucketedRangeJoinRule(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.rangeJoin.width"
+  val MaxSpanConf = "spark.graft.rangeJoin.maxSpan"
 
   private def width: Long =
     try session.conf.get(WidthConf, "0").toLong catch { case _: Exception => 0L }
+  private def maxSpan: Long =
+    try session.conf.get(MaxSpanConf, (1L << 22).toString).toLong
+    catch { case _: Exception => 1L << 22 }
+
+  /** Synthetic names; their presence in a join condition marks an
+    * already-rewritten join (the fixpoint guard).
+    */
+  val ProbeBucketName = "__graft_probe_bucket"
+  val IntervalBucketName = "__graft_bucket"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
@@ -99,21 +129,42 @@ case class BucketedRangeJoinRule(session: SparkSession)
     Floor(Divide(Cast(numeric, DoubleType), Literal(w.toDouble)))
   }
 
+  /** The interval-side generator: one bucket id per covered bucket.
+    *
+    * - inverted (bLo > bHi) or null-bounded intervals → null array →
+    *   Explode(outer=false) emits nothing, exactly like the theta-join;
+    * - spans wider than maxSpan → named error (see class doc) instead of
+    *   sequence()'s opaque boundary/array-size crash.
+    */
+  private def bucketSeq(bLo: Expression, bHi: Expression): Expression = {
+    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+    // Sequence is TimeZoneAwareExpression: resolved requires timeZoneId,
+    // which the analyzer would fill — an optimizer rule must set it itself
+    val seq = Sequence(bLo, bHi, Some(Literal(1L)), tz)
+    val nullArr = Literal.create(null, ArrayType(LongType))
+    val guarded = If(LessThanOrEqual(bLo, bHi), seq, nullArr)
+    val cap = maxSpan
+    if (cap <= 0) guarded
+    else {
+      val tooWide = GreaterThan(Subtract(bHi, bLo), Literal(cap))
+      val err = new RaiseError(
+        Literal("USER_RAISED_EXCEPTION"),
+        CreateMap(Seq(Literal("errorMessage"), Literal(
+          s"graft range join: an interval spans more than $cap buckets; " +
+            s"raise $WidthConf, raise $MaxSpanConf, or set $WidthConf=0 " +
+            "to fall back to the nested-loop plan"))),
+        ArrayType(LongType))
+      If(And(IsNotNull(tooWide), tooWide), err, guarded)
+    }
+  }
+
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {
+    // fixpoint guard: the rewritten join's condition carries the synthetic
+    // bucket attributes — never fire twice on the same join
+    if (cond.references.exists(a =>
+        a.name == ProbeBucketName || a.name == IntervalBucketName)) return None
     val conjuncts = splitConjunctivePredicates(cond)
-    // with an equi conjunct the join is already a hash/merge join — and the
-    // rewritten join's bucket equality trips this guard, giving the fixpoint
-    val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) =>
-        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-      case EqualNullSafe(a, b) =>
-        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-      case _ => false
-    }
-    if (hasEqui) return None
 
     // find a (v, lo, hi) triple: same probe expression bounded below AND
     // above by the other side — try probe=left first, then probe=right
@@ -135,12 +186,9 @@ case class BucketedRangeJoinRule(session: SparkSession)
       findTriple(right.outputSet, left.outputSet).map((_, false)))
 
     triple.map { case ((v, lo, hi), vFromLeft) =>
-      val probeBucket = Alias(bucketOf(v, w), "__graft_probe_bucket")()
-      // Sequence is TimeZoneAwareExpression: resolved requires timeZoneId,
-      // which the analyzer would fill — an optimizer rule must set it itself
-      val seqExpr = Sequence(bucketOf(lo, w), bucketOf(hi, w),
-        Some(Literal(1L)), Some(session.sessionState.conf.sessionLocalTimeZone))
-      val bucketAttr = AttributeReference("__graft_bucket", LongType)()
+      val probeBucket = Alias(bucketOf(v, w), ProbeBucketName)()
+      val seqExpr = bucketSeq(bucketOf(lo, w), bucketOf(hi, w))
+      val bucketAttr = AttributeReference(IntervalBucketName, LongType)()
       def bucketize(probe: LogicalPlan, intervals: LogicalPlan)
           : (LogicalPlan, LogicalPlan) =
         (Project(probe.output :+ probeBucket, probe),

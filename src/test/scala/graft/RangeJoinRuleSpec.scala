@@ -86,9 +86,13 @@ class RangeJoinRuleSpec extends GraftSuite {
     for (round <- 1 to 3) {
       val probe = Seq.fill(300)((rnd.nextInt(100000).toLong,
         rnd.nextDouble() * 2000 - 1000)).toDF("pid", "v")
+      // ~1 in 4 intervals INVERTED (lo > hi): matches nothing under the
+      // theta-join and must not crash the rewritten plan (sequence() throws
+      // on start > stop without the If guard)
       val iv = Seq.fill(80) {
         val lo = rnd.nextDouble() * 1800 - 900
-        (rnd.nextInt(100000).toLong, lo, lo + rnd.nextDouble() * 300)
+        val span = rnd.nextDouble() * 300 - (if (rnd.nextInt(4) == 0) 400 else 0)
+        (rnd.nextInt(100000).toLong, lo, lo + span)
       }.toDF("iid", "lo", "hi")
       def theta = probe.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
       val expected = theta.collect().toSet
@@ -122,13 +126,79 @@ class RangeJoinRuleSpec extends GraftSuite {
     }
   }
 
-  test("joins that already have an equi key are left untouched") {
+  test("inverted and null-bounded intervals drop out instead of crashing sequence()") {
+    import spark.implicits._
+    val p = Seq((1L, 5.0), (2L, -3.0), (3L, 250.0)).toDF("pid", "v")
+    val iv = Seq(
+      (10L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(10.0)),   // normal: matches pid 1
+      (11L, java.lang.Double.valueOf(500.0), java.lang.Double.valueOf(-500.0)), // inverted by many buckets
+      (12L, java.lang.Double.valueOf(7.0), java.lang.Double.valueOf(6.0)),    // inverted within one bucket
+      (13L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(3.0)))
+      .toDF("iid", "lo", "hi")
+    def theta = p.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+    val expected = theta.collect().toSet
+    assert(expected.map(_.getLong(0)) === Set(1L))
+    withRule(3) {
+      val df = theta
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+        "rule did not fire")
+      assert(df.collect().toSet === expected) // would throw ILLEGAL_SEQUENCE unguarded
+    }
+  }
+
+  test("equi+range: bucket equality joins (key, bucket), results identical, fixpoint holds") {
+    // the production shape: join on key AND ts within a per-key window —
+    // the skewed equi key makes the per-key cross product the bottleneck
+    // that bucketing within key partitions removes
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val probe = Seq.tabulate(400)(i =>
+      (i % 3L, rnd.nextDouble() * 1000)).toDF("k", "v")
+    val iv = Seq.fill(60) {
+      val lo = rnd.nextDouble() * 900
+      (rnd.nextInt(3).toLong, lo, lo + rnd.nextDouble() * 120)
+    }.toDF("ik", "lo", "hi")
+    def equiRange = probe.join(iv,
+      col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
+    val expected = equiRange.collect().toSet
+    assert(expected.nonEmpty)
+    withRule(50) {
+      val df = equiRange
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_bucket"),
+        s"equi+range join must be rewritten:\n$opt")
+      // fixpoint: optimizedPlan materialized = the batch ran to fixpoint
+      // without blowing the iteration limit; exactly one Generate appears
+      assert("Generate".r.findAllIn(opt).size === 1, s"rule fired twice:\n$opt")
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("an interval wider than maxSpan buckets fails loudly with a named error") {
+    import spark.implicits._
+    val p = Seq((1L, 5.0)).toDF("pid", "v")
+    val iv = Seq((10L, 0.0, 1e12)).toDF("iid", "lo", "hi")
+    def theta = p.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+    withRule(1) { // 1e12 buckets >> default 2^22 cap
+      val ex = intercept[Exception](theta.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("graft range join")),
+        s"expected the named wide-interval error, got: $ex")
+      // with the cap disabled the row still fails, but inside sequence()
+      spark.conf.set(rule.MaxSpanConf, "0")
+      try intercept[Exception](theta.collect())
+      finally spark.conf.unset(rule.MaxSpanConf)
+    }
+  }
+
+  test("equi joins without a full (lo, hi) range triple are left untouched") {
     val equi = probe.join(intervals.withColumnRenamed("p_partkey", "o_orderkey"),
       Seq("o_orderkey")).filter(col("o_totalprice") >= col("lo"))
     withRule(1000) {
       val plan = equi.queryExecution.optimizedPlan.toString
       assert(!plan.contains("__graft_bucket"),
-        s"equi join must not be rewritten:\n$plan")
+        s"a lone lower bound must not be rewritten:\n$plan")
     }
     // width unset (0) => rule inert even on a pure range join
     spark.experimental.extraOptimizations =
