@@ -57,15 +57,28 @@ object Dedup {
   val Bands = 32
   val RowsPerBand = 4
 
-  def d2MinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // Signatures materialize ONCE (localCheckpoint) — the bands self-join
-    // and both array join-backs would otherwise recompute shingles+minhash
-    // per plan branch (4 scans in the naive plan). At cluster scale this
-    // materialization is the signature table a real pipeline persists.
-    val withSig = Tables(spark, sfDir, "documents")
+  /** The per-document signature table — (doc_id, sh, mh): shingle hashes +
+    * 128-perm MinHash, materialized ONCE (localCheckpoint). The bands
+    * self-join and both array join-backs would otherwise recompute
+    * shingles+minhash per plan branch (4 scans in the naive plan). At
+    * cluster scale this is the signature table a real pipeline persists;
+    * d2, d11 and the flagship curation all feed from ONE build of it.
+    */
+  private[graft] def signatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
       .localCheckpoint()
+
+  def d2MinHashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    d2PairsFromSignatures(signatures(spark, sfDir))
+      .orderBy(col("i"), col("j"))
+
+  /** d2's core on a prebuilt (doc_id, sh, mh) signature frame — the input
+    * must already be materialized (checkpointed); every plan branch here
+    * re-reads it. Returns UNORDERED (i, j, jaccard).
+    */
+  private[graft] def d2PairsFromSignatures(withSig: DataFrame): DataFrame = {
     val docs = withSig.select(col("doc_id"), col("sh"))
     // Band signature = the 4 minhash values folded into one long (prime
     // combine). A fold collision only ever ADDS a candidate pair, and the
@@ -89,7 +102,6 @@ object Dedup {
           size(array_union(col("sh_i"), col("sh_j"))))
       .filter(col("jac") >= 0.8)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("i"), col("j"))
   }
 
   val d2Sql: String = {
@@ -377,7 +389,8 @@ object Dedup {
   }
 
   def d7DedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    labelClusters(d2MinHashLsh(spark, sfDir).select(col("i"), col("j")), "doc_id")
+    labelClusters(d2PairsFromSignatures(signatures(spark, sfDir))
+      .select(col("i"), col("j")), "doc_id") // unordered core: CC doesn't need d2's sort
 
   val d7Sql: String = {
     // same pair predicate as the d2 oracle, then transitive closure
@@ -457,16 +470,35 @@ object Dedup {
     * [[SegTokens]]-token segments — a generator inside the scan stage, no
     * shuffle. Shared by d9 (ownership dedup) and t12 (boilerplate removal).
     */
-  private[graft] def segments(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), toks.as("t"),
-        ceil(size(toks).cast("double") / SegTokens).cast("int").as("n_seg_total"))
+  private[graft] def segments(spark: SparkSession, sfDir: String): DataFrame =
+    segmentsOf(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t")))
+
+  /** [[segments]] on a prebuilt (doc_id, t) token frame — lets the flagship
+    * derive segments from its shared signature pass instead of re-scanning
+    * and re-tokenizing `documents`.
+    */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("t"),
+        ceil(size(col("t")).cast("double") / SegTokens).cast("int").as("n_seg_total"))
       .select(col("doc_id"), col("n_seg_total"), col("t"),
         explode(sequence(lit(0), col("n_seg_total") - 1)).as("seg_idx"))
       .select(col("doc_id"), col("n_seg_total"), col("seg_idx"),
         array_join(slice(col("t"), col("seg_idx") * SegTokens + 1, lit(SegTokens)), " ")
           .as("seg"))
+
+  /** The surviving segment rows of the cross-document ownership dedup: a
+    * segment survives only in the lowest-doc_id document containing it.
+    * Shared by d9 (which adds the reassembly fingerprint) and the flagship
+    * boilerplate gate (which only counts survivors per doc).
+    */
+  private[graft] def segmentKept(segs: DataFrame): DataFrame = {
+    val owners = segs.groupBy(md5(col("seg").cast("binary")).as("seg_hash"))
+      .agg(min(col("doc_id")).as("keeper"))
+    segs.join(owners,
+      md5(col("seg").cast("binary")) === col("seg_hash") &&
+        col("doc_id") === col("keeper"))
   }
 
   /** DuckDB spelling of [[segments]] (a CTE body named `segs`). */
@@ -478,13 +510,8 @@ object Dedup {
       |      unnest(range(CAST(ceil(len(t) / ${SegTokens}.0) AS INT))) AS c
       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
-  def d9SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val segs = segments(spark, sfDir)
-    val owners = segs.groupBy(md5(col("seg").cast("binary")).as("seg_hash"))
-      .agg(min(col("doc_id")).as("keeper"))
-    segs.join(owners,
-        md5(col("seg").cast("binary")) === col("seg_hash") &&
-          col("doc_id") === col("keeper"))
+  def d9SegmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    segmentKept(segments(spark, sfDir))
       .groupBy(col("doc_id"))
       .agg(max(col("n_seg_total")).as("n_seg_total"),
         count(lit(1)).as("n_seg_kept"),
@@ -492,7 +519,6 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
             s => s.getField("seg")), " ")).as("text_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val d9Sql: String =
     s"""WITH segs AS (
@@ -523,11 +549,20 @@ object Dedup {
     */
   val ContainmentTau = 0.9
 
-  def d10Containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), array_sort(shingleHashes(col("text"))).as("sh"))
+  def d10Containment(spark: SparkSession, sfDir: String): DataFrame =
+    d10FromShingles(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh")))
+      .orderBy(col("i"), col("j"))
+
+  /** d10's core on a prebuilt (doc_id, sh) shingle frame (sh unsorted) —
+    * sorts, sizes, and materializes its own working copy (every join
+    * branch re-reads it). Returns UNORDERED (i, j, containment).
+    */
+  private[graft] def d10FromShingles(shingled: DataFrame): DataFrame = {
+    val docs = shingled
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint() // shingles compute once, not per join branch
+      .localCheckpoint() // sorted shingles compute once, not per join branch
     val prefixLen = (col("n") - col("n") % 10) / 10 + 1 // ⌊0.1·n⌋ + 1, integer-exact
     val prefixes = docs
       .select(col("doc_id").as("i"), col("n").as("n_i"),
@@ -545,7 +580,6 @@ object Dedup {
           size(col("sh_i")))
       .filter(col("containment") >= ContainmentTau)
       .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
-      .orderBy(col("i"), col("j"))
   }
 
   val d10Sql: String = {
@@ -574,11 +608,10 @@ object Dedup {
     * perms) in SQL.
     */
   def d11MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
-    val withSig = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
-      .localCheckpoint()
-    d2MinHashLsh(spark, sfDir) // verified (i, j, jaccard) pairs
+    // ONE signature build feeds both the verified d2 pairs and the
+    // estimate join-backs (round 3 built it twice)
+    val withSig = signatures(spark, sfDir)
+    d2PairsFromSignatures(withSig) // verified (i, j, jaccard) pairs
       .join(withSig.select(col("doc_id").as("i"), col("mh").as("mh_i")), Seq("i"))
       .join(withSig.select(col("doc_id").as("j"), col("mh").as("mh_j")), Seq("j"))
       .withColumn("jaccard_est", round(

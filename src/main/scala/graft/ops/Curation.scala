@@ -55,38 +55,66 @@ object Curation {
       .filter(rep3 < 0.5)
   }
 
+  /** ONE signature pass over `documents` feeds every derived stage: the
+    * tokens (d9 segments, annotation token count), shingle hashes (LSH,
+    * decontamination, containment) and MinHash signature (LSH bands) are
+    * computed in a single scan and checkpointed; stages 1/2/5/6/7 all read
+    * the materialized frame instead of re-scanning and re-deriving (round 3
+    * scanned `documents` once per sub-operator — 5 scans, 4 shingle
+    * recomputes). At 100 TB this is the persisted signature table every
+    * real pipeline builds first; CurationSpec pins the plan (the flagship's
+    * returned plan contains NO `documents` file scan — the one scan happens
+    * inside this eager checkpoint).
+    */
+  private def signaturePass(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleHashes(col("text"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        tokens(col("text")).as("t"), sh.as("sh"),
+        minHashSignature(sh, graft.dedup.Dedup.MinHashPerms).as("mh"))
+      .localCheckpoint()
+  }
+
   private def gatedSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+    val sig = signaturePass(spark, sfDir)
 
     // 1. exact dedup
-    val keep = docs
+    val keep = sig
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
     // 2. near-dup pairs → drop the j side
-    val dupJ = graft.dedup.Dedup.d2MinHashLsh(spark, sfDir)
+    val dupJ = graft.dedup.Dedup
+      .d2PairsFromSignatures(sig.select(col("doc_id"), col("sh"), col("mh")))
       .select(col("j").as("doc_id")).distinct()
 
     // 5. contaminated ids (shared shingle with the benchmark subset)
-    val contaminated = graft.text.TextOps.t9Contamination(spark, sfDir)
+    val contaminated = graft.text.TextOps
+      .t9FromShingles(sig.select(col("doc_id"), col("sh")))
       .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
       .select(col("doc_id"))
 
     // 6. boilerplate-heavy docs: more than half their segments are owned
-    //    by an earlier document (d9's cross-doc span dedup)
-    val boilerplate = graft.dedup.Dedup.d9SegmentDedup(spark, sfDir)
+    //    by an earlier document (d9's cross-doc span dedup) — counts only,
+    //    no reassembly fingerprint on this path
+    val boilerplate = graft.dedup.Dedup
+      .segmentKept(graft.dedup.Dedup.segmentsOf(sig.select(col("doc_id"), col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_seg_total")).as("n_seg_total"),
+        count(lit(1)).as("n_seg_kept"))
       .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
       .select(col("doc_id"))
 
     // 7. contained docs: drop the i side of containment pairs where the
     //    container comes EARLIER (keep-the-original rule, mirroring d1/d9)
-    val contained = graft.dedup.Dedup.d10Containment(spark, sfDir)
+    val contained = graft.dedup.Dedup
+      .d10FromShingles(sig.select(col("doc_id"), col("sh")))
       .filter(col("j") < col("i"))
       .select(col("i").as("doc_id")).distinct()
 
     // 3+4+5+6+7 on the survivors (same scorer as t2)
-    val gated = docs
+    val gated = sig
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -95,23 +123,27 @@ object Curation {
       .transform(rowGates)
 
     // 8. per-domain cap, preferring the higher-quality survivors (a6
-    //    semantics; WindowGroupLimit keeps the shuffle at O(sources·cap))
+    //    semantics; WindowGroupLimit keeps the shuffle at O(sources·cap)) —
+    //    the shingle/minhash columns are done, only the annotation inputs
+    //    (text, tokens) ride along
     val bySource = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
     gated
       .withColumn("__rk", row_number().over(bySource))
       .filter(col("__rk") <= Sampling.DomainCap)
-      .drop("__rk")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("t"), col("quality"))
   }
 
-  /** Stages 1–6: the gated (pre-mixing) survivor set — exposed so the spec
-    * can assert the mixing stage flattens THIS distribution.
+  /** Stages 1–8 (everything PRE-MIXING, domain cap included): the gated
+    * survivor set — exposed so the spec can assert the mixing stage
+    * flattens THIS distribution and the cap holds on it.
     */
   def curateUnmixed(spark: SparkSession, sfDir: String): DataFrame =
     gatedSurvivors(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        size(tokens(col("text"))).as("n_tokens"),
+        size(col("t")).as("n_tokens"),
         charFoldHash(col("text")).as("fingerprint"),
         col("quality"))
       .orderBy(col("doc_id"))
@@ -139,9 +171,12 @@ object Curation {
   }
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
-    val curated = gatedSurvivors(spark, sfDir)
+    // the mixing-rate aggregation AND the final join both read the gated
+    // survivors — materialize them once (at 100 TB: the persisted
+    // post-gate intermediate), instead of re-running stages 1-8 per branch
+    val curated = gatedSurvivors(spark, sfDir).localCheckpoint()
 
-    // 7. temperature mixing over the SURVIVOR language distribution (a5
+    // 9. temperature mixing over the SURVIVOR language distribution (a5
     //    semantics: counts are one aggregated pass, keep is a map-side
     //    deterministic hash filter)
     val counts = curated.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("n"))
@@ -153,11 +188,12 @@ object Curation {
     val mixKey = hashBucket(
       concat(col("lang"), lit("#"), col("doc_id").cast("string")), 1000)
 
+    // 10. annotation: token count + portable fingerprint + quality
     curated
       .join(broadcast(rates), col("lang") === col("cl"))
       .filter(mixKey < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("source"),
-        size(tokens(col("text"))).as("n_tokens"),
+        size(col("t")).as("n_tokens"),
         charFoldHash(col("text")).as("fingerprint"),
         col("quality"))
       .orderBy(col("doc_id"))

@@ -366,10 +366,17 @@ object TextOps {
     * shingles broadcast; the corpus streams through one semi-join + count,
     * no pair space.
     */
-  def t9Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  def t9Contamination(spark: SparkSession, sfDir: String): DataFrame =
+    t9FromShingles(Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .localCheckpoint() // shingles compute once for both roles
+      .localCheckpoint()) // shingles compute once for both roles
+      .orderBy(col("doc_id"))
+
+  /** t9's core on a prebuilt (doc_id, sh) shingle frame — the input must
+    * already be materialized (both the benchmark and corpus roles read it).
+    * Returns UNORDERED (doc_id, n_shared, contaminated).
+    */
+  private[graft] def t9FromShingles(docs: DataFrame): DataFrame = {
     val bench = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("bsh")).distinct()
     val shared = docs.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -381,7 +388,6 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   val t9Sql: String = {

@@ -661,6 +661,21 @@ class CurationSpec extends GraftSuite {
     assert(out.join(ops.Curation.curateUnmixed(spark, sf),
       Seq("doc_id"), "left_anti").count() === 0)
   }
+
+  test("flagship shares one signature pass: no table scan in the returned plan") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // the ONE scan of `documents` happens inside the eager signature-pass
+    // checkpoint; every derived stage (exact dedup, LSH, decontamination,
+    // segment scrub, containment, annotation) reads the materialized frame,
+    // so the flagship's own plan must contain ZERO file relations (round 3
+    // re-scanned and re-shingled per sub-operator)
+    val out = ops.Curation.curate(spark, sf)
+    val rels = out.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r
+    }
+    assert(rels.isEmpty,
+      s"flagship must read only the checkpointed signature pass, found: $rels")
+  }
 }
 
 /** Approximate/sampling operators that can't be oracle-checked exactly. */
