@@ -209,7 +209,10 @@ object Multimodal {
     * image-text training vs text-only.
     * 100 TB: one partial-aggregated pass over the manifest-joined corpus;
     * per-source rows are model-scale. Sums are CAST to BIGINT on the
-    * oracle side (DuckDB widens integer sums to HUGEINT).
+    * oracle side (DuckDB widens integer sums to HUGEINT). Payload size is
+    * measured in BYTES on both sides — Spark `octet_length` over the UTF-8
+    * encoding, DuckDB `strlen` (its byte-length function; `length` counts
+    * CHARACTERS and would diverge on any non-ASCII text).
     */
   def m4ModalityCoverage(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
@@ -226,7 +229,7 @@ object Multimodal {
   val m4Sql: String =
     """SELECT source, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_image,
-      |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN length(text) ELSE 0 END) AS BIGINT) AS image_bytes
+      |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN strlen(text) ELSE 0 END) AS BIGINT) AS image_bytes
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin

@@ -1252,11 +1252,27 @@ object Relational {
     */
   val NBuckets = 8
 
-  /** Write-once (per session+SF) bucketed copy of a table, keyed by `key`. */
+  /** Write-once (per session+SF) bucketed copy of a table, keyed by `key`.
+    *
+    * The cache name embeds the sanitized source path PLUS an md5 of the
+    * raw path — two different data dirs can never alias one cached table
+    * (a 32-bit hashCode could collide). The cache assumes the input data
+    * at `sfDir` is immutable within the session — re-writing the source
+    * files at the same path requires a new session (or dropping the
+    * table) to pick up the change.
+    *
+    * Sort-elimination needs `bucketedTableScan.outputOrdering`; set it
+    * HERE so a fresh session gets the zero-sort plan without manual conf
+    * (it is planning-only: the scan reports its per-bucket sort order,
+    * valid because the write above puts each bucket in exactly one file).
+    */
   def bucketedTable(spark: SparkSession, sfDir: String, table: String,
       key: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val name = s"graft_b_${table}_" +
-      (sfDir.hashCode.toLong & 0xffffffffL).toString
+      sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     if (!spark.catalog.tableExists(name)) {
       // the in-memory catalog forgets tables across sessions but their
       // managed location persists — a leftover directory fails the create

@@ -403,17 +403,144 @@ object EventStreams {
       |  GROUP BY user_id, session_id)
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- st6
+  /** ST12's batch equivalent, oracle-checked: temperature mixing (a5's
+    * α=1/2 downsampling-only rates) RE-DERIVED PER 1-HOUR EVENT-TIME
+    * WINDOW — the live-ingest form of corpus rebalancing, where stratum
+    * frequencies drift over time and each window flattens its OWN
+    * distribution: rate_s(w) = ⌊1000·√(n_min(w)/n_s(w))⌋ per-mille, keep =
+    * the same deterministic hash filter as a5.
+    * 100 TB: counts are one windowed partial agg (|windows|·|types| rows,
+    * model-scale); the per-window min is a window function over that tiny
+    * frame; the keep filter joins rates back broadcast and runs map-side.
+    */
+  def st6TempMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.hashBucket
+    val w = Tables(spark, sfDir, "events")
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"), col("event_id"))
+    val counts = w.groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byWin = org.apache.spark.sql.expressions.Window.partitionBy(col("window_start"))
+    val rates = counts
+      .withColumn("n_min", min(col("n")).over(byWin))
+      .select(col("window_start"), col("event_type"),
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n")))
+          .cast("int").as("rate_permille"))
+    val key = hashBucket(
+      concat(col("event_type"), lit("#"), col("event_id").cast("string")), 1000)
+    w.join(broadcast(rates), Seq("window_start", "event_type"))
+      .filter(key < col("rate_permille"))
+      .select(col("window_start"), col("event_type"), col("event_id"),
+        col("rate_permille"))
+      .orderBy(col("window_start"), col("event_type"), col("event_id"))
+  }
+
+  val st6Sql: String = {
+    val key = graft.functions.sqlHashBucket(
+      "event_type || '#' || CAST(event_id AS VARCHAR)", 1000)
+    """WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type, event_id
+      |           FROM events),
+      |counts AS (SELECT window_start, event_type, count(*) AS n
+      |           FROM w GROUP BY 1, 2),
+      |rates AS (
+      |  SELECT window_start, event_type,
+      |    CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / n)) AS INT) AS rate_permille
+      |  FROM (SELECT *, min(n) OVER (PARTITION BY window_start) AS n_min FROM counts))
+      |SELECT w.window_start, w.event_type, w.event_id, r.rate_permille
+      |FROM w JOIN rates r USING (window_start, event_type)
+      |WHERE KEYEXPR < rate_permille
+      |ORDER BY window_start, event_type, event_id""".stripMargin
+      .replace("KEYEXPR", key)
+  }
+
+  /** ST12: the LIVE form of st6 — streaming temperature mix with the rates
+    * re-derived per watermark-complete window. A live pipeline cannot know
+    * a window's stratum frequencies until the window closes, so the
+    * operator buffers each open window's (type, id) rows as keyed state
+    * (flatMapGroupsWithState keyed by window start, EventTimeTimeout) and,
+    * when the watermark passes the window end, derives the rates from the
+    * FINAL counts and emits exactly the rows the deterministic hash keeps
+    * — byte-identical to the batch st6 of the same data, which is what
+    * StatefulStreamingSpec asserts via a two-file replay.
+    * State: O(rows per open window) ids+types (the price of exact
+    * per-window rates); bounded by watermark horizon / window length open
+    * windows. A production variant that tolerates approximate rates keeps
+    * only per-stratum counts and samples the NEXT window at the previous
+    * window's rates (O(|strata|) state, one-window rate lag).
+    */
+  val MixWindowUs: Long = 3600L * 1000000L
+
+  case class MixOut(window_start: java.sql.Timestamp, event_type: String,
+      event_id: Long, rate_permille: Int)
+
+  def streamingTemperatureMix(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.PortableHash
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .select(col("ts"), col("event_type"), col("event_id"))
+      .as[(java.sql.Timestamp, String, Long)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(r => Math.floorDiv(toUs(r._1), MixWindowUs) * MixWindowUs)
+      .flatMapGroupsWithState[List[(String, Long)], MixOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winUs: Long, rows: Iterator[(java.sql.Timestamp, String, Long)],
+            state: GroupState[List[(String, Long)]]) =>
+          val buf = state.getOption.getOrElse(Nil) ++
+            rows.map(r => (r._2, r._3))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (winUs + MixWindowUs <= wmUs) {
+            // window complete: rates from the FINAL counts, then the same
+            // deterministic keep as a5/st6 (PortableHash ≡ hashBucket)
+            state.remove()
+            val counts = buf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+            val nMin = counts.values.min
+            val rates = counts.map { case (et, n) =>
+              et -> math.floor(1000.0 * math.sqrt(nMin.toDouble / n)).toInt
+            }
+            buf.iterator
+              .filter { case (et, id) =>
+                PortableHash.charFold(s"$et#$id") * 2654435761L %
+                  4294967296L % 1000 < rates(et) }
+              .map { case (et, id) => MixOut(toTs(winUs), et, id, rates(et)) }
+          } else {
+            state.update(buf)
+            // fire when the watermark passes the window end, even on a
+            // no-data batch
+            state.setTimeoutTimestamp(math.max(
+              (winUs + MixWindowUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+      .toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _),
     "st2_session_window" -> (st2SessionWindow _),
     "st3_stream_join" -> (st3StreamJoin _),
     "st4_first_seen_keys" -> (st4FirstSeenKeys _),
-    "st5_stream_join_outer" -> (st5StreamJoinOuter _))
+    "st5_stream_join_outer" -> (st5StreamJoinOuter _),
+    "st6_temp_mix" -> (st6TempMix _))
 
   val sql: Map[String, String] = Map(
     "st1_window_agg" -> st1Sql,
     "st2_session_window" -> st2Sql,
     "st3_stream_join" -> st3Sql,
     "st4_first_seen_keys" -> st4Sql,
-    "st5_stream_join_outer" -> st5Sql)
+    "st5_stream_join_outer" -> st5Sql,
+    "st6_temp_mix" -> st6Sql)
 }

@@ -477,6 +477,65 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST12: streaming temperature mix emits exactly the batch st6 rows for finalized windows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st12").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingTemperatureMix(
+      spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st12_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st12_out")
+    val batch = streaming.EventStreams.st6TempMix(spark, sf)
+    // 1) per-window rate re-derivation is EXACT: everything emitted is a
+    //    batch-kept row with the identical per-window rate
+    assert(emitted.count() > 0, "watermark never finalized any window")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a row batch st6 doesn't keep (rates diverged)")
+    // 2) every batch row of a window safely finalized by the final
+    //    watermark was emitted (1s slack for the ms watermark boundary)
+    val wmEnd = events.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      .minusSeconds(2 * 3600 + 3600 + 1) // horizon + window length + slack
+    val mustEmit = batch.filter(col("window_start") <= lit(java.sql.Timestamp.from(wmEnd)))
+    assert(mustEmit.exceptAll(emitted).count() === 0,
+      "a finalized window's kept row was never emitted")
+    // 3) realized keep fraction per emitted (window, type) tracks the
+    //    n_s^alpha target the window's own counts dictate
+    val totals = events
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .groupBy(col("window_start"), col("event_type")).count()
+    val realized = emitted
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("kept"), first(col("rate_permille")).as("rate"))
+      .join(totals, Seq("window_start", "event_type"))
+      .filter(col("count") >= 20) // hash noise dominates tiny strata
+      .select((col("kept") / col("count")).as("f"), (col("rate") / 1000.0).as("target"))
+      .collect()
+    realized.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.15,
+        s"realized keep ${r.getDouble(0)} far from target ${r.getDouble(1)}")
+    }
+    ordered.unpersist()
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString

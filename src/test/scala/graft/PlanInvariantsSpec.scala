@@ -90,40 +90,34 @@ class PlanInvariantsSpec extends GraftSuite {
     }
   }
 
-  test("q49's bucketed join plans with zero exchange and zero sort") {
+  test("q49's bucketed join plans with zero exchange and zero sort in a FRESH session") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // a fresh session (default confs): bucketedTable itself must arrange
+    // the sort-elimination conf — a mis-configured cluster would otherwise
+    // silently degrade into per-query sorts
+    val s2 = spark.newSession()
     // force SMJ so the assertion is about bucketing, not broadcast luck;
     // AQE off so the static plan is inspectable (it wraps everything in
     // AdaptiveSparkPlanExec otherwise)
-    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
-      .map(k => k -> spark.conf.get(k))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // report per-bucket sort order from the scan (off by default since 3.0
-    // because it lists files at planning time; q49 writes 1 file/bucket,
-    // which is the layout that makes it valid)
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    try {
-      val df = ops.Relational.q49BucketedJoin(spark, sf)
-      val smjs = df.queryExecution.executedPlan.collect {
-        case j: SortMergeJoinExec => j
-      }
-      assert(smjs.nonEmpty, "expected a SortMergeJoin over the bucketed scans")
-      smjs.foreach { j =>
-        val bad = j.collect {
-          case e: ShuffleExchangeExec => e.getClass.getSimpleName
-          case s: SortExec => s.getClass.getSimpleName
-        }
-        assert(bad.isEmpty,
-          s"bucketed+sorted scans must feed the join directly, found: $bad\n$j")
-      }
-      assert(df.count() > 0)
-    } finally {
-      saved.foreach { case (k, v) => spark.conf.set(k, v) }
-      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val df = ops.Relational.q49BucketedJoin(s2, sf)
+    val smjs = df.queryExecution.executedPlan.collect {
+      case j: SortMergeJoinExec => j
     }
+    assert(smjs.nonEmpty, "expected a SortMergeJoin over the bucketed scans")
+    smjs.foreach { j =>
+      val bad = j.collect {
+        case e: ShuffleExchangeExec => e.getClass.getSimpleName
+        case s: SortExec => s.getClass.getSimpleName
+      }
+      assert(bad.isEmpty,
+        s"bucketed+sorted scans must feed the join directly, found: $bad\n$j")
+    }
+    assert(df.count() > 0)
   }
 
   test("generated code for the graft expressions compiles (no silent fallback)") {
