@@ -255,14 +255,19 @@ object Dedup {
   val D5Dim = 64
 
   def d5EmbeddingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // the production plane-count knob (≈ log₂(n/bucket-target)), shared
+    // with s2/s6; the static oracle pins the defaults, LshKnobSpec proves
+    // a non-default geometry keeps the subset+recall properties
+    val nT = confInt(spark, graft.similarity.Similarity.TablesConf, D5Tables)
+    val nP = confInt(spark, graft.similarity.Similarity.PlanesConf, D5Planes)
     // Norms are computed once per vector (not per pair) — both engines then
     // evaluate cos = dot / (norm_a · norm_b) with identical float steps.
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint()
-    val buckets = array((0 until D5Tables).map(t =>
-      hyperplaneBucket(col("v"), D5Planes, D5Dim, t * D5Planes)): _*)
+    val buckets = array((0 until nT).map(t =>
+      hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
     // ids only through the pair space — payloads join back after distinct
     val eb = e.select(col("vec_id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")

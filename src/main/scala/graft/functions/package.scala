@@ -31,6 +31,17 @@ package object functions {
     GraftColumnBridge.column(e)
   private def ex(c: Column) = GraftColumnBridge.expression(c)
 
+  /** Session-conf-driven scale knob with a pinned default. The DuckDB
+    * oracles are static SQL built from the DEFAULTS, so the driver's
+    * correctness gate always runs the default geometry; a deployment
+    * re-tunes via conf (e.g. `spark.graft.lsh.planes` ≈ log₂(n/bucket
+    * target) at production corpus sizes) without touching operator code.
+    */
+  def confInt(spark: org.apache.spark.sql.SparkSession, key: String,
+      dflt: Int): Int =
+    try spark.conf.get(key, dflt.toString).toInt
+    catch { case _: Exception => dflt }
+
   // ------------------------------------------------------------ Spark side
 
   /** Polynomial char-fold hash of a string column: fold(h*31 + code(c)) mod P. */

@@ -1269,7 +1269,11 @@ object Relational {
   def bucketedTable(spark: SparkSession, sfDir: String, table: String,
       key: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val name = s"graft_b_${table}_" +
+    // production sizes buckets to data/bucket-target (2^10-2^12 at 100 TB);
+    // the bucket count is part of the cache key so re-tuning mid-session
+    // can never serve a stale layout
+    val n = graft.functions.confInt(spark, "spark.graft.buckets", NBuckets)
+    val name = s"graft_b_${table}_${n}_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
@@ -1282,8 +1286,8 @@ object Relational {
       val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(warehouse)) fs.delete(warehouse, true)
       t(spark, sfDir, table)
-        .repartition(NBuckets, col(key))
-        .write.bucketBy(NBuckets, key).sortBy(key)
+        .repartition(n, col(key))
+        .write.bucketBy(n, key).sortBy(key)
         .mode("overwrite").format("parquet").saveAsTable(name)
     }
     spark.table(name)

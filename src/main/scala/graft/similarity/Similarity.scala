@@ -70,12 +70,22 @@ object Similarity {
   val PlanesPerTable = 4
   val Dim = 64
 
+  /** Conf knobs for the LSH geometry (defaults above are what the static
+    * DuckDB oracles pin; production scales planes ≈ log₂(n/bucket-target)
+    * and adds tables to hold recall — LshKnobSpec proves a non-default
+    * geometry still meets the recall/soundness floors).
+    */
+  val TablesConf = "spark.graft.lsh.tables"
+  val PlanesConf = "spark.graft.lsh.planes"
+
   def s2AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val nT = confInt(spark, TablesConf, NTables)
+    val nP = confInt(spark, PlanesConf, PlanesPerTable)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val buckets = array((0 until NTables).map(t =>
-      hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
+    val buckets = array((0 until nT).map(t =>
+      hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
     val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .localCheckpoint()
@@ -484,7 +494,13 @@ object Similarity {
   val S7Probe = 4
   val S7Shortlist = 64
 
+  /** Conf knob for the probe width (recall ↔ scan cost); oracle pins the
+    * default.
+    */
+  val ProbeConf = "spark.graft.ivf.probes"
+
   def s7AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = stubCentroids(e)
@@ -503,7 +519,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("qq", dot(col("qv"), col("qv")))
       .withColumn("qnorm", sqrt(col("qq")))
-      .withColumn("cid", explode(probeCids(col("qv"), cents, S7Probe)))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nProbe)))
     // ADC only within probed lists: an equi-join on cid — each corpus code
     // lives in exactly one list, so no (q, vec) pair can meet twice
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
@@ -598,11 +614,13 @@ object Similarity {
   val RangeTau = 0.3
 
   def s6RangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val nT = confInt(spark, TablesConf, NTables)
+    val nP = confInt(spark, PlanesConf, PlanesPerTable)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val buckets = array((0 until NTables).map(t =>
-      hyperplaneBucket(col("v"), PlanesPerTable, Dim, t * PlanesPerTable)): _*)
+    val buckets = array((0 until nT).map(t =>
+      hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
     val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       .localCheckpoint() // buckets compute once, not per self-join side

@@ -372,6 +372,84 @@ class StreamingSpec extends GraftSuite {
   }
 }
 
+/** The scale knobs (LSH geometry, IVF probes, bucket count) are
+  * conf-driven with the oracle pinned to the defaults — this suite proves
+  * the documented production story is EXECUTABLE: a non-default geometry
+  * still satisfies the operator contracts (soundness always, recall
+  * floors at a geometry chosen to hold them).
+  */
+class LshKnobSpec extends GraftSuite {
+  import similarity.Similarity
+
+  private def withKnobs[A](kv: (String, String)*)(f: => A): A = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("s2 recall holds at a non-default geometry (more tables, fewer planes)") {
+    val sfr = "/root/testdata/sf0.01"
+    val truth = Similarity.s1CosineTopK(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    // 16 tables x 3 planes: coarser buckets, more OR-amplification —
+    // strictly MORE candidates per query than 12x4, so recall can only
+    // improve on the 0.78 default-geometry measurement
+    withKnobs(Similarity.TablesConf -> "16", Similarity.PlanesConf -> "3") {
+      val ann = Similarity.s2AnnLsh(spark, sfr)
+        .select(col("q_id"), col("neighbor_id"))
+      val total = truth.count().toDouble
+      val hits = truth.intersect(ann).count().toDouble
+      assert(hits / total >= 0.7, s"non-default recall ${hits / total} < 0.7")
+    }
+  }
+
+  test("s6 soundness and d5 subset property hold at any geometry") {
+    withKnobs(Similarity.TablesConf -> "6", Similarity.PlanesConf -> "6") {
+      // s6: every returned neighbor truly clears the threshold (the exact
+      // verify runs inside buckets — blocking can only LOSE pairs)
+      val out = Similarity.s6RangeSearch(spark, sf)
+      assert(out.filter(col("cos") < Similarity.RangeTau).count() === 0)
+      // d5: blocked pairs at 6x6 are a subset of the 12x4 default's
+      // verified pair space + brute-force truth
+      val narrow = dedup.Dedup.d5EmbeddingDedup(spark, sf)
+      val e = Tables(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val brute = e.alias("a").join(e.alias("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          (dot(col("a.v"), col("b.v")) /
+            (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
+            .as("cos"))
+        .filter(col("cos") >= dedup.Dedup.CosineThreshold)
+        .select(col("i"), col("j"))
+      assert(narrow.select(col("i"), col("j")).exceptAll(brute).count() === 0,
+        "a 6x6-blocked pair is not a true pair")
+    }
+  }
+
+  test("q49 zero-exchange zero-sort plan survives a non-default bucket count") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dflt = ops.Relational.q49BucketedJoin(spark, sf).collect().toSeq
+    withKnobs("spark.graft.buckets" -> "4",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val df = ops.Relational.q49BucketedJoin(spark, sf)
+      val smjs = df.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty)
+      smjs.foreach { j =>
+        assert(j.collect {
+          case e: ShuffleExchangeExec => e
+          case s: SortExec => s
+        }.isEmpty, "4-bucket layout lost the exchange/sort elimination")
+      }
+      // bucketing is semantically invisible: same result at any count
+      assert(df.collect().toSeq === dflt)
+    }
+  }
+}
+
 class StatefulStreamingSpec extends GraftSuite {
 
   test("ST3: flatMapGroupsWithState first-seen dedup equals batch distinct") {
