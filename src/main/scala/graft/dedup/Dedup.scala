@@ -74,26 +74,33 @@ object Dedup {
     d2PairsFromSignatures(signatures(spark, sfDir))
       .orderBy(col("i"), col("j"))
 
+  /** LSH band candidate pairs (i < j, distinct) from a (doc_id, mh)
+    * signature frame. Band signature = the [[RowsPerBand]] minhash values
+    * folded into one long (prime combine). A fold collision only ever ADDS
+    * a candidate pair — d2's exact verify (or d12's estimate filter)
+    * removes it — so the 8-byte join key is safe and shuffles ~5x less
+    * than the concat-string signature.
+    */
+  private def bandCandidates(withSig: DataFrame): DataFrame = {
+    val bands = withSig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          aggregate(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            lit(0L), (acc, x) => (acc * ShingleBase + x) % P))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
   /** d2's core on a prebuilt (doc_id, sh, mh) signature frame — the input
     * must already be materialized (checkpointed); every plan branch here
     * re-reads it. Returns UNORDERED (i, j, jaccard).
     */
   private[graft] def d2PairsFromSignatures(withSig: DataFrame): DataFrame = {
     val docs = withSig.select(col("doc_id"), col("sh"))
-    // Band signature = the 4 minhash values folded into one long (prime
-    // combine). A fold collision only ever ADDS a candidate pair, and the
-    // exact-Jaccard verify removes it — so the 8-byte join key is safe and
-    // shuffles ~5x less than the concat-string signature.
-    val bands = withSig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          aggregate(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
-            lit(0L), (acc, x) => (acc * ShingleBase + x) % P))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val cand = bands.alias("x").join(bands.alias("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
+    val cand = bandCandidates(withSig)
     cand
       .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
       .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
@@ -646,10 +653,70 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d12
+  /** ESTIMATE-ONLY near-dup dedup — what 100 TB actually ships: the exact
+    * verify (intersecting full shingle sets inside candidate buckets) is
+    * d2's expensive step, and d11's calibration (σ = √(J(1−J)/n) ≈ 0.015
+    * at J ≈ 0.97, n = 128 perms) says the signature estimate alone
+    * decides correctly at any sane threshold margin. So: LSH band
+    * candidates (same banding as d2) filtered by the MinHash ESTIMATE
+    * matches/nPerms ≥ τ — the full shingle arrays never join back, never
+    * shuffle; per-doc cost after the signature pass is 128 longs, full
+    * stop. The operator's contract is the blocked+estimated semantics,
+    * and the oracle rebuilds the identical bands + estimate in SQL, so
+    * the driver checks it EXACTLY (no reliance on estimate≈exact).
+    * 100 TB: candidate generation is d2's (band, sig) equi-join; the
+    * estimate filter is a zip_with over two broadcast-free 1-KB arrays in
+    * the join row — no payload join-back stage at all (d2 needs two).
+    */
+  val EstimateTau = 0.8
+
+  def d12EstimateDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val withSig = signatures(spark, sfDir)
+    val mh = withSig.select(col("doc_id"), col("mh"))
+    bandCandidates(withSig)
+      .join(mh.select(col("doc_id").as("i"), col("mh").as("mh_i")), Seq("i"))
+      .join(mh.select(col("doc_id").as("j"), col("mh").as("mh_j")), Seq("j"))
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("mh_i"), col("mh_j"), (a, b) => a === b),
+          x => x)).cast("double") / MinHashPerms)
+      .filter(col("jaccard_est") >= EstimateTau)
+      .select(col("i"), col("j"), round(col("jaccard_est"), 6).as("jaccard_est"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d12Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    [list_min([((i * 2654435761 + 1) % $P * s + (i * 40503 + 7) % $P) % $P
+      |      for s in sh]) for i in range($MinHashPerms)] AS mh
+      |  FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |        FROM (SELECT doc_id, $ths AS ths FROM documents))),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_slice(mh, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand)),
+      |      (acc, x) -> (acc * $ShingleBase + x) % $P) AS sig
+      |  FROM m, (SELECT unnest(range($Bands)) AS b) bs),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      |SELECT i, j, round(est, 6) AS jaccard_est FROM (
+      |  SELECT c.i, c.j,
+      |    CAST(len([x for x in range($MinHashPerms)
+      |              if ma.mh[x+1] = mb.mh[x+1]]) AS DOUBLE) / $MinHashPerms AS est
+      |  FROM cand c JOIN m ma ON ma.doc_id = c.i JOIN m mb ON mb.doc_id = c.j)
+      |WHERE est >= $EstimateTau
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d9_segment_dedup" -> (d9SegmentDedup _),
     "d10_containment" -> (d10Containment _),
     "d11_minhash_estimate" -> (d11MinhashEstimate _),
+    "d12_estimate_dedup" -> (d12EstimateDedup _),
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinHashLsh _),
     "d3_simhash" -> (d3SimHash _),
@@ -663,6 +730,7 @@ object Dedup {
     "d9_segment_dedup" -> d9Sql,
     "d10_containment" -> d10Sql,
     "d11_minhash_estimate" -> d11Sql,
+    "d12_estimate_dedup" -> d12Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

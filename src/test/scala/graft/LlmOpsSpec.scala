@@ -34,6 +34,21 @@ class DedupSpec extends GraftSuite {
     assert(lsh.exceptAll(truth).count() === 0, "LSH produced a false positive")
   }
 
+  test("d12 estimate-only dedup agrees with d2's exact-verified pairs") {
+    // the d11 calibration made executable: at 128 perms the estimate
+    // decides the tau=0.8 cut almost exactly like the exact verify on this
+    // corpus (planted pairs sit at J >= 0.97, sigma ~ 0.015)
+    val sfr = "/root/testdata/sf0.01"
+    val exact = dedup.Dedup.d2MinHashLsh(spark, sfr)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val est = dedup.Dedup.d12EstimateDedup(spark, sfr)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.nonEmpty)
+    val overlap = (exact intersect est).size.toDouble /
+      (exact union est).size.toDouble
+    assert(overlap >= 0.9, s"estimate-only pair set diverged: jaccard $overlap")
+  }
+
   test("simhash block candidates have perfect recall at hamming <= 3") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), simHashBits(col("text"), dedup.Dedup.SimHashBitsN).as("bits"))
