@@ -514,33 +514,9 @@ object Similarity {
           element_at(typedlit(mat), pqCode(col("v"), m) + 1)
         }: _*).as("rec"))
       .withColumn("rr", dot(col("rec"), col("rec")))
-    // queries probe their S7Probe nearest lists
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("qq", dot(col("qv"), col("qv")))
-      .withColumn("qnorm", sqrt(col("qq")))
-      .withColumn("cid", explode(probeCids(col("qv"), cents, nProbe)))
-    // ADC only within probed lists: an equi-join on cid — each corpus code
-    // lives in exactly one list, so no (q, vec) pair can meet twice
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val shortlist = q.join(enc, Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc",
-        col("qq") - lit(2.0) * dot(col("qv"), col("rec")) + col("rr"))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= S7Shortlist)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"))
-    // refine: shortlist ids join back to the full-precision vectors
-    val full = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val wCos = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    shortlist.join(full, Seq("vec_id"))
-      .withColumn("cos",
-        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    // probed-list ADC (cid equi-join — each code lives in exactly one
+    // list, so no (q, vec) pair can meet twice) → shortlist → exact rerank
+    adcPipeline(e, enc, cents, nProbe)
   }
 
   val s7Sql: String =
@@ -586,6 +562,136 @@ object Similarity {
       |      row_number() OVER (PARTITION BY p.q_id ORDER BY
       |        p.qq - 2.0 * list_dot_product(p.qv, c.rec) + c.rr, c.vec_id) AS adc_rank
       |    FROM probes p JOIN enc c ON c.cid = p.cid AND c.vec_id <> p.q_id)
+      |  WHERE adc_rank <= $S7Shortlist),
+      |fullv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      |SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT s.q_id, s.vec_id AS neighbor_id,
+      |    round(list_dot_product(s.qv, f.v) / (s.qnorm * f.norm), 9) AS cos,
+      |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+      |      round(list_dot_product(s.qv, f.v) / (s.qnorm * f.norm), 9) DESC,
+      |      s.vec_id) AS rank
+      |  FROM shortlist s JOIN fullv f ON f.vec_id = s.vec_id)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s8
+  /** Residual-encoded IVF-PQ (FAISS IndexIVFPQ by_residual=true, the
+    * production default): the PQ codes quantize the RESIDUAL v − c_cid
+    * (the vector relative to its inverted list's centroid) instead of the
+    * raw vector. Residuals are centered near zero with a smaller spread
+    * than raw vectors, so the same codebook budget spends its centroids
+    * where the data actually is — quantization error drops at equal bits,
+    * which is why every production IVF-PQ ships this form. Exactly as
+    * promised in s7's scaladoc, ONLY the encode/decode expressions change:
+    * encode slices the residual, decode reconstructs v̂ = c_cid + rec, and
+    * the probed-list ADC / shortlist / exact-rerank pipeline is shared
+    * UNCHANGED. The reconstruction (c_cid lookup, element-wise subtract /
+    * add) is still a zero-shuffle literal expression tree — the coarse
+    * matrix is 16×64 doubles of model parameters.
+    * Oracle: the residual arithmetic is element-wise IEEE subtract/add —
+    * exact on both engines — so DuckDB rebuilds the identical index.
+    */
+  def s8IvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val cMat = cents.sortBy(_._1).map(_._2.toSeq)
+    val cvec = element_at(typedlit(cMat), col("cid") + 1)
+    val resid = zip_with(col("v"), cvec, (a, b) => a - b)
+    val rec = concat((0 until PqM).map { m =>
+      val mat = (0 until PqK).map(k => pqCentroid(m, k).toSeq)
+      element_at(typedlit(mat), pqCode(resid, m) + 1)
+    }: _*)
+    val enc = e.withColumn("cid", assignCid(col("v"), cents))
+      .withColumn("recon", zip_with(cvec, rec, (a, b) => a + b))
+      .withColumn("rr", dot(col("recon"), col("recon")))
+      .select(col("vec_id"), col("cid"), col("recon").as("rec"), col("rr"))
+    adcPipeline(e, enc, cents, nProbe)
+  }
+
+  /** The shared probed-list ADC → shortlist → exact-rerank tail of s7/s8:
+    * `enc` carries (vec_id, cid, rec, rr) where `rec` is the decoded
+    * approximation the ADC ranks against.
+    */
+  private def adcPipeline(e: DataFrame, enc: DataFrame,
+      cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .withColumn("qnorm", sqrt(col("qq")))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, nProbe)))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = q.join(enc, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("qq") - lit(2.0) * dot(col("qv"), col("rec")) + col("rr"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= S7Shortlist)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"))
+    val full = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(full, Seq("vec_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s8Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |coarse AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NLists),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, coarse.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, coarse.cv)
+      |          + list_dot_product(coarse.cv, coarse.cv), coarse.cid) AS rn
+      |    FROM e CROSS JOIN coarse) WHERE rn = 1),
+      |resid AS (
+      |  SELECT e.vec_id, a.cid,
+      |    [e.v[i+1] - c.cv[i+1] for i in range($Dim)] AS r
+      |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN coarse c ON c.cid = a.cid),
+      |book AS (
+      |  SELECT m, k,
+      |    [(CAST(((m * $PqK + k) * $PqSubDim + i) * 2654435761 % 4294967296 AS DOUBLE)
+      |      / 2147483648.0 - 1.0) * $PqScale for i in range($PqSubDim)] AS cv
+      |  FROM (SELECT unnest(range($PqM)) AS m) ms, (SELECT unnest(range($PqK)) AS k) ks),
+      |subs AS (SELECT vec_id, m, list_slice(r, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sub
+      |         FROM resid, (SELECT unnest(range($PqM)) AS m) ms),
+      |codes AS (
+      |  SELECT vec_id, m, cv FROM (
+      |    SELECT s.vec_id, s.m, c.cv,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        list_dot_product(s.sub, s.sub) - 2.0 * list_dot_product(s.sub, c.cv)
+      |          + list_dot_product(c.cv, c.cv), c.k) AS rn
+      |    FROM subs s JOIN book c ON c.m = s.m) WHERE rn = 1),
+      |enc AS (
+      |  SELECT r.vec_id, r.cid,
+      |    [c.cv[i+1] + rc.rec[i+1] for i in range($Dim)] AS recon
+      |  FROM (SELECT vec_id, flatten(list(cv ORDER BY m)) AS rec FROM codes GROUP BY vec_id) rc
+      |  JOIN resid r ON r.vec_id = rc.vec_id
+      |  JOIN coarse c ON c.cid = r.cid),
+      |enc2 AS (SELECT vec_id, cid, recon, list_dot_product(recon, recon) AS rr FROM enc),
+      |probes AS (
+      |  SELECT q_id, qv, qq, qnorm, cid FROM (
+      |    SELECT e.vec_id AS q_id, e.v AS qv,
+      |      list_dot_product(e.v, e.v) AS qq,
+      |      sqrt(list_dot_product(e.v, e.v)) AS qnorm, coarse.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, coarse.cv)
+      |          + list_dot_product(coarse.cv, coarse.cv), coarse.cid) AS rn
+      |    FROM e CROSS JOIN coarse WHERE e.vec_id < $NQueries) WHERE rn <= $S7Probe),
+      |shortlist AS (
+      |  SELECT q_id, qv, qnorm, vec_id FROM (
+      |    SELECT p.q_id, p.qv, p.qnorm, c.vec_id,
+      |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |        p.qq - 2.0 * list_dot_product(p.qv, c.recon) + c.rr, c.vec_id) AS adc_rank
+      |    FROM probes p JOIN enc2 c ON c.cid = p.cid AND c.vec_id <> p.q_id)
       |  WHERE adc_rank <= $S7Shortlist),
       |fullv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
       |SELECT q_id, rank, neighbor_id, cos FROM (
@@ -657,6 +763,7 @@ object Similarity {
     "s5_ann_pq" -> (s5AnnPq _),
     "s6_range_search" -> (s6RangeSearch _),
     "s7_ann_ivfpq" -> (s7AnnIvfPq _),
+    "s8_ivfpq_residual" -> (s8IvfPqResidual _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -666,6 +773,7 @@ object Similarity {
     "s5_ann_pq" -> s5Sql,
     "s6_range_search" -> s6Sql,
     "s7_ann_ivfpq" -> s7Sql,
+    "s8_ivfpq_residual" -> s8Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,
