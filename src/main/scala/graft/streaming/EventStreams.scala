@@ -528,13 +528,158 @@ object EventStreams {
       .toDF()
   }
 
+  // ---------------------------------------------------------------- st7
+  /** ST13's batch equivalent, oracle-checked: LAGGED temperature mixing —
+    * the O(|strata|)-state live variant of st6. st6/ST12's exact
+    * per-window rates force the operator to buffer every row until its own
+    * window closes (state O(rows in the watermark horizon)). The
+    * production alternative accepts a bounded staleness: sample the rows
+    * of window w at the rates derived from window w − [[LagWindows]] —
+    * old enough that, given the 2-hour disorder bound, the reference
+    * window's counts are FINAL before any row of w needs a decision, so
+    * rows emit without waiting for their own window to close and the
+    * durable state is just the per-stratum reference counts.
+    * The rate is per-stratum against a configured reference count
+    * ([[MixRefCount]]; production sets the knee where thinning starts):
+    * rate_s(w) = ⌊1000·min(1, √(NRef / n_s(w−Lag)))⌋ — no cross-stratum
+    * min, which is exactly what makes the state per-key decomposable. A
+    * reference window with no data keeps everything (cold start).
+    */
+  val LagWindows = 3
+  val MixRefCount = 5
+
+  def st7LaggedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.hashBucket
+    val w = Tables(spark, sfDir, "events")
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"), col("event_id"))
+    val refCounts = w.groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("window_start") + expr(s"INTERVAL $LagWindows HOURS"))
+        .as("window_start"), col("event_type"), col("n"))
+    val rate = when(col("n").isNull || col("n") <= MixRefCount, lit(1000))
+      .otherwise(floor(lit(1000) *
+        sqrt(lit(MixRefCount.toDouble) / col("n"))).cast("int"))
+    val key = hashBucket(
+      concat(col("event_type"), lit("#"), col("event_id").cast("string")), 1000)
+    w.join(broadcast(refCounts), Seq("window_start", "event_type"), "left")
+      .withColumn("rate_permille", rate)
+      .filter(key < col("rate_permille"))
+      .select(col("window_start"), col("event_type"), col("event_id"),
+        col("rate_permille"))
+      .orderBy(col("window_start"), col("event_type"), col("event_id"))
+  }
+
+  val st7Sql: String = {
+    val key = graft.functions.sqlHashBucket(
+      "event_type || '#' || CAST(event_id AS VARCHAR)", 1000)
+    s"""WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type, event_id
+      |           FROM events),
+      |counts AS (SELECT window_start + INTERVAL $LagWindows HOUR AS window_start,
+      |             event_type, count(*) AS n
+      |           FROM w GROUP BY 1, 2)
+      |SELECT window_start, event_type, event_id, rate_permille FROM (
+      |  SELECT w.window_start, w.event_type, w.event_id,
+      |    CASE WHEN c.n IS NULL OR c.n <= $MixRefCount THEN 1000
+      |         ELSE CAST(floor(1000 * sqrt(${MixRefCount}.0 / c.n)) AS INT)
+      |    END AS rate_permille
+      |  FROM w LEFT JOIN counts c
+      |    ON c.window_start = w.window_start AND c.event_type = w.event_type)
+      |WHERE KEYEXPR < rate_permille
+      |ORDER BY window_start, event_type, event_id""".stripMargin
+      .replace("KEYEXPR", key)
+  }
+
+  /** ST13: the LIVE form of st7 — per-stratum keyed state only. Keyed by
+    * event_type; state = the stratum's per-window counts (bounded: a
+    * window is evicted once no live row can reference it) plus the
+    * transient rows whose reference window has not yet closed (in steady
+    * flow rows decide in the batch after arrival — the reference is
+    * Lag·len old — so the DURABLE state is O(windows-in-horizon) longs
+    * per stratum, vs ST12's O(rows)). Decisions depend only on the
+    * reference window's FINAL count (the watermark guarantees no more
+    * updates) + the deterministic hash, so the emitted SET is
+    * byte-identical to batch st7 regardless of batching — asserted over a
+    * two-file replay.
+    */
+  case class LagMixState(counts: Map[Long, Long], pending: List[(Long, Long)])
+
+  def streamingLaggedMix(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.PortableHash
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val lagUs = LagWindows * MixWindowUs
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .select(col("ts"), col("event_type"), col("event_id"))
+      .as[(java.sql.Timestamp, String, Long)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[LagMixState, MixOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (et: String, rows: Iterator[(java.sql.Timestamp, String, Long)],
+            state: GroupState[LagMixState]) =>
+          val st = state.getOption.getOrElse(LagMixState(Map.empty, Nil))
+          var counts = st.counts
+          var pending = st.pending
+          rows.foreach { r =>
+            val winUs = Math.floorDiv(toUs(r._1), MixWindowUs) * MixWindowUs
+            counts = counts.updated(winUs, counts.getOrElse(winUs, 0L) + 1L)
+            pending ::= ((winUs, r._3))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a row of window w decides when its reference window w − Lag·len
+          // is FINAL, i.e. wm ≥ its end = w − (Lag−1)·len
+          val (ready, wait) = pending.partition(p =>
+            p._1 - (LagWindows - 1) * MixWindowUs <= wmUs)
+          val out = ready.reverseIterator.flatMap { case (w, id) =>
+            val n = counts.getOrElse(w - lagUs, 0L)
+            val rate = if (n <= MixRefCount) 1000
+              else math.floor(1000.0 * math.sqrt(MixRefCount.toDouble / n)).toInt
+            if (PortableHash.charFold(s"$et#$id") * 2654435761L %
+                4294967296L % 1000 < rate)
+              Some(MixOut(toTs(w), et, id, rate))
+            else None
+          }.toList
+          // evict counts no live or future row can reference: live windows
+          // are ≥ floorWin(wm) (earlier rows are watermark-dropped), and a
+          // window w references w − Lag·len
+          val floorWin = Math.floorDiv(wmUs, MixWindowUs) * MixWindowUs
+          counts = counts.filter { case (w, _) => w >= floorWin - lagUs }
+          if (wait.isEmpty && counts.isEmpty) state.remove()
+          else {
+            state.update(LagMixState(counts, wait))
+            val nextMs =
+              if (wait.nonEmpty)
+                (wait.map(_._1).min - (LagWindows - 1) * MixWindowUs) / 1000L
+              else wmUs / 1000L + MixWindowUs / 1000L // eviction-only tick
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _),
     "st2_session_window" -> (st2SessionWindow _),
     "st3_stream_join" -> (st3StreamJoin _),
     "st4_first_seen_keys" -> (st4FirstSeenKeys _),
     "st5_stream_join_outer" -> (st5StreamJoinOuter _),
-    "st6_temp_mix" -> (st6TempMix _))
+    "st6_temp_mix" -> (st6TempMix _),
+    "st7_lagged_mix" -> (st7LaggedMix _))
 
   val sql: Map[String, String] = Map(
     "st1_window_agg" -> st1Sql,
@@ -542,5 +687,6 @@ object EventStreams {
     "st3_stream_join" -> st3Sql,
     "st4_first_seen_keys" -> st4Sql,
     "st5_stream_join_outer" -> st5Sql,
-    "st6_temp_mix" -> st6Sql)
+    "st6_temp_mix" -> st6Sql,
+    "st7_lagged_mix" -> st7Sql)
 }

@@ -650,6 +650,49 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST13: lagged streaming mix emits exactly the batch st7 rows with per-stratum state only") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st13").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingLaggedMix(
+      spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st13_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st13_out")
+    val batch = streaming.EventStreams.st7LaggedMix(spark, sf)
+    // 1) the emitted SET is a subset of batch st7 with identical rates —
+    //    the lagged decision is deterministic regardless of batching
+    assert(emitted.count() > 0, "no row ever became decidable")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a row batch st7 doesn't keep (lagged rates diverged)")
+    // 2) rows whose reference window is safely final by the stream's final
+    //    watermark must have been emitted (decision needs wm >= w - 2h,
+    //    i.e. w <= final_max_ts - 4h with 1s slack)
+    val safe = events.agg(max(col("ts"))).head().getTimestamp(0).toInstant
+      .minusSeconds(4 * 3600 + 1)
+    val mustEmit = batch.filter(col("window_start") <= lit(java.sql.Timestamp.from(safe)))
+    assert(mustEmit.exceptAll(emitted).count() === 0,
+      "a decidable row was never emitted")
+    ordered.unpersist()
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString
