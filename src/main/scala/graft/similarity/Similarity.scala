@@ -250,13 +250,22 @@ object Similarity {
     * 100 TB: every iteration is one scan + one k×dim-row shuffle.
     */
   def trainCentroids(spark: SparkSession, sfDir: String,
-      k: Int = NLists, iters: Int = 5): (Array[Array[Double]], Seq[Double]) = {
-    val e = Tables(spark, sfDir, "embeddings")
+      k: Int = NLists, iters: Int = 5): (Array[Array[Double]], Seq[Double]) =
+    trainOn(Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint()
-    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](1).toArray)
+      .localCheckpoint(), k, iters)
+
+  /** Lloyd's on an arbitrary materialized (vec_id, v) frame — also the
+    * per-subspace trainer for PQ sub-codebooks. Init may be given
+    * explicitly (sub-codebooks init from the affine book so training can
+    * only improve its inertia); default init = first k vectors.
+    */
+  def trainOn(e: DataFrame, k: Int, iters: Int,
+      init: Option[Array[Array[Double]]] = None)
+      : (Array[Array[Double]], Seq[Double]) = {
+    var cents: Array[Array[Double]] = init.getOrElse(
+      e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Double](1).toArray))
     val inertias = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to iters) {
       val centSeq = cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
@@ -277,6 +286,66 @@ object Similarity {
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)).toArray).toArray
     }
     (cents, inertias.toList)
+  }
+
+  /** K-means-trained PQ sub-codebooks (spec-only — the oracle keeps the
+    * deterministic affine book): for each subspace m, Lloyd's over the
+    * corpus's RESIDUAL sub-vectors, initialized FROM the affine book, so
+    * the trained book's quantization error is monotonically ≤ the affine
+    * book's (Lloyd's never increases inertia and starts at the shipped
+    * codebook). Returns books[m][k] and the per-subspace inertia curves.
+    * 100 TB: M×iters passes over (vec_id, sub) — each is one narrow scan +
+    * a k×subdim shuffle; the model is M·K·subdim doubles on the driver.
+    */
+  def trainSubCodebooks(spark: SparkSession, sfDir: String, iters: Int = 4)
+      : (Array[Array[Array[Double]]], Seq[Seq[Double]]) = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val cMat = cents.sortBy(_._1).map(_._2.toSeq)
+    val cvec = element_at(typedlit(cMat), assignCid(col("v"), cents) + 1)
+    val resid = e
+      .select(col("vec_id"), zip_with(col("v"), cvec, (a, b) => a - b).as("r"))
+      .localCheckpoint()
+    val out = (0 until PqM).map { m =>
+      val sub = resid.select(col("vec_id"),
+        slice(col("r"), m * PqSubDim + 1, PqSubDim).as("v"))
+      val affine = Array.tabulate(PqK)(k => pqCentroid(m, k))
+      trainOn(sub, PqK, iters, Some(affine))
+    }
+    (out.map(_._1).toArray, out.map(_._2))
+  }
+
+  /** s8 with trained sub-codebooks (spec-only): identical pipeline, the
+    * affine `pqCentroid` matrix swapped for the trained one.
+    */
+  def s8Trained(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
+    val (books, _) = trainSubCodebooks(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val cMat = cents.sortBy(_._1).map(_._2.toSeq)
+    val cvec = element_at(typedlit(cMat), col("cid") + 1)
+    val resid = zip_with(col("v"), cvec, (a, b) => a - b)
+    def code(m: Int): Column = {
+      val sub = slice(resid, m * PqSubDim + 1, PqSubDim)
+      least((0 until PqK).map { k =>
+        val c = books(m)(k)
+        val cc = c.foldLeft(0.0)((s, x) => s + x * x)
+        struct(
+          (dot(sub, sub) - lit(2.0) * dot(sub, typedlit(c.toSeq)) + lit(cc)).as("d2"),
+          lit(k).as("k"))
+      }: _*).getField("k")
+    }
+    val rec = concat((0 until PqM).map { m =>
+      element_at(typedlit(books(m).map(_.toSeq).toSeq), code(m) + 1)
+    }: _*)
+    val enc = e.withColumn("cid", assignCid(col("v"), cents))
+      .withColumn("recon", zip_with(cvec, rec, (a, b) => a + b))
+      .withColumn("rr", dot(col("recon"), col("recon")))
+      .select(col("vec_id"), col("cid"), col("recon").as("rec"), col("rr"))
+    adcPipeline(e, enc, cents, nProbe)
   }
 
   /** s3 with k-means-trained centroids (spec-only — the oracle uses the

@@ -996,6 +996,33 @@ class IvfTrainingSpec extends GraftSuite {
     assert(out.count() === similarity.Similarity.NQueries * similarity.Similarity.TopK)
   }
 
+  test("trained PQ sub-codebooks never quantize worse than the affine book") {
+    // init = the shipped affine book, so inertia[0] IS the affine book's
+    // quantization error and Lloyd's can only improve it — per subspace
+    val (books, curves) = similarity.Similarity.trainSubCodebooks(spark, sf)
+    assert(books.length === similarity.Similarity.PqM)
+    books.foreach(b => assert(b.length === similarity.Similarity.PqK))
+    curves.zipWithIndex.foreach { case (c, m) =>
+      c.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a + 1e-6, s"subspace $m inertia increased: $c")
+      }
+      info(f"subspace $m: affine ${c.head}%.3f -> trained ${c.last}%.3f")
+      assert(c.last <= c.head + 1e-6)
+    }
+  }
+
+  test("s8 with trained sub-codebooks holds the residual recall floor") {
+    val sfr = "/root/testdata/sf0.01"
+    val truth = similarity.Similarity.s1CosineTopK(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    val ann = similarity.Similarity.s8Trained(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    val total = truth.count().toDouble
+    val hits = truth.intersect(ann).count().toDouble
+    info(s"s8-trained recall@5 = ${hits / total}")
+    assert(hits / total >= 0.8, s"recall ${hits / total} < 0.8")
+  }
+
   test("fold-argmin assignment equals the window form and plans zero shuffle") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, sf, "embeddings")
