@@ -671,8 +671,14 @@ object Dedup {
     */
   val EstimateTau = 0.8
 
-  def d12EstimateDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val withSig = signatures(spark, sfDir)
+  def d12EstimateDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d12PairsFromSignatures(signatures(spark, sfDir))
+      .orderBy(col("i"), col("j"))
+
+  /** d12's core on a prebuilt (doc_id, mh) signature frame (materialized);
+    * returns UNORDERED (i, j, jaccard_est).
+    */
+  private[graft] def d12PairsFromSignatures(withSig: DataFrame): DataFrame = {
     val mh = withSig.select(col("doc_id"), col("mh"))
     bandCandidates(withSig)
       .join(mh.select(col("doc_id").as("i"), col("mh").as("mh_i")), Seq("i"))
@@ -682,7 +688,6 @@ object Dedup {
           x => x)).cast("double") / MinHashPerms)
       .filter(col("jaccard_est") >= EstimateTau)
       .select(col("i"), col("j"), round(col("jaccard_est"), 6).as("jaccard_est"))
-      .orderBy(col("i"), col("j"))
   }
 
   val d12Sql: String = {

@@ -84,10 +84,21 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
-    // 2. near-dup pairs → drop the j side
-    val dupJ = graft.dedup.Dedup
-      .d2PairsFromSignatures(sig.select(col("doc_id"), col("sh"), col("mh")))
-      .select(col("j").as("doc_id")).distinct()
+    // 2. near-dup pairs → drop the j side. Default = d2's exact-verified
+    //    pairs; `spark.graft.curation.estimateDedup=true` swaps in d12's
+    //    estimate-only path (the 100 TB form: candidates + 128-perm
+    //    estimate, the shingle arrays never join back) — d11's calibration
+    //    quantifies the trade, CurationKnobSpec asserts the output barely
+    //    moves on this corpus.
+    val estimateMode =
+      try spark.conf.get("spark.graft.curation.estimateDedup", "false").toBoolean
+      catch { case _: Exception => false }
+    val dupPairs =
+      if (estimateMode) graft.dedup.Dedup
+        .d12PairsFromSignatures(sig.select(col("doc_id"), col("mh")))
+      else graft.dedup.Dedup
+        .d2PairsFromSignatures(sig.select(col("doc_id"), col("sh"), col("mh")))
+    val dupJ = dupPairs.select(col("j").as("doc_id")).distinct()
 
     // 5. contaminated ids (shared shingle with the benchmark subset)
     val contaminated = graft.text.TextOps
@@ -168,6 +179,109 @@ object Curation {
       .withWatermark("ingest_ts", "6 hours")
       .dropDuplicatesWithinWatermark("text_hash")
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+  }
+
+  /** ST14: the STREAMING FLAGSHIP — the full live curation shape in one
+    * query: per-row gates (stateless, shared [[rowGates]]) feeding a
+    * SINGLE `flatMapGroupsWithState` keyed by lang that composes the two
+    * stateful stages Spark cannot chain (flatMapGroupsWithState may not
+    * follow another stateful operator):
+    *  - cross-batch EXACT DEDUP: per-lang seen (text_hash → last-seen µs)
+    *    map, watermark-evicted after [[StreamDedupHorizonUs]] — identical
+    *    text always has identical lang, so per-lang keying IS global
+    *    dedup;
+    *  - LAGGED TEMPERATURE MIX (st7 semantics, Lag = [[StreamMixLag]]):
+    *    surviving rows of ingest window w sample at the rates of window
+    *    w − Lag, whose counts are final before any row of w is decidable.
+    * Durable state per lang: the horizon-bounded seen map + per-window
+    * survivor counts + transiently-pending rows. Emission content depends
+    * only on event-time-final state + the deterministic hash, so the
+    * emitted set is replay-stable; CurationOpsSpec replays an
+    * original-then-reingest two-file stream and asserts the output ≡ the
+    * batch-gated ORIGINALS lag-mixed at their own window counts.
+    */
+  val StreamDedupHorizonUs: Long = 3600L * 1000000L
+  val StreamMixLag = 2
+
+  case class CurateMixState(seen: Map[String, Long],
+      counts: Map[Long, Long], pending: List[(Long, Long)])
+  case class CurateMixOut(doc_id: Long, lang: String,
+      window_start: java.sql.Timestamp, rate_permille: Int)
+
+  def streamingCurateMixed(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.PortableHash
+    val winUsLen = graft.streaming.EventStreams.MixWindowUs
+    val lagUs = StreamMixLag * winUsLen
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(rowGates)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withWatermark("ingest_ts", "1 hour")
+      .select(col("doc_id"), col("lang"), col("ingest_ts"), col("text_hash"))
+      .as[(Long, String, java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[CurateMixState, CurateMixOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (lang: String, rows: Iterator[(Long, String, java.sql.Timestamp, String)],
+            state: GroupState[CurateMixState]) =>
+          val st = state.getOption.getOrElse(
+            CurateMixState(Map.empty, Map.empty, Nil))
+          var seen = st.seen
+          var counts = st.counts
+          var pending = st.pending
+          // arrival order within a batch is nondeterministic — process in
+          // (ingest µs, doc_id) order so first-seen is event-time-defined
+          rows.toSeq.sortBy(r => (toUs(r._3), r._1)).foreach { r =>
+            val us = toUs(r._3)
+            val dup = seen.get(r._4).exists(last => us - last < StreamDedupHorizonUs)
+            seen = seen.updated(r._4, math.max(us, seen.getOrElse(r._4, Long.MinValue)))
+            if (!dup) {
+              val w = Math.floorDiv(us, winUsLen) * winUsLen
+              counts = counts.updated(w, counts.getOrElse(w, 0L) + 1L)
+              pending ::= ((w, r._1))
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, wait) = pending.partition(p =>
+            p._1 - (StreamMixLag - 1) * winUsLen <= wmUs)
+          val out = ready.reverseIterator.flatMap { case (w, id) =>
+            val n = counts.getOrElse(w - lagUs, 0L)
+            val rate = if (n <= graft.streaming.EventStreams.MixRefCount) 1000
+              else math.floor(1000.0 *
+                math.sqrt(graft.streaming.EventStreams.MixRefCount.toDouble / n)).toInt
+            if (PortableHash.charFold(s"$lang#$id") * 2654435761L %
+                4294967296L % 1000 < rate)
+              Some(CurateMixOut(id, lang, toTs(w), rate))
+            else None
+          }.toList
+          val floorWin = Math.floorDiv(wmUs, winUsLen) * winUsLen
+          counts = counts.filter { case (w, _) => w >= floorWin - lagUs }
+          seen = seen.filter { case (_, us) => us + StreamDedupHorizonUs > wmUs }
+          if (wait.isEmpty && counts.isEmpty && seen.isEmpty) state.remove()
+          else {
+            state.update(CurateMixState(seen, counts, wait))
+            val nextMs =
+              if (wait.nonEmpty)
+                (wait.map(_._1).min - (StreamMixLag - 1) * winUsLen) / 1000L
+              else wmUs / 1000L + winUsLen / 1000L
+            state.setTimeoutTimestamp(
+              math.max(nextMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
   }
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {

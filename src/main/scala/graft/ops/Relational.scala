@@ -1271,9 +1271,12 @@ object Relational {
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // production sizes buckets to data/bucket-target (2^10-2^12 at 100 TB);
     // the bucket count is part of the cache key so re-tuning mid-session
-    // can never serve a stale layout
+    // can never serve a stale layout. The pid tag keeps two CONCURRENT
+    // JVMs sharing one warehouse dir from racing each other's
+    // delete/saveAsTable on the same managed location (the in-memory
+    // catalog is per-session anyway, so the cache loses nothing).
     val n = graft.functions.confInt(spark, "spark.graft.buckets", NBuckets)
-    val name = s"graft_b_${table}_${n}_" +
+    val name = s"graft_b_${table}_${n}_p${ProcessHandle.current().pid()}_" +
       sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.security.MessageDigest.getInstance("MD5")
         .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString

