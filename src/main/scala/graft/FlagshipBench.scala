@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: time the flagship curation pipeline, and A/B it against the
+  * round-3-style wiring (each sub-operator re-scanning `documents` and
+  * re-deriving its own shingle/minhash signatures) to quantify the shared
+  * signature pass. Usage: runMain graft.FlagshipBench [sfDir]
+  */
+object FlagshipBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // warm up
+
+    def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      n
+    }
+
+    // round-3-style wiring: every gate rebuilt from its standalone
+    // operator, each with its own documents scan + signature derivation
+    def oldStyle: org.apache.spark.sql.DataFrame = {
+      val docs = Tables(spark, sfDir, "documents")
+      val keep = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val dupJ = dedup.Dedup.d2MinHashLsh(spark, sfDir)
+        .select(col("j").as("doc_id")).distinct()
+      val contaminated = text.TextOps.t9Contamination(spark, sfDir)
+        .filter(col("contaminated") === 1 && col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"))
+      val boilerplate = dedup.Dedup.d9SegmentDedup(spark, sfDir)
+        .filter(col("n_seg_kept") * 2 <= col("n_seg_total"))
+        .select(col("doc_id"))
+      val contained = dedup.Dedup.d10Containment(spark, sfDir)
+        .filter(col("j") < col("i"))
+        .select(col("i").as("doc_id")).distinct()
+      docs
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(dupJ, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(boilerplate, Seq("doc_id"), "left_anti")
+        .join(contained, Seq("doc_id"), "left_anti")
+        .transform(ops.Curation.rowGates)
+        .select(col("doc_id"))
+    }
+
+    val slow = timed("r3-style (per-operator signatures)")(oldStyle)
+    val fast = timed("shared signature pass (curateUnmixed)")(
+      ops.Curation.curateUnmixed(spark, sfDir).select(col("doc_id")))
+    timed("full flagship (curate, incl. cap+mix+annotation)")(
+      ops.Curation.curate(spark, sfDir))
+    // same pre-cap survivor set modulo the domain cap: old wiring has no
+    // cap, so only sanity-compare the row counts' ordering
+    require(fast <= slow, s"shared-pass set can only shrink: $fast vs $slow")
+    spark.stop()
+  }
+}
