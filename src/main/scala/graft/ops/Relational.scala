@@ -1632,8 +1632,121 @@ object Relational {
       |  UNION ALL SELECT n, 'o_prio_opt', nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** TPC-H Q12 shape (priority-split conditional aggregation): per
+    * line-status, how many lines belong to critical-priority orders vs
+    * the rest, within a ship-date year — the two-bucket CASE-sum pattern
+    * every SLA/ops report uses.
+    * 100 TB: the date filter prunes at the lineitem scan; the join
+    * carries only (orderkey, priority); both CASE sums partial-aggregate
+    * map-side into a |statuses|-row result.
+    */
+  def q59PriorityLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1).otherwise(0))
+          .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1).otherwise(0))
+          .cast("long").as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q59Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** TPC-H Q14 shape (promo revenue share): the ratio of two conditional
+    * sums over the same joined rows — 100·Σ(promo disc_price)/Σ(disc_price)
+    * in a ship month. One pass, no second scan for the denominator.
+    * 100 TB: lineitem's month filter prunes at the scan; part is the
+    * broadcast dim; both sums fold in ONE partial aggregate (the
+    * two-query formulation would scan twice). DECIMAL sums; the final
+    * ratio is one double division rounded on both engines.
+    */
+  def q60PromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-06-01") &&
+        col("l_shipdate") < lit("1997-07-01"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = t(spark, sfDir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(discPrice).cast("double"), 6).as("promo_share"))
+  }
+
+  val q60Sql: String =
+    s"""SELECT round(100.0 *
+      |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPriceSql
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(sum($discPriceSql) AS DOUBLE), 6) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** TPC-H Q10 shape (returned-item revenue): customers ranked by the
+    * revenue they returned in a quarter — the churn-triage report. A
+    * 3-way join (fact + two dims), grouped on the customer attributes,
+    * top 20 by revenue.
+    * 100 TB: the return-flag + date filters prune lineitem at the scan;
+    * customer joins shuffle-hash on custkey; nation broadcasts; the top-20
+    * is TakeOrdered, not a global sort.
+    */
+  def q61ReturnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .select(col("l_orderkey"), discPrice.as("dp"))
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val n = t(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("dp")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q61Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(round(sum($discPriceSql), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_priority_lines" -> (q59PriorityLines _),
+    "q60_promo_share" -> (q60PromoShare _),
+    "q61_returned_revenue" -> (q61ReturnedRevenue _),
     "q50_cdc_compact" -> (q50CdcCompact _),
     "q51_sole_blame" -> (q51SoleBlame _),
     "q53_profile" -> (q53Profile _),
@@ -1751,5 +1864,8 @@ object Relational {
     "q56_supplier_cnt" -> q56Sql,
     "q57_disjunctive_predicate" -> q57Sql,
     "q58_large_volume_orders" -> q58Sql,
+    "q59_priority_lines" -> q59Sql,
+    "q60_promo_share" -> q60Sql,
+    "q61_returned_revenue" -> q61Sql,
     "q52_value_share" -> q52Sql)
 }
