@@ -14,6 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the oracle SQL is PINNED to the default knob geometry (LSH tables/
+    // planes, IVF probe count, bucket count, estimate-mode off): running
+    // the compare with a non-default knob would report a bogus mismatch
+    // instead of flagging the unsupported configuration — fail fast here
+    val knobs = Seq("spark.graft.lsh.tables", "spark.graft.lsh.planes",
+      "spark.graft.ivf.probes", "spark.graft.buckets",
+      "spark.graft.rangeJoin.width", "spark.graft.curation.estimateDedup")
+    val set = knobs.flatMap(k => spark.conf.getOption(k).map(v => s"$k=$v"))
+    require(set.isEmpty, "oracle SQL is pinned to the default knobs; unset " +
+      set.mkString(", ") + " before running the correctness dump")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, LongType, NumericType, StringType, TimestampType}
+import org.apache.spark.sql.catalyst.expressions.Literal.{FalseLiteral, TrueLiteral}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DoubleType, LongType, NumericType, StringType, StructType, TimestampType}
 
 /** Optimizer rule: rewrite a big-big interval (range) theta-join into the
   * bucketed equi-join q47 composes by hand — the user writes the natural
@@ -42,10 +43,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, Lo
   * default 4,194,304): an interval spanning more than maxSpan buckets
   * means W is mis-sized for the data — the explode would emit millions of
   * rows per interval (and Spark's sequence() hard-errors near 2^31
-  * elements). Rather than crash with an opaque array-size error mid-stage,
-  * the generator raises a named error telling the operator to raise W or
-  * disable the rule. This is a loud-failure guard, not a semantics change:
-  * no row that the theta-join would match is ever silently dropped.
+  * elements). The span test is computed in DOUBLES (a Long subtraction of
+  * two extreme bucket ids can overflow and wrap negative, silently
+  * defeating the guard); above 2^53 the double is approximate but any
+  * such span exceeds the cap by orders of magnitude anyway. What happens
+  * to a too-wide interval depends on the join shape:
+  *
+  *  - EQUI+RANGE with `spark.graft.rangeJoin.wideFallback` (default ON):
+  *    the wide interval routes through a SENTINEL bucket instead of
+  *    exploding. Both sides emit (bucket, isWide) pairs — the probe
+  *    duplicates each row as (bucket(v), false) and (0, true); a narrow
+  *    interval emits (b, false) per covered bucket; a wide one emits the
+  *    single (0, true) row. Narrow pairs meet exactly once on the real
+  *    bucket; wide pairs meet exactly once on the sentinel — i.e. wide
+  *    intervals degrade per-row to exactly the per-equi-key hash join +
+  *    range post-filter the PRE-rewrite plan ran, while narrow intervals
+  *    keep the bucket pruning. Exact, never errors; the price is a 2×
+  *    probe-side generate (disable the fallback to reclaim it and get the
+  *    loud error instead).
+  *  - PURE RANGE (no equi conjunct): a sentinel stream would be the full
+  *    cartesian product, i.e. the nested loop this rule exists to remove —
+  *    so the generator raises a NAMED error telling the operator to raise
+  *    W, raise the cap, or unset the width conf (under which the query
+  *    still runs, as a nested loop). Loud failure, not a semantics change:
+  *    no row the theta-join would match is ever silently dropped.
   *
   * Cost: shuffle O(|probe| + |intervals| · spans) instead of O(|probe| ×
   * |intervals|) compute; W tunes spans-per-interval against rows-per-bucket
@@ -59,18 +80,24 @@ case class BucketedRangeJoinRule(session: SparkSession)
 
   val WidthConf = "spark.graft.rangeJoin.width"
   val MaxSpanConf = "spark.graft.rangeJoin.maxSpan"
+  val WideFallbackConf = "spark.graft.rangeJoin.wideFallback"
 
   private def width: Long =
     try session.conf.get(WidthConf, "0").toLong catch { case _: Exception => 0L }
   private def maxSpan: Long =
     try session.conf.get(MaxSpanConf, (1L << 22).toString).toLong
     catch { case _: Exception => 1L << 22 }
+  private def wideFallback: Boolean =
+    try session.conf.get(WideFallbackConf, "true").toBoolean
+    catch { case _: Exception => true }
 
   /** Synthetic names; their presence in a join condition marks an
     * already-rewritten join (the fixpoint guard).
     */
   val ProbeBucketName = "__graft_probe_bucket"
   val IntervalBucketName = "__graft_bucket"
+  val ProbeWideName = "__graft_probe_wide"
+  val IntervalWideName = "__graft_wide"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = width
@@ -129,6 +156,18 @@ case class BucketedRangeJoinRule(session: SparkSession)
     Floor(Divide(Cast(numeric, DoubleType), Literal(w.toDouble)))
   }
 
+  /** span > cap, computed in doubles: Subtract(bHi, bLo) on LongType can
+    * overflow for extreme bucket ids (huge probe values / tiny W) and wrap
+    * NEGATIVE — tooWide would read false and the plan would fall through to
+    * sequence()'s opaque boundary error, exactly the failure this guard
+    * replaces. Doubles cannot overflow here (|bucket| ≤ 2^63 ≪ 1e308), and
+    * any span whose double is approximate (> 2^53) exceeds the cap by
+    * orders of magnitude, so the comparison is still decided correctly.
+    */
+  private def spanTooWide(bLo: Expression, bHi: Expression, cap: Long): Expression =
+    GreaterThan(Subtract(Cast(bHi, DoubleType), Cast(bLo, DoubleType)),
+      Literal(cap.toDouble))
+
   /** The interval-side generator: one bucket id per covered bucket.
     *
     * - inverted (bLo > bHi) or null-bounded intervals → null array →
@@ -136,7 +175,8 @@ case class BucketedRangeJoinRule(session: SparkSession)
     * - spans wider than maxSpan → named error (see class doc) instead of
     *   sequence()'s opaque boundary/array-size crash.
     */
-  private def bucketSeq(bLo: Expression, bHi: Expression): Expression = {
+  private def bucketSeq(bLo: Expression, bHi: Expression,
+      hasEqui: Boolean): Expression = {
     val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
     // Sequence is TimeZoneAwareExpression: resolved requires timeZoneId,
     // which the analyzer would fill — an optimizer rule must set it itself
@@ -146,17 +186,59 @@ case class BucketedRangeJoinRule(session: SparkSession)
     val cap = maxSpan
     if (cap <= 0) guarded
     else {
-      val tooWide = GreaterThan(Subtract(bHi, bLo), Literal(cap))
+      val tooWide = spanTooWide(bLo, bHi, cap)
+      val hint =
+        if (hasEqui) s"set $WideFallbackConf=true to route wide intervals " +
+          "through the equi-key hash path, or "
+        else ""
       val err = new RaiseError(
         Literal("USER_RAISED_EXCEPTION"),
         CreateMap(Seq(Literal("errorMessage"), Literal(
           s"graft range join: an interval spans more than $cap buckets; " +
-            s"raise $WidthConf, raise $MaxSpanConf, or set $WidthConf=0 " +
-            "to fall back to the nested-loop plan"))),
+            s"raise $WidthConf, raise $MaxSpanConf, ${hint}or set " +
+            s"$WidthConf=0 to run without the rule (the pre-rewrite plan)"))),
         ArrayType(LongType))
       If(And(IsNotNull(tooWide), tooWide), err, guarded)
     }
   }
+
+  // ----- sentinel-pair machinery (equi+range wide-interval fallback) -----
+
+  private val PairType = new StructType()
+    .add("b", LongType, nullable = true).add("w", BooleanType, nullable = false)
+
+  private def pairOf(bucket: Expression, wide: Expression): Expression =
+    CreateNamedStruct(Seq(Literal("b"), bucket, Literal("w"), wide))
+
+  /** Interval-side generator under the fallback: a narrow interval emits
+    * (b, false) per covered bucket; a too-wide one emits the single
+    * sentinel (0, true); inverted/null-bounded emit nothing.
+    */
+  private def bucketPairSeq(bLo: Expression, bHi: Expression): Expression = {
+    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+    val seq = Sequence(bLo, bHi, Some(Literal(1L)), tz)
+    val lv = NamedLambdaVariable("b", LongType, nullable = false)
+    val narrow = ArrayTransform(seq, LambdaFunction(pairOf(lv, FalseLiteral), Seq(lv)))
+    val nullArr = Literal.create(null, ArrayType(PairType))
+    val guarded = If(LessThanOrEqual(bLo, bHi), narrow, nullArr)
+    val cap = maxSpan
+    if (cap <= 0) guarded
+    else {
+      val sentinel = CreateArray(Seq(pairOf(Literal(0L), TrueLiteral)))
+      val tooWide = spanTooWide(bLo, bHi, cap)
+      If(And(IsNotNull(tooWide), tooWide), sentinel, guarded)
+    }
+  }
+
+  /** Probe-side generator under the fallback: every probe row duplicates
+    * into its real pair (bucket(v), false) — meeting narrow intervals —
+    * and the sentinel (0, true) — meeting wide ones. A null bucket(v)
+    * matches no narrow bucket and the original predicate drops the
+    * sentinel copy, preserving null semantics.
+    */
+  private def probePairs(v: Expression, w: Long): Expression =
+    CreateArray(Seq(pairOf(bucketOf(v, w), FalseLiteral),
+      pairOf(Literal(0L), TrueLiteral)))
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {
@@ -185,23 +267,59 @@ case class BucketedRangeJoinRule(session: SparkSession)
     val triple = probeLeft.orElse(
       findTriple(right.outputSet, left.outputSet).map((_, false)))
 
+    // an equi conjunct (either side order) means the pre-rewrite plan was
+    // already a hash join — the wide-interval fallback is available and a
+    // maxSpan error would be a regression the fallback avoids
+    def sidedEq(a: Expression, b: Expression): Boolean =
+      (a.references.nonEmpty && a.references.subsetOf(left.outputSet) &&
+        b.references.nonEmpty && b.references.subsetOf(right.outputSet)) ||
+        (a.references.nonEmpty && a.references.subsetOf(right.outputSet) &&
+          b.references.nonEmpty && b.references.subsetOf(left.outputSet))
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => sidedEq(a, b)
+      case EqualNullSafe(a, b) => sidedEq(a, b)
+      case _ => false
+    }
+
     triple.map { case ((v, lo, hi), vFromLeft) =>
-      val probeBucket = Alias(bucketOf(v, w), ProbeBucketName)()
-      val seqExpr = bucketSeq(bucketOf(lo, w), bucketOf(hi, w))
-      val bucketAttr = AttributeReference(IntervalBucketName, LongType)()
-      def bucketize(probe: LogicalPlan, intervals: LogicalPlan)
-          : (LogicalPlan, LogicalPlan) =
-        (Project(probe.output :+ probeBucket, probe),
-          Generate(Explode(seqExpr), Nil, outer = false, None,
-            Seq(bucketAttr), intervals))
-      val (newLeft, newRight) =
-        if (vFromLeft) {
-          val (p, i) = bucketize(left, right); (p, i)
-        } else {
-          val (p, i) = bucketize(right, left); (i, p)
-        }
-      val newCond = And(EqualTo(probeBucket.toAttribute, bucketAttr), cond)
-      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      if (hasEqui && wideFallback && maxSpan > 0) {
+        // sentinel-pair form: both sides generate (bucket, isWide) rows
+        val pb = AttributeReference(ProbeBucketName, LongType)()
+        val pw = AttributeReference(ProbeWideName, BooleanType, nullable = false)()
+        val ib = AttributeReference(IntervalBucketName, LongType)()
+        val iw = AttributeReference(IntervalWideName, BooleanType, nullable = false)()
+        def bucketize(probe: LogicalPlan, intervals: LogicalPlan)
+            : (LogicalPlan, LogicalPlan) =
+          (Generate(Inline(probePairs(v, w)), Nil, outer = false, None,
+            Seq(pb, pw), probe),
+            Generate(Inline(bucketPairSeq(bucketOf(lo, w), bucketOf(hi, w))),
+              Nil, outer = false, None, Seq(ib, iw), intervals))
+        val (newLeft, newRight) =
+          if (vFromLeft) {
+            val (p, i) = bucketize(left, right); (p, i)
+          } else {
+            val (p, i) = bucketize(right, left); (i, p)
+          }
+        val newCond = And(And(EqualTo(pb, ib), EqualTo(pw, iw)), cond)
+        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      } else {
+        val probeBucket = Alias(bucketOf(v, w), ProbeBucketName)()
+        val seqExpr = bucketSeq(bucketOf(lo, w), bucketOf(hi, w), hasEqui)
+        val bucketAttr = AttributeReference(IntervalBucketName, LongType)()
+        def bucketize(probe: LogicalPlan, intervals: LogicalPlan)
+            : (LogicalPlan, LogicalPlan) =
+          (Project(probe.output :+ probeBucket, probe),
+            Generate(Explode(seqExpr), Nil, outer = false, None,
+              Seq(bucketAttr), intervals))
+        val (newLeft, newRight) =
+          if (vFromLeft) {
+            val (p, i) = bucketize(left, right); (p, i)
+          } else {
+            val (p, i) = bucketize(right, left); (i, p)
+          }
+        val newCond = And(EqualTo(probeBucket.toAttribute, bucketAttr), cond)
+        Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+      }
     }
   }
 }

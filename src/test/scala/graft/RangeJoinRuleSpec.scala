@@ -168,9 +168,81 @@ class RangeJoinRuleSpec extends GraftSuite {
       assert(opt.contains("__graft_bucket"),
         s"equi+range join must be rewritten:\n$opt")
       // fixpoint: optimizedPlan materialized = the batch ran to fixpoint
-      // without blowing the iteration limit; exactly one Generate appears
-      assert("Generate".r.findAllIn(opt).size === 1, s"rule fired twice:\n$opt")
+      // without blowing the iteration limit; exactly the two sentinel-form
+      // Generates appear (probe pair-copy + interval buckets), not four
+      assert("Generate".r.findAllIn(opt).size === 2, s"rule fired twice:\n$opt")
       assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("equi+range: too-wide intervals route through the sentinel fallback, exactly") {
+    // narrow, wide, inverted, and null-bounded intervals mixed on a skewed
+    // key — the wide ones must degrade to the per-key hash path (the
+    // pre-rewrite behavior) instead of raising the maxSpan error
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val probe = Seq.tabulate(300)(i =>
+      (i % 4L, rnd.nextDouble() * 1000)).toDF("k", "v")
+    val iv = (Seq.fill(40) {
+      val lo = rnd.nextDouble() * 900
+      (rnd.nextInt(4).toLong, java.lang.Double.valueOf(lo),
+        java.lang.Double.valueOf(lo + rnd.nextDouble() * 100))
+    } ++ Seq(
+      (0L, java.lang.Double.valueOf(-1e6), java.lang.Double.valueOf(1e6)),   // wide: 2e5 buckets >> cap
+      (1L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(999999.0)), // wide
+      (2L, java.lang.Double.valueOf(800.0), java.lang.Double.valueOf(-800.0)), // inverted
+      (3L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(3.0))))
+      .toDF("ik", "lo", "hi")
+    def equiRange = probe.join(iv,
+      col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
+    val expected = equiRange.collect().toSet
+    assert(expected.nonEmpty)
+    withRule(10) {
+      spark.conf.set(rule.MaxSpanConf, "1000") // the ±1e6 intervals are wide
+      try {
+        val df = equiRange
+        val opt = df.queryExecution.optimizedPlan.toString
+        assert(opt.contains("__graft_probe_wide"),
+          s"sentinel fallback must be in the plan:\n$opt")
+        assert(df.collect().toSet === expected)
+      } finally spark.conf.unset(rule.MaxSpanConf)
+    }
+  }
+
+  test("equi+range with wideFallback off raises the named error, mentioning the conf") {
+    import spark.implicits._
+    val p = Seq((1L, 5.0)).toDF("k", "v")
+    val iv = Seq((1L, 0.0, 1e12)).toDF("ik", "lo", "hi")
+    def theta = p.join(iv,
+      col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
+    withRule(1) {
+      spark.conf.set(rule.WideFallbackConf, "false")
+      try {
+        val ex = intercept[Exception](theta.collect())
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(m => m.contains("graft range join") &&
+          m.contains(rule.WideFallbackConf)),
+          s"expected the named error naming the fallback conf, got: $ex")
+      } finally spark.conf.unset(rule.WideFallbackConf)
+    }
+  }
+
+  test("a span that overflows Long subtraction still trips the guard, not sequence()") {
+    // bucket(lo) ≈ −9.2e18 and bucket(hi) ≈ 9.2e18: bHi − bLo wraps
+    // negative in Long arithmetic, which would read as "narrow" and fall
+    // into sequence()'s opaque boundary error — the double-space span test
+    // must still classify it as wide and raise the NAMED error
+    import spark.implicits._
+    val p = Seq((1L, 5.0)).toDF("pid", "v")
+    val iv = Seq((10L, -9.0e18, 9.0e18)).toDF("iid", "lo", "hi")
+    def theta = p.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+    withRule(1) {
+      val ex = intercept[Exception](theta.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("graft range join")),
+        s"expected the named wide-interval error, got: $ex")
     }
   }
 
