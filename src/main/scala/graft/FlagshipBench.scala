@@ -56,13 +56,24 @@ object FlagshipBench {
     }
 
     val slow = timed("r3-style (per-operator signatures)")(oldStyle)
-    val fast = timed("shared signature pass (curateUnmixed)")(
+    val fast = timed("shared signature pass (pre-cap survivors)")(
+      ops.Curation.uncappedSurvivorIds(spark, sfDir))
+    timed("shared signature pass (curateUnmixed, incl. cap)")(
       ops.Curation.curateUnmixed(spark, sfDir).select(col("doc_id")))
     timed("full flagship (curate, incl. cap+mix+annotation)")(
       ops.Curation.curate(spark, sfDir))
-    // same pre-cap survivor set modulo the domain cap: old wiring has no
-    // cap, so only sanity-compare the row counts' ordering
-    require(fast <= slow, s"shared-pass set can only shrink: $fast vs $slow")
+    // the A/B is only honest if both wirings compute the SAME set: both
+    // stop at stage 7 + row gates (no cap), so the survivor doc_id sets
+    // must be identical — a shared-pass regression that drops or adds a
+    // row fails here, not just a count ordering
+    val shared = ops.Curation.uncappedSurvivorIds(spark, sfDir)
+    val old = oldStyle
+    val onlyShared = shared.join(old, Seq("doc_id"), "left_anti").count()
+    val onlyOld = old.join(shared, Seq("doc_id"), "left_anti").count()
+    require(onlyShared == 0 && onlyOld == 0,
+      s"shared-pass survivors diverge from per-operator wiring: " +
+        s"$onlyShared only-shared, $onlyOld only-old (of $fast vs $slow)")
+    println(s"survivor sets identical: $fast rows both wirings")
     spark.stop()
   }
 }

@@ -75,7 +75,7 @@ object Curation {
       .localCheckpoint()
   }
 
-  private def gatedSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+  private def gatedUncapped(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = signaturePass(spark, sfDir)
 
     // 1. exact dedup
@@ -125,14 +125,25 @@ object Curation {
       .select(col("i").as("doc_id")).distinct()
 
     // 3+4+5+6+7 on the survivors (same scorer as t2)
-    val gated = sig
+    sig
       .join(keep, Seq("doc_id"), "left_semi")
       .join(dupJ, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
       .join(contained, Seq("doc_id"), "left_anti")
       .transform(rowGates)
+  }
 
+  /** Stages 1–7 + row gates, PRE-CAP: exposed (package-private) so
+    * FlagshipBench can identity-compare this survivor id set against the
+    * round-3-style per-operator wiring — the capped output can't serve
+    * that A/B because the cap keeps a per-source prefix.
+    */
+  private[graft] def uncappedSurvivorIds(spark: SparkSession,
+      sfDir: String): DataFrame =
+    gatedUncapped(spark, sfDir).select(col("doc_id"))
+
+  private def gatedSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     // 8. per-domain cap, preferring the higher-quality survivors (a6
     //    semantics; WindowGroupLimit keeps the shuffle at O(sources·cap)) —
     //    the shingle/minhash columns are done, only the annotation inputs
@@ -140,7 +151,7 @@ object Curation {
     val bySource = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("quality").desc, col("doc_id"))
-    gated
+    gatedUncapped(spark, sfDir)
       .withColumn("__rk", row_number().over(bySource))
       .filter(col("__rk") <= Sampling.DomainCap)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -282,6 +293,101 @@ object Curation {
           out.iterator
       }
       .toDF()
+  }
+
+  /** st8: the BATCH TWIN of ST14 (the streaming flagship), oracle-checked —
+    * promotes the lagged-mix curation output into the driver-checkable
+    * surface. Ingest time is synthesized deterministically (doc_id ·
+    * [[St8StepUs]] µs, window = 1 h), and every stage mirrors ST14's
+    * state machine in window/lag arithmetic over plain BIGINT µs:
+    *
+    *  1. row gates — the SAME [[rowGates]] transform;
+    *  2. horizon dedup — a duplicate text re-admits only ≥
+    *     [[StreamDedupHorizonUs]] after the PREVIOUS ARRIVAL (ST14's seen
+    *     map tracks the newest arrival whether or not it was admitted, so
+    *     admission is exactly "gap from previous arrival ≥ horizon" — a
+    *     lag() window per text hash, no state machine needed in batch);
+    *  3. lagged temperature mix — window w samples at the rates of
+    *     w − [[StreamMixLag]] per lang ([[graft.streaming.EventStreams.MixRefCount]]
+    *     knee, missing reference window ⇒ keep-all), the same
+    *     deterministic hash keep.
+    *
+    * CurationOpsSpec replays the same synthetic ingest through
+    * [[streamingCurateMixed]] and asserts the stream output ≡ this frame —
+    * so the driver's DuckDB compare transitively checks the STREAMING
+    * flagship too.
+    * 100 TB: dedup shuffles on the 32-char hash; the window counts are a
+    * |langs|·|windows| partial agg joined back broadcast; everything else
+    * is map-side.
+    */
+  val St8StepUs: Long = 300L * 1000000L
+
+  /** One full window past epoch 0: a synthetic ingest_ts of exactly 0
+    * equals the stream's INITIAL watermark and gets dropped as late by the
+    * stateful operator — the batch twin would then keep one row the stream
+    * can never emit.
+    */
+  val St8BaseUs: Long = 3600L * 1000000L
+
+  def st8CuratedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val winUs = graft.streaming.EventStreams.MixWindowUs
+    val nRef = graft.streaming.EventStreams.MixRefCount
+    val lagUs = StreamMixLag * winUs
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_hash")).orderBy(col("us"))
+    val admitted = Tables(spark, sfDir, "documents")
+      .transform(rowGates)
+      .select(col("doc_id"), col("lang"),
+        (lit(St8BaseUs) + col("doc_id") * St8StepUs).as("us"),
+        md5(col("text").cast("binary")).as("text_hash"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byHash))
+      .filter(col("prev_us").isNull ||
+        col("us") - col("prev_us") >= StreamDedupHorizonUs)
+      .withColumn("w", floor(col("us") / winUs) * winUs)
+    val counts = admitted.groupBy(col("lang").as("cl"), col("w").as("cw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cl"), (col("cw") + lagUs).as("cw"), col("n"))
+    val rate = when(col("n").isNull || col("n") <= nRef, lit(1000))
+      .otherwise(floor(lit(1000) * sqrt(lit(nRef.toDouble) / col("n"))).cast("int"))
+    admitted
+      .join(broadcast(counts), col("lang") === col("cl") && col("w") === col("cw"), "left")
+      .withColumn("rate_permille", rate)
+      .filter(hashBucket(concat(col("lang"), lit("#"),
+        col("doc_id").cast("string")), 1000) < col("rate_permille"))
+      .select(col("doc_id"), col("lang"),
+        (col("w") / 1000000L).cast("long").as("window_s"),
+        col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val st8Sql: String = {
+    val winUs = graft.streaming.EventStreams.MixWindowUs
+    val nRef = graft.streaming.EventStreams.MixRefCount
+    val lagUs = StreamMixLag * winUs
+    val key = graft.functions.sqlHashBucket(
+      "lang || '#' || CAST(doc_id AS VARCHAR)", 1000)
+    s"""WITH gd AS (${graft.text.TextOps.sqlGatedDocs}),
+      |g AS (
+      |  SELECT doc_id, lang, $St8BaseUs + doc_id * $St8StepUs AS us,
+      |    md5(text) AS text_hash
+      |  FROM gd),
+      |a AS (
+      |  SELECT doc_id, lang, us,
+      |    CAST(floor(CAST(us AS DOUBLE) / $winUs) AS BIGINT) * $winUs AS w
+      |  FROM (SELECT *, lag(us) OVER (PARTITION BY text_hash ORDER BY us) AS prev_us
+      |        FROM g)
+      |  WHERE prev_us IS NULL OR us - prev_us >= $StreamDedupHorizonUs),
+      |counts AS (
+      |  SELECT lang AS cl, w + $lagUs AS cw, count(*) AS n
+      |  FROM a GROUP BY 1, 2)
+      |SELECT doc_id, lang, window_s, rate_permille FROM (
+      |  SELECT a.doc_id, a.lang, CAST(a.w / 1000000 AS BIGINT) AS window_s,
+      |    CASE WHEN c.n IS NULL OR c.n <= $nRef THEN 1000
+      |         ELSE CAST(floor(1000 * sqrt($nRef.0 / c.n)) AS INT)
+      |    END AS rate_permille
+      |  FROM a LEFT JOIN counts c ON c.cl = a.lang AND c.cw = a.w)
+      |WHERE KEYEXPR < rate_permille
+      |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 
   def curate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -92,6 +92,33 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Curation.rowGates]]: the gated `documents`
+    * rows (quality ≥ 0.3 AND duplicate-3-gram fraction < 0.5) as a
+    * complete SELECT, for oracles that need the flagship's row gates as a
+    * building block (st8). quality is t2's rounded composite; rep3 is
+    * t6's UNROUNDED ratio — both formulas char-for-char the ones the t2/t6
+    * oracles already prove portable.
+    */
+  val sqlGatedDocs: String = {
+    val ths = graft.functions.sqlTokenHashes("text")
+    s"""SELECT doc_id, lang, source, text FROM (
+      |  SELECT doc_id, lang, source, text,
+      |    round((stop_n / n_tok) * 0.5 + least(sum_len / n_tok / 8.0, 1.0) * 0.5, 6) AS quality,
+      |    CASE WHEN len(ths) >= 3 THEN 1.0 -
+      |      CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS rep3
+      |  FROM (
+      |    SELECT doc_id, lang, source, text, ths,
+      |      [((ths[k+1] * $ShingleBase + ths[k+2]) % $P * $ShingleBase + ths[k+3]) % $P
+      |       for k in range(len(ths) - 2)] AS g3,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopSql)) AS DOUBLE) AS stop_n,
+      |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+      |        (a, x) -> a + x) AS DOUBLE) AS sum_len
+      |    FROM (SELECT doc_id, lang, source, text, $ths AS ths FROM documents)))
+      |WHERE quality >= 0.3 AND rep3 < 0.5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t3
   /** Marker-word language-ID heuristic: count per-language marker tokens,
     * argmax with a fixed precedence tiebreak, compared against the labeled

@@ -762,6 +762,55 @@ class StatefulStreamingSpec extends GraftSuite {
       "a decidable curated row was never emitted")
   }
 
+  test("st8 (oracle surface) is the batch twin of ST14 over the synthetic ingest") {
+    // st8_curated_mix is DRIVER-oracle-checked against DuckDB; this replay
+    // proves the STREAMING flagship emits exactly st8's rows on the same
+    // synthetic ingest (doc_id · St8StepUs µs) — so the DuckDB compare
+    // transitively pins the streaming operator's semantics too.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-st8").toString
+    val docs = Tables(spark, sf, "documents")
+      .withColumn("ingest_ts", timestamp_micros(
+        lit(ops.Curation.St8BaseUs) + col("doc_id") * lit(ops.Curation.St8StepUs)))
+    val ordered = docs.orderBy(col("doc_id")).cache()
+    val half = (ordered.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = ops.Curation.streamingCurateMixed(spark, s"$dir/in", docs.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st8_twin_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // hour-aligned window_start → epoch seconds is exact
+    val emitted = spark.table("st8_twin_out")
+      .select(col("doc_id"), col("lang"),
+        col("window_start").cast("long").as("window_s"), col("rate_permille"))
+    val batch = ops.Curation.st8CuratedMix(spark, sf)
+    assert(emitted.count() > 0, "no row ever became decidable")
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a row st8 doesn't keep")
+    // completeness: a window is decidable once the final watermark passes
+    // w - (Lag-1)·len; wm trails max ingest by the 1h delay — 1s slack
+    val maxUs = ops.Curation.St8BaseUs +
+      ordered.agg(max(col("doc_id"))).head().getLong(0) * ops.Curation.St8StepUs
+    val safeS = maxUs / 1000000L - 2 * 3600 - 1
+    val mustEmit = batch.filter(col("window_s") <= safeS)
+    assert(mustEmit.exceptAll(emitted).count() === 0,
+      "a decidable st8 row was never emitted")
+    ordered.unpersist()
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString
