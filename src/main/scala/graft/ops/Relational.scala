@@ -1252,6 +1252,31 @@ object Relational {
     */
   val NBuckets = 8
 
+  /** SESSION-GLOBAL, planning-only conf required for the zero-SORT half of
+    * the bucketed-join plan: with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` a bucketed
+    * scan reports its per-bucket sort order (valid here because
+    * [[bucketedTable]] writes each bucket as exactly one file). Exchange
+    * elimination needs no conf; only sort elimination does. Centralized
+    * here — NOT buried in the table builder — so the mutation is explicit:
+    * it affects every bucketed scan in the session (all of them graft's,
+    * all single-file-per-bucket, so the order it reports is always
+    * truthful), it logs when it actually flips the value, and it
+    * tolerates the legacy conf disappearing in a future Spark release
+    * (PlanInvariantsSpec's fresh-session zero-sort assertion is the
+    * tripwire that would catch a silent removal).
+    */
+  def ensureBucketSortOrdering(spark: SparkSession): Unit = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    try if (!spark.conf.get(key, "false").toBoolean) {
+      spark.conf.set(key, "true")
+      System.err.println(s"[graft] set session conf $key=true " +
+        "(bucketed scans report per-bucket sort order; planning-only)")
+    } catch { case _: Exception => System.err.println(
+      s"[graft] could not set $key — bucketed joins will keep a " +
+        "per-query sort (results unaffected)") }
+  }
+
   /** Write-once (per session+SF) bucketed copy of a table, keyed by `key`.
     *
     * The cache name embeds the sanitized source path PLUS an md5 of the
@@ -1268,7 +1293,7 @@ object Relational {
     */
   def bucketedTable(spark: SparkSession, sfDir: String, table: String,
       key: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    ensureBucketSortOrdering(spark)
     // production sizes buckets to data/bucket-target (2^10-2^12 at 100 TB);
     // the bucket count is part of the cache key so re-tuning mid-session
     // can never serve a stale layout. The pid tag keeps two CONCURRENT
@@ -1742,11 +1767,254 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-dominated
+    * aggregate — three cheap predicates, one DECIMAL sum, no join at all.
+    * The point at 100 TB is the SCAN: all three filters and the 2-column
+    * projection push into the parquet reader (PushedFilters on shipdate/
+    * discount/quantity min-max prune whole row groups), and the sum is a
+    * single map-side partial per file split — one row ever shuffles.
+    */
+  def q62ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 4)
+        .cast("double").as("revenue"))
+
+  val q62Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * double-dimension CASE — nation joined TWICE (supplier's and
+    * customer's side), the pair filter keeping both directions, revenue
+    * by (supp_nation, cust_nation, year).
+    * 100 TB: both nation copies broadcast (25 rows); the fact-side joins
+    * shuffle on orderkey/custkey; the disjunctive nation-pair filter
+    * applies before the group-by so only qualifying rows aggregate.
+    */
+  def q63VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), discPrice.as("dp"))
+    val s = t(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n1 = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("dp")), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q63Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      |  CAST(round(sum(dp), 2) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate) AS l_year, $discPriceSql AS dp
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** TPC-H Q8 shape (national market share): the deepest join tree in the
+    * suite — fact + 5 dims + region — ending in a ratio of conditional
+    * DECIMAL sums per order-year (share of AMERICA's PROMO-part revenue
+    * supplied by NATION_2).
+    * 100 TB: part/supplier/nation/region all broadcast; orders and
+    * customer shuffle on their keys; numerator and denominator fold in
+    * ONE partial aggregate (a two-query formulation would join twice).
+    */
+  def q64MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), discPrice.as("dp"))
+    val p = t(spark, sfDir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val s = t(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n2 = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val o = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val c = t(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n1 = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+    val r = t(spark, sfDir, "region").filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2", col("dp"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(col("dp")).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q64Sql: String =
+    s"""SELECT o_year, round(
+      |    CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN dp
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(sum(dp) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+      |    $discPriceSql AS dp
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+      |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** TPC-H Q9 shape (product-type profit by nation and year). The
+    * reference schema has no partsupp table, so the supply cost is the
+    * deterministic stand-in 10% · p_retailprice · l_quantity — the SHAPE
+    * is Q9's: profit = disc_price − cost over a 5-way join, grouped by
+    * supplier nation × order year, part filter as a LIKE on p_name.
+    * 100 TB: part (LIKE-filtered), supplier and nation broadcast; only
+    * orders shuffles against lineitem; all DECIMAL arithmetic, one
+    * partial aggregate.
+    */
+  def q65ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = t(spark, sfDir, "part").filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s = t(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = t(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val amount = discPrice -
+      lit(0.1).cast("decimal(18,2)") * dec(col("p_retailprice")) * dec(col("l_quantity"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q65Sql: String =
+    s"""SELECT n_name, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name, year(o_orderdate) AS o_year,
+      |    $discPriceSql - CAST(0.1 AS DECIMAL(18,2)) *
+      |      CAST(p_retailprice AS DECIMAL(18,2)) *
+      |      CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE p_name LIKE '%gear%')
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** TPC-H Q20 shape (part promotion): suppliers who shipped a
+    * significant share of a part's 1996 volume — the correlated-aggregate
+    * threshold pattern (Q20's availqty > ½·Σqty, re-expressed against
+    * lineitem since the schema has no partsupp): keep (supplier, part)
+    * pairs whose year total exceeds 30% of the part's total across all
+    * suppliers, restrict to 'blue%' parts and ASIA suppliers, list the
+    * suppliers.
+    * 100 TB: both aggregates partial map-side; the share join is
+    * (partkey)-keyed between two already-aggregated (small) sides; part/
+    * nation broadcast; DECIMAL quantities keep the threshold exact.
+    */
+  def q66PartPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pq = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val tot = pq.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("q")).as("tq"))
+    val p = t(spark, sfDir, "part").filter(col("p_name").like("blue%"))
+      .select(col("p_partkey"))
+    val s = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = t(spark, sfDir, "nation").filter(col("n_regionkey") === 2)
+      .select(col("n_nationkey"))
+    pq.join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("q") > lit(0.3).cast("decimal(18,2)") * col("tq"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")).distinct()
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q66Sql: String =
+    """WITH pq AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  GROUP BY l_partkey, l_suppkey),
+      |tot AS (SELECT l_partkey AS t_partkey, sum(q) AS tq FROM pq GROUP BY 1)
+      |SELECT DISTINCT s_suppkey, s_name
+      |FROM pq
+      |JOIN tot ON l_partkey = t_partkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE q > CAST(0.3 AS DECIMAL(18,2)) * tq
+      |  AND p_name LIKE 'blue%' AND n_regionkey = 2
+      |ORDER BY s_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_priority_lines" -> (q59PriorityLines _),
     "q60_promo_share" -> (q60PromoShare _),
     "q61_returned_revenue" -> (q61ReturnedRevenue _),
+    "q62_forecast_revenue" -> (q62ForecastRevenue _),
+    "q63_volume_shipping" -> (q63VolumeShipping _),
+    "q64_market_share" -> (q64MarketShare _),
+    "q65_product_profit" -> (q65ProductProfit _),
+    "q66_part_promotion" -> (q66PartPromotion _),
     "q50_cdc_compact" -> (q50CdcCompact _),
     "q51_sole_blame" -> (q51SoleBlame _),
     "q53_profile" -> (q53Profile _),
@@ -1867,5 +2135,10 @@ object Relational {
     "q59_priority_lines" -> q59Sql,
     "q60_promo_share" -> q60Sql,
     "q61_returned_revenue" -> q61Sql,
+    "q62_forecast_revenue" -> q62Sql,
+    "q63_volume_shipping" -> q63Sql,
+    "q64_market_share" -> q64Sql,
+    "q65_product_profit" -> q65Sql,
+    "q66_part_promotion" -> q66Sql,
     "q52_value_share" -> q52Sql)
 }
