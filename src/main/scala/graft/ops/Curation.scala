@@ -43,13 +43,20 @@ object Curation {
     * definition cannot drift between them. Adds the `quality` column.
     */
   def rowGates(df: DataFrame): DataFrame = {
-    val th = tokenHashes(col("text"))
-    val gram3 = transform(sequence(lit(0), size(th) - 3), k =>
-      ((element_at(th, k + 1) * ShingleBase + element_at(th, k + 2)) % P
-        * ShingleBase + element_at(th, k + 3)) % P)
-    val rep3 = when(size(th) >= 3,
-      lit(1.0) - size(array_distinct(gram3)).cast("double")
-        / size(gram3).cast("double")).otherwise(0.0)
+    // rep3 = 1 − |distinct 3-grams| / (nTok − 2): algebraically identical
+    // to t6's explicit gram3 build (the 3-gram array has nTok − 2 elements
+    // and ShingleHashesExpr IS its distinct set), but single-pass. The
+    // explicit form was O(len²) per doc once predicate pushdown inlined it
+    // into the filter — element_at(tokenHashes(text), k) inside the
+    // transform() lambda re-tokenized per 3-gram (pushdown substitutes
+    // project aliases into the condition unconditionally, and
+    // subexpression elimination cannot reach into lambda bodies) —
+    // measured 10.5 s → sub-second on st8 at sf0.1. Here every copy the
+    // optimizer makes is one O(len) native pass.
+    val nTok = size(tokens(col("text")))
+    val rep3 = when(nTok >= 3,
+      lit(1.0) - size(shingleHashes(col("text"))).cast("double")
+        / (nTok - 2).cast("double")).otherwise(0.0)
     df.withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= 0.3)
       .filter(rep3 < 0.5)

@@ -704,6 +704,14 @@ object Similarity {
     val nProbe = confInt(spark, ProbeConf, S7Probe)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    residualPipeline(e, nProbe)
+  }
+
+  /** s8's whole index-build + search over an arbitrary (vec_id, v) frame —
+    * shared verbatim by s10, whose only change is that `v` arrives
+    * pre-rotated.
+    */
+  private def residualPipeline(e: DataFrame, nProbe: Int): DataFrame = {
     val cents = stubCentroids(e)
     val cMat = cents.sortBy(_._1).map(_._2.toSeq)
     val cvec = element_at(typedlit(cMat), col("cid") + 1)
