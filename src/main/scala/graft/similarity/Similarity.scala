@@ -824,6 +824,59 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** OPQ-style pre-rotation (FAISS "OPQ"/"PCAR" slot): apply a fixed
+    * orthogonal transform to every vector BEFORE the s8 residual-PQ index
+    * build, so that each PQ subspace sees a mix of the original
+    * coordinates instead of a contiguous 16-dim block. OPQ learns a dense
+    * rotation minimizing quantization error; the deterministic,
+    * oracle-replayable member of the same family is a SIGNED COORDINATE
+    * PERMUTATION — exactly orthogonal (one ±1 per row/column), so inner
+    * products and therefore cosines are preserved and the exact rerank is
+    * untouched; only the subspace decomposition changes. perm(j) =
+    * (37·j) mod 64 (37 ⊥ 64 ⇒ a bijection with full-stride interleave:
+    * each subspace draws its 16 coordinates uniformly from the whole
+    * original index range) and the sign comes from the same scrambled-hash
+    * bit machinery as the LSH planes. Everything downstream — coarse
+    * assign, residual, codebook argmin, probed ADC, rerank — is s8's
+    * [[residualPipeline]] verbatim on the rotated frame.
+    * 100 TB: the rotation is a 64-element projection of element_at's —
+    * map-side, codegen'd, zero shuffle, exactly the cost class of the PQ
+    * encode it precedes.
+    */
+  private val RotPerm: Array[Int] = Array.tabulate(Dim)(j => (37 * j) % Dim)
+
+  private def rotSign(p: Int): Double =
+    if ((((p.toLong * 2654435761L) % 4294967296L) >> 8) % 2 == 0) 1.0 else -1.0
+
+  /** y[j] = sign(perm(j)) · v[perm(j)] — the signed-permutation rotation. */
+  def rotate(v: Column): Column =
+    array((0 until Dim).map { j =>
+      val p = RotPerm(j)
+      element_at(v, p + 1) * lit(rotSign(p))
+    }: _*)
+
+  def s10RotatedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        rotate(col("embedding").cast("array<double>")).as("v"))
+    residualPipeline(e, nProbe)
+  }
+
+  /** Oracle: s8's SQL verbatim, with the base CTE swapped for the rotated
+    * vectors — the same substitution the Scala side makes.
+    */
+  val s10Sql: String = s8Sql.replace(
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (
+      |  SELECT vec_id,
+      |    [(CASE WHEN (((((37 * j) % $Dim) * 2654435761) % 4294967296) >> 8) % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) * v[((37 * j) % $Dim) + 1]
+      |     for j in range($Dim)] AS v
+      |  FROM e0),""".stripMargin)
+
   // ---------------------------------------------------------------- s6
   /** Range (radius) search: ALL corpus vectors with cosine ≥ [[RangeTau]]
     * of each query — the retrieval primitive when the answer set is "every
@@ -885,6 +938,7 @@ object Similarity {
     "s7_ann_ivfpq" -> (s7AnnIvfPq _),
     "s8_ivfpq_residual" -> (s8IvfPqResidual _),
     "s9_ivf_stats" -> (s9IvfStats _),
+    "s10_rotated_pq" -> (s10RotatedPq _),
     "s1_cosine_topk" -> (s1CosineTopK _),
     "s2_ann_lsh" -> (s2AnnLsh _),
     "s3_ann_ivf" -> (s3AnnIvf _),
@@ -896,6 +950,7 @@ object Similarity {
     "s7_ann_ivfpq" -> s7Sql,
     "s8_ivfpq_residual" -> s8Sql,
     "s9_ivf_stats" -> s9Sql,
+    "s10_rotated_pq" -> s10Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_ann_lsh" -> s2Sql,
     "s3_ann_ivf" -> s3Sql,

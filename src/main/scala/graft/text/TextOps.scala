@@ -558,7 +558,77 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** BM25 keyword retrieval — the lexical index half of a retrieval
+    * pipeline (hybrid search pairs it with s1/s7's dense half): score
+    * every document against a query term set by the Okapi BM25 weight
+    *   idf(t)·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * and return the top 20. Term statistics (df per term, corpus N and
+    * avgdl) are computed in-plan — no driver-side pass.
+    * 100 TB: the exploded token stream filters to the query terms AT THE
+    * SCAN (a production system materializes the inverted index once; the
+    * per-query plan here IS the posting-list scan: |docs containing t|
+    * rows, not |corpus tokens|); df and the 1-row (N, avgdl) broadcast;
+    * the per-doc sum shuffles only matching (doc, term) pairs — O(Σ df).
+    * Parity: ln noise ~1e-16 absorbed by round(4) (t5's precedent);
+    * constants written as identical literals both sides; dl sums are
+    * integer-valued doubles (exact in any fold order).
+    */
+  val Bm25Terms = Seq("dup", "hash", "window")
+
+  def t13Bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(Bm25Terms.map(x => x: Any): _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dft), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 4).as("bm25"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val t13Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token IN $terms GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+      |  CAST(count(*) AS INT) AS n_terms
+      |FROM (
+      |  SELECT tf.doc_id, tf.tf, l.dl, s.n_docs, s.avgdl,
+      |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+      |  FROM tf JOIN dft d USING (token)
+      |  JOIN dl l ON l.doc_id = tf.doc_id
+      |  CROSS JOIN stats s)
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bm25_search" -> (t13Bm25Search _),
     "t12_boilerplate" -> (t12Boilerplate _),
     "t10_chunking" -> (t10Chunking _),
     "t11_seq_packing" -> (t11SeqPacking _),
@@ -573,6 +643,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t13_bm25_search" -> t13Sql,
     "t12_boilerplate" -> t12Sql,
     "t10_chunking" -> t10Sql,
     "t11_seq_packing" -> t11Sql,

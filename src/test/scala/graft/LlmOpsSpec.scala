@@ -124,6 +124,32 @@ class SimilaritySpec extends GraftSuite {
     assert(perQuery.filter(col("count") =!= similarity.Similarity.TopK).count() === 0)
   }
 
+  test("s10 signed-permutation rotation is an exact isometry and holds the recall floor") {
+    val sfr = "/root/testdata/sf0.01"
+    // isometry: <Rx, Ry> == <x, y> for every query×corpus-sample pair —
+    // the rotation only reorders/negates the terms of the dot-product sum,
+    // so cosines (and therefore the exact rerank) are preserved up to
+    // summation-order rounding
+    val e = Tables(spark, sfr, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val r = e.select(col("vec_id"), similarity.Similarity.rotate(col("v")).as("v"))
+    val raw = e.select(col("vec_id"), dot(col("v"), col("v")).as("d"))
+    val rot = r.select(col("vec_id"), dot(col("v"), col("v")).as("d"))
+    val drift = raw.join(rot.withColumnRenamed("d", "dr"), "vec_id")
+      .select(max(abs(col("d") - col("dr"))).as("m")).head().getDouble(0)
+    assert(drift < 1e-9, s"rotation changed a norm by $drift")
+    // recall: same floor class as s8 — the rotation redistributes
+    // coordinates across subspaces but cannot lose information
+    val truth = similarity.Similarity.s1CosineTopK(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    val ann = similarity.Similarity.s10RotatedPq(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    val total = truth.count().toDouble
+    val hits = truth.intersect(ann).count().toDouble
+    info(s"s10 recall@5 = ${hits / total}")
+    assert(hits / total >= 0.7, s"recall ${hits / total} < 0.7")
+  }
+
   test("s8 residual encoding beats raw-vector s7 recall at identical bits") {
     // measured 0.92 vs s7's 0.74 at sf0.01 — same probes, same shortlist,
     // same codebook budget; the entire gain is residual quantization error
@@ -1034,6 +1060,33 @@ class CurationSpec extends GraftSuite {
 /** Approximate/sampling operators that can't be oracle-checked exactly. */
 class ApproxOpsSpec extends GraftSuite {
   import org.apache.spark.sql.functions._
+
+  test("A6: HLL sketches merge losslessly — group-then-union equals the global sketch") {
+    // the mergeable-sketch contract that makes distinct-counting scale:
+    // per-partition/per-group sketches union by register max, so a 100 TB
+    // count-distinct is |groups| 1-KB sketches, not a shuffle of raw keys.
+    // DataSketches HLL register state is order-independent, so the merged
+    // estimate must EQUAL the directly-built global estimate, and both
+    // must sit within the lgK=12 error envelope of the exact count.
+    val o = Tables(spark, sf, "orders")
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val global = o
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .head().getLong(0)
+    val merged = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    assert(merged === global,
+      s"union-of-group-sketches $merged != global sketch $global")
+    assert(math.abs(global - exact).toDouble / exact < 0.05,
+      s"estimate $global vs exact $exact drifts > 5%")
+    // and the estimate is partitioning-invariant (register max commutes)
+    val repart = o.repartition(7, col("o_orderkey"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .head().getLong(0)
+    assert(repart === global, s"repartitioned estimate $repart != $global")
+  }
 
   test("percentile_approx tracks exact percentile within 2%") {
     val o = Tables(spark, sf, "orders")
