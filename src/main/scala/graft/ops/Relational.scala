@@ -1792,12 +1792,15 @@ object Relational {
       |  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------- q63
-  /** TPC-H Q7 shape (volume shipping between two nations): the
+  /** TPC-H Q7 shape (volume shipping between two trade partners): the
     * double-dimension CASE — nation joined TWICE (supplier's and
-    * customer's side), the pair filter keeping both directions, revenue
-    * by (supp_nation, cust_nation, year).
+    * customer's side), the disjunctive pair filter keeping both
+    * directions, revenue by (supp_nation, cust_nation, year). Q7 fixes
+    * two NATIONS; with ~10 suppliers at sf0.001 a single nation pair is
+    * empty, so the pair here is a REGION pair (ASIA-supplied ↔
+    * AMERICA-consumed) — identical shape, non-degenerate at every SF.
     * 100 TB: both nation copies broadcast (25 rows); the fact-side joins
-    * shuffle on orderkey/custkey; the disjunctive nation-pair filter
+    * shuffle on orderkey/custkey; the disjunctive region-pair filter
     * applies before the group-by so only qualifying rows aggregate.
     */
   def q63VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1810,16 +1813,18 @@ object Relational {
     val o = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val c = t(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val n1 = t(spark, sfDir, "nation")
-      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"),
+        col("n_regionkey").as("supp_region"))
     val n2 = t(spark, sfDir, "nation")
-      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"),
+        col("n_regionkey").as("cust_region"))
     li.join(s, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_region") === 2 && col("cust_region") === 1) ||
+        (col("supp_region") === 1 && col("cust_region") === 2))
       .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(round(sum(col("dp")), 2).cast("double").as("revenue"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -1838,8 +1843,8 @@ object Relational {
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
       |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
-      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+      |    AND ((n1.n_regionkey = 2 AND n2.n_regionkey = 1)
+      |      OR (n1.n_regionkey = 1 AND n2.n_regionkey = 2)))
       |GROUP BY supp_nation, cust_nation, l_year
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
@@ -2005,6 +2010,92 @@ object Relational {
       |  AND p_name LIKE 'blue%' AND n_regionkey = 2
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Rank-family window zoo: percent_rank / cume_dist / ntile / nth_value
+    * over one per-priority ordering — the distribution-position
+    * annotations every feature pipeline stamps on a fact table.
+    * The ordering appends the key (o_totalprice, o_orderkey) so every
+    * row has a unique rank: rank-based functions are then deterministic
+    * and nth_value's running RANGE frame has singleton peer groups on
+    * both engines.
+    * 100 TB: one shuffle on the partition key, one sort, all four
+    * functions evaluate in the same window pass.
+    */
+  def q67WindowZoo(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_lowest"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q67Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  ntile(4) OVER w AS quartile,
+      |  nth_value(o_totalprice, 2) OVER w AS second_lowest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** MERGE-style upsert (the batch CDC-apply every lakehouse runs): a
+    * deterministic changelog — price updates for every 7th key, brand-new
+    * rows keyed past the existing range — full-outer-joins the base table
+    * and COALESCE picks the changed value; a change_type column tags
+    * update/insert/unchanged rows (the MERGE WHEN MATCHED / NOT MATCHED
+    * branches).
+    * 100 TB: one shuffle join on the merge key. A production MERGE
+    * broadcasts the (always comparatively small) changelog and prunes
+    * untouched files (copy-on-write) — the join shape here is that plan's
+    * shuffle fallback when the changelog is genuinely large.
+    */
+  def q68UpsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("c_key"),
+        (dec(col("o_totalprice")) * lit(1.1).cast("decimal(18,2)")).as("c_price"),
+        lit("U").as("c_status"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 3)
+      .select((col("o_orderkey") + 10000000L).as("c_key"),
+        dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
+    val changes = updates.unionAll(inserts)
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("key"),
+        coalesce(col("c_price"), dec(col("o_totalprice"))).cast("double").as("totalprice"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("c_key").isNull, "unchanged").otherwise("update")
+          .as("change_type"))
+      .orderBy(col("key"))
+  }
+
+  val q68Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS c_key,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS c_price,
+      |    'U' AS c_status
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS c_key,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS c_price, 'N' AS c_status
+      |  FROM base WHERE o_orderkey % 1000 = 3)
+      |SELECT coalesce(o_orderkey, c_key) AS key,
+      |  CAST(coalesce(c_price, CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice,
+      |  coalesce(c_status, o_orderstatus) AS status,
+      |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+      |       WHEN c_key IS NULL THEN 'unchanged' ELSE 'update' END AS change_type
+      |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_priority_lines" -> (q59PriorityLines _),
@@ -2015,6 +2106,10 @@ object Relational {
     "q64_market_share" -> (q64MarketShare _),
     "q65_product_profit" -> (q65ProductProfit _),
     "q66_part_promotion" -> (q66PartPromotion _),
+    "q67_window_zoo" -> (q67WindowZoo _),
+    "q68_upsert_merge" -> (q68UpsertMerge _),
+    "q69_asof_forward" ->
+      ((s: SparkSession, d: String) => AsOfJoin.viewsToNextPurchase(s, d)),
     "q50_cdc_compact" -> (q50CdcCompact _),
     "q51_sole_blame" -> (q51SoleBlame _),
     "q53_profile" -> (q53Profile _),
@@ -2140,5 +2235,8 @@ object Relational {
     "q64_market_share" -> q64Sql,
     "q65_product_profit" -> q65Sql,
     "q66_part_promotion" -> q66Sql,
+    "q67_window_zoo" -> q67Sql,
+    "q68_upsert_merge" -> q68Sql,
+    "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q52_value_share" -> q52Sql)
 }

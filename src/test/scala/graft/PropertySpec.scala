@@ -74,6 +74,42 @@ class PropertySpec extends GraftSuite {
       assert(gotNative === expect, s"iteration $i (native operator)")
     }
   }
+
+  test("forward as-of with tolerance equals the naive next-match join on generated data") {
+    import spark.implicits._
+    val pairGen = for {
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L); t <- Gen.choose(0L, 1000L)
+      } yield (k, t))
+    } yield rows
+    val tol = 100L
+    for (i <- 0 until 5) {
+      val left = samples(pairGen, 10)(i * 2)
+      val right = samples(pairGen, 10)(i * 2 + 1)
+      val l = left.zipWithIndex.map { case ((k, t), idx) => (idx.toLong, k, t) }
+        .toDF("lid", "k", "t0")
+        .select(col("lid"), col("k"), timestamp_micros(col("t0")).as("t"))
+      val rRows = right.distinct.zipWithIndex
+        .map { case ((k, t), idx) => (idx.toLong, k, t) }
+        .groupBy(x => (x._2, x._3)).map(_._2.maxBy(_._1)).toSeq
+      val r = rRows.toDF("rid", "rk", "rt0")
+        .select(col("rid"), col("rk"), timestamp_micros(col("rt0")).as("rt"))
+      val got = ops.AsOfJoin.asof(l, r, "k", "rk", "t", "rt", Seq("rid"),
+        direction = "forward", toleranceUs = Some(tol))
+        .select(col("lid"), col("rid")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val expect = left.zipWithIndex.flatMap { case ((k, t), idx) =>
+        val cands = rRows.filter(x => x._2 == k && x._3 >= t)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.minBy(_._3) // rt unique per key after the dedupe
+          if (best._3 - t <= tol) Some(idx.toLong -> best._1) else None
+        }
+      }.toMap
+      assert(got === expect, s"iteration $i (forward+tolerance)")
+    }
+  }
 }
 
 /** Additional generated-input parity checks for the native expressions. */
