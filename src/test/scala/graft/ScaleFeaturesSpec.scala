@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Engine-level scale features the 100 TB story rests on, demonstrated
+  * against this library's own tables rather than asserted in prose:
+  * AQE runtime re-planning (shuffle join → broadcast once the true size is
+  * known), runtime bloom-filter semi-join pushdown (the selective join's
+  * filter reaches the fact scan), and partition pruning (a partitioned
+  * layout turns a time filter into "don't even list those directories").
+  */
+class ScaleFeaturesSpec extends GraftSuite {
+
+  private def withConf[A](pairs: (String, String)*)(f: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE re-plans the shuffle join to broadcast once the filtered side's true size is known") {
+    // static broadcast off entirely — the optimizer must plan a shuffle
+    // join; the adaptive threshold is generous, so after the map stage
+    // measures the filtered orders side (a few rows), AQE converts the
+    // running query to a broadcast join. This is the 100 TB safety net for
+    // every filter whose selectivity the planner cannot know.
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10485760") {
+      val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val static = j.queryExecution.executedPlan
+      assert(static.isInstanceOf[AdaptiveSparkPlanExec])
+      assert(!static.toString.contains("BroadcastHashJoin"),
+        s"static plan must start as a shuffle join:\n$static")
+      // collect() executes THIS dataset's QueryExecution, materializing the
+      // adaptive final plan (count() would build a fresh one)
+      assert(j.collect().nonEmpty)
+      val fin = j.queryExecution.executedPlan.toString // isFinalPlan after execution
+      assert(fin.contains("BroadcastHashJoin"),
+        s"AQE did not convert the join to broadcast:\n$fin")
+    }
+  }
+
+  test("runtime bloom filter injects the selective join's filter into the fact scan side") {
+    // the q48/q51 class of join at 100 TB: a selective dim filter should
+    // not force the full fact shuffle — Spark's InjectRuntimeFilter plants
+    // a bloom_filter_agg on the filtered side and a might_contain
+    // pre-filter on the fact side, cutting the shuffle to near the match
+    // set. Thresholds lowered because the test tables are toy-sized.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter:\n$opt")
+      // semantics unchanged by the injected filter
+      val expected = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expected)
+    }
+  }
+
+  test("a partitioned layout prunes the scan to the filtered partition directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+    Tables(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val all = spark.read.parquet(dir)
+    val nDays = all.select(col("day")).distinct().count()
+    assert(nDays > 3, "need several partitions for the pruning to mean anything")
+    val oneDay = all.select(col("day")).distinct().orderBy(col("day")).head().getDate(0)
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst { case s: FileSourceScanExec => s }.get
+        case s: FileSourceScanExec => s
+      }.getOrElse(fail("no file scan in plan"))
+    val pruned = all.filter(col("day") === lit(oneDay))
+    // collect() executes THIS dataset's QueryExecution — count() would
+    // build a fresh one and leave these scan metrics at zero
+    assert(pruned.collect().nonEmpty)
+    // the scan's partition filters carry the day predicate, and the file
+    // count it reports is the one directory, not the whole layout
+    val scan = scanOf(pruned)
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      s"day filter must prune partitions: ${scan.metadata("PartitionFilters")}")
+    val prunedFiles = scan.metrics("numFiles").value
+    val allScan = {
+      val df = all.filter(col("event_id") >= 0)
+      df.collect()
+      scanOf(df)
+    }
+    assert(prunedFiles < allScan.metrics("numFiles").value,
+      s"pruned scan reads $prunedFiles files, full scan " +
+        s"${allScan.metrics("numFiles").value} — pruning had no effect")
+  }
+}
