@@ -717,7 +717,45 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d13
+  /** INCREMENTAL ingest dedup — the production shape exact dedup actually
+    * runs in: a new BATCH arrives against an EXISTING corpus (here: every
+    * 5th doc_id is "the batch", the rest "the corpus"). A batch doc
+    * survives iff its content hash is (a) absent from the corpus and
+    * (b) first within the batch (min doc_id per hash) — d1 recomputes the
+    * whole corpus every run; d13 touches only the batch plus one
+    * membership probe.
+    * 100 TB: the anti-join shuffles 32-char hashes keyed by hash; the
+    * corpus side dominates, which is exactly the join Spark's runtime
+    * bloom filter (ScaleFeaturesSpec) prunes — the batch's hash set is
+    * tiny, so the bloom built from it skips almost every corpus row at
+    * the scan. A standing deployment bucket-sorts the corpus hash table
+    * (q49's layout) so every nightly batch anti-joins exchange-free.
+    */
+  def d13IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select(col("h").as("ch"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    batch
+      .join(corpus.distinct(), col("h") === col("ch"), "left_anti")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .select(col("doc_id"), col("h").as("text_hash"), col("n_batch_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d13Sql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0)
+      |SELECT min(doc_id) AS doc_id, h AS text_hash, count(*) AS n_batch_copies
+      |FROM batch WHERE h NOT IN (SELECT h FROM corpus)
+      |GROUP BY h
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d9_segment_dedup" -> (d9SegmentDedup _),
     "d10_containment" -> (d10Containment _),
     "d11_minhash_estimate" -> (d11MinhashEstimate _),
@@ -732,6 +770,7 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    "d13_incremental_dedup" -> d13Sql,
     "d9_segment_dedup" -> d9Sql,
     "d10_containment" -> d10Sql,
     "d11_minhash_estimate" -> d11Sql,

@@ -189,7 +189,36 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 
+  // ---------------------------------------------------------------- a9
+  /** Leakage-safe train/val/test split: the split key is the CONTENT hash,
+    * not the row id, so byte-identical documents can never straddle a
+    * split boundary — the eval-set leak that id-keyed splits silently
+    * commit whenever the corpus still contains duplicates (and at 100 TB
+    * it always does between dedup runs). 90/5/5 via the same scrambled
+    * hash-bucket machinery as a4 (deterministic, map-side, reproducible
+    * across engines/runs/retries); near-duplicates need d2's clusters as
+    * the key instead — same operator, coarser key.
+    */
+  def a9LeakageSafeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = hashBucket(md5(col("text").cast("binary")), 1000)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 900, "train").when(bucket < 950, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val a9Sql: String = {
+    val bucket = sqlHashBucket("md5(text)", 1000)
+    s"""SELECT doc_id,
+      |  CASE WHEN BUCKET < 900 THEN 'train'
+      |       WHEN BUCKET < 950 THEN 'val' ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin.replace("BUCKET", bucket)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a9_leakage_safe_split" -> (a9LeakageSafeSplit _),
     "a8_group_sample" -> (a8GroupSample _),
     "a4_stratified_sample" -> (a4StratifiedSample _),
     "a5_temperature_mix" -> (a5TemperatureMix _),
@@ -197,6 +226,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a9_leakage_safe_split" -> a9Sql,
     "a8_group_sample" -> a8Sql,
     "a4_stratified_sample" -> a4Sql,
     "a5_temperature_mix" -> a5Sql,

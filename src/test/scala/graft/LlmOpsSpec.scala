@@ -18,6 +18,40 @@ class DedupSpec extends GraftSuite {
     assert(out.filter(col("keep_id") >= 1000000L).count() === 0)
   }
 
+  test("d13 incremental dedup: survivors are batch firsts absent from the corpus") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val out = dedup.Dedup.d13IncrementalDedup(spark, sf)
+    assert(out.count() > 0)
+    // every survivor is a batch row whose hash the corpus does not contain
+    val corpusH = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h").as("ch")).distinct()
+    assert(out.join(corpusH, col("text_hash") === col("ch"), "left_semi")
+      .count() === 0, "a survivor's content exists in the corpus")
+    assert(out.filter(col("doc_id") % 5 =!= 0).count() === 0,
+      "a corpus row leaked into the batch output")
+    // and completeness: every batch hash not in the corpus appears once
+    val expected = docs.filter(col("doc_id") % 5 === 0)
+      .join(corpusH, col("h") === col("ch"), "left_anti")
+      .select(col("h")).distinct().count()
+    assert(out.count() === expected)
+  }
+
+  test("a9 split is content-keyed: byte-identical docs never straddle a split") {
+    val split = ops.Sampling.a9LeakageSafeSplit(spark, sf)
+    val byContent = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .join(split, Seq("doc_id"))
+      .groupBy(col("h")).agg(countDistinct(col("split")).as("n_splits"))
+    assert(byContent.filter(col("n_splits") > 1).count() === 0,
+      "duplicate texts landed in different splits — eval leakage")
+    // all three splits populated, shares in the right ballpark
+    val shares = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.keySet === Set("train", "val", "test"))
+    assert(shares("train") > shares("val") && shares("train") > shares("test"))
+  }
+
   test("minhash-LSH finds exactly the pairs with true Jaccard >= 0.8") {
     // brute-force truth over string shingles
     val docs = Tables(spark, sf, "documents")
