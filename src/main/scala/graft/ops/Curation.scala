@@ -397,6 +397,47 @@ object Curation {
       |ORDER BY doc_id""".stripMargin.replace("KEYEXPR", key)
   }
 
+  /** ST15: LIVE incremental ingest dedup — d13's streaming form. The
+    * cross-batch dedup state is SEEDED from the existing corpus's hash
+    * table via flatMapGroupsWithState's `initialState`, so a re-ingest of
+    * corpus content dies in its very first micro-batch without any
+    * warm-up scan: the stream starts already knowing everything the
+    * corpus contains. Within the stream, the first arrival of a new hash
+    * is admitted (its doc_id emitted) and every later copy dies to state
+    * — with in-order ingest this is exactly d13's min-doc_id-per-new-hash
+    * batch semantics, which the spec asserts.
+    * 100 TB: state is one boolean per DISTINCT content hash, partitioned
+    * by hash — the same key layout as the corpus's own dedup table; a
+    * production deployment snapshots the state store instead of
+    * re-seeding, and ages entries with a timeout where the corpus has a
+    * retention horizon (NoTimeout here = the corpus is forever, matching
+    * d13's membership semantics).
+    */
+  def streamingIncrementalDedup(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corpusHashes: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val initial = corpusHashes.select(col("h")).as[String]
+      .groupByKey(identity).mapValues(_ => true)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .select(col("doc_id"), col("text_hash")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial) {
+        (h: String, rows: Iterator[(Long, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.map(_._1).min, h))
+          }
+      }
+      .toDF("doc_id", "text_hash")
+  }
+
   def curate(spark: SparkSession, sfDir: String): DataFrame = {
     // the mixing-rate aggregation AND the final join both read the gated
     // survivors — materialize them once (at 100 TB: the persisted

@@ -871,6 +871,47 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST15: corpus-seeded streaming dedup (initialState) equals batch d13") {
+    // the live form of incremental ingest dedup: the state store starts
+    // SEEDED with the existing corpus's hash table (initialState), so
+    // corpus re-ingests die in their first micro-batch; new content admits
+    // its first arrival. In-order replay must reproduce d13 exactly.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-st15").toString
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 === 0).orderBy(col("doc_id")).cache()
+    val corpusHashes = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+    val half = (batch.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(batch.limit(half), "01_early")
+    stage(batch.exceptAll(batch.limit(half)), "02_late")
+    val q = ops.Curation.streamingIncrementalDedup(
+      spark, s"$dir/in", batch.schema, corpusHashes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st15_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st15_out").select(col("doc_id"), col("text_hash"))
+    val expected = dedup.Dedup.d13IncrementalDedup(spark, sf)
+      .select(col("doc_id"), col("text_hash"))
+    assert(emitted.count() > 0, "nothing admitted")
+    assert(emitted.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(emitted).count() === 0,
+      "corpus-seeded stream diverges from batch d13")
+    batch.unpersist()
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString

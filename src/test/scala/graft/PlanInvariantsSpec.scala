@@ -20,7 +20,8 @@ class PlanInvariantsSpec extends GraftSuite {
     "a5_temperature_mix", // 1-row min-count aggregate crossed into rates
     "q52_value_share", // 1-row (total, nparts) aggregate crossed into the filter
     "q55_top_revenue_supplier", // 1-row max-revenue aggregate crossed into the filter
-    "s9_ivf_stats" // 1-row corpus-total aggregate crossed into the 16-row share calc
+    "s9_ivf_stats", // 1-row corpus-total aggregate crossed into the 16-row share calc
+    "t13_bm25_search" // 1-row (N, avgdl) stats aggregate crossed into the tf rows
   )
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
