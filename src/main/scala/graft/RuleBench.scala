@@ -67,8 +67,35 @@ object RuleBench {
       col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
     val slow2 = timed("equi+range skewed: hash join + post-filter (no rule)")(equiRange)
     val fast2 = withRule(
-      timed(s"equi+range skewed: (key, bucket) join (rule, W=$width)")(equiRange))
+      timed(s"equi+range skewed: rule + sentinel fallback ON (default, W=$width)")(equiRange))
     require(slow2 == fast2, s"equi+range result mismatch: $slow2 vs $fast2")
+    // fallback OFF reclaims the 2x probe generate on a narrow-only
+    // workload — the knob an operator flips when interval widths are known
+    val fast2b = withRule {
+      spark.conf.set(rule.WideFallbackConf, "false")
+      try timed(s"equi+range skewed: rule, fallback OFF (W=$width)")(equiRange)
+      finally spark.conf.unset(rule.WideFallbackConf)
+    }
+    require(slow2 == fast2b, s"equi+range (no fallback) mismatch: $slow2 vs $fast2b")
+
+    // -- shape 3: equi+range with WIDE outliers mixed in ---------------
+    // 1-in-64 intervals span ~5e9 (beyond maxSpan x W): without the
+    // fallback the rule must refuse (loud error); with it the wide rows
+    // ride the sentinel (per-key hash path) while the narrow 63/64 keep
+    // bucket pruning
+    def mixedIntervals = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), (col("p_partkey") % 64 === 0).as("wide"),
+        col("p_retailprice"))
+      .select(col("p_partkey"),
+        when(col("wide"), lit(0.0)).otherwise(col("p_retailprice") * 50).as("lo"),
+        when(col("wide"), lit(5e9)).otherwise(col("p_retailprice") * 50 + 2000).as("hi"))
+    def mixedJoin = skewProbe.join(mixedIntervals.select(
+        (col("p_partkey") % 3).as("ik"), col("lo"), col("hi")),
+      col("k") === col("ik") && col("v") >= col("lo") && col("v") <= col("hi"))
+    val slow3 = timed("equi+range 1/64 wide: hash join + post-filter (no rule)")(mixedJoin)
+    val fast3 = withRule(
+      timed(s"equi+range 1/64 wide: rule + sentinel fallback (W=$width)")(mixedJoin))
+    require(slow3 == fast3, s"wide-mixed result mismatch: $slow3 vs $fast3")
     spark.stop()
   }
 }
