@@ -457,13 +457,20 @@ object Curation {
       concat(col("lang"), lit("#"), col("doc_id").cast("string")), 1000)
 
     // 10. annotation: token count + portable fingerprint + quality
+    // 11. leakage-safe split assignment (a9): keyed on the CONTENT hash,
+    //     not doc_id, so if any byte-identical duplicate ever re-enters the
+    //     corpus between dedup runs it lands in the SAME split — train/val
+    //     contamination is structurally impossible, not dedup-dependent
+    val splitBucket = hashBucket(md5(col("text").cast("binary")), 1000)
     curated
       .join(broadcast(rates), col("lang") === col("cl"))
       .filter(mixKey < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("t")).as("n_tokens"),
         charFoldHash(col("text")).as("fingerprint"),
-        col("quality"))
+        col("quality"),
+        when(splitBucket < 900, "train").when(splitBucket < 950, "val")
+          .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
 }

@@ -1095,6 +1095,22 @@ class CurationSpec extends GraftSuite {
     // and mixing only ever removes rows, never invents them
     assert(out.join(ops.Curation.curateUnmixed(spark, sf),
       Seq("doc_id"), "left_anti").count() === 0)
+    // stage 11: the split annotation IS a9's content-keyed assignment —
+    // every surviving doc carries exactly the split the standalone
+    // operator computes, so duplicates (same content ⇒ same key) can
+    // never straddle a split boundary
+    val a9 = ops.Sampling.a9LeakageSafeSplit(spark, sf)
+      .withColumnRenamed("split", "a9_split")
+    val disagree = out.join(a9, Seq("doc_id"))
+      .filter(col("split") =!= col("a9_split"))
+    assert(disagree.count() === 0,
+      "flagship split annotation diverged from a9's content-keyed split")
+    val shares = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.keySet === Set("train", "val", "test"),
+      s"expected all three splits at sf0.01, got $shares")
+    assert(shares("train") > shares("val") && shares("train") > shares("test"),
+      s"train must dominate the 90/5/5 split, got $shares")
   }
 
   test("estimate-dedup mode: the 100 TB path drops d12 pairs and barely moves the output") {
