@@ -273,23 +273,29 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .localCheckpoint()
-    val buckets = array((0 until nT).map(t =>
-      hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
-    // ids only through the pair space — payloads join back after distinct
-    val eb = e.select(col("vec_id"), posexplode(buckets))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint() // buckets compute once, not per self-join side
-    val pairs = eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
-    pairs
+    hyperplaneCandidates(e, nT, nP)
       .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
       .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
       .withColumn("cos", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
       .filter(col("cos") >= CosineThreshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** OR-amplified hyperplane-bucket candidate pairs (i < j, distinct) over
+    * a (vec_id, v) frame — d5's blocking, shared with d14. Ids only enter
+    * the pair shuffle; payloads join back after the id-level distinct.
+    */
+  private[graft] def hyperplaneCandidates(e: DataFrame, nT: Int, nP: Int): DataFrame = {
+    val buckets = array((0 until nT).map(t =>
+      hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
+    val eb = e.select(col("vec_id"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .localCheckpoint() // buckets compute once, not per self-join side
+    eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
   }
 
   val d5Sql: String =
@@ -754,7 +760,81 @@ object Dedup {
       |GROUP BY h
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d14
+  /** Embedding SimHash ESTIMATE dedup — the d12 analog for vectors: d5's
+    * OR-amplified hyperplane-bucket candidates, but the verify step is the
+    * HAMMING ESTIMATE over a 256-bit sign signature (8 words × 32 planes
+    * from a fresh plane range) instead of the exact cosine. By the
+    * Goemans–Williamson identity P[sign mismatch] = θ/π, so ĉos =
+    * cos(π·h/256) estimates the cosine with σ(θ̂) = π·√(p(1−p)/256) ≤ 0.1.
+    * The signature planes are the SCRAMBLED family (xorshift-mixed): the
+    * linear Weyl planes the blocking shares with d5/s2 have pair-to-pair
+    * correlated sign bits that quintuple the estimator's variance
+    * (measured hamming σ 39.6 → 9.3 on near-orthogonal pairs; the
+    * Binomial ideal is 8) — blocking tolerates that, an estimator
+    * cannot;
+    * the keep predicate is the INTEGER cut h ≤ 94 (⇔ ĉos ≥ 0.4 at d5's
+    * threshold), so no float comparison decides membership and both
+    * engines agree exactly. The operator's contract is the
+    * blocked+estimated semantics; `EmbeddingSimhashSpec` calibrates the
+    * estimate against d5's exact cosines (the cross-family check).
+    * 100 TB: after the signature pass each doc is 32 BYTES — the verify
+    * join-back shuffles sig arrays instead of d5's 512-byte vectors (16×
+    * less verify traffic), and the estimate needs no norm: sign bits are
+    * scale-invariant. Exactly d11/d12's ship-the-sketch story, vector
+    * edition. (Note a SIGNED-PERMUTATION rotation (s10) is a no-op on
+    * pairwise hamming — both signatures permute identically — which is
+    * WHY the signature family must be dense hyperplanes, not rotated
+    * coordinate signs.)
+    */
+  val SimHashWords = 8
+  val WordPlanes = 32 // 8 × 32 = a 256-bit signature
+  val D14PlaneBase = 256 // fresh plane indices, disjoint from d5/s2's 0..47
+  val D14HammingMax = 94 // ⌊256·acos(0.4)/π⌋ — keep ⇔ cos(π·h/256) ≥ 0.4
+
+  def d14EmbeddingSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sig = array((0 until SimHashWords).map(w =>
+      hyperplaneBucket(col("v"), WordPlanes, D5Dim,
+        D14PlaneBase + w * WordPlanes, scrambled = true)): _*)
+    val es = e.select(col("vec_id"), sig.as("sig")).localCheckpoint()
+    hyperplaneCandidates(e, D5Tables, D5Planes)
+      .join(es.select(col("vec_id").as("i"), col("sig").as("sig_i")), Seq("i"))
+      .join(es.select(col("vec_id").as("j"), col("sig").as("sig_j")), Seq("j"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("sig_i"), col("sig_j"), (a, b) => bit_count(a.bitwiseXOR(b))),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("hamming") <= D14HammingMax)
+      .select(col("i"), col("j"), col("hamming"),
+        round(cos(lit(math.Pi) * col("hamming") / lit(SimHashWords * WordPlanes)), 6)
+          .as("cos_est"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val d14Sql: String = {
+    val nBits = SimHashWords * WordPlanes
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |es AS (SELECT vec_id,
+      |  ${sqlHyperplaneBuckets("v", SimHashWords, WordPlanes, D5Dim, D14PlaneBase, scrambled = true)} AS sig
+      |  FROM e),
+      |eb AS (SELECT vec_id, generate_subscripts(tb, 1) - 1 AS t, unnest(tb) AS bucket
+      |       FROM (SELECT vec_id, ${sqlHyperplaneBuckets("v", D5Tables, D5Planes, D5Dim)} AS tb
+      |             FROM e)),
+      |pairs AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+      |          FROM eb a JOIN eb b
+      |            ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |h AS (SELECT i, j,
+      |        CAST(list_sum([bit_count(xor(sa.sig[w+1], sb.sig[w+1]))
+      |                       for w in range($SimHashWords)]) AS BIGINT) AS hamming
+      |      FROM pairs JOIN es sa ON sa.vec_id = i JOIN es sb ON sb.vec_id = j)
+      |SELECT i, j, hamming, round(cos(pi() * hamming / $nBits), 6) AS cos_est
+      |FROM h WHERE hamming <= $D14HammingMax
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_embedding_simhash" -> (d14EmbeddingSimhash _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d9_segment_dedup" -> (d9SegmentDedup _),
     "d10_containment" -> (d10Containment _),
@@ -770,6 +850,7 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    "d14_embedding_simhash" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d9_segment_dedup" -> d9Sql,
     "d10_containment" -> d10Sql,

@@ -83,8 +83,9 @@ package object functions {
   /** Random-hyperplane LSH bucket: Σ_j [dot(plane_{off+j}, v) ≥ 0] · 2^j
     * with plane(g,i) = ((g·dim+i)·2654435761 mod 2^32) / 2^31 − 1.
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0): Column =
-    native(HyperplaneBucketExpr(ex(v), nPlanes, dim, planeOffset))
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int, planeOffset: Int = 0,
+      scrambled: Boolean = false): Column =
+    native(HyperplaneBucketExpr(ex(v), nPlanes, dim, planeOffset, scrambled))
 
   /** Deterministic SAMPLING bucket in [0, buckets): charFold then Knuth
     * multiplicative scrambling before the modulo. The raw polynomial fold
@@ -119,14 +120,21 @@ package object functions {
       s"+ $ths[k+3]) % $P for k in range(len($ths) - 2)])"
 
   /** DuckDB spelling of the multi-table [[hyperplaneBucket]] family: a list
-    * whose entry t is the bucket of planes [t·k, (t+1)·k) of a DOUBLE[]
-    * expression `v` (plane index = t·k + jj — same arithmetic as
-    * HyperplaneBucketExpr).
+    * whose entry t is the bucket of planes [base+t·k, base+(t+1)·k) of a
+    * DOUBLE[] expression `v` (plane index = base + t·k + jj — same
+    * arithmetic as HyperplaneBucketExpr with planeOffset = base + t·k).
     */
-  def sqlHyperplaneBuckets(v: String, nTables: Int, planesPerTable: Int, dim: Int): String =
+  def sqlHyperplaneBuckets(v: String, nTables: Int, planesPerTable: Int, dim: Int,
+      planeBase: Int = 0, scrambled: Boolean = false): String = {
+    val lin = s"(($planeBase+t*$planesPerTable+jj)*$dim + i) * 2654435761 % 4294967296"
+    val s1 = s"xor($lin, ($lin) >> 13) * 40503 % 4294967296"
+    val plane =
+      if (!scrambled) lin
+      else s"xor($s1, ($s1) >> 17)"
     s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN
-       | list_sum([$v[i+1] * (CAST(((t*$planesPerTable+jj)*$dim + i) * 2654435761 % 4294967296 AS DOUBLE)
+       | list_sum([$v[i+1] * (CAST($plane AS DOUBLE)
        |   / 2147483648.0 - 1.0) for i in range($dim)]) >= 0
        | THEN CAST(2 ** jj AS BIGINT) ELSE 0 END for jj in range($planesPerTable)]),
        | (a, x) -> a + x) for t in range($nTables)]""".stripMargin.replaceAll("\n", " ")
+  }
 }

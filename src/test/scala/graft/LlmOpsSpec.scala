@@ -1553,6 +1553,71 @@ class HeavyHittersSpec extends GraftSuite {
   }
 }
 
+class EmbeddingSimhashSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import graft.functions._
+
+  /** Per-pair (exact cos, hamming estimate) error stats over a 100-vector
+    * sample, with the signature planes drawn from the given family.
+    */
+  private def estimatorStats(scrambled: Boolean): (Double, Double) = {
+    val sigCol = array((0 until dedup.Dedup.SimHashWords).map(w =>
+      hyperplaneBucket(col("v"), dedup.Dedup.WordPlanes, dedup.Dedup.D5Dim,
+        dedup.Dedup.D14PlaneBase + w * dedup.Dedup.WordPlanes, scrambled)): _*)
+    val es = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("sig", sigCol)
+      .localCheckpoint()
+    val nBits = dedup.Dedup.SimHashWords * dedup.Dedup.WordPlanes
+    val err = es.alias("a").join(es.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("cosx"),
+        aggregate(
+          zip_with(col("a.sig"), col("b.sig"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0L), (acc, x) => acc + x).as("h"))
+      .select((cos(lit(math.Pi) * col("h") / nBits) - col("cosx")).as("err"))
+    val r = err.agg(avg(col("err")), stddev(col("err"))).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("d14 calibration: the scrambled-plane hamming estimate is unbiased and tight") {
+    val (bias, sd) = estimatorStats(scrambled = true)
+    // measured at sf0.001: bias -0.001, sd 0.094 (Binomial ideal ~0.06 in
+    // cos units at 256 bits); floors leave ~25% margin
+    assert(math.abs(bias) <= 0.03, s"estimator biased: $bias")
+    assert(sd <= 0.12, s"estimator spread too wide: $sd")
+  }
+
+  test("d14 calibration: the linear Weyl plane family is unusable as an estimator") {
+    // the blocking family (shared with d5/s2) has pair-to-pair correlated
+    // sign bits: measured sd 0.447 vs scrambled 0.094 — asserting the gap
+    // documents WHY d14's signature must use the scrambled planes
+    val (_, sdLinear) = estimatorStats(scrambled = false)
+    val (_, sdScrambled) = estimatorStats(scrambled = true)
+    assert(sdLinear >= 3 * sdScrambled,
+      s"expected the linear family to be far wider: $sdLinear vs $sdScrambled")
+  }
+
+  test("d14 output: integer-cut semantics and no wildly-wrong admits") {
+    val out = dedup.Dedup.d14EmbeddingSimhash(spark, sf).localCheckpoint()
+    assert(out.count() > 0)
+    assert(out.filter(col("hamming") > dedup.Dedup.D14HammingMax).count() === 0)
+    // every admitted pair's EXACT cosine stays within 4σ of the nominal
+    // threshold — the estimate admits borderline pairs, never orthogonal ones
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val exact = out
+      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), Seq("j"))
+      .withColumn("cosx", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+    assert(exact.filter(col("cosx") < 0.0).count() === 0,
+      "d14 admitted an anti-correlated pair")
+  }
+}
+
 class MinHashEstimatorSpec extends GraftSuite {
   test("minhash signature agreement estimates true Jaccard within 0.15") {
     import org.apache.spark.sql.functions._
