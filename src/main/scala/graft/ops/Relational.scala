@@ -2096,8 +2096,147 @@ object Relational {
       |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Ordered conversion funnel (signup → view → purchase, each step within
+    * 7 days of the previous) — the event-sequence analytics shape. Three
+    * stacked unbounded window aggregates over ONE user partitioning: step
+    * k's earliest qualifying timestamp is a conditional min that references
+    * step k−1's, so the whole funnel evaluates in a single shuffle + a
+    * single per-partition pass (no self-joins, no per-step scans — the
+    * 3-join formulation reads the fact table three times at 100 TB; this
+    * reads it once). The final per-user collapse rides the same
+    * partitioning (Exchange reuse).
+    */
+  def q70Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = 7L * 86400 * 1000000 // 7 days in µs
+    val byUser = Window.partitionBy(col("user_id"))
+    t(spark, sfDir, "events")
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts") >= col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= wk, col("ts")))
+          .over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t2")) <= wk, col("ts")))
+          .over(byUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t_signup"), min(col("t2")).as("t_view"),
+        min(col("t3")).as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_signup").isNull, 0L).when(col("t_view").isNull, 1L)
+          .when(col("t_purchase").isNull, 2L).otherwise(3L))
+      .orderBy(col("user_id"))
+  }
+
+  val q70Sql: String =
+    """WITH w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+      |              OVER (PARTITION BY user_id) AS t1 FROM events),
+      |w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1
+      |           AND epoch_us(ts) - epoch_us(t1) <= 604800000000 THEN ts END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+      |           AND epoch_us(ts) - epoch_us(t2) <= 604800000000 THEN ts END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM w2)
+      |SELECT user_id, min(t1) AS t_signup, min(t2) AS t_view,
+      |  min(t3) AS t_purchase,
+      |  CAST(CASE WHEN min(t1) IS NULL THEN 0 WHEN min(t2) IS NULL THEN 1
+      |       WHEN min(t3) IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage
+      |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Weekly cohort retention: cohort = ISO week of the user's first event,
+    * retention cell (cohort_week, week_offset) = distinct users active that
+    * many weeks later. Two aggregations over the SAME user_id shuffle key
+    * (first-seen, then the join-back rides the same partitioning) and one
+    * final (cohort, offset) rollup; offsets are exact integer µs floor
+    * division, so both engines bucket identically.
+    */
+  def q71CohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = 7L * 86400 * 1000000
+    val firstSeen = t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    t(spark, sfDir, "events")
+      .join(firstSeen, Seq("user_id"))
+      .withColumn("week_offset",
+        floor((unix_micros(col("ts")) - unix_micros(col("cohort_week")))
+          .cast("double") / wk).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q71Sql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST(floor(CAST(epoch_us(ts) - epoch_us(cohort_week) AS DOUBLE)
+      |       / 604800000000) AS BIGINT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events JOIN first_seen USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Time-series resample + forward fill (the pandas `resample('1h')` /
+    * `ffill` surface): per-user hourly grid from first to last event hour
+    * (sequence + explode — generated map-side, never shuffled wide), left
+    * join of per-hour closing stats, then gap hours forward-fill the last
+    * observed close via an IGNORE NULLS running last. The close is an
+    * arg-max on an exact integer (µs-offset, event_id) key, so both
+    * engines pick the same row without float or arrival-order ties.
+    * Bounded to users 0-9 so the grid is SF-invariant; the plan shape
+    * (agg → generate → join → window, all on the user_id key) is the
+    * 100 TB one — the grid explode multiplies rows AFTER the per-user
+    * reduction, not before.
+    */
+  def q72ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").filter(col("user_id") < 10)
+    // exact scalar tiebreak: µs offset within the hour (< 3.6e9) · 1e8 + id
+    val closeKey = (unix_micros(col("ts")) -
+      unix_micros(date_trunc("hour", col("ts")))) * lit(100000000L) + col("event_id")
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), closeKey).as("v_close"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v_close"), ignoreNulls = true).over(byUser).as("v_ffill"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val q72Sql: String =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+      |    arg_max(value, (epoch_us(ts) - epoch_us(date_trunc('hour', ts)))
+      |                   * 100000000 + event_id) AS v_close
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(date_trunc('hour', min(ts)),
+      |    date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS hour
+      |  FROM ev GROUP BY user_id)
+      |SELECT user_id, hour, coalesce(n_events, 0) AS n_events,
+      |  last_value(v_close IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      |FROM spine LEFT JOIN hourly USING (user_id, hour)
+      |ORDER BY user_id, hour""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_funnel" -> (q70Funnel _),
+    "q71_cohort_retention" -> (q71CohortRetention _),
+    "q72_resample_ffill" -> (q72ResampleFfill _),
     "q59_priority_lines" -> (q59PriorityLines _),
     "q60_promo_share" -> (q60PromoShare _),
     "q61_returned_revenue" -> (q61ReturnedRevenue _),
@@ -2238,5 +2377,8 @@ object Relational {
     "q67_window_zoo" -> q67Sql,
     "q68_upsert_merge" -> q68Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
+    "q70_funnel" -> q70Sql,
+    "q71_cohort_retention" -> q71Sql,
+    "q72_resample_ffill" -> q72Sql,
     "q52_value_share" -> q52Sql)
 }
