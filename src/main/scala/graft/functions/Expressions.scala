@@ -317,6 +317,46 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, dim: Int,
     copy(child = c)
 }
 
+/** Interleaved-bit z-value (Morton code) over n long columns: bit i of
+  * column k lands at position i·n + k, so a sort by the z-value clusters
+  * rows that are close in EVERY dimension — the layout primitive behind
+  * multi-column min-max file skipping (Delta/Iceberg `OPTIMIZE ZORDER`).
+  * Inputs must already be scaled to [0, 2^bits) (see Layout.zOrderWrite's
+  * min-max binning; a production deployment substitutes quantile ranks
+  * for skewed domains) — out-of-range values error loudly rather than
+  * silently folding, which would break locality.
+  */
+case class ZValueExpr(children: Seq[Expression], bits: Int)
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size * bits <= 63,
+    s"zvalue: ${children.size} cols × $bits bits must fit in 63 bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    var z = 0L
+    var k = 0
+    while (k < n) {
+      val v = children(k).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long]
+      if (x < 0 || x >= (1L << bits))
+        throw new IllegalArgumentException(
+          s"zvalue: input $x of column $k outside [0, 2^$bits) — scale " +
+            "inputs (min-max or quantile binning) before interleaving")
+      var i = 0
+      while (i < bits) {
+        z |= ((x >> i) & 1L) << (i * n + k)
+        i += 1
+      }
+      k += 1
+    }
+    z
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): ZValueExpr = copy(children = cs)
+}
+
 /** Portable char-fold hash of a string (fold(h*31 + codepoint) mod P). */
 case class CharFoldExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

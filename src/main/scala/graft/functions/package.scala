@@ -87,6 +87,12 @@ package object functions {
       scrambled: Boolean = false): Column =
     native(HyperplaneBucketExpr(ex(v), nPlanes, dim, planeOffset, scrambled))
 
+  /** Interleaved-bit z-value (Morton code) of long-valued columns already
+    * scaled to [0, 2^bits) — see [[ZValueExpr]].
+    */
+  def zvalue(bits: Int, cols: Column*): Column =
+    native(ZValueExpr(cols.map(c => ex(c.cast("long"))), bits))
+
   /** Deterministic SAMPLING bucket in [0, buckets): charFold then Knuth
     * multiplicative scrambling before the modulo. The raw polynomial fold
     * is fine as an identity hash but badly non-uniform mod small bases
@@ -105,6 +111,17 @@ package object functions {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> CAST(unicode(c) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % $P)"
+
+  /** DuckDB spelling of [[zvalue]] over SQL expressions (bit i of expr k →
+    * position i·n + k, same mapping as ZValueExpr).
+    */
+  def sqlZValue(bits: Int, cols: Seq[String]): String = {
+    val n = cols.size
+    val terms = cols.zipWithIndex.map { case (c, k) =>
+      s"list_sum([((($c) >> i) & 1) << (i*$n + $k) for i in range($bits)])"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
 
   /** DuckDB spelling of [[hashBucket]]. */
   def sqlHashBucket(e: String, buckets: Int): String =

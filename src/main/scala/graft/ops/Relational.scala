@@ -2232,9 +2232,34 @@ object Relational {
       |FROM spine LEFT JOIN hourly USING (user_id, hour)
       |ORDER BY user_id, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Morton z-value computation (the arithmetic under Layout.zOrderWrite,
+    * oracle-pinned): interleave 16 bits of customer key and order-date day
+    * number. The layout operator itself is spec-gated (file-skipping is a
+    * metrics property, not a result set) — this query pins the bit
+    * interleave both engines must agree on. The % 65536 folds keep the SQL
+    * static across SFs; real layouts scale by min-max/quantile binning
+    * instead (folding breaks locality).
+    */
+  def q73ZValue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        graft.functions.zvalue(16,
+          pmod(col("o_custkey"), lit(65536L)),
+          pmod(datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"),
+            lit(65536L))).as("zv"))
+      .orderBy(col("o_orderkey"))
+
+  val q73Sql: String =
+    s"""SELECT o_orderkey, ${graft.functions.sqlZValue(16, Seq(
+         "o_custkey % 65536",
+         "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 65536"))} AS zv
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_funnel" -> (q70Funnel _),
+    "q73_zvalue" -> (q73ZValue _),
     "q71_cohort_retention" -> (q71CohortRetention _),
     "q72_resample_ffill" -> (q72ResampleFfill _),
     "q59_priority_lines" -> (q59PriorityLines _),
@@ -2378,6 +2403,7 @@ object Relational {
     "q68_upsert_merge" -> q68Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
+    "q73_zvalue" -> q73Sql,
     "q71_cohort_retention" -> q71Sql,
     "q72_resample_ffill" -> q72Sql,
     "q52_value_share" -> q52Sql)
