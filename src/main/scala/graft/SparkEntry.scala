@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.all ++ text.TextOps.all ++ dedup.Dedup.all ++
       similarity.Similarity.all ++ multimodal.Multimodal.all ++
       streaming.EventStreams.all ++ pipeline.PipelineQueries.all ++
-      ops.Sampling.all ++
+      ops.Sampling.all ++ ops.Graph.all ++
       Map("st8_curated_mix" ->
         ((s: SparkSession, d: String) => ops.Curation.st8CuratedMix(s, d)))
 
@@ -28,6 +28,6 @@ object SparkEntry {
     Relational.sql ++ text.TextOps.sql ++ dedup.Dedup.sql ++
       similarity.Similarity.sql ++ multimodal.Multimodal.sql ++
       streaming.EventStreams.sql ++ pipeline.PipelineQueries.sql ++
-      ops.Sampling.sql ++
+      ops.Sampling.sql ++ ops.Graph.sql ++
       Map("st8_curated_mix" -> ops.Curation.st8Sql)
 }

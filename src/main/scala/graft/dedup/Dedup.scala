@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -74,19 +74,23 @@ object Dedup {
     d2PairsFromSignatures(signatures(spark, sfDir))
       .orderBy(col("i"), col("j"))
 
-  /** LSH band candidate pairs (i < j, distinct) from a (doc_id, mh)
-    * signature frame. Band signature = the [[RowsPerBand]] minhash values
-    * folded into one long (prime combine). A fold collision only ever ADDS
-    * a candidate pair — d2's exact verify (or d12's estimate filter)
-    * removes it — so the 8-byte join key is safe and shuffles ~5x less
-    * than the concat-string signature.
+  /** (doc_id, band, sig) rows — one per LSH band — from a (doc_id, mh)
+    * signature frame; the band equi-join key shared by d2's self-join and
+    * d16's batch-vs-corpus probe. Band signature = the [[RowsPerBand]]
+    * minhash values folded into one long (prime combine). A fold collision
+    * only ever ADDS a candidate pair — d2's exact verify (or d12's
+    * estimate filter) removes it — so the 8-byte join key is safe and
+    * shuffles ~5x less than the concat-string signature.
     */
-  private def bandCandidates(withSig: DataFrame): DataFrame = {
-    val bands = withSig.select(col("doc_id"),
+  private def bandSignatures(withSig: DataFrame): DataFrame =
+    withSig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
           aggregate(slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
             lit(0L), (acc, x) => (acc * ShingleBase + x) % P))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+
+  private def bandCandidates(withSig: DataFrame): DataFrame = {
+    val bands = bandSignatures(withSig)
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -833,7 +837,159 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d15
+  /** Edit-distance near-dup pairs via PASSJOIN segment blocking — the
+    * third blocking family (after set-overlap d4/d10 and bit-signature
+    * d3): candidate generation for a LEVENSHTEIN threshold without the
+    * O(n²) pair space.
+    *
+    * Dedup key: the last [[D15KeyLen]] chars of the text (the corpus's
+    * near-dups differ at the END — suffix distances are 7-8 where prefixes
+    * are identical), right-padded with U+0001 to exactly 60 chars so every
+    * key has one fixed length and one fixed segmentation.
+    *
+    * PassJoin lemma (Li/Deng/Feng 2011, the pigeonhole for edit distance):
+    * partition one string of a pair into K+1 contiguous segments; any
+    * string within edit distance K must contain at least one segment
+    * EXACTLY, and an optimal alignment shifts a segment's start by at most
+    * K positions (each unit of shift costs one indel). So: index side
+    * emits its K+1 segments at their home positions; probe side emits the
+    * substrings at every start within ±K of each home position; an
+    * equi-join on (segment index, substring) is a provably LOSSLESS
+    * candidate filter — Levenshtein runs only on candidates, with Spark's
+    * threshold variant (early-exits the DP past K).
+    *
+    * 100 TB: the explode factor is constant — K+1 = 9 index rows and
+    * ~(K+1)(2K+1) ≈ 130 probe rows per doc of ≤7 chars each — and the
+    * candidate join is a plain equi-shuffle on short strings; the verify
+    * DP is O(K·len) per candidate, never per pair. This is the same
+    * ship-small-keys story as d1's md5 groupBy, for a metric md5 can't
+    * see.
+    */
+  val D15K = 8 // max edit distance (corpus near-dup suffixes sit at 7-8)
+  val D15KeyLen = 60
+  val D15Segs: Int = D15K + 1
+
+  /** (segIdx, 1-based start, len) for the even partition of the key. */
+  private val d15Segments: Seq[(Int, Int, Int)] = {
+    val base = D15KeyLen / D15Segs
+    val extra = D15KeyLen % D15Segs
+    val lens = Seq.tabulate(D15Segs)(i => base + (if (i < extra) 1 else 0))
+    val starts = lens.scanLeft(1)(_ + _).init
+    Seq.tabulate(D15Segs)(i => (i, starts(i), lens(i)))
+  }
+
+  private def d15Key(text: Column): Column =
+    rpad(text.substr(greatest(lit(1), length(text) - (D15KeyLen - 1)),
+      lit(D15KeyLen)), D15KeyLen, "\u0001")
+
+  def d15EditDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d15Pairs(Tables(spark, sfDir, "documents"))
+
+  /** d15's core on any (doc_id, text) frame — split out so the PassJoin
+    * fuzz spec can drive it with planted ≤K-edit pairs. */
+  private[graft] def d15Pairs(docs: DataFrame): DataFrame = {
+    val keys = docs
+      .select(col("doc_id"), d15Key(col("text")).as("k"))
+      .localCheckpoint() // 4 plan branches below; build the keys once
+    def extract(slots: Seq[(Int, Int, Int)]) = keys.select(col("doc_id"),
+        col("k"),
+        explode(array(slots.map { case (i, p, l) =>
+          struct(lit(i).as("seg"), lit(p).as("p"), lit(l).as("l")) }: _*)).as("s"))
+      .select(col("doc_id"), col("s.seg").as("seg"),
+        col("k").substr(col("s.p"), col("s.l")).as("part"))
+    val indexSide = extract(d15Segments)
+    val probeSide = extract(for {
+      (i, p, l) <- d15Segments
+      d <- -D15K to D15K
+      q = p + d if q >= 1 && q + l - 1 <= D15KeyLen
+    } yield (i, q, l))
+    val cand = indexSide.alias("a").join(probeSide.alias("b"),
+        col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+      .distinct()
+    cand
+      .join(keys.select(col("doc_id").as("i"), col("k").as("ki")), Seq("i"))
+      .join(keys.select(col("doc_id").as("j"), col("k").as("kj")), Seq("j"))
+      .withColumn("dist", levenshtein(col("ki"), col("kj"), D15K).cast("long"))
+      .filter(col("dist") >= 0) // threshold variant returns -1 past K
+      .select(col("i"), col("j"), col("dist"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle: brute-force Levenshtein over all pairs — the blocking must be
+    * exactly lossless for the hashes to agree. */
+  val d15Sql: String =
+    s"""WITH k AS (SELECT doc_id,
+      |  rpad(substr(text, greatest(1, length(text) - ${D15KeyLen - 1}),
+      |       $D15KeyLen), $D15KeyLen, chr(1)) AS kk FROM documents)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |       CAST(levenshtein(a.kk, b.kk) AS BIGINT) AS dist
+      |FROM k a JOIN k b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.kk, b.kk) <= $D15K
+      |ORDER BY i, j""".stripMargin
+
+  // ---------------------------------------------------------------- d16
+  /** INCREMENTAL near-dup probe — d13's production shape for MinHash-LSH:
+    * the new batch (every 5th doc_id) probes the STANDING corpus for
+    * near-duplicates instead of re-running d2 over corpus ∪ batch. Output
+    * is the (batch, corpus, jaccard) match list a nightly ingest acts on.
+    *
+    * The candidate stage joins the batch's band signatures against the
+    * corpus's — same 8-byte fold keys as d2, but the join is batch-small ×
+    * corpus-big instead of the corpus self-join: exactly the asymmetric
+    * join d13 demonstrates the runtime bloom filter on, so the corpus-side
+    * band table is pruned at the scan by the batch's tiny key set. The
+    * standing deployment persists the corpus band table once (it is
+    * append-only between dedup sweeps) and each batch re-derives only its
+    * own signatures — O(batch) new work per ingest.
+    * Losslessness: the planted near-dups sit at J ≥ 0.97, where the LSH
+    * miss probability is (1 − 0.97⁴)³² ≈ 1e−30 (d2's argument verbatim);
+    * the exact-Jaccard verify then removes every false candidate.
+    */
+  def d16IncrementalNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = signatures(spark, sfDir) // (doc_id, sh, mh), checkpointed
+    val bands = bandSignatures(sig)
+    val batchBands = bands.filter(col("doc_id") % 5 === 0)
+    val corpusBands = bands.filter(col("doc_id") % 5 =!= 0)
+    val cand = batchBands.alias("x").join(corpusBands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    val docs = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle: brute-force exact Jaccard over batch × corpus pairs. */
+  val d16Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)
+      |      WHERE doc_id % 5 = 0) a
+      |JOIN (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)
+      |      WHERE doc_id % 5 <> 0) b ON true
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_edit_dedup" -> (d15EditDedup _),
+    "d16_incremental_neardup" -> (d16IncrementalNeardup _),
     "d14_embedding_simhash" -> (d14EmbeddingSimhash _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d9_segment_dedup" -> (d9SegmentDedup _),
@@ -850,6 +1006,8 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    "d15_edit_dedup" -> d15Sql,
+    "d16_incremental_neardup" -> d16Sql,
     "d14_embedding_simhash" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d9_segment_dedup" -> d9Sql,

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over the purchase graph (SURVEY.md §2.2's
+  * graph slot beyond d7/d8's connected components).
+  *
+  * The graph: customers and suppliers are nodes (disjoint id spaces via
+  * 2k / 2k+1), one undirected edge per distinct (customer, supplier)
+  * purchase relationship mined from orders ⋈ lineitem.
+  */
+object Graph {
+
+  // ---------------------------------------------------------------- q74
+  /** PageRank, FIXED-POINT INTEGER edition — [[Iters]] Jacobi iterations
+    * of rank(u) ← base + 0.85·Σ_{v→u} rank(v)/outdeg(v) over the
+    * undirected purchase graph, with every quantity held in integer
+    * "rank micro-units" (total mass [[MassUnits]]) and every divide an
+    * INTEGER divide.
+    *
+    * Why fixed-point: distributed double sums are ORDER-DEPENDENT — a
+    * 1000-executor reduce and DuckDB's single-threaded fold would differ
+    * in final ulps, and any rounding cut chosen for the oracle would
+    * eventually land a value on a boundary. Integer addition is exactly
+    * associative-commutative, so the oracle (10 unrolled CTE iterations of
+    * the same integer arithmetic) matches bit-for-bit on ANY cluster
+    * size / partitioning / reduce order. Production PageRank at 100 TB
+    * accepts float drift; an oracle-gated one cannot — and the integer
+    * formulation costs nothing (60 bits of headroom vs 52 mantissa bits).
+    *
+    * Scale design: the loop is d7's large-graph pattern — one equi-join
+    * (ranks ⋈ edges on src, both hash-partitioned on the same key) + one
+    * partial-aggregated groupBy per iteration, localCheckpoint to cut the
+    * 10-deep lineage. Rank state is 16 bytes/node; the edge table with
+    * degrees is built once. Symmetrized edges mean no dangling-mass
+    * redistribution pass (every node has out- and in-edges), which is why
+    * the bipartite graph is walked undirected.
+    */
+  val Iters = 10
+  val MassUnits = 1000000000000L // 1e12 µ-units of rank mass
+  val TopK = 20
+
+  def q74PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+    val ed = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+    // n is the one driver-side scalar (a model parameter, like k-means'
+    // centroids): the init/teleport constants must be literals in-plan.
+    val n = nodes.count()
+    val init = MassUnits / n
+    val base = 15L * init / 100L
+    var ranks = nodes.withColumn("rank", lit(init))
+    for (_ <- 1 to Iters) {
+      ranks = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("mass"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * mass) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("rank").desc, col("node"))
+      .limit(TopK)
+      .select(col("node"), col("rank").as("rank_u"))
+  }
+
+  /** Oracle: the identical integer recurrence, iterations unrolled as
+    * chained CTEs (portable — no recursive-CTE aggregation extension
+    * needed). CASTs keep DuckDB's 128-bit sum() in BIGINT like Spark's. */
+  val q74Sql: String = {
+    val iters = (1 to Iters).map { k =>
+      s"""it$k AS (SELECT node, (SELECT base FROM consts) + (85 * mass) // 100 AS rank
+         |  FROM (SELECT ed.dst AS node, CAST(sum(it${k - 1}.rank // ed.outdeg) AS BIGINT) AS mass
+         |        FROM it${k - 1} JOIN ed ON it${k - 1}.node = ed.src GROUP BY ed.dst))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM e0
+      |          UNION ALL SELECT s AS src, c AS dst FROM e0),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |ed AS (SELECT edges.src, edges.dst, deg.outdeg
+      |       FROM edges JOIN deg USING (src)),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |consts AS (SELECT $MassUnits // count(*) AS init,
+      |                  (15 * ($MassUnits // count(*))) // 100 AS base
+      |           FROM nodes),
+      |it0 AS (SELECT node, (SELECT init FROM consts) AS rank FROM nodes),
+      |$iters
+      |SELECT node, rank AS rank_u FROM it$Iters
+      |ORDER BY rank_u DESC, node LIMIT $TopK""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_pagerank" -> (q74PageRank _))
+
+  val sql: Map[String, String] = Map(
+    "q74_pagerank" -> q74Sql)
+}

@@ -18,6 +18,67 @@ class DedupSpec extends GraftSuite {
     assert(out.filter(col("keep_id") >= 1000000L).count() === 0)
   }
 
+  test("d15 PassJoin blocking is lossless on planted <=K-edit fuzz pairs") {
+    import spark.implicits._
+    // Plant pairs at exactly e random edits (insert/delete/substitute) for
+    // e = 0..K+2; the segment-blocked join must report EVERY pair at
+    // distance <= K (the lemma) and NONE past K (the verify).
+    val K = dedup.Dedup.D15K
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abcdefghijklmnopqrstuvwxyz "
+    def randText(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 if s.nonEmpty => // substitute
+        val i = rnd.nextInt(s.length)
+        s.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 if s.nonEmpty => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case _ => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+    }
+    val docs = (0 until 40).flatMap { g =>
+      val base = randText(60 + rnd.nextInt(40))
+      val e = g % (K + 3) // 0..K+2 edits
+      val mutated = (0 until e).foldLeft(base)((s, _) => edit(s))
+      Seq((g * 2L, base), (g * 2L + 1, mutated))
+    }
+    val out = dedup.Dedup.d15Pairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver-side reference: full Levenshtein on the padded suffix keys
+    def key(t: String) = {
+      val s = t.takeRight(dedup.Dedup.D15KeyLen)
+      s + "\u0001" * (dedup.Dedup.D15KeyLen - s.length)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      d = lev(key(ta), key(tb)) if d <= K
+    } yield (ida, idb) -> d.toLong).toMap
+    assert(out === expect, "blocked pairs must equal brute-force pairs")
+    assert(expect.nonEmpty && expect.values.exists(_ > 0),
+      "fuzz must exercise non-trivial distances")
+  }
+
+  test("d16 incremental near-dup equals d2's pairs restricted to batch x corpus") {
+    val d2 = dedup.Dedup.d2MinHashLsh(spark, sf)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // d2 emits i<j; d16 emits (batch, corpus) in either id order
+    val got = dedup.Dedup.d16IncrementalNeardup(spark, sf)
+      .select(col("i"), col("j")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    val expect = d2.filter { case (i, j) =>
+      (i % 5 == 0) != (j % 5 == 0) } // exactly one side in the batch
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("d13 incremental dedup: survivors are batch firsts absent from the corpus") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
