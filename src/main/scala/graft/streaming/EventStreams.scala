@@ -672,6 +672,84 @@ object EventStreams {
       .toDF()
   }
 
+  /** ST16: STREAMING conversion funnel — the live form of q70. Keyed by
+    * user; the funnel state machine (earliest signup → earliest qualifying
+    * view → earliest qualifying purchase) is only correct when events fold
+    * in EVENT-TIME order, so arrivals buffer in state until the watermark
+    * passes them and COMMIT in ts order — commits therefore happen in
+    * global per-user ts order no matter how batches interleave (anything
+    * older than a commit would have been watermark-dropped, not buffered).
+    * Each invocation emits the user's best-current-knowledge funnel row:
+    * the committed slots plus a PROVISIONAL fold of the still-buffered
+    * tail (sorted); once every event has arrived the provisional fold IS
+    * the total ts-order fold, so the final emission per user equals batch
+    * q70 exactly (replay-spec'd). Ties fold signup < view < purchase at
+    * equal ts — the order q70's ≥-comparisons admit.
+    * State per user: 3 longs + the ≤watermark-horizon buffered tail —
+    * ST8's bound.
+    */
+  val FunnelStepUs: Long = 7L * 86400 * 1000000
+
+  case class FunnelSt(t1: Long, t2: Long, t3: Long, buf: List[(Long, Int)])
+  case class FunnelOut(user_id: Long, t_signup: Option[java.sql.Timestamp],
+      t_view: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp], stage: Long)
+
+  def streamingFunnel(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): Option[java.sql.Timestamp] =
+      if (us == -1L) None
+      else {
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        Some(t)
+      }
+    val rank = Map("signup" -> 0, "view" -> 1, "purchase" -> 2)
+    // fold MUST see (ts, rank)-sorted input; first qualifying hit per slot
+    // in that order is the conditional min q70 computes
+    def fold(s0: (Long, Long, Long), evs: Seq[(Long, Int)]): (Long, Long, Long) =
+      evs.sorted.foldLeft(s0) { case ((t1, t2, t3), (ts, k)) =>
+        if (k == 0 && t1 == -1L) (ts, t2, t3)
+        else if (k == 1 && t2 == -1L && t1 != -1L && ts >= t1 &&
+          ts - t1 <= FunnelStepUs) (t1, ts, t3)
+        else if (k == 2 && t3 == -1L && t2 != -1L && ts >= t2 &&
+          ts - t2 <= FunnelStepUs) (t1, t2, ts)
+        else (t1, t2, t3)
+      }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelSt, FunnelOut](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[FunnelSt]) =>
+          val st = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L, Nil))
+          val buf = st.buf ++ rows.map(r => (toUs(r._2), rank(r._3)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, wait) = buf.partition(_._1 <= wmUs)
+          val (c1, c2, c3) = fold((st.t1, st.t2, st.t3), ripe)
+          state.update(FunnelSt(c1, c2, c3, wait))
+          if (wait.nonEmpty)
+            state.setTimeoutTimestamp(math.max(wait.map(_._1).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          val (p1, p2, p3) = fold((c1, c2, c3), wait)
+          val stage = if (p1 == -1L) 0L else if (p2 == -1L) 1L
+            else if (p3 == -1L) 2L else 3L
+          FunnelOut(user, toTs(p1), toTs(p2), toTs(p3), stage)
+      }
+      .toDF()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_window_agg" -> (st1WindowAgg _),
     "st2_session_window" -> (st2SessionWindow _),

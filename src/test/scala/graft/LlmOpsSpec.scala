@@ -973,6 +973,55 @@ class StatefulStreamingSpec extends GraftSuite {
     batch.unpersist()
   }
 
+  test("ST16: streaming funnel's final emission per user equals batch q70") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st16").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams.streamingFunnel(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("st16_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st16_out")
+    // batch truth, restricted to users the (3-event-type-filtered) stream keys
+    val funnelUsers = events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id")).distinct()
+    val batch = ops.Relational.q70Funnel(spark, sf)
+      .join(funnelUsers, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_purchase"), col("stage"))
+    // 1) completeness: the stream's full-knowledge (final) emission is the
+    //    exact batch row — so every batch row appears among the emissions
+    assert(batch.exceptAll(emitted.select(col("user_id"), col("t_signup"),
+      col("t_view"), col("t_purchase"), col("stage"))
+      .dropDuplicates()).count() === 0,
+      "a user's final streamed funnel row diverges from batch q70")
+    // 2) soundness: no intermediate emission ever over-claims a stage
+    val over = emitted.alias("e")
+      .join(batch.alias("b"), col("e.user_id") === col("b.user_id"))
+      .filter(col("e.stage") > col("b.stage"))
+    assert(over.count() === 0, "stream claimed a funnel stage batch denies")
+    assert(emitted.select(col("user_id")).distinct().count() ===
+      funnelUsers.count(), "some funnel user never emitted")
+    ordered.unpersist()
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString

@@ -158,4 +158,43 @@ class ScaleFeaturesSpec extends GraftSuite {
     assert(bCust < (total * 7) / 10,
       s"z-order lost first-dimension pruning: $bCust of $total rows scanned")
   }
+
+  test("compaction bin-packs small files shuffle-free and the clustered mode restores pruning ranges") {
+    // a streaming-sink-shaped mess: events scattered across ~60 tiny files
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dirIn = java.nio.file.Files.createTempDirectory("graft-smallfiles").toString
+    events.repartition(60).write.mode("overwrite").parquet(dirIn)
+    val sizes = new java.io.File(dirIn).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length)
+    val target = sizes.sum / 6 // aim for ~6 output files
+
+    // plain mode: zero-shuffle coalesce concat
+    val dirOut = java.nio.file.Files.createTempDirectory("graft-compacted").toString
+    val stats = ops.Layout.compact(spark, dirIn, dirOut, target)
+    assert(stats.filesBefore === 60)
+    assert(stats.filesAfter <= 8 && stats.filesAfter >= 5,
+      s"expected ~6 output files, got ${stats.filesAfter}")
+    val out = spark.read.parquet(dirOut)
+    assert(out.count() === events.count())
+    assert(out.exceptAll(events).count() === 0 &&
+      events.exceptAll(out).count() === 0, "compaction changed the data")
+
+    // clustered mode: per-file event_id ranges must not overlap, so a
+    // point/range predicate prunes to one file's worth of rows again
+    val dirClu = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    ops.Layout.compact(spark, dirIn, dirClu, target, Seq(col("event_id")))
+    val ranges = new java.io.File(dirClu).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col("event_id")), max(col("event_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"clustered-compaction file ranges overlap: $hi >= $lo2")
+      case _ =>
+    }
+    assert(spark.read.parquet(dirClu).exceptAll(events).count() === 0)
+  }
 }
