@@ -217,7 +217,60 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin.replace("BUCKET", bucket)
   }
 
+  // ---------------------------------------------------------------- a10
+  /** Cluster-balanced sampling — semantic-DIVERSITY subsetting for
+    * training data (SemDeDup/coreset style): assign every embedding to
+    * its IVF cell, keep exactly [[ClusterSampleK]] per cell by the
+    * deterministic scrambled-hash order. Where a8 balances by a LABEL
+    * (source), a10 balances by learned CONTENT geometry: over-represented
+    * semantic regions are capped to the same budget as rare ones.
+    * 100 TB: the assignment is s3's zero-shuffle codegen'd argmin over
+    * broadcast centroid literals; the per-cell exactly-k is a6/a8's
+    * WindowGroupLimit partial top-k — map tasks forward ≤k rows per cell,
+    * so shuffle volume is O(cells·k), not O(corpus).
+    */
+  val ClusterSampleK = 8
+
+  def a10ClusterSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.Similarity
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < Similarity.NLists)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+    val key = hashBucket(concat(col("cid").cast("string"), lit("~"),
+      col("vec_id").cast("string")), 1000000)
+    val w = Window.partitionBy(col("cid")).orderBy(key, col("vec_id"))
+    e.withColumn("cid", Similarity.assignCid(col("v"), cents).cast("long"))
+      .select(col("vec_id"), col("cid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ClusterSampleK)
+      .orderBy(col("vec_id"))
+  }
+
+  val a10Sql: String = {
+    val key = graft.functions.sqlHashBucket(
+      "CAST(cid AS VARCHAR) || '~' || CAST(vec_id AS VARCHAR)", 1000000)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |         WHERE vec_id < ${graft.similarity.Similarity.NLists}),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent) WHERE rn = 1)
+      |SELECT vec_id, cid, rk FROM (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY cid ORDER BY KEYEXPR, vec_id) AS rk
+      |  FROM assign)
+      |WHERE rk <= $ClusterSampleK
+      |ORDER BY vec_id""".stripMargin.replace("KEYEXPR", key)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_cluster_sample" -> (a10ClusterSample _),
     "a9_leakage_safe_split" -> (a9LeakageSafeSplit _),
     "a8_group_sample" -> (a8GroupSample _),
     "a4_stratified_sample" -> (a4StratifiedSample _),
@@ -226,6 +279,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a10_cluster_sample" -> a10Sql,
     "a9_leakage_safe_split" -> a9Sql,
     "a8_group_sample" -> a8Sql,
     "a4_stratified_sample" -> a4Sql,

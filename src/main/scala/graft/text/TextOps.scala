@@ -627,7 +627,72 @@ object TextOps {
       |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t14
+  /** Corpus collocations by pointwise mutual information — the corpus
+    * statistic behind phrase mining / tokenizer-merge candidates: bigrams
+    * whose co-occurrence beats the unigram-independence expectation,
+    * PMI = ln(p(ab) / (p(a)·p(b))), reported for every bigram with
+    * count ≥ [[T14MinCount]].
+    *
+    * Determinism: the cut is the INTEGER count floor, never a float-ranked
+    * top-k (a PMI-ordered LIMIT would tie-break on ln ulps and flap
+    * between engines); the PMI itself folds to one integer ratio —
+    * (c_ab·N²) / (NB·c_a·c_b) — before the single divide+ln, so both
+    * engines see bit-identical operands and round(4) absorbs the ln ulp.
+    * 100 TB: bigram counts partial-aggregate map-side before one shuffle
+    * on the pair; Zipf + the count floor keep the survivor table tiny
+    * (vocab² never materializes — only observed adjacent pairs); the
+    * unigram vocab table broadcasts (t5's Heaps-law bound).
+    */
+  val T14MinCount = 5
+
+  def t14Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(explode(ts).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // sequence(1, n-1) DESCENDS when n = 1 (Spark generates backwards
+    // sequences) — guard 1-token docs to an empty bigram list
+    val bigrams = docs.select(explode(when(size(ts) >= 2, transform(
+        sequence(lit(1), size(ts) - 1),
+        k => struct(element_at(ts, k).as("w1"), element_at(ts, k + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+      .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // 1-row totals cross-joined in: the whole operator stays one lazy plan
+    val totals = toks.agg(count(lit(1)).as("n"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("nb")))
+    bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= T14MinCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair") * col("n") * col("n")).cast("double") /
+          (col("nb") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val t14Sql: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |uni AS (SELECT w, count(*) AS c
+      |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+      |big AS (SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+      |        FROM toks),
+      |pairs AS (SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+      |          HAVING count(*) >= $T14MinCount),
+      |tot AS (SELECT (SELECT count(*) FROM (SELECT unnest(ts) FROM toks)) AS n,
+      |               (SELECT count(*) FROM big) AS nb)
+      |SELECT w1, w2, n_pair,
+      |  round(ln((n_pair * n * n)::DOUBLE / (nb * c1 * c2)), 4) AS pmi
+      |FROM pairs
+      |JOIN (SELECT w AS w1, c AS c1 FROM uni) USING (w1)
+      |JOIN (SELECT w AS w2, c AS c2 FROM uni) USING (w2)
+      |CROSS JOIN tot
+      |ORDER BY w1, w2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_collocations" -> (t14Collocations _),
     "t13_bm25_search" -> (t13Bm25Search _),
     "t12_boilerplate" -> (t12Boilerplate _),
     "t10_chunking" -> (t10Chunking _),
@@ -643,6 +708,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t14_collocations" -> t14Sql,
     "t13_bm25_search" -> t13Sql,
     "t12_boilerplate" -> t12Sql,
     "t10_chunking" -> t10Sql,
