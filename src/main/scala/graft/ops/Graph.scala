@@ -31,11 +31,17 @@ object Graph {
     * accepts float drift; an oracle-gated one cannot — and the integer
     * formulation costs nothing (60 bits of headroom vs 52 mantissa bits).
     *
-    * Scale design: the loop is d7's large-graph pattern — one equi-join
-    * (ranks ⋈ edges on src, both hash-partitioned on the same key) + one
-    * partial-aggregated groupBy per iteration, localCheckpoint to cut the
-    * 10-deep lineage. Rank state is 16 bytes/node; the edge table with
-    * degrees is built once. Symmetrized edges mean no dangling-mass
+    * Scale design: d7's large-graph loop — one equi-join (ranks ⋈ the
+    * degree-annotated edge table, pre-partitioned on src) + one
+    * partial-aggregated groupBy transpose per iteration, localCheckpoint
+    * each round to cut lineage and bound the plan the optimizer re-walks
+    * (the fixed iteration count admits a single 10-deep lazy plan, but
+    * A/B-measured on this corpus the chained-shuffle mega-plan is SLOWER
+    * under AQE than materialized rounds — and at cluster scale an
+    * uncheckpointed 10-join lineage re-executes everything on a single
+    * lost executor, so the checkpoint is also the fault-tolerance
+    * choice). Rank state is 16 bytes/node; the shuffles carry (node,
+    * contrib) longs only. Symmetrized edges mean no dangling-mass
     * redistribution pass (every node has out- and in-edges), which is why
     * the bipartite graph is walked undirected.
     */
@@ -51,9 +57,11 @@ object Graph {
       .distinct()
     val edges = e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val ed = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
+      .repartition(nPart, col("src"))
+      .localCheckpoint() // referenced by all 10 iterations — build once
     val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
     // n is the one driver-side scalar (a model parameter, like k-means'
     // centroids): the init/teleport constants must be literals in-plan.
@@ -61,14 +69,14 @@ object Graph {
     val init = MassUnits / n
     val base = 15L * init / 100L
     var ranks = nodes.withColumn("rank", lit(init))
-    for (_ <- 1 to Iters) {
+    for (i <- 1 to Iters) {
       ranks = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("mass"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * mass) div 100")).as("rank"))
-        .localCheckpoint()
+      ranks = ranks.localCheckpoint()
     }
     ranks.orderBy(col("rank").desc, col("node"))
       .limit(TopK)

@@ -649,20 +649,25 @@ object TextOps {
   def t14Collocations(spark: SparkSession, sfDir: String): DataFrame = {
     val ts = tokens(col("text"))
     val docs = Tables(spark, sfDir, "documents")
-    val toks = docs.select(explode(ts).as("w"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uni = docs.select(explode(ts).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds c1, c2 AND the n total — build once
     // sequence(1, n-1) DESCENDS when n = 1 (Spark generates backwards
     // sequences) — guard 1-token docs to an empty bigram list
-    val bigrams = docs.select(explode(when(size(ts) >= 2, transform(
+    val pairCounts = docs.select(explode(when(size(ts) >= 2, transform(
         sequence(lit(1), size(ts) - 1),
         k => struct(element_at(ts, k).as("w1"), element_at(ts, k + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
       .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // 1-row totals cross-joined in: the whole operator stays one lazy plan
-    val totals = toks.agg(count(lit(1)).as("n"))
-      .crossJoin(bigrams.agg(count(lit(1)).as("nb")))
-    bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint() // feeds the survivors AND the nb total
+    // totals fold from the AGGREGATED tables (sums of counts are exact),
+    // so documents scans twice — not four times — and the totals aggs run
+    // over |vocab| rows, not the 5M-row token/bigram streams
+    val totals = uni.agg(sum(col("c")).as("n"))
+      .crossJoin(pairCounts.agg(sum(col("n_pair")).as("nb")))
+    pairCounts
       .filter(col("n_pair") >= T14MinCount)
       .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
