@@ -859,12 +859,20 @@ object Dedup {
     * candidate filter — Levenshtein runs only on candidates, with Spark's
     * threshold variant (early-exits the DP past K).
     *
-    * 100 TB: the explode factor is constant — K+1 = 9 index rows and
-    * ~(K+1)(2K+1) ≈ 130 probe rows per doc of ≤7 chars each — and the
-    * candidate join is a plain equi-shuffle on short strings; the verify
-    * DP is O(K·len) per candidate, never per pair. This is the same
-    * ship-small-keys story as d1's md5 groupBy, for a metric md5 can't
-    * see.
+    * Scale honesty: the EXPLODE factor is constant (9 index + ~130 probe
+    * rows of ≤7 chars per doc), but candidate volume is collision-driven —
+    * at K = 8 the segments are only 6-7 chars, and natural-language text
+    * shares short substrings heavily: measured at sf0.1, 3.3M of 12.5M
+    * possible pairs survive the blocking (3.8×, so the verify — a
+    * threshold DP, O(K·len) per candidate — dominates). Shared-segment
+    * candidates grow with the pair space, so at 100× corpus this K/key
+    * combination would need the next refinement: a SECOND pigeonhole over
+    * g = 5 super-segments (⌊K/5⌋ = 1 edit each) matched through 1-deletion
+    * neighborhoods — 13-char near-exact keys collide ~10³× less — or
+    * simply the production operating point (small K over short
+    * title/URL-class keys), where base segments are long and selective.
+    * The contract and oracle are unchanged either way; this ships the
+    * lemma machinery both refinements reuse.
     */
   val D15K = 8 // max edit distance (corpus near-dup suffixes sit at 7-8)
   val D15KeyLen = 60

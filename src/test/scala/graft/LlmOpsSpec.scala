@@ -1752,3 +1752,59 @@ class MinHashEstimatorSpec extends GraftSuite {
     }
   }
 }
+
+/** The quantile member of the mergeable-sketch family (MG = frequencies,
+  * HLL = cardinality, KLL = ranks): the deterministic-compaction KLL must
+  * hold its rank-error bound under ANY partitioning of the aggregate —
+  * that invariance IS the mergeable contract.
+  */
+class QuantileSketchSpec extends GraftSuite {
+
+  test("KLL sketch rank error stays bounded under 1, 7, and 32 partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.QuantileSketch
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val vals = Tables(spark, sf, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val exact = vals.collect().map(_.getDouble(0)).sorted
+    val n = exact.length
+    def rankOf(v: Double): Long = { // items <= v
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val m = (lo + hi) / 2
+        if (exact(m) <= v) lo = m + 1 else hi = m
+      }
+      lo.toLong
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val est = vals.repartition(parts)
+        .agg(QuantileSketch.kllQuantiles(col("x"), qs).as("est"))
+        .head().getSeq[Double](0)
+      assert(est === est.sorted, "quantile estimates must be monotone")
+      qs.zip(est).foreach { case (q, v) =>
+        val err = math.abs(rankOf(v) - q * n)
+        assert(err <= 0.02 * n,
+          s"parts=$parts q=$q est=$v rank error $err exceeds 2% of $n")
+      }
+    }
+  }
+
+  test("KLL sketch as map-side partial: per-group quantiles match per-group exact within bound") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.QuantileSketch
+    val df = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("x"))
+    val got = df.groupBy(col("g"))
+      .agg(QuantileSketch.kllQuantiles(col("x"), Seq(0.5)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    val groups = df.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    groups.foreach { case (g, xs) =>
+      val v = got(g)
+      val rank = xs.count(_ <= v)
+      assert(math.abs(rank - 0.5 * xs.length) <= 0.02 * xs.length,
+        s"group $g median estimate $v off by ${math.abs(rank - 0.5 * xs.length)}")
+    }
+  }
+}

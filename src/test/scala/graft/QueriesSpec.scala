@@ -31,7 +31,7 @@ class QueriesSpec extends GraftSuite {
       ops.Relational.all, text.TextOps.all, dedup.Dedup.all,
       similarity.Similarity.all, multimodal.Multimodal.all,
       streaming.EventStreams.all, pipeline.PipelineQueries.all,
-      ops.Sampling.all)
+      ops.Sampling.all, ops.Graph.all)
     // + st8_curated_mix, registered directly in SparkEntry (it lives in
     // Curation, whose object init cycles with EventStreams if put in the
     // EventStreams maps)
