@@ -2256,8 +2256,83 @@ object Relational {
          "date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 65536"))} AS zv
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Data-quality constraint audit (the Deequ/dbt-test slot): the standing
+    * metrics job every production pipeline runs before publishing a table
+    * — PK uniqueness, FK integrity, completeness, domain ranges, and a
+    * cross-table temporal consistency rule, emitted as one tall
+    * (check_name, violations) audit table.
+    *
+    * Scale shape: all single-table rules FUSE into one conditional-sum
+    * aggregate per table (one scan each, partial map-side, 1 row out —
+    * adding a rule costs a column, not a scan); the two FK rules are
+    * anti-joins (dim side broadcast/bloom-pruned at scale, as
+    * ScaleFeaturesSpec demonstrates for the same shape); the temporal rule
+    * rides the lineitem⋈orders equi-join. The audit never ships row data
+    * — every branch reduces to ONE counter before the union.
+    */
+  def q75QualityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    val l = t(spark, sfDir, "lineitem")
+    def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+    val ordersChecks = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("orders_pk_dups"),
+        cnt(col("o_totalprice") <= 0).as("orders_nonpos_price"))
+    val lineitemChecks = l.agg(
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("lineitem_pk_dups"),
+        cnt(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .as("lineitem_qty_out_of_range"),
+        cnt(col("l_discount") < 0 || col("l_discount") > 1)
+          .as("lineitem_discount_out_of_range"))
+    val customerChecks = c.agg(
+        cnt(col("c_name").isNull || col("c_name") === "")
+          .as("customer_missing_name"))
+    val ordersFk = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orders_fk_violations"))
+    val lineitemFk = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_fk_violations"))
+    val shipBeforeOrder = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(cnt(col("l_shipdate") < col("o_orderdate"))
+        .as("lineitem_ship_before_order"))
+    def tall(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(explode(map(
+        cols.flatMap(n => Seq(lit(n), col(n).cast("long"))): _*)))
+        .toDF("check_name", "violations")
+    }
+    Seq(ordersChecks, lineitemChecks, customerChecks, ordersFk, lineitemFk,
+      shipBeforeOrder).map(tall).reduce(_ unionAll _)
+      .orderBy(col("check_name"))
+  }
+
+  val q75Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_dups' AS check_name,
+      |    count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+      |  UNION ALL SELECT 'orders_nonpos_price', count(*) FILTER (o_totalprice <= 0) FROM orders
+      |  UNION ALL SELECT 'lineitem_pk_dups',
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_qty_out_of_range',
+      |    count(*) FILTER (l_quantity < 1 OR l_quantity > 50) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_discount_out_of_range',
+      |    count(*) FILTER (l_discount < 0 OR l_discount > 1) FROM lineitem
+      |  UNION ALL SELECT 'customer_missing_name',
+      |    count(*) FILTER (c_name IS NULL OR c_name = '') FROM customer
+      |  UNION ALL SELECT 'orders_fk_violations', count(*) FROM orders
+      |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL SELECT 'lineitem_fk_violations', count(*) FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL SELECT 'lineitem_ship_before_order',
+      |    count(*) FILTER (l_shipdate < o_orderdate)
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |ORDER BY check_name""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_quality_audit" -> (q75QualityAudit _),
     "q70_funnel" -> (q70Funnel _),
     "q73_zvalue" -> (q73ZValue _),
     "q71_cohort_retention" -> (q71CohortRetention _),
@@ -2403,6 +2478,7 @@ object Relational {
     "q68_upsert_merge" -> q68Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
+    "q75_quality_audit" -> q75Sql,
     "q73_zvalue" -> q73Sql,
     "q71_cohort_retention" -> q71Sql,
     "q72_resample_ffill" -> q72Sql,
