@@ -267,6 +267,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("hh"))
   }
 
+  /** ST17: windowed streaming QUANTILES — the KLL sketch (A7) running as
+    * a watermarked streaming window aggregate, completing the
+    * sketch-∘-streaming-state compositions (ST11 does it for Misra-Gries).
+    * Per-window state is the O(cap·log) compactor stack, merged by the
+    * engine across micro-batches exactly like any partial aggregate —
+    * live per-window latency/price percentiles without buffering window
+    * rows. The spec measures per-emitted-window rank error vs that
+    * window's exact values over a two-file replay.
+    */
+  def streamingWindowQuantiles(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.QuantileSketch
+        .kllQuantiles(col("value"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .select(col("window.start").as("window_start"), col("qs"))
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

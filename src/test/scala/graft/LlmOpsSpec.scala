@@ -973,6 +973,55 @@ class StatefulStreamingSpec extends GraftSuite {
     batch.unpersist()
   }
 
+  test("ST17: KLL rank-error bound holds inside a watermarked streaming window agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st17").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams
+      .streamingWindowQuantiles(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st17_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st17_out").collect()
+    assert(emitted.nonEmpty, "watermark never finalized any window")
+    val exact = events
+      .select(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("value"))
+      .collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("ws"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    emitted.foreach { row =>
+      val ws = row.getAs[java.sql.Timestamp]("window_start")
+      val est = row.getSeq[Double](1)
+      val xs = exact(ws)
+      val n = xs.length
+      Seq(0.25, 0.5, 0.75).zip(est).foreach { case (frac, v) =>
+        val rank = xs.count(_ <= v)
+        // small windows (n ~ hundreds < 2·cap) mostly stay exact; 5% of n
+        // (floor 1 rank) is the generous streaming-merge envelope
+        assert(math.abs(rank - frac * n) <= math.max(1.0, 0.05 * n),
+          s"window $ws q=$frac est=$v rank $rank vs target ${frac * n} of $n")
+      }
+    }
+    ordered.unpersist()
+  }
+
   test("ST16: streaming funnel's final emission per user equals batch q70") {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables(spark, sf, "events")
