@@ -932,7 +932,55 @@ object Similarity {
       |WHERE cos >= $RangeTau
       |ORDER BY q_id, neighbor_id""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** Reciprocal-rank-fusion ENSEMBLE retrieval — the production move when
+    * two retrievers see different neighborhoods (s2's hyperplane LSH and
+    * s3's IVF probe miss DIFFERENT true neighbors): fuse their rank lists
+    * with RRF, score = Σ 1/(60 + rank_i) (Cormack et al.'s k=60), re-rank,
+    * keep top-[[TopK]]. Rank-based fusion needs no score calibration
+    * between retrievers — exactly why RRF is the default hybrid in search
+    * stacks (the same operator fuses t13's BM25 list with a dense list).
+    * Determinism: ranks are integers, 1/(60+r) is one exact IEEE divide,
+    * the two-term sum has a fixed order, round(6) before the re-rank
+    * window; ties break on neighbor id.
+    * 100 TB: the component retrievers do the heavy lifting (both already
+    * scale-shaped); fusion itself is a full-outer equi-join of two
+    * (q, neighbor, rank) lists — O(queries·k) rows, trivially shuffled.
+    */
+  def s11AnnFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = s2AnnLsh(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("r_lsh"))
+    val b = s3AnnIvf(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("r_ivf"))
+    val fused = a.join(b, Seq("q_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lsh")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_ivf")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("rrf"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s11Sql: String =
+    s"""WITH lsh AS ($s2Sql),
+      |ivf AS ($s3Sql)
+      |SELECT q_id, rank, neighbor_id, rrf FROM (
+      |  SELECT q_id, neighbor_id, rrf,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT coalesce(a.q_id, b.q_id) AS q_id,
+      |      coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+      |      round(coalesce(1.0 / (60 + a.rank), 0) + coalesce(1.0 / (60 + b.rank), 0), 6) AS rrf
+      |    FROM lsh a FULL OUTER JOIN ivf b
+      |      ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id))
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ann_fusion" -> (s11AnnFusion _),
     "s5_ann_pq" -> (s5AnnPq _),
     "s6_range_search" -> (s6RangeSearch _),
     "s7_ann_ivfpq" -> (s7AnnIvfPq _),
@@ -945,6 +993,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s11_ann_fusion" -> s11Sql,
     "s5_ann_pq" -> s5Sql,
     "s6_range_search" -> s6Sql,
     "s7_ann_ivfpq" -> s7Sql,

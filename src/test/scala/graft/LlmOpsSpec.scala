@@ -186,6 +186,24 @@ class SimilaritySpec extends GraftSuite {
     assert(hits / total >= 0.7, s"recall ${hits / total} < 0.7")
   }
 
+  test("s11 RRF fusion recall matches-or-beats BOTH component retrievers") {
+    val sfr = "/root/testdata/sf0.01"
+    val truth = similarity.Similarity.s1CosineTopK(spark, sfr)
+      .select(col("q_id"), col("neighbor_id"))
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      truth.intersect(df.select(col("q_id"), col("neighbor_id"))).count().toDouble /
+        truth.count().toDouble
+    val rLsh = recall(similarity.Similarity.s2AnnLsh(spark, sfr))
+    val rIvf = recall(similarity.Similarity.s3AnnIvf(spark, sfr))
+    val rFused = recall(similarity.Similarity.s11AnnFusion(spark, sfr))
+    // the ensemble sees the union of the two candidate neighborhoods, so
+    // a true neighbor missed by one retriever survives via the other;
+    // RRF's top-k cut can cost at most a little vs the better component
+    assert(rFused >= math.max(rLsh, rIvf) - 0.05,
+      s"fused recall $rFused below components (lsh=$rLsh, ivf=$rIvf)")
+    assert(rFused >= 0.7, s"fused recall $rFused < 0.7")
+  }
+
   test("s5 PQ shortlist + exact rerank recall vs s1 is >= 0.7") {
     // sf0.01 (measured 0.86 there with the 256-candidate shortlist;
     // uniform random vectors are PQ's worst case — no cluster structure)
