@@ -110,9 +110,71 @@ object Graph {
       |ORDER BY rank_u DESC, node LIMIT $TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Multi-source BFS hop distance — the FRONTIER-EXPANSION graph pattern
+    * (CC = label propagation to fixpoint, PageRank = fixed-iteration mass
+    * flow; this is the third loop shape: bounded-depth reachability).
+    * Seeds: every third supplier (s_suppkey % 3 = 0 — nation keys are
+    * too sparse at sf0.001 to seed reliably); output: every node within
+    * [[MaxHops]] hops of any seed, with its exact hop distance (= [[MaxHops]]
+    * rounds of Bellman-Ford relaxation over the symmetrized purchase
+    * graph — all-integer, so the unrolled-CTE oracle matches exactly).
+    * 100 TB: per round one equi-join (reached ⋈ edges, edges
+    * pre-partitioned on src — the q74 table reused) + one min-groupBy;
+    * state = the reached set only, which is the BFS frontier invariant
+    * that makes supply-chain blast-radius queries tractable — unlike CC,
+    * unreached nodes never enter any shuffle.
+    */
+  val MaxHops = 4
+
+  def q76BfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables(spark, sfDir, "supplier")
+      .filter(col("s_suppkey") % 3 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node")).distinct()
+    val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ed = edges.repartition(nPart, col("src")).localCheckpoint()
+    var reached = s.withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to MaxHops) {
+      reached = reached
+        .unionAll(ed.join(reached, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    reached.orderBy(col("node"))
+  }
+
+  val q76Sql: String = {
+    val hops = (1 to MaxHops).map { h =>
+      s"""h$h AS (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM h${h - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, r.dist + 1 AS dist
+         |  FROM h${h - 1} r JOIN ed e ON r.node = e.src) GROUP BY node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |ed AS (SELECT c AS src, s AS dst FROM e0
+      |       UNION ALL SELECT s AS src, c AS dst FROM e0),
+      |h0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+      |       FROM supplier WHERE s_suppkey % 3 = 0),
+      |$hops
+      |SELECT node, dist FROM h$MaxHops ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q74_pagerank" -> (q74PageRank _))
+    "q74_pagerank" -> (q74PageRank _),
+    "q76_bfs_hops" -> (q76BfsHops _))
 
   val sql: Map[String, String] = Map(
-    "q74_pagerank" -> q74Sql)
+    "q74_pagerank" -> q74Sql,
+    "q76_bfs_hops" -> q76Sql)
 }
