@@ -45,6 +45,10 @@ class DedupSpec extends GraftSuite {
     }
     val out = dedup.Dedup.d15Pairs(docs.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // d17's super-segment/deletion-neighborhood blocking must find the
+    // SAME pairs (its lemma is different; the contract is not)
+    val out17 = dedup.Dedup.d17Pairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // driver-side reference: full Levenshtein on the padded suffix keys
     def key(t: String) = {
       val s = t.takeRight(dedup.Dedup.D15KeyLen)
@@ -62,6 +66,7 @@ class DedupSpec extends GraftSuite {
       d = lev(key(ta), key(tb)) if d <= K
     } yield (ida, idb) -> d.toLong).toMap
     assert(out === expect, "blocked pairs must equal brute-force pairs")
+    assert(out17 === expect, "d17 selective blocking must equal brute force")
     assert(expect.nonEmpty && expect.values.exists(_ > 0),
       "fuzz must exercise non-trivial distances")
   }
