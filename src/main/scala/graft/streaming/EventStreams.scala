@@ -288,6 +288,33 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("qs"))
   }
 
+  /** ST18: streaming per-window AUDIT COUNTERS — q75's live monitoring
+    * form: the violation/health counters an ingest pipeline alarms on
+    * (error-type events, value outliers, distinct actives), maintained
+    * per event-time hour as a watermarked window aggregate. Rules are
+    * conditional sums, so the per-window state is a handful of longs
+    * (partial-aggregated map-side like any agg) and adding a rule costs a
+    * column, not an operator; append mode emits each hour's final audit
+    * row exactly once at watermark passage. Spec: emitted rows ≡ the
+    * batch per-hour audit over the same events.
+    */
+  val AuditOutlierCut = 400.0
+
+  def streamingAuditCounters(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(when(col("value") > AuditOutlierCut, 1L).otherwise(0L)).as("n_outliers"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("n_errors"), col("n_outliers"), col("n_users_approx"))
+  }
+
   /** ST4: watermarked stream-stream join — purchases joined to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so each side's

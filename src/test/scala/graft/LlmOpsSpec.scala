@@ -1045,6 +1045,48 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST18: streaming audit counters emit each hour's exact batch audit row") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st18").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams
+      .streamingAuditCounters(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st18_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st18_out")
+    assert(emitted.count() > 0, "watermark never finalized any window")
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(when(col("value") > streaming.EventStreams.AuditOutlierCut, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+    // every emitted (finalized) window is the exact batch audit row
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted an audit row batch disagrees with")
+    // non-degenerate: some emitted window saw errors
+    assert(emitted.filter(col("n_errors") > 0).count() > 0)
+    ordered.unpersist()
+  }
+
   test("ST16: streaming funnel's final emission per user equals batch q70") {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables(spark, sf, "events")
