@@ -2330,9 +2330,50 @@ object Relational {
       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       |ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Trailing time-RANGE window frame — `RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW` over integer order-date days: each order's 7-day
+    * trailing order count and exact DECIMAL revenue for its customer (the
+    * velocity feature ROWS frames get wrong whenever event spacing is
+    * irregular — a ROWS frame counts rows, a RANGE frame counts TIME).
+    * One shuffle on custkey + one sort serves both frame aggregates;
+    * frame arithmetic is on integer day offsets and the money sum is
+    * DECIMAL, so both engines agree exactly.
+    * 100 TB: identical shape to any per-key window — partition by the
+    * entity, per-partition sort, single pass with a sliding frame; no
+    * self-join (the naive trailing-window formulation is an O(rows ×
+    * window) range self-join).
+    */
+  def q77TrailingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), d.as("d"),
+        dec(col("o_totalprice")).as("price"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("rev_7d", round(sum(col("price")).over(w), 2).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("d").as("order_day"),
+        col("n_7d"), col("rev_7d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q77Sql: String =
+    """SELECT o_custkey, o_orderkey, order_day, n_7d, rev_7d FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS order_day,
+      |    count(*) OVER w AS n_7d,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS rev_7d
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_quality_audit" -> (q75QualityAudit _),
+    "q77_trailing_window" -> (q77TrailingWindow _),
     "q70_funnel" -> (q70Funnel _),
     "q73_zvalue" -> (q73ZValue _),
     "q71_cohort_retention" -> (q71CohortRetention _),
@@ -2479,6 +2520,7 @@ object Relational {
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
     "q75_quality_audit" -> q75Sql,
+    "q77_trailing_window" -> q77Sql,
     "q73_zvalue" -> q73Sql,
     "q71_cohort_retention" -> q71Sql,
     "q72_resample_ffill" -> q72Sql,
