@@ -234,13 +234,73 @@ object Multimodal {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- m5
+  /** The full multimodal RETRIEVAL path composed: payload → featurize →
+    * nearest-neighbor search. The featurizer is the stub tier (a
+    * deterministic 8-dim letter-group histogram both engines can
+    * recompute — a real deployment swaps in the image/audio encoder and
+    * keeps every downstream stage); retrieval is s1's exact-cosine shape
+    * over the derived vectors, and a production corpus slots the SAME
+    * feature column into the s2/s3 ANN indexes instead of the brute join
+    * (featurize-once, index-once — this op pins the composition, the
+    * s-family owns the scale path).
+    * Featurize is one narrow codegen'd projection (8 regexp counts), no
+    * shuffle, no UDF.
+    */
+  private val m5Groups = Seq("abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz", " ")
+  val M5Queries = 10
+  val M5TopK = 5
+
+  def m5FeatureRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.dot
+    import org.apache.spark.sql.expressions.Window
+    val feat = array(m5Groups.map(g =>
+      (length(col("text")) -
+        length(regexp_replace(col("text"), s"[$g]", ""))).cast("double")): _*)
+    val f = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), feat.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint() // featurize ONCE; both join branches read it
+    val q = f.filter(col("doc_id") < M5Queries)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    q.join(f, col("doc_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= M5TopK)
+      .select(col("q_id"), col("rank"), col("doc_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val m5Sql: String = {
+    val dims = m5Groups.map(g =>
+      s"CAST(length(text) - length(regexp_replace(text, '[$g]', '', 'g')) AS DOUBLE)")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH f AS (SELECT doc_id, $dims AS v FROM documents),
+      |n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS norm FROM f)
+      |SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.doc_id AS q_id, d.doc_id AS neighbor_id,
+      |    round(list_dot_product(q.v, d.v) / (q.norm * d.norm), 9) AS cos,
+      |    row_number() OVER (PARTITION BY q.doc_id ORDER BY
+      |      round(list_dot_product(q.v, d.v) / (q.norm * d.norm), 9) DESC,
+      |      d.doc_id) AS rank
+      |  FROM n q JOIN n d ON d.doc_id <> q.doc_id
+      |  WHERE q.doc_id < $M5Queries)
+      |WHERE rank <= $M5TopK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_feature_retrieval" -> (m5FeatureRetrieval _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_resize" -> (m3Resize _),
     "m4_modality_coverage" -> (m4ModalityCoverage _))
 
   val sql: Map[String, String] = Map(
+    "m5_feature_retrieval" -> m5Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_resize" -> m3Sql,
