@@ -1136,6 +1136,58 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST16 under bounded DISORDER: a late band older than already-delivered events still folds exactly") {
+    // file 1 = everything before T_mid MINUS half of the [T_mid-1h, T_mid)
+    // band; file 2 = the rest — so the second batch delivers events OLDER
+    // than ones already processed (but inside the 2h watermark horizon):
+    // the buffer-and-commit-in-ts-order path, not just appended batches.
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st16b").toString
+    val tMid = events.select(col("ts").cast("double").as("tsd"))
+      .stat.approxQuantile("tsd", Array(0.5), 0.01).head
+    val bandLo = tMid - 7000.0 // just under the 2h watermark horizon
+    val tsSec = col("ts").cast("double")
+    val inBand = tsSec >= bandLo && tsSec < tMid
+    val held = inBand && pmod(col("event_id"), lit(2)) === 0 // half the band arrives late
+    val early = events.filter(tsSec < tMid && !held)
+    val late = events.filter(tsSec >= tMid || held)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(early, "01_early")
+    stage(late, "02_late")
+    val q = streaming.EventStreams.streamingFunnel(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("st16b_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st16b_out")
+    val funnelUsers = events
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .select(col("user_id")).distinct()
+    val batch = ops.Relational.q70Funnel(spark, sf)
+      .join(funnelUsers, Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_purchase"), col("stage"))
+    assert(batch.exceptAll(emitted.select(col("user_id"), col("t_signup"),
+      col("t_view"), col("t_purchase"), col("stage"))
+      .dropDuplicates()).count() === 0,
+      "disorder replay diverged from batch q70")
+    // the disorder was real: the late file holds events older than the
+    // early file's newest
+    assert(late.agg(min(col("ts"))).head().getTimestamp(0)
+      .before(early.agg(max(col("ts"))).head().getTimestamp(0)))
+  }
+
   test("ST10: streaming curation gates + cross-batch dedup equal the batch-gated originals") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft-st10").toString
