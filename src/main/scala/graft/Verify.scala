@@ -25,7 +25,12 @@ object Verify {
     require(set.isEmpty, "oracle SQL is pinned to the default knobs; unset " +
       set.mkString(", ") + " before running the correctness dump")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_ONLY=t14_collocations,q76_bfs_hops runs a
+    // subset for fast local iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

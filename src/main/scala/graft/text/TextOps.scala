@@ -636,9 +636,16 @@ object TextOps {
     *
     * Determinism: the cut is the INTEGER count floor, never a float-ranked
     * top-k (a PMI-ordered LIMIT would tie-break on ln ulps and flap
-    * between engines); the PMI itself folds to one integer ratio —
-    * (c_ab·N²) / (NB·c_a·c_b) — before the single divide+ln, so both
-    * engines see bit-identical operands and round(4) absorbs the ln ulp.
+    * between engines); the PMI folds to one ratio —
+    * (c_ab·N²) / (NB·c_a·c_b) — before the single divide+ln. Both factors
+    * are computed in DOUBLES with identical left-associated multiply order
+    * on both engines (an all-integer fold would overflow Long silently in
+    * Spark / hard in DuckDB once N > ~3e9 tokens — a real corpus size);
+    * IEEE multiply is deterministic, and round(4) absorbs the ln ulp.
+    * The trailing `+ 0.0` canonicalizes the signed zero: round(−ε, 4) is
+    * −0.0 in DuckDB but +0.0 in Spark (BigDecimal HALF_UP has no signed
+    * zero), and the two differ in the hash gate's bit compare; IEEE
+    * −0.0 + 0.0 = +0.0 makes both engines agree.
     * 100 TB: bigram counts partial-aggregate map-side before one shuffle
     * on the pair; Zipf + the count floor keep the survivor table tiny
     * (vocab² never materializes — only observed adjacent pairs); the
@@ -673,8 +680,8 @@ object TextOps {
       .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"),
-        round(log((col("n_pair") * col("n") * col("n")).cast("double") /
-          (col("nb") * col("c1") * col("c2"))), 4).as("pmi"))
+        (round(log((col("n_pair").cast("double") * col("n") * col("n")) /
+          (col("nb").cast("double") * col("c1") * col("c2"))), 4) + lit(0.0)).as("pmi"))
       .orderBy(col("w1"), col("w2"))
   }
 
@@ -689,7 +696,7 @@ object TextOps {
       |tot AS (SELECT (SELECT count(*) FROM (SELECT unnest(ts) FROM toks)) AS n,
       |               (SELECT count(*) FROM big) AS nb)
       |SELECT w1, w2, n_pair,
-      |  round(ln((n_pair * n * n)::DOUBLE / (nb * c1 * c2)), 4) AS pmi
+      |  round(ln((n_pair::DOUBLE * n * n) / (nb::DOUBLE * c1 * c2)), 4) + 0.0 AS pmi
       |FROM pairs
       |JOIN (SELECT w AS w1, c AS c1 FROM uni) USING (w1)
       |JOIN (SELECT w AS w2, c AS c2 FROM uni) USING (w2)

@@ -8,9 +8,39 @@ Usage: python3 tools/check.py <outDir> <sfDir>
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def float_neq(gv, ev):
+    """Bit-faithful float inequality, mirroring the driver's hash compare.
+
+    pandas `==` treats -0.0 == 0.0 as True, so it is structurally blind to
+    signed-zero divergences the driver's value hash catches (round-5 t14).
+    Compare the value AND the sign bit: equal nonzero values always share a
+    sign, so the extra clause only bites on -0.0 vs +0.0; NaNs match NaNs
+    regardless of payload/sign (both engines emit canonical quiet NaN).
+    """
+    ga = gv.to_numpy(dtype='float64')
+    ea = ev.to_numpy(dtype='float64')
+    nan_both = np.isnan(ga) & np.isnan(ea)
+    val_eq = (ga == ea) | nan_both
+    sgn_eq = (np.signbit(ga) == np.signbit(ea)) | nan_both
+    return pd.Series(~(val_eq & sgn_eq), index=gv.index)
+
+
+def selftest():
+    """Planted-divergence test: the gate must fail on a -0.0 vs +0.0 pair."""
+    neg = pd.Series([1.5, -0.0, np.nan])
+    pos = pd.Series([1.5, 0.0, np.nan])
+    assert float_neq(neg, pos).tolist() == [False, True, False], "signed zero must FAIL"
+    assert float_neq(pos, neg).tolist() == [False, True, False], "symmetric"
+    assert not float_neq(neg, neg.copy()).any(), "identical incl. -0.0/NaN must pass"
+    assert float_neq(pd.Series([1.0]), pd.Series([1.0 + 1e-9])).tolist() == [True]
+    print("selftest OK: signed-zero divergence fails, bit-identical passes")
+    return 0
+
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -56,7 +86,7 @@ def main(outdir, sfdir):
         for c in gc:
             gv, ev = g[c], e[c]
             if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
-                neq = ~((gv == ev) | (gv.isna() & ev.isna()))
+                neq = float_neq(gv, ev)
             else:
                 try:
                     neq = ~((gv == ev) | (gv.isna() & ev.isna()))
@@ -74,4 +104,6 @@ def main(outdir, sfdir):
     return 1 if failures else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
