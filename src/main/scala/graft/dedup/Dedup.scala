@@ -958,8 +958,9 @@ object Dedup {
     * An 11-char near-exact join key collides ~10³× less than d15's
     * 6-7-char exact segments on natural text — candidates stop tracking
     * the pair space: measured 250k vs 3.3M candidate pairs at sf0.1.
-    * The trade, measured honestly: at sf0.1 d17 is ~2.4× SLOWER than d15
-    * (19.6 s vs 8.1 s) because the ~1.4k-row/doc variant explode — O(n),
+    * The trade, measured honestly: at sf0.1 d17 is ~3.8× SLOWER than d15
+    * (19.6 s vs 5.2 s, the committed BENCH_FULL anchors) because the
+    * ~1.4k-row/doc variant explode — O(n),
     * but a big constant even after boundary anchoring, asymmetric
     * emission and hashed keys — dwarfs the verify savings on a 5k-doc
     * corpus. The candidate term is the one that grows ~quadratically, so

@@ -116,14 +116,25 @@ object Graph {
     * flow; this is the third loop shape: bounded-depth reachability).
     * Seeds: every third supplier (s_suppkey % 3 = 0 — nation keys are
     * too sparse at sf0.001 to seed reliably); output: every node within
-    * [[MaxHops]] hops of any seed, with its exact hop distance (= [[MaxHops]]
-    * rounds of Bellman-Ford relaxation over the symmetrized purchase
-    * graph — all-integer, so the unrolled-CTE oracle matches exactly).
-    * 100 TB: per round one equi-join (reached ⋈ edges, edges
-    * pre-partitioned on src — the q74 table reused) + one min-groupBy;
-    * state = the reached set only, which is the BFS frontier invariant
-    * that makes supply-chain blast-radius queries tractable — unlike CC,
-    * unreached nodes never enter any shuffle.
+    * [[MaxHops]] hops of any seed, with its exact hop distance. The oracle
+    * is the unrolled Bellman-Ford CTE — equivalent because with unit edge
+    * weights a node's first-reach round IS its min hop distance, so
+    * "first reach at round h ⇒ dist = h" and settled nodes can never be
+    * improved (anything generated in round h has dist h > their dist).
+    *
+    * 100 TB: FRONTIER-DELTA loop — each round joins the edge table
+    * (pre-partitioned on src, the q74 table shape) against only the nodes
+    * FIRST REACHED last round, never the full reached set; on a dense
+    * purchase graph most nodes are reached by hop 2, so later rounds
+    * would otherwise redo the largest joins for nothing (round 5's
+    * measured r3 frontier here is ~1% of |reached|). The frontier carries
+    * bare node ids (dist is the round literal, stamped after), the
+    * anti-join that subtracts already-reached nodes is the only operation
+    * that touches the reached set, and the loop exits early once the
+    * frontier drains — the fixed hop bound is a cap, not a cost floor.
+    * Unreached nodes never enter any shuffle (the CC contrast), and
+    * settled nodes never re-enter the edge join (the Bellman-Ford
+    * contrast).
     */
   val MaxHops = 4
 
@@ -140,13 +151,18 @@ object Graph {
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val nPart = spark.sessionState.conf.numShufflePartitions
     val ed = edges.repartition(nPart, col("src")).localCheckpoint()
-    var reached = s.withColumn("dist", lit(0L)).localCheckpoint()
-    for (_ <- 1 to MaxHops) {
-      reached = reached
-        .unionAll(ed.join(reached, col("src") === col("node"))
-          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    var frontier = s.localCheckpoint() // nodes first reached last round
+    var reached = frontier.withColumn("dist", lit(0L))
+    var h = 1
+    while (h <= MaxHops && !frontier.isEmpty) {
+      frontier = ed.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
         .localCheckpoint()
+      reached = reached
+        .unionAll(frontier.withColumn("dist", lit(h.toLong)))
+        .localCheckpoint()
+      h += 1
     }
     reached.orderBy(col("node"))
   }

@@ -78,6 +78,49 @@ class OperatorSemanticsSpec extends GraftSuite {
     assert(over.count() === 0)
   }
 
+  test("q76 frontier-delta BFS ≡ naive Bellman-Ford relaxation") {
+    // The shipped operator joins edges only against last round's newly
+    // reached nodes; this re-derives the answer with the full-reached-set
+    // relaxation it replaced and demands identical output.
+    val fast = ops.Graph.q76BfsHops(spark, sf)
+    val o = Tables(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val ed = e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    var naive = Tables(spark, sf, "supplier")
+      .filter(col("s_suppkey") % 3 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to ops.Graph.MaxHops)
+      naive = naive
+        .unionAll(ed.join(naive, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
+  test("q76 frontier drains: later rounds join a shrinking delta, not the reached set") {
+    // The scale rationale made checkable: on the dense purchase graph the
+    // frontier collapses after hop 2, so the delta the edge join sees in
+    // rounds 3+ must be a small fraction of the reached set a naive
+    // relaxation would re-join every round.
+    val out = ops.Graph.q76BfsHops(spark, sf)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reachedByHop2 = (0L to 2L).map(out.getOrElse(_, 0L)).sum
+    val laterFrontiers = out.filter(_._1 > 2L).values.sum
+    assert(reachedByHop2 > 0)
+    assert(laterFrontiers < reachedByHop2 / 10,
+      s"frontier after hop 2 is $laterFrontiers vs $reachedByHop2 reached — " +
+        "delta loop should be joining ~nothing by then")
+  }
+
   test("approx_count_distinct tracks exact within 5% on lineitem partkeys") {
     val li = Tables(spark, sf, "lineitem")
     val Array(approx, exact) = li.agg(
