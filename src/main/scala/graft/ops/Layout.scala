@@ -12,32 +12,41 @@ import graft.functions.zvalue
 object Layout {
 
   /** Z-order clustered write (the `OPTIMIZE ZORDER BY` slot): scale each
-    * clustering column to [0, 2^bits) by min-max binning (one agg pass —
+    * clustering column to [0, 2^bits) by monotone binning (one agg pass —
     * broadcast as literals), interleave the bits into a Morton z-value,
     * range-partition + sort by it, and write with bounded file size. Every
     * output file then covers a small hyper-rectangle of the clustered
     * space, so parquet min-max footer stats skip files/row-groups for
     * predicates on ANY clustered column — a single-column sort only ever
-    * skips on its own column. Linear binning is the deterministic choice;
-    * a skewed production domain substitutes quantile ranks (range
-    * partition ids) per column — the z-value arithmetic is unchanged.
+    * skips on its own column.
+    *
+    * Two binnings:
+    *  - linear (default): (c−mn)·2^bits / range. Overflow-safe: when the
+    *    column range leaves no headroom for the 2^bits multiply (or the
+    *    range itself exceeds Long), the arithmetic switches to doubles —
+    *    double conversion and positive-constant scaling are monotone, so
+    *    the bins stay ordered; a clamp absorbs the last-ulp edge.
+    *  - quantile (`quantile = true`): bin = rank among ≤2^bits−1
+    *    approx-percentile boundaries (computed in the same single agg
+    *    pass, broadcast as an array literal, counted with a codegen'd
+    *    `filter`). This is the skewed-domain production variant: under a
+    *    Zipf/outlier distribution linear binning collapses — one extreme
+    *    value stretches the range so every other row lands in bin 0 and
+    *    that dimension prunes NOTHING — while equal-population bins keep
+    *    every file covering a narrow slice of the data actually present.
+    *    Capped at bits ≤ 10: the per-row cost is O(2^bits) comparisons,
+    *    and 1024 equal-population bins per column already out-resolve any
+    *    realistic file count.
+    *
     * 100 TB: one extra shuffle at write time (the range partitioning); the
     * payoff is every subsequent scan. `maxRecordsPerFile` bounds file
     * granularity — skipping resolution IS file resolution.
     */
   def zOrderWrite(df: DataFrame, zcols: Seq[Column], path: String,
-      bits: Int = 16, partitions: Int = 8, maxRecordsPerFile: Long = 0L): Unit = {
-    val aggs = zcols.zipWithIndex.flatMap { case (c, k) =>
-      Seq(min(c.cast("long")).as(s"mn$k"), max(c.cast("long")).as(s"mx$k"))
-    }
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    val scaled = zcols.zipWithIndex.map { case (c, k) =>
-      val mn = stats.getLong(2 * k)
-      val mx = stats.getLong(2 * k + 1)
-      // monotone integer binning onto [0, 2^bits); +1 keeps mx in range
-      ((c.cast("long") - lit(mn)) * lit(1L << bits) / lit(mx - mn + 1))
-        .cast("long")
-    }
+      bits: Int = 16, partitions: Int = 8, maxRecordsPerFile: Long = 0L,
+      quantile: Boolean = false): Unit = {
+    val scaled = if (quantile) quantileBins(df, zcols, bits)
+                 else linearBins(df, zcols, bits)
     df.withColumn("__zv", zvalue(bits, scaled: _*))
       .repartitionByRange(partitions, col("__zv"))
       .sortWithinPartitions(col("__zv"))
@@ -45,6 +54,48 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+  }
+
+  private def linearBins(df: DataFrame, zcols: Seq[Column], bits: Int): Seq[Column] = {
+    val aggs = zcols.zipWithIndex.flatMap { case (c, k) =>
+      Seq(min(c.cast("long")).as(s"mn$k"), max(c.cast("long")).as(s"mx$k"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    zcols.zipWithIndex.map { case (c, k) =>
+      val mn = stats.getLong(2 * k)
+      val mx = stats.getLong(2 * k + 1)
+      val range = BigInt(mx) - BigInt(mn) + 1
+      if (range * (1L << bits) <= BigInt(Long.MaxValue))
+        // integer path: exact monotone binning onto [0, 2^bits)
+        ((c.cast("long") - lit(mn)) * lit(1L << bits) / lit(range.toLong))
+          .cast("long")
+      else {
+        // extreme-range path: (c−mn)·2^bits would overflow Long (and for
+        // range > 2^63 even c−mn does). Doubles are monotone here — the
+        // lost low-order bits only merge ADJACENT bins; clamp the top edge
+        // where rounding could land exactly on 2^bits.
+        val binD = (c.cast("double") - lit(mn.toDouble)) *
+          lit((1L << bits).toDouble / range.toDouble)
+        least(greatest(binD.cast("long"), lit(0L)), lit((1L << bits) - 1L))
+      }
+    }
+  }
+
+  private def quantileBins(df: DataFrame, zcols: Seq[Column], bits: Int): Seq[Column] = {
+    require(bits <= 10, s"quantile z-order binning caps at 10 bits (got $bits)")
+    val nb = (1 << bits) - 1 // interior boundaries → bins in [0, 2^bits)
+    val probs = array((1 to nb).map(i => lit(i.toDouble / (nb + 1))): _*)
+    val aggs = zcols.zipWithIndex.map { case (c, k) =>
+      percentile_approx(c.cast("double"), probs, lit(10000)).as(s"b$k")
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    zcols.zipWithIndex.map { case (c, k) =>
+      // distinct-sorted boundaries (skew duplicates percentiles; dropping
+      // them just merges empty bins), counted with one codegen'd filter
+      val bnds = stats.getSeq[Double](k).distinct.sorted
+      size(filter(array(bnds.map(lit): _*), b => c.cast("double") >= b))
+        .cast("long")
+    }
   }
 
   case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)
@@ -83,25 +134,22 @@ object Layout {
     }
     val before = list(inPath)
     val total = before.map(_.getLen).sum
-    val conf = spark.conf
-    val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
-    val oldOpen = conf.get("spark.sql.files.openCostInBytes")
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      conf.set("spark.sql.files.openCostInBytes", "0")
-      val df = spark.read.parquet(inPath)
-      val packed =
-        if (clusterBy.isEmpty) df
-        else {
-          val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-          df.repartitionByRange(n, clusterBy: _*)
-            .sortWithinPartitions(clusterBy: _*)
-        }
-      packed.write.mode("overwrite").parquet(outPath)
-    } finally {
-      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
-      conf.set("spark.sql.files.openCostInBytes", oldOpen)
-    }
+    // the split sizing runs in a CLONED session (same SparkContext/cache,
+    // separate SQLConf): mutating the caller's session conf would make any
+    // CONCURRENT query on it silently read with the compaction's split
+    // geometry for the duration of the write
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
+    val df = scoped.read.parquet(inPath)
+    val packed =
+      if (clusterBy.isEmpty) df
+      else {
+        val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+        df.repartitionByRange(n, clusterBy: _*)
+          .sortWithinPartitions(clusterBy: _*)
+      }
+    packed.write.mode("overwrite").parquet(outPath)
     CompactStats(before.length, list(outPath).length, total)
   }
 }

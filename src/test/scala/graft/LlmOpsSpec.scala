@@ -209,6 +209,18 @@ class SimilaritySpec extends GraftSuite {
     assert(rFused >= 0.7, s"fused recall $rFused < 0.7")
   }
 
+  test("s12 appended index ≡ full rebuild, row for row (so recall matches too)") {
+    // the incremental-maintenance contract: encoding is corpus-independent
+    // under the frozen model, so standing-index ∪ encoded-batch must equal
+    // the full re-encode — not approximately (same recall floor) but
+    // EXACTLY (same search output)
+    val sfr = "/root/testdata/sf0.01"
+    val appended = similarity.Similarity.s12IncrementalAnn(spark, sfr)
+    val rebuilt = similarity.Similarity.s8IvfPqResidual(spark, sfr)
+    assert(appended.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(appended).count() === 0)
+  }
+
   test("s5 PQ shortlist + exact rerank recall vs s1 is >= 0.7") {
     // sf0.01 (measured 0.86 there with the 256-candidate shortlist;
     // uniform random vectors are PQ's worst case — no cluster structure)

@@ -159,6 +159,49 @@ class ScaleFeaturesSpec extends GraftSuite {
       s"z-order lost first-dimension pruning: $bCust of $total rows scanned")
   }
 
+  test("quantile z-order binning keeps pruning under an outlier-stretched domain where linear collapses") {
+    // Zipf/outlier reality: one extreme value stretches the linear min-max
+    // range so every other row lands in bin 0 — the skewed dimension then
+    // prunes nothing (and the old 2^bits multiply would overflow Long; the
+    // double guard keeps it well-defined). Quantile bins are populated
+    // equally by construction, so the same predicate keeps skipping files.
+    val base = Tables(spark, sf, "orders")
+      .withColumn("days",
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+    val minKey = base.agg(min(col("o_orderkey"))).head().getLong(0)
+    val orders = base.withColumn("skewed",
+      when(col("o_orderkey") === minKey, lit(1L << 61))
+        .otherwise(col("o_orderkey") % 1000))
+    val total = orders.count()
+
+    def written(quantile: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-zq-$quantile").toString
+      ops.Layout.zOrderWrite(orders, Seq(col("skewed"), col("days")), dir,
+        bits = 8, partitions = 8, maxRecordsPerFile = 25L, quantile = quantile)
+      dir
+    }
+    def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst { case s: FileSourceScanExec => s }.get
+        case s: FileSourceScanExec => s
+      }.getOrElse(fail("no file scan in plan")).metrics("numOutputRows").value
+    }
+    val linDir = written(quantile = false)
+    val quaDir = written(quantile = true)
+    val pred = col("skewed").between(100, 199)
+    assert(spark.read.parquet(linDir).filter(pred).count() ===
+      spark.read.parquet(quaDir).filter(pred).count(), "layouts disagree")
+    val lin = rowsScanned(spark.read.parquet(linDir).filter(pred))
+    val qua = rowsScanned(spark.read.parquet(quaDir).filter(pred))
+    assert(lin > total / 2,
+      s"expected the outlier to defeat linear binning (scan most of $total), got $lin")
+    assert(qua * 2 < lin,
+      s"quantile binning should prune >2x vs degenerate linear: $qua vs $lin")
+  }
+
   test("compaction bin-packs small files shuffle-free and the clustered mode restores pruning ranges") {
     // a streaming-sink-shaped mess: events scattered across ~60 tiny files
     val events = Tables(spark, sf, "events")
