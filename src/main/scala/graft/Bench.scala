@@ -86,7 +86,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
-    val lineBudget = 1800
+    // 1600, not 1800: the driver keeps a ~2000-char stdout tail, but sbt's
+    // "[info] " line prefix, interleaved stderr, and the "[success]" footer
+    // eat into it — round 6's 1796-char line was present in the tail yet
+    // failed the driver's parse (BENCH_r06 parsed:null). Leave real slack.
+    val lineBudget = 1600
     val fixed =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"errors":$errJson,"n_regressions":${regressions.size},"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""".length
     val slowestFirst = results.sortBy(-_._2)

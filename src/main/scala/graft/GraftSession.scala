@@ -23,8 +23,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS) parquet; see Tables
+      // events.ts parquet type handling; see Tables.readerConfs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

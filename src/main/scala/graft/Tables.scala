@@ -22,16 +22,40 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Reader confs every graft session needs before touching the testdata:
+    *
+    * - `nanosAsLong`: events.ts was parquet TIMESTAMP(NANOS) in early
+    *   testdata drops, which Spark 4 rejects outright
+    *   (PARQUET_TYPE_ILLEGAL); read it as a raw long and convert below.
+    * - `inferTimestampNTZ=false`: the current drop writes µs with
+    *   isAdjustedToUTC=false (pandas/pyarrow default), which Spark 4 would
+    *   infer as TIMESTAMP_NTZ — a type `unix_millis`/`unix_micros` and
+    *   streaming watermarks all reject. With inference off the scan column
+    *   is plain TIMESTAMP holding the same micros (exact under the UTC
+    *   session timezone every entry point pins), filters on it still push
+    *   down to parquet (a post-scan cast would block that), and every
+    *   downstream operator sees the event-time type it was built for.
+    */
+  def readerConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name), {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read it as a raw long and truncate
-      // to µs — the same truncation DuckDB applies when it loads nanos into
-      // its µs timestamps, so oracle comparisons agree.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      readerConfs(spark)
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (name == "events") df.schema("ts").dataType match {
+        case LongType =>
+          // nanos drop: truncate to µs — the same truncation DuckDB
+          // applies loading nanos, so oracle comparisons agree.
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // belt-and-suspenders: if inference still yielded NTZ (conf
+          // ignored by a future Spark), localize in the session tz (UTC).
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
       else df
     })
 

@@ -28,15 +28,33 @@ object Verify {
     // dev-only: SPARK_GRAFT_ONLY=t14_collocations,q76_bfs_hops runs a
     // subset for fast local iteration; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws must still surface as a RED correctness row, not
+    // vanish from the report (round 6: five crashed queries were silently
+    // omitted and the artifact read 0 failures). On error we write a
+    // one-row sentinel whose schema ("__verify_error") can never match any
+    // oracle, so the driver's compare records rows/schema/hash = false.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case w: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${w.getMessage}")
+        }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

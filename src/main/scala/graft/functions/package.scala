@@ -44,6 +44,19 @@ package object functions {
 
   // ------------------------------------------------------------ Spark side
 
+  /** Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column. Spark 4
+    * infers parquet micros written with isAdjustedToUTC=false (pandas/
+    * pyarrow's default) as TIMESTAMP_NTZ, which `unix_micros` rejects with
+    * DATATYPE_MISMATCH; the cast localizes NTZ in the session timezone
+    * (pinned UTC in every graft session) — the same reading DuckDB's
+    * epoch_us applies to the identical naive micros — and is a no-op for
+    * an already-LTZ column, so the helper is type-agnostic.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Epoch milliseconds; see [[epochUs]] for the NTZ contract. */
+  def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
   /** Polynomial char-fold hash of a string column: fold(h*31 + code(c)) mod P. */
   def charFoldHash(c: Column): Column = native(CharFoldExpr(ex(c)))
 

@@ -102,9 +102,9 @@ object AsOfJoin {
     val near = toleranceUs.map { tol =>
       val gap =
         if (direction == "backward")
-          unix_micros(col("__t")) - unix_micros(col("__c").getField("__mt"))
+          graft.functions.epochUs(col("__t")) - graft.functions.epochUs(col("__c").getField("__mt"))
         else
-          unix_micros(col("__c").getField("__mt")) - unix_micros(col("__t"))
+          graft.functions.epochUs(col("__c").getField("__mt")) - graft.functions.epochUs(col("__t"))
       gap <= tol
     }.getOrElse(lit(true))
     l.unionByName(r)

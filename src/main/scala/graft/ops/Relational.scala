@@ -582,10 +582,10 @@ object Relational {
   def q24Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     t(spark, sfDir, "events")
-      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("prev_ms", lag(graft.functions.epochMs(col("ts")), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ms").isNull ||
-          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+          graft.functions.epochMs(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
@@ -2115,11 +2115,11 @@ object Relational {
         min(when(col("event_type") === "signup", col("ts"))).over(byUser))
       .withColumn("t2",
         min(when(col("event_type") === "view" && col("ts") >= col("t1") &&
-          unix_micros(col("ts")) - unix_micros(col("t1")) <= wk, col("ts")))
+          graft.functions.epochUs(col("ts")) - graft.functions.epochUs(col("t1")) <= wk, col("ts")))
           .over(byUser))
       .withColumn("t3",
         min(when(col("event_type") === "purchase" && col("ts") >= col("t2") &&
-          unix_micros(col("ts")) - unix_micros(col("t2")) <= wk, col("ts")))
+          graft.functions.epochUs(col("ts")) - graft.functions.epochUs(col("t2")) <= wk, col("ts")))
           .over(byUser))
       .groupBy(col("user_id"))
       .agg(min(col("t1")).as("t_signup"), min(col("t2")).as("t_view"),
@@ -2161,7 +2161,7 @@ object Relational {
     t(spark, sfDir, "events")
       .join(firstSeen, Seq("user_id"))
       .withColumn("week_offset",
-        floor((unix_micros(col("ts")) - unix_micros(col("cohort_week")))
+        floor((graft.functions.epochUs(col("ts")) - graft.functions.epochUs(col("cohort_week")))
           .cast("double") / wk).cast("long"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
@@ -2195,8 +2195,8 @@ object Relational {
   def q72ResampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events").filter(col("user_id") < 10)
     // exact scalar tiebreak: µs offset within the hour (< 3.6e9) · 1e8 + id
-    val closeKey = (unix_micros(col("ts")) -
-      unix_micros(date_trunc("hour", col("ts")))) * lit(100000000L) + col("event_id")
+    val closeKey = (graft.functions.epochUs(col("ts")) -
+      graft.functions.epochUs(date_trunc("hour", col("ts")))) * lit(100000000L) + col("event_id")
     val hourly = ev
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"),

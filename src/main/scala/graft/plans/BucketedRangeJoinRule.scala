@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.expressions.Literal.{FalseLiteral, TrueLiteral}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DoubleType, LongType, NumericType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DateType, DoubleType, LongType, NumericType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: rewrite a big-big interval (range) theta-join into the
   * bucketed equi-join q47 composes by hand — the user writes the natural
@@ -117,6 +117,7 @@ case class BucketedRangeJoinRule(session: SparkSession)
     def compatible(v: DataType, b: DataType): Boolean = (v, b) match {
       case (_: NumericType, _: NumericType) => true
       case (TimestampType, TimestampType) => true
+      case (TimestampNTZType, TimestampNTZType) => true
       case (DateType, DateType) => true
       case _ => false
     }
@@ -150,6 +151,11 @@ case class BucketedRangeJoinRule(session: SparkSession)
   private def bucketOf(e: Expression, w: Long): Expression = {
     val numeric = e.dataType match {
       case TimestampType => UnixMicros(e)
+      // NTZ (parquet micros with isAdjustedToUTC=false): localize in the
+      // session timezone first — monotone (a fixed offset per zone rule),
+      // and exact under the UTC sessions every graft entry point pins.
+      case TimestampNTZType =>
+        UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
       case DateType => UnixDate(e)
       case _ => e
     }

@@ -20,9 +20,15 @@ object EventStreams {
     * through untouched — batch and stream stay equivalent).
     */
   private def fixTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // watermark/event-time require TIMESTAMP; localize in the session
+        // tz (UTC) — same contract as Tables.readerConfs
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Shared transform: 1-hour tumbling window counts/sums per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
@@ -56,7 +62,7 @@ object EventStreams {
       dir.resolve("events.parquet"))
     // Use the RAW parquet schema (ts read as nanos-long, see Tables) and
     // apply the same µs conversion on the stream.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.readerConfs(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream
       .schema(raw)
@@ -75,7 +81,7 @@ object EventStreams {
   def streamingFirstSeen(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.readerConfs(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
     java.nio.file.Files.copy(
@@ -102,7 +108,7 @@ object EventStreams {
     * operator to reach for when duplicates arrive close together).
     */
   def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.readerConfs(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-wmdedup")
     java.nio.file.Files.copy(
@@ -395,7 +401,7 @@ object EventStreams {
 
   /** Streaming flavor over the staged file source (see ST3). */
   def streamingPurchaseClicks(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.readerConfs(spark)
     val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj")
     java.nio.file.Files.copy(
