@@ -244,6 +244,8 @@ object Curation {
     }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      // ST19 arrival tap (pre-gate: the denominator is raw arrivals)
+      .observe("st14_arrivals", count(lit(1)).as("n_input"))
       .transform(rowGates)
       .withColumn("text_hash", md5(col("text").cast("binary")))
       .withWatermark("ingest_ts", "1 hour")

@@ -228,13 +228,72 @@ object PipelineQueries {
       |WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** P4, oracle-checked end-to-end: a 2-hop transformer chain resolved by
+    * the pipeline UNDER sink-as-cache — the reference's composed get
+    * behavior (pipelines.py `_transform` + `_put_cache`). The first `get`
+    * computes lineitem → (join part) → per-type profit through the source
+    * + chain and auto-fills the parquet cache tier in front of it; the
+    * SECOND `get` must be served from that sink without touching the
+    * source (require-d via a source-call counter), and it is THAT cached
+    * result the driver compares against an oracle recomputing from the
+    * base tables — so the cache round trip (plan → parquet → plan) must
+    * be value-exact, column types included.
+    */
+  def p4CachedChain(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val counting = new java.util.concurrent.atomic.AtomicInteger(0)
+    val source = new ParquetTablesSource(sfDir) {
+      override def get(dataType: String, query: Query, sp: SparkSession): DataFrame = {
+        counting.incrementAndGet()
+        super.get(dataType, query, sp)
+      }
+    }
+    val enrich = new Transformer {
+      val from = "lineitem"; val to = "lineitem_with_part"
+      def transform(df: DataFrame): DataFrame =
+        // part scales with SF — let Catalyst pick broadcast vs shuffle
+        df.join(Tables(s, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+    }
+    val profit = new Transformer {
+      val from = "lineitem_with_part"; val to = "profit_by_type"
+      def transform(df: DataFrame): DataFrame =
+        df.groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))), 2)
+              .cast("double").as("revenue"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-p4-cache").toString
+    val sink = new ParquetDirSink(tmp, Set("profit_by_type"))
+    val pipeline = new DataPipeline(
+      Seq(Right(sink), Left(source)), Seq(enrich, profit))
+    pipeline.get("profit_by_type") // source + 2-hop chain; fills the sink
+    val afterFirst = counting.get()
+    require(afterFirst > 0, "first get must have hit the source")
+    val cached = pipeline.get("profit_by_type")
+    require(counting.get() == afterFirst,
+      "second get must be served from the sink cache, not the source")
+    cached.orderBy(col("p_type"))
+  }
+
+  val p4Sql: String =
+    """SELECT p_type, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_pipeline_get" -> (p1PipelineGet _),
     "p2_put_roundtrip" -> (p2PutRoundtrip _),
-    "p3_validated_get" -> (p3ValidatedGet _))
+    "p3_validated_get" -> (p3ValidatedGet _),
+    "p4_cached_chain" -> (p4CachedChain _))
 
   val sql: Map[String, String] = Map(
     "p1_pipeline_get" -> p1Sql,
     "p2_put_roundtrip" -> p2Sql,
-    "p3_validated_get" -> p3Sql)
+    "p3_validated_get" -> p3Sql,
+    "p4_cached_chain" -> p4Sql)
 }

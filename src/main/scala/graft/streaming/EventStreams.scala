@@ -311,6 +311,8 @@ object EventStreams {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inputDir)
       .transform(fixTs)
+      // ST19 arrival tap: raw-arrival denominator for drop alarming
+      .observe("st18_arrivals", count(lit(1)).as("n_input"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
@@ -779,6 +781,8 @@ object EventStreams {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inputDir)
       .transform(fixTs)
+      // ST19 arrival tap: raw-arrival denominator for drop alarming
+      .observe("st16_arrivals", count(lit(1)).as("n_input"))
       .filter(col("event_type").isin("signup", "view", "purchase"))
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)]
@@ -821,4 +825,77 @@ object EventStreams {
     "st5_stream_join_outer" -> st5Sql,
     "st6_temp_mix" -> st6Sql,
     "st7_lagged_mix" -> st7Sql)
+
+  // ------------------------------------------------- ST19 observability
+
+  /** Register a [[WatermarkDropMonitor]] on this session's stream manager
+    * and return it. Registration is explicit — callers that run their own
+    * listeners aren't double-counted — and the caller owns removal
+    * (`spark.streams.removeListener(m)`).
+    */
+  def monitorDrops(spark: SparkSession): WatermarkDropMonitor = {
+    val m = new WatermarkDropMonitor
+    spark.streams.addListener(m)
+    m
+  }
+}
+
+/** ST19: dropped-late-row OBSERVABILITY for the streaming family.
+  *
+  * Structured Streaming drops rows older than the watermark INSIDE the
+  * stateful operators — correctness-preserving but silent: when an
+  * upstream feed starts lagging past the watermark horizon, data is lost
+  * with no error surfaced anywhere. The replay specs prove the happy path
+  * and bounded disorder; this is the operational half — the counters a
+  * production pipeline alarms on:
+  *
+  *  - the engine's authoritative per-trigger
+  *    `stateOperators[*].numRowsDroppedByWatermark` (raw input rows for
+  *    `[flat]mapGroupsWithState` operators such as ST14/ST16, where the
+  *    watermark filter runs on arrivals; PARTIAL-AGGREGATE rows for
+  *    windowed aggregations such as ST18, where the filter runs after
+  *    map-side combine — still nonzero exactly when data was lost, which
+  *    is what an alarm needs);
+  *  - the `Dataset.observe` arrival taps ST14/ST16/ST18 carry
+  *    (`st14_arrivals`/`st16_arrivals`/`st18_arrivals`, metric
+  *    `n_input`) — the denominator, counted on the same progress events.
+  *
+  * Both are folded into totals a monitor scrapes: drops keyed by QUERY
+  * name, arrivals keyed by OBSERVATION name (stable across restarts of
+  * differently-named queries running the same operator). Listener
+  * delivery is asynchronous; read the totals after the query terminates
+  * (the spec polls briefly). At 100 TB the counters are metadata-only —
+  * `observe` is a running aggregate piggybacking on each task, the drop
+  * counter a per-operator metric already maintained by the state store —
+  * so the tap costs nothing per row.
+  */
+final class WatermarkDropMonitor
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val droppedByQuery =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val arrivalsByTap =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val d = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    if (d > 0)
+      droppedByQuery.updateWith(name)(v => Some(v.getOrElse(0L) + d))
+    p.observedMetrics.forEach { (tap, row) =>
+      val idx = row.schema.fieldNames.indexOf("n_input")
+      if (idx >= 0)
+        arrivalsByTap.updateWith(tap)(v => Some(v.getOrElse(0L) + row.getLong(idx)))
+    }
+  }
+
+  /** Total watermark-dropped rows for a query name (see class doc for the
+    * raw-vs-partial row unit per operator kind). */
+  def dropped(queryName: String): Long = droppedByQuery.getOrElse(queryName, 0L)
+
+  /** Total arrivals seen by an observe tap (e.g. "st16_arrivals"). */
+  def arrivals(tapName: String): Long = arrivalsByTap.getOrElse(tapName, 0L)
 }
