@@ -1028,7 +1028,81 @@ object Similarity {
   /** Oracle: the full-corpus rebuild — append ≡ rebuild is the contract. */
   val s12Sql: String = s8Sql
 
+  // ---------------------------------------------------------------- s13
+  /** FILTERED ANN — the metadata-predicate + vector-top-k retrieval shape
+    * ("nearest passages WHERE lang = 'en' AND license = permissive"), the
+    * most common production variant of every ANN query. PRE-filter
+    * design: the predicate applies to the CORPUS side before the probe
+    * join, so it reaches the parquet scan as a pushed filter
+    * (plan-spec'd) and a selective predicate SHRINKS the probed lists —
+    * post-filtering an unfiltered index's top-k under-returns exactly
+    * when the filter is selective, the classic filtered-ANN failure mode.
+    * Probe depth doubles vs s3 ([[NProbeFiltered]] = 2·[[NProbe]]): the
+    * filter thins each probed list (~30% selectivity here), so the deeper
+    * sweep restores the candidate budget at unchanged asymptotic cost
+    * (cost ∝ probed-list sizes AFTER the filter). Index geometry stays
+    * corpus-wide (same stub centroids as s3) — a per-predicate index is
+    * not a thing at 100 TB; the filter prunes within lists at query time.
+    * Deterministic geometry keeps the DuckDB oracle exact; the spec holds
+    * a recall floor vs the FILTERED brute force.
+    */
+  val NProbeFiltered: Int = 2 * NProbe
+  val S13LabelMax = 3 // corpus predicate: label < 3 (~30% of vectors)
+
+  def s13FilteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val cents = stubCentroids(e)
+    val assign = e.filter(col("label") < S13LabelMax)
+      .withColumn("cid", assignCid(col("v"), cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cid"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .withColumn("cid", explode(probeCids(col("qv"), cents, NProbeFiltered)))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s13Sql: String =
+    s"""WITH e AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS norm
+      |           FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NLists),
+      |assign AS (
+      |  SELECT vec_id, v, norm, cid FROM (
+      |    SELECT e.vec_id, e.v, e.norm, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent WHERE e.label < $S13LabelMax) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, qv, qnorm, cid FROM (
+      |    SELECT e.vec_id AS q_id, e.v AS qv, e.norm AS qnorm, cent.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cent.cv)
+      |          + list_dot_product(cent.cv, cent.cv), cent.cid) AS rn
+      |    FROM e CROSS JOIN cent WHERE e.vec_id < $NQueries) WHERE rn <= $NProbeFiltered)
+      |SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT p.q_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 9) AS cos,
+      |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+      |      round(list_dot_product(p.qv, a.v) / (p.qnorm * a.norm), 9) DESC,
+      |      a.vec_id) AS rank
+      |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.q_id)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_filtered_ann" -> (s13FilteredAnn _),
     "s12_incremental_ann" -> (s12IncrementalAnn _),
     "s11_ann_fusion" -> (s11AnnFusion _),
     "s5_ann_pq" -> (s5AnnPq _),
@@ -1043,6 +1117,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s13_filtered_ann" -> s13Sql,
     "s12_incremental_ann" -> s12Sql,
     "s11_ann_fusion" -> s11Sql,
     "s5_ann_pq" -> s5Sql,

@@ -808,7 +808,56 @@ object EventStreams {
       .toDF()
   }
 
+  // ---------------------------------------------------------------- st9
+  /** ST20: STREAM-STATIC enrichment join — the remaining core streaming
+    * join shape (ST4/ST6 cover stream-stream): a live event feed enriched
+    * against a slowly-changing dimension table, the shape of every
+    * "attach customer attributes to the clickstream" pipeline. The static
+    * side is stateless by construction — no watermark, no state store;
+    * Spark re-plans it each micro-batch (which is also what picks up a
+    * refreshed dim snapshot). Defined ONCE and applied to both the batch
+    * and streaming frame. 100 TB: a bounded dim broadcasts (this shape);
+    * a huge static side instead pre-buckets on the join key so each
+    * micro-batch shuffles only the stream side — either way per-batch
+    * cost is O(batch), never O(static).
+    */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"))),
+      col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"))
+
+  /** ST20's batch twin, oracle-checked; StreamingSpec asserts the
+    * readStream form emits the identical row set.
+    */
+  def st9StreamEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    enrichWithCustomer(Tables(spark, sfDir, "events"),
+      Tables(spark, sfDir, "customer"))
+      .orderBy(col("event_id"))
+
+  val st9Sql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, c.c_nationkey
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** ST20 live form: file-source readStream enriched per micro-batch. */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.readerConfs(spark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    enrichWithCustomer(
+      spark.readStream.schema(raw).option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString).transform(fixTs),
+      Tables(spark, sfDir, "customer"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_stream_enrich" -> (st9StreamEnrich _),
     "st1_window_agg" -> (st1WindowAgg _),
     "st2_session_window" -> (st2SessionWindow _),
     "st3_stream_join" -> (st3StreamJoin _),
@@ -818,6 +867,7 @@ object EventStreams {
     "st7_lagged_mix" -> (st7LaggedMix _))
 
   val sql: Map[String, String] = Map(
+    "st9_stream_enrich" -> st9Sql,
     "st1_window_agg" -> st1Sql,
     "st2_session_window" -> st2Sql,
     "st3_stream_join" -> st3Sql,

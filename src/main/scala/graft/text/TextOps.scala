@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -703,7 +704,57 @@ object TextOps {
       |CROSS JOIN tot
       |ORDER BY w1, w2""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** Per-document TF-IDF keyword extraction — the classic "what is this
+    * document about" signal (tagging, topic routing, index enrichment):
+    * top-3 tokens per doc by tf · ln(N/df). Plan shape is the posting
+    * list again (t13's): tokenize-explode once → (doc, token) tf counts →
+    * token df by re-aggregating the TF TABLE (never re-scanning text) →
+    * join back on token → one per-doc window for the top-3 cut. Two
+    * shuffles (token agg, doc window) + a broadcast 1-row N. The df join
+    * shuffles on token, NOT broadcast: a 100 TB corpus vocabulary is
+    * itself huge, and tf⋈df on token is the skew-safe equi-join (df rows
+    * are one per distinct token — no hot-key explosion). Determinism:
+    * scoring rounds to 6 places BEFORE the window, ties break token-asc —
+    * both engines sort identical (rounded-double, string) keys.
+    */
+  def t15TfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dft, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token").as("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t15Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2),
+      |dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, token AS term, tfidf FROM (
+      |  SELECT tf.doc_id, tf.token,
+      |    round(tf.tf * ln(s.n_docs / d.df), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * ln(s.n_docs / d.df), 6) DESC, tf.token) AS rank
+      |  FROM tf JOIN dft d USING (token) CROSS JOIN stats s)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_tfidf_keywords" -> (t15TfidfKeywords _),
     "t14_collocations" -> (t14Collocations _),
     "t13_bm25_search" -> (t13Bm25Search _),
     "t12_boilerplate" -> (t12Boilerplate _),
@@ -720,6 +771,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t15_tfidf_keywords" -> t15Sql,
     "t14_collocations" -> t14Sql,
     "t13_bm25_search" -> t13Sql,
     "t12_boilerplate" -> t12Sql,

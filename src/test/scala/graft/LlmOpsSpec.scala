@@ -221,6 +221,42 @@ class SimilaritySpec extends GraftSuite {
     assert(rebuilt.exceptAll(appended).count() === 0)
   }
 
+  test("s13 filtered ANN: sound (every neighbor satisfies the predicate), recall vs FILTERED brute force >= 0.7, predicate pushed to scan") {
+    import similarity.Similarity._
+    val sfr = "/root/testdata/sf0.01"
+    val e = Tables(spark, sfr, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("norm", sqrt(graft.functions.dot(col("v"), col("v"))))
+    val out = s13FilteredAnn(spark, sfr)
+    // soundness: a neighbor outside the predicate must never surface
+    assert(out.join(
+      e.filter(col("label") >= S13LabelMax).select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").count() === 0,
+      "filtered ANN returned a neighbor outside the predicate")
+    // recall vs the FILTERED brute force (the correct truth set — recall
+    // vs unfiltered s1 would conflate filter effects with probe misses)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = broadcast(q)
+      .join(e.filter(col("label") < S13LabelMax), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(graft.functions.dot(col("qv"), col("v")) /
+        (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val total = truth.count().toDouble
+    val hits = truth.intersect(out.select(col("q_id"), col("neighbor_id")))
+      .count().toDouble
+    assert(hits / total >= 0.7, s"filtered recall ${hits / total} < 0.7")
+    // the corpus predicate must reach the parquet scan, not run post-scan
+    val plan = s13FilteredAnn(spark, sfr).queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,3)"),
+      s"label predicate not pushed to scan:\n$plan")
+  }
+
   test("s5 PQ shortlist + exact rerank recall vs s1 is >= 0.7") {
     // sf0.01 (measured 0.86 there with the 256-candidate shortlist;
     // uniform random vectors are PQ's worst case — no cluster structure)
@@ -558,6 +594,21 @@ class StreamingSpec extends GraftSuite {
       .start()
     q.awaitTermination(120000)
     val streamed = spark.table("st1_out")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("ST20: stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batch = streaming.EventStreams.st9StreamEnrich(spark, sf)
+    val q = streaming.EventStreams.streamingEnrich(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st20_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("st20_out")
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
@@ -1838,6 +1889,37 @@ class HeavyHittersSpec extends GraftSuite {
     sketch.foreach { case (item, est) =>
       assert(est <= exact(item) && exact(item) - est <= n / k)
     }
+  }
+
+  test("A8 Count-Min: overcount-only for EVERY token, error <= eps*n, bit-identical under 1/7/32 partitions") {
+    import functions.CountMinSketch
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    def sketchOf(parts: Int): Array[Long] = {
+      val t = if (parts == 1) toks.coalesce(1) else toks.repartition(parts)
+      t.select(CountMinSketch.countMin(col("tok")).as("cms"))
+        .head().getSeq[Long](0).toArray
+    }
+    val s1 = sketchOf(1)
+    // linearity ⇒ partitioning-invariance, and it must be EXACT: the
+    // sketch is a per-cell integer sum, so any partitioning of the same
+    // multiset yields the same matrix bit for bit
+    assert(java.util.Arrays.equals(s1, sketchOf(7)), "7-partition sketch differs")
+    assert(java.util.Arrays.equals(s1, sketchOf(32)), "32-partition sketch differs")
+    // overcount-only (deterministic) + measured error bound for EVERY
+    // distinct token; eps = e/width with ~5k distinct tokens over n ~ 57k
+    val epsN = math.ceil(math.E / CountMinSketch.Width * n).toLong
+    exact.foreach { case (tok, truth) =>
+      val est = CountMinSketch.estimate(s1, tok)
+      assert(est >= truth, s"'$tok' undercounted: $est < $truth (impossible for CMS)")
+      assert(est - truth <= epsN,
+        s"'$tok' overcounted past eps*n: $est - $truth > $epsN")
+    }
+    // the sketch is 3x1024 longs no matter the input size
+    assert(s1.length === CountMinSketch.Depth * CountMinSketch.Width)
   }
 }
 

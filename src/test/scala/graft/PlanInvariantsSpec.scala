@@ -22,6 +22,7 @@ class PlanInvariantsSpec extends GraftSuite {
     "q55_top_revenue_supplier", // 1-row max-revenue aggregate crossed into the filter
     "s9_ivf_stats", // 1-row corpus-total aggregate crossed into the 16-row share calc
     "t13_bm25_search", // 1-row (N, avgdl) stats aggregate crossed into the tf rows
+    "t15_tfidf_keywords", // 1-row n_docs aggregate crossed into the tf⋈df rows
     "t14_collocations", // 1-row (n, nb) totals aggregate crossed into the survivors
     "m5_feature_retrieval" // bounded broadcast query set, =!= predicate (s1's shape)
   )
