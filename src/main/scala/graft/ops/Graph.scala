@@ -151,20 +151,28 @@ object Graph {
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val nPart = spark.sessionState.conf.numShufflePartitions
     val ed = edges.repartition(nPart, col("src")).localCheckpoint()
+    // Each round's frontier is checkpointed ONCE (it feeds two consumers:
+    // the next edge join and the final union); the cumulative reached set
+    // stays a LAZY union of those checkpoint roots — re-materializing it
+    // per round (the round-6 form) paid an extra job over ever-growing
+    // data for nothing, since every leaf below the union is already a
+    // checkpoint and the lineage depth is bounded by MaxHops.
     var frontier = s.localCheckpoint() // nodes first reached last round
-    var reached = frontier.withColumn("dist", lit(0L))
+    val frontiers = scala.collection.mutable.ListBuffer((frontier, 0L))
+    var reachedNodes = frontier // ids only, lazy union of checkpoints
     var h = 1
     while (h <= MaxHops && !frontier.isEmpty) {
       frontier = ed.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .join(reachedNodes, Seq("node"), "left_anti")
         .localCheckpoint()
-      reached = reached
-        .unionAll(frontier.withColumn("dist", lit(h.toLong)))
-        .localCheckpoint()
+      frontiers += ((frontier, h.toLong))
+      reachedNodes = reachedNodes.unionAll(frontier)
       h += 1
     }
-    reached.orderBy(col("node"))
+    frontiers.map { case (f, d) => f.withColumn("dist", lit(d)) }
+      .reduce(_ unionAll _)
+      .orderBy(col("node"))
   }
 
   val q76Sql: String = {

@@ -269,7 +269,46 @@ object Sampling {
       |ORDER BY vec_id""".stripMargin.replace("KEYEXPR", key)
   }
 
+  // ---------------------------------------------------------------- a11
+  /** EMBARGOED TEMPORAL SPLIT (de Prado's purged time-series split) — the
+    * other production split shape next to a9's content-hash split: when
+    * the model predicts the FUTURE, the eval set must be strictly later
+    * than training, and rows inside an embargo band after the cutoff are
+    * EXCLUDED entirely — a test row minutes after the boundary shares
+    * sessions/labels with the training tail, the classic temporal leak a
+    * plain `ts < T` split commits. train = ts < T; (purged) ∈ [T, T+gap);
+    * test = ts ≥ T+gap.
+    * 100 TB: one map-side predicate, no shuffle; on a date-partitioned
+    * layout each split prunes to its partition range at the scan. The
+    * cutoff is a fixed literal, not a computed quantile — split
+    * definitions must be REPRODUCIBLE artifacts (re-deriving T from data
+    * moves the boundary every ingest, silently re-labeling rows).
+    */
+  val A11Cutoff = "2024-01-22 00:00:00"
+  val A11EmbargoHours = 24
+
+  def a11TemporalSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit(A11Cutoff).cast("timestamp")
+    val gapEnd = cut + expr(s"INTERVAL $A11EmbargoHours HOURS")
+    Tables(spark, sfDir, "events")
+      .withColumn("split",
+        when(col("ts") < cut, "train")
+          .when(col("ts") >= gapEnd, "test"))
+      .filter(col("split").isNotNull)
+      .select(col("event_id"), col("user_id"), col("split"))
+      .orderBy(col("event_id"))
+  }
+
+  val a11Sql: String =
+    s"""SELECT event_id, user_id,
+      |  CASE WHEN ts < TIMESTAMP '$A11Cutoff' THEN 'train' ELSE 'test' END AS split
+      |FROM events
+      |WHERE ts < TIMESTAMP '$A11Cutoff'
+      |   OR ts >= TIMESTAMP '$A11Cutoff' + INTERVAL $A11EmbargoHours HOURS
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a11_temporal_split" -> (a11TemporalSplit _),
     "a10_cluster_sample" -> (a10ClusterSample _),
     "a9_leakage_safe_split" -> (a9LeakageSafeSplit _),
     "a8_group_sample" -> (a8GroupSample _),
@@ -279,6 +318,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a11_temporal_split" -> a11Sql,
     "a10_cluster_sample" -> a10Sql,
     "a9_leakage_safe_split" -> a9Sql,
     "a8_group_sample" -> a8Sql,

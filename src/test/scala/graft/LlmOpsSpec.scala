@@ -418,6 +418,23 @@ class SimilaritySpec extends GraftSuite {
 
 class TrainingDataOpsSpec extends GraftSuite {
 
+  test("a11 embargoed temporal split: the gap strictly separates train from test and the purged band is non-empty") {
+    val ev = Tables(spark, sf, "events")
+    val out = ops.Sampling.a11TemporalSplit(spark, sf)
+      .join(ev.select(col("event_id"), col("ts")), Seq("event_id"))
+    val maxTrain = out.filter(col("split") === "train")
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val minTest = out.filter(col("split") === "test")
+      .agg(min(col("ts"))).head().getTimestamp(0)
+    val gapMs = ops.Sampling.A11EmbargoHours * 3600L * 1000L
+    assert(minTest.getTime - maxTrain.getTime >= gapMs,
+      s"test starts ${minTest.getTime - maxTrain.getTime} ms after last train row — embargo violated")
+    // the purge is real on this corpus: some events fell inside the band
+    assert(out.count() < ev.count(), "embargo band empty — nothing purged")
+    assert(out.filter(col("split") === "train").count() > 0)
+    assert(out.filter(col("split") === "test").count() > 0)
+  }
+
   test("t6 repetition signals stay in range and n_tokens agrees with t1") {
     val rep = text.TextOps.t6Repetition(spark, sf)
     assert(rep.filter(col("ttr") <= 0 || col("ttr") > 1).count() === 0)
