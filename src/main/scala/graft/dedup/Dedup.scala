@@ -1094,7 +1094,73 @@ object Dedup {
       |ORDER BY i, j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d18
+  /** NEAR-DUP-SAFE train/val/test split — the "same operator, coarser
+    * key" variant a9's scaladoc promises, shipped: the split key is the
+    * content hash of the doc's NEAR-DUP CLUSTER REPRESENTATIVE (d7's
+    * min-id member; singletons key on their own content), so not just
+    * byte-identical but NEAR-identical documents can never straddle a
+    * split boundary — the eval leak a9 still commits between near-dup
+    * runs (a paraphrase of a training doc lands in test). Keying on the
+    * representative's CONTENT (not its id) keeps the split a reproducible
+    * artifact under re-ingest with different ids, exactly a9's
+    * reproducibility contract.
+    * 100 TB: d7's clusters are already the production CC output; the
+    * extra work is two equi-joins (labels, representative text) and the
+    * same map-side bucket arithmetic — no new shuffle shape. Spec: every
+    * d2 near-dup pair lands in ONE split (the straddle check a9 cannot
+    * pass on near-dups).
+    */
+  def d18ClusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val labels = d7DedupClusters(spark, sfDir).select(col("doc_id"), col("cluster"))
+    val rep = docs.select(col("doc_id").as("cluster"), col("text").as("rep_text"))
+    val bucket = hashBucket(md5(col("rep_text").cast("binary")), 1000)
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .join(rep, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        when(bucket < 900, "train").when(bucket < 950, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18Sql: String = {
+    // d7's cluster CTE (same shingle/Jaccard predicate + transitive
+    // closure), then a9's bucket arithmetic on the representative's text
+    val ths = sqlTokenHashes("text")
+    val docsSub =
+      s"""SELECT doc_id, ${sqlShingles("ths")} AS sh
+         |FROM (SELECT doc_id, $ths AS ths FROM documents)""".stripMargin
+        .replaceAll("\n", " ")
+    val bucket = sqlHashBucket("md5(rep_text)", 1000)
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM ($docsSub) a JOIN ($docsSub) b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT i, j FROM edges
+      |  UNION
+      |  SELECT r.src, e.j FROM reach r JOIN edges e ON r.dst = e.i),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src),
+      |keyed AS (
+      |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+      |rep AS (
+      |  SELECT k.doc_id, k.cluster, r.text AS rep_text
+      |  FROM keyed k JOIN documents r ON r.doc_id = k.cluster)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN $bucket < 900 THEN 'train'
+      |       WHEN $bucket < 950 THEN 'val' ELSE 'test' END AS split
+      |FROM rep ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_cluster_split" -> (d18ClusterSplit _),
     "d17_edit_dedup_selective" -> (d17EditDedupSelective _),
     "d15_edit_dedup" -> (d15EditDedup _),
     "d16_incremental_neardup" -> (d16IncrementalNeardup _),
@@ -1114,6 +1180,7 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    "d18_cluster_split" -> d18Sql,
     // same contract as d15, independently re-verified through the
     // selective blocking — the oracle is the shared brute force
     "d17_edit_dedup_selective" -> d15Sql,

@@ -719,10 +719,15 @@ object TextOps {
     * both engines sort identical (rounded-double, string) keys.
     */
   def t15TfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpoint the TF table: it feeds both the df aggregation and the
+    // join probe, and the two consumers don't canonicalize to a reused
+    // exchange — without this the corpus is scanned AND tokenized twice,
+    // the dominant cost at scale (m5's featurize-once pattern)
     val tf = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val nDocs = Tables(spark, sfDir, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs"))

@@ -435,6 +435,26 @@ class TrainingDataOpsSpec extends GraftSuite {
     assert(out.filter(col("split") === "test").count() > 0)
   }
 
+  test("d18 cluster split: no d2 near-dup pair straddles a split boundary; every doc is assigned") {
+    val out = ops.Sampling.a9LeakageSafeSplit(spark, sf) // a9 for contrast only
+    val d18 = dedup.Dedup.d18ClusterSplit(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    assert(d18.count() === docs.count(), "d18 must assign every doc")
+    // the money assertion: near-dup PAIRS (d2's output) share a split —
+    // this is exactly what a9's byte-content key cannot guarantee
+    val pairs = dedup.Dedup.d2MinHashLsh(spark, sf).select(col("i"), col("j"))
+    val s = d18.select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(s.withColumnRenamed("doc_id", "i").withColumnRenamed("split", "si"), Seq("i"))
+      .join(s.withColumnRenamed("doc_id", "j").withColumnRenamed("split", "sj"), Seq("j"))
+      .filter(col("si") =!= col("sj"))
+    assert(straddling.count() === 0, "a near-dup pair straddles splits")
+    // members of one cluster all share the split (transitive guarantee)
+    assert(d18.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count() === 0)
+    assert(out.count() === docs.count()) // a9 sanity, keeps the contrast honest
+  }
+
   test("t6 repetition signals stay in range and n_tokens agrees with t1") {
     val rep = text.TextOps.t6Repetition(spark, sf)
     assert(rep.filter(col("ttr") <= 0 || col("ttr") > 1).count() === 0)
