@@ -184,7 +184,7 @@ object Similarity {
     * model-scale collect: NLists×Dim doubles, same class of collect as the
     * k-means trainer's model.
     */
-  private def stubCentroids(e: DataFrame): Seq[(Int, Array[Double])] =
+  private[graft] def stubCentroids(e: DataFrame): Seq[(Int, Array[Double])] =
     e.filter(col("vec_id") < NLists).orderBy(col("vec_id"))
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
@@ -722,7 +722,7 @@ object Similarity {
     * zero-shuffle, and — the s12 point — corpus-independent: encoding a
     * batch never needs to see the standing corpus.
     */
-  private def residualEncode(df: DataFrame,
+  private[graft] def residualEncode(df: DataFrame,
       cents: Seq[(Int, Array[Double])]): DataFrame = {
     val cMat = cents.sortBy(_._1).map(_._2.toSeq)
     val cvec = element_at(typedlit(cMat), col("cid") + 1)
@@ -744,7 +744,7 @@ object Similarity {
     * `enc` carries (vec_id, cid, rec, rr) where `rec` is the decoded
     * approximation the ADC ranks against.
     */
-  private def adcPipeline(e: DataFrame, enc: DataFrame,
+  private[graft] def adcPipeline(e: DataFrame, enc: DataFrame,
       cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))

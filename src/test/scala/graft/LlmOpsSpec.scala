@@ -221,6 +221,52 @@ class SimilaritySpec extends GraftSuite {
     assert(rebuilt.exceptAll(appended).count() === 0)
   }
 
+  test("ST21: LIVE ANN ingest — foreachBatch-encoded micro-batches into the standing index ≡ full rebuild") {
+    // s12's production deployment shape actually STREAMED: arriving
+    // vectors encode per micro-batch under the frozen model (foreachBatch
+    // → append to the index's parquet tables, the P6b pipeline bridge)
+    // and the searched union must equal the full re-encode — encode is
+    // corpus-independent, so streamed ≡ batch-appended ≡ rebuilt.
+    import similarity.Similarity._
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val isBatch = col("vec_id") % S12BatchMod === 3 && col("vec_id") >= NLists
+    val root = java.nio.file.Files.createTempDirectory("graft-st21").toString
+    // the standing index: encoded once, on disk — never rewritten
+    residualEncode(e.filter(!isBatch), cents)
+      .write.parquet(s"$root/standing")
+    // the arriving vectors, staged as TWO files → two micro-batches
+    val arrivals = e.filter(isBatch)
+    arrivals.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$root/in_a")
+    arrivals.filter(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$root/in_b")
+    new java.io.File(s"$root/in").mkdirs()
+    Seq("in_a", "in_b").zipWithIndex.foreach { case (d, i) =>
+      val part = new java.io.File(s"$root/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/0$i.parquet"))
+    }
+    val q = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        residualEncode(batch, cents)
+          .write.mode("append").parquet(s"$root/ingested")
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val appended = spark.read.parquet(s"$root/standing")
+      .unionByName(spark.read.parquet(s"$root/ingested"))
+    val live = adcPipeline(e, appended, cents, S7Probe)
+    val rebuilt = s8IvfPqResidual(spark, sf)
+    assert(live.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(live).count() === 0)
+  }
+
   test("s13 filtered ANN: sound (every neighbor satisfies the predicate), recall vs FILTERED brute force >= 0.7, predicate pushed to scan") {
     import similarity.Similarity._
     val sfr = "/root/testdata/sf0.01"
