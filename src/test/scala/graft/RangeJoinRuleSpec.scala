@@ -107,20 +107,48 @@ class RangeJoinRuleSpec extends GraftSuite {
   }
 
   test("timestamp bounds rewrite through epoch-micros bucketing (ANSI-safe)") {
-    // events probed against per-order [orderdate, orderdate + 2h) windows —
-    // the event-time range join every attribution pipeline runs
+    // events probed against [t, t + 2h) windows anchored at sampled event
+    // times — the event-time range join every attribution pipeline runs.
+    // Intervals derive from events (not orders: the tables' date ranges
+    // don't overlap, which silently made an orders-anchored version of
+    // this test vacuous — caught when the NTZ twin asserted nonEmpty)
     def evs = Tables(spark, sf, "events")
       .select(col("event_id"), col("ts"))
-    def iv = Tables(spark, sf, "orders").limit(50)
-      .select(col("o_orderkey"), col("o_orderdate").as("w_lo"),
-        (col("o_orderdate") + expr("INTERVAL 2 HOURS")).as("w_hi"))
+    def iv = Tables(spark, sf, "events").orderBy(col("event_id")).limit(50)
+      .select(col("event_id").as("iv_id"), col("ts").as("w_lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_hi"))
     def theta = evs.join(iv, col("ts") >= col("w_lo") && col("ts") < col("w_hi"))
     val expected = theta.collect().toSet
+    assert(expected.size >= 50, "degenerate: each interval must match its own anchor")
     withRule(3600L * 1000000) { // 1-hour buckets, in MICROSECONDS
       val df = theta
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("__graft_bucket"),
         s"timestamp range join must be rewritten:\n$plan")
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("TIMESTAMP_NTZ bounds rewrite through session-localized epoch bucketing") {
+    // the type the current testdata drop infers without Tables.readerConfs
+    // (parquet micros, isAdjustedToUTC=false): the rule localizes NTZ in
+    // the session tz (UTC) before UnixMicros — monotone, so the bucket
+    // rewrite stays exactly semantics-preserving
+    def evs = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    def iv = Tables(spark, sf, "events").orderBy(col("event_id")).limit(50)
+      .select(col("event_id").as("iv_id"),
+        col("ts").cast("timestamp_ntz").as("w_lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).cast("timestamp_ntz").as("w_hi"))
+    def theta = evs.join(iv, col("ts") >= col("w_lo") && col("ts") < col("w_hi"))
+    val expected = theta.collect().toSet
+    assert(expected.nonEmpty, "degenerate NTZ case: no matches")
+    withRule(3600L * 1000000) {
+      val df = theta
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bucket"),
+        s"NTZ range join must be rewritten:\n$plan")
       assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
       assert(df.collect().toSet === expected)
     }
