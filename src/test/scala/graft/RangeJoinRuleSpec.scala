@@ -54,6 +54,7 @@ class RangeJoinRuleSpec extends GraftSuite {
     def flipped = probe.join(intervals,
       col("lo") < col("o_totalprice") && col("hi") > col("o_totalprice"))
     val expected = flipped.collect().toSet
+    assert(expected.nonEmpty, "flipped-bounds join must match something")
     withRule(500) {
       val df = flipped
       val plan = df.queryExecution.executedPlan.toString
@@ -96,6 +97,7 @@ class RangeJoinRuleSpec extends GraftSuite {
       }.toDF("iid", "lo", "hi")
       def theta = probe.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
       val expected = theta.collect().toSet
+      assert(expected.nonEmpty, s"round $round fuzz draw matched nothing")
       val width = Seq(7L, 100L, 5000L)(round - 1) // incl. width >> value span
       withRule(width) {
         val df = theta
