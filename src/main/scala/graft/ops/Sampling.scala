@@ -290,12 +290,13 @@ object Sampling {
   def a11TemporalSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit(A11Cutoff).cast("timestamp")
     val gapEnd = cut + expr(s"INTERVAL $A11EmbargoHours HOURS")
+    // the band exclusion is an explicit OR of range predicates, NOT a
+    // CASE-then-isNotNull — only this form pushes to the parquet scan
+    // (row-group pruning on ts statistics skips the band's files)
     Tables(spark, sfDir, "events")
-      .withColumn("split",
-        when(col("ts") < cut, "train")
-          .when(col("ts") >= gapEnd, "test"))
-      .filter(col("split").isNotNull)
-      .select(col("event_id"), col("user_id"), col("split"))
+      .filter(col("ts") < cut || col("ts") >= gapEnd)
+      .select(col("event_id"), col("user_id"),
+        when(col("ts") < cut, "train").otherwise("test").as("split"))
       .orderBy(col("event_id"))
   }
 
