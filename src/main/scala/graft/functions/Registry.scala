@@ -31,6 +31,17 @@ object GraftFunctions {
       e => { val (a, b) = two(e); HammingExpr(a, b) }, "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       e => HyperplaneBucketExpr(one(e), 8, 64), "built-in")
+    // The typed-Aggregator sketches as SQL aggregates (udaf registration —
+    // the supported path for Aggregators): fixed default geometries, since
+    // SQL function signatures can't carry constructor parameters. Scala
+    // callers needing other geometries use the object factories directly.
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("misra_gries",
+      udaf(new MisraGriesAggregator(32)))
+    spark.udf.register("count_min",
+      udaf(new CountMinAggregator(CountMinSketch.Depth, CountMinSketch.Width)))
+    spark.udf.register("kll_quartiles",
+      udaf(new KllAggregator(QuantileSketch.Cap, Seq(0.25, 0.5, 0.75))))
   }
 }
 

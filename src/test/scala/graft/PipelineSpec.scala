@@ -266,6 +266,35 @@ class SqlSurfaceSpec extends GraftSuite {
     assert(viaSql.head().getDouble(2) === 11.0)
   }
 
+  test("sketch aggregates on the SQL surface equal their Column-API forms") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf)
+    // CMS is bit-deterministic, so SQL ≡ API is exact array equality
+    val sqlCms = spark.sql(
+      "SELECT count_min(tok) AS s FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)")
+      .head().getSeq[Long](0)
+    val apiCms = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(graft.functions.CountMinSketch.countMin(col("tok")).as("s"))
+      .head().getSeq[Long](0)
+    assert(sqlCms === apiCms)
+    // KLL quartiles: deterministic compaction ⇒ same values through SQL
+    val sqlKll = spark.sql(
+      "SELECT kll_quartiles(value) AS q FROM events").head().getSeq[Double](0)
+    val apiKll = Tables(spark, sf, "events")
+      .select(graft.functions.QuantileSketch
+        .kllQuantiles(col("value"), Seq(0.25, 0.5, 0.75)).as("q"))
+      .head().getSeq[Double](0)
+    assert(sqlKll === apiKll)
+    // MG through SQL honors its retention guarantee (map ordering is not
+    // canonical, so compare contents)
+    val sqlMg = spark.sql(
+      "SELECT misra_gries(tok) AS s FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)")
+      .head().getMap[String, Long](0).toMap
+    assert(sqlMg.nonEmpty && sqlMg.size <= 31)
+  }
+
   test("orc source round-trips") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
