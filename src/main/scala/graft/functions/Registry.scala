@@ -73,6 +73,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (e: Seq[Expression]) => HammingExpr(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("hyperplane_bucket"), info("hyperplane_bucket"),
       (e: Seq[Expression]) => HyperplaneBucketExpr(e.head, 8, 64)))
+    // sketch aggregates, same default geometries as GraftFunctions.register
+    // (an Aggregator reaches SQL as the ScalaAggregator expression its
+    // udaf-built Column carries — unwrapped via the package bridge)
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.udaf
+    ext.injectFunction((FunctionIdentifier("misra_gries"), info("misra_gries"),
+      (e: Seq[Expression]) => GraftColumnBridge.expression(
+        udaf(new MisraGriesAggregator(32)).apply(GraftColumnBridge.column(e.head)))))
+    ext.injectFunction((FunctionIdentifier("count_min"), info("count_min"),
+      (e: Seq[Expression]) => GraftColumnBridge.expression(
+        udaf(new CountMinAggregator(CountMinSketch.Depth, CountMinSketch.Width))
+          .apply(GraftColumnBridge.column(e.head)))))
+    ext.injectFunction((FunctionIdentifier("kll_quartiles"), info("kll_quartiles"),
+      (e: Seq[Expression]) => GraftColumnBridge.expression(
+        udaf(new KllAggregator(QuantileSketch.Cap, Seq(0.25, 0.5, 0.75)))
+          .apply(GraftColumnBridge.column(e.head)))))
     // optimizer: nested-loop range joins → bucketed equi-joins, gated on
     // spark.graft.rangeJoin.width (see graft.plans.BucketedRangeJoinRule)
     ext.injectOptimizerRule(s => graft.plans.BucketedRangeJoinRule(s))
