@@ -814,8 +814,11 @@ object EventStreams {
     * against a slowly-changing dimension table, the shape of every
     * "attach customer attributes to the clickstream" pipeline. The static
     * side is stateless by construction — no watermark, no state store;
-    * Spark re-plans it each micro-batch (which is also what picks up a
-    * refreshed dim snapshot). Defined ONCE and applied to both the batch
+    * Spark re-executes the join each micro-batch. (Re-execution alone
+    * does NOT refresh a plain parquet dim — its file index is pinned at
+    * DataFrame creation; live dim refresh needs the static frame
+    * re-resolved per batch or a snapshot-isolated table format.)
+    * Defined ONCE and applied to both the batch
     * and streaming frame. 100 TB: a bounded dim broadcasts (this shape);
     * a huge static side instead pre-buckets on the join key so each
     * micro-batch shuffles only the stream side — either way per-batch
