@@ -879,6 +879,34 @@ object EventStreams {
     "st6_temp_mix" -> st6Sql,
     "st7_lagged_mix" -> st7Sql)
 
+  /** ST22: REFRESHING-dim enrichment — the live-dim half ST20's scaladoc
+    * scopes out: a plain parquet DataFrame pins its file index at
+    * creation, so the static side of a stream-static join never sees dim
+    * updates. The production pattern is `foreachBatch` RE-RESOLVING the
+    * dim per micro-batch (`spark.read` inside the batch function — a
+    * fresh file index every trigger), then running the same batch join;
+    * each micro-batch therefore joins the dim AS OF its own trigger — the
+    * slowly-changing-dimension semantics an attribute-enrichment pipeline
+    * wants. Per-batch cost: one dim listing + the O(batch) join (the dim
+    * broadcast re-builds per trigger — bounded dims only; a huge dim
+    * belongs in a snapshot-isolated table format instead).
+    * Spec: two micro-batches with the dim snapshot SWAPPED between them —
+    * batch-1 rows carry snapshot A's attribute, batch-2 rows carry B's.
+    */
+  def streamingEnrichRefreshing(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType, dimDir: String,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimDir) // fresh index per trigger
+        enrichWithCustomer(batch, dim)
+          .write.mode("append").parquet(outDir)
+      }
+  }
+
   // ------------------------------------------------- ST19 observability
 
   /** Register a [[WatermarkDropMonitor]] on this session's stream manager

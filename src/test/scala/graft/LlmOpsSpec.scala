@@ -682,6 +682,53 @@ class StreamingSpec extends GraftSuite {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("ST22: foreachBatch-refreshed dim — each micro-batch joins the dim AS OF its trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft-st22").toString
+    val events = Tables(spark, sf, "events")
+    val half = (events.count() / 2).toInt
+    val ordered = events.orderBy(col("event_id")).cache()
+    def stageIn(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/$name.parquet"))
+    }
+    val customer = Tables(spark, sf, "customer")
+    def writeDim(tag: String): Unit = customer
+      .withColumn("c_mktsegment", lit(tag))
+      .write.mode("overwrite").parquet(s"$root/dim")
+    // run 1: file 01 with snapshot A (AvailableNow drains what's present)
+    writeDim("SNAP_A")
+    stageIn(ordered.limit(half), "01_first")
+    def run(): Unit = {
+      val q = streaming.EventStreams.streamingEnrichRefreshing(
+        spark, s"$root/in", events.schema, s"$root/dim", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // swap the dim, add file 02, resume from the same checkpoint
+    writeDim("SNAP_B")
+    stageIn(ordered.exceptAll(ordered.limit(half)), "02_second")
+    run()
+    val out = spark.read.parquet(s"$root/out").cache()
+    val firstIds = ordered.limit(half).select(col("event_id"))
+    val aRows = out.filter(col("c_mktsegment") === "SNAP_A")
+    val bRows = out.filter(col("c_mktsegment") === "SNAP_B")
+    assert(out.count() === events.count(), "every event enriched exactly once")
+    assert(aRows.count() === half.toLong, "batch 1 must carry snapshot A")
+    assert(bRows.count() === events.count() - half, "batch 2 must carry snapshot B")
+    assert(aRows.select(col("event_id")).exceptAll(firstIds).count() === 0,
+      "a snapshot-A row came from the second file")
+    ordered.unpersist(); out.unpersist()
+  }
+
   test("ST20: stream-static enrichment join equals the batch join") {
     import org.apache.spark.sql.streaming.Trigger
     val batch = streaming.EventStreams.st9StreamEnrich(spark, sf)
