@@ -78,6 +78,37 @@ final class BinaryFileSource(name: String, path: String,
   }
 }
 
+/** Schema-EVOLVING parquet source: reads a directory whose files were
+  * written across ingest epochs with drifting schemas (columns added over
+  * time) under `mergeSchema` — the union schema comes back, old-epoch rows
+  * null-fill the later columns. This is the production contract for
+  * long-lived landing directories; the P6 sources pin one schema and
+  * would silently drop late-added columns (parquet reads take the first
+  * footer's schema without merging).
+  * 100 TB note: mergeSchema reads EVERY file footer at planning — fine
+  * for epoch-scale drift (few schemas), wrong as a default on millions of
+  * files; production either caches the merged schema in a metastore or
+  * passes it explicitly once known. An optional `expect` schema asserts
+  * the merged result covers the columns a consumer was promised — drift
+  * DETECTION, not just tolerance.
+  */
+final class EvolvingParquetSource(name: String, path: String,
+    expect: Option[StructType] = None) extends DataSource {
+  override def provides: Set[String] = Set(name)
+  override def get(dataType: String, query: Query, spark: SparkSession): DataFrame = {
+    if (dataType != name) throw new UnsupportedError(dataType)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    expect.foreach { want =>
+      val have = df.schema.fieldNames.toSet
+      val missing = want.fieldNames.filterNot(have)
+      if (missing.nonEmpty)
+        throw new NotFoundError(
+          s"evolving source '$name' is missing promised columns: ${missing.mkString(", ")}")
+    }
+    df
+  }
+}
+
 /** In-memory source over pre-registered DataFrames; throws NotFoundError
   * for types it advertises but has no entry for (exercises fall-through).
   */

@@ -295,6 +295,35 @@ class SqlSurfaceSpec extends GraftSuite {
     assert(sqlMg.nonEmpty && sqlMg.size <= 31)
   }
 
+  test("evolving parquet source merges epoch schemas; promised-column drift detection throws") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // epoch 1: (id, v); epoch 2 adds a quality column
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$tmp/docs/epoch=1")
+    Seq((3L, "c", 0.9), (4L, "d", 0.7)).toDF("id", "v", "quality")
+      .write.parquet(s"$tmp/docs/epoch=2")
+    implicit val s = spark
+    val src = new pipeline.EvolvingParquetSource("docs", s"$tmp/docs")
+    val p = new pipeline.DataPipeline(Seq(Left(src)))
+    val got = p.get("docs")
+    assert(got.schema.fieldNames.contains("quality"),
+      "late-added column must survive the merged read")
+    assert(got.count() === 4)
+    // old-epoch rows null-fill the new column
+    assert(got.filter(col("id") <= 2 && col("quality").isNull).count() === 2)
+    assert(got.filter(col("id") >= 3 && col("quality").isNotNull).count() === 2)
+    // drift DETECTION: promising a column no epoch has ever written throws
+    val strict = new pipeline.EvolvingParquetSource("docs", s"$tmp/docs",
+      expect = Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("license",
+          org.apache.spark.sql.types.StringType)))))
+    intercept[pipeline.NotFoundError] {
+      new pipeline.DataPipeline(Seq(Left(strict))).get("docs")
+    }
+  }
+
   test("orc source round-trips") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
