@@ -879,6 +879,31 @@ object EventStreams {
     "st6_temp_mix" -> st6Sql,
     "st7_lagged_mix" -> st7Sql)
 
+  /** ST23: windowed streaming DISTINCT-COUNT via the HLL sketch — A6's
+    * composition into streaming state, completing the sketch∘streaming
+    * matrix (ST11 = frequencies/MG, ST17 = ranks/KLL, this = cardinality/
+    * HLL): per event-time hour, the live distinct-actives counter every
+    * engagement dashboard wants, with per-window state = one HLL register
+    * array instead of the distinct key set. HLL updates are hash-based
+    * and merge is register-wise max — commutative, associative,
+    * duplicate-idempotent — so the streamed sketch is EXACTLY the batch
+    * sketch regardless of micro-batch slicing (the spec asserts estimate
+    * equality, not a tolerance). Append mode emits each hour once at
+    * watermark passage.
+    */
+  def streamingWindowDistinct(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .transform(fixTs)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        hll_sketch_estimate(col("sk")).as("n_users"), col("n_events"))
+  }
+
   /** ST22: REFRESHING-dim enrichment — the live-dim half ST20's scaladoc
     * scopes out: a plain parquet DataFrame pins its file index at
     * creation, so the static side of a stream-static join never sees dim

@@ -1189,6 +1189,46 @@ class StatefulStreamingSpec extends GraftSuite {
     batch.unpersist()
   }
 
+  test("ST23: streaming windowed HLL distinct-count equals the batch sketch exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st23").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    val q = streaming.EventStreams
+      .streamingWindowDistinct(spark, s"$dir/in", events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st23_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st23_out")
+    assert(emitted.count() > 0, "watermark never finalized any window")
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window_start"),
+        hll_sketch_estimate(col("sk")).as("n_users"), col("n_events"))
+    // register-max merge is order/batching-independent, so every emitted
+    // (finalized) window must equal the batch row EXACTLY
+    assert(emitted.exceptAll(batch).count() === 0,
+      "a streamed HLL window diverged from the batch sketch")
+    ordered.unpersist()
+  }
+
   test("ST17: KLL rank-error bound holds inside a watermarked streaming window agg") {
     import org.apache.spark.sql.streaming.Trigger
     val events = Tables(spark, sf, "events")
