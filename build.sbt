@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through WITHOUT sbt's "[info] "/"[error] "
+// log prefixes: the bench driver json-parses the raw stdout tail, and the
+// prefix is what broke that parse (BENCH_r06/r07 parsed:null — the line was
+// present and under budget, but prefix-bearing). StdoutOutput makes the
+// bench JSON line start at column 0. tools/bench_parse_selftest.py gates it.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

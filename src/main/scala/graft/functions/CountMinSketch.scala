@@ -44,6 +44,7 @@ class CountMinAggregator(depth: Int, width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(b: Array[Long], item: String): Array[Long] = {
+    if (item == null) return b // skip nulls like built-in aggregates
     val h = PortableHash.charFold(item)
     var i = 0
     while (i < depth) {
@@ -82,6 +83,10 @@ object CountMinSketch {
     */
   def estimate(sketch: Array[Long], item: String,
       depth: Int = Depth, width: Int = Width): Long = {
+    require(sketch.length == depth * width,
+      s"count-min geometry mismatch: sketch has ${sketch.length} cells, " +
+        s"query assumes $depth x $width = ${depth * width}")
+    if (item == null) return 0L // nulls are never counted (reduce skips them)
     import PortableHash.P
     val h = PortableHash.charFold(item)
     var best = Long.MaxValue

@@ -10,8 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
-  private def one(e: Seq[Expression]): Expression = e.head
-  private def two(e: Seq[Expression]): (Expression, Expression) = (e.head, e(1))
+  private def one(e: Seq[Expression]): Expression = {
+    require(e.length == 1, s"expected exactly 1 argument, got ${e.length}")
+    e.head
+  }
+  private def two(e: Seq[Expression]): (Expression, Expression) = {
+    require(e.length == 2, s"expected exactly 2 arguments, got ${e.length}")
+    (e.head, e(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -78,17 +84,21 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // udaf-built Column carries — unwrapped via the package bridge)
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.functions.udaf
+    def one(e: Seq[Expression]): Expression = {
+      require(e.length == 1, s"expected exactly 1 argument, got ${e.length}")
+      e.head
+    }
     ext.injectFunction((FunctionIdentifier("misra_gries"), info("misra_gries"),
       (e: Seq[Expression]) => GraftColumnBridge.expression(
-        udaf(new MisraGriesAggregator(32)).apply(GraftColumnBridge.column(e.head)))))
+        udaf(new MisraGriesAggregator(32)).apply(GraftColumnBridge.column(one(e))))))
     ext.injectFunction((FunctionIdentifier("count_min"), info("count_min"),
       (e: Seq[Expression]) => GraftColumnBridge.expression(
         udaf(new CountMinAggregator(CountMinSketch.Depth, CountMinSketch.Width))
-          .apply(GraftColumnBridge.column(e.head)))))
+          .apply(GraftColumnBridge.column(one(e))))))
     ext.injectFunction((FunctionIdentifier("kll_quartiles"), info("kll_quartiles"),
       (e: Seq[Expression]) => GraftColumnBridge.expression(
         udaf(new KllAggregator(QuantileSketch.Cap, Seq(0.25, 0.5, 0.75)))
-          .apply(GraftColumnBridge.column(e.head)))))
+          .apply(GraftColumnBridge.column(one(e))))))
     // optimizer: nested-loop range joins → bucketed equi-joins, gated on
     // spark.graft.rangeJoin.width (see graft.plans.BucketedRangeJoinRule)
     ext.injectOptimizerRule(s => graft.plans.BucketedRangeJoinRule(s))

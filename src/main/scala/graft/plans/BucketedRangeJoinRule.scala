@@ -151,11 +151,15 @@ case class BucketedRangeJoinRule(session: SparkSession)
   private def bucketOf(e: Expression, w: Long): Expression = {
     val numeric = e.dataType match {
       case TimestampType => UnixMicros(e)
-      // NTZ (parquet micros with isAdjustedToUTC=false): localize in the
-      // session timezone first — monotone (a fixed offset per zone rule),
-      // and exact under the UTC sessions every graft entry point pins.
+      // NTZ (parquet micros with isAdjustedToUTC=false): localize at a
+      // PINNED UTC zone, never the session zone — wall-clock→instant in a
+      // DST-observing zone is non-monotone (fall-back repeats an hour), and
+      // a non-monotone bucket() could miss true pairs. UTC is a fixed zero
+      // offset, so the mapping is monotone for any session configuration;
+      // both sides bucket through the same expression, so the (internal)
+      // bucket ids stay consistent.
       case TimestampNTZType =>
-        UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
+        UnixMicros(Cast(e, TimestampType, Some("UTC")))
       case DateType => UnixDate(e)
       case _ => e
     }

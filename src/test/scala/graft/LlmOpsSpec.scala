@@ -2090,6 +2090,18 @@ class HeavyHittersSpec extends GraftSuite {
     }
     // the sketch is 3x1024 longs no matter the input size
     assert(s1.length === CountMinSketch.Depth * CountMinSketch.Width)
+    // nulls skipped like built-in aggregates (no NPE; sketch unchanged),
+    // estimate(null) reads 0 — nulls are never counted
+    val withNulls = toks.union(
+      spark.range(5).select(lit(null).cast("string").as("tok")))
+    val sNulls = withNulls.select(CountMinSketch.countMin(col("tok")).as("cms"))
+      .head().getSeq[Long](0).toArray
+    assert(java.util.Arrays.equals(s1, sNulls), "null rows perturbed the sketch")
+    assert(CountMinSketch.estimate(s1, null) === 0L)
+    // geometry mismatch fails loudly instead of silently reading wrong cells
+    intercept[IllegalArgumentException] {
+      CountMinSketch.estimate(s1, "x", depth = 4, width = 2048)
+    }
   }
 }
 
