@@ -25,6 +25,36 @@ import org.apache.spark.sql.SparkSession
   *    machine was 3x contended, discount this"; `[load 1.0x]` says "quiet
   *    machine, this one is real".
   */
+/** Measures the calibration probe on THIS machine (run quiet) and prints
+  * per-run seconds — the min is what tools/bench_anchor.json commits as
+  * `calibration_sec`. Same session shape as Bench so the timing transfers.
+  */
+object Calibrate {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // EXACTLY Bench's session confs — the probe's runtime is session-shape
+    // sensitive (AQE coalesces the partial-agg stage), and the anchor must
+    // be measured under the geometry Bench probes with
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val times = (1 to 6).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 31).selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // drop run 1 (codegen compile); commit the min of the rest
+    println(f"calibration probe runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"calibration_sec (min of warm runs): ${times.tail.min}%.3f")
+    spark.stop()
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,12 +81,12 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
-    // Fixed CPU-bound calibration probe: 2^27 modular folds across all
+    // Fixed CPU-bound calibration probe: 2^31 modular folds across all
     // cores, data-independent and shuffle-free — its runtime moves only
     // with machine load. Warm once (codegen compile) before first timing.
     def probeSec(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 27).selectExpr("sum(id % 1000003)").collect()
+      spark.range(1L << 31).selectExpr("sum(id % 1000003)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     probeSec() // warm the probe's codegen so timings measure load, not JIT

@@ -98,6 +98,86 @@ object Layout {
     }
   }
 
+  case class CowMergeStats(totalFiles: Int, touched: Seq[String],
+      untouched: Seq[String])
+
+  /** Per-file key range from parquet FOOTER statistics — no data pages are
+    * read, one footer per file (the planning cost a table format pays from
+    * its manifest instead). Returns (path, minKey, maxKey) for a long-typed
+    * key column; files with no rows or missing stats are reported with the
+    * full-range (Long.Min, Long.Max) so pruning stays conservative —
+    * a file we can't prove untouched must be treated as touched.
+    */
+  def fileKeyRanges(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val files = dir.getFileSystem(hconf).listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
+      try {
+        val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue()))
+            }
+        }
+        if (ranges.isEmpty) (f.getPath.toString, Long.MinValue, Long.MaxValue)
+        else (f.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
+      } finally reader.close()
+    }
+  }
+
+  /** Copy-on-write MERGE, the targeted-file-rewrite plan every incremental
+    * table deployment runs daily (q68's scaladoc names it; q68 itself is
+    * the shuffle fallback): changelog match-keys probe each base file's
+    * FOOTER min/max — only files whose key range contains a match key are
+    * re-read and rewritten via `rewrite`; every other file is left BYTE
+    * IDENTICAL on disk (the table, like any COW format, is "untouched
+    * originals + new files", here surfaced through [[CowMergeStats]]).
+    *
+    * Soundness of the split: every base row with key k lives in a file
+    * whose footer range contains k, so a match key that overlaps NO file
+    * range matches no base row — changelog rows landing only in `rewrite`'s
+    * unmatched branch are true inserts, never missed updates. Overlap
+    * without an actual match only costs an unnecessary rewrite (correct,
+    * conservative). Files without usable footer stats count as touched for
+    * the same reason.
+    *
+    * 100 TB: `matchKeys` is the broadcast-small changelog key set (the COW
+    * precondition — a changelog too big to hold keys driver-side belongs on
+    * the q68 shuffle plan); pruning cost is one footer read per file
+    * (manifest-grade metadata, no data I/O), and the rewrite's scan reads
+    * ONLY touched bytes. With a key-clustered layout ([[zOrderWrite]] /
+    * [[compact]]'s clusterBy — non-overlapping per-file ranges) a localized
+    * changelog touches O(changed bytes), not O(table).
+    */
+  def cowMerge(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      keyCol: String, matchKeys: Array[Long],
+      rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats = {
+    val sorted = matchKeys.distinct.sorted
+    def overlaps(mn: Long, mx: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val at = if (i >= 0) i else -i - 1 // first key >= mn
+      at < sorted.length && sorted(at) <= mx
+    }
+    val ranges = fileKeyRanges(spark, basePath, keyCol)
+    val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
+    val touchedDf =
+      if (touched.isEmpty) spark.read.parquet(basePath).where(lit(false))
+      else spark.read.parquet(touched.map(_._1): _*)
+    rewrite(touchedDf).write.mode("overwrite").parquet(outPath)
+    CowMergeStats(ranges.size, touched.map(_._1), untouched.map(_._1))
+  }
+
   case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)
 
   /** Small-file compaction (the `OPTIMIZE` slot): bin-pack a directory of

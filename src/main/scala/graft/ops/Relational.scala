@@ -2096,6 +2096,103 @@ object Relational {
       |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Copy-on-write MERGE with footer-stats file pruning — the PRODUCTION
+    * form of q68 (whose scaladoc names this plan; q68 stays as the shuffle
+    * fallback for changelogs too large to broadcast). The base table is
+    * written once per session KEY-CLUSTERED (range-partitioned on the merge
+    * key → non-overlapping per-file footer ranges); the changelog localizes
+    * its updates to the bottom fifth of the keyspace (CDC churn is usually
+    * range-localized — recent keys update, deep history does not) plus
+    * brand-new keys past the whole range. [[Layout.cowMerge]] probes each
+    * file's footer min/max against the changelog key set, rewrites ONLY the
+    * overlapping files through q68's full-outer COALESCE merge, and leaves
+    * every other file byte-identical on disk (ScaleFeaturesSpec asserts
+    * untouched files are not rewritten and the result ≡ the all-shuffle
+    * merge). Unmatched changelog rows are true inserts BY CONSTRUCTION:
+    * every base row's key is inside its file's footer range, so a key
+    * overlapping no file exists nowhere in the table.
+    * 100 TB: pruning reads footers (manifest-grade metadata, no data I/O);
+    * the rewrite scans O(touched bytes); untouched history is never
+    * decoded, never shuffled, never rewritten. The returned table is
+    * untouched-files ∪ rewritten-files — exactly a COW table format's
+    * post-MERGE state.
+    */
+  def q78CowMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // once-per-session+SF clustered write of the COW table (pid-tagged so
+    // concurrent JVMs never race each other's overwrite)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cow_" +
+      s"p${ProcessHandle.current().pid()}_$md5"
+    val baseDir = s"$root/base"
+    val outDir = s"$root/merged"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir)))
+      base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.mode("overwrite").parquet(baseDir)
+    val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val updates = base
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= cutoff)
+      .select(col("o_orderkey").as("c_key"),
+        (dec(col("o_totalprice")) * lit(1.1).cast("decimal(18,2)")).as("c_price"),
+        lit("U").as("c_status"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 3)
+      .select((col("o_orderkey") + 10000000L).as("c_key"),
+        dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
+    val changes = updates.unionAll(inserts)
+    // the broadcast-small changelog key set (the COW precondition); ALL
+    // changelog keys probe the footers — an insert key overlaps no file,
+    // so it prunes nothing extra, and soundness never rests on knowing
+    // in advance which keys are inserts
+    val matchKeys = changes.select(col("c_key")).collect().map(_.getLong(0))
+    val stats = Layout.cowMerge(spark, baseDir, "o_orderkey", matchKeys,
+      touched => touched
+        .join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("c_key")).as("key"),
+          coalesce(col("c_price"), dec(col("o_totalprice"))).cast("double").as("totalprice"),
+          coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+          when(col("o_orderkey").isNull, "insert")
+            .when(col("c_key").isNull, "unchanged").otherwise("update")
+            .as("change_type")),
+      outDir)
+    val untouched =
+      if (stats.untouched.isEmpty) spark.read.parquet(baseDir).where(lit(false))
+      else spark.read.parquet(stats.untouched: _*)
+    spark.read.parquet(outDir).unionByName(
+      untouched.select(
+        col("o_orderkey").as("key"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"),
+        col("o_orderstatus").as("status"),
+        lit("unchanged").as("change_type")))
+      .orderBy(col("key"))
+  }
+
+  val q78Sql: String =
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |cutoff AS (SELECT CAST(floor(max(o_orderkey) / 5) AS BIGINT) AS c FROM orders),
+      |changes AS (
+      |  SELECT o_orderkey AS c_key,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)) AS c_price,
+      |    'U' AS c_status
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey <= (SELECT c FROM cutoff)
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS c_key,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS c_price, 'N' AS c_status
+      |  FROM base WHERE o_orderkey % 1000 = 3)
+      |SELECT coalesce(o_orderkey, c_key) AS key,
+      |  CAST(coalesce(c_price, CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS totalprice,
+      |  coalesce(c_status, o_orderstatus) AS status,
+      |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+      |       WHEN c_key IS NULL THEN 'unchanged' ELSE 'update' END AS change_type
+      |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q70
   /** Ordered conversion funnel (signup → view → purchase, each step within
     * 7 days of the previous) — the event-sequence analytics shape. Three
@@ -2388,6 +2485,7 @@ object Relational {
     "q66_part_promotion" -> (q66PartPromotion _),
     "q67_window_zoo" -> (q67WindowZoo _),
     "q68_upsert_merge" -> (q68UpsertMerge _),
+    "q78_cow_merge" -> (q78CowMerge _),
     "q69_asof_forward" ->
       ((s: SparkSession, d: String) => AsOfJoin.viewsToNextPurchase(s, d)),
     "q50_cdc_compact" -> (q50CdcCompact _),
@@ -2517,6 +2615,7 @@ object Relational {
     "q66_part_promotion" -> q66Sql,
     "q67_window_zoo" -> q67Sql,
     "q68_upsert_merge" -> q68Sql,
+    "q78_cow_merge" -> q78Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
     "q75_quality_audit" -> q75Sql,

@@ -240,4 +240,77 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
     assert(spark.read.parquet(dirClu).exceptAll(events).count() === 0)
   }
+
+  test("copy-on-write merge rewrites ONLY footer-overlapping files; result equals the all-shuffle merge") {
+    // a key-clustered COW table: 8 files with non-overlapping key ranges
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-cow-base").toString
+    base.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(baseDir)
+    def listing() = new java.io.File(baseDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    val before = listing()
+    assert(before.size === 8)
+
+    // range-localized changelog: updates hit only the bottom fifth of the
+    // keyspace; inserts land past every file's range
+    val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val updates = base
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= cutoff)
+      .select(col("o_orderkey").as("c_key"),
+        (dec(col("o_totalprice")) * lit(1.1).cast("decimal(18,2)")).as("c_price"),
+        lit("U").as("c_status"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 3)
+      .select((col("o_orderkey") + 10000000L).as("c_key"),
+        dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
+    val changes = updates.unionAll(inserts)
+    val matchKeys = changes.select(col("c_key")).collect().map(_.getLong(0))
+
+    def mergeSelect(df: org.apache.spark.sql.DataFrame) = df
+      .join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("c_key")).as("key"),
+        coalesce(col("c_price"), dec(col("o_totalprice"))).cast("double").as("totalprice"),
+        coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("c_key").isNull, "unchanged").otherwise("update")
+          .as("change_type"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cow-out").toString
+    val stats = ops.Layout.cowMerge(spark, baseDir, "o_orderkey", matchKeys,
+      mergeSelect, outDir)
+
+    // footer pruning actually pruned: most files escaped the rewrite
+    // (updates cover ~1/5 of a range-clustered keyspace), and the split
+    // accounts for every file exactly once
+    assert(stats.touched.nonEmpty && stats.untouched.nonEmpty)
+    assert(stats.touched.size + stats.untouched.size === stats.totalFiles)
+    assert(stats.untouched.size >= stats.totalFiles / 2,
+      s"expected most files untouched, got ${stats.untouched.size}/${stats.totalFiles}")
+    // the COW contract: untouched files are NOT rewritten — same path, same
+    // mtime, same byte length as before the merge
+    val after = listing()
+    assert(after.keySet === before.keySet, "merge rewrote the base directory")
+    // cowMerge reports hadoop URIs (file:/tmp/...); compare on the fs path
+    stats.untouched.foreach { u =>
+      val p = new org.apache.hadoop.fs.Path(u).toUri.getPath
+      assert(after(p) === before(p), s"untouched file was modified: $p")
+    }
+
+    // semantics: untouched ∪ rewritten ≡ the all-shuffle merge of the WHOLE
+    // base (q68's plan) — file pruning changed I/O, never the answer
+    val cow = spark.read.parquet(outDir).unionByName(
+      spark.read.parquet(stats.untouched: _*).select(
+        col("o_orderkey").as("key"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"),
+        col("o_orderstatus").as("status"),
+        lit("unchanged").as("change_type")))
+    val full = mergeSelect(base)
+    assert(cow.count() === full.count())
+    assert(cow.exceptAll(full).count() === 0 && full.exceptAll(cow).count() === 0,
+      "COW merge result differs from the all-shuffle merge")
+  }
 }
