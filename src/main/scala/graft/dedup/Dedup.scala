@@ -1038,6 +1038,52 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  // ---------------------------------------------------------------- d19
+  /** AUTO-SWITCHING edit-distance dedup: ONE entry point that picks the
+    * blocking family by corpus size — d15's PassJoin segment blocking
+    * below the crossover, d17's super-segment/1-deletion-neighborhood
+    * blocking above it. Both blockings are provably lossless for the same
+    * ≤K contract, so the OUTPUT is identical either way (the fuzz spec
+    * runs all three — d15, d17, d19 — against the same planted-edit brute
+    * force) and the switch is purely a cost decision.
+    *
+    * The crossover, derived from the committed sf0.1 measurements (n≈5k
+    * docs: d15 ≈ 5.2 s with ~3.3M candidates, d17 ≈ 19.6 s with ~250k):
+    * d15's verify term rides its candidate count, which is
+    * collision-driven and grows with the PAIR SPACE (~n²); d17's explode
+    * term is linear with a ~1.4k-row/doc constant and its candidates stay
+    * ~10³× rarer. Equating d15 ≈ v·(n/5k)² + s·(n/5k) against d17 ≈
+    * e·(n/5k) + v'·(n/5k)² with the measured splits (v ≈ 3 s of d15 is
+    * verify, e ≈ 19 s of d17 is explode+join) crosses near n ≈ 7×5k ≈
+    * 35k docs. The default threshold rounds that to 35 000 and
+    * `spark.graft.editDedup.crossover` overrides it per deployment (the
+    * constant moves with key length and text entropy; re-derive it from a
+    * BENCH_FULL pair on the actual corpus).
+    *
+    * 100 TB: the statistic is one count() — metadata-cheap next to either
+    * blocking — and the big-corpus arm is exactly the one whose candidate
+    * volume stops tracking the pair space.
+    */
+  val D19Crossover = 35000
+
+  def d19EditDedupAuto(spark: SparkSession, sfDir: String): DataFrame =
+    d19Pairs(Tables(spark, sfDir, "documents"))
+
+  private[graft] def d19Pairs(docs: DataFrame): DataFrame = {
+    val crossover = graft.functions.confInt(docs.sparkSession,
+      "spark.graft.editDedup.crossover", D19Crossover)
+    if (docs.count() <= crossover) d15Pairs(docs) else d17Pairs(docs)
+  }
+
+  /** The arm [[d19Pairs]] would take for a corpus of `n` docs — split out
+    * so the switch rule itself is spec-assertable without running either
+    * blocking. */
+  private[graft] def d19Choice(spark: SparkSession, n: Long): String = {
+    val crossover = graft.functions.confInt(spark,
+      "spark.graft.editDedup.crossover", D19Crossover)
+    if (n <= crossover) "d15" else "d17"
+  }
+
   // ---------------------------------------------------------------- d16
   /** INCREMENTAL near-dup probe — d13's production shape for MinHash-LSH:
     * the new batch (every 5th doc_id) probes the STANDING corpus for
@@ -1160,6 +1206,7 @@ object Dedup {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
     "d18_cluster_split" -> (d18ClusterSplit _),
     "d17_edit_dedup_selective" -> (d17EditDedupSelective _),
     "d15_edit_dedup" -> (d15EditDedup _),
@@ -1180,6 +1227,9 @@ object Dedup {
     "d8_embed_clusters" -> (d8EmbedClusters _))
 
   val sql: Map[String, String] = Map(
+    // the auto-switch picks a blocking, never changes the contract — the
+    // oracle is the same brute force both arms share
+    "d19_edit_dedup_auto" -> d15Sql,
     "d18_cluster_split" -> d18Sql,
     // same contract as d15, independently re-verified through the
     // selective blocking — the oracle is the shared brute force

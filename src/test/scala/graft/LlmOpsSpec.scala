@@ -69,6 +69,22 @@ class DedupSpec extends GraftSuite {
     assert(out17 === expect, "d17 selective blocking must equal brute force")
     assert(expect.nonEmpty && expect.values.exists(_ > 0),
       "fuzz must exercise non-trivial distances")
+    // d19 auto-switch: below the crossover it takes the d15 arm; with the
+    // crossover conf forced under the corpus size it takes the d17 arm —
+    // and BOTH arms produce the brute-force pairs (the switch is a cost
+    // decision, never a contract change)
+    assert(dedup.Dedup.d19Choice(spark, docs.size) === "d15")
+    assert(dedup.Dedup.d19Choice(spark, dedup.Dedup.D19Crossover + 1L) === "d17")
+    val auto15 = dedup.Dedup.d19Pairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(auto15 === expect, "d19 (d15 arm) must equal brute force")
+    spark.conf.set("spark.graft.editDedup.crossover", "1")
+    try {
+      assert(dedup.Dedup.d19Choice(spark, docs.size) === "d17")
+      val auto17 = dedup.Dedup.d19Pairs(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(auto17 === expect, "d19 (d17 arm) must equal brute force")
+    } finally spark.conf.unset("spark.graft.editDedup.crossover")
   }
 
   test("d16 incremental near-dup equals d2's pairs restricted to batch x corpus") {
