@@ -932,6 +932,93 @@ object EventStreams {
       }
   }
 
+  /** ST24: streaming AS-OF enrichment — q20's live form, the last core
+    * streaming join shape after ST20 (static dim) and ST22 (dim refreshed
+    * per trigger = PROCESSING-time semantics): attach to each event the
+    * latest dim version with version_ts ≤ the event's EVENT-time, from an
+    * interleaved feed of events and dim-version (CDC) rows sharing one
+    * watermark.
+    *
+    * flatMapGroupsWithState keyed on the join key; state =
+    *  - the key's recent dim VERSIONS, watermark-bounded: all versions
+    *    newer than the watermark plus ONE older version (the newest ≤ wm
+    *    — any future event's as-of match can only be it or a newer one;
+    *    every older version is superseded for every event still to come);
+    *  - PENDING events buffered until the watermark passes their ts.
+    * An event resolves only at watermark passage: any dim version that
+    * could still change its answer has version_ts ≤ event_ts ≤ wm, and a
+    * row older than the watermark would be dropped on arrival, not
+    * applied — so waiting for the watermark is exactly what makes the
+    * emission equal the batch as-of under bounded disorder (the replay
+    * spec interleaves a dim update BETWEEN event micro-batches and a
+    * late-but-in-horizon event, and asserts emitted ≡ the batch as-of of
+    * the same feed). Ties (version_ts == event_ts) apply the version, the
+    * ≤ the batch form uses; version timestamps are assumed unique per key
+    * (CDC commit order).
+    *
+    * 100 TB: state per key is O(versions in the watermark horizon) + the
+    * buffered event tail — the standing footprint is one carried version
+    * per key, i.e. the dim's own size, sharded by the same key shuffle as
+    * any keyed stream; per-trigger work is O(batch). Append mode: each
+    * event emits exactly once.
+    */
+  case class AsOfSt(versions: List[(Long, String)], pending: List[(Long, Long)])
+  case class AsOfOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      attr: Option[String])
+
+  def streamingAsOfEnrich(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .select(col("kind"), col("key"), col("ts"), col("event_id"), col("attr"))
+      .as[(String, Long, java.sql.Timestamp, Long, String)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AsOfSt, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(String, Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[AsOfSt]) =>
+          val st = state.getOption.getOrElse(AsOfSt(Nil, Nil))
+          var versions = st.versions
+          var pending = st.pending
+          rows.foreach { r =>
+            val us = toUs(r._3)
+            if (r._1 == "d") versions ::= ((us, r._5))
+            else pending ::= ((us, r._4))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, wait) = pending.partition(_._1 <= wmUs)
+          val sortedV = versions.sortBy(_._1)
+          val out = ripe.sortBy(_._1).map { case (ets, eid) =>
+            AsOfOut(key, eid, toTs(ets),
+              sortedV.takeWhile(_._1 <= ets).lastOption.map(_._2))
+          }
+          // version eviction (see scaladoc): newest ≤ wm + everything newer
+          val (past, future) = sortedV.partition(_._1 <= wmUs)
+          val kept = past.lastOption.toList ++ future
+          if (wait.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfSt(kept, wait))
+            if (wait.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wait.map(_._1).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   // ------------------------------------------------- ST19 observability
 
   /** Register a [[WatermarkDropMonitor]] on this session's stream manager

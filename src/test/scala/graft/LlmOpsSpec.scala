@@ -1385,6 +1385,74 @@ class StatefulStreamingSpec extends GraftSuite {
     ordered.unpersist()
   }
 
+  test("ST24: streaming as-of enrichment equals the batch as-of, incl. a dim update between event micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def ti(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // interleaved CDC feed: kind d = dim version, kind e = event
+    val file1 = Seq(
+      ("d", 1L, ti(0), 0L, "a1"), ("d", 2L, ti(0), 0L, "b1"),
+      ("e", 1L, ti(1), 101L, null: String),
+      ("e", 2L, ti(1, 30), 201L, null: String),
+      ("e", 3L, ti(1, 45), 301L, null: String)) // key 3: no version yet
+    val file2 = Seq(
+      ("d", 1L, ti(2), 0L, "a2"),                 // update BETWEEN batches
+      ("e", 1L, ti(2, 30), 102L, null: String),   // after the update → a2
+      ("e", 1L, ti(1, 50), 103L, null: String),   // late-in-horizon → a1
+      ("d", 3L, ti(3), 0L, "c1"),
+      ("e", 3L, ti(3, 30), 302L, null: String))   // → c1
+    // flush band: far-future row pushes the watermark past every event
+    val file3 = Seq(("d", 99L, ti(23), 0L, null: String))
+    val dir = java.nio.file.Files.createTempDirectory("graft-st24").toString
+    def stage(rows: Seq[(String, Long, java.sql.Timestamp, Long, String)],
+        name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      rows.toDF("kind", "key", "ts", "event_id", "attr")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(file1, "01_first")
+    stage(file2, "02_update")
+    stage(file3, "03_flush")
+    val feed = (file1 ++ file2 ++ file3)
+      .toDF("kind", "key", "ts", "event_id", "attr")
+    val q = streaming.EventStreams.streamingAsOfEnrich(
+        spark, s"$dir/in", feed.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st24_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("st24_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(3)))).toSet
+    // hand-derived truth: each event sees the latest version AS OF its ts
+    assert(got === Set(
+      (1L, 101L, Some("a1")), (2L, 201L, Some("b1")), (3L, 301L, None),
+      (1L, 102L, Some("a2")), (1L, 103L, Some("a1")), (3L, 302L, Some("c1"))),
+      "streamed as-of enrichment diverges from the event-time truth")
+    // batch as-of twin on the SAME interleaved feed (union trick: dim rows
+    // sort before events at equal ts — the ≤ the operator applies)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), when(col("kind") === "d", 0).otherwise(1))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = feed
+      .withColumn("cur",
+        last(when(col("kind") === "d", col("attr")), ignoreNulls = true).over(w))
+      .filter(col("kind") === "e")
+      .select(col("key"), col("event_id"), col("cur")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got === batch, "streamed as-of must equal the batch as-of fold")
+    // exactly-once append: no event emitted twice
+    assert(spark.table("st24_out").count() === got.size)
+  }
+
   test("ST16 under bounded DISORDER: a late band older than already-delivered events still folds exactly") {
     // file 1 = everything before T_mid MINUS half of the [T_mid-1h, T_mid)
     // band; file 2 = the rest — so the second batch delivers events OLDER
