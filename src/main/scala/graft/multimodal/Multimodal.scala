@@ -15,20 +15,48 @@ import graft.Tables
   * Arrow-batch shape a Python `mapInPandas` decoder would see), and
   * partition-parallel execution with no shuffle.
   */
-object Multimodal {
+/** The codec boundary: byte payloads → features, in the three access
+  * patterns the media operators use. This is THE swap-in point for a real
+  * codec — the operators own batching, schema, partition-parallelism and
+  * ordering; a deployment passes its own Decoder and touches nothing else
+  * (MultimodalBatchSpec proves the contract by running the same operators
+  * through an injected non-stub decoder). Must be Serializable: instances
+  * ship to executors inside the mapPartitions closures.
+  */
+trait Decoder extends Serializable {
+  /** Full-payload decode → (checksum/feature hash, feature dimension). */
+  def decode(payload: Array[Byte]): (Long, Int)
+  /** Decode one frame slice [start, end) → per-frame feature. */
+  def decodeFrame(payload: Array[Byte], start: Int, end: Int): Long
+  /** Decode one strided sample point (the resize/thumbnail path) →
+    * sampled value. */
+  def sample(payload: Array[Byte], i: Int): Int
+}
 
-  val BatchSize = 64
-
-  /** STUB decoder: stands in for image/audio decode. Deterministic byte
-    * arithmetic (sum mod 997, length-derived "dimensions") so the oracle
-    * can recompute it. A real deployment swaps only this function.
-    */
-  private def stubDecode(payload: Array[Byte]): (Long, Int) = {
+/** STUB decoder (default): stands in for image/audio decode — the
+  * container ships no codecs. Deterministic byte arithmetic (sum mod 997,
+  * length-derived "dimensions", frame byte-sums, raw byte samples) so the
+  * DuckDB oracle can recompute every result.
+  */
+object StubDecoder extends Decoder {
+  override def decode(payload: Array[Byte]): (Long, Int) = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
     (sum % 997, payload.length % 64)
   }
+  override def decodeFrame(payload: Array[Byte], start: Int, end: Int): Long = {
+    var s = 0L
+    var i = start
+    while (i < end) { s += payload(i) & 0xff; i += 1 }
+    s
+  }
+  override def sample(payload: Array[Byte], i: Int): Int = payload(i) & 0xff
+}
+
+object Multimodal {
+
+  val BatchSize = 64
 
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -42,7 +70,8 @@ object Multimodal {
     * batches of [[BatchSize]] — the same batch shape a vectorized decoder
     * (Arrow / mapInPandas) would get — without materializing a partition.
     */
-  def m1BinaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+  def m1BinaryMeta(spark: SparkSession, sfDir: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
     val bin = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val enc = RowEncoder.encoderFor(outSchema)
@@ -51,7 +80,7 @@ object Multimodal {
         batch.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (checksum, dim) = stubDecode(payload)
+          val (checksum, dim) = decoder.decode(payload)
           Row(id, payload.length, checksum, dim)
         }
       }
@@ -108,7 +137,8 @@ object Multimodal {
     * stubbed. Resize/thumbnail is the same plumbing with a different
     * per-frame function.
     */
-  def m2FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  def m2FrameSample(spark: SparkSession, sfDir: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
     val bin = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val enc = RowEncoder.encoderFor(frameSchema)
@@ -123,10 +153,8 @@ object Multimodal {
         while (f < nFrames) {
           val start = f * FrameBytes
           val end = math.min(start + FrameBytes, payload.length)
-          var s = 0L
-          var i = start
-          while (i < end) { s += payload(i) & 0xff; i += 1 }
-          checksum = (checksum + s) % 2147483647L
+          checksum = (checksum + decoder.decodeFrame(payload, start, end)) %
+            2147483647L
           sampled += 1
           f += SampleEvery
         }
@@ -165,7 +193,8 @@ object Multimodal {
     * char-fold so the oracle verifies the exact SELECTED bytes, not just
     * counts. Partition-parallel, batched like m1, no shuffle.
     */
-  def m3Resize(spark: SparkSession, sfDir: String): DataFrame = {
+  def m3Resize(spark: SparkSession, sfDir: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
     val P = graft.functions.PortableHash.P
     val bin = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -179,7 +208,7 @@ object Multimodal {
           var n = 0
           var i = 0
           while (i < payload.length) {
-            fp = (fp * 31 + (payload(i) & 0xff)) % P
+            fp = (fp * 31 + decoder.sample(payload, i)) % P
             n += 1
             i += ResizeStride
           }
@@ -294,9 +323,9 @@ object Multimodal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m5_feature_retrieval" -> (m5FeatureRetrieval _),
-    "m1_binary_meta" -> (m1BinaryMeta _),
-    "m2_frame_sample" -> (m2FrameSample _),
-    "m3_resize" -> (m3Resize _),
+    "m1_binary_meta" -> ((s: SparkSession, d: String) => m1BinaryMeta(s, d)),
+    "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
+    "m3_resize" -> ((s: SparkSession, d: String) => m3Resize(s, d)),
     "m4_modality_coverage" -> (m4ModalityCoverage _))
 
   val sql: Map[String, String] = Map(

@@ -1639,6 +1639,68 @@ class MultimodalBatchSpec extends GraftSuite {
       .filter(col("mx") =!= col("n") - 1)
     assert(bad.count() === 0)
   }
+
+  test("Decoder boundary: the operators run an INJECTED non-stub codec through the same batched plumbing") {
+    import org.apache.spark.sql.functions._
+    // a deliberately different codec: xor-fold checksum, fixed dim, frame
+    // max instead of frame sum, inverted samples — if any operator still
+    // hard-codes stub arithmetic, the expectations below cannot hold
+    object XorDecoder extends multimodal.Decoder {
+      override def decode(p: Array[Byte]): (Long, Int) = {
+        var x = 0L
+        var i = 0
+        while (i < p.length) { x ^= (p(i) & 0xffL) * 31L; i += 1 }
+        (x, 7)
+      }
+      override def decodeFrame(p: Array[Byte], start: Int, end: Int): Long = {
+        var m = 0L
+        var i = start
+        while (i < end) { if ((p(i) & 0xffL) > m) m = p(i) & 0xffL; i += 1 }
+        m
+      }
+      override def sample(p: Array[Byte], i: Int): Int = 255 - (p(i) & 0xff)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val P = functions.PortableHash.P
+
+    // m1 with the injected codec: same schema/ordering, codec respected
+    val m1 = multimodal.Multimodal.m1BinaryMeta(spark, sf, XorDecoder).collect()
+    assert(m1.map(_.getLong(0)).toSeq === docs.keys.toSeq.sorted)
+    m1.foreach { r =>
+      val p = docs(r.getLong(0))
+      val (ck, dim) = XorDecoder.decode(p)
+      assert(r.getInt(1) === p.length && r.getLong(2) === ck && r.getInt(3) === dim)
+    }
+
+    // m2 frame sampling: frame count/stride owned by the operator, frame
+    // FEATURE owned by the codec
+    val FB = multimodal.Multimodal.FrameBytes
+    val SE = multimodal.Multimodal.SampleEvery
+    multimodal.Multimodal.m2FrameSample(spark, sf, XorDecoder).collect().foreach { r =>
+      val p = docs(r.getLong(0))
+      val nFrames = (p.length + FB - 1) / FB
+      val expect = (0 until nFrames by SE).foldLeft(0L)((a, f) =>
+        (a + XorDecoder.decodeFrame(p, f * FB, math.min(f * FB + FB, p.length))) %
+          2147483647L)
+      assert(r.getInt(1) === nFrames && r.getLong(3) === expect)
+    }
+
+    // m3 strided resize: stride owned by the operator, sample by the codec
+    val RS = multimodal.Multimodal.ResizeStride
+    multimodal.Multimodal.m3Resize(spark, sf, XorDecoder).collect().foreach { r =>
+      val p = docs(r.getLong(0))
+      val expect = (0 until p.length by RS).foldLeft(0L)((a, i) =>
+        (a * 31 + XorDecoder.sample(p, i)) % P)
+      assert(r.getLong(3) === expect)
+    }
+
+    // and the DEFAULT path is still the stub (the oracle's contract)
+    val stub = multimodal.Multimodal.m1BinaryMeta(spark, sf).limit(1).head()
+    val (ck, dim) = multimodal.StubDecoder.decode(docs(stub.getLong(0)))
+    assert(stub.getLong(2) === ck && stub.getInt(3) === dim)
+  }
 }
 
 class CurationSpec extends GraftSuite {
