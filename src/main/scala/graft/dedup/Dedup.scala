@@ -1205,6 +1205,94 @@ object Dedup {
       |FROM rep ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ST25
+  /** ST25: LIVE near-dup ingest gate — d16 STREAMED, the dedup twin of
+    * ST21's live ANN ingest and the last core live shape the dedup family
+    * was missing. Arriving documents are signature-encoded per micro-batch
+    * (shingle/minhash are per-row — corpus-independent, like ST21's frozen
+    * model), probed against the STANDING band/shingle tables on disk for
+    * cross-batch matches, self-joined for within-batch matches, and then
+    * APPENDED to the standing tables — state is the persisted index, not
+    * executor memory, so the gate restarts from disk and its per-trigger
+    * cost is O(batch): exactly d16's asymmetric probe, once per trigger.
+    * EXACTNESS CONTRACT (spec'd): an unordered near-dup pair {a, b}
+    * surfaces exactly once, in the micro-batch where the LATER of a, b
+    * arrives — so the union of per-batch match lists over any batching of
+    * the corpus ≡ d2's full self-join, pair for pair. (LSH losslessness at
+    * the planted J ≥ 0.97 is d2's argument verbatim.)
+    * 100 TB: both probe joins key on the 8-byte band fold; the standing
+    * band table is append-only and bucketable by sig for a shuffle-free
+    * probe side; shingle payloads join back only for id-distinct verified
+    * candidates (d16's note). A horizon policy (drop standing rows older
+    * than the dedup window) bounds state like a watermark would.
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
+
+  /** One trigger of the gate over a (doc_id, text) micro-batch: RETURNS
+    * the verified (i, j, jaccard) matches (i < j, both orientations
+    * folded) and appends the batch's signatures to the standing tables.
+    * The matches are materialized BEFORE the append (the returned frame
+    * must not see the batch's own rows as standing state).
+    */
+  def st25IngestGateBatch(spark: SparkSession, batch: DataFrame,
+      root: String): DataFrame = {
+    val bandsDir = s"$root/bands"
+    val shinglesDir = s"$root/shingles"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
+    val sig = signaturesOf(batch).localCheckpoint()
+    val bands = bandSignatures(sig)
+    val selfCand = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+    val cand = (if (!hasState) selfCand
+      else {
+        val standing = spark.read.parquet(bandsDir)
+        val cross = bands.alias("x").join(standing.alias("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("j"))
+        selfCand.unionAll(cross)
+      }).distinct()
+    val shingleStore = sig.select(col("doc_id"), col("sh")).unionByName(
+      if (hasState) spark.read.parquet(shinglesDir)
+      else sig.select(col("doc_id"), col("sh")).where(lit(false)))
+    val matches = cand
+      .join(shingleStore.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(shingleStore.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("jac",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_j"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .localCheckpoint() // pin BEFORE the append mutates the standing dirs
+    bands.write.mode("append").parquet(bandsDir)
+    sig.select(col("doc_id"), col("sh")).write.mode("append").parquet(shinglesDir)
+    matches
+  }
+
+  /** The streaming driver: file-source micro-batches of documents through
+    * [[st25IngestGateBatch]], match lists appended to `$root/matches`.
+    */
+  def streamingNearDupIngest(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        st25IngestGateBatch(spark, batch, root)
+          .write.mode("append").parquet(s"$root/matches")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
     "d18_cluster_split" -> (d18ClusterSplit _),

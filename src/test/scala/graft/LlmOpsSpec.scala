@@ -2517,3 +2517,36 @@ class BloomAndMaintenanceSpec extends GraftSuite {
     assert(dup.count() === 0, "a no-op change survived the collapse")
   }
 }
+
+/** ST25 live near-dup ingest gate: streamed ≡ d2's full self-join. */
+class StreamingNearDupSpec extends GraftSuite {
+
+  test("ST25: micro-batched ingest gate emits every d2 pair exactly once, in the later doc's batch") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-st25").toString
+    // stage the corpus as THREE files → three micro-batches, split so
+    // near-dup pairs land within AND across batches (planted dups are
+    // doc_id vs doc_id+offset — a mod-3 split scatters them both ways)
+    new java.io.File(s"$root/in").mkdirs()
+    (0 to 2).foreach { b =>
+      val dir = s"$root/stage_$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+    }
+    val q = dedup.Dedup.streamingNearDupIngest(
+      spark, s"$root/in", docs.schema, root)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$root/matches")
+    val batch = dedup.Dedup.d2MinHashLsh(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed gate emitted a pair d2 does not have (or twice)")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "streamed gate missed a d2 pair")
+    assert(streamed.count() === batch.count())
+    // the standing index accumulated the whole corpus
+    assert(spark.read.parquet(s"$root/shingles").count() === docs.count())
+  }
+}
