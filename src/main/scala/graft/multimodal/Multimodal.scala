@@ -321,7 +321,131 @@ object Multimodal {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m6
+  /** Perceptual-hash near-dup over media payloads — the MULTIMODAL dedup
+    * rung (images/video near-dup is its own family: byte-level d1 misses a
+    * re-encode, text MinHash doesn't apply to pixels). Classic dHash
+    * ("difference hash") through the [[Decoder]] boundary: the payload is
+    * cut into [[M6Bits]]+1 length-normalized slices, each slice reduces to
+    * a feature via `decodeFrame` (stub: byte sum — a real codec returns
+    * per-tile luminance), and bit k = (feature_k > feature_{k+1}) — 48
+    * bits of local GRADIENT, robust to global brightness/gain shifts
+    * exactly like image dHash. Near-dups = pairs at hamming ≤ [[M6Tau]],
+    * found WITHOUT the pair space: d3's pigeonhole blocking verbatim
+    * (τ = 3 < 4 blocks ⟹ some 12-bit block identical — exactly lossless),
+    * then the bit_count(xor) verify on block-collided candidates only.
+    * The corpus plants same-length substitution copies (id+1000000, bytes
+    * 11–15 overwritten) — the re-encode analogue; the spec asserts ALL
+    * planted pairs are recovered and hamming ≤ 1 slice-window of edits.
+    * 100 TB: dHash is one decoder pass per payload, partition-parallel,
+    * 6 bytes of signature shipped per asset (never the media); candidate
+    * generation is the (blk, sig) equi-join — shuffle O(n·4) longs.
+    */
+  val M6Bits = 48
+  val M6Blocks = 4
+  val M6Tau = 3
+
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** The planted corpus: documents ∪ same-length-substituted copies. */
+  private def m6Corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("XXXXX"),
+          substring(col("text"), 16, 1 << 24)).as("text")))
+  }
+
+  def m6PhashNearDup(spark: SparkSession, sfDir: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val bin = m6Corpus(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    val nSlices = M6Bits + 1
+    val dh = bin.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val n = payload.length
+          val sums = new Array[Long](nSlices)
+          var k = 0
+          while (k < nSlices) {
+            val start = (n.toLong * k / nSlices).toInt
+            val end = (n.toLong * (k + 1) / nSlices).toInt
+            sums(k) = decoder.decodeFrame(payload, start, end)
+            k += 1
+          }
+          var hash = 0L
+          k = 0
+          while (k < M6Bits) {
+            if (sums(k) > sums(k + 1)) hash |= 1L << k
+            k += 1
+          }
+          Row(id, hash)
+        }
+      }
+    }(enc).localCheckpoint() // one decoder pass; blocks + verify re-read it
+    val blockLen = M6Bits / M6Blocks
+    val blocks = dh.select(col("doc_id"), col("dhash"),
+        posexplode(transform(sequence(lit(0), lit(M6Blocks - 1)), b =>
+          call_function("shiftright", col("dhash"), b * lit(blockLen))
+            .bitwiseAND(lit((1L << blockLen) - 1)))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "sig")
+    val cand = blocks.alias("x").join(blocks.alias("y"),
+        col("x.blk") === col("y.blk") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(dh.select(col("doc_id").as("i"), col("dhash").as("h_i")), Seq("i"))
+      .join(dh.select(col("doc_id").as("j"), col("dhash").as("h_j")), Seq("j"))
+      .withColumn("hamming",
+        bit_count(col("h_i").bitwiseXOR(col("h_j"))).cast("int"))
+      .filter(col("hamming") <= M6Tau)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle: brute-force dHash pairs (ASCII text ⟹ byte == codepoint, so
+    * slice sums are substr folds; the length-normalized boundaries use the
+    * same integer floor arithmetic as the Scala loop).
+    */
+  val m6Sql: String = {
+    val ns = M6Bits + 1
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    substr(text, 1, 10) || 'XXXXX' || substr(text, 16) AS text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |sums AS (
+      |  SELECT doc_id,
+      |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(string_split(substr(text,
+      |         CAST(floor(length(text) * k / $ns.0) AS INT) + 1,
+      |         CAST(floor(length(text) * (k+1) / $ns.0) AS INT)
+      |           - CAST(floor(length(text) * k / $ns.0) AS INT)), ''),
+      |         c -> CAST(unicode(c) AS BIGINT))),
+      |       (a, c) -> a + c)
+      |     for k in range($ns)] AS s
+      |  FROM corpus),
+      |dh AS (
+      |  SELECT doc_id,
+      |    list_sum([CASE WHEN s[k+1] > s[k+2] THEN CAST(1 AS BIGINT) << k
+      |              ELSE 0 END for k in range($M6Bits)]) AS dhash
+      |  FROM sums)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= $M6Tau
+      |ORDER BY i, j""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_phash_neardup" -> ((s: SparkSession, d: String) => m6PhashNearDup(s, d)),
     "m5_feature_retrieval" -> (m5FeatureRetrieval _),
     "m1_binary_meta" -> ((s: SparkSession, d: String) => m1BinaryMeta(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => m2FrameSample(s, d)),
@@ -329,6 +453,7 @@ object Multimodal {
     "m4_modality_coverage" -> (m4ModalityCoverage _))
 
   val sql: Map[String, String] = Map(
+    "m6_phash_neardup" -> m6Sql,
     "m5_feature_retrieval" -> m5Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,

@@ -2550,3 +2550,68 @@ class StreamingNearDupSpec extends GraftSuite {
     assert(spark.read.parquet(s"$root/shingles").count() === docs.count())
   }
 }
+
+/** m6 perceptual-hash near-dup: planted recovery, pigeonhole losslessness
+  * vs a driver-side brute force, and the Decoder-injection contract.
+  */
+class PhashNearDupSpec extends GraftSuite {
+
+  private def bruteForce(dec: multimodal.Decoder): Set[(Long, Long, Int)] = {
+    val base = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = base ++ base.collect {
+      case (id, t) if id % 9 == 0 =>
+        (id + 1000000L, t.take(10) + "XXXXX" + t.drop(15))
+    }
+    val nS = multimodal.Multimodal.M6Bits + 1
+    val dh = corpus.map { case (id, t) =>
+      val p = t.getBytes("UTF-8")
+      val sums = (0 until nS).map { k =>
+        dec.decodeFrame(p, (p.length.toLong * k / nS).toInt,
+          (p.length.toLong * (k + 1) / nS).toInt)
+      }
+      id -> (0 until multimodal.Multimodal.M6Bits)
+        .foldLeft(0L)((h, k) => if (sums(k) > sums(k + 1)) h | (1L << k) else h)
+    }
+    val ids = dh.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      hm = java.lang.Long.bitCount(dh(a) ^ dh(b))
+      if hm <= multimodal.Multimodal.M6Tau
+    } yield (a, b, hm)).toSet
+  }
+
+  test("m6 recovers every planted substitution copy and equals the brute force (blocking is lossless)") {
+    val out = multimodal.Multimodal.m6PhashNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val planted = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 9 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val recovered = planted.filter(id => out.exists {
+      case (i, j, _) => i == id && j == id + 1000000L })
+    assert(recovered === planted,
+      s"missed planted pairs: ${planted -- recovered}")
+    assert(out === bruteForce(multimodal.StubDecoder),
+      "pigeonhole blocking must equal the all-pairs brute force")
+  }
+
+  test("m6 honors an injected decoder: frame-max codec changes the hashes, output still equals ITS brute force") {
+    object MaxDecoder extends multimodal.Decoder {
+      override def decode(p: Array[Byte]): (Long, Int) = (0L, 0)
+      override def decodeFrame(p: Array[Byte], start: Int, end: Int): Long = {
+        var m = -1L
+        var i = start
+        while (i < end) { if ((p(i) & 0xffL) > m) m = p(i) & 0xffL; i += 1 }
+        m
+      }
+      override def sample(p: Array[Byte], i: Int): Int = 0
+    }
+    val out = multimodal.Multimodal.m6PhashNearDup(spark, sf, MaxDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === bruteForce(MaxDecoder),
+      "operator with injected codec must equal that codec's brute force")
+    assert(out !== bruteForce(multimodal.StubDecoder),
+      "max-codec hashes should differ from stub byte-sum hashes")
+  }
+}
