@@ -2247,6 +2247,75 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
       |ORDER BY user_id, event_type, version""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** INCREMENTAL VIEW MAINTENANCE of a materialized aggregate — the
+    * standing-dashboard shape: a per-status revenue rollup is materialized
+    * ONCE (state table, O(groups) rows), and each arriving order batch
+    * merges into it by aggregating ONLY the delta and full-outer-combining
+    * partial states — sum/count are MERGEABLE, avg re-derives from them
+    * (never merge avgs). IVM ≡ full recompute over base ∪ delta is the
+    * oracle; the plan spec asserts the merged query scans `orders` exactly
+    * once (the delta side) — the materialized state substitutes for the
+    * base rescan, which is the entire point.
+    * 100 TB: recompute cost O(|delta| + |groups|) per refresh instead of
+    * O(|base|); the state table is group-count-bounded (here 3 rows), so
+    * the combine is a broadcast join however large the history grows.
+    * Streaming twin: ST1's update-mode agg IS this maintained continuously;
+    * q80 is the batch/nightly form a warehouse runs.
+    */
+  def q80IvmAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // callers pre-cast `p` (state: exact (18,2); delta: the exact scale-4
+    // half-price product — re-casting it to scale 2 here would round each
+    // item and drift from the full-recompute oracle)
+    val agg = (df: DataFrame) => df
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("p")).as("rev"), count(lit(1)).as("n"))
+    // once-per-session+SF materialization of the standing state table
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivm_" +
+      s"p${ProcessHandle.current().pid()}_$md5"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+      agg(t(spark, sfDir, "orders")
+        .select(col("o_orderstatus"), dec(col("o_totalprice")).as("p")))
+        .write.mode("overwrite").parquet(stateDir)
+    val state = spark.read.parquet(stateDir)
+      .select(col("o_orderstatus"), col("rev").as("rev_s"), col("n").as("n_s"))
+    // the arriving batch: re-keyed discount re-bookings (every 13th order,
+    // half price) — same status domain, so every group pre-exists AND the
+    // merge must also handle a delta-only group if one ever appears
+    val delta = agg(t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 13 === 4)
+      .select(col("o_orderstatus"),
+        (dec(col("o_totalprice")) * lit(0.5).cast("decimal(18,2)")).as("p")))
+      .select(col("o_orderstatus"), col("rev").as("rev_d"), col("n").as("n_d"))
+    state.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("rev_s"), lit(0)) + coalesce(col("rev_d"), lit(0)))
+          .cast("double").as("revenue"),
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"))
+      .withColumn("avg_price", round(col("revenue") / col("n_orders"), 4))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q80Sql: String =
+    """WITH unioned AS (
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |      * CAST(0.5 AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 13 = 4),
+      |full_recompute AS (
+      |  SELECT o_orderstatus, CAST(sum(p) AS DOUBLE) AS revenue,
+      |    count(*) AS n_orders
+      |  FROM unioned GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, revenue, n_orders,
+      |  round(revenue / n_orders, 4) AS avg_price
+      |FROM full_recompute ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q70
   /** Ordered conversion funnel (signup → view → purchase, each step within
     * 7 days of the previous) — the event-sequence analytics shape. Three
@@ -2541,6 +2610,7 @@ object Relational {
     "q68_upsert_merge" -> (q68UpsertMerge _),
     "q78_cow_merge" -> (q78CowMerge _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
+    "q80_ivm_agg" -> (q80IvmAgg _),
     "q69_asof_forward" ->
       ((s: SparkSession, d: String) => AsOfJoin.viewsToNextPurchase(s, d)),
     "q50_cdc_compact" -> (q50CdcCompact _),
@@ -2672,6 +2742,7 @@ object Relational {
     "q68_upsert_merge" -> q68Sql,
     "q78_cow_merge" -> q78Sql,
     "q79_scd2_dim" -> q79Sql,
+    "q80_ivm_agg" -> q80Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
     "q75_quality_audit" -> q75Sql,

@@ -1147,7 +1147,61 @@ object Similarity {
     "enc2 AS (SELECT vec_id, cid, recon, list_dot_product(recon, recon) AS rr FROM enc\n" +
       s"         WHERE NOT (vec_id % $S14DelMod = $S14DelRes AND vec_id >= $NLists))")
 
+  // ---------------------------------------------------------------- s15
+  /** k-NN GRAPH construction — every vector's top-[[S15K]] neighbors, the
+    * prerequisite artifact for graph-based semantic clustering (d8 on
+    * SEMANTIC edges), kNN-classification sweeps, and HNSW-style index
+    * bootstrap. s2's LSH machinery with the query side = the WHOLE corpus:
+    * the candidate stage becomes the (table, bucket) SELF-join — still no
+    * pair space (shuffle O(n·L) bucket rows; per-bucket work bounds by the
+    * bucket size the plane count controls), then the usual id-distinct +
+    * exact-cosine rerank per node.
+    * 100 TB: this is the one ANN shape where "queries" don't broadcast —
+    * both sides shuffle on (t, bucket), the equi-key the planner gets for
+    * free here, and the per-node top-k is the same WindowGroupLimit
+    * partial top-k as a6/q21 (map tasks forward ≤k candidates per node).
+    * Recall tunes with L/k exactly as s2 (same spec'd floor machinery).
+    */
+  val S15K = 4
+
+  def s15KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val nT = confInt(spark, TablesConf, NTables)
+    val nP = confInt(spark, PlanesConf, PlanesPerTable)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val buckets = array((0 until nT).map(t =>
+      hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
+    val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
+    val qb = eb.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("norm").as("qnorm"), col("t"), col("bucket"))
+    val cand = qb.join(eb, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        col("vec_id"), col("v"), col("norm"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= S15K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: s2's SQL with the query predicate dropped (all nodes) and the
+    * graph degree in place of TopK.
+    */
+  val s15Sql: String = s2Sql
+    .replace(s"    WHERE q.vec_id < $NQueries)", ")")
+    .replace(s"WHERE rank <= $TopK", s"WHERE rank <= $S15K")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_knn_graph" -> (s15KnnGraph _),
     "s14_ann_delete" -> (s14AnnDelete _),
     "s13_filtered_ann" -> (s13FilteredAnn _),
     "s12_incremental_ann" -> (s12IncrementalAnn _),
@@ -1164,6 +1218,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s15_knn_graph" -> s15Sql,
     "s14_ann_delete" -> s14Sql,
     "s13_filtered_ann" -> s13Sql,
     "s12_incremental_ann" -> s12Sql,

@@ -2615,3 +2615,62 @@ class PhashNearDupSpec extends GraftSuite {
       "max-codec hashes should differ from stub byte-sum hashes")
   }
 }
+
+/** s15 kNN graph + q80 incremental view maintenance invariants. */
+class KnnGraphIvmSpec extends GraftSuite {
+
+  test("s15 kNN graph: every node gets neighbors, recall vs brute force >= 0.6, no self-edges") {
+    val out = similarity.Similarity.s15KnnGraph(spark, sf)
+    assert(out.filter(col("q_id") === col("neighbor_id")).count() === 0)
+    val vecs = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val k = similarity.Similarity.S15K
+    val truth = vecs.map { case (id, v) =>
+      id -> vecs.toSeq.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }
+    val got = out.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    // every node present with <= k edges
+    assert(got.keySet === vecs.keySet, "a node is missing from the graph")
+    val recall = vecs.keys.toSeq.map { id =>
+      (got(id) & truth(id)).size.toDouble / k
+    }.sum / vecs.size
+    assert(recall >= 0.6, s"mean kNN-graph recall $recall < 0.6")
+  }
+
+  test("q80 IVM: merged state equals the full recompute, and `orders` is scanned exactly once (delta only)") {
+    val out = ops.Relational.q80IvmAgg(spark, sf)
+    // plan: the base side must come from the materialized state parquet,
+    // not a rescan of orders — exactly ONE orders scan (the delta)
+    val plan = out.queryExecution.executedPlan.toString
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).size
+    assert(ordersScans === 1,
+      s"expected exactly 1 orders scan (the delta); plan has $ordersScans")
+    // value contract: merge ≡ full recompute (computed independently here)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderstatus"), dec(col("o_totalprice")).as("p"))
+    val delta = Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 13 === 4)
+      .select(col("o_orderstatus"),
+        (dec(col("o_totalprice")) * lit(0.5).cast("decimal(18,2)")).as("p"))
+    val full = base.unionByName(delta)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("p")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("avg_price", round(col("revenue") / col("n_orders"), 4))
+      .select("o_orderstatus", "revenue", "n_orders", "avg_price")
+    assert(out.select("o_orderstatus", "revenue", "n_orders", "avg_price")
+      .exceptAll(full).count() === 0 && out.count() === full.count(),
+      "IVM merge diverged from the full recompute")
+  }
+}

@@ -26,38 +26,54 @@ TARGETS = [
 ]
 
 
-def main(out_dir: str, sf_dir: str) -> None:
+def run_one(out_dir: str, sf_dir: str, name: str) -> None:
+    """Subprocess entry: time one oracle query (min of 2), print one line."""
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    anchors = json.load(open("tools/bench_anchor.json"))["queries"]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    rows = []
-    for name in TARGETS:
-        sql = oracle.get(name)
-        if sql is None:
-            rows.append((name, anchors.get(name), None, "no oracle SQL"))
-            continue
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            try:
-                n = len(con.execute(sql).fetchall())
-            except Exception as e:  # noqa: BLE001 — report, keep calibrating
-                rows.append((name, anchors.get(name), None, f"ERR {e}"))
-                times = None
-                break
-            times.append(time.time() - t0)
-        if times is not None:
-            rows.append((name, anchors.get(name), min(times), f"{n} rows"))
+    sql = oracle.get(name)
+    if sql is None:
+        print(f"{name}\tNOSQL\t-")
+        return
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        try:
+            n = len(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001 — report, keep calibrating
+            print(f"{name}\tERR\t{e}")
+            return
+        times.append(time.time() - t0)
+    print(f"{name}\t{min(times):.2f}\t{n} rows")
+
+
+def main(out_dir: str, sf_dir: str, timeout_s: int = 300) -> None:
+    """Each target runs in its own subprocess under `timeout_s` — a DuckDB
+    oracle that cannot finish inside the budget IS the calibration result
+    (recorded as >Ns), not a reason to lose the rest of the table."""
+    import subprocess
+    anchors = json.load(open("tools/bench_anchor.json"))["queries"]
     print("| query | Spark anchor (s) | DuckDB oracle (s) | note |")
     print("|---|---|---|---|")
-    for name, sp, dk, note in rows:
+    for name in TARGETS:
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", out_dir, sf_dir, name],
+                capture_output=True, text=True, timeout=timeout_s)
+            line = r.stdout.strip().split("\n")[-1] if r.stdout.strip() else f"{name}\tERR\t{r.stderr[-200:]}"
+        except subprocess.TimeoutExpired:
+            line = f"{name}\t>{timeout_s}\ttimeout"
+        parts = line.split("\t")
+        sp = anchors.get(name)
         sps = f"{sp:.2f}" if sp is not None else "—"
-        dks = f"{dk:.2f}" if dk is not None else "—"
-        print(f"| {name} | {sps} | {dks} | {note} |")
+        print(f"| {parts[0]} | {sps} | {parts[1]} | {parts[2] if len(parts) > 2 else ''} |",
+              flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1] == "--one":
+        run_one(sys.argv[2], sys.argv[3], sys.argv[4])
+    else:
+        main(sys.argv[1], sys.argv[2])
