@@ -1170,26 +1170,33 @@ object Similarity {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint() // featurize once: bucket build + both join-backs
     val buckets = array((0 until nT).map(t =>
       hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
-    val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
+    // ids-only bucket table: with EVERY node a query, the s2 shape's
+    // payload-carrying distinct would shuffle two 64-dim arrays per
+    // candidate (measured 44 s vs 3 s at sf0.1) — the dedup family's
+    // id-distinct-then-join-back rule applies verbatim
+    val eb = e.select(col("vec_id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint()
-    val qb = eb.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("norm").as("qnorm"), col("t"), col("bucket"))
-    val cand = qb.join(eb, Seq("t", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("qnorm"),
-        col("vec_id"), col("v"), col("norm"))
-      .distinct()
+      .localCheckpoint() // self-joined: compute the explode once
+    val cand = eb.alias("x").join(eb.alias("y"), Seq("t", "bucket"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("nid"))
+      .distinct() // 16 bytes per candidate pair, nothing else
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos",
-        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), Seq("nid"))
+      .select(col("q_id"), col("nid").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9).as("cos"))
+      // project BEFORE the window: the rank exchange/sort carries 24-byte
+      // rows, not vector payloads
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= S15K)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 

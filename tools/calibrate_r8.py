@@ -21,7 +21,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 TARGETS = [
     "q74_pagerank", "q76_bfs_hops", "q78_cow_merge",
     "d18_cluster_split", "d19_edit_dedup_auto",
-    "s12_ann_incremental", "s13_filtered_ann",
+    "s12_incremental_ann", "s13_filtered_ann",
     "t15_tfidf_keywords", "a11_temporal_split", "p4_cached_chain",
 ]
 
