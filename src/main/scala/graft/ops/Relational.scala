@@ -2259,7 +2259,9 @@ object Relational {
     * base rescan, which is the entire point.
     * 100 TB: recompute cost O(|delta| + |groups|) per refresh instead of
     * O(|base|); the state table is group-count-bounded (here 3 rows), so
-    * the combine is a broadcast join however large the history grows.
+    * the combine's full-outer join moves O(groups) partial rows (a
+    * shuffle of counters, never history — full outer can't broadcast,
+    * and doesn't need to at this cardinality).
     * Streaming twin: ST1's update-mode agg IS this maintained continuously;
     * q80 is the batch/nightly form a warehouse runs.
     */

@@ -347,6 +347,9 @@ object Sampling {
           A12Bands).as("band"),
         hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
           1000000).as("pos"))
+      .localCheckpoint() // tokenize+hash once: the cumsum branch AND the
+      // offset aggregate both read this (t15's featurize-once rule —
+      // without it the corpus is scanned and tokenized twice)
     val wIn = Window.partitionBy(col("source"), col("band"))
       .orderBy(col("pos"), col("doc_id"))
     val withCum = docs.withColumn("cum", sum(col("n_tokens")).over(wIn))
