@@ -1205,6 +1205,61 @@ object Dedup {
       |FROM rep ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d20
+  /** SEMANTIC dedup via the kNN graph (SemDeDup, Abbas et al. 2023) — the
+    * semantic-cluster rung of the dedup ladder: embeddings cluster on the
+    * k-NN GRAPH restricted to cos ≥ τ, one representative (min id) kept
+    * per cluster. vs d8 (LSH-bucket pairs → CC): the kNN graph BOUNDS THE
+    * DEGREE — edge volume is O(n·k) by construction, immune to the dense-
+    * blob failure mode where a hot semantic region's bucket pairs go
+    * quadratic (the d8 shape's one soft spot at corpus scale); SemDeDup's
+    * published form (cluster → within-cluster graph → keep one) is
+    * exactly this composition. Edges ride s15's production output — the
+    * graph is built once and reused across dedup, clustering and
+    * retrieval — then d7/d8's iterative min-label CC engine labels
+    * components; singletons keep themselves.
+    * 100 TB: s15's candidate stage is the bounded (t, bucket) self-join;
+    * CC runs over ≤ n·k/2 8-byte edges; the keep decision is one
+    * map-side comparison. Oracle: s15's SQL as a CTE + the d8 recursive
+    * closure + a corpus left-join for singletons.
+    */
+  def d20SemanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = graft.similarity.Similarity.s15KnnGraph(spark, sfDir)
+    val pairs = knn.filter(col("cos") >= CosineThreshold)
+      .select(least(col("q_id"), col("neighbor_id")).as("i"),
+        greatest(col("q_id"), col("neighbor_id")).as("j"))
+      .distinct()
+    val labels = labelClusters(pairs, "vec_id")
+    Tables(spark, sfDir, "embeddings").select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+      .withColumn("is_kept", (col("vec_id") === col("cluster")).cast("int"))
+      .select(col("vec_id"), col("cluster"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d20Sql: String = {
+    val knn = graft.similarity.Similarity.s15Sql
+    s"""WITH RECURSIVE knn AS ($knn),
+      |p AS (
+      |  SELECT DISTINCT least(q_id, neighbor_id) AS i,
+      |    greatest(q_id, neighbor_id) AS j
+      |  FROM knn WHERE cos >= $CosineThreshold),
+      |edges AS (SELECT i, j FROM p UNION SELECT j, i FROM p),
+      |reach(src, dst) AS (
+      |  SELECT i, j FROM edges
+      |  UNION
+      |  SELECT r.src, e2.j FROM reach r JOIN edges e2 ON r.dst = e2.i),
+      |labels AS (
+      |  SELECT src AS vec_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)
+      |SELECT v.vec_id, coalesce(l.cluster, v.vec_id) AS cluster,
+      |  CAST(v.vec_id = coalesce(l.cluster, v.vec_id) AS INT) AS is_kept
+      |FROM (SELECT vec_id FROM embeddings) v
+      |LEFT JOIN labels l USING (vec_id)
+      |ORDER BY v.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ST25
   /** ST25: LIVE near-dup ingest gate — d16 STREAMED, the dedup twin of
     * ST21's live ANN ingest and the last core live shape the dedup family
@@ -1294,6 +1349,7 @@ object Dedup {
       .start()
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_semantic_dedup" -> (d20SemanticDedup _),
     "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
     "d18_cluster_split" -> (d18ClusterSplit _),
     "d17_edit_dedup_selective" -> (d17EditDedupSelective _),
@@ -1317,6 +1373,7 @@ object Dedup {
   val sql: Map[String, String] = Map(
     // the auto-switch picks a blocking, never changes the contract — the
     // oracle is the same brute force both arms share
+    "d20_semantic_dedup" -> d20Sql,
     "d19_edit_dedup_auto" -> d15Sql,
     "d18_cluster_split" -> d18Sql,
     // same contract as d15, independently re-verified through the

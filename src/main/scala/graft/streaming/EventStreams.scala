@@ -962,6 +962,89 @@ object EventStreams {
     * any keyed stream; per-trigger work is O(batch). Append mode: each
     * event emits exactly once.
     */
+  /** ST26: STREAMING SCD2 maintenance — q79's live form, completing the
+    * changelog triple (ST9 = live SCD1 latest-wins, ST24 = live as-of
+    * lookup, ST26 = live HISTORY build): each key's closed validity
+    * intervals emit as dimension rows the moment their successor version
+    * is watermark-final. flatMapGroupsWithState keyed by (user_id,
+    * event_type); state = the OPEN version (valid_from, event_id, value,
+    * version#) + the watermark-buffered pending rows (ST24's ripeness
+    * rule: a row applies only once the watermark passes its ts, which is
+    * exactly what makes the fold ≡ batch q79's (ts, event_id) order under
+    * bounded disorder — an in-horizon late change lands BETWEEN already-
+    * arrived versions correctly because neither has been folded yet).
+    * q79's no-op collapse applies identically: a ripe row whose value
+    * equals the open version's extends it instead of opening an interval.
+    * Append mode: closed versions emit exactly once; the open (is_current)
+    * row per key lives in state — it IS the SCD1 surface, queryable from
+    * the state store or emitted on a terminal flush.
+    * 100 TB: state per key = one open-version struct + the ≤horizon
+    * buffered tail (ST8's bound); per-trigger work O(batch); the emitted
+    * stream appends straight into q79's warehouse dimension layout.
+    * Replay spec: emitted ≡ the batch q79 fold's CLOSED rows on the same
+    * feed, including an in-horizon late version landing mid-chain and a
+    * cross-batch no-op replay collapsing.
+    */
+  case class Scd2St(curFromUs: Long, curEventId: Long, curValue: Double,
+      curVersion: Int, pending: List[(Long, Long, Double)], hasCur: Boolean)
+  case class Scd2Out(user_id: Long, event_type: String, version: Int,
+      event_id: Long, valid_from: java.sql.Timestamp,
+      valid_to: java.sql.Timestamp, value: Double)
+
+  def streamingScd2(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def toUs(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inputDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .as[(Long, String, Long, java.sql.Timestamp, Double)]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Scd2St, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String),
+            rows: Iterator[(Long, String, Long, java.sql.Timestamp, Double)],
+            state: GroupState[Scd2St]) =>
+          var st = state.getOption.getOrElse(Scd2St(0L, 0L, 0.0, 0, Nil, hasCur = false))
+          var pending = st.pending
+          rows.foreach(r => pending ::= ((toUs(r._4), r._3, r._5)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, wait) = pending.partition(_._1 <= wmUs)
+          val out = scala.collection.mutable.ListBuffer.empty[Scd2Out]
+          ripe.sortBy(r => (r._1, r._2)).foreach { case (us, eid, v) =>
+            if (!st.hasCur)
+              st = st.copy(curFromUs = us, curEventId = eid, curValue = v,
+                curVersion = 1, hasCur = true)
+            else if (v != st.curValue) { // q79's no-op collapse
+              out += Scd2Out(key._1, key._2, st.curVersion, st.curEventId,
+                toTs(st.curFromUs), toTs(us), st.curValue)
+              st = st.copy(curFromUs = us, curEventId = eid, curValue = v,
+                curVersion = st.curVersion + 1)
+            }
+          }
+          if (wait.isEmpty && !st.hasCur) state.remove()
+          else {
+            state.update(st.copy(pending = wait))
+            if (wait.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wait.map(_._1).min / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   case class AsOfSt(versions: List[(Long, String)], pending: List[(Long, Long)])
   case class AsOfOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       attr: Option[String])

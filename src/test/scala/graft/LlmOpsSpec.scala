@@ -2674,3 +2674,93 @@ class KnnGraphIvmSpec extends GraftSuite {
       "IVM merge diverged from the full recompute")
   }
 }
+
+/** ST26 streaming SCD2 + d20 semantic dedup invariants. */
+class Scd2SemanticSpec extends GraftSuite {
+
+  test("ST26: streamed SCD2 closed versions equal the batch q79 fold, incl. late mid-chain version and cross-batch no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    def ti(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val file1 = Seq(
+      (1L, "x", 101L, ti(1), 10.0),
+      (1L, "x", 103L, ti(2), 20.0),
+      (2L, "y", 201L, ti(1), 5.0))
+    val file2 = Seq(
+      (1L, "x", 102L, ti(1, 30), 15.0), // LATE: lands mid-chain
+      (1L, "x", 104L, ti(2, 30), 20.0), // cross-batch no-op replay
+      (1L, "x", 105L, ti(3), 30.0))
+    val file3 = Seq((99L, "z", 901L, ti(23), 0.0)) // watermark flush
+    val dir = java.nio.file.Files.createTempDirectory("graft-st26").toString
+    def stage(rows: Seq[(Long, String, Long, java.sql.Timestamp, Double)],
+        name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(file1, "01"); stage(file2, "02"); stage(file3, "03")
+    val feed = (file1 ++ file2 ++ file3)
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val q = streaming.EventStreams.streamingScd2(spark, s"$dir/in", feed.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st26_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("st26_out")
+      .select("user_id", "event_type", "version", "event_id",
+        "valid_from", "valid_to", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getTimestamp(4), r.getTimestamp(5), r.getDouble(6))).toSet
+    // batch q79 fold over the same feed (collapse then chain), closed only
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = feed
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("event_id"), col("ts").as("valid_from"), col("valid_to"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getTimestamp(4), r.getTimestamp(5), r.getDouble(6))).toSet
+    assert(got === batch,
+      s"streamed SCD2 closed set diverges:\n got=$got\n exp=$batch")
+    // the expected hand-derived chain: 3 closed versions, all for key (1,x)
+    assert(got.size === 3 && got.forall(_._1 == 1L))
+    assert(spark.table("st26_out").count() === 3, "exactly-once emission")
+  }
+
+  test("d20 semantic dedup: clusters are consistent with its kNN edges and keep exactly one rep per cluster") {
+    val out = dedup.Dedup.d20SemanticDedup(spark, sf)
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(out.count() === n, "every vector labeled")
+    // exactly one kept representative per cluster, and it's the min id
+    val reps = out.groupBy(col("cluster"))
+      .agg(sum(col("is_kept")).as("k"), min(col("vec_id")).as("mn"))
+    assert(reps.filter(col("k") =!= 1).count() === 0, "one rep per cluster")
+    assert(reps.filter(col("cluster") =!= col("mn")).count() === 0,
+      "cluster label must be its min member id")
+    // every cos>=tau kNN edge joins two same-cluster nodes
+    val knn = similarity.Similarity.s15KnnGraph(spark, sf)
+      .filter(col("cos") >= dedup.Dedup.CosineThreshold)
+      .select(col("q_id"), col("neighbor_id"))
+    val lab = out.select(col("vec_id"), col("cluster"))
+    val broken = knn
+      .join(lab.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("cluster", "c1"), Seq("q_id"))
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("cluster", "c2"), Seq("neighbor_id"))
+      .filter(col("c1") =!= col("c2"))
+    assert(broken.count() === 0, "a semantic edge straddles two clusters")
+  }
+}
