@@ -2318,6 +2318,79 @@ object Relational {
       |  round(revenue / n_orders, 4) AS avg_price
       |FROM full_recompute ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** TRIANGLE COUNTING with degree-ordered orientation — the fourth graph
+    * shape (CC fixpoint, PageRank mass flow, BFS frontier, and now the
+    * WEDGE-CLOSURE family behind clustering coefficients / cohesion
+    * metrics / graph features for curation). Graph: parts co-purchased in
+    * ≥ [[Q81MinCo]] distinct orders (the co-occurrence build is itself a
+    * partial-aggregated groupBy; the threshold prunes to a sparse graph).
+    * The scale move is the ORIENTATION: each undirected edge directs from
+    * lower (degree, id) to higher, so every node's OUT-degree is O(√m)
+    * regardless of its raw degree — the naive wedge join explodes
+    * quadratically on power-law hubs (a 10⁶-degree hub = 10¹² wedges);
+    * oriented, the wedge join volume is Σ outdeg² ≤ m·√m, the classic
+    * bound. A triangle {a,b,c} (ranks a<b<c) is counted EXACTLY once: as
+    * the wedge a→b, a→c closed by the oriented edge b→c.
+    * 100 TB: co-occurrence agg shuffles on the pair key; the wedge join
+    * shuffles oriented edges on src; the closure probe is an equi-join on
+    * (b, c) — three well-keyed shuffles, no unbounded intermediate.
+    * Oracle: an INDEPENDENT formulation — plain three-way undirected
+    * self-join with i<j<k (no orientation) — so the orientation trick
+    * itself is what the equality certifies.
+    */
+  val Q81MinCo = 2
+
+  def q81Triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val co = l.alias("a").join(l.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(countDistinct(col("a.o")).as("c"))
+      .filter(col("c") >= Q81MinCo)
+      .select(col("i"), col("j"))
+      .localCheckpoint() // read 3×: degrees, wedge sides, closure probe
+    val deg = co.select(explode(array(col("i"), col("j"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lower = (da: Column, a: Column, db: Column, b: Column) =>
+      da < db || (da === db && a < b)
+    val directed = co
+      .join(deg.select(col("n").as("i"), col("d").as("di")), Seq("i"))
+      .join(deg.select(col("n").as("j"), col("d").as("dj")), Seq("j"))
+      .select(
+        when(lower(col("di"), col("i"), col("dj"), col("j")), col("i"))
+          .otherwise(col("j")).as("src"),
+        when(lower(col("di"), col("i"), col("dj"), col("j")), col("j"))
+          .otherwise(col("i")).as("dst"),
+        when(lower(col("di"), col("i"), col("dj"), col("j")), col("dj"))
+          .otherwise(col("di")).as("ddst"))
+      .localCheckpoint() // wedge self-join + closure probe
+    val wedges = directed.alias("x").join(directed.alias("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddst") < col("y.ddst") ||
+            (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(directed.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    tri.select(sort_array(array(col("a"), col("b"), col("c"))).as("t"))
+      .select(element_at(col("t"), 1).as("i"), element_at(col("t"), 2).as("j"),
+        element_at(col("t"), 3).as("k"))
+      .orderBy(col("i"), col("j"), col("k"))
+  }
+
+  val q81Sql: String =
+    s"""WITH co AS (
+      |  SELECT a.l_partkey AS i, b.l_partkey AS j
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= $Q81MinCo)
+      |SELECT e1.i AS i, e1.j AS j, e2.j AS k
+      |FROM co e1
+      |JOIN co e2 ON e2.i = e1.i AND e2.j > e1.j
+      |JOIN co e3 ON e3.i = e1.j AND e3.j = e2.j
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- q70
   /** Ordered conversion funnel (signup → view → purchase, each step within
     * 7 days of the previous) — the event-sequence analytics shape. Three
@@ -2613,6 +2686,7 @@ object Relational {
     "q78_cow_merge" -> (q78CowMerge _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
     "q80_ivm_agg" -> (q80IvmAgg _),
+    "q81_triangles" -> (q81Triangles _),
     "q69_asof_forward" ->
       ((s: SparkSession, d: String) => AsOfJoin.viewsToNextPurchase(s, d)),
     "q50_cdc_compact" -> (q50CdcCompact _),
@@ -2745,6 +2819,7 @@ object Relational {
     "q78_cow_merge" -> q78Sql,
     "q79_scd2_dim" -> q79Sql,
     "q80_ivm_agg" -> q80Sql,
+    "q81_triangles" -> q81Sql,
     "q69_asof_forward" -> AsOfJoin.q69Sql,
     "q70_funnel" -> q70Sql,
     "q75_quality_audit" -> q75Sql,

@@ -2764,3 +2764,42 @@ class Scd2SemanticSpec extends GraftSuite {
     assert(broken.count() === 0, "a semantic edge straddles two clusters")
   }
 }
+
+/** q81 triangle counting: orientation invariants. */
+class TriangleSpec extends GraftSuite {
+
+  test("q81: each triangle exactly once, and the orientation caps out-degree below the raw hub degree") {
+    val out = ops.Relational.q81Triangles(spark, sf)
+    assert(out.distinct().count() === out.count(), "a triangle surfaced twice")
+    // rebuild the edge set to measure degrees
+    val l = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val co = l.alias("a").join(l.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(countDistinct(col("a.o")).as("c"))
+      .filter(col("c") >= ops.Relational.Q81MinCo)
+      .select(col("i"), col("j"))
+    val deg = co.select(explode(array(col("i"), col("j"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val maxDeg = deg.agg(max(col("d"))).head().getLong(0)
+    // oriented out-degree: direct each edge toward the higher (d, id)
+    val e = co
+      .join(deg.select(col("n").as("i"), col("d").as("di")), Seq("i"))
+      .join(deg.select(col("n").as("j"), col("d").as("dj")), Seq("j"))
+      .select(when(col("di") < col("dj") ||
+          (col("di") === col("dj") && col("i") < col("j")), col("i"))
+        .otherwise(col("j")).as("src"))
+    val maxOut = e.groupBy(col("src")).agg(count(lit(1)).as("o"))
+      .agg(max(col("o"))).head().getLong(0)
+    assert(maxOut < maxDeg,
+      s"orientation must cap the wedge fan-out (out $maxOut vs raw $maxDeg)")
+    // every reported triple is a real triangle of the edge set
+    val edges = co.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.collect().foreach { r =>
+      val (i, j, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(edges((i, j)) && edges((j, k)) && edges((i, k)),
+        s"($i,$j,$k) is not a triangle")
+    }
+  }
+}
