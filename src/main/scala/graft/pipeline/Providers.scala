@@ -2,7 +2,7 @@ package graft.pipeline
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -171,6 +171,39 @@ final class ParquetDirSink(baseDir: String, acceptTypes: Set[String]) extends Da
   }
 }
 
+/** P9: row-level constraint gate on the WRITE path — the quarantine
+  * pattern every production ingest runs (Delta constraint + quarantine
+  * table, dbt store_failures, Deequ row-level): a put partitions its rows
+  * by a constraint Column; passing rows land in the real table, failing
+  * rows land in `<type>__quarantine` ANNOTATED with the violated rule —
+  * never dropped silently (silently-dropped bad rows are undebuggable;
+  * failing the whole batch for one bad row stalls the pipeline — the
+  * quarantine is the production middle ground, and its row count is the
+  * alarm metric, q75/ST18's write-path sibling).
+  * Decorator over any [[DataSink]]; the constraint folds nulls to FAILING
+  * (a rule that cannot be evaluated is a violation, the Deequ default) so
+  * the two sinks are an exact partition of the input. The input is
+  * checkpointed once — both writes read the materialized rows, not two
+  * executions of the upstream plan. 100 TB: the gate is one map-side
+  * predicate; both writes stream the same pass.
+  */
+final class QuarantineSink(inner: DataSink, constraint: Column,
+    rule: String) extends DataSink {
+  override def accepts: Set[String] = inner.accepts
+  override def put(dataType: String, df: DataFrame): Unit =
+    put(dataType, df, Query.empty)
+  override def put(dataType: String, df: DataFrame, query: Query): Unit = {
+    val rows = df.localCheckpoint() // partition ONE materialization
+    val pass = coalesce(constraint, lit(false))
+    inner.put(dataType, rows.filter(pass), query)
+    inner.put(s"${dataType}__quarantine",
+      rows.filter(!pass).withColumn("reason", lit(rule)), query)
+  }
+  override def lookup(dataType: String, query: Query,
+      spark: SparkSession): Option[DataFrame] =
+    inner.lookup(dataType, query, spark)
+}
+
 /** The driver-gate pipeline queries (SURVEY §2.1 P1/P3). */
 object PipelineQueries {
 
@@ -235,6 +268,36 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** P9's oracle-checked end-to-end: a put of order-joined lineitems
+    * through a [[QuarantineSink]] with q75's ship-before-order rule; the
+    * query serves BACK the quarantine table — so the on-disk partition,
+    * the annotation, and the null-folding all sit under the value gate.
+    * The clean/quarantine EXACT-partition property is spec'd.
+    */
+  def p5QuarantinePut(spark: SparkSession, sfDir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val rows = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("o_orderdate"))
+    val sink = new QuarantineSink(
+      new ParquetDirSink(tmp, Set("lines_clean", "lines_clean__quarantine")),
+      col("l_shipdate") >= col("o_orderdate"), "ship_before_order")
+    val pipeline = new DataPipeline(Seq(Right(sink)))
+    pipeline.put("lines_clean", rows)
+    pipeline.get("lines_clean__quarantine")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val p5Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate,
+      |  'ship_before_order' AS reason
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate < o_orderdate
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** The reference WRITE path, oracle-checked end-to-end: `put` routes a
     * curated subset into a parquet sink, `get` serves it back from that
@@ -317,12 +380,14 @@ object PipelineQueries {
       |GROUP BY p_type ORDER BY p_type""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p5_quarantine_put" -> (p5QuarantinePut _),
     "p1_pipeline_get" -> (p1PipelineGet _),
     "p2_put_roundtrip" -> (p2PutRoundtrip _),
     "p3_validated_get" -> (p3ValidatedGet _),
     "p4_cached_chain" -> (p4CachedChain _))
 
   val sql: Map[String, String] = Map(
+    "p5_quarantine_put" -> p5Sql,
     "p1_pipeline_get" -> p1Sql,
     "p2_put_roundtrip" -> p2Sql,
     "p3_validated_get" -> p3Sql,

@@ -443,3 +443,34 @@ class EdgeCaseSpec extends GraftSuite {
     assert(spark.table("orders").count() === n1)
   }
 }
+
+/** P9 quarantine sink: the clean/quarantine pair is an exact partition. */
+class QuarantineSinkSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("P9: clean + quarantine partition the put exactly; nulls quarantine; clean has no violations") {
+    import spark.implicits._
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-spec").toString
+    val rows = Seq(
+      (1L, 10.0), (2L, -5.0), (3L, 0.0), (4L, Double.NaN), (5L, 3.0))
+      .toDF("id", "v")
+      // id 6: NULL constraint input — must fail CLOSED (quarantined)
+      .unionByName(Seq(6L).toDF("id").withColumn("v", lit(null).cast("double")))
+    val sink = new pipeline.QuarantineSink(
+      new pipeline.ParquetDirSink(tmp, Set("t", "t__quarantine")),
+      col("v") > 0, "v_not_positive")
+    val dp = new pipeline.DataPipeline(Seq(Right(sink)))
+    dp.put("t", rows)
+    val clean = dp.get("t")
+    val quar = dp.get("t__quarantine")
+    assert(clean.count() + quar.count() === rows.count(), "exact partition")
+    assert(clean.filter(!(col("v") > 0)).count() === 0, "violation in clean")
+    assert(quar.filter(col("reason") =!= "v_not_positive").count() === 0)
+    assert(quar.filter(col("id") === 6L).count() === 1, "null must quarantine")
+    // round trip: clean ∪ quarantine (minus annotation) equals the input
+    val together = clean.unionByName(quar.drop("reason"))
+    assert(together.exceptAll(rows).count() === 0 &&
+      rows.exceptAll(together).count() === 0)
+  }
+}
