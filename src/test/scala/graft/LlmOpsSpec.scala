@@ -1787,6 +1787,34 @@ class CurationSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.curation.estimateDedup")
   }
 
+  test("edit-dedup mode: the optional d19 slot drops edit-near-dup j-sides; default output untouched") {
+    val base = ops.Curation.curate(spark, sf).select(col("doc_id"))
+    spark.conf.set("spark.graft.curation.editDedup", "true")
+    try {
+      val ed = ops.Curation.curate(spark, sf)
+      // the enabled stage enforces d19's pair list: no j-side survives
+      val editJ = dedup.Dedup.d19EditDedupAuto(spark, sf)
+        .select(col("j").as("doc_id")).distinct()
+      assert(ed.join(editJ, Seq("doc_id"), "left_semi").count() === 0,
+        "an edit-near-dup j-side survived the enabled gate")
+      // everything the enabled form keeps, the default form keeps too
+      // (the stage only ever REMOVES rows pre-cap; the per-source cap can
+      // then admit different tail rows, so compare on the uncapped side)
+      spark.conf.unset("spark.graft.curation.editDedup")
+      val defaultIds = ops.Curation.uncappedSurvivorIds(spark, sf)
+      spark.conf.set("spark.graft.curation.editDedup", "true")
+      val editedIds = ops.Curation.uncappedSurvivorIds(spark, sf)
+      assert(editedIds.exceptAll(defaultIds).count() === 0,
+        "enabled mode admitted a row the default gate rejects")
+      assert(defaultIds.exceptAll(editedIds)
+        .join(editJ, Seq("doc_id"), "left_anti").count() === 0,
+        "enabled mode dropped a row that is not an edit-dup j-side")
+    } finally spark.conf.unset("spark.graft.curation.editDedup")
+    // and the default path is byte-identical to before the slot existed
+    val again = ops.Curation.curate(spark, sf).select(col("doc_id"))
+    assert(base.exceptAll(again).count() === 0 && base.count() === again.count())
+  }
+
   test("flagship shares one signature pass: no table scan in the returned plan") {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     // the ONE scan of `documents` happens inside the eager signature-pass
