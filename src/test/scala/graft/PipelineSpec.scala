@@ -474,3 +474,55 @@ class QuarantineSinkSpec extends GraftSuite {
       rows.exceptAll(together).count() === 0)
   }
 }
+
+/** P9 live: the quarantine gate on a STREAMING ingest (P6b bridge). */
+class StreamingQuarantineSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("P9 live: epoch-keyed foreachBatch puts through QuarantineSink partition the whole feed exactly like batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val ss: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-st-quar").toString
+    val f1 = Seq((1L, 10.0), (2L, -1.0), (3L, 5.0))
+    val f2 = Seq((4L, 0.0), (5L, 7.0), (6L, -9.0))
+    def stage(rows: Seq[(Long, Double)], name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      rows.toDF("id", "v").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(f1, "01"); stage(f2, "02")
+    val sink = new pipeline.QuarantineSink(
+      new pipeline.ParquetDirSink(s"$dir/sink", Set("t", "t__quarantine")),
+      col("v") > 0, "v_not_positive")
+    val dp = new pipeline.DataPipeline(Seq(Right(sink)))
+    val schema = f1.toDF("id", "v").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        // epoch-keyed put: each micro-batch lands in its own sink slot
+        // (the overwrite-idempotent cache layout doubles as exactly-once
+        // on retry — a replayed epoch overwrites itself)
+        dp.put("t", batch, pipeline.Query.of("epoch" -> epoch.toString))
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def slurp(dt: String): org.apache.spark.sql.DataFrame =
+      (0L to 1L).map(e =>
+        dp.get(dt, pipeline.Query.of("epoch" -> e.toString)))
+        .reduce(_ unionByName _)
+    val clean = slurp("t")
+    val quar = slurp("t__quarantine")
+    assert(clean.collect().map(_.getLong(0)).toSet === Set(1L, 3L, 5L))
+    assert(quar.collect().map(_.getLong(0)).toSet === Set(2L, 4L, 6L))
+    assert(quar.filter(col("reason") =!= "v_not_positive").count() === 0)
+  }
+}
