@@ -1291,8 +1291,18 @@ object Dedup {
     * The matches are materialized BEFORE the append (the returned frame
     * must not see the batch's own rows as standing state).
     */
+  /** One trigger of the gate, EXACTLY-ONCE under micro-batch replay: all
+    * standing-table writes are EPOCH-KEYED OVERWRITES (`…/e=<epoch>/`,
+    * Spark partition-dir layout) and the standing side reads only epochs
+    * STRICTLY BEFORE this one — so a crash-replayed epoch excludes its own
+    * earlier (possibly partial) write from the probe, recomputes the
+    * identical matches, and overwrites its own slot instead of appending a
+    * duplicate (plain `mode(append)` state would double every replayed
+    * signature AND re-emit its pairs; `StreamingNearDupSpec` replays an
+    * epoch twice and asserts state and matches are unchanged).
+    */
   def st25IngestGateBatch(spark: SparkSession, batch: DataFrame,
-      root: String): DataFrame = {
+      root: String, epoch: Long): DataFrame = {
     val bandsDir = s"$root/bands"
     val shinglesDir = s"$root/shingles"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -1304,10 +1314,14 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-    val cand = (if (!hasState) selfCand
+    // prior epochs only — partition pruning makes the e filter free
+    val standingBands =
+      if (hasState) spark.read.parquet(bandsDir)
+        .filter(col("e") < epoch).drop("e")
+      else null
+    val cand = (if (standingBands == null) selfCand
       else {
-        val standing = spark.read.parquet(bandsDir)
-        val cross = bands.alias("x").join(standing.alias("y"),
+        val cross = bands.alias("x").join(standingBands.alias("y"),
             col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
           .select(least(col("x.doc_id"), col("y.doc_id")).as("i"),
             greatest(col("x.doc_id"), col("y.doc_id")).as("j"))
@@ -1315,6 +1329,7 @@ object Dedup {
       }).distinct()
     val shingleStore = sig.select(col("doc_id"), col("sh")).unionByName(
       if (hasState) spark.read.parquet(shinglesDir)
+        .filter(col("e") < epoch).drop("e").select(col("doc_id"), col("sh"))
       else sig.select(col("doc_id"), col("sh")).where(lit(false)))
     val matches = cand
       .join(shingleStore.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
@@ -1324,14 +1339,16 @@ object Dedup {
           size(array_union(col("sh_i"), col("sh_j"))))
       .filter(col("jac") >= 0.8)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
-      .localCheckpoint() // pin BEFORE the append mutates the standing dirs
-    bands.write.mode("append").parquet(bandsDir)
-    sig.select(col("doc_id"), col("sh")).write.mode("append").parquet(shinglesDir)
+      .localCheckpoint() // pin BEFORE the writes mutate the standing dirs
+    bands.write.mode("overwrite").parquet(s"$bandsDir/e=$epoch")
+    sig.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$shinglesDir/e=$epoch")
     matches
   }
 
   /** The streaming driver: file-source micro-batches of documents through
-    * [[st25IngestGateBatch]], match lists appended to `$root/matches`.
+    * [[st25IngestGateBatch]]; match lists land epoch-keyed under
+    * `$root/matches` (same overwrite-idempotence as the state tables).
     */
   def streamingNearDupIngest(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -1339,9 +1356,9 @@ object Dedup {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        st25IngestGateBatch(spark, batch, root)
-          .write.mode("append").parquet(s"$root/matches")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        st25IngestGateBatch(spark, batch, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/matches/e=$epoch")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

@@ -2568,6 +2568,7 @@ class StreamingNearDupSpec extends GraftSuite {
       spark, s"$root/in", docs.schema, root)
     q.awaitTermination(180000)
     val streamed = spark.read.parquet(s"$root/matches")
+      .select(col("i"), col("j"), col("jaccard"))
     val batch = dedup.Dedup.d2MinHashLsh(spark, sf)
     assert(streamed.exceptAll(batch).count() === 0,
       "streamed gate emitted a pair d2 does not have (or twice)")
@@ -2576,6 +2577,22 @@ class StreamingNearDupSpec extends GraftSuite {
     assert(streamed.count() === batch.count())
     // the standing index accumulated the whole corpus
     assert(spark.read.parquet(s"$root/shingles").count() === docs.count())
+    // CRASH-REPLAY idempotence: re-run epoch 1 with its exact batch (what
+    // foreachBatch does after a failure between the state write and the
+    // checkpoint commit) — matches recompute identically, state unchanged
+    val e1matches = spark.read.parquet(s"$root/matches/e=1")
+      .select(col("i"), col("j"), col("jaccard"))
+    val replayed = dedup.Dedup.st25IngestGateBatch(
+      spark, docs.filter(col("doc_id") % 3 === 1), root, 1L)
+    assert(replayed.exceptAll(e1matches).count() === 0 &&
+      e1matches.exceptAll(replayed).count() === 0,
+      "replayed epoch must recompute the identical match list")
+    assert(spark.read.parquet(s"$root/shingles").count() === docs.count(),
+      "replayed epoch must not grow the standing state")
+    val streamed2 = spark.read.parquet(s"$root/matches")
+      .select(col("i"), col("j"), col("jaccard"))
+    assert(streamed2.count() === batch.count(),
+      "replay must not re-emit pairs")
   }
 }
 
