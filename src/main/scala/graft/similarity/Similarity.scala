@@ -1207,7 +1207,109 @@ object Similarity {
     .replace(s"    WHERE q.vec_id < $NQueries)", ")")
     .replace(s"WHERE rank <= $TopK", s"WHERE rank <= $S15K")
 
+  // ---------------------------------------------------------------- s16
+  /** SCALAR-QUANTIZED (SQ8) ANN — FAISS `IndexScalarQuantizer(QT_8bit)`,
+    * the OTHER production compression next to PQ: one byte PER DIMENSION
+    * under a per-dim affine model (code = round((x−lo)/(hi−lo)·255),
+    * decode x̂ = lo + code/255·(hi−lo)), 8× smaller than float64 with a
+    * far simpler model than PQ's codebooks (two 64-vectors of corpus
+    * min/max — the training is one agg pass) and much lower quantization
+    * error than PQ at these widths — the default choice when memory
+    * pressure is real but 8× suffices; PQ (s5/s7/s8) is for the 32×+
+    * regime. Search = s5's flat shape: ADC over decoded rows → shortlist
+    * → exact rerank of full vectors. Encode/decode is a per-row literal
+    * expression tree over the collected (lo, hi) model (model-scale
+    * collect, the centroid precedent); constant dims (hi = lo) decode to
+    * lo exactly, branch mirrored in the oracle.
+    * Determinism: both engines evaluate round(((x−lo)/(hi−lo))·255) on
+    * the identical IEEE doubles (min/max are exact), and half-up equals
+    * half-away-from-zero on the nonnegative scaled values.
+    * 100 TB: stored bytes are the codes (64 B/vector); the flat ADC scan
+    * is the s5 caveat — production pairs SQ with the s7 probed-list
+    * layout unchanged (only the encode/decode expressions differ, which
+    * is the point of the shared adcPipeline).
+    */
+  def s16AnnSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val statsRow = e.select((0 until Dim).flatMap(d => Seq(
+      min(element_at(col("v"), d + 1)).as(s"lo$d"),
+      max(element_at(col("v"), d + 1)).as(s"hi$d"))): _*).head()
+    val lo = (0 until Dim).map(d => statsRow.getDouble(2 * d))
+    val hi = (0 until Dim).map(d => statsRow.getDouble(2 * d + 1))
+    val loLit = typedlit(lo)
+    val hiLit = typedlit(hi)
+    val rec = transform(sequence(lit(0), lit(Dim - 1)), d => {
+      val l = element_at(loLit, d + 1)
+      val h = element_at(hiLit, d + 1)
+      val x = element_at(col("v"), (d + 1).cast("int"))
+      val code = when(h === l, lit(0))
+        .otherwise(round((x - l) / (h - l) * 255).cast("int"))
+      l + code.cast("double") / 255.0 * (h - l)
+    })
+    val enc = e.select(col("vec_id"), rec.as("rec"))
+      .withColumn("rr", dot(col("rec"), col("rec")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("qq", dot(col("qv"), col("qv")))
+      .withColumn("qnorm", sqrt(col("qq")))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val shortlist = broadcast(q).join(enc, col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("qq") - lit(2.0) * dot(col("qv"), col("rec")) + col("rr"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqShortlist)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id"))
+    val full = e.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(full, Seq("vec_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s16Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |stats AS (
+      |  SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi FROM (
+      |    SELECT d, min(x) AS mn, max(x) AS mx FROM (
+      |      SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e)
+      |    GROUP BY d)),
+      |enc AS (
+      |  SELECT vec_id,
+      |    [CASE WHEN hi[d+1] = lo[d+1] THEN lo[d+1]
+      |          ELSE lo[d+1] + CAST(round((v[d+1] - lo[d+1]) / (hi[d+1] - lo[d+1]) * 255) AS INT)
+      |               / 255.0 * (hi[d+1] - lo[d+1]) END
+      |     for d in range($Dim)] AS rec
+      |  FROM e, stats),
+      |enc2 AS (SELECT vec_id, rec, list_dot_product(rec, rec) AS rr FROM enc),
+      |q AS (SELECT vec_id AS q_id, v AS qv, list_dot_product(v, v) AS qq,
+      |        sqrt(list_dot_product(v, v)) AS qnorm
+      |      FROM e WHERE vec_id < $NQueries),
+      |shortlist AS (
+      |  SELECT q_id, qv, qnorm, vec_id FROM (
+      |    SELECT q.q_id, q.qv, q.qnorm, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        q.qq - 2.0 * list_dot_product(q.qv, c.rec) + c.rr, c.vec_id) AS adc_rank
+      |    FROM q JOIN enc2 c ON c.vec_id <> q.q_id)
+      |  WHERE adc_rank <= $PqShortlist),
+      |fullv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+      |SELECT q_id, rank, neighbor_id, cos FROM (
+      |  SELECT s.q_id, s.vec_id AS neighbor_id,
+      |    round(list_dot_product(s.qv, f.v) / (s.qnorm * f.norm), 9) AS cos,
+      |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+      |      round(list_dot_product(s.qv, f.v) / (s.qnorm * f.norm), 9) DESC,
+      |      s.vec_id) AS rank
+      |  FROM shortlist s JOIN fullv f ON f.vec_id = s.vec_id)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_ann_sq8" -> (s16AnnSq8 _),
     "s15_knn_graph" -> (s15KnnGraph _),
     "s14_ann_delete" -> (s14AnnDelete _),
     "s13_filtered_ann" -> (s13FilteredAnn _),
@@ -1225,6 +1327,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s16_ann_sq8" -> s16Sql,
     "s15_knn_graph" -> s15Sql,
     "s14_ann_delete" -> s14Sql,
     "s13_filtered_ann" -> s13Sql,

@@ -2848,3 +2848,39 @@ class TriangleSpec extends GraftSuite {
     }
   }
 }
+
+/** s16 SQ8: quantization-error bound and near-exact recall. */
+class Sq8Spec extends GraftSuite {
+
+  test("s16 SQ8: recall@5 vs exact >= 0.9 (8 bits/dim is near-lossless) and beats s5's 3-bit PQ") {
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = similarity.Similarity.s1CosineTopK(spark, sf)
+        .select(col("q_id"), col("neighbor_id"))
+      val hit = approx.select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / exact.count()
+    }
+    val rSq = recallOf(similarity.Similarity.s16AnnSq8(spark, sf))
+    val rPq = recallOf(similarity.Similarity.s5AnnPq(spark, sf))
+    assert(rSq >= 0.9, s"SQ8 recall $rSq < 0.9")
+    assert(rSq >= rPq, s"SQ8 ($rSq) must not lose to 3-bit PQ ($rPq) at 8 bits/dim")
+  }
+
+  test("s16 SQ8: per-dimension reconstruction error is within half a quantization step") {
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val dim = e.head.length
+    val lo = (0 until dim).map(d => e.map(_(d)).min)
+    val hi = (0 until dim).map(d => e.map(_(d)).max)
+    e.foreach { v =>
+      (0 until dim).foreach { d =>
+        val step = (hi(d) - lo(d)) / 255.0
+        val code = math.round((v(d) - lo(d)) / (hi(d) - lo(d)) * 255).toInt
+        val dec = lo(d) + code / 255.0 * (hi(d) - lo(d))
+        assert(math.abs(dec - v(d)) <= step / 2 + 1e-12,
+          s"dim $d reconstruction error exceeds half a step")
+      }
+    }
+  }
+}
