@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1260,6 +1261,126 @@ object Dedup {
       |ORDER BY v.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d21
+  /** Exact duplicated-substring removal — the token-window form of
+    * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every [[SubstrWin]]-token
+    * sliding window that occurs anywhere else in the corpus keeps only its
+    * globally FIRST occurrence (min (doc_id, pos)); every later occurrence
+    * is flagged, and flagged windows union into maximal removal spans per
+    * doc (interval union via running-max island detection — a 100-token
+    * duplicated block collapses to ONE span, not 85 windows). Output is
+    * per-doc removal accounting plus the md5 of the span-stripped text —
+    * both engines prove the exact same reassembly. Unlike d9 (fixed
+    * non-overlapping segments) the sliding window catches duplication at
+    * ANY offset — cross-doc quoting and boilerplate whose boundaries never
+    * line up with segment edges. Note the Lee-et-al. subtlety holds here
+    * too: an owner window's tokens can still be removed when a DIFFERENT
+    * duplicated window overlaps them; ownership is per-window, coverage is
+    * per-token.
+    * 100 TB: window hashing is map-side (the shuffle carries (md5, 8-byte
+    * packed ord), never window text); ownership is one partial-aggregated
+    * groupBy on the hash; span union is one per-doc window sort; the
+    * kept-text rebuild hash-anti-joins token positions against spans on
+    * doc_id. The pair space is never materialized — cost is O(tokens · W)
+    * map-side char work (a rolling Rabin-Karp over per-token hashes drops
+    * that to O(tokens); md5-of-joined-window keeps the oracle bit-exact —
+    * the documented tradeoff) plus O(windows) shuffle. The packed
+    * (doc_id·2²⁰ + pos) tiebreak key assumes docs under ~1M tokens; longer
+    * docs would switch to min(struct(doc_id, pos)).
+    */
+  val SubstrWin = 16
+
+  def d21SubstringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d21Of(Tables(spark, sfDir, "documents"))
+
+  private[graft] def d21Of(documents: DataFrame): DataFrame = {
+    val L = SubstrWin
+    val docs = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint() // feeds windows, the token explode, and the summary
+    val ord = col("doc_id") * 1000000L + col("pos")
+    val wins = docs.filter(size(col("t")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), (size(col("t")) - L).cast("long"))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("t"), (col("pos") + 1).cast("int"), lit(L)), " ")
+          .cast("binary")).as("h"))
+    val owners = wins.groupBy(col("h")).agg(min(ord).as("own"))
+    val flagged = wins.join(owners, "h").filter(ord =!= col("own"))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("e", col("pos") + L)
+      .withColumn("st",
+        when(col("pos") > coalesce(
+          max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1).otherwise(0))
+      .withColumn("g", sum(col("st")).over(byPos))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val toks = docs.select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+    val kept = toks.alias("k").join(spans.alias("sp"),
+      col("k.doc_id") === col("sp.doc_id") &&
+        col("k.p") >= col("sp.s") && col("k.p") < col("sp.e"), "left_anti")
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("kept_fp"))
+    val flagAgg = flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("dup_wins"))
+    val spanAgg = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("tokens_removed"))
+    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+      .join(flagAgg, Seq("doc_id"), "left")
+      .join(spanAgg, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_wins"), lit(0L)).as("dup_wins"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        coalesce(col("kept_fp"), md5(lit("").cast("binary"))).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d21Sql: String = {
+    val L = SubstrWin
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |wins AS (SELECT doc_id, CAST(unnest(range(len(t) - $L + 1)) AS BIGINT) AS pos, t
+      |         FROM docs WHERE len(t) >= $L),
+      |hashed AS (SELECT doc_id, pos,
+      |    md5(array_to_string(list_slice(t, pos + 1, pos + $L), ' ')) AS h FROM wins),
+      |owners AS (SELECT h, min(doc_id * 1000000 + pos) AS own FROM hashed GROUP BY h),
+      |flagged AS (SELECT f.doc_id, f.pos FROM hashed f JOIN owners o ON f.h = o.h
+      |            WHERE f.doc_id * 1000000 + f.pos <> o.own),
+      |isl AS (SELECT doc_id, pos, pos + $L AS e,
+      |    CASE WHEN pos > coalesce(max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS st
+      |  FROM flagged),
+      |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e FROM
+      |   (SELECT doc_id, pos, e, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl)
+      |   GROUP BY doc_id, g),
+      |tok2 AS (SELECT doc_id, CAST(p AS BIGINT) AS p, list_extract(t, p + 1) AS tok
+      |         FROM (SELECT doc_id, unnest(range(len(t))) AS p, t FROM docs)),
+      |kept AS (SELECT k.doc_id, k.p, k.tok FROM tok2 k
+      |  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = k.doc_id
+      |                    AND k.p >= sp.s AND k.p < sp.e)),
+      |keptagg AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS kept_fp
+      |  FROM kept GROUP BY doc_id),
+      |flagagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_wins
+      |  FROM flagged GROUP BY doc_id),
+      |spagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(e - s) AS BIGINT) AS tokens_removed FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tok,
+      |  coalesce(f.dup_wins, CAST(0 AS BIGINT)) AS dup_wins,
+      |  coalesce(s.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  coalesce(s.tokens_removed, CAST(0 AS BIGINT)) AS tokens_removed,
+      |  coalesce(k.kept_fp, md5('')) AS kept_fp
+      |FROM docs d LEFT JOIN flagagg f USING (doc_id) LEFT JOIN spagg s USING (doc_id)
+      |  LEFT JOIN keptagg k USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- ST25
   /** ST25: LIVE near-dup ingest gate — d16 STREAMED, the dedup twin of
     * ST21's live ANN ingest and the last core live shape the dedup family
@@ -1366,6 +1487,7 @@ object Dedup {
       .start()
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_substring_dedup" -> (d21SubstringDedup _),
     "d20_semantic_dedup" -> (d20SemanticDedup _),
     "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
     "d18_cluster_split" -> (d18ClusterSplit _),
@@ -1390,6 +1512,7 @@ object Dedup {
   val sql: Map[String, String] = Map(
     // the auto-switch picks a blocking, never changes the contract — the
     // oracle is the same brute force both arms share
+    "d21_substring_dedup" -> d21Sql,
     "d20_semantic_dedup" -> d20Sql,
     "d19_edit_dedup_auto" -> d15Sql,
     "d18_cluster_split" -> d18Sql,

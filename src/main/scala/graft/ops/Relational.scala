@@ -2118,23 +2118,32 @@ object Relational {
     * untouched-files ∪ rewritten-files — exactly a COW table format's
     * post-MERGE state.
     */
-  def q78CowMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = t(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    // once-per-session+SF clustered write of the COW table (pid-tagged so
-    // concurrent JVMs never race each other's overwrite)
+  /** Once-per-session+SF key-clustered write of a COW base table under a
+    * pid-tagged tmp root (concurrent JVMs never race each other's
+    * overwrite); returns (root, baseDir). Shared by q78 (MERGE) and q82
+    * (targeted DELETE) — both COW demos run against the same layout.
+    */
+  private def cowClusteredBase(spark: SparkSession, sfDir: String, tag: String,
+      base: DataFrame): (String, String) = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cow_" +
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"p${ProcessHandle.current().pid()}_$md5"
     val baseDir = s"$root/base"
-    val outDir = s"$root/merged"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir)))
       base.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
         .write.mode("overwrite").parquet(baseDir)
+    (root, baseDir)
+  }
+
+  def q78CowMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val (root, baseDir) = cowClusteredBase(spark, sfDir, "cow", base)
+    val outDir = s"$root/merged"
     val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
     val updates = base
       .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= cutoff)
@@ -2191,6 +2200,62 @@ object Relational {
       |  CASE WHEN o_orderkey IS NULL THEN 'insert'
       |       WHEN c_key IS NULL THEN 'unchanged' ELSE 'update' END AS change_type
       |FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
+      |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Targeted copy-on-write DELETE with footer-stats file pruning — the
+    * right-to-be-forgotten / retention-purge sibling of q78's MERGE, and
+    * the operation privacy law makes every corpus deployment run: a
+    * deletion-request key set (here range-localized like real churn: every
+    * 13th key in the bottom fifth of the keyspace) probes each file's
+    * footer min/max via [[Layout.cowMerge]]; only overlapping files are
+    * re-read and rewritten through a broadcast LEFT ANTI join against the
+    * request keys, every other file stays BYTE IDENTICAL (deep history
+    * never contains the requested keys, so it is never decoded — the spec
+    * asserts mtime+length equality). The result is untouched ∪ rewritten:
+    * exactly the table a COW format exposes after `DELETE WHERE key IN
+    * (...)`.
+    * 100 TB: the deletion-request set is the broadcast-small side by
+    * nature (requests arrive row-at-a-time, batched daily); pruning reads
+    * footers only; rewrite I/O is O(touched bytes). The anti-join (not a
+    * NOT IN literal filter) keeps the plan size O(1) in the request count
+    * and is the shape that still works when the requests live in their own
+    * table.
+    */
+  def q82TargetedDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val (root, baseDir) = cowClusteredBase(spark, sfDir, "del", base)
+    val outDir = s"$root/kept"
+    val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val requests = base
+      .filter(col("o_orderkey") % 13 === 1 && col("o_orderkey") <= cutoff)
+      .select(col("o_orderkey").as("d_key"))
+    val delKeys = requests.collect().map(_.getLong(0))
+    val stats = Layout.cowMerge(spark, baseDir, "o_orderkey", delKeys,
+      touched => touched
+        .join(broadcast(requests), col("o_orderkey") === col("d_key"), "left_anti")
+        .select(col("o_orderkey").as("key"),
+          dec(col("o_totalprice")).cast("double").as("totalprice"),
+          col("o_orderstatus").as("status")),
+      outDir)
+    val untouched =
+      if (stats.untouched.isEmpty) spark.read.parquet(baseDir).where(lit(false))
+      else spark.read.parquet(stats.untouched: _*)
+    spark.read.parquet(outDir).unionByName(
+      untouched.select(col("o_orderkey").as("key"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"),
+        col("o_orderstatus").as("status")))
+      .orderBy(col("key"))
+  }
+
+  val q82Sql: String =
+    """WITH cutoff AS (SELECT CAST(floor(max(o_orderkey) / 5) AS BIGINT) AS c FROM orders)
+      |SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  o_orderstatus AS status
+      |FROM orders
+      |WHERE NOT (o_orderkey % 13 = 1 AND o_orderkey <= (SELECT c FROM cutoff))
       |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------- q79
@@ -2684,6 +2749,7 @@ object Relational {
     "q67_window_zoo" -> (q67WindowZoo _),
     "q68_upsert_merge" -> (q68UpsertMerge _),
     "q78_cow_merge" -> (q78CowMerge _),
+    "q82_targeted_delete" -> (q82TargetedDelete _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
     "q80_ivm_agg" -> (q80IvmAgg _),
     "q81_triangles" -> (q81Triangles _),
@@ -2817,6 +2883,7 @@ object Relational {
     "q67_window_zoo" -> q67Sql,
     "q68_upsert_merge" -> q68Sql,
     "q78_cow_merge" -> q78Sql,
+    "q82_targeted_delete" -> q82Sql,
     "q79_scd2_dim" -> q79Sql,
     "q80_ivm_agg" -> q80Sql,
     "q81_triangles" -> q81Sql,

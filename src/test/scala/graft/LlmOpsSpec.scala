@@ -2884,3 +2884,50 @@ class Sq8Spec extends GraftSuite {
     }
   }
 }
+
+/** d21 exact substring dedup: planted-duplicate semantics and the
+  * removal-accounting sandwich on the real corpus.
+  */
+class SubstringDedupSpec extends GraftSuite {
+  private val L = dedup.Dedup.SubstrWin
+
+  test("d21: a planted 20-token copied block is removed from the later doc only, exactly") {
+    import spark.implicits._
+    val a = (0 until 40).map(i => s"a$i")
+    val b = (0 until 10).map(i => s"b$i") ++ a.slice(10, 30) ++
+      (10 until 20).map(i => s"b$i")
+    val c = (0 until 30).map(i => s"c$i")
+    val docs = Seq((0L, a.mkString(" ")), (1L, b.mkString(" ")),
+      (2L, c.mkString(" "))).toDF("doc_id", "text")
+    val out = dedup.Dedup.d21Of(docs).collect().sortBy(_.getLong(0))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // doc 0 owns every window of the copied block — untouched
+    assert(out(0).getLong(2) == 0 && out(0).getLong(4) == 0)
+    assert(out(0).getString(5) == md5hex(a.mkString(" ")))
+    // doc 1: block at pos 10..29 → window starts 10..14 flagged, ONE
+    // merged span [10, 30), 20 tokens removed, kept = b-tokens only
+    assert(out(1).getLong(2) == 5, "expected 5 flagged windows")
+    assert(out(1).getLong(3) == 1, "overlapping windows must merge to one span")
+    assert(out(1).getLong(4) == 20)
+    val keptB = (0 until 10).map(i => s"b$i") ++ (10 until 20).map(i => s"b$i")
+    assert(out(1).getString(5) == md5hex(keptB.mkString(" ")))
+    // doc 2 shares nothing
+    assert(out(2).getLong(2) == 0 && out(2).getLong(4) == 0)
+  }
+
+  test("d21: removal accounting is sandwiched and non-degenerate on the corpus") {
+    val out = dedup.Dedup.d21SubstringDedup(spark, sf).collect()
+    assert(out.exists(_.getLong(4) > 0), "corpus has planted near-dups; d21 must remove something")
+    out.foreach { r =>
+      val (nTok, wins, spans, removed) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(spans <= wins, "each span contains at least one flagged window")
+      assert(removed <= nTok)
+      assert(removed >= spans * L, "every span is at least one full window wide")
+      assert(removed <= wins * L, "union of wins L-token windows is at most wins*L")
+      assert((wins == 0) == (removed == 0))
+    }
+  }
+}

@@ -313,4 +313,53 @@ class ScaleFeaturesSpec extends GraftSuite {
     assert(cow.exceptAll(full).count() === 0 && full.exceptAll(cow).count() === 0,
       "COW merge result differs from the all-shuffle merge")
   }
+
+  test("targeted COW delete rewrites only footer-overlapping files; result equals the anti-join") {
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-del-base").toString
+    base.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(baseDir)
+    def listing() = new java.io.File(baseDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    val before = listing()
+
+    // range-localized deletion requests: bottom fifth of the keyspace
+    val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
+    val requests = base
+      .filter(col("o_orderkey") % 13 === 1 && col("o_orderkey") <= cutoff)
+      .select(col("o_orderkey").as("d_key"))
+    val delKeys = requests.collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-del-out").toString
+    val stats = ops.Layout.cowMerge(spark, baseDir, "o_orderkey", delKeys,
+      touched => touched
+        .join(broadcast(requests), col("o_orderkey") === col("d_key"), "left_anti"),
+      outDir)
+
+    // pruning pruned: a bottom-fifth request set leaves most files alone,
+    // and they are byte-identical afterwards
+    assert(stats.touched.nonEmpty && stats.untouched.size >= stats.totalFiles / 2)
+    val after = listing()
+    assert(after.keySet === before.keySet, "delete rewrote the base directory")
+    stats.untouched.foreach { u =>
+      val p = new org.apache.hadoop.fs.Path(u).toUri.getPath
+      assert(after(p) === before(p), s"untouched file was modified: $p")
+    }
+
+    // semantics: untouched ∪ rewritten ≡ the full anti-join, and no
+    // requested key survives anywhere
+    val kept = spark.read.parquet(outDir).unionByName(
+      spark.read.parquet(stats.untouched: _*))
+    val full = base.join(broadcast(requests),
+      col("o_orderkey") === col("d_key"), "left_anti")
+    assert(kept.count() === base.count() - delKeys.length)
+    assert(kept.exceptAll(full).count() === 0 && full.exceptAll(kept).count() === 0)
+    assert(kept.join(broadcast(requests),
+      col("o_orderkey") === col("d_key"), "left_semi").count() === 0,
+      "a deletion-requested key survived the COW delete")
+  }
 }
