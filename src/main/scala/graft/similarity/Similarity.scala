@@ -1308,7 +1308,132 @@ object Similarity {
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * DIVERSITY re-rank — the retrieval-diversification pass a RAG /
+    * training-data sampler runs on top of plain top-k: from each query's
+    * [[MmrCandidates]]-deep relevance shortlist, greedily select
+    * [[TopK]] results maximizing λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s) —
+    * relevance minus redundancy against what is already selected — so
+    * near-duplicate hits (exactly what a deduplicated corpus still has
+    * below the dedup threshold) can't crowd out coverage.
+    * The greedy loop is PLAN-UNROLLED: k is a small fixed constant, so
+    * each pick is one distributed window-argmax over the remaining
+    * candidates (no driver-side loop over data, no collect; the unrolled
+    * plan is the loop). Candidate sets are bounded (N per query), so the
+    * pairwise-similarity table is N²·|queries| rows by construction — the
+    * MMR cost model every production implementation uses.
+    * Determinism: every score is rounded at 9 BEFORE ranking in both
+    * engines (s1's convention) and ties break by id; the oracle unrolls
+    * the same k steps as chained CTEs, so the equality certifies each
+    * greedy pick, not just the final set.
+    * 100 TB: shortlist via any ANN rung (s1 here for exactness); pair
+    * sims shuffle on q_id with bounded groups; the k window-argmax passes
+    * reuse the same q_id partitioning — Catalyst plans consecutive
+    * Windows over one Exchange.
+    */
+  val MmrLambda = 0.5
+  val MmrCandidates = 20
+
+  def s17MmrRerank(spark: SparkSession, sfDir: String): DataFrame =
+    mmrRerank(spark, sfDir, MmrLambda)
+
+  /** λ-parameterized body — λ=1 degenerates to pure relevance (the spec
+    * asserts it equals s1's top-k exactly, certifying the greedy plumbing
+    * independently of the diversity term).
+    */
+  private[graft] def mmrRerank(spark: SparkSession, sfDir: String,
+      lam: Double): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wCand = Window.partitionBy(col("q_id")).orderBy(col("cosq").desc, col("id"))
+    val cand = broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cosq",
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9))
+      .select(col("q_id"), col("vec_id").as("id"), col("cosq"), col("v"), col("norm"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= MmrCandidates)
+      .localCheckpoint() // feeds the pair build and every unrolled step
+    val pair = cand.select(col("q_id"), col("id"), col("v"), col("norm"))
+      .join(cand.select(col("q_id"), col("id").as("j"), col("v").as("vj"),
+        col("norm").as("nj")), Seq("q_id"))
+      .filter(col("id") =!= col("j"))
+      .select(col("q_id"), col("id"), col("j"),
+        round(dot(col("v"), col("vj")) / (col("norm") * col("nj")), 9).as("cosij"))
+      .localCheckpoint()
+    val ids = cand.select(col("q_id"), col("id"), col("cosq"))
+    val wPick = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    var sel = ids
+      .withColumn("score", col("cosq"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("q_id"), col("id"), lit(1).as("rank"), col("cosq").as("mmr"))
+    var rem = ids.join(sel.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
+    for (step <- 2 to TopK) {
+      val pick = rem
+        .join(pair, Seq("q_id", "id"))
+        .join(sel.select(col("q_id"), col("id").as("j")), Seq("q_id", "j"))
+        .groupBy(col("q_id"), col("id"), col("cosq"))
+        .agg(max(col("cosij")).as("maxsim"))
+        .withColumn("score",
+          round(lit(lam) * col("cosq") - lit(1.0 - lam) * col("maxsim"), 9))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("q_id"), col("id"), lit(step).as("rank"), col("score").as("mmr"))
+      sel = sel.unionByName(pick)
+      rem = rem.join(pick.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
+    }
+    sel.select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("mmr"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val s17Sql: String = {
+    val lam = MmrLambda
+    val steps = (2 to TopK).map { s =>
+      s"""score$s AS (
+        |  SELECT r.q_id, r.id, r.cosq,
+        |    round($lam * r.cosq - ${1.0 - lam} * max(p.cosij), 9) AS score
+        |  FROM cand r
+        |  JOIN pair p ON p.q_id = r.q_id AND p.id = r.id
+        |  JOIN selall${s - 1} t ON t.q_id = p.q_id AND t.id = p.j
+        |  WHERE NOT EXISTS (SELECT 1 FROM selall${s - 1} x
+        |                    WHERE x.q_id = r.q_id AND x.id = r.id)
+        |  GROUP BY r.q_id, r.id, r.cosq),
+        |sel$s AS (SELECT q_id, id, $s AS rank, score AS mmr FROM (
+        |    SELECT q_id, id, score, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, id) AS rn FROM score$s) WHERE rn = 1),
+        |selall$s AS (SELECT * FROM selall${s - 1}
+        |             UNION ALL SELECT q_id, id, rank, mmr FROM sel$s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |      FROM embeddings),
+      |cand AS (SELECT q_id, id, cosq, v, norm FROM (
+      |    SELECT q.vec_id AS q_id, e.vec_id AS id,
+      |      round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) AS cosq,
+      |      e.v AS v, e.norm AS norm,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) DESC,
+      |        e.vec_id) AS rn
+      |    FROM (SELECT * FROM ev WHERE vec_id < $NQueries) q
+      |    JOIN ev e ON e.vec_id <> q.vec_id)
+      |  WHERE rn <= $MmrCandidates),
+      |pair AS (
+      |  SELECT a.q_id, a.id, b.id AS j,
+      |    round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 9) AS cosij
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.id <> b.id),
+      |sel1 AS (SELECT q_id, id, 1 AS rank, cosq AS mmr FROM (
+      |    SELECT q_id, id, cosq, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cosq DESC, id) AS rn FROM cand) WHERE rn = 1),
+      |selall1 AS (SELECT q_id, id, rank, mmr FROM sel1),
+      |$steps
+      |SELECT q_id, rank, id AS neighbor_id, mmr FROM selall$TopK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_ann_sq8" -> (s16AnnSq8 _),
     "s15_knn_graph" -> (s15KnnGraph _),
     "s14_ann_delete" -> (s14AnnDelete _),
@@ -1327,6 +1452,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s17_mmr_rerank" -> s17Sql,
     "s16_ann_sq8" -> s16Sql,
     "s15_knn_graph" -> s15Sql,
     "s14_ann_delete" -> s14Sql,

@@ -859,7 +859,119 @@ object EventStreams {
       Tables(spark, sfDir, "customer"))
   }
 
+  // ---------------------------------------------------------------- ST27
+  /** ST27: streaming DISTRIBUTION-DRIFT monitor (PSI) — the observability
+    * shape on top of the ST18 audit counters: not "how many errors" but
+    * "has the VALUE DISTRIBUTION moved", the alarm a feature/ingest
+    * pipeline wants before a shifted upstream silently poisons training
+    * data. Per event-time day, the value column buckets into
+    * [[DriftBins]] fixed-width bins (same width_bucket shape as q23) and
+    * the Population Stability Index vs a FROZEN reference distribution —
+    * Σ_b (q_b − p_b)·ln(q_b/p_b), ε-smoothed — scores the window; psi >
+    * [[DriftPsiAlarm]] (the industry 0.2 threshold) flags drift. The
+    * reference is batch-computed once from the baseline period (first
+    * week, [[DriftRefCutoff]]) and handed to the stream as plain doubles
+    * — the production split: baselines are frozen offline artifacts, the
+    * stream only counts.
+    * Per-window state is [[DriftBins]]+1 longs (conditional sums, partial-
+    * aggregated map-side like any agg); the PSI fold is a post-agg
+    * projection, so append mode emits each day's final score exactly once
+    * at watermark passage. Determinism: the PSI sum is a FIXED-ORDER
+    * 8-term expression tree (not an aggregate over bins), both engines
+    * evaluate identical IEEE operands left-to-right, round(6) absorbs ln
+    * ulp noise (t5's argument), and the drift flag compares the ROUNDED
+    * psi so the boundary can't diverge.
+    * 100 TB: reference is O(bins) broadcast-free literals; stream state
+    * O(windows·bins) longs; the batch twin is one scan + one 1-row
+    * reference aggregate crossed into O(days) rows.
+    */
+  val DriftBins = 8
+  val DriftBinWidth = 20.0
+  val DriftRefCutoff = "2024-01-08"
+  val DriftPsiAlarm = 0.2
+
+  private def driftBin: org.apache.spark.sql.Column =
+    least(floor(col("value") / DriftBinWidth), lit(DriftBins - 1.0)).cast("int")
+
+  /** Frozen-baseline bin fractions from the reference period (batch). */
+  def driftReference(events: DataFrame): Seq[Double] = {
+    val aggs = (0 until DriftBins).map(b =>
+      sum(when(driftBin === b, 1L).otherwise(0L)).as(s"c$b")) :+
+      count(lit(1)).as("n")
+    val row = events.filter(col("ts") < lit(DriftRefCutoff).cast("timestamp"))
+      .agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(DriftBins).toDouble
+    (0 until DriftBins).map(b => row.getLong(b) / n)
+  }
+
+  /** Shared windowed-PSI transform (batch twin and live form). */
+  private def driftAgg(events: DataFrame, refP: Seq[Double]): DataFrame = {
+    val aggs = count(lit(1)).as("n_events") +: (0 until DriftBins).map(b =>
+      sum(when(driftBin === b, 1L).otherwise(0L)).as(s"c$b"))
+    val terms = (0 until DriftBins).map { b =>
+      val q = greatest(col(s"c$b").cast("double") /
+        col("n_events").cast("double"), lit(1e-6))
+      val p = greatest(lit(refP(b)), lit(1e-6))
+      (q - p) * log(q / p)
+    }
+    val psi = round(terms.reduce(_ + _), 6)
+    events
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +: col("n_events") +:
+        (0 until DriftBins).map(b => col(s"c$b")): _*)
+      .withColumn("psi", psi)
+      .withColumn("is_drifted", (col("psi") > DriftPsiAlarm).cast("int"))
+      .select(col("window_start"), col("n_events"), col("psi"), col("is_drifted"))
+  }
+
+  /** Batch twin over an arbitrary events frame (reference derived from
+    * ITS baseline period) — st10's body and the replay spec's oracle.
+    */
+  def driftMonitorOf(events: DataFrame): DataFrame =
+    driftAgg(events, driftReference(events))
+
+  def st10DriftMonitor(spark: SparkSession, sfDir: String): DataFrame =
+    driftMonitorOf(Tables(spark, sfDir, "events")).orderBy(col("window_start"))
+
+  val st10Sql: String = {
+    val bin = s"CAST(least(floor(value / $DriftBinWidth), ${DriftBins - 1}.0) AS INT)"
+    def cs(alias: String) = (0 until DriftBins)
+      .map(b => s"sum(CASE WHEN b = $b THEN 1 ELSE 0 END) AS $alias$b")
+      .mkString(", ")
+    val psi = (0 until DriftBins).map { b =>
+      val q = s"greatest(c$b / CAST(n_events AS DOUBLE), 1e-6)"
+      val p = s"greatest(r$b / CAST(rn AS DOUBLE), 1e-6)"
+      s"($q - $p) * ln($q / $p)"
+    }.mkString(" + ")
+    s"""WITH binned AS (SELECT ts, $bin AS b FROM events),
+      |ref AS (SELECT count(*) AS rn, ${cs("r")}
+      |        FROM binned WHERE ts < TIMESTAMP '$DriftRefCutoff'),
+      |win AS (SELECT date_trunc('day', ts) AS window_start,
+      |          CAST(count(*) AS BIGINT) AS n_events, ${cs("c")}
+      |        FROM binned GROUP BY 1)
+      |SELECT window_start, n_events, psi,
+      |  CAST(psi > $DriftPsiAlarm AS INT) AS is_drifted
+      |FROM (SELECT w.window_start, w.n_events, round($psi, 6) AS psi
+      |      FROM win w CROSS JOIN ref r)
+      |ORDER BY window_start""".stripMargin
+  }
+
+  /** ST27 live form: the same windowed PSI as a watermarked streaming
+    * aggregate; `refP` is the frozen baseline from [[driftReference]].
+    */
+  def streamingDriftMonitor(spark: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      refP: Seq[Double]): DataFrame =
+    driftAgg(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inputDir)
+        .transform(fixTs)
+        .withWatermark("ts", "2 days"),
+      refP)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_drift_monitor" -> (st10DriftMonitor _),
     "st9_stream_enrich" -> (st9StreamEnrich _),
     "st1_window_agg" -> (st1WindowAgg _),
     "st2_session_window" -> (st2SessionWindow _),
@@ -870,6 +982,7 @@ object EventStreams {
     "st7_lagged_mix" -> (st7LaggedMix _))
 
   val sql: Map[String, String] = Map(
+    "st10_drift_monitor" -> st10Sql,
     "st9_stream_enrich" -> st9Sql,
     "st1_window_agg" -> st1Sql,
     "st2_session_window" -> st2Sql,

@@ -2931,3 +2931,131 @@ class SubstringDedupSpec extends GraftSuite {
     }
   }
 }
+
+/** ST27 streaming drift monitor: replay ≡ batch twin, and a planted
+  * distribution shift flags its window with a dominating PSI.
+  */
+class StreamingDriftSpec extends GraftSuite {
+
+  test("ST27: emitted windows equal the batch PSI and the planted shift dominates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-st27").toString
+    val ordered = events.orderBy(col("ts")).cache()
+    val half = (events.count() / 2).toInt
+    // a drifted tail: one synthetic day AFTER the corpus, values shifted
+    // +200 (all land in the overflow bin — a hard distribution break)
+    val planted = ordered.limit(60)
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2024-02-05 00:00:00"))) +
+          (col("event_id") % 600) * 60))
+      .withColumn("value", col("value") + 200.0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+    }
+    stage(ordered.limit(half), "01_early")
+    stage(ordered.exceptAll(ordered.limit(half)), "02_late")
+    stage(planted, "03_drift")
+    val staged = spark.read.parquet(s"$dir/in")
+    val refP = streaming.EventStreams.driftReference(staged)
+    val q = streaming.EventStreams
+      .streamingDriftMonitor(spark, s"$dir/in", staged.schema, refP)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("st27_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("st27_out")
+    assert(emitted.count() > 0, "watermark never finalized any window")
+    // every finalized window carries the exact batch PSI row
+    val batch = streaming.EventStreams.driftMonitorOf(staged)
+    assert(emitted.exceptAll(batch).count() === 0,
+      "stream emitted a drift row batch disagrees with")
+    // the planted day must flag drift and its PSI must DOMINATE every
+    // real day's (at sf0.001 a day holds ~33 events, so sampling noise
+    // alone can cross the 0.2 alarm on ordinary days — the planted
+    // distribution BREAK is what must stand out, by a wide margin)
+    val psis = batch.select(col("window_start").cast("string"), col("psi"),
+        col("is_drifted"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val (plantedPsi, plantedFlag) = psis("2024-02-05 00:00:00")
+    assert(plantedFlag === 1, s"planted day must drift: $psis")
+    assert(plantedPsi > 2.0, s"planted break must be unambiguous: $plantedPsi")
+    psis.filterNot(_._1 == "2024-02-05 00:00:00").foreach { case (d, (p, _)) =>
+      assert(plantedPsi > 3 * p, s"planted psi $plantedPsi must dominate $d's $p")
+    }
+  }
+}
+
+/** s17 MMR diversity re-rank: λ=1 degenerates to s1 exactly; at the
+  * default λ the selection provably trades relevance for diversity.
+  */
+class MmrSpec extends GraftSuite {
+  private def sim = similarity.Similarity
+
+  private def pairMax(sel: org.apache.spark.sql.DataFrame): Double = {
+    // avg over queries of the max pairwise cosine inside the selected set
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(graft.functions.dot(col("v"), col("v"))))
+    val s = sel.join(e, col("neighbor_id") === col("vec_id"))
+      .select(col("q_id"), col("neighbor_id").as("id"), col("v"), col("norm"))
+    val m = s.alias("a").join(s.alias("b"),
+        col("a.q_id") === col("b.q_id") && col("a.id") < col("b.id"))
+      .select(col("a.q_id").as("q_id"),
+        (graft.functions.dot(col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm"))).as("c"))
+      .groupBy(col("q_id")).agg(max(col("c")).as("mx"))
+    m.agg(avg(col("mx"))).head().getDouble(0)
+  }
+
+  test("s17: λ=1 equals s1's top-k exactly, and rank-1 is always s1's top-1") {
+    val s1 = sim.s1CosineTopK(spark, sf)
+    val rel = sim.mmrRerank(spark, sf, 1.0).withColumnRenamed("mmr", "cos")
+    assert(rel.exceptAll(s1).count() === 0 && s1.exceptAll(rel).count() === 0,
+      "λ=1 MMR must be exactly the relevance top-k")
+    val mmr = sim.s17MmrRerank(spark, sf)
+    val top1 = mmr.filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id"))
+    val s1top1 = s1.filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id"))
+    assert(top1.exceptAll(s1top1).count() === 0,
+      "the first MMR pick is the pure-relevance argmax at any λ")
+  }
+
+  test("s17: default λ trades bounded relevance for strictly better diversity on this corpus") {
+    val s1 = sim.s1CosineTopK(spark, sf)
+    val mmr = sim.s17MmrRerank(spark, sf)
+    assert(mmr.groupBy(col("q_id")).count().collect()
+      .forall(_.getLong(1) == sim.TopK), "every query selects exactly k")
+    // the corpus plants embedding near-dups, so pure top-k admits
+    // redundant pairs; MMR's selection must be (weakly) more diverse on
+    // average and can never BEAT top-k's total relevance (top-k maximizes
+    // the sum of cosines over all k-subsets)
+    val dS1 = pairMax(s1)
+    val dMmr = pairMax(mmr)
+    assert(dMmr <= dS1 + 1e-9, s"MMR avg max-pair sim $dMmr vs s1 $dS1")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(graft.functions.dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") < sim.NQueries)
+      .select(col("vec_id").as("qq_id"), col("v").as("qv"), col("norm").as("qn"))
+    def relSum(sel: org.apache.spark.sql.DataFrame): Double = sel
+      .join(e, col("neighbor_id") === col("vec_id"))
+      .join(q, col("q_id") === col("qq_id"))
+      .select((graft.functions.dot(col("qv"), col("v")) /
+        (col("qn") * col("norm"))).as("c"))
+      .agg(sum(col("c"))).head().getDouble(0)
+    assert(relSum(mmr) <= relSum(s1) + 1e-9,
+      "no 5-subset can out-score the relevance top-5")
+  }
+}

@@ -17,6 +17,7 @@ class PlanInvariantsSpec extends GraftSuite {
     "s1_cosine_topk", // bounded broadcast query set, =!= predicate
     "s5_ann_pq", // bounded broadcast query set over PQ codes, =!= predicate
     "s16_ann_sq8", // bounded broadcast query set over SQ8 codes, =!= predicate (s5's shape)
+    "s17_mmr_rerank", // bounded broadcast query set for the shortlist, =!= predicate (s1's shape)
     "t5_surprisal", // 1-row corpus total cross-joined into freqs
     "a5_temperature_mix", // 1-row min-count aggregate crossed into rates
     "q52_value_share", // 1-row (total, nparts) aggregate crossed into the filter
