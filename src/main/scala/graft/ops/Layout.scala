@@ -178,6 +178,135 @@ object Layout {
     CowMergeStats(ranges.size, touched.map(_._1), untouched.map(_._1))
   }
 
+  // ------------------------------------------------------------ snapshots
+  /** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL + VACUUM — the
+    * metadata layer that turns a directory of parquet files into a
+    * versioned table (the Iceberg/Delta idea at its core): a commit is a
+    * MANIFEST (one data-file path per line under `_manifests/vN.manifest`)
+    * published atomically via write-temp-then-rename; data files are
+    * IMMUTABLE once referenced — an append writes only its own new files
+    * and a new manifest, an overwrite (compaction, COW merge) writes new
+    * files and a manifest that simply stops referencing the old ones.
+    * Readers resolve a manifest ONCE and read exactly its file list, so
+    * a query sees one version even while writers commit — and any retained
+    * version stays readable forever (time travel) until `vacuumSnapshots`
+    * deletes files no kept manifest references (the retention job every
+    * deployment schedules).
+    * 100 TB: commits are O(files) metadata — no data I/O; appends are
+    * O(new bytes); rename-atomicity holds on HDFS-like stores (object
+    * stores substitute a conditional PUT — same protocol shape); vacuum
+    * is listing + set difference, and is the ONLY operation that ever
+    * deletes a data file.
+    */
+  case class VacuumStats(deletedFiles: Int, keptFiles: Int, droppedVersions: Seq[Int])
+
+  private def msDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(msDir(root))) Seq.empty
+    else fs.listStatus(msDir(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val p = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  private def commitManifest(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int, files: Seq[String]): Unit = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(msDir(root))
+    val tmp = new org.apache.hadoop.fs.Path(msDir(root), s".v$version.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
+    // rename-if-absent IS the commit: a concurrent writer racing to the
+    // same version loses the rename and must retry on the next version
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"snapshot commit lost the race for v$version")
+  }
+
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+  }
+
+  /** Append `df` as a new snapshot: new files + a manifest referencing
+    * old ∪ new. Returns the committed version.
+    */
+  def snapshotAppend(spark: org.apache.spark.sql.SparkSession, root: String,
+      df: DataFrame): Int = {
+    val prev = snapshotVersions(spark, root)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val dataDir = s"$root/data/v$v"
+    df.write.mode("error").parquet(dataDir)
+    val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
+    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir))
+    v
+  }
+
+  /** Replace the table content in a new snapshot (compaction / COW merge
+    * publish): new files only; prior versions stay readable.
+    */
+  def snapshotOverwrite(spark: org.apache.spark.sql.SparkSession, root: String,
+      df: DataFrame): Int = {
+    val prev = snapshotVersions(spark, root)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val dataDir = s"$root/data/v$v"
+    df.write.mode("error").parquet(dataDir)
+    commitManifest(spark, root, v, listDataFiles(spark, dataDir))
+    v
+  }
+
+  /** Read a snapshot (default: latest). The manifest resolves once here —
+    * the returned frame is pinned to this version's file list.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int = -1): DataFrame = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(manifestFiles(spark, root, v): _*)
+  }
+
+  /** Retention: drop all but the newest `keep` versions and delete every
+    * data file ONLY they referenced. The kept manifests' file sets are
+    * never touched — vacuum can only invalidate time travel, never the
+    * surviving versions.
+    */
+  def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession, root: String,
+      keep: Int): VacuumStats = {
+    require(keep >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, root)
+    val vs = snapshotVersions(spark, root)
+    val (drop, retain) = vs.splitAt(math.max(0, vs.size - keep))
+    val keptFiles = retain.flatMap(manifestFiles(spark, root, _)).toSet
+    val deadFiles = drop.flatMap(manifestFiles(spark, root, _)).toSet -- keptFiles
+    deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    drop.foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest"), false))
+    VacuumStats(deadFiles.size, keptFiles.size, drop)
+  }
+
   case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)
 
   /** Small-file compaction (the `OPTIMIZE` slot): bin-pack a directory of

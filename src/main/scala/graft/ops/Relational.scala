@@ -2258,6 +2258,53 @@ object Relational {
       |WHERE NOT (o_orderkey % 13 = 1 AND o_orderkey <= (SELECT c FROM cutoff))
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** SNAPSHOT TIME TRAVEL — the read side of [[Layout.snapshotAppend]]'s
+    * manifest-versioned table (Iceberg/Delta's core idea, built here from
+    * first principles): version 1 is the orders table, version 2 appends
+    * a delta batch; the query reads BOTH versions through their manifests
+    * and emits every row tagged with its version. The equality against a
+    * plain-SQL reconstruction certifies the manifest layer end to end:
+    * v1's read is unpolluted by the later append (snapshot isolation) and
+    * v2's read is exactly old ∪ new (manifest carry-forward). The
+    * file-level guarantees — appends never rewrite referenced files,
+    * overwrites leave prior versions readable, vacuum deletes only what
+    * no kept manifest references — are `ScaleFeaturesSpec`'s half.
+    * 100 TB: a version read costs one manifest fetch (O(files) text) +
+    * the pinned file scan; no listing of the data directory, no
+    * eventual-consistency window; history cost is bounded by vacuum's
+    * retention, not by write traffic.
+    */
+  def q83TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("key"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
+      s"p${ProcessHandle.current().pid()}_$md5"
+    if (Layout.snapshotVersions(spark, root).isEmpty) {
+      Layout.snapshotAppend(spark, root, base.repartition(4))
+      Layout.snapshotAppend(spark, root, base.filter(col("key") % 500 === 3)
+        .select((col("key") + 20000000L).as("key"), col("totalprice")))
+    }
+    Layout.readSnapshot(spark, root, 1).withColumn("version", lit(1))
+      .unionByName(
+        Layout.readSnapshot(spark, root, 2).withColumn("version", lit(2)))
+      .select(col("version"), col("key"), col("totalprice"))
+      .orderBy(col("version"), col("key"))
+  }
+
+  val q83Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |  FROM orders)
+      |SELECT 1 AS version, key, totalprice FROM base
+      |UNION ALL SELECT 2 AS version, key, totalprice FROM base
+      |UNION ALL SELECT 2 AS version, key + 20000000 AS key, totalprice
+      |  FROM base WHERE key % 500 = 3
+      |ORDER BY version, key""".stripMargin
+
   // ---------------------------------------------------------------- q79
   /** SCD Type-2 dimension build from a changelog — the history-keeping
     * counterpart of q50's latest-wins compaction (SCD1) and q68/q78's
@@ -2750,6 +2797,7 @@ object Relational {
     "q68_upsert_merge" -> (q68UpsertMerge _),
     "q78_cow_merge" -> (q78CowMerge _),
     "q82_targeted_delete" -> (q82TargetedDelete _),
+    "q83_time_travel" -> (q83TimeTravel _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
     "q80_ivm_agg" -> (q80IvmAgg _),
     "q81_triangles" -> (q81Triangles _),
@@ -2884,6 +2932,7 @@ object Relational {
     "q68_upsert_merge" -> q68Sql,
     "q78_cow_merge" -> q78Sql,
     "q82_targeted_delete" -> q82Sql,
+    "q83_time_travel" -> q83Sql,
     "q79_scd2_dim" -> q79Sql,
     "q80_ivm_agg" -> q80Sql,
     "q81_triangles" -> q81Sql,

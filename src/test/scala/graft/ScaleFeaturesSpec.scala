@@ -362,4 +362,53 @@ class ScaleFeaturesSpec extends GraftSuite {
       col("o_orderkey") === col("d_key"), "left_semi").count() === 0,
       "a deletion-requested key survived the COW delete")
   }
+
+  test("snapshots: append never rewrites, overwrite preserves history, vacuum deletes only unreferenced files") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    val v1 = ops.Layout.snapshotAppend(spark, root, orders.repartition(3))
+    assert(v1 === 1)
+    def dataListing() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val filesV1 = dataListing()
+    // v2 appends a delta: every v1 data file stays byte-identical
+    val delta = orders.filter(col("key") % 100 === 7)
+      .select((col("key") + 5000000L).as("key"), col("status"))
+    val v2 = ops.Layout.snapshotAppend(spark, root, delta)
+    val filesV2 = dataListing()
+    filesV1.foreach { case (p, sig) =>
+      assert(filesV2(p) === sig, s"append rewrote referenced file $p") }
+    // reads are pinned per version: v1 ≡ orders, v2 ≡ orders ∪ delta
+    val r1 = ops.Layout.readSnapshot(spark, root, 1)
+    val r2 = ops.Layout.readSnapshot(spark, root, v2)
+    assert(r1.exceptAll(orders).count() === 0 && orders.exceptAll(r1).count() === 0)
+    val want2 = orders.unionByName(delta)
+    assert(r2.exceptAll(want2).count() === 0 && want2.exceptAll(r2).count() === 0)
+    // v3 overwrites (a compaction publish): v1 and v2 STILL read exactly
+    val v3 = ops.Layout.snapshotOverwrite(spark, root, want2.repartition(2))
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(1, 2, 3))
+    val r1after = ops.Layout.readSnapshot(spark, root, 1)
+    assert(r1after.exceptAll(orders).count() === 0 &&
+      orders.exceptAll(r1after).count() === 0,
+      "overwrite must not disturb time travel to v1")
+    // vacuum keep=1: v1/v2 manifests and their now-unreferenced files go,
+    // the latest version still reads exactly
+    val stats = ops.Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(stats.droppedVersions === Seq(1, 2))
+    assert(stats.deletedFiles > 0)
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(3))
+    val r3 = ops.Layout.readSnapshot(spark, root)
+    assert(r3.exceptAll(want2).count() === 0 && want2.exceptAll(r3).count() === 0,
+      "vacuum deleted a file the kept version references")
+    // the dropped versions' data files are actually gone from disk
+    val remaining = dataListing().keySet
+    filesV1.keySet.foreach(p =>
+      assert(!remaining.contains(p), s"vacuum left unreferenced file $p"))
+  }
 }
