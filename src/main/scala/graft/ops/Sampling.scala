@@ -396,7 +396,79 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- a13
+  /** a13: EXACT-quota stratified allocation — the hard-budget form of a4:
+    * a4's hash-rate filter realizes each stratum's share only in
+    * expectation (±√n noise), but a training-mix budget is often EXACT
+    * ("this mix contributes 200 documents, allocated proportionally").
+    * Quotas come from the LARGEST-REMAINDER (Hamilton) method in pure
+    * integer arithmetic — base_s = ⌊n_s·N/total⌋, the N − Σbase leftover
+    * seats go to the largest remainders (n_s·N mod total, ties by source
+    * name) — so Σ quota_s = N EXACTLY, every stratum gets ⌊share⌋ or
+    * ⌊share⌋+1, and there is no float anywhere in the allocation (the
+    * oracle agrees bit-for-bit by construction). Selection inside a
+    * stratum is the top-quota rows by scrambled hash (ties by doc_id) —
+    * a4's determinism argument, but rank-based so the count is exact.
+    * 100 TB: the allocation runs over |strata| rows (one partial-agg pass
+    * + one |strata|-row window — never the corpus); selection is one
+    * window rank per stratum (WindowGroupLimit-prunable since the
+    * predicate is rank ≤ quota) on the same source shuffle.
+    */
+  val QuotaBudget = 200
+
+  def a13QuotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("source"))
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = Window.partitionBy() // |strata| rows — a bounded window
+    val quotas = cnt
+      .withColumn("total", sum(col("n_s")).over(tot))
+      .withColumn("base", expr(s"(n_s * $QuotaBudget) div total")) // integer div
+      .withColumn("remd", (col("n_s") * QuotaBudget) % col("total"))
+      .withColumn("shortfall", lit(QuotaBudget) - sum(col("base")).over(tot))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy().orderBy(col("remd").desc, col("source"))))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("source"), col("quota"))
+    val pick = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    docs
+      .withColumn("hk", hashBucket(
+        concat(col("source"), lit("#"), col("doc_id").cast("string")), 1048576))
+      .withColumn("rk", row_number().over(pick))
+      .join(quotas, Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  val a13Sql: String = {
+    val key = sqlHashBucket("source || '#' || CAST(doc_id AS VARCHAR)", 1048576)
+    s"""WITH cnt AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source),
+      |q AS (
+      |  SELECT source,
+      |    CAST(base + CASE WHEN rr <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM (
+      |    SELECT source, base,
+      |      $QuotaBudget - CAST(sum(base) OVER () AS BIGINT) AS shortfall,
+      |      row_number() OVER (ORDER BY remd DESC, source) AS rr
+      |    FROM (
+      |      SELECT source,
+      |        CAST((n_s * $QuotaBudget) // CAST(sum(n_s) OVER () AS BIGINT) AS BIGINT) AS base,
+      |        CAST((n_s * $QuotaBudget) % CAST(sum(n_s) OVER () AS BIGINT) AS BIGINT) AS remd
+      |      FROM cnt))),
+      |ranked AS (
+      |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |    ORDER BY $key, doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.source, q.quota
+      |FROM ranked r JOIN q ON r.source = q.source
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_quota_sample" -> (a13QuotaSample _),
     "a12_token_budget_mix" -> (a12TokenBudgetMix _),
     "a11_temporal_split" -> (a11TemporalSplit _),
     "a10_cluster_sample" -> (a10ClusterSample _),
@@ -408,6 +480,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a13_quota_sample" -> a13Sql,
     "a12_token_budget_mix" -> a12Sql,
     "a11_temporal_split" -> a11Sql,
     "a10_cluster_sample" -> a10Sql,

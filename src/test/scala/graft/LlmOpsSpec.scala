@@ -3059,3 +3059,28 @@ class MmrSpec extends GraftSuite {
       "no 5-subset can out-score the relevance top-5")
   }
 }
+
+/** a13 exact-quota allocation: the Hamilton-method invariants. */
+class QuotaSampleSpec extends GraftSuite {
+  test("a13: quotas sum EXACTLY to the budget and every stratum gets floor or floor+1") {
+    val out = ops.Sampling.a13QuotaSample(spark, sf)
+    val n = ops.Sampling.QuotaBudget
+    assert(out.count() === n.toLong, "selection size must equal the budget exactly")
+    val per = out.groupBy(col("source"), col("quota"))
+      .agg(count(lit(1)).as("got")).collect()
+    per.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"${r.getString(0)}: selected ${r.getLong(2)} != quota ${r.getLong(1)}"))
+    val counts = Tables(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    per.foreach { r =>
+      val share = counts(r.getString(0)) * n / total // integer floor
+      assert(r.getLong(1) == share || r.getLong(1) == share + 1,
+        s"${r.getString(0)}: quota ${r.getLong(1)} not in {$share, ${share + 1}}")
+    }
+    // deterministic: a rerun selects the identical rows
+    val again = ops.Sampling.a13QuotaSample(spark, sf)
+    assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
+  }
+}

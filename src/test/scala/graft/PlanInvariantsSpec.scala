@@ -156,3 +156,64 @@ class PlanInvariantsSpec extends GraftSuite {
     }
   }
 }
+
+/** PlanLint — the suite's plan invariants as a LIBRARY feature. */
+class PlanLintSpec extends GraftSuite {
+  import graft.plans.PlanLint
+
+  test("lint flags a cartesian join and an allowlist silences it") {
+    val a = Tables(spark, sf, "nation")
+    val b = Tables(spark, sf, "region")
+    val cross = a.crossJoin(b)
+    val f = PlanLint.lint(cross)
+    assert(f.exists(_.rule == "cartesian"), s"expected cartesian finding: $f")
+    assert(PlanLint.lint(cross, allow = Set("cartesian"))
+      .forall(_.rule != "cartesian"))
+    intercept[IllegalStateException] { PlanLint.require(cross) }
+  }
+
+  test("lint flags an unpushed pushable filter; a pushed parquet filter is clean") {
+    val good = Tables(spark, sf, "orders").filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"))
+    assert(!PlanLint.lint(good).exists(_.rule == "unpushed-filter"),
+      s"pushed filter must not flag: ${PlanLint.lint(good)}")
+    // the text source supports no pushdown: the same pushable shape
+    // (attribute < literal) decodes every row — exactly the smell
+    val dir = java.nio.file.Files.createTempDirectory("graft-lint").toString
+    Tables(spark, sf, "orders").select(col("o_orderkey").cast("string"))
+      .write.mode("overwrite").text(s"$dir/t")
+    val bad = spark.read.text(s"$dir/t").filter(col("value") < "100")
+    assert(PlanLint.lint(bad).exists(_.rule == "unpushed-filter"),
+      s"expected unpushed-filter: ${PlanLint.lint(bad)}\n" +
+        bad.queryExecution.sparkPlan.toString)
+    // parquet with pushdown DISABLED in the session: the conf-misconfig
+    // case the advisory PushedFilters string cannot reveal
+    val off = spark.newSession()
+    off.conf.set("spark.sql.parquet.filterPushdown", "false")
+    val confBad = off.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") < 100).select(col("o_orderkey"))
+    assert(PlanLint.lint(confBad).exists(_.rule == "unpushed-filter"),
+      s"expected unpushed-filter under disabled pushdown: ${PlanLint.lint(confBad)}")
+  }
+
+  test("lint flags a wide scan; a narrow projection is clean") {
+    val wide = Tables(spark, sf, "lineitem") // 16 columns
+    assert(PlanLint.lint(wide, wideScanColumns = 10).exists(_.rule == "wide-scan"))
+    val narrow = wide.select(col("l_orderkey"), col("l_quantity"))
+    assert(PlanLint.lint(narrow, wideScanColumns = 10).isEmpty,
+      s"narrow scan must be clean: ${PlanLint.lint(narrow, wideScanColumns = 10)}")
+  }
+
+  test("the headline queries lint clean under the suite's allowlist") {
+    for (name <- Seq("q1_agg", "q3_join_agg", "q47_bucket_range_join",
+        "d2_minhash_lsh", "t15_tfidf_keywords")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val f = PlanLint.lint(df,
+        allow = Set("cartesian").filter(_ => intendedNestedLoopNames(name)))
+      assert(f.isEmpty, s"$name: $f")
+    }
+  }
+
+  private val intendedNestedLoopNames =
+    Set("t15_tfidf_keywords") // 1-row n_docs aggregate crossed in (see allowlist above)
+}
