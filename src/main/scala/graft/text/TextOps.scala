@@ -238,6 +238,93 @@ object TextOps {
       |FROM toks JOIN freqs USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Held-out BIGRAM LM scoring with Stupid Backoff (Brants et al. 2007)
+    * — the CCNet-style quality gate t5 approximates with unigrams: train
+    * an n-gram LM on a REFERENCE partition (even doc_ids — in production,
+    * the trusted corpus), score the candidate partition (odd doc_ids) by
+    * mean negative log-score. S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram
+    * was seen, else backoff α·(c(w₂)+1)/(N+V) (add-one smoothed unigram —
+    * candidate docs genuinely contain tokens and bigrams the reference
+    * never saw, which is exactly what the backoff branch is for and why
+    * the LM must NOT train on the scored docs: self-trained, every bigram
+    * is seen and the score degenerates to t5's shape). Fluent text scores
+    * low, rare-construction soup scores high.
+    * 100 TB: the unigram table is Heaps-law bounded (t5's argument) and
+    * broadcasts; the BIGRAM table is quadratically bigger and does NOT —
+    * the candidate bigram stream joins it with a plain (w₁,w₂)-keyed
+    * shuffle join (AQE may still broadcast at small scale; the plan shape
+    * stays valid when it can't). A production run caps the bigram vocab
+    * by frequency floor, which this plan inherits by filtering `big`.
+    * Parity: counts are exact integers; each term is one division (+ one
+    * multiply on the backoff branch) in identical operand order; round(4)
+    * absorbs ln noise over the per-doc sum (t5's argument).
+    */
+  val LmBackoffAlpha = 0.4
+
+  def t17LmScore(spark: SparkSession, sfDir: String): DataFrame =
+    t17Of(Tables(spark, sfDir, "documents"))
+
+  private[graft] def t17Of(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def bigrams(d: DataFrame): DataFrame = d
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val tst = docs.filter(col("doc_id") % 2 === 1)
+    val uni = ref.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("nn"), count(lit(1)).as("vv"))
+    val big = bigrams(ref).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigrams(tst)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("cw2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s", when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1").cast("double"))
+        .otherwise(lit(LmBackoffAlpha) * (coalesce(col("cw2"), lit(0L)) + 1) /
+          (col("nn") + col("vv")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log(col("s"))) / count(lit(1)), 4).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t17Sql: String =
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+      |    SELECT unnest(t) AS w FROM docs WHERE doc_id % 2 = 0) GROUP BY w),
+      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nn,
+      |               CAST(count(*) AS BIGINT) AS vv FROM uni),
+      |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+      |    SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (
+      |      SELECT t, unnest(range(len(t) - 1)) AS i
+      |      FROM docs WHERE doc_id % 2 = 0 AND len(t) >= 2))
+      |  GROUP BY w1, w2),
+      |tstb AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2 FROM (
+      |    SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+      |    FROM docs WHERE doc_id % 2 = 1 AND len(t) >= 2)),
+      |scored AS (
+      |  SELECT s.doc_id,
+      |    CASE WHEN b.c2 IS NOT NULL
+      |         THEN CAST(b.c2 AS DOUBLE) / CAST(u1.cw AS DOUBLE)
+      |         ELSE $LmBackoffAlpha * (coalesce(u2.cw, 0) + 1) /
+      |              CAST((SELECT nn FROM tot) + (SELECT vv FROM tot) AS DOUBLE)
+      |    END AS sc
+      |  FROM tstb s
+      |  LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      |  LEFT JOIN uni u1 ON s.w1 = u1.w
+      |  LEFT JOIN uni u2 ON s.w2 = u2.w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(-sum(ln(sc)) / count(*), 4) AS lm_score
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t6
   /** Repetition signals (the Gopher/MassiveText-style repetition filters):
     * type-token ratio plus duplicate word-2-gram and word-3-gram fractions.
@@ -798,6 +885,7 @@ object TextOps {
   val t16Sql: String = t9Sql
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_lm_score" -> (t17LmScore _),
     "t16_bloom_decontaminate" -> (t16BloomDecontaminate _),
     "t15_tfidf_keywords" -> (t15TfidfKeywords _),
     "t14_collocations" -> (t14Collocations _),
@@ -816,6 +904,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t17_lm_score" -> t17Sql,
     "t16_bloom_decontaminate" -> t16Sql,
     "t15_tfidf_keywords" -> t15Sql,
     "t14_collocations" -> t14Sql,

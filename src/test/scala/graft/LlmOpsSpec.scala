@@ -3084,3 +3084,49 @@ class QuotaSampleSpec extends GraftSuite {
     assert(out.exceptAll(again).count() === 0 && again.exceptAll(out).count() === 0)
   }
 }
+
+/** t17 held-out bigram LM: hand-computed Stupid Backoff on a planted
+  * corpus, and the backoff branch provably fires on the real one.
+  */
+class LmScoreSpec extends GraftSuite {
+
+  test("t17: planted corpus scores match hand-computed Stupid Backoff, incl. the OOV branch") {
+    import spark.implicits._
+    // reference (even ids): "a b a b a" and "a c" → bigrams: ab×2, ba×2, ac×1
+    // unigrams: a×4, b×2, c×1  (N=7, V=3)
+    val docs = Seq(
+      (0L, "a b a b a"), (2L, "a c"),
+      (1L, "a b x"), // ab seen (2/4); bx UNSEEN, x OOV → 0.4·(0+1)/(7+3)
+      (3L, "c a")    // ca unseen, a seen → 0.4·(4+1)/(7+3)
+    ).toDF("doc_id", "text")
+    val out = text.TextOps.t17Of(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def score(terms: Seq[Double]): Double =
+      BigDecimal(-terms.map(math.log).sum / terms.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 2)
+    assert(out(1L)._2 == score(Seq(2.0 / 4.0, 0.4 * 1 / 10.0)), s"${out(1L)}")
+    assert(out(3L)._1 == 1)
+    assert(out(3L)._2 == score(Seq(0.4 * 5 / 10.0)), s"${out(3L)}")
+    assert(!out.contains(0L) && !out.contains(2L), "reference docs are not scored")
+  }
+
+  test("t17: the backoff branch fires on the pinned corpus and scores are finite") {
+    val out = text.TextOps.t17LmScore(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach(r => assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    // held-out halves genuinely contain unseen bigrams (counted via the
+    // same split the operator uses)
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    def bigrams(d: org.apache.spark.sql.DataFrame) = d
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ref = bigrams(docs.filter(col("doc_id") % 2 === 0)).distinct()
+    val unseen = bigrams(docs.filter(col("doc_id") % 2 === 1))
+      .join(ref, Seq("w1", "w2"), "left_anti").count()
+    assert(unseen > 0, "corpus must exercise the backoff branch")
+  }
+}

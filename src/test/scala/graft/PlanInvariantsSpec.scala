@@ -19,6 +19,7 @@ class PlanInvariantsSpec extends GraftSuite {
     "s16_ann_sq8", // bounded broadcast query set over SQ8 codes, =!= predicate (s5's shape)
     "s17_mmr_rerank", // bounded broadcast query set for the shortlist, =!= predicate (s1's shape)
     "t5_surprisal", // 1-row corpus total cross-joined into freqs
+    "t17_lm_score", // 1-row (N, V) reference-totals aggregate crossed into the backoff term
     "a5_temperature_mix", // 1-row min-count aggregate crossed into rates
     "q52_value_share", // 1-row (total, nparts) aggregate crossed into the filter
     "q55_top_revenue_supplier", // 1-row max-revenue aggregate crossed into the filter
