@@ -48,6 +48,8 @@ object GraftFunctions {
       udaf(new CountMinAggregator(CountMinSketch.Depth, CountMinSketch.Width)))
     spark.udf.register("kll_quartiles",
       udaf(new KllAggregator(QuantileSketch.Cap, Seq(0.25, 0.5, 0.75))))
+    spark.udf.register("kmv_sketch",
+      udaf(new KmvAggregator(KmvSketch.K)))
   }
 }
 
@@ -98,6 +100,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("kll_quartiles"), info("kll_quartiles"),
       (e: Seq[Expression]) => GraftColumnBridge.expression(
         udaf(new KllAggregator(QuantileSketch.Cap, Seq(0.25, 0.5, 0.75)))
+          .apply(GraftColumnBridge.column(one(e))))))
+    ext.injectFunction((FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
+      (e: Seq[Expression]) => GraftColumnBridge.expression(
+        udaf(new KmvAggregator(KmvSketch.K))
           .apply(GraftColumnBridge.column(one(e))))))
     // optimizer: nested-loop range joins → bucketed equi-joins, gated on
     // spark.graft.rangeJoin.width (see graft.plans.BucketedRangeJoinRule)

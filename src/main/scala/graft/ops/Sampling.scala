@@ -396,6 +396,86 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- ST28
+  /** ST28: LIVE token-budget admission gate — a12 STREAMED, the ingest
+    * shape a live curation pipeline actually runs ("keep admitting web
+    * docs until this mix's 400M-token web slice is full, then close the
+    * gate"): per micro-batch, the standing per-source CONSUMED-TOKEN
+    * counters (epoch-keyed parquet, the ST25 state pattern) decide how
+    * much budget remains; the batch admits its docs in deterministic
+    * (scrambled-hash, doc_id) order until each source's budget floor is
+    * crossed (boundary doc kept — a12's floor rule), then appends its
+    * admitted token counts to the counters.
+    *
+    * SEMANTICS vs a12, stated honestly: a12 orders the WHOLE corpus by
+    * scrambled hash (a reproducible offline artifact); the live gate
+    * admits in ARRIVAL order across batches (within a batch: the same
+    * hash order) — what a gate that must answer at ingest time can do.
+    * The admitted set is exactly the batch a12-style prefix of the
+    * ARRIVAL-ordered feed, and the spec asserts that equality.
+    *
+    * EXACTLY-ONCE under replay (ST25's argument verbatim): counters and
+    * admitted lists are epoch-keyed OVERWRITES (`…/e=N`), and the
+    * standing read takes only epochs STRICTLY BEFORE this one — a
+    * crash-replayed epoch excludes its own partial write, recomputes the
+    * identical admission, and overwrites its slot.
+    *
+    * 100 TB: per-trigger cost is O(batch) (one window over the batch +
+    * one |sources|-row counter read); the admitted prefix property makes
+    * the state just |sources| longs per epoch — compaction-friendly and
+    * trivially rebuildable from the admitted lists.
+    */
+  def st28AdmitBatch(spark: SparkSession, batch: DataFrame, root: String,
+      epoch: Long): DataFrame = {
+    val countersDir = s"$root/counters"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(countersDir))
+    val consumed =
+      if (!hasState) null
+      else spark.read.parquet(countersDir).filter(col("e") < epoch)
+        .groupBy(col("source")).agg(sum(col("toks")).as("consumed"))
+    val docs = batch.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
+        1000000).as("pos"))
+    val wIn = Window.partitionBy(col("source")).orderBy(col("pos"), col("doc_id"))
+    val budget = lit(A12BudgetBase) *
+      (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3)
+    val base = docs.withColumn("cum", sum(col("n_tokens")).over(wIn))
+    val withConsumed =
+      if (consumed == null) base.withColumn("consumed", lit(0L))
+      else base.join(broadcast(consumed), Seq("source"), "left")
+        .withColumn("consumed", coalesce(col("consumed"), lit(0L)))
+    val admitted = withConsumed
+      .withColumn("start_tokens", col("consumed") + col("cum") - col("n_tokens"))
+      .filter(col("start_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
+      .localCheckpoint() // pin BEFORE the counter write mutates the state
+    admitted.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
+      .write.mode("overwrite").parquet(s"$countersDir/e=$epoch")
+    admitted
+  }
+
+  /** The streaming driver: file-source micro-batches through
+    * [[st28AdmitBatch]]; admitted lists land epoch-keyed under
+    * `$root/admitted` (same overwrite-idempotence as the counters).
+    */
+  def streamingTokenBudgetGate(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        st28AdmitBatch(spark, batch, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/admitted/e=$epoch")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // ---------------------------------------------------------------- a13
   /** a13: EXACT-quota stratified allocation — the hard-budget form of a4:
     * a4's hash-rate filter realizes each stratum's share only in

@@ -3130,3 +3130,148 @@ class LmScoreSpec extends GraftSuite {
     assert(unseen > 0, "corpus must exercise the backoff branch")
   }
 }
+
+/** A10 KMV/theta sketch: exactness below k, bit-identical merge under
+  * any partitioning, bounded distinct error, and working set algebra
+  * (intersection/Jaccard) between segment sketches.
+  */
+class KmvSpec extends GraftSuite {
+  import graft.functions.{KmvSketch, KmvAggregator}
+  import org.apache.spark.sql.functions.udaf
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, c: String,
+      parts: Int): Array[Long] =
+    df.repartition(parts)
+      .agg(KmvSketch.kmv(col(c)).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+
+  test("A10: below k the sketch is the exact distinct set; merge is bit-identical under 1/7/32 partitions") {
+    val docs = Tables(spark, sf, "documents").select(col("source"))
+    val exactDistinct = docs.distinct().count()
+    assert(exactDistinct < KmvSketch.K)
+    val sk1 = sketchOf(docs, "source", 1)
+    assert(sk1.length === exactDistinct)
+    assert(KmvSketch.estimateDistinct(sk1) === exactDistinct.toDouble)
+    for (p <- Seq(7, 32))
+      assert(java.util.Arrays.equals(sk1, sketchOf(docs, "source", p)),
+        s"sketch must be partition-order blind at $p partitions")
+  }
+
+  test("A10: distinct estimate over the order-key space lands within 4 RSE") {
+    val keys = Tables(spark, sf, "lineitem")
+      .select(concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("tok"))
+    val exact = keys.distinct().count().toDouble
+    assert(exact > KmvSketch.K, "need a saturated sketch for this test")
+    val sk = sketchOf(keys, "tok", 32)
+    assert(sk.length === KmvSketch.K)
+    val est = KmvSketch.estimateDistinct(sk)
+    val rse = 1.0 / math.sqrt(KmvSketch.K - 2)
+    assert(math.abs(est - exact) <= 4 * rse * exact,
+      s"est $est vs exact $exact (rse $rse)")
+    // saturated merge is still partition-order blind
+    assert(java.util.Arrays.equals(sk, sketchOf(keys, "tok", 7)))
+  }
+
+  test("A10: intersection and Jaccard between segment sketches track the exact overlap") {
+    // two overlapping segments of the order-key space ("which orders do
+    // these two date ranges share" — the cross-segment question)
+    val keys = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"),
+        concat(col("l_orderkey"), lit("#"), col("l_linenumber")).as("tok"))
+    val a = keys.filter(col("l_orderkey") % 3 =!= 0).select(col("tok"))
+    val b = keys.filter(col("l_orderkey") % 3 =!= 1).select(col("tok"))
+    val exactInter = a.distinct().intersect(b.distinct()).count().toDouble
+    val exactUnion = a.unionAll(b).distinct().count().toDouble
+    val ska = sketchOf(a, "tok", 8)
+    val skb = sketchOf(b, "tok", 8)
+    val inter = KmvSketch.estimateIntersection(ska, skb)
+    val jac = KmvSketch.estimateJaccard(ska, skb)
+    assert(math.abs(inter - exactInter) <= 0.3 * exactInter,
+      s"intersection est $inter vs exact $exactInter")
+    val exactJac = exactInter / exactUnion
+    assert(math.abs(jac - exactJac) <= 0.3,
+      s"jaccard est $jac vs exact $exactJac")
+  }
+
+  test("A10: the kmv_sketch SQL aggregate equals the Column form") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("kmv_docs")
+    val viaSql = spark.sql("SELECT kmv_sketch(source) AS sk FROM kmv_docs")
+      .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+    val viaCol = sketchOf(Tables(spark, sf, "documents").select(col("source")),
+      "source", 4)
+    assert(java.util.Arrays.equals(viaSql, viaCol))
+  }
+}
+
+/** ST28 live token-budget gate: admitted ≡ the a12-style prefix of the
+  * ARRIVAL-ordered feed, budget floors hold, replay is exactly-once.
+  */
+class StreamingBudgetGateSpec extends GraftSuite {
+
+  test("ST28: gate admits the arrival-order budget prefix exactly once per source") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-st28").toString
+    new java.io.File(s"$root/in").mkdirs()
+    (0 to 2).foreach { b =>
+      val dir = s"$root/stage_$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+    }
+    val q = ops.Sampling.streamingTokenBudgetGate(
+      spark, s"$root/in", docs.schema, root)
+    q.awaitTermination(120000)
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
+
+    // batch oracle: the SAME admission replayed over the arrival-ordered
+    // feed — epoch-major, then a12's in-batch (hash, doc_id) order
+    val feed = docs
+      .withColumn("e", col("doc_id") % 3)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("pos", graft.functions.hashBucket(
+        concat(col("source"), lit("@"), col("doc_id").cast("string")), 1000000))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("e"), col("pos"), col("doc_id"))
+    val budget = lit(ops.Sampling.A12BudgetBase) *
+      (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3)
+    val want = feed.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_tokens", col("cum") - col("n_tokens"))
+      .filter(col("start_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
+    assert(admitted.exceptAll(want).count() === 0 &&
+      want.exceptAll(admitted).count() === 0,
+      "streamed admission must equal the arrival-order batch prefix")
+
+    // budget floor: every source either crossed its floor or ran dry
+    val perSource = admitted.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("got")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val supply = docs.withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source")).agg(sum(col("n")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    supply.foreach { case (src, sup) =>
+      val b = ops.Sampling.A12BudgetBase * (1 + src.drop(3).toLong % 3)
+      val got = perSource.getOrElse(src, 0L)
+      if (sup >= b) assert(got >= b, s"$src: admitted $got under budget $b")
+      else assert(got === sup, s"$src: supply-starved source must admit everything")
+    }
+
+    // crash-replay: rerun epoch 1 with its exact batch — admission
+    // identical, counters not grown
+    val e1 = spark.read.parquet(s"$root/admitted/e=1")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
+    val replayed = ops.Sampling.st28AdmitBatch(
+      spark, docs.filter(col("doc_id") % 3 === 1), root, 1L)
+    assert(replayed.exceptAll(e1).count() === 0 &&
+      e1.exceptAll(replayed).count() === 0,
+      "replayed epoch must recompute the identical admission")
+    val counters = spark.read.parquet(s"$root/counters")
+    assert(counters.groupBy(col("e")).count().count() === 3,
+      "replay must not add a counter epoch")
+  }
+}
