@@ -1381,6 +1381,49 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d22
+  /** LSH BANDING AUTO-TUNER — the (bands, rows) knob behind d2/d11/d16,
+    * chosen instead of inherited: for a target Jaccard threshold τ and a
+    * signature width P, every divisor split b·r = P has the S-curve
+    * P_hit(s) = 1 − (1 − s^r)^b with inflection ≈ (1/b)^(1/r); the tuner
+    * picks the split minimizing the weighted error mass
+    * w_fn·∫_{s≥τ}(1−P_hit) + w_fp·∫_{s<τ}P_hit on a fixed 1000-point
+    * grid (closed-form, driver-side, no Spark job — this is a PLANNING
+    * utility, the knob a production deployment sets per threshold).
+    * Asymmetric weights encode the real cost split: false negatives are
+    * silent corpus duplication (usually the expensive side), false
+    * positives only cost exact-verify CPU — w_fn ≫ w_fp pushes the
+    * inflection BELOW τ, which is exactly why d2 runs (32, 4) with its
+    * inflection at 0.42 against a 0.8 verify threshold: at the planted
+    * J ≥ 0.97 the miss probability is (1−0.97⁴)³² ≈ 1e−30 and every
+    * false candidate dies in the exact verify. Deterministic: fixed grid,
+    * fixed tie-break (objective, then fewer rows).
+    */
+  case class LshPlan(bands: Int, rows: Int, threshold: Double,
+      fnMass: Double, fpMass: Double)
+
+  def lshTune(tau: Double, perms: Int = MinHashPerms,
+      wFn: Double = 1.0, wFp: Double = 1.0): LshPlan = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    require(perms > 0)
+    val grid = (0 until 1000).map(i => (i + 0.5) / 1000)
+    def masses(b: Int, r: Int): (Double, Double) = {
+      var fn = 0.0; var fp = 0.0
+      grid.foreach { s =>
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s >= tau) fn += (1 - p) / 1000 else fp += p / 1000
+      }
+      (fn, fp)
+    }
+    val candidates = (1 to perms).filter(perms % _ == 0).map(r => (perms / r, r))
+    val (b, r) = candidates.minBy { case (bb, rr) =>
+      val (fn, fp) = masses(bb, rr)
+      (wFn * fn + wFp * fp, rr)
+    }
+    val (fn, fp) = masses(b, r)
+    LshPlan(b, r, math.pow(1.0 / b, 1.0 / r), fn, fp)
+  }
+
   // ---------------------------------------------------------------- ST25
   /** ST25: LIVE near-dup ingest gate — d16 STREAMED, the dedup twin of
     * ST21's live ANN ingest and the last core live shape the dedup family

@@ -3275,3 +3275,54 @@ class StreamingBudgetGateSpec extends GraftSuite {
       "replay must not add a counter epoch")
   }
 }
+
+/** d22 LSH banding tuner: optimality over the divisor family, weight
+  * monotonicity, and d2's documented operating point.
+  */
+class LshTuneSpec extends GraftSuite {
+  import dedup.Dedup
+
+  private def objective(b: Int, r: Int, tau: Double,
+      wFn: Double, wFp: Double): Double = {
+    val grid = (0 until 1000).map(i => (i + 0.5) / 1000)
+    grid.map { s =>
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      (if (s >= tau) wFn * (1 - p) else wFp * p) / 1000
+    }.sum
+  }
+
+  test("d22: the chosen split beats every other divisor split on the objective") {
+    val tau = 0.8
+    val plan = Dedup.lshTune(tau)
+    assert(plan.bands * plan.rows === Dedup.MinHashPerms)
+    val best = objective(plan.bands, plan.rows, tau, 1, 1)
+    (1 to Dedup.MinHashPerms).filter(Dedup.MinHashPerms % _ == 0).foreach { r =>
+      val b = Dedup.MinHashPerms / r
+      assert(objective(b, r, tau, 1, 1) >= best - 1e-12, s"($b,$r) beats chosen")
+    }
+    // balanced weights put the inflection near tau
+    assert(math.abs(plan.threshold - tau) < 0.15,
+      s"balanced-weight inflection ${plan.threshold} far from $tau")
+  }
+
+  test("d22: FN-weighting lowers the inflection, FP-weighting raises it") {
+    val tau = 0.8
+    val fnHeavy = Dedup.lshTune(tau, wFn = 100)
+    val fpHeavy = Dedup.lshTune(tau, wFp = 100)
+    val balanced = Dedup.lshTune(tau)
+    assert(fnHeavy.threshold <= balanced.threshold)
+    assert(fpHeavy.threshold >= balanced.threshold)
+    assert(fnHeavy.threshold < tau, "recall-first tuning must catch below-tau pairs")
+  }
+
+  test("d22: d2's (32,4) operating point is the FN-paranoid regime the scaladoc claims") {
+    // at the planted J >= 0.97 the miss probability is astronomically small
+    val pHit = 1.0 - math.pow(1.0 - math.pow(0.97, Dedup.RowsPerBand), Dedup.Bands)
+    assert(1.0 - pHit < 1e-20, s"miss prob ${1.0 - pHit}")
+    // and a strongly FN-weighted tune at the verify threshold 0.8 indeed
+    // lands at (32, 4) or looser
+    val plan = Dedup.lshTune(0.8, wFn = 1000)
+    assert(plan.threshold <= math.pow(1.0 / 32, 1.0 / 4) + 1e-9,
+      s"FN-paranoid inflection ${plan.threshold} tighter than d2's 0.42")
+  }
+}

@@ -23,6 +23,10 @@ TARGETS = [
     "d18_cluster_split", "d19_edit_dedup_auto",
     "s12_incremental_ann", "s13_filtered_ann",
     "t15_tfidf_keywords", "a11_temporal_split", "p4_cached_chain",
+    # round-8 session-2 additions
+    "d21_substring_dedup", "q82_targeted_delete", "q83_time_travel",
+    "s16_ann_sq8", "s17_mmr_rerank", "st10_drift_monitor",
+    "a13_quota_sample", "t17_lm_score",
 ]
 
 
