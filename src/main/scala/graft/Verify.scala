@@ -21,7 +21,8 @@ object Verify {
     val knobs = Seq("spark.graft.lsh.tables", "spark.graft.lsh.planes",
       "spark.graft.ivf.probes", "spark.graft.buckets",
       "spark.graft.rangeJoin.width", "spark.graft.curation.estimateDedup",
-      "spark.graft.curation.editDedup", "spark.graft.editDedup.crossover")
+      "spark.graft.curation.editDedup", "spark.graft.editDedup.crossover",
+      "spark.graft.curation.substringDedup")
     val set = knobs.flatMap(k => spark.conf.getOption(k).map(v => s"$k=$v"))
     require(set.isEmpty, "oracle SQL is pinned to the default knobs; unset " +
       set.mkString(", ") + " before running the correctness dump")

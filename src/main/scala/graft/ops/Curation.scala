@@ -123,6 +123,21 @@ object Curation {
         .select(col("j").as("doc_id")).distinct()
       else null
 
+    // 2c. OPTIONAL substring-dedup gate (round 8): a doc MOSTLY made of
+    //     token spans owned by earlier docs (d21's sliding-window spans,
+    //     majority rule like stage 6's) dies — catches any-offset
+    //     cross-doc duplication that d9's fixed segment boundaries miss.
+    //     Off by default for the same oracle-pinning reason as 2b.
+    val substrMode =
+      try spark.conf.get("spark.graft.curation.substringDedup", "false").toBoolean
+      catch { case _: Exception => false }
+    val substrJ =
+      if (substrMode) graft.dedup.Dedup
+        .d21Of(sig.select(col("doc_id"), col("text")))
+        .filter(col("tokens_removed") * 2 > col("n_tok"))
+        .select(col("doc_id"))
+      else null
+
     // 5. contaminated ids (shared shingle with the benchmark subset)
     val contaminated = graft.text.TextOps
       .t9FromShingles(sig.select(col("doc_id"), col("sh")))
@@ -153,6 +168,8 @@ object Curation {
       .join(dupJ, Seq("doc_id"), "left_anti")
       .transform(df =>
         if (editJ == null) df else df.join(editJ, Seq("doc_id"), "left_anti"))
+      .transform(df =>
+        if (substrJ == null) df else df.join(substrJ, Seq("doc_id"), "left_anti"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(boilerplate, Seq("doc_id"), "left_anti")
       .join(contained, Seq("doc_id"), "left_anti")

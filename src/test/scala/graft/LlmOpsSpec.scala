@@ -1815,6 +1815,31 @@ class CurationSpec extends GraftSuite {
     assert(base.exceptAll(again).count() === 0 && base.count() === again.count())
   }
 
+  test("substring-dedup mode: the optional d21 slot drops majority-duplicated docs; default untouched") {
+    val base = ops.Curation.curate(spark, sf).select(col("doc_id"))
+    // the d21 majority-removal set over the full corpus
+    val substrJ = dedup.Dedup.d21SubstringDedup(spark, sf)
+      .filter(col("tokens_removed") * 2 > col("n_tok"))
+      .select(col("doc_id"))
+    spark.conf.set("spark.graft.curation.substringDedup", "true")
+    try {
+      val out = ops.Curation.uncappedSurvivorIds(spark, sf)
+      assert(out.join(substrJ, Seq("doc_id"), "left_semi").count() === 0,
+        "a majority-duplicated doc survived the enabled gate")
+      spark.conf.unset("spark.graft.curation.substringDedup")
+      val defaultIds = ops.Curation.uncappedSurvivorIds(spark, sf)
+      spark.conf.set("spark.graft.curation.substringDedup", "true")
+      val gatedIds = ops.Curation.uncappedSurvivorIds(spark, sf)
+      assert(gatedIds.exceptAll(defaultIds).count() === 0,
+        "enabled mode admitted a row the default gate rejects")
+      assert(defaultIds.exceptAll(gatedIds)
+        .join(substrJ, Seq("doc_id"), "left_anti").count() === 0,
+        "enabled mode dropped a row d21 does not majority-flag")
+    } finally spark.conf.unset("spark.graft.curation.substringDedup")
+    val again = ops.Curation.curate(spark, sf).select(col("doc_id"))
+    assert(base.exceptAll(again).count() === 0 && base.count() === again.count())
+  }
+
   test("flagship shares one signature pass: no table scan in the returned plan") {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     // the ONE scan of `documents` happens inside the eager signature-pass
