@@ -288,6 +288,56 @@ object Layout {
     spark.read.parquet(manifestFiles(spark, root, v): _*)
   }
 
+  /** ST29: IDEMPOTENT epoch-keyed append — the snapshot layer as an
+    * EXACTLY-ONCE STREAMING TABLE SINK (what a table format's streaming
+    * writer is): micro-batch epoch N commits version N+1; the manifest
+    * test makes replays no-ops. Crash anywhere:
+    *  - before the data write finishes → replay overwrites `data/e=N`
+    *    (mode overwrite) and commits — no torn data is ever referenced,
+    *    because nothing references a file until its manifest commits;
+    *  - between data write and commit → same: replay rewrites
+    *    byte-equivalent data and commits once;
+    *  - after the commit → the manifest for version N+1 exists and the
+    *    replay returns without touching anything.
+    * Readers meanwhile see only committed versions — a half-written
+    * epoch is invisible (snapshot isolation doing the exactly-once
+    * work; no sink-side transaction log needed beyond the manifests).
+    * Returns the committed version.
+    */
+  def snapshotAppendIdempotent(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, epoch: Long): Int = {
+    val v = epoch.toInt + 1
+    val fs = fsOf(spark, root)
+    val manifest = new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest")
+    if (fs.exists(manifest)) return v // replayed epoch: already committed
+    val prev = snapshotVersions(spark, root).filter(_ < v)
+    require(prev.lastOption.getOrElse(0) == v - 1,
+      s"epoch $epoch commits v$v but the latest committed version is ${prev.lastOption.getOrElse(0)}")
+    val dataDir = s"$root/data/e=$epoch"
+    df.write.mode("overwrite").parquet(dataDir)
+    val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
+    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir))
+    v
+  }
+
+  /** The streaming driver for [[snapshotAppendIdempotent]]: a file-source
+    * stream lands as a manifest-versioned table, one version per
+    * micro-batch.
+    */
+  def streamingSnapshotSink(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        snapshotAppendIdempotent(spark, root, batch, epoch)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Retention: drop all but the newest `keep` versions and delete every
     * data file ONLY they referenced. The kept manifests' file sets are
     * never touched — vacuum can only invalidate time travel, never the

@@ -412,3 +412,48 @@ class ScaleFeaturesSpec extends GraftSuite {
       assert(!remaining.contains(p), s"vacuum left unreferenced file $p"))
   }
 }
+
+/** ST29: the snapshot layer as an exactly-once streaming table sink. */
+class StreamingSnapshotSinkSpec extends GraftSuite {
+  test("ST29: each micro-batch commits one version, replays are no-ops, readers see only committed data") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-st29").toString
+    new java.io.File(s"$root/in").mkdirs()
+    (0 to 2).foreach { b =>
+      val dir = s"$root/stage_$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+    }
+    val q = ops.Layout.streamingSnapshotSink(spark, s"$root/in", docs.schema, root)
+    q.awaitTermination(120000)
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(1, 2, 3))
+    // the latest committed version is exactly the full feed
+    val latest = ops.Layout.readSnapshot(spark, root)
+    assert(latest.exceptAll(docs).count() === 0 &&
+      docs.exceptAll(latest).count() === 0)
+    // intermediate versions are strict cumulative prefixes
+    val v1 = ops.Layout.readSnapshot(spark, root, 1)
+    val want1 = docs.filter(col("doc_id") % 3 === 0)
+    assert(v1.exceptAll(want1).count() === 0 && want1.exceptAll(v1).count() === 0)
+    // crash-replay of epoch 1 (the foreachBatch retry): a NO-OP —
+    // versions unchanged, latest read unchanged
+    val before = ops.Layout.snapshotVersions(spark, root)
+    val v = ops.Layout.snapshotAppendIdempotent(
+      spark, root, docs.filter(col("doc_id") % 3 === 1), 1L)
+    assert(v === 2, "replayed epoch must report its already-committed version")
+    assert(ops.Layout.snapshotVersions(spark, root) === before)
+    val after = ops.Layout.readSnapshot(spark, root)
+    assert(after.exceptAll(docs).count() === 0 &&
+      docs.exceptAll(after).count() === 0)
+    // a torn epoch (data written, commit never ran) is INVISIBLE: write
+    // data for a phantom epoch without committing; readers see nothing new
+    docs.limit(5).write.mode("overwrite").parquet(s"$root/data/e=99")
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(1, 2, 3),
+      "uncommitted data must not surface as a version")
+    assert(ops.Layout.readSnapshot(spark, root).count() === docs.count())
+  }
+}
