@@ -371,7 +371,7 @@ object Dedup {
     * truncate the growing lineage, a converged-flag count as the only
     * driver-side state — the standard large-graph CC loop.
     */
-  private def labelClusters(pairs: DataFrame, idCol: String,
+  private[graft] def labelClusters(pairs: DataFrame, idCol: String,
       maxRounds: Int = 50): DataFrame = {
     val p = pairs.localCheckpoint()
     val edges = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))

@@ -413,9 +413,10 @@ object Multimodal {
     * slice sums are substr folds; the length-normalized boundaries use the
     * same integer floor arithmetic as the Scala loop).
     */
-  val m6Sql: String = {
+  /** The corpus→dHash CTE chain, shared by the m6 and m7 oracles. */
+  private val m6DhCtes: String = {
     val ns = M6Bits + 1
-    s"""WITH corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
@@ -436,15 +437,55 @@ object Multimodal {
       |  SELECT doc_id,
       |    list_sum([CASE WHEN s[k+1] > s[k+2] THEN CAST(1 AS BIGINT) << k
       |              ELSE 0 END for k in range($M6Bits)]) AS dhash
-      |  FROM sums)
+      |  FROM sums)""".stripMargin
+  }
+
+  val m6Sql: String =
+    s"""WITH $m6DhCtes
       |SELECT a.doc_id AS i, b.doc_id AS j,
       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
       |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $M6Tau
       |ORDER BY i, j""".stripMargin
-  }
+
+  // ---------------------------------------------------------------- m7
+  /** Perceptual-hash near-dup CLUSTERS — m6's pair list resolved into
+    * connected components with ONE representative (min id) per cluster:
+    * the asset-dedup decision a media pipeline actually applies (pairs
+    * alone double-drop when a re-encode chain A~B~C arrives; the CC
+    * closure keeps exactly one of the chain). Engine = d7/d8's shared
+    * iterative min-label [[graft.dedup.Dedup.labelClusters]] over the
+    * m6 pigeonhole-blocked pairs; output covers every asset WITH at
+    * least one near-dup edge (singletons are trivially their own keeper
+    * — same contract as d7). The oracle composes m6's dHash CTEs with
+    * the recursive-CTE transitive closure (d20's shape).
+    * 100 TB: pairs are O(matches), never the pair space (m6's blocking);
+    * CC iterates over 8-byte edges with localCheckpoint truncation —
+    * d7's scale argument verbatim, applied to media signatures.
+    */
+  def m7PhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Dedup.labelClusters(
+      m6PhashNearDup(spark, sfDir).select(col("i"), col("j")), "doc_id")
+
+  val m7Sql: String =
+    s"""WITH RECURSIVE $m6DhCtes,
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j
+      |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $M6Tau),
+      |edges AS (SELECT i, j FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT i, j FROM edges
+      |  UNION
+      |  SELECT r.src, e.j FROM reach r JOIN edges e ON r.dst = e.i),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)
+      |SELECT doc_id, cluster, CAST(doc_id = cluster AS INT) AS is_kept
+      |FROM labels ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_phash_clusters" -> (m7PhashClusters _),
     "m6_phash_neardup" -> ((s: SparkSession, d: String) => m6PhashNearDup(s, d)),
     "m5_feature_retrieval" -> (m5FeatureRetrieval _),
     "m1_binary_meta" -> ((s: SparkSession, d: String) => m1BinaryMeta(s, d)),
@@ -453,6 +494,7 @@ object Multimodal {
     "m4_modality_coverage" -> (m4ModalityCoverage _))
 
   val sql: Map[String, String] = Map(
+    "m7_phash_clusters" -> m7Sql,
     "m6_phash_neardup" -> m6Sql,
     "m5_feature_retrieval" -> m5Sql,
     "m1_binary_meta" -> m1Sql,

@@ -3351,3 +3351,30 @@ class LshTuneSpec extends GraftSuite {
       s"FN-paranoid inflection ${plan.threshold} tighter than d2's 0.42")
   }
 }
+
+/** m7 phash clusters: consistency with m6's pair graph. */
+class PhashClusterSpec extends GraftSuite {
+  test("m7: every m6 pair lands in one cluster, reps are cluster minima, planted copies join their originals") {
+    val pairs = multimodal.Multimodal.m6PhashNearDup(spark, sf)
+      .select(col("i"), col("j"))
+    val clusters = multimodal.Multimodal.m7PhashClusters(spark, sf)
+    val lab = clusters.select(col("doc_id"), col("cluster"))
+    // edge consistency: both endpoints share a cluster
+    val broken = pairs
+      .join(lab.withColumnRenamed("doc_id", "i").withColumnRenamed("cluster", "ci"), Seq("i"))
+      .join(lab.withColumnRenamed("doc_id", "j").withColumnRenamed("cluster", "cj"), Seq("j"))
+      .filter(col("ci") =!= col("cj"))
+    assert(broken.count() === 0, "a near-dup pair straddles two clusters")
+    // representative = the cluster's min id, exactly one per cluster
+    val reps = clusters.filter(col("is_kept") === 1)
+    assert(reps.count() === clusters.select(col("cluster")).distinct().count())
+    assert(reps.filter(col("doc_id") =!= col("cluster")).count() === 0)
+    // the planted substitution copies (id+1000000) cluster with their originals
+    val planted = lab.filter(col("doc_id") >= 1000000L)
+      .withColumn("orig", col("doc_id") - 1000000L)
+    val together = planted.alias("p").join(lab.alias("o"),
+      col("p.orig") === col("o.doc_id") && col("p.cluster") === col("o.cluster"))
+    assert(together.count() === planted.count(),
+      "a planted copy did not cluster with its original")
+  }
+}
