@@ -1432,6 +1432,57 @@ object Similarity {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s18
+  /** IVF nPROBE AUTO-TUNER — the ANN sibling of d22's LSH tuner, and the
+    * knob every FAISS-style deployment sweeps by hand: find the minimal
+    * nProbe whose measured recall@[[TopK]] against the exact s1 baseline
+    * reaches a target. The whole recall CURVE comes from ONE pass, not a
+    * per-candidate rerun: for each exact top-k neighbor, compute the RANK
+    * at which its assigned list appears in the query's centroid ordering
+    * ("rank attribution") — recall(p) is then the fraction of exact
+    * neighbors with rank ≤ p, a cumulative sum over a ≤[[NLists]]-row
+    * curve. Cost: the s1 baseline + one assignment projection + one
+    * (q, cid)-keyed join — versus NLists full probe runs for the naive
+    * sweep.
+    * 100 TB: the curve aggregate is NLists rows (driver-collect is
+    * model-scale); the attribution join keys on (q_id, cid) — no pair
+    * space; a production tune runs on a query SAMPLE, which this shape
+    * inherits by filtering the baseline.
+    */
+  case class IvfTunePoint(nProbe: Int, recall: Double)
+  case class IvfTuneResult(nProbe: Int, recall: Double, sweep: Seq[IvfTunePoint])
+
+  def s18IvfTune(spark: SparkSession, sfDir: String,
+      targetRecall: Double = 0.9): IvfTuneResult = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = stubCentroids(e)
+    val exact = s1CosineTopK(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"))
+    val assign = e.select(col("vec_id").as("neighbor_id"),
+      assignCid(col("v"), cents).as("cid"))
+    // full centroid ordering per query: (q_id, crank 1-based, cid)
+    val order = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(probeCids(col("v"), cents, NLists)))
+      .select(col("q_id"), (col("pos") + 1).as("crank"), col("col").as("cid"))
+    val denom = exact.count().toDouble
+    val curve = exact
+      .join(assign, Seq("neighbor_id"))
+      .join(order, Seq("q_id", "cid"))
+      .groupBy(col("crank")).agg(count(lit(1)).as("n"))
+      .orderBy(col("crank")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ NLists rows
+    val byRank = curve.toMap
+    var cum = 0L
+    val sweep = (1 to NLists).map { p =>
+      cum += byRank.getOrElse(p, 0L)
+      IvfTunePoint(p, cum / denom)
+    }
+    val best = sweep.find(_.recall >= targetRecall).getOrElse(sweep.last)
+    IvfTuneResult(best.nProbe, best.recall, sweep)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_ann_sq8" -> (s16AnnSq8 _),

@@ -3378,3 +3378,27 @@ class PhashClusterSpec extends GraftSuite {
       "a planted copy did not cluster with its original")
   }
 }
+
+/** s18 IVF nprobe tuner: curve sanity and the tuning contract. */
+class IvfTuneSpec extends GraftSuite {
+  test("s18: recall curve is monotone, full probe is exhaustive, and the pick meets the target") {
+    val r = similarity.Similarity.s18IvfTune(spark, sf, targetRecall = 0.9)
+    val recalls = r.sweep.map(_.recall)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "recall must be monotone in nProbe")
+    assert(math.abs(recalls.last - 1.0) < 1e-12,
+      s"probing every list is exhaustive search: recall ${recalls.last}")
+    assert(r.recall >= 0.9, s"picked nProbe ${r.nProbe} at recall ${r.recall}")
+    // minimality: one probe fewer does not reach the target
+    if (r.nProbe > 1)
+      assert(r.sweep(r.nProbe - 2).recall < 0.9, "pick must be minimal")
+    // tighter target never needs fewer probes
+    val tight = similarity.Similarity.s18IvfTune(spark, sf, targetRecall = 0.99)
+    assert(tight.nProbe >= r.nProbe)
+    // the curve certifies s3's committed operating point: its recall at
+    // the committed NProbe is the spec'd floor or better
+    val committed = r.sweep(similarity.Similarity.NProbe - 1).recall
+    assert(committed >= 0.5,
+      s"s3's committed nProbe=${similarity.Similarity.NProbe} reads recall $committed")
+  }
+}
