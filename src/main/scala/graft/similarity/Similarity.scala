@@ -1381,8 +1381,12 @@ object Similarity {
           round(lit(lam) * col("cosq") - lit(1.0 - lam) * col("maxsim"), 9))
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .select(col("q_id"), col("id"), lit(step).as("rank"), col("score").as("mmr"))
-      sel = sel.unionByName(pick)
+      // flatten each step's plan: without the checkpoint the step-s plan
+      // stacks s anti-joins and s window passes, and analysis/codegen
+      // time (not data) dominates the unrolled loop
+      sel = sel.unionByName(pick).localCheckpoint()
       rem = rem.join(pick.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
+        .localCheckpoint()
     }
     sel.select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("mmr"))
       .orderBy(col("q_id"), col("rank"))

@@ -325,6 +325,47 @@ object TextOps {
       |  round(-sum(ln(sc)) / count(*), 4) AS lm_score
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** Deterministic text NORMALIZATION — the preprocessing pass every
+    * pipeline runs before hashing/dedup (d1's exact dedup is only as good
+    * as its canonical form: "Hello,  world." and "hello world" should
+    * collide): lowercase → strip sentence punctuation → collapse runs of
+    * spaces → trim. Emitted as accounting + the md5 of the normalized
+    * text, so the canonical form itself is oracle-certified, and the
+    * composition with d1 is just `md5(normalize(text))`. IDEMPOTENT by
+    * construction (each stage's output is a fixpoint of itself —
+    * spec-asserted by double application). All four stages are engine
+    * built-ins (lower / regexp_replace / trim) evaluated identically by
+    * DuckDB's RE2 — no UDF, whole-stage codegen, zero shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), " +", " "))
+
+  def t18Normalize(spark: SparkSession, sfDir: String): DataFrame =
+    t18Of(Tables(spark, sfDir, "documents"))
+
+  private[graft] def t18Of(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        length(normalizeText(col("text"))).as("n_chars_norm"),
+        (normalizeText(col("text")) =!= col("text")).cast("int").as("changed"),
+        md5(normalizeText(col("text")).cast("binary")).as("norm_fp"))
+      .orderBy(col("doc_id"))
+
+  val t18Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(length(norm) AS INT) AS n_chars_norm,
+      |  CAST(norm <> text AS INT) AS changed,
+      |  md5(norm) AS norm_fp
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+      |         ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t6
   /** Repetition signals (the Gopher/MassiveText-style repetition filters):
     * type-token ratio plus duplicate word-2-gram and word-3-gram fractions.
@@ -885,6 +926,7 @@ object TextOps {
   val t16Sql: String = t9Sql
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_normalize" -> (t18Normalize _),
     "t17_lm_score" -> (t17LmScore _),
     "t16_bloom_decontaminate" -> (t16BloomDecontaminate _),
     "t15_tfidf_keywords" -> (t15TfidfKeywords _),
@@ -904,6 +946,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t18_normalize" -> t18Sql,
     "t17_lm_score" -> t17Sql,
     "t16_bloom_decontaminate" -> t16Sql,
     "t15_tfidf_keywords" -> t15Sql,

@@ -3402,3 +3402,38 @@ class IvfTuneSpec extends GraftSuite {
       s"s3's committed nProbe=${similarity.Similarity.NProbe} reads recall $committed")
   }
 }
+
+/** t18 normalization: idempotence, planted dirty text, and the
+  * canonical-corpus fixpoint.
+  */
+class NormalizeSpec extends GraftSuite {
+  test("t18: idempotent, canonicalizes planted dirt exactly, fixpoint on the clean corpus") {
+    import spark.implicits._
+    import text.TextOps.normalizeText
+    // planted dirty doc: mixed case, punctuation, space runs, edge spaces
+    val dirty = Seq(
+      (1L, "  Hello,  WORLD!  this is:  a   test.  "),
+      (2L, "already clean text")).toDF("doc_id", "text")
+    val out = text.TextOps.t18Of(dirty).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getInt(3) === 1)
+    assert(out(1L).getString(4) === md5hex("hello world this is a test"))
+    assert(out(2L).getInt(3) === 0)
+    assert(out(2L).getString(4) === md5hex("already clean text"))
+    // idempotence over the real corpus
+    val docs = Tables(spark, sf, "documents")
+    val once = docs.select(col("doc_id"), normalizeText(col("text")).as("n1"))
+    assert(once.select(col("doc_id"), col("n1"),
+        normalizeText(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2")).count() === 0,
+      "normalize(normalize(x)) must equal normalize(x)")
+    // the driver corpus is ALREADY canonical — t18 must certify that
+    // (changed = 0 everywhere, fp = md5 of the raw text), which is the
+    // fixpoint property a pre-normalized pipeline relies on
+    val corpus = text.TextOps.t18Normalize(spark, sf)
+    assert(corpus.filter(col("changed") === 1).count() === 0)
+    assert(corpus.filter(col("n_chars_norm") =!= col("n_chars")).count() === 0)
+  }
+}
