@@ -338,6 +338,32 @@ object Layout {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** CHANGE DATA FEED between two snapshot versions — what an incremental
+    * consumer reads instead of the whole table: for APPEND lineage (v1's
+    * file set ⊆ v2's — the common case; every file is immutable once
+    * referenced, so set inclusion is exact evidence the old rows are
+    * untouched) the delta is read from ONLY the files v2 added — zero
+    * bytes of v1 are scanned, the metadata-priced diff a table format's
+    * CDF sells. Across an OVERWRITE (compaction/COW rewrote files) the
+    * file diff no longer equals the row diff, so the reader falls back to
+    * the row-level `exceptAll` — correct for any lineage, priced at two
+    * scans. The returned rows are exactly "in v2, not in v1" (multiset
+    * semantics on the fallback path).
+    */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion, s"diff needs from < to")
+    val from = manifestFiles(spark, root, fromVersion)
+    val to = manifestFiles(spark, root, toVersion)
+    if (from.forall(to.toSet)) {
+      val added = to.filterNot(from.toSet)
+      if (added.isEmpty)
+        spark.read.parquet(to: _*).where(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(added: _*)
+    } else
+      spark.read.parquet(to: _*).exceptAll(spark.read.parquet(from: _*))
+  }
+
   /** Retention: drop all but the newest `keep` versions and delete every
     * data file ONLY they referenced. The kept manifests' file sets are
     * never touched — vacuum can only invalidate time travel, never the

@@ -2275,7 +2275,11 @@ object Relational {
     * eventual-consistency window; history cost is bounded by vacuum's
     * retention, not by write traffic.
     */
-  def q83TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Once-per-session two-version snapshot table (v1 = orders, v2 = v1 +
+    * an appended delta) under a pid-tagged root; shared by q83 (time
+    * travel) and q85 (change data feed). Returns the root.
+    */
+  private def snapTable(spark: SparkSession, sfDir: String): String = {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey").as("key"),
         dec(col("o_totalprice")).cast("double").as("totalprice"))
@@ -2288,6 +2292,11 @@ object Relational {
       Layout.snapshotAppend(spark, root, base.filter(col("key") % 500 === 3)
         .select((col("key") + 20000000L).as("key"), col("totalprice")))
     }
+    root
+  }
+
+  def q83TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapTable(spark, sfDir)
     Layout.readSnapshot(spark, root, 1).withColumn("version", lit(1))
       .unionByName(
         Layout.readSnapshot(spark, root, 2).withColumn("version", lit(2)))
@@ -2304,6 +2313,29 @@ object Relational {
       |UNION ALL SELECT 2 AS version, key + 20000000 AS key, totalprice
       |  FROM base WHERE key % 500 = 3
       |ORDER BY version, key""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Snapshot CHANGE DATA FEED — the incremental-consumer read on q83's
+    * versioned table: rows in v2 that v1 lacks, via
+    * [[Layout.snapshotDiff]]. On append lineage (this table) the delta
+    * reads ONLY the files v2 added — `inputFiles` of the returned frame
+    * is exactly the v2-minus-v1 file set, zero v1 bytes scanned
+    * (`ScaleFeaturesSpec` asserts it) — a metadata-priced diff; across an
+    * overwrite the reader falls back to a row-level exceptAll (spec'd
+    * correct there too). Downstream, this is what keeps q80's IVM, ST22's
+    * refreshing dims, and any derived table INCREMENTAL instead of
+    * re-reading the base.
+    */
+  def q85SnapshotCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = snapTable(spark, sfDir)
+    Layout.snapshotDiff(spark, root, 1, 2).orderBy(col("key"))
+  }
+
+  val q85Sql: String =
+    """SELECT o_orderkey + 20000000 AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |FROM orders WHERE o_orderkey % 500 = 3
+      |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------- q79
   /** SCD Type-2 dimension build from a changelog — the history-keeping
@@ -2798,6 +2830,7 @@ object Relational {
     "q78_cow_merge" -> (q78CowMerge _),
     "q82_targeted_delete" -> (q82TargetedDelete _),
     "q83_time_travel" -> (q83TimeTravel _),
+    "q85_snapshot_cdf" -> (q85SnapshotCdf _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
     "q80_ivm_agg" -> (q80IvmAgg _),
     "q81_triangles" -> (q81Triangles _),
@@ -2933,6 +2966,7 @@ object Relational {
     "q78_cow_merge" -> q78Sql,
     "q82_targeted_delete" -> q82Sql,
     "q83_time_travel" -> q83Sql,
+    "q85_snapshot_cdf" -> q85Sql,
     "q79_scd2_dim" -> q79Sql,
     "q80_ivm_agg" -> q80Sql,
     "q81_triangles" -> q81Sql,

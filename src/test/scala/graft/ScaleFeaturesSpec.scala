@@ -411,6 +411,34 @@ class ScaleFeaturesSpec extends GraftSuite {
     filesV1.keySet.foreach(p =>
       assert(!remaining.contains(p), s"vacuum left unreferenced file $p"))
   }
+
+  test("snapshot CDF: append diffs scan only the added files; overwrite lineage falls back row-correct") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    ops.Layout.snapshotAppend(spark, root, orders.repartition(3))
+    val delta = orders.filter(col("key") % 100 === 7)
+      .select((col("key") + 5000000L).as("key"), col("status"))
+    ops.Layout.snapshotAppend(spark, root, delta)
+    // fast path: the diff's input files are EXACTLY v2 \ v1 — no v1 bytes
+    val diff = ops.Layout.snapshotDiff(spark, root, 1, 2)
+    assert(diff.exceptAll(delta).count() === 0 && delta.exceptAll(diff).count() === 0)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val v1Files = spark.read.parquet(s"$root/data/v1").inputFiles.map(norm).toSet
+    val read = diff.inputFiles.map(norm).toSet
+    assert(read.nonEmpty && read.intersect(v1Files).isEmpty,
+      s"CDF fast path must not touch v1 files: ${read.intersect(v1Files)}")
+    // overwrite breaks file lineage: diff across it must FALL BACK and
+    // still return the exact row delta
+    val v3data = orders.unionByName(delta)
+      .unionByName(delta.select((col("key") + 9000000L).as("key"), col("status")))
+    ops.Layout.snapshotOverwrite(spark, root, v3data.repartition(2))
+    val diff13 = ops.Layout.snapshotDiff(spark, root, 1, 3)
+    val want13 = v3data.exceptAll(orders)
+    assert(diff13.exceptAll(want13).count() === 0 &&
+      want13.exceptAll(diff13).count() === 0,
+      "overwrite-lineage diff must be row-exact")
+  }
 }
 
 /** ST29: the snapshot layer as an exactly-once streaming table sink. */
