@@ -2337,6 +2337,151 @@ object Relational {
       |FROM orders WHERE o_orderkey % 500 = 3
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** REFERENTIAL-INTEGRITY + CONSTRAINT AUDIT over the star schema — the
+    * dbt-test / Deequ shape, and q75's schema-level sibling (q75 audits a
+    * VALUE stream; this audits the RELATIONSHIPS a warehouse silently
+    * corrupts): four FK orphan checks (lineitem→orders, orders→customer,
+    * lineitem→part, lineitem→supplier — broadcast LEFT ANTI against the
+    * key side, counted), a PK uniqueness check (excess lineitem
+    * (orderkey, linenumber) rows over distinct — the synthetic data
+    * REALLY violates this, so the check provably fires), and two row
+    * constraints (ship-before-order via the FK join — also really
+    * violated — and non-positive quantity). One row per check; a clean
+    * check reports 0 rather than vanishing (an absent check and a
+    * passing check must be distinguishable — the audit-table contract).
+    * 100 TB: each FK check is an anti-join counted map-side after a
+    * broadcast (dims) or shuffle (fact-fact) — no full materialization;
+    * the PK check is one partial-agg distinct; constraints are scan-side
+    * conditional sums. The union is 7 one-row aggregates.
+    */
+  def q86IntegrityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o = t(spark, sfDir, "orders")
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations")).select(lit(name).as("check_name"),
+        col("n_violations"))
+    val fkLiOrders = cnt("fk_lineitem_orders",
+      li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"),
+          "left_anti"))
+    val fkOrdersCust = cnt("fk_orders_customer",
+      o.select(col("o_custkey"))
+        .join(t(spark, sfDir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti"))
+    val fkLiPart = cnt("fk_lineitem_part",
+      li.select(col("l_partkey"))
+        .join(t(spark, sfDir, "part").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti"))
+    val fkLiSupp = cnt("fk_lineitem_supplier",
+      li.select(col("l_suppkey"))
+        .join(t(spark, sfDir, "supplier").select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti"))
+    val pkDup = li.agg((count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
+      .select(lit("pk_lineitem_unique").as("check_name"), col("n_violations"))
+    val shipOrder = cnt("chk_ship_after_order",
+      li.select(col("l_orderkey"), col("l_shipdate"))
+        .join(o.select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")))
+    val nonneg = cnt("chk_positive_quantity",
+      li.filter(col("l_quantity") <= 0))
+    fkLiOrders.unionByName(fkOrdersCust).unionByName(fkLiPart)
+      .unionByName(fkLiSupp).unionByName(pkDup).unionByName(shipOrder)
+      .unionByName(nonneg)
+      .orderBy(col("check_name"))
+  }
+
+  val q86Sql: String =
+    """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+      |  SELECT 'fk_lineitem_orders' AS check_name, count(*) AS n_violations
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', count(*)
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_part', count(*)
+      |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_partkey IS NULL
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_supplier', count(*)
+      |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_suppkey IS NULL
+      |  UNION ALL
+      |  SELECT 'pk_lineitem_unique',
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_ship_after_order', count(*)
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate < o.o_orderdate
+      |  UNION ALL
+      |  SELECT 'chk_positive_quantity', count(*)
+      |  FROM lineitem WHERE l_quantity <= 0)
+      |ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+  /** POINT-IN-TIME join against the SCD2 dimension — the read side of
+    * q79, and the join every feature-store / training-data build runs to
+    * avoid LABEL LEAKAGE: each probe (an event shifted +1 hour — "what
+    * was this key's attribute when the example was observed") attaches
+    * the dim VERSION whose validity interval contains its timestamp:
+    * equi on (user_id, event_type) + `valid_from ≤ ts < valid_to`
+    * (NULL-open current version). Because q79's intervals PARTITION time
+    * per key, each probe inside the dim's history matches exactly one
+    * version — the spec-grade invariant that distinguishes a correct
+    * SCD2 from an overlapping one (and the uniqueness is itself asserted
+    * by the oracle equality: a double match would duplicate rows).
+    * Probes before the key's first version drop (inner join) — the
+    * no-history-yet case a leakage-safe build WANTS dropped rather than
+    * filled forward from the future.
+    * 100 TB: the equi keys carry the join (hash join, range as residual
+    * condition — never a nested loop); both sides shuffle once on
+    * (user_id, event_type); at dim-history scale the q20-style as-of
+    * merge sweep or the bucketed range rule take over — this is the
+    * partition-friendly warehouse form.
+    */
+  def q87Scd2Pit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = q79Scd2Dim(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from"), col("valid_to"), col("value").as("dim_value"))
+    val probes = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("pts"))
+    probes.join(dim, Seq("user_id", "event_type"))
+      .filter(col("valid_from") <= col("pts") &&
+        (col("valid_to").isNull || col("pts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("version"), col("dim_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q87Sql: String =
+    """WITH dim AS (
+      |  SELECT user_id, event_type, version, valid_from, valid_to, value AS dim_value
+      |  FROM (
+      |    SELECT user_id, event_type, event_id, ts, value,
+      |      row_number() OVER w AS version,
+      |      ts AS valid_from, lead(ts, 1) OVER w AS valid_to
+      |    FROM (
+      |      SELECT user_id, event_type, event_id, ts, value,
+      |        lag(value, 1) OVER (PARTITION BY user_id, event_type
+      |          ORDER BY ts, event_id) AS prev_value
+      |      FROM events)
+      |    WHERE prev_value IS NULL OR value <> prev_value
+      |    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))),
+      |probes AS (
+      |  SELECT event_id, user_id, event_type, ts + INTERVAL 1 HOUR AS pts
+      |  FROM events)
+      |SELECT p.event_id, p.user_id, p.event_type, d.version, d.dim_value
+      |FROM probes p JOIN dim d
+      |  ON p.user_id = d.user_id AND p.event_type = d.event_type
+      |WHERE d.valid_from <= p.pts AND (d.valid_to IS NULL OR p.pts < d.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   // ---------------------------------------------------------------- q79
   /** SCD Type-2 dimension build from a changelog — the history-keeping
     * counterpart of q50's latest-wins compaction (SCD1) and q68/q78's
@@ -2831,6 +2976,8 @@ object Relational {
     "q82_targeted_delete" -> (q82TargetedDelete _),
     "q83_time_travel" -> (q83TimeTravel _),
     "q85_snapshot_cdf" -> (q85SnapshotCdf _),
+    "q86_integrity_audit" -> (q86IntegrityAudit _),
+    "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
     "q80_ivm_agg" -> (q80IvmAgg _),
     "q81_triangles" -> (q81Triangles _),
@@ -2967,6 +3114,8 @@ object Relational {
     "q82_targeted_delete" -> q82Sql,
     "q83_time_travel" -> q83Sql,
     "q85_snapshot_cdf" -> q85Sql,
+    "q86_integrity_audit" -> q86Sql,
+    "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,
     "q80_ivm_agg" -> q80Sql,
     "q81_triangles" -> q81Sql,

@@ -3437,3 +3437,43 @@ class NormalizeSpec extends GraftSuite {
     assert(corpus.filter(col("n_chars_norm") =!= col("n_chars")).count() === 0)
   }
 }
+
+/** q86 integrity audit + q87 point-in-time join invariants. */
+class IntegrityPitSpec extends GraftSuite {
+
+  test("q86: the planted violations fire, the clean checks report zero (not absence)") {
+    val audit = ops.Relational.q86IntegrityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.size === 7, "every check reports, clean or not")
+    assert(audit("pk_lineitem_unique") > 0, "the synthetic data has duplicate PKs")
+    assert(audit("chk_ship_after_order") > 0, "the synthetic data ships before ordering")
+    Seq("fk_lineitem_orders", "fk_orders_customer", "fk_lineitem_part",
+      "fk_lineitem_supplier", "chk_positive_quantity").foreach(c =>
+      assert(audit(c) === 0L, s"$c expected clean: ${audit(c)}"))
+  }
+
+  test("q87: every probe inside its key's history matches exactly one version; earlier probes drop") {
+    val out = ops.Relational.q87Scd2Pit(spark, sf)
+    // exactly-one: no event_id appears twice (a double match would mean
+    // overlapping SCD2 intervals)
+    assert(out.groupBy(col("event_id")).count().filter(col("count") > 1).count() === 0)
+    // completeness: a probe at ts+1h is inside its own key's history by
+    // construction (its own event opened or continued a version at ts)
+    val nProbes = Tables(spark, sf, "events").count()
+    assert(out.count() === nProbes,
+      "every shifted probe has a valid version at its timestamp")
+    // leakage safety: probes BEFORE the key's first version must drop —
+    // shift probes 100 days back instead and the early ones disappear
+    val dim = ops.Relational.q79Scd2Dim(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        col("valid_from"), col("valid_to"))
+    val early = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts") - expr("INTERVAL 100 DAYS")).as("pts"))
+      .join(dim, Seq("user_id", "event_type"))
+      .filter(col("valid_from") <= col("pts") &&
+        (col("valid_to").isNull || col("pts") < col("valid_to")))
+    assert(early.count() === 0,
+      "no version can be valid 100 days before the feed begins")
+  }
+}
