@@ -21,6 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object PortableHash {
   final val P: Long = 2147483647L
   final val ShingleBase: Long = 1000003L
+  /** Knuth multiplicative scramble over [0, 2³²) — THE canonical bucket/
+    * sample hash recipe (Column form: functions.hashBucket; DuckDB form:
+    * sqlHashBucket; scalar form: [[scramble32]]). A bijection on
+    * [0, 2³²) for odd multipliers, so distinctness is preserved.
+    */
+  final val KnuthScramble: Long = 2654435761L
+  final val M32: Long = 4294967296L
+
+  def scramble32(h: Long): Long = (h * KnuthScramble) % M32
 
   /** fold(h*31 + codepoint) mod P — identical to functions.charFoldHash. */
   def charFold(s: String): Long = {

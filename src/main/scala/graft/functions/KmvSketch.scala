@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions.udaf
 class KmvAggregator(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   private def hash(item: String): Long =
-    (PortableHash.charFold(item) * 2654435761L) % 4294967296L
+    PortableHash.scramble32(PortableHash.charFold(item))
 
   override def zero: Array[Long] = Array.emptyLongArray
 
@@ -79,7 +79,7 @@ object KmvSketch {
   /** Default k: 2 KiB buffer, RSE ≈ 1/√254 ≈ 6.3%. */
   val K = 256
 
-  private val M = 4294967296.0 // hash range: scrambled values live in [0, 2³²)
+  private val M = PortableHash.M32.toDouble // scrambled values live in [0, 2³²)
 
   def kmv(item: Column, k: Int = K): Column = udaf(new KmvAggregator(k)).apply(item)
 

@@ -124,9 +124,13 @@ object Curation {
       else null
 
     // 2c. OPTIONAL substring-dedup gate (round 8): a doc MOSTLY made of
-    //     token spans owned by earlier docs (d21's sliding-window spans,
-    //     majority rule like stage 6's) dies — catches any-offset
-    //     cross-doc duplication that d9's fixed segment boundaries miss.
+    //     token spans owned by an EARLIER OCCURRENCE — an earlier doc OR
+    //     an earlier position in the same doc (d21's sliding windows flag
+    //     both; Lee et al. removes self-repeats too) — dies under the
+    //     stage-6-style majority rule. Catches any-offset duplication
+    //     that d9's fixed segment boundaries miss; overlaps stage 6/t6
+    //     on the self-repetition side BY DESIGN (this gate is span-
+    //     ownership-based, theirs are segment/k-gram ratios).
     //     Off by default for the same oracle-pinning reason as 2b.
     val substrMode =
       try spark.conf.get("spark.graft.curation.substringDedup", "false").toBoolean

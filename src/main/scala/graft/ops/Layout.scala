@@ -217,7 +217,7 @@ object Layout {
       .sorted
   }
 
-  private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
+  private def manifestLines(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int): Seq[String] = {
     val fs = fsOf(spark, root)
     val p = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
@@ -226,19 +226,45 @@ object Layout {
     finally in.close()
   }
 
+  private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith("#"))
+
+  /** `#key=value` header entries of a manifest (writer identity etc.). */
+  private def manifestHeader(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Map[String, String] =
+    manifestLines(spark, root, version).filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
-      root: String, version: Int, files: Seq[String]): Unit = {
+      root: String, version: Int, files: Seq[String],
+      header: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(msDir(root))
     val tmp = new org.apache.hadoop.fs.Path(msDir(root), s".v$version.tmp")
     val out = fs.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val body = (header.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+      files).mkString("\n") + "\n"
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
-    // rename-if-absent IS the commit: a concurrent writer racing to the
-    // same version loses the rename and must retry on the next version
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"snapshot commit lost the race for v$version")
+    // rename-if-absent IS the commit. NB: FileSystem.rename OVERWRITES an
+    // existing destination on local/POSIX filesystems (rename(2)), which
+    // would let a lost race silently clobber the winner — FileContext with
+    // Rename.NONE enforces fail-if-exists on every filesystem.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit lost the race for v$version", e)
+    }
   }
 
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
@@ -305,18 +331,32 @@ object Layout {
     * Returns the committed version.
     */
   def snapshotAppendIdempotent(spark: org.apache.spark.sql.SparkSession,
-      root: String, df: DataFrame, epoch: Long): Int = {
+      root: String, df: DataFrame, epoch: Long,
+      writerId: String = "default"): Int = {
     val v = epoch.toInt + 1
     val fs = fsOf(spark, root)
     val manifest = new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest")
-    if (fs.exists(manifest)) return v // replayed epoch: already committed
+    if (fs.exists(manifest)) {
+      // Replay detection must key on (writer, epoch), not the version
+      // number alone: a DIFFERENT stream (fresh checkpoint, restarted
+      // epoch counter) colliding with a committed version is carrying NEW
+      // data, and treating it as a replay would silently discard it.
+      val owner = manifestHeader(spark, root, v).getOrElse("writer", "default")
+      if (owner != writerId)
+        throw new IllegalStateException(
+          s"v$v was committed by writer '$owner'; this stream ('$writerId') " +
+            "restarted its epoch counter against an existing table — refusing " +
+            "to silently drop its batch")
+      return v // genuine replay by the same writer: already committed
+    }
     val prev = snapshotVersions(spark, root).filter(_ < v)
     require(prev.lastOption.getOrElse(0) == v - 1,
       s"epoch $epoch commits v$v but the latest committed version is ${prev.lastOption.getOrElse(0)}")
     val dataDir = s"$root/data/e=$epoch"
     df.write.mode("overwrite").parquet(dataDir)
     val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
-    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir))
+    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir),
+      Map("writer" -> writerId, "epoch" -> epoch.toString))
     v
   }
 
@@ -331,7 +371,11 @@ object Layout {
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        snapshotAppendIdempotent(spark, root, batch, epoch)
+        // writer id = the checkpoint path: stable across restarts of THIS
+        // stream (same checkpoint ⇒ genuine replays), different for any
+        // other stream aimed at the table ⇒ epoch collisions fail loudly
+        snapshotAppendIdempotent(spark, root, batch, epoch,
+          writerId = s"$root/ckpt")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -377,9 +421,12 @@ object Layout {
     val (drop, retain) = vs.splitAt(math.max(0, vs.size - keep))
     val keptFiles = retain.flatMap(manifestFiles(spark, root, _)).toSet
     val deadFiles = drop.flatMap(manifestFiles(spark, root, _)).toSet -- keptFiles
-    deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // manifests FIRST, then their files: a crash mid-vacuum must leave
+    // only harmless orphan data files, never a listed-but-unreadable
+    // version (files-first would strand manifests pointing at nothing)
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest"), false))
+    deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     VacuumStats(deadFiles.size, keptFiles.size, drop)
   }
 

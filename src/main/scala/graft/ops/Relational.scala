@@ -2123,12 +2123,20 @@ object Relational {
     * overwrite); returns (root, baseDir). Shared by q78 (MERGE) and q82
     * (targeted DELETE) — both COW demos run against the same layout.
     */
-  private def cowClusteredBase(spark: SparkSession, sfDir: String, tag: String,
-      base: DataFrame): (String, String) = {
+  /** Session+SF-scoped tmp root: pid-tagged so concurrent JVMs never race
+    * each other's overwrites — the ONE spelling of the idiom (q78/q82 COW
+    * base, q83/q85 snapshot table).
+    */
+  private[graft] def sessionRoot(sfDir: String, tag: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"p${ProcessHandle.current().pid()}_$md5"
+  }
+
+  private def cowClusteredBase(spark: SparkSession, sfDir: String, tag: String,
+      base: DataFrame): (String, String) = {
+    val root = sessionRoot(sfDir, tag)
     val baseDir = s"$root/base"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2225,7 +2233,9 @@ object Relational {
   def q82TargetedDelete(spark: SparkSession, sfDir: String): DataFrame = {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    val (root, baseDir) = cowClusteredBase(spark, sfDir, "del", base)
+    // SHARE q78's clustered base (same layout, distinct outDirs) — two
+    // byte-identical copies of orders would be pure wasted I/O
+    val (root, baseDir) = cowClusteredBase(spark, sfDir, "cow", base)
     val outDir = s"$root/kept"
     val cutoff = base.agg(max(col("o_orderkey"))).head().getLong(0) / 5
     val requests = base
@@ -2283,10 +2293,7 @@ object Relational {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey").as("key"),
         dec(col("o_totalprice")).cast("double").as("totalprice"))
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
-      s"p${ProcessHandle.current().pid()}_$md5"
+    val root = sessionRoot(sfDir, "snap")
     if (Layout.snapshotVersions(spark, root).isEmpty) {
       Layout.snapshotAppend(spark, root, base.repartition(4))
       Layout.snapshotAppend(spark, root, base.filter(col("key") % 500 === 3)
@@ -2562,10 +2569,7 @@ object Relational {
       .groupBy(col("o_orderstatus"))
       .agg(sum(col("p")).as("rev"), count(lit(1)).as("n"))
     // once-per-session+SF materialization of the standing state table
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivm_" +
-      s"p${ProcessHandle.current().pid()}_$md5"
+    val stateDir = sessionRoot(sfDir, "ivm")
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir)))

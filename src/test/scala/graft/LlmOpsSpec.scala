@@ -2586,8 +2586,11 @@ class StreamingNearDupSpec extends GraftSuite {
       docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+      val dst = java.nio.file.Paths.get(s"$root/in/0$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // FileStreamSource orders by mtime — pin it so file b IS epoch b
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
     }
     val q = dedup.Dedup.streamingNearDupIngest(
       spark, s"$root/in", docs.schema, root)
@@ -2983,8 +2986,13 @@ class StreamingDriftSpec extends GraftSuite {
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/in/$name.parquet"))
+      val dst = java.nio.file.Paths.get(s"$dir/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // FileStreamSource orders by mtime — pin name order (the planted
+      // drift file must arrive LAST or its watermark drops the Jan feed)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1600000000000L + name.take(2).toLong * 60000L))
     }
     stage(ordered.limit(half), "01_early")
     stage(ordered.exceptAll(ordered.limit(half)), "02_late")
@@ -3244,8 +3252,11 @@ class StreamingBudgetGateSpec extends GraftSuite {
       docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+      val dst = java.nio.file.Paths.get(s"$root/in/0$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // FileStreamSource orders by mtime — pin it so file b IS epoch b
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
     }
     val q = ops.Sampling.streamingTokenBudgetGate(
       spark, s"$root/in", docs.schema, root)

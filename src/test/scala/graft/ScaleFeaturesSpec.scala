@@ -453,8 +453,12 @@ class StreamingSnapshotSinkSpec extends GraftSuite {
       docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
       val part = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$root/in/0$b.parquet"))
+      val dst = java.nio.file.Paths.get(s"$root/in/0$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // FileStreamSource orders by MODIFICATION TIME, not name — pin
+      // strictly increasing mtimes so file b is epoch b deterministically
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
     }
     val q = ops.Layout.streamingSnapshotSink(spark, s"$root/in", docs.schema, root)
     q.awaitTermination(120000)
@@ -467,13 +471,21 @@ class StreamingSnapshotSinkSpec extends GraftSuite {
     val v1 = ops.Layout.readSnapshot(spark, root, 1)
     val want1 = docs.filter(col("doc_id") % 3 === 0)
     assert(v1.exceptAll(want1).count() === 0 && want1.exceptAll(v1).count() === 0)
-    // crash-replay of epoch 1 (the foreachBatch retry): a NO-OP —
-    // versions unchanged, latest read unchanged
+    // crash-replay of epoch 1 (the foreachBatch retry, SAME writer =
+    // same checkpoint): a NO-OP — versions unchanged, latest unchanged
     val before = ops.Layout.snapshotVersions(spark, root)
     val v = ops.Layout.snapshotAppendIdempotent(
-      spark, root, docs.filter(col("doc_id") % 3 === 1), 1L)
+      spark, root, docs.filter(col("doc_id") % 3 === 1), 1L,
+      writerId = s"$root/ckpt")
     assert(v === 2, "replayed epoch must report its already-committed version")
     assert(ops.Layout.snapshotVersions(spark, root) === before)
+    // a DIFFERENT writer (fresh checkpoint) restarting its epoch counter
+    // against the existing table carries NEW data — it must fail loudly,
+    // never silently discard its batch as a "replay"
+    intercept[IllegalStateException] {
+      ops.Layout.snapshotAppendIdempotent(
+        spark, root, docs.limit(3), 0L, writerId = "someone-else/ckpt")
+    }
     val after = ops.Layout.readSnapshot(spark, root)
     assert(after.exceptAll(docs).count() === 0 &&
       docs.exceptAll(after).count() === 0)
