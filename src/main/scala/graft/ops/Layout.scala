@@ -408,6 +408,52 @@ object Layout {
       spark.read.parquet(to: _*).exceptAll(spark.read.parquet(from: _*))
   }
 
+  /** OPTIMIZE on the versioned table — [[compact]] composed with
+    * [[snapshotOverwrite]]: read the latest version through its manifest,
+    * bin-pack (and optionally re-cluster) it, publish the result as a NEW
+    * version. The pre-compaction version stays time-travelable until
+    * vacuum — the maintenance job never blocks or breaks readers, which
+    * is exactly why table formats express OPTIMIZE as a snapshot commit
+    * rather than an in-place rewrite. Returns the committed version.
+    */
+  def snapshotCompact(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetBytes: Long, clusterBy: Seq[Column] = Nil): Int = {
+    val latest = readSnapshot(spark, root)
+    val packed =
+      if (clusterBy.isEmpty) latest
+      else {
+        val bytes = snapshotVersions(spark, root).lastOption
+          .map(v => manifestFiles(spark, root, v)).getOrElse(Nil)
+          .map(f => fsOf(spark, root)
+            .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        latest.repartitionByRange(n, clusterBy: _*)
+          .sortWithinPartitions(clusterBy: _*)
+      }
+    snapshotOverwrite(spark, root, packed)
+  }
+
+  /** Poll-based incremental consumer: every (version, delta) committed
+    * AFTER `sinceVersion`, oldest first — what a downstream job calls on
+    * its schedule to stay incremental ("give me everything since the
+    * version I last processed"). Each delta is [[snapshotDiff]] of
+    * consecutive versions, so append lineage is metadata-priced and
+    * overwrite lineage is row-exact.
+    */
+  def snapshotDeltasSince(spark: org.apache.spark.sql.SparkSession,
+      root: String, sinceVersion: Int): Seq[(Int, DataFrame)] = {
+    val vs = snapshotVersions(spark, root).filter(_ > sinceVersion)
+    var prev = sinceVersion
+    vs.map { v =>
+      // sinceVersion 0 = "from the beginning": the first delta is the
+      // whole first version (there is no v0 manifest to diff against)
+      val d = if (prev == 0) readSnapshot(spark, root, v)
+              else snapshotDiff(spark, root, prev, v)
+      prev = v
+      v -> d
+    }
+  }
+
   /** Retention: drop all but the newest `keep` versions and delete every
     * data file ONLY they referenced. The kept manifests' file sets are
     * never touched — vacuum can only invalidate time travel, never the

@@ -438,6 +438,46 @@ class ScaleFeaturesSpec extends GraftSuite {
     assert(diff13.exceptAll(want13).count() === 0 &&
       want13.exceptAll(diff13).count() === 0,
       "overwrite-lineage diff must be row-exact")
+
+    // poll-based consumer: deltas since v1 are exactly (v2's append,
+    // v3's overwrite delta), oldest first; since 0 starts with all of v1
+    val since1 = ops.Layout.snapshotDeltasSince(spark, root, 1)
+    assert(since1.map(_._1) === Seq(2, 3))
+    assert(since1.head._2.exceptAll(delta).count() === 0 &&
+      delta.exceptAll(since1.head._2).count() === 0)
+    val since0 = ops.Layout.snapshotDeltasSince(spark, root, 0)
+    assert(since0.map(_._1) === Seq(1, 2, 3))
+    assert(since0.head._2.exceptAll(orders).count() === 0 &&
+      orders.exceptAll(since0.head._2).count() === 0)
+  }
+
+  test("snapshotCompact publishes a clustered OPTIMIZE as a new version; history intact, pruning restored") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snapopt").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    // many small interleaved appends → overlapping per-file key ranges
+    (0 until 4).foreach(b => ops.Layout.snapshotAppend(spark, root,
+      orders.filter(col("key") % 4 === b).repartition(3)))
+    val before = ops.Layout.readSnapshot(spark, root)
+    val v = ops.Layout.snapshotCompact(spark, root,
+      targetBytes = 1L << 20, clusterBy = Seq(col("key")))
+    assert(v === 5)
+    // content identical, old version still reads, and the compacted
+    // version's files have non-overlapping key ranges (pruning restored)
+    val after = ops.Layout.readSnapshot(spark, root)
+    assert(after.exceptAll(before).count() === 0 &&
+      before.exceptAll(after).count() === 0)
+    assert(ops.Layout.readSnapshot(spark, root, 4).count() === before.count())
+    val ranges = after.inputFiles.map { f =>
+      val one = spark.read.parquet(f)
+        .agg(min(col("key")), max(col("key"))).head()
+      (one.getLong(0), one.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"clustered files overlap: $hi > $lo2")
+      case _ => ()
+    }
   }
 }
 
