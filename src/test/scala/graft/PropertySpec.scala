@@ -222,3 +222,45 @@ class HashExprFuzzSpec extends GraftSuite {
     assert(out.toSet === expect)
   }
 }
+
+/** KMV sketch algebra over generated multisets (pure scalar — no Spark
+  * job needed for the algebraic laws; KmvSpec covers the distributed
+  * build).
+  */
+class KmvPropertySpec extends GraftSuite {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+  import graft.functions.KmvAggregator
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val word: Gen[String] =
+    Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+  private val bag: Gen[List[String]] =
+    Gen.choose(0, 400).flatMap(n => Gen.listOfN(n, word))
+
+  private def build(agg: KmvAggregator, items: Seq[String]): Array[Long] =
+    items.foldLeft(agg.zero)(agg.reduce)
+
+  test("KMV: merge is commutative, associative, idempotent, and equals the one-pass build") {
+    val agg = new KmvAggregator(16) // small k so saturation is exercised
+    for (i <- 0 until 20) {
+      val a = samples(bag, 60)(i * 3)
+      val b = samples(bag, 60)(i * 3 + 1)
+      val c = samples(bag, 60)(i * 3 + 2)
+      val (sa, sb, sc) = (build(agg, a), build(agg, b), build(agg, c))
+      def m(x: Array[Long], y: Array[Long]) = agg.merge(x.clone, y.clone)
+      assert(java.util.Arrays.equals(m(sa, sb), m(sb, sa)), "commutative")
+      assert(java.util.Arrays.equals(m(m(sa, sb), sc), m(sa, m(sb, sc))),
+        "associative")
+      assert(java.util.Arrays.equals(m(sa, sa), sa), "idempotent")
+      assert(java.util.Arrays.equals(m(sa, sb), build(agg, a ++ b)),
+        "merge of partials equals the one-pass sketch")
+      // the sketch is always sorted, distinct, and at most k long
+      val merged = m(sa, sb)
+      assert(merged.length <= 16)
+      assert(merged.sameElements(merged.distinct.sorted))
+    }
+  }
+}
