@@ -320,8 +320,8 @@ object Curation {
             val rate = if (n <= graft.streaming.EventStreams.MixRefCount) 1000
               else math.floor(1000.0 *
                 math.sqrt(graft.streaming.EventStreams.MixRefCount.toDouble / n)).toInt
-            if (PortableHash.charFold(s"$lang#$id") * 2654435761L %
-                4294967296L % 1000 < rate)
+            if (PortableHash.scramble32(
+                PortableHash.charFold(s"$lang#$id")) % 1000 < rate)
               Some(CurateMixOut(id, lang, toTs(w), rate))
             else None
           }.toList

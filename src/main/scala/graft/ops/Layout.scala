@@ -246,8 +246,13 @@ object Layout {
       header: Map[String, String] = Map.empty): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(msDir(root))
-    val tmp = new org.apache.hadoop.fs.Path(msDir(root), s".v$version.tmp")
-    val out = fs.create(tmp, true)
+    // a UNIQUE tmp per attempt: a shared ".vN.tmp" would let two racing
+    // writers overwrite each other's staged body and cross-commit — the
+    // rename guard below can only arbitrate if each writer renames its
+    // OWN bytes
+    val tmp = new org.apache.hadoop.fs.Path(msDir(root),
+      s".v$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
     val body = (header.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
       files).mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
@@ -364,23 +369,47 @@ object Layout {
     * stream lands as a manifest-versioned table, one version per
     * micro-batch.
     */
+  /** Read-or-create the per-run writer token INSIDE the checkpoint dir:
+    * a genuine restart (checkpoint intact ⇒ epochs really replay) reads
+    * the same token; a WIPED checkpoint loses the token with the epochs,
+    * so the fresh run mints a new id and epoch collisions against the
+    * existing table fail loudly instead of masquerading as replays.
+    * (Keying on the checkpoint PATH alone would be defeated by exactly
+    * the rm-rf-and-restart case this exists for.)
+    */
+  private def writerToken(spark: org.apache.spark.sql.SparkSession,
+      ckptDir: String): String = {
+    val fs = fsOf(spark, ckptDir)
+    val p = new org.apache.hadoop.fs.Path(ckptDir, "graft-writer-id")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(ckptDir))
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
   def streamingSnapshotSink(spark: org.apache.spark.sql.SparkSession,
       inDir: String, schema: org.apache.spark.sql.types.StructType,
-      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+      root: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val wid = writerToken(spark, s"$root/ckpt")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // writer id = the checkpoint path: stable across restarts of THIS
-        // stream (same checkpoint ⇒ genuine replays), different for any
-        // other stream aimed at the table ⇒ epoch collisions fail loudly
         snapshotAppendIdempotent(spark, root, batch, epoch,
-          writerId = s"$root/ckpt")
+          writerId = wid)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** CHANGE DATA FEED between two snapshot versions — what an incremental
     * consumer reads instead of the whole table: for APPEND lineage (v1's
@@ -418,19 +447,37 @@ object Layout {
     */
   def snapshotCompact(spark: org.apache.spark.sql.SparkSession, root: String,
       targetBytes: Long, clusterBy: Seq[Column] = Nil): Int = {
-    val latest = readSnapshot(spark, root)
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val bytes = manifestFiles(spark, root, base)
+      .map(f => fsOf(spark, root)
+        .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val packed =
-      if (clusterBy.isEmpty) latest
-      else {
-        val bytes = snapshotVersions(spark, root).lastOption
-          .map(v => manifestFiles(spark, root, v)).getOrElse(Nil)
-          .map(f => fsOf(spark, root)
-            .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+      if (clusterBy.isEmpty) {
+        // plain mode = Layout.compact's zero-shuffle bin-packing: a CLONED
+        // session sizes read splits to targetBytes so the scan itself
+        // packs small files and the write emits ~one file per split
+        val scoped = spark.newSession()
+        scoped.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+        scoped.conf.set("spark.sql.files.openCostInBytes", "0")
+        readSnapshot(scoped, root, base)
+      } else {
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        latest.repartitionByRange(n, clusterBy: _*)
+        readSnapshot(spark, root, base).repartitionByRange(n, clusterBy: _*)
           .sortWithinPartitions(clusterBy: _*)
       }
-    snapshotOverwrite(spark, root, packed)
+    // OPTIMISTIC CONCURRENCY: commit exactly base+1 (not "latest+1
+    // re-listed at publish"). If a writer committed base+1 while we were
+    // repacking, our data write (mode error) or manifest rename fails
+    // LOUDLY and the caller retries on the new head — the alternative,
+    // publishing the repacked OLD head over the racer's commit, silently
+    // erases its rows from the table head.
+    val v = base + 1
+    val dataDir = s"$root/data/v$v"
+    packed.write.mode("error").parquet(dataDir)
+    commitManifest(spark, root, v, listDataFiles(spark, dataDir))
+    v
   }
 
   /** Poll-based incremental consumer: every (version, delta) committed

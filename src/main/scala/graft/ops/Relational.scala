@@ -2118,14 +2118,9 @@ object Relational {
     * untouched-files ∪ rewritten-files — exactly a COW table format's
     * post-MERGE state.
     */
-  /** Once-per-session+SF key-clustered write of a COW base table under a
-    * pid-tagged tmp root (concurrent JVMs never race each other's
-    * overwrite); returns (root, baseDir). Shared by q78 (MERGE) and q82
-    * (targeted DELETE) — both COW demos run against the same layout.
-    */
   /** Session+SF-scoped tmp root: pid-tagged so concurrent JVMs never race
     * each other's overwrites — the ONE spelling of the idiom (q78/q82 COW
-    * base, q83/q85 snapshot table).
+    * base, q83/q85 snapshot table, q80 IVM state).
     */
   private[graft] def sessionRoot(sfDir: String, tag: String): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
@@ -2134,8 +2129,20 @@ object Relational {
       s"p${ProcessHandle.current().pid()}_$md5"
   }
 
+  /** Serializes the once-per-session base builds: the pid tag isolates
+    * JVMs, but q78/q82 (and q83/q85) SHARE a base within one JVM — two
+    * threads passing the exists-check together would overwrite each
+    * other's in-flight write. The build is rare (once per session+SF), so
+    * a coarse monitor costs nothing.
+    */
+  private val baseBuildLock = new Object
+
+  /** Once-per-session+SF key-clustered write of a COW base table under
+    * [[sessionRoot]]; returns (root, baseDir). Shared by q78 (MERGE) and
+    * q82 (targeted DELETE) — both COW demos run against the same layout.
+    */
   private def cowClusteredBase(spark: SparkSession, sfDir: String, tag: String,
-      base: DataFrame): (String, String) = {
+      base: DataFrame): (String, String) = baseBuildLock.synchronized {
     val root = sessionRoot(sfDir, tag)
     val baseDir = s"$root/base"
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -2289,7 +2296,7 @@ object Relational {
     * an appended delta) under a pid-tagged root; shared by q83 (time
     * travel) and q85 (change data feed). Returns the root.
     */
-  private def snapTable(spark: SparkSession, sfDir: String): String = {
+  private def snapTable(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
     val base = t(spark, sfDir, "orders")
       .select(col("o_orderkey").as("key"),
         dec(col("o_totalprice")).cast("double").as("totalprice"))

@@ -1463,6 +1463,8 @@ object Similarity {
     val cents = stubCentroids(e)
     val exact = s1CosineTopK(spark, sfDir)
       .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint() // the O(corpus·queries) baseline computes ONCE:
+      // both the denominator count and the attribution join read it
     val assign = e.select(col("vec_id").as("neighbor_id"),
       assignCid(col("v"), cents).as("cid"))
     // full centroid ordering per query: (q_id, crank 1-based, cid)

@@ -569,8 +569,8 @@ object EventStreams {
             }
             buf.iterator
               .filter { case (et, id) =>
-                PortableHash.charFold(s"$et#$id") * 2654435761L %
-                  4294967296L % 1000 < rates(et) }
+                PortableHash.scramble32(
+                  PortableHash.charFold(s"$et#$id")) % 1000 < rates(et) }
               .map { case (et, id) => MixOut(toTs(winUs), et, id, rates(et)) }
           } else {
             state.update(buf)
@@ -703,8 +703,8 @@ object EventStreams {
             val n = counts.getOrElse(w - lagUs, 0L)
             val rate = if (n <= MixRefCount) 1000
               else math.floor(1000.0 * math.sqrt(MixRefCount.toDouble / n)).toInt
-            if (PortableHash.charFold(s"$et#$id") * 2654435761L %
-                4294967296L % 1000 < rate)
+            if (PortableHash.scramble32(
+                PortableHash.charFold(s"$et#$id")) % 1000 < rate)
               Some(MixOut(toTs(w), et, id, rate))
             else None
           }.toList

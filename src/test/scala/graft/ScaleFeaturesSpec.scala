@@ -511,12 +511,15 @@ class StreamingSnapshotSinkSpec extends GraftSuite {
     val v1 = ops.Layout.readSnapshot(spark, root, 1)
     val want1 = docs.filter(col("doc_id") % 3 === 0)
     assert(v1.exceptAll(want1).count() === 0 && want1.exceptAll(v1).count() === 0)
-    // crash-replay of epoch 1 (the foreachBatch retry, SAME writer =
-    // same checkpoint): a NO-OP — versions unchanged, latest unchanged
+    // crash-replay of epoch 1 (the foreachBatch retry, SAME writer = the
+    // run token persisted in the intact checkpoint): a NO-OP — versions
+    // unchanged, latest unchanged
+    val token = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/ckpt/graft-writer-id")), "UTF-8").trim
     val before = ops.Layout.snapshotVersions(spark, root)
     val v = ops.Layout.snapshotAppendIdempotent(
       spark, root, docs.filter(col("doc_id") % 3 === 1), 1L,
-      writerId = s"$root/ckpt")
+      writerId = token)
     assert(v === 2, "replayed epoch must report its already-committed version")
     assert(ops.Layout.snapshotVersions(spark, root) === before)
     // a DIFFERENT writer (fresh checkpoint) restarting its epoch counter
