@@ -501,6 +501,74 @@ object Layout {
     }
   }
 
+  /** INCREMENTAL MATERIALIZED VIEW over a versioned table — q80's
+    * mergeable-partial discipline driven by the CDF ([[snapshotDeltasSince]])
+    * instead of a hand-fed delta batch: maintain a per-group (sum, count)
+    * rollup of `valCol` grouped by `groupCol`, advancing from the last
+    * processed base version to the current head.
+    *
+    * CRASH-ATOMIC BY CONSTRUCTION: the view is ITSELF a snapshot table,
+    * and one maintenance run is ONE manifest commit whose rows carry the
+    * base version they reflect (`base_version` column). A crash anywhere
+    * before the commit leaves the previous view version intact; the next
+    * run re-reads the same old state + the same deltas (deterministic)
+    * and publishes the same result — no double-apply window, no side
+    * transaction log.
+    *
+    * Lineage rule: the sum-merge is only valid over APPEND deltas
+    * (removals can't be subtracted from a lossy rollup), so when the base
+    * lineage since the last processed version is not append-only (an
+    * overwrite/compaction intervened) the maintainer falls back to a FULL
+    * recompute of the head — correct for any lineage, priced at one base
+    * scan. Returns the base version the view now reflects.
+    * 100 TB: the common path scans O(new bytes) + O(groups) state; the
+    * view table is O(groups) rows per version and vacuums like any
+    * snapshot table.
+    */
+  def maintainSumView(spark: org.apache.spark.sql.SparkSession,
+      baseRoot: String, viewRoot: String,
+      groupCol: String, valCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    val baseVs = snapshotVersions(spark, baseRoot)
+    require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
+    val head = baseVs.last
+    val viewVs = snapshotVersions(spark, viewRoot)
+    val processed =
+      if (viewVs.isEmpty) 0
+      else readSnapshot(spark, viewRoot)
+        .agg(max(col("base_version"))).head().getInt(0)
+    if (processed == head) return head
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(col(groupCol))
+      .agg(sum(col(valCol).cast("double")).as("sum_v"), count(lit(1)).as("n"))
+    val appendLineage = processed > 0 && {
+      val from = manifestFiles(spark, baseRoot, processed).toSet
+      from.subsetOf(manifestFiles(spark, baseRoot, head).toSet)
+    }
+    val newState =
+      if (!appendLineage) {
+        // overwrite in the lineage (or first run): one full head scan
+        rollup(readSnapshot(spark, baseRoot, head))
+      } else {
+        val deltaAgg = rollup(
+          snapshotDeltasSince(spark, baseRoot, processed)
+            .map(_._2).reduce(_ unionByName _))
+        val old = readSnapshot(spark, viewRoot)
+          .select(col(groupCol), col("sum_v").as("old_sum"), col("n").as("old_n"))
+        // q80's combine: full-outer on the group key, coalesce-add the
+        // MERGEABLE partials (sum/count merge; an avg would be re-derived)
+        old.join(deltaAgg, Seq(groupCol), "full_outer")
+          .select(col(groupCol),
+            (coalesce(col("old_sum"), lit(0.0)) +
+              coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
+            (coalesce(col("old_n"), lit(0L)) +
+              coalesce(col("n"), lit(0L))).as("n"))
+      }
+    snapshotOverwrite(spark, viewRoot,
+      newState.withColumn("base_version", lit(head)))
+    head
+  }
+
   /** Retention: drop all but the newest `keep` versions and delete every
     * data file ONLY they referenced. The kept manifests' file sets are
     * never touched — vacuum can only invalidate time travel, never the

@@ -540,3 +540,50 @@ class StreamingSnapshotSinkSpec extends GraftSuite {
     assert(ops.Layout.readSnapshot(spark, root).count() === docs.count())
   }
 }
+
+/** Incremental materialized view over the versioned table: correctness
+  * under append lineage, the overwrite fallback, idempotence, and the
+  * one-commit crash-atomicity contract.
+  */
+class SnapshotIvmSpec extends GraftSuite {
+  test("maintainSumView tracks the head exactly through appends, compaction, and no-op reruns") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivm-base").toString
+    val view = java.nio.file.Files.createTempDirectory("graft-ivm-view").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+
+    def fullRecompute() = ops.Layout.readSnapshot(spark, base)
+      .groupBy(col("status"))
+      .agg(sum(col("price").cast("double")).as("sum_v"), count(lit(1)).as("n"))
+    def viewNow() = ops.Layout.readSnapshot(spark, view)
+      .select(col("status"), col("sum_v"), col("n"))
+    def check(tag: String): Unit = {
+      val want = fullRecompute()
+      val got = viewNow()
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"$tag: view diverged from the full recompute")
+    }
+
+    // v1 + first maintenance (full path)
+    ops.Layout.snapshotAppend(spark, base, orders.filter(col("key") % 2 === 0))
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 1)
+    check("after v1")
+    // v2, v3 appends: ONE maintenance run advances over both deltas
+    ops.Layout.snapshotAppend(spark, base, orders.filter(col("key") % 4 === 1))
+    ops.Layout.snapshotAppend(spark, base, orders.filter(col("key") % 4 === 3))
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 3)
+    check("after v2+v3 incremental")
+    // idempotent no-op: head already processed — no new view version
+    val viewVersions = ops.Layout.snapshotVersions(spark, view)
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 3)
+    assert(ops.Layout.snapshotVersions(spark, view) === viewVersions,
+      "a no-op run must not publish a view version")
+    // compaction breaks append lineage: the maintainer must take the
+    // full-recompute fallback and still be exact
+    ops.Layout.snapshotCompact(spark, base, targetBytes = 1L << 20,
+      clusterBy = Seq(col("key")))
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 4)
+    check("after compaction fallback")
+  }
+}
