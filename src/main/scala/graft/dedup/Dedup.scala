@@ -1381,6 +1381,70 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d23
+  /** INCREMENTAL containment probe — d10's asymmetric doc-inside-doc
+    * detection in d16's batch-vs-corpus shape, covering BOTH directions a
+    * real ingest needs: (a) an arriving doc contained in standing corpus
+    * (quoted/wrapped rehash of something already kept — drop it) and (b)
+    * a standing doc contained in the arrival (the arrival is the fuller
+    * version — supersede). Candidates per direction via the PPJoin prefix
+    * filter, lossless by d10's argument applied per side: direction (a)
+    * joins the BATCH docs' prefixes against the standing corpus's FULL
+    * inverted index; direction (b) joins the standing corpus's persisted
+    * PREFIX index (an O(0.1·|sh|)-per-doc standing artifact) against the
+    * batch's full index. Verification (exact containment ≥
+    * [[ContainmentTau]]) runs only on id-distinct candidates.
+    * 100 TB: both probe joins are O(batch·|sh|) keys against standing
+    * tables — per-ingest cost scales with the batch, never the corpus;
+    * the two standing indexes are append-only and bucketable on the
+    * shingle key for shuffle-free probes (d16's note verbatim).
+    */
+  def d23IncrementalContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    val prefixLen = ((col("n") - col("n") % 10) / 10 + 1).cast("int")
+    def prefixes(d: DataFrame) = d.select(col("doc_id").as("i"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
+    def index(d: DataFrame) = d.select(col("doc_id").as("j"),
+      explode(col("sh")).as("key"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val cand = prefixes(batch).join(index(corpus), Seq("key"))
+      .select(col("i"), col("j"))
+      .unionAll(prefixes(corpus).join(index(batch), Seq("key"))
+        .select(col("i"), col("j")))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(col("sh_i")))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle: brute-force ordered containment over pairs with EXACTLY ONE
+    * batch side (both directions), losslessness making both sides agree.
+    */
+  val d23Sql: String = {
+    val ths = sqlTokenHashes("text")
+    s"""SELECT a.doc_id AS i, b.doc_id AS j,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+      |    AS containment
+      |FROM (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) a
+      |JOIN (SELECT doc_id, ${sqlShingles("ths")} AS sh
+      |      FROM (SELECT doc_id, $ths AS ths FROM documents)) b
+      |  ON a.doc_id <> b.doc_id AND ((a.doc_id % 5 = 0) <> (b.doc_id % 5 = 0))
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= $ContainmentTau
+      |ORDER BY i, j""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d22
   /** LSH BANDING AUTO-TUNER — the (bands, rows) knob behind d2/d11/d16,
     * chosen instead of inherited: for a target Jaccard threshold τ and a
@@ -1530,6 +1594,7 @@ object Dedup {
       .start()
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_incremental_containment" -> (d23IncrementalContainment _),
     "d21_substring_dedup" -> (d21SubstringDedup _),
     "d20_semantic_dedup" -> (d20SemanticDedup _),
     "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
@@ -1555,6 +1620,7 @@ object Dedup {
   val sql: Map[String, String] = Map(
     // the auto-switch picks a blocking, never changes the contract — the
     // oracle is the same brute force both arms share
+    "d23_incremental_containment" -> d23Sql,
     "d21_substring_dedup" -> d21Sql,
     "d20_semantic_dedup" -> d20Sql,
     "d19_edit_dedup_auto" -> d15Sql,

@@ -3488,3 +3488,23 @@ class IntegrityPitSpec extends GraftSuite {
       "no version can be valid 100 days before the feed begins")
   }
 }
+
+/** d23 incremental containment: cross-split restriction of d10, both
+  * directions present.
+  */
+class IncrementalContainmentSpec extends GraftSuite {
+  test("d23 equals d10's full output restricted to exactly-one-batch pairs, in both directions") {
+    val inc = dedup.Dedup.d23IncrementalContainment(spark, sf)
+    val full = dedup.Dedup.d10Containment(spark, sf)
+    val crossOnly = full.filter(
+      (col("i") % 5 === 0) =!= (col("j") % 5 === 0))
+    assert(inc.exceptAll(crossOnly).count() === 0 &&
+      crossOnly.exceptAll(inc).count() === 0,
+      "incremental probe must be exactly the cross-split restriction")
+    // both ingest directions really occur on this corpus
+    assert(inc.filter(col("i") % 5 === 0).count() > 0,
+      "a batch doc contained in the corpus must occur")
+    assert(inc.filter(col("j") % 5 === 0).count() > 0,
+      "a corpus doc contained in a batch arrival must occur")
+  }
+}
