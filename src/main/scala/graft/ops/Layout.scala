@@ -110,15 +110,27 @@ object Layout {
     */
   def fileKeyRanges(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String): Seq[(String, Long, Long)] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
     val hconf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(path)
     val files = dir.getFileSystem(hconf).listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    files.toSeq.map { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, hconf))
+      .map(_.getPath.toString).toSeq
+    fileKeyRangesOf(spark, files, keyCol)
+  }
+
+  /** [[fileKeyRanges]] over an EXPLICIT file list — the form a manifest-
+    * resolved snapshot uses (its files never come from a directory
+    * listing).
+    */
+  def fileKeyRangesOf(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], keyCol: String): Seq[(String, Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    files.map { fp =>
+      val f = new org.apache.hadoop.fs.Path(fp)
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
       try {
         val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
           block.getColumns.asScala
@@ -130,8 +142,8 @@ object Layout {
                 st.genericGetMax.asInstanceOf[Number].longValue()))
             }
         }
-        if (ranges.isEmpty) (f.getPath.toString, Long.MinValue, Long.MaxValue)
-        else (f.getPath.toString, ranges.map(_._1).min, ranges.map(_._2).max)
+        if (ranges.isEmpty) (fp, Long.MinValue, Long.MaxValue)
+        else (fp, ranges.map(_._1).min, ranges.map(_._2).max)
       } finally reader.close()
     }
   }
@@ -228,7 +240,18 @@ object Layout {
 
   private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int): Seq[String] =
-    manifestLines(spark, root, version).filterNot(_.startsWith("#"))
+    manifestLines(spark, root, version)
+      .filterNot(l => l.startsWith("#") || l.startsWith("delete:"))
+
+  /** MERGE-ON-READ delete sidecar files of a manifest (`delete:` lines):
+    * parquet files of (file, key) equality-delete rows the reader applies
+    * as an anti-join over exactly the scoped data files. Empty for every
+    * table no [[snapshotDeleteMOR]] ever touched.
+    */
+  private def manifestDeleteFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filter(_.startsWith("delete:"))
+      .map(_.stripPrefix("delete:"))
 
   /** `#key=value` header entries of a manifest (writer identity etc.). */
   private def manifestHeader(spark: org.apache.spark.sql.SparkSession,
@@ -243,7 +266,8 @@ object Layout {
 
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int, files: Seq[String],
-      header: Map[String, String] = Map.empty): Unit = {
+      header: Map[String, String] = Map.empty,
+      deletes: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(msDir(root))
     // a UNIQUE tmp per attempt: a shared ".vN.tmp" would let two racing
@@ -254,7 +278,7 @@ object Layout {
       s".v$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
     val body = (header.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
-      files).mkString("\n") + "\n"
+      deletes.map(d => s"delete:$d") ++ files).mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
@@ -290,7 +314,16 @@ object Layout {
     val dataDir = s"$root/data/v$v"
     df.write.mode("error").parquet(dataDir)
     val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
-    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir))
+    // delete sidecars carry forward with the files they scope: an append
+    // must not resurrect rows a prior MOR delete removed. The new files
+    // are NOT in any sidecar's scope, so re-inserted keys in them survive.
+    val carriedDel = prev.lastOption
+      .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
+    val carriedHdr = prev.lastOption
+      .map(manifestHeader(spark, root, _).view.filterKeys(_ == "deleteKey").toMap)
+      .getOrElse(Map.empty[String, String])
+    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir),
+      header = carriedHdr, deletes = carriedDel)
     v
   }
 
@@ -309,6 +342,18 @@ object Layout {
 
   /** Read a snapshot (default: latest). The manifest resolves once here —
     * the returned frame is pinned to this version's file list.
+    *
+    * MERGE-ON-READ: if the manifest carries delete sidecars
+    * ([[snapshotDeleteMOR]]), the read splits the file list into CLEAN
+    * files (in no sidecar's scope — scanned untouched, zero read-side
+    * cost) and DIRTY files, which take ONE broadcast anti-join against
+    * the union of sidecar (file, key) rows. Scoping is per (file, key):
+    * a key deleted from an old file and later RE-INSERTED by an append
+    * survives, because the new file is outside every sidecar's scope —
+    * the time-ordered semantics a position/equality-delete format gives.
+    * 100 TB: sidecars are O(deleted keys) bytes; the anti-join touches
+    * only dirty files, and compaction ([[snapshotCompact]]) folds them
+    * away so read-side debt is bounded by the maintenance cadence.
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
       version: Int = -1): DataFrame = {
@@ -316,7 +361,98 @@ object Layout {
     require(vs.nonEmpty, s"no snapshots at $root")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in $vs")
-    spark.read.parquet(manifestFiles(spark, root, v): _*)
+    val files = manifestFiles(spark, root, v)
+    val dels = manifestDeleteFiles(spark, root, v)
+    if (dels.isEmpty) return spark.read.parquet(files: _*)
+    val keyCol = manifestHeader(spark, root, v).getOrElse("deleteKey",
+      throw new IllegalStateException(
+        s"v$v carries delete sidecars but no #deleteKey header"))
+    val side = spark.read.parquet(dels: _*)
+      .select(col("file").as("__graft_del_file"), col("key").as("__graft_del_key"))
+    // dirty-file resolution is manifest-grade planning metadata (same
+    // price class as a footer read): O(touched files) names
+    val dirty = side.select(col("__graft_del_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // scope match on the file's BASE NAME: parquet part files carry a
+    // per-job UUID, and input_file_name()'s URI normalization (file:/ vs
+    // file:///) must not defeat the join
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val (dirtyFiles, cleanFiles) = files.partition(f => dirty.contains(baseName(f)))
+    val cleanDf =
+      if (cleanFiles.isEmpty) spark.read.parquet(files: _*).where(lit(false))
+      else spark.read.parquet(cleanFiles: _*)
+    val dirtyDf =
+      if (dirtyFiles.isEmpty) cleanDf.where(lit(false))
+      else spark.read.parquet(dirtyFiles: _*)
+        .withColumn("__graft_file",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(side),
+          col("__graft_file") === col("__graft_del_file") &&
+            col(keyCol) === col("__graft_del_key"), "left_anti")
+        .drop("__graft_file")
+    cleanDf.unionByName(dirtyDf)
+  }
+
+  /** MERGE-ON-READ DELETE — the O(deleted keys) commit every
+    * latency-sensitive deployment runs between compactions (Iceberg
+    * equality/position deletes, Delta deletion vectors — same idea,
+    * built from first principles on the manifest layer): instead of
+    * rewriting touched data files (q82's COW path), commit a SIDECAR of
+    * (file, key) equality-delete rows scoped by parquet FOOTER min/max
+    * pruning, leaving every data file byte-identical. Readers
+    * ([[readSnapshot]]) apply the sidecar as a broadcast anti-join over
+    * only the scoped files; [[snapshotCompact]] folds the debt into
+    * clean files and drops the sidecar references.
+    *
+    * Soundness: every row with key k lives in a file whose footer range
+    * contains k, so scoping the delete to range-overlapping files misses
+    * nothing; over-scoping (range overlap without an actual row) only
+    * adds a file to the anti-join side — correct, conservative.
+    *
+    * 100 TB: the commit does NO data I/O — footer reads for pruning plus
+    * one tiny sidecar write, which is why deletion SLAs are minutes on a
+    * MOR table vs a COW rewrite of every touched file; the read-side
+    * debt is bounded by compaction cadence. Deletion keys are
+    * broadcast-small by nature (requests arrive row-at-a-time).
+    * Returns the committed version.
+    */
+  def snapshotDeleteMOR(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, keys: Array[Long]): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    hdr.get("deleteKey").foreach(k => require(k == keyCol,
+      s"table already carries deletes on '$k'; mixed delete keys need a compaction first"))
+    val files = manifestFiles(spark, root, base)
+    val sorted = keys.distinct.sorted
+    def overlapping(mn: Long, mx: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val from = if (i >= 0) i else -i - 1
+      sorted.drop(from).takeWhile(_ <= mx)
+    }
+    val scoped = fileKeyRangesOf(spark, files, keyCol).flatMap {
+      case (f, mn, mx) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        overlapping(mn, mx).map(k => (name, k))
+    }
+    val v = base + 1
+    val carriedDel = manifestDeleteFiles(spark, root, base)
+    if (scoped.isEmpty) {
+      // no key overlaps any file: nothing to delete — still commit, so
+      // the caller gets one version per request batch (audit trail)
+      commitManifest(spark, root, v, files,
+        header = hdr.view.filterKeys(_ == "deleteKey").toMap,
+        deletes = carriedDel)
+      return v
+    }
+    val delDir = s"$root/deletes/v$v"
+    import spark.implicits._
+    scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
+    commitManifest(spark, root, v, files,
+      header = Map("deleteKey" -> keyCol),
+      deletes = carriedDel ++ listDataFiles(spark, delDir))
+    v
   }
 
   /** ST29: IDEMPOTENT epoch-keyed append — the snapshot layer as an
@@ -360,8 +496,14 @@ object Layout {
     val dataDir = s"$root/data/e=$epoch"
     df.write.mode("overwrite").parquet(dataDir)
     val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
+    val carriedDel = prev.lastOption
+      .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
+    val carriedHdr = prev.lastOption
+      .map(manifestHeader(spark, root, _).view.filterKeys(_ == "deleteKey").toMap)
+      .getOrElse(Map.empty[String, String])
     commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir),
-      Map("writer" -> writerId, "epoch" -> epoch.toString))
+      carriedHdr ++ Map("writer" -> writerId, "epoch" -> epoch.toString),
+      deletes = carriedDel)
     v
   }
 
@@ -428,13 +570,20 @@ object Layout {
     require(fromVersion < toVersion, s"diff needs from < to")
     val from = manifestFiles(spark, root, fromVersion)
     val to = manifestFiles(spark, root, toVersion)
-    if (from.forall(to.toSet)) {
+    // a MOR delete changes no data file, only sidecars — the file-set
+    // test alone would call it "append lineage, zero added files" and
+    // report an empty (wrong) delta; sidecar inequality forces the
+    // row-level path (readSnapshot applies the deletes on both sides)
+    val delsEqual = manifestDeleteFiles(spark, root, fromVersion).toSet ==
+      manifestDeleteFiles(spark, root, toVersion).toSet
+    if (delsEqual && from.forall(to.toSet)) {
       val added = to.filterNot(from.toSet)
       if (added.isEmpty)
         spark.read.parquet(to: _*).where(org.apache.spark.sql.functions.lit(false))
       else spark.read.parquet(added: _*)
     } else
-      spark.read.parquet(to: _*).exceptAll(spark.read.parquet(from: _*))
+      readSnapshot(spark, root, toVersion)
+        .exceptAll(readSnapshot(spark, root, fromVersion))
   }
 
   /** OPTIMIZE on the versioned table — [[compact]] composed with
@@ -543,7 +692,11 @@ object Layout {
       .agg(sum(col(valCol).cast("double")).as("sum_v"), count(lit(1)).as("n"))
     val appendLineage = processed > 0 && {
       val from = manifestFiles(spark, baseRoot, processed).toSet
-      from.subsetOf(manifestFiles(spark, baseRoot, head).toSet)
+      // MOR deletes are removals too: unchanged data files with a grown
+      // sidecar set is NOT append lineage (sums can't subtract deletions)
+      from.subsetOf(manifestFiles(spark, baseRoot, head).toSet) &&
+        manifestDeleteFiles(spark, baseRoot, processed).toSet ==
+          manifestDeleteFiles(spark, baseRoot, head).toSet
     }
     val newState =
       if (!appendLineage) {
@@ -580,8 +733,12 @@ object Layout {
     val fs = fsOf(spark, root)
     val vs = snapshotVersions(spark, root)
     val (drop, retain) = vs.splitAt(math.max(0, vs.size - keep))
-    val keptFiles = retain.flatMap(manifestFiles(spark, root, _)).toSet
-    val deadFiles = drop.flatMap(manifestFiles(spark, root, _)).toSet -- keptFiles
+    // delete sidecars are references like any other: a kept version's
+    // sidecar must survive vacuum, a fully-unreferenced one is dead
+    def refs(v: Int) =
+      manifestFiles(spark, root, v) ++ manifestDeleteFiles(spark, root, v)
+    val keptFiles = retain.flatMap(refs).toSet
+    val deadFiles = drop.flatMap(refs).toSet -- keptFiles
     // manifests FIRST, then their files: a crash mid-vacuum must leave
     // only harmless orphan data files, never a listed-but-unreadable
     // version (files-first would strand manifests pointing at nothing)

@@ -2351,6 +2351,71 @@ object Relational {
       |FROM orders WHERE o_orderkey % 500 = 3
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** MERGE-ON-READ DELETE — the read-side sibling of q82's COW delete and
+    * the third member of the snapshot family's write taxonomy (q78 COW
+    * MERGE rewrites files, q82 COW DELETE rewrites files,
+    * [[Layout.snapshotDeleteMOR]] rewrites NOTHING): the deletion-request
+    * keys commit as a footer-pruned (file, key) sidecar in O(requests)
+    * with zero data I/O, and [[Layout.readSnapshot]] applies them as a
+    * broadcast anti-join over only the scoped files. The table exercises
+    * the full lifecycle the oracle must reproduce: v1 key-clustered
+    * orders, v2 MOR-deletes q82's churn shape (every 13th key in the
+    * bottom fifth), v3 RE-INSERTS a third of the deleted keys at half
+    * price — the re-inserted rows SURVIVE because the appended file is
+    * outside every sidecar's scope (per-(file,key) scoping = the
+    * time-ordered semantics deletion vectors give; an unscoped NOT-IN
+    * would wrongly kill them, which is exactly what the oracle equality
+    * certifies). `ScaleFeaturesSpec` covers the file-level half: the
+    * delete commit adds zero data files and leaves every data file
+    * byte-identical, time travel to v1 still shows the deleted keys, and
+    * compaction folds the sidecar away without changing the rows.
+    * 100 TB: delete latency is O(requests), not O(touched bytes) — the
+    * reason every latency-SLA deployment deletes MOR and compacts on a
+    * schedule; read-side debt is one broadcast anti-join over dirty
+    * files until then.
+    */
+  private def morTable(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
+    val base = t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("key"),
+        dec(col("o_totalprice")).cast("double").as("totalprice"))
+    val root = sessionRoot(sfDir, "mor")
+    if (Layout.snapshotVersions(spark, root).isEmpty) {
+      Layout.snapshotAppend(spark, root,
+        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")))
+      val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
+      val delKeys = base
+        .filter(col("key") % 13 === 1 && col("key") <= cutoff)
+        .select(col("key")).collect().map(_.getLong(0))
+      Layout.snapshotDeleteMOR(spark, root, "key", delKeys)
+      Layout.snapshotAppend(spark, root, base
+        .filter(col("key") % 13 === 1 && col("key") <= cutoff &&
+          col("key") % 3 === 0)
+        .select(col("key"), (col("totalprice") * 0.5).as("totalprice")))
+    }
+    root
+  }
+
+  def q88MorDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = morTable(spark, sfDir)
+    Layout.readSnapshot(spark, root).orderBy(col("key"))
+  }
+
+  val q88Sql: String =
+    """WITH cutoff AS (SELECT CAST(floor(max(o_orderkey) / 5) AS BIGINT) AS c FROM orders)
+      |SELECT key, totalprice FROM (
+      |  SELECT o_orderkey AS key,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 13 = 1 AND o_orderkey <= (SELECT c FROM cutoff))
+      |  UNION ALL
+      |  SELECT o_orderkey AS key,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0.5 AS totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 13 = 1 AND o_orderkey <= (SELECT c FROM cutoff)
+      |    AND o_orderkey % 3 = 0)
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** REFERENTIAL-INTEGRITY + CONSTRAINT AUDIT over the star schema — the
     * dbt-test / Deequ shape, and q75's schema-level sibling (q75 audits a
@@ -2987,6 +3052,7 @@ object Relational {
     "q82_targeted_delete" -> (q82TargetedDelete _),
     "q83_time_travel" -> (q83TimeTravel _),
     "q85_snapshot_cdf" -> (q85SnapshotCdf _),
+    "q88_mor_delete" -> (q88MorDelete _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3125,6 +3191,7 @@ object Relational {
     "q82_targeted_delete" -> q82Sql,
     "q83_time_travel" -> q83Sql,
     "q85_snapshot_cdf" -> q85Sql,
+    "q88_mor_delete" -> q88Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -479,6 +479,83 @@ class ScaleFeaturesSpec extends GraftSuite {
       case _ => ()
     }
   }
+
+  test("MOR delete: zero data I/O, scoped sidecar, time travel, re-insert survival, compaction folds the debt") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+    ops.Layout.snapshotAppend(spark, root,
+      orders.repartitionByRange(6, col("key")).sortWithinPartitions(col("key")))
+    def dataListing() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val filesV1 = dataListing()
+    val cutoff = orders.agg(max(col("key"))).head().getLong(0) / 5
+    val delKeys = orders.filter(col("key") % 13 === 1 && col("key") <= cutoff)
+      .select(col("key")).collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+    val v2 = ops.Layout.snapshotDeleteMOR(spark, root, "key", delKeys)
+    assert(v2 === 2)
+    // the delete wrote and rewrote ZERO data files — that's the MOR deal
+    assert(dataListing() === filesV1,
+      "MOR delete must not add or rewrite any data file")
+    // sidecar scope: range-localized churn on a clustered table touches a
+    // strict subset of files
+    val sidecar = spark.read.parquet(s"$root/deletes/v2")
+    val dirtyNames = sidecar.select(col("file")).distinct().count()
+    assert(dirtyNames > 0 && dirtyNames < filesV1.size,
+      s"expected scoped sidecar, got $dirtyNames of ${filesV1.size} files")
+    // read-side semantics: v2 = v1 minus the requested keys; v1 intact
+    val want2 = orders.filter(!(col("key") % 13 === 1 && col("key") <= cutoff))
+    val r2 = ops.Layout.readSnapshot(spark, root, 2)
+    assert(r2.exceptAll(want2).count() === 0 && want2.exceptAll(r2).count() === 0)
+    assert(ops.Layout.readSnapshot(spark, root, 1).count() === orders.count(),
+      "time travel to v1 must still see the deleted rows")
+    // RE-INSERT a deleted key: the appended file is outside the sidecar's
+    // scope, so the new row survives where an unscoped NOT-IN would kill it
+    val k = delKeys.min
+    import spark.implicits._
+    val v3 = ops.Layout.snapshotAppend(spark, root,
+      Seq((k, -1.0)).toDF("key", "price"))
+    val revived = ops.Layout.readSnapshot(spark, root, v3)
+      .filter(col("key") === k).collect()
+    assert(revived.map(_.getDouble(1)).toSeq === Seq(-1.0),
+      "re-inserted row must survive; the originally deleted row must not")
+    // CDF across the delete must NOT take the file fast path (file sets
+    // are equal there): row-level fallback, exact
+    val diff13 = ops.Layout.snapshotDiff(spark, root, 1, 3)
+    val want13 = ops.Layout.readSnapshot(spark, root, 3)
+      .exceptAll(ops.Layout.readSnapshot(spark, root, 1))
+    assert(diff13.exceptAll(want13).count() === 0 &&
+      want13.exceptAll(diff13).count() === 0)
+    // compaction folds the read-side debt: the new manifest carries no
+    // sidecar references and the rows are unchanged. Pin the pre-compaction
+    // rows: the later vacuum deletes v3's files, so a lazy plan over its
+    // manifest would dangle.
+    val before = ops.Layout.readSnapshot(spark, root).localCheckpoint()
+    val v4 = ops.Layout.snapshotCompact(spark, root, targetBytes = 1L << 22)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_manifests/v$v4.manifest")), "UTF-8")
+    assert(!manifest.contains("delete:"),
+      "compaction must publish a sidecar-free manifest")
+    val r4 = ops.Layout.readSnapshot(spark, root, v4)
+    assert(r4.exceptAll(before).count() === 0 && before.exceptAll(r4).count() === 0)
+    // vacuum to the folded head: the sidecar file itself is now
+    // unreferenced and must go; the head still reads exactly
+    ops.Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(!new java.io.File(s"$root/deletes/v2").exists() ||
+      new java.io.File(s"$root/deletes/v2").listFiles()
+        .forall(!_.getName.endsWith(".parquet")),
+      "vacuum must delete the unreferenced sidecar")
+    val rHead = ops.Layout.readSnapshot(spark, root)
+    assert(rHead.exceptAll(before).count() === 0 &&
+      before.exceptAll(rHead).count() === 0)
+  }
 }
 
 /** ST29: the snapshot layer as an exactly-once streaming table sink. */
@@ -585,5 +662,15 @@ class SnapshotIvmSpec extends GraftSuite {
       clusterBy = Seq(col("key")))
     assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 4)
     check("after compaction fallback")
+    // a MOR delete changes NO data file — the sidecar-set check must
+    // still force the fallback (sums can't subtract deletions), and the
+    // view must reflect the removed rows
+    val delKeys = ops.Layout.readSnapshot(spark, base)
+      .filter(col("key") % 50 === 1).select(col("key"))
+      .collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+    assert(ops.Layout.snapshotDeleteMOR(spark, base, "key", delKeys) === 5)
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 5)
+    check("after MOR delete fallback")
   }
 }
