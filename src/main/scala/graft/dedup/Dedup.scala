@@ -1593,6 +1593,92 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // ---------------------------------------------------------------- ST30
+  /** ST30: LIVE containment ingest gate — d23 STREAMED, closing the live
+    * dedup matrix (ST25 = near-dup/Jaccard live, this = doc-inside-doc
+    * live): each micro-batch is shingled per-row (corpus-independent),
+    * probed BOTH directions against the standing state — batch prefixes
+    * against the standing FULL inverted index (an arrival contained in
+    * the corpus) and the standing PREFIX index against the batch's full
+    * index (a standing doc contained in the fuller arrival) — plus the
+    * within-batch self probe, then appended to all three standing tables.
+    * State is the persisted index, not executor memory (restarts from
+    * disk); per-trigger cost is O(batch·|sh|) keys against standing
+    * append-only tables — d23's asymmetric probes, once per trigger.
+    * EXACTNESS CONTRACT (spec'd): an ordered containment pair (i→j)
+    * surfaces exactly once, in the micro-batch where the LATER of i, j
+    * arrives — the union of per-batch match lists over ANY batching of
+    * the corpus ≡ d10's full ordered-pair output, pair for pair
+    * (prefix-filter losslessness is d10's argument applied per side).
+    * EXACTLY-ONCE under replay: ST25's protocol verbatim — epoch-keyed
+    * overwrites, standing reads strictly before the current epoch.
+    */
+  def st30ContainmentGateBatch(spark: SparkSession, batch: DataFrame,
+      root: String, epoch: Long): DataFrame = {
+    val idxDir = s"$root/index"
+    val prefDir = s"$root/prefixes"
+    val shDir = s"$root/shingles"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(idxDir))
+    val docs = batch.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint()
+    val prefixLen = ((col("n") - col("n") % 10) / 10 + 1).cast("int")
+    val bPref = docs.select(col("doc_id").as("i"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
+    val bIdx = docs.select(col("doc_id").as("j"), explode(col("sh")).as("key"))
+    def standing(dir: String) =
+      if (hasState) Some(spark.read.parquet(dir).filter(col("e") < epoch).drop("e"))
+      else None
+    val selfCand = bPref.join(bIdx, Seq("key"))
+      .filter(col("i") =!= col("j")).select(col("i"), col("j"))
+    val cand = (standing(idxDir), standing(prefDir)) match {
+      case (Some(sIdx), Some(sPref)) =>
+        selfCand
+          .unionAll(bPref.join(sIdx, Seq("key")).select(col("i"), col("j")))
+          .unionAll(sPref.join(bIdx, Seq("key")).select(col("i"), col("j")))
+      case _ => selfCand
+    }
+    val store = docs.select(col("doc_id"), col("sh")).unionByName(
+      standing(shDir).getOrElse(
+        docs.select(col("doc_id"), col("sh")).where(lit(false))))
+    val matches = cand.distinct()
+      .join(store.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(store.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+          size(col("sh_i")))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+      .localCheckpoint() // pin BEFORE the writes mutate the standing dirs
+    bIdx.write.mode("overwrite").parquet(s"$idxDir/e=$epoch")
+    bPref.write.mode("overwrite").parquet(s"$prefDir/e=$epoch")
+    docs.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$shDir/e=$epoch")
+    matches
+  }
+
+  /** The streaming driver: file-source micro-batches through
+    * [[st30ContainmentGateBatch]]; matches land epoch-keyed (same
+    * overwrite-idempotence as the state tables).
+    */
+  def streamingContainmentIngest(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        st30ContainmentGateBatch(spark, batch, root, epoch)
+          .write.mode("overwrite").parquet(s"$root/matches/e=$epoch")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_incremental_containment" -> (d23IncrementalContainment _),
     "d21_substring_dedup" -> (d21SubstringDedup _),

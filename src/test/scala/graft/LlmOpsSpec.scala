@@ -2624,6 +2624,62 @@ class StreamingNearDupSpec extends GraftSuite {
   }
 }
 
+/** ST30 live containment ingest gate: streamed ≡ d10's full ordered-pair
+  * output over any batching, exactly once per pair.
+  */
+class StreamingContainmentSpec extends GraftSuite {
+
+  test("ST30: micro-batched containment gate emits every d10 ordered pair exactly once, both directions") {
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-st30").toString
+    // mod-3 split scatters container/containee across batches in BOTH
+    // arrival orders (the two asymmetric probe directions must both fire)
+    new java.io.File(s"$root/in").mkdirs()
+    (0 to 2).foreach { b =>
+      val dir = s"$root/stage_$b"
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$root/in/0$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      // FileStreamSource orders by mtime — pin it so file b IS epoch b
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val q = dedup.Dedup.streamingContainmentIngest(
+      spark, s"$root/in", docs.schema, root)
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$root/matches")
+      .select(col("i"), col("j"), col("containment"))
+    val batch = dedup.Dedup.d10Containment(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0,
+      "streamed gate emitted a pair d10 does not have (or twice)")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "streamed gate missed a d10 pair")
+    assert(streamed.count() === batch.count() && batch.count() > 0)
+    // both asymmetric directions really fired across batches: some pair
+    // has i arriving before j, some after
+    val pairs = streamed.select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cross = pairs.filter { case (i, j) => i % 3 != j % 3 }
+    assert(cross.exists { case (i, j) => i % 3 < j % 3 } &&
+      cross.exists { case (i, j) => i % 3 > j % 3 },
+      "expected cross-batch pairs in both arrival orders")
+    // CRASH-REPLAY idempotence (ST25's protocol): re-run epoch 1 —
+    // matches recompute identically, standing state does not grow
+    assert(spark.read.parquet(s"$root/shingles").count() === docs.count())
+    val e1 = spark.read.parquet(s"$root/matches/e=1")
+      .select(col("i"), col("j"), col("containment"))
+    val replayed = dedup.Dedup.st30ContainmentGateBatch(
+      spark, docs.filter(col("doc_id") % 3 === 1), root, 1L)
+    assert(replayed.exceptAll(e1).count() === 0 &&
+      e1.exceptAll(replayed).count() === 0,
+      "replayed epoch must recompute the identical match list")
+    assert(spark.read.parquet(s"$root/shingles").count() === docs.count(),
+      "replayed epoch must not grow the standing state")
+  }
+}
+
 /** m6 perceptual-hash near-dup: planted recovery, pigeonhole losslessness
   * vs a driver-side brute force, and the Decoder-injection contract.
   */
