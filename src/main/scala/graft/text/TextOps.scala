@@ -925,7 +925,91 @@ object TextOps {
   /** Oracle: t9's verbatim — bloom-prefilter + exact verify ≡ semi-join. */
   val t16Sql: String = t9Sql
 
+  // ---------------------------------------------------------------- t19
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al. 2023, the published target-domain data-selection gate):
+    * score every document by how much more likely its hashed n-gram
+    * features are under a TARGET domain's bag-of-ngrams model than under
+    * the RAW corpus's. Features are the portable word-3-gram shingle
+    * hashes bucketed mod [[DsirBuckets]] (the paper's hashed n-gram
+    * trick: a fixed-size model regardless of vocabulary); both
+    * distributions are Laplace-smoothed bucket frequencies; a doc's score
+    * is the length-normalized sum of per-bucket log-ratios
+    * λ_b = ln p_target(b) − ln p_raw(b), and `keep` is the score > 0 gate
+    * (the doc looks more target-like than raw-like). Target here: four
+    * of the twenty sources play the "trusted domain" (the spec asserts
+    * the weights actually separate them).
+    *
+    * Plan, 100 TB-first: pass 1 builds the MODEL — explode shingles,
+    * partial-agg per bucket (B = 4096 keys — the shuffle carries at most
+    * B rows per partition), collect λ as a 4096-double MODEL PARAMETER
+    * (the k×dim-centroid class of collect); pass 2 SCORES map-side: a
+    * codegen'd `aggregate` over each doc's shingle array indexing the
+    * broadcast λ literal — zero shuffle, zero join, per-row. Exactly the
+    * two-pass shape a 100 TB DSIR run wants: the model is tiny and
+    * global, the scoring is embarrassingly parallel.
+    * Parity: ln noise absorbed by round(4) over the per-doc mean (t5's
+    * argument); sums of identical doubles in different orders differ by
+    * ~1e-13·n, far under the rounding grain.
+    */
+  val DsirBuckets = 4096
+  val DsirTargets = Seq("src0", "src1", "src2", "src3")
+
+  def t19DsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = DsirBuckets
+    val isTarget = col("source").isin(DsirTargets.map(x => x: Any): _*)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), shingleHashes(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cnt = docs
+      .select(isTarget.as("tgt"), explode(col("sh")).as("h"))
+      .groupBy((col("h") % B).as("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("t"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("r"))
+      .collect().map(row => (row.getLong(0).toInt, row.getLong(1), row.getLong(2)))
+    val totT = cnt.map(_._2).sum
+    val totR = cnt.map(_._3).sum
+    val lam = Array.fill(B)(
+      math.log(1.0 / (totT + B)) - math.log(1.0 / (totR + B)))
+    cnt.foreach { case (b, ct, cr) =>
+      lam(b) = math.log((ct + 1.0) / (totT + B)) - math.log((cr + 1.0) / (totR + B))
+    }
+    val lamLit = typedlit(lam.toSeq)
+    docs
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .withColumn("dsir_score", round(
+        aggregate(col("sh"), lit(0.0),
+          (acc, h) => acc + element_at(lamLit, (h % B).cast("int") + 1)) /
+          col("n_sh"), 4) + lit(0.0))
+      .select(col("doc_id"), col("n_sh"), col("dsir_score"),
+        (col("dsir_score") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t19Sql: String = {
+    val B = DsirBuckets
+    val tgt = DsirTargets.map(s => s"'$s'").mkString("(", ", ", ")")
+    val ths = sqlTokenHashes("text")
+    s"""WITH docs AS (SELECT doc_id, source, ${sqlShingles("ths")} AS sh
+      |  FROM (SELECT doc_id, source, $ths AS ths FROM documents)),
+      |nz AS (SELECT doc_id, source, sh FROM docs WHERE len(sh) > 0),
+      |ex AS (SELECT doc_id, source, unnest(sh) % $B AS b FROM nz),
+      |cnt AS (SELECT b,
+      |    sum(CASE WHEN source IN $tgt THEN 1 ELSE 0 END) AS t,
+      |    sum(CASE WHEN source IN $tgt THEN 0 ELSE 1 END) AS r
+      |  FROM ex GROUP BY b),
+      |tot AS (SELECT sum(t) AS tt, sum(r) AS tr FROM cnt),
+      |lam AS (SELECT b, ln((t + 1.0) / (tt + $B.0)) - ln((r + 1.0) / (tr + $B.0)) AS lam
+      |  FROM cnt CROSS JOIN tot),
+      |sc AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_sh, sum(l.lam) AS s
+      |  FROM ex e JOIN lam l USING (b) GROUP BY e.doc_id)
+      |SELECT doc_id, n_sh, round(s / n_sh, 4) + 0.0 AS dsir_score,
+      |  (round(s / n_sh, 4) + 0.0) > 0.0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_dsir_weights" -> (t19DsirWeights _),
     "t18_normalize" -> (t18Normalize _),
     "t17_lm_score" -> (t17LmScore _),
     "t16_bloom_decontaminate" -> (t16BloomDecontaminate _),
@@ -946,6 +1030,7 @@ object TextOps {
     "t9_contamination" -> (t9Contamination _))
 
   val sql: Map[String, String] = Map(
+    "t19_dsir_weights" -> t19Sql,
     "t18_normalize" -> t18Sql,
     "t17_lm_score" -> t17Sql,
     "t16_bloom_decontaminate" -> t16Sql,

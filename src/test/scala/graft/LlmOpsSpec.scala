@@ -3220,6 +3220,39 @@ class LmScoreSpec extends GraftSuite {
   }
 }
 
+/** t19 DSIR importance weights: the hashed-ngram log-ratio model must
+  * actually separate the target domain, score every shingled doc, and
+  * stay deterministic across partitionings.
+  */
+class DsirSpec extends GraftSuite {
+
+  test("t19: target-source docs outscore the rest on average; every shingled doc scored; partition-invariant") {
+    val out = text.TextOps.t19DsirWeights(spark, sf)
+    val docs = Tables(spark, sf, "documents")
+    val joined = out.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
+    val isT = col("source")
+      .isin(text.TextOps.DsirTargets.map(x => x: Any): _*)
+    val Array(mT, mR) = joined
+      .agg(avg(when(isT, col("dsir_score"))),
+        avg(when(!isT, col("dsir_score"))))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(mT > mR + 0.01,
+      s"importance weights must separate the target domain: target mean $mT vs raw $mR")
+    // the score>0 gate is meaningfully selective in both directions
+    val kept = joined.filter(col("keep")).count()
+    assert(kept > 0 && kept < joined.count())
+    // every doc with at least one shingle is scored, none twice
+    val shingled = docs
+      .filter(size(graft.functions.shingleHashes(col("text"))) > 0).count()
+    assert(out.count() === shingled)
+    assert(out.select(col("doc_id")).distinct().count() === shingled)
+    // the model is a global reduction — scores can't depend on layout
+    val re = text.TextOps.t19DsirWeights(spark, sf)
+    assert(re.exceptAll(out).count() === 0 && out.exceptAll(re).count() === 0)
+  }
+}
+
 /** A10 KMV/theta sketch: exactness below k, bit-identical merge under
   * any partitioning, bounded distinct error, and working set algebra
   * (intersection/Jaccard) between segment sketches.
