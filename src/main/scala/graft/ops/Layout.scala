@@ -722,6 +722,77 @@ object Layout {
     head
   }
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE over TWO versioned tables — the
+    * classical bilinear delta rule (ΔV = ΔL ⋈ R_new ∪ L_old ⋈ ΔR, the
+    * textbook IVM identity for inner equi-joins) made exact by the
+    * snapshot layer: `L_old` is a TIME-TRAVEL read of the left table at
+    * the version the view last processed — not an approximation, the
+    * actual bytes — and the deltas come from the CDF
+    * ([[snapshotDeltasSince]]), so under append lineage on both sides a
+    * maintenance run joins O(new-left · right) + O(old-left · new-right)
+    * and scans none of the unchanged-×-unchanged quadrant. The
+    * decomposition L_new⋈R_new = V_old ⊎ ΔL⋈R_new ⊎ L_old⋈ΔR is a
+    * disjoint multiset partition, so the view appends ΔV and never
+    * retracts.
+    *
+    * The view is itself a snapshot table: one maintenance run is ONE
+    * append commit whose rows carry (base_l, base_r) — the same
+    * crash-atomic, re-runnable contract as [[maintainSumView]]. Broken
+    * lineage on EITHER side (overwrite/compaction/MOR delete — removals
+    * can't be handled by an append-only view) falls back to a full
+    * recompute published as an overwrite. Requires disjoint non-key
+    * schemas. Returns (leftHead, rightHead) now reflected.
+    * 100 TB: the common path's big side is the time-travel read, which
+    * shuffles once on the join key; with both tables bucketed on the key
+    * the deltas co-locate and the maintenance run is O(new bytes).
+    */
+  def maintainJoinView(spark: org.apache.spark.sql.SparkSession,
+      leftRoot: String, rightRoot: String, viewRoot: String,
+      key: String): (Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val lHead = snapshotVersions(spark, leftRoot).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $leftRoot"))
+    val rHead = snapshotVersions(spark, rightRoot).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $rightRoot"))
+    val viewVs = snapshotVersions(spark, viewRoot)
+    val (pL, pR) =
+      if (viewVs.isEmpty) (0, 0)
+      else {
+        val r = readSnapshot(spark, viewRoot)
+          .agg(max(col("base_l")), max(col("base_r"))).head()
+        (r.getInt(0), r.getInt(1))
+      }
+    if (pL == lHead && pR == rHead) return (lHead, rHead)
+    def appendLineage(root: String, processed: Int, head: Int): Boolean =
+      processed == head || (processed > 0 &&
+        manifestFiles(spark, root, processed).toSet
+          .subsetOf(manifestFiles(spark, root, head).toSet) &&
+        manifestDeleteFiles(spark, root, processed).toSet ==
+          manifestDeleteFiles(spark, root, head).toSet)
+    def deltas(root: String, since: Int, head: Int): DataFrame = {
+      val ds = snapshotDeltasSince(spark, root, since).map(_._2)
+      if (ds.isEmpty) readSnapshot(spark, root, head).where(lit(false))
+      else ds.reduce(_ unionByName _)
+    }
+    val stamp = (df: DataFrame) => df
+      .withColumn("base_l", lit(lHead)).withColumn("base_r", lit(rHead))
+    if (pL > 0 && appendLineage(leftRoot, pL, lHead) &&
+        appendLineage(rightRoot, pR, rHead)) {
+      val dL = deltas(leftRoot, pL, lHead)
+      val dR = deltas(rightRoot, pR, rHead)
+      val rNew = readSnapshot(spark, rightRoot, rHead)
+      val lOld = readSnapshot(spark, leftRoot, pL) // time travel IS L_old
+      val dV = dL.join(rNew, Seq(key))
+        .unionByName(lOld.join(dR, Seq(key)))
+      snapshotAppend(spark, viewRoot, stamp(dV))
+    } else {
+      val full = readSnapshot(spark, leftRoot, lHead)
+        .join(readSnapshot(spark, rightRoot, rHead), Seq(key))
+      snapshotOverwrite(spark, viewRoot, stamp(full))
+    }
+    (lHead, rHead)
+  }
+
   /** Retention: drop all but the newest `keep` versions and delete every
     * data file ONLY they referenced. The kept manifests' file sets are
     * never touched — vacuum can only invalidate time travel, never the

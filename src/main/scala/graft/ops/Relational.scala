@@ -2416,6 +2416,61 @@ object Relational {
       |    AND o_orderkey % 3 = 0)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — q80's IVM discipline lifted from
+    * a single-table rollup to the TWO-TABLE inner equi-join, driven by
+    * [[Layout.maintainJoinView]]'s bilinear delta rule (ΔV = ΔL ⋈ R_new ∪
+    * L_old ⋈ ΔR) with L_old read by TIME TRAVEL — the snapshot layer is
+    * what makes textbook IVM exact: the "old" relation is the actual
+    * committed version, not a bookkept shadow copy. The demo interleaves
+    * appends on BOTH sides (orders keyed by custkey arrive in two
+    * batches, customers in two batches) with a maintenance run after
+    * each commit, so both delta quadrants (new-orders × customers,
+    * old-orders × new-customers) really fire; the final view must equal
+    * the plain full join — any double-count or missed quadrant breaks
+    * the hash. The view only ever APPENDS deltas (the decomposition is a
+    * disjoint multiset partition); broken lineage falls back to a full
+    * recompute (spec'd in `SnapshotIvmSpec`).
+    * 100 TB: each run joins O(new bytes) against the other side and
+    * never re-reads the unchanged×unchanged quadrant — the difference
+    * between a nightly full join and a minutes-long incremental one.
+    */
+  private def ivmJoinView(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
+    val root = sessionRoot(sfDir, "ivmj")
+    val (lRoot, rRoot, vRoot) = (s"$root/L", s"$root/R", s"$root/V")
+    if (Layout.snapshotVersions(spark, vRoot).isEmpty) {
+      val L = t(spark, sfDir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+          dec(col("o_totalprice")).cast("double").as("price"))
+      val R = t(spark, sfDir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+      Layout.snapshotAppend(spark, lRoot, L.filter(col("okey") % 4 =!= 3))
+      Layout.snapshotAppend(spark, rRoot, R.filter(col("custkey") % 3 =!= 0))
+      Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+      Layout.snapshotAppend(spark, lRoot, L.filter(col("okey") % 4 === 3))
+      Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+      Layout.snapshotAppend(spark, rRoot, R.filter(col("custkey") % 3 === 0))
+      Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    }
+    vRoot
+  }
+
+  def q89IvmJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val vRoot = ivmJoinView(spark, sfDir)
+    Layout.readSnapshot(spark, vRoot)
+      .select(col("custkey"), col("okey"), col("price"),
+        col("acctbal"), col("segment"))
+      .orderBy(col("custkey"), col("okey"))
+  }
+
+  val q89Sql: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS okey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  c_acctbal AS acctbal, c_mktsegment AS segment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY custkey, okey""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** REFERENTIAL-INTEGRITY + CONSTRAINT AUDIT over the star schema — the
     * dbt-test / Deequ shape, and q75's schema-level sibling (q75 audits a
@@ -3053,6 +3108,7 @@ object Relational {
     "q83_time_travel" -> (q83TimeTravel _),
     "q85_snapshot_cdf" -> (q85SnapshotCdf _),
     "q88_mor_delete" -> (q88MorDelete _),
+    "q89_ivm_join" -> (q89IvmJoin _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3192,6 +3248,7 @@ object Relational {
     "q83_time_travel" -> q83Sql,
     "q85_snapshot_cdf" -> q85Sql,
     "q88_mor_delete" -> q88Sql,
+    "q89_ivm_join" -> q89Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -547,7 +547,99 @@ object Sampling {
       |ORDER BY r.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- a14
+  /** DSIR IMPORTANCE RESAMPLING — the "R" the t19 weights exist for
+    * (Xie et al. 2023): draw a fixed-size training subset WITHOUT
+    * replacement with probability ∝ exp(score/T), via the Gumbel-top-k
+    * identity (taking the k largest g_i = w_i/T − ln(−ln u_i) IS a
+    * without-replacement sample from softmax(w/T) — Vieira 2014's
+    * distributed-friendly form of weighted reservoir sampling): no
+    * sequential draws, no rejection loop, one key per doc. u_i is the
+    * DETERMINISTIC scrambled hash of doc_id mapped into (0,1) open on
+    * both ends, so the sample is a reproducible artifact (a9's contract)
+    * and the oracle replays it exactly; g rounds to 6 decimals (ln-noise
+    * grain, t5's argument) with doc_id tie-break.
+    *
+    * The top-k itself is a12's TWO-PHASE DISTRIBUTED RANK, not a global
+    * single-partition window: g quantizes into ordered bands (monotone
+    * in g, so band-major order ≡ g order; the oracle's plain global
+    * row_number certifies the equivalence), rank = exclusive band-count
+    * cumsum (a ≤[[A14Bands]]-row broadcast) + within-band row_number
+    * over bounded partitions. k = ⌊n/5⌋ (select the best fifth).
+    * 100 TB: scoring is t19's zero-shuffle pass; the rank adds one
+    * bounded-partition window + one tiny aggregate — never a full-corpus
+    * single-task sort.
+    */
+  val A14Bands = 128
+  val A14Temp = 0.5
+
+  def a14DsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.text.TextOps.t19DsirWeights(spark, sfDir)
+      .select(col("doc_id"), col("dsir_score"))
+    val uB = 1000000000L
+    val u = (hashBucket(col("doc_id").cast("string"), uB.toInt) + lit(1L))
+      .cast("double") / lit((uB + 2).toDouble)
+    val keyed = scored
+      .withColumn("g",
+        round(col("dsir_score") / A14Temp - log(-log(u)), 6) + lit(0.0))
+      // ordered coarse bands: floor is weakly monotone in g (subtraction
+      // and doubling are order-preserving in doubles), which is all the
+      // band-major rank needs — within a band the window re-orders by g
+      .withColumn("band", least(greatest(
+        floor((lit(32.0) - col("g")) * 2.0), lit(0.0)),
+        lit((A14Bands - 1).toDouble)).cast("int"))
+      .localCheckpoint() // score+key once: rank branch and offsets both read it
+    val k = keyed.count() / 5
+    val wIn = Window.partitionBy(col("band"))
+      .orderBy(col("g").desc, col("doc_id"))
+    val wBand = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("band"))
+      .agg(count(lit(1)).as("band_n"))
+      .withColumn("offset", coalesce(sum(col("band_n")).over(wBand), lit(0L)))
+      .select(col("band"), col("offset"))
+    keyed
+      .withColumn("rk", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("band"))
+      .withColumn("rank", (col("offset") + col("rk")).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("dsir_score"), col("g").as("gumbel_key"),
+        col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val a14Sql: String = {
+    import graft.text.TextOps.{DsirBuckets => B, DsirTargets}
+    val tgt = DsirTargets.map(s => s"'$s'").mkString("(", ", ", ")")
+    val ths = sqlTokenHashes("text")
+    val u = s"(${sqlHashBucket("CAST(doc_id AS VARCHAR)", 1000000000)} + 1) / 1000000002.0"
+    s"""WITH docs AS (SELECT doc_id, source, ${sqlShingles("ths")} AS sh
+      |  FROM (SELECT doc_id, source, $ths AS ths FROM documents)),
+      |nz AS (SELECT doc_id, source, sh FROM docs WHERE len(sh) > 0),
+      |ex AS (SELECT doc_id, source, unnest(sh) % $B AS b FROM nz),
+      |cnt AS (SELECT b,
+      |    sum(CASE WHEN source IN $tgt THEN 1 ELSE 0 END) AS t,
+      |    sum(CASE WHEN source IN $tgt THEN 0 ELSE 1 END) AS r
+      |  FROM ex GROUP BY b),
+      |tot AS (SELECT sum(t) AS tt, sum(r) AS tr FROM cnt),
+      |lam AS (SELECT b, ln((t + 1.0) / (tt + $B.0)) - ln((r + 1.0) / (tr + $B.0)) AS lam
+      |  FROM cnt CROSS JOIN tot),
+      |sc AS (SELECT e.doc_id, round(sum(l.lam) / count(*), 4) + 0.0 AS dsir_score
+      |  FROM ex e JOIN lam l USING (b) GROUP BY e.doc_id),
+      |keyed AS (SELECT doc_id, dsir_score,
+      |    round(dsir_score / $A14Temp - ln(-ln($u)), 6) + 0.0 AS g
+      |  FROM sc),
+      |ranked AS (SELECT doc_id, dsir_score, g,
+      |    CAST(row_number() OVER (ORDER BY g DESC, doc_id) AS BIGINT) AS rank
+      |  FROM keyed)
+      |SELECT doc_id, dsir_score, g AS gumbel_key, rank
+      |FROM ranked
+      |WHERE rank <= (SELECT count(*) // 5 FROM sc)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_dsir_resample" -> (a14DsirResample _),
     "a13_quota_sample" -> (a13QuotaSample _),
     "a12_token_budget_mix" -> (a12TokenBudgetMix _),
     "a11_temporal_split" -> (a11TemporalSplit _),
@@ -560,6 +652,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a14_dsir_resample" -> a14Sql,
     "a13_quota_sample" -> a13Sql,
     "a12_token_budget_mix" -> a12Sql,
     "a11_temporal_split" -> a11Sql,

@@ -3251,6 +3251,36 @@ class DsirSpec extends GraftSuite {
     val re = text.TextOps.t19DsirWeights(spark, sf)
     assert(re.exceptAll(out).count() === 0 && out.exceptAll(re).count() === 0)
   }
+
+  test("a14: banded distributed Gumbel-top-k equals the brute-force global rank, exactly n/5 rows") {
+    val sel = ops.Sampling.a14DsirResample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    val n = text.TextOps.t19DsirWeights(spark, sf).count()
+    assert(sel.length === (n / 5).toInt && sel.length > 0)
+    // brute force: recompute every doc's gumbel key driver-side from the
+    // same deterministic hash and scores, globally sort, take k — the
+    // band-major two-phase rank must agree exactly, ranks included
+    val scores = text.TextOps.t19DsirWeights(spark, sf)
+      .select(col("doc_id"), col("dsir_score"),
+        graft.functions.hashBucket(col("doc_id").cast("string"), 1000000000)
+          .as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = scores.map { case (id, s, b) =>
+      val u = (b + 1).toDouble / 1000000002.0
+      val g = BigDecimal(s / ops.Sampling.A14Temp - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      (id, g)
+    }.sortBy { case (id, g) => (-g, id) }
+      .take((n / 5).toInt).zipWithIndex
+      .map { case ((id, g), i) => (id, g, (i + 1).toLong) }
+    assert(sel.map(t => (t._1, t._3)).sortBy(_._1).toSeq ===
+      brute.map(t => (t._1, t._3)).sortBy(_._1).toSeq,
+      "banded rank must equal the global brute-force rank")
+    // resampling is reproducible (a9's artifact contract)
+    val re = ops.Sampling.a14DsirResample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(re.toSeq === sel.toSeq)
+  }
 }
 
 /** A10 KMV/theta sketch: exactness below k, bit-identical merge under

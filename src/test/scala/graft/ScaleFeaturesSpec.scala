@@ -673,4 +673,62 @@ class SnapshotIvmSpec extends GraftSuite {
     assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 5)
     check("after MOR delete fallback")
   }
+
+  test("maintainJoinView: delta rule exact through interleaved appends, no-op reruns, and lineage-break fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivmj").toString
+    val (lRoot, rRoot, vRoot) = (s"$dir/L", s"$dir/R", s"$dir/V")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"))
+    val cust = Tables(spark, sf, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    def check(tag: String): Unit = {
+      val want = ops.Layout.readSnapshot(spark, lRoot)
+        .join(ops.Layout.readSnapshot(spark, rRoot), Seq("custkey"))
+      val got = ops.Layout.readSnapshot(spark, vRoot)
+        .select(col("custkey"), col("okey"), col("acctbal"))
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"$tag: view diverged from the full join")
+    }
+    // initial full build
+    ops.Layout.snapshotAppend(spark, lRoot, orders.filter(col("okey") % 4 === 0))
+    ops.Layout.snapshotAppend(spark, rRoot, cust.filter(col("custkey") % 3 === 1))
+    assert(ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey") === ((1, 1)))
+    check("initial build")
+    // left-only delta (ΔL ⋈ R quadrant)
+    ops.Layout.snapshotAppend(spark, lRoot, orders.filter(col("okey") % 4 === 1))
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    check("left delta")
+    // right-only delta (L_old ⋈ ΔR quadrant)
+    ops.Layout.snapshotAppend(spark, rRoot, cust.filter(col("custkey") % 3 === 2))
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    check("right delta")
+    // BOTH sides advanced before one run: all three delta quadrants at once
+    ops.Layout.snapshotAppend(spark, lRoot, orders.filter(col("okey") % 4 === 2))
+    ops.Layout.snapshotAppend(spark, rRoot, cust.filter(col("custkey") % 3 === 0))
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    check("both-sides delta")
+    // the incremental runs really appended (never overwrote) the view
+    assert(ops.Layout.snapshotVersions(spark, vRoot).size === 4)
+    val vFiles = ops.Layout.readSnapshot(spark, vRoot).inputFiles.toSet
+    ops.Layout.snapshotVersions(spark, vRoot).dropRight(1).foreach { v =>
+      val old = ops.Layout.readSnapshot(spark, vRoot, v).inputFiles.toSet
+      assert(old.subsetOf(vFiles), "view lineage must be append-only")
+    }
+    // no-op rerun publishes nothing
+    val before = ops.Layout.snapshotVersions(spark, vRoot)
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    assert(ops.Layout.snapshotVersions(spark, vRoot) === before)
+    // a MOR delete on the right breaks append lineage → full-recompute
+    // fallback, view reflects the removals
+    val delKeys = cust.filter(col("custkey") % 10 === 1)
+      .select(col("custkey")).collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+    ops.Layout.snapshotDeleteMOR(spark, rRoot, "custkey", delKeys)
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    check("after right-side MOR delete fallback")
+    // last append (okey % 4 === 3): incremental again after the fallback
+    ops.Layout.snapshotAppend(spark, lRoot, orders.filter(col("okey") % 4 === 3))
+    ops.Layout.maintainJoinView(spark, lRoot, rRoot, vRoot, "custkey")
+    check("incremental after fallback")
+  }
 }
