@@ -722,6 +722,38 @@ object Layout {
     head
   }
 
+  /** ZERO-COPY SHALLOW CLONE — Delta/Iceberg's `CLONE`: commit a v1
+    * manifest at `dstRoot` that REFERENCES the source version's data
+    * files (and delete sidecars) without copying a byte. The clone is a
+    * full read-write table from birth: subsequent appends/deletes/
+    * compactions at the clone write their own files under its root and
+    * never touch the source (divergence is free); the source evolves
+    * independently. The one production caveat every shallow-clone
+    * implementation documents, preserved here honestly: VACUUM at the
+    * SOURCE can delete files a clone still references (vacuum is
+    * per-root and listing-based) — retention policy must outlive clones,
+    * or the clone must be deep-copied (compacted) first. `snapshotCompact`
+    * on the clone is exactly that escape hatch: after it, the clone
+    * references only its own files.
+    * 100 TB: clone cost is ONE manifest write — O(files) text, zero data
+    * I/O — which is why test/dev environments clone production tables
+    * instead of copying them. Returns the clone's version (always 1).
+    */
+  def snapshotClone(spark: org.apache.spark.sql.SparkSession,
+      srcRoot: String, dstRoot: String, srcVersion: Int = -1): Int = {
+    val vs = snapshotVersions(spark, srcRoot)
+    require(vs.nonEmpty, s"no snapshots at $srcRoot")
+    val v = if (srcVersion < 0) vs.last else srcVersion
+    require(vs.contains(v), s"version $v not in $vs")
+    require(snapshotVersions(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already has snapshots")
+    commitManifest(spark, dstRoot, 1, manifestFiles(spark, srcRoot, v),
+      header = manifestHeader(spark, srcRoot, v).view
+        .filterKeys(_ == "deleteKey").toMap,
+      deletes = manifestDeleteFiles(spark, srcRoot, v))
+    1
+  }
+
   /** INCREMENTAL JOIN-VIEW MAINTENANCE over TWO versioned tables — the
     * classical bilinear delta rule (ΔV = ΔL ⋈ R_new ∪ L_old ⋈ ΔR, the
     * textbook IVM identity for inner equi-joins) made exact by the
@@ -791,6 +823,40 @@ object Layout {
       snapshotOverwrite(spark, viewRoot, stamp(full))
     }
     (lHead, rHead)
+  }
+
+  /** ST31: STREAMING MAINTAINED VIEW — the end-to-end incremental
+    * pipeline every lakehouse deployment actually runs, composed from
+    * parts that are each exactly-once: stream → versioned base table
+    * ([[snapshotAppendIdempotent]], ST29's idempotent epoch commit) →
+    * incrementally maintained rollup ([[maintainSumView]], one
+    * crash-atomic view commit per advance). The composition needs NO new
+    * transaction machinery: a replayed epoch no-ops at the base commit,
+    * and the maintainer is deterministic from (view state, base CDF) —
+    * if it already reflects the head it publishes nothing, if its last
+    * run crashed pre-commit it recomputes the identical commit. So the
+    * view is exactly-once end to end under any crash/replay interleaving
+    * (spec replays an epoch body and re-runs maintenance cold).
+    * 100 TB: per trigger O(batch) append + O(batch + groups) maintenance
+    * — the view lags the stream by at most one trigger, at incremental
+    * price; a nightly full rollup touches the whole table instead.
+    */
+  def streamingMaintainedView(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, schema: org.apache.spark.sql.types.StructType,
+      baseRoot: String, viewRoot: String, groupCol: String,
+      valCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val wid = writerToken(spark, s"$baseRoot/ckpt")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        snapshotAppendIdempotent(spark, baseRoot, batch, epoch, writerId = wid)
+        maintainSumView(spark, baseRoot, viewRoot, groupCol, valCol)
+        ()
+      }
+      .option("checkpointLocation", s"$baseRoot/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 
   /** Retention: drop all but the newest `keep` versions and delete every

@@ -2416,6 +2416,57 @@ object Relational {
       |    AND o_orderkey % 3 = 0)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** ZERO-COPY SHALLOW CLONE + DIVERGENCE — [[Layout.snapshotClone]]'s
+    * read contract: the clone of the q83/q85 versioned table costs one
+    * manifest write (zero data I/O — `ScaleFeaturesSpec` asserts no data
+    * file is copied), then DIVERGES with its own append while the source
+    * stays byte-identical. The query emits both tables side-tagged; the
+    * oracle reconstructs each lineage independently, so the equality
+    * certifies isolation in both directions — the clone sees the
+    * source's full history at clone time plus only its own append, the
+    * source never sees the clone's rows. This is the test/dev-clone
+    * workflow every lakehouse sells (clone prod, experiment, throw away)
+    * priced at metadata.
+    */
+  private def cloneTable(spark: SparkSession, sfDir: String): String = {
+    val src = snapTable(spark, sfDir)
+    val cloneRoot = sessionRoot(sfDir, "clone")
+    baseBuildLock.synchronized {
+      if (Layout.snapshotVersions(spark, cloneRoot).isEmpty) {
+        Layout.snapshotClone(spark, src, cloneRoot)
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("totalprice"))
+        Layout.snapshotAppend(spark, cloneRoot,
+          base.filter(col("key") % 700 === 5)
+            .select((col("key") + 40000000L).as("key"), col("totalprice")))
+      }
+    }
+    cloneRoot
+  }
+
+  def q90ShallowClone(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = snapTable(spark, sfDir)
+    val clone = cloneTable(spark, sfDir)
+    Layout.readSnapshot(spark, clone).withColumn("side", lit("clone"))
+      .unionByName(
+        Layout.readSnapshot(spark, src).withColumn("side", lit("src")))
+      .select(col("side"), col("key"), col("totalprice"))
+      .orderBy(col("side"), col("key"))
+  }
+
+  val q90Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |  FROM orders),
+      |src AS (SELECT key, totalprice FROM base
+      |  UNION ALL SELECT key + 20000000, totalprice FROM base WHERE key % 500 = 3)
+      |SELECT 'clone' AS side, key, totalprice FROM src
+      |UNION ALL SELECT 'clone', key + 40000000, totalprice FROM base WHERE key % 700 = 5
+      |UNION ALL SELECT 'src', key, totalprice FROM src
+      |ORDER BY side, key""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** INCREMENTAL JOIN-VIEW MAINTENANCE — q80's IVM discipline lifted from
     * a single-table rollup to the TWO-TABLE inner equi-join, driven by
@@ -3109,6 +3160,7 @@ object Relational {
     "q85_snapshot_cdf" -> (q85SnapshotCdf _),
     "q88_mor_delete" -> (q88MorDelete _),
     "q89_ivm_join" -> (q89IvmJoin _),
+    "q90_shallow_clone" -> (q90ShallowClone _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3249,6 +3301,7 @@ object Relational {
     "q85_snapshot_cdf" -> q85Sql,
     "q88_mor_delete" -> q88Sql,
     "q89_ivm_join" -> q89Sql,
+    "q90_shallow_clone" -> q90Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

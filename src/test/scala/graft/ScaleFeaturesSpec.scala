@@ -480,6 +480,46 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
   }
 
+  test("shallow clone: zero data copy, divergence isolated both ways, compaction detaches from the source") {
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-clsrc").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-cldst").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    ops.Layout.snapshotAppend(spark, srcRoot, orders.repartition(3))
+    def files(root: String) = {
+      def walk(d: java.io.File): Seq[String] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d.getPath)
+      val data = new java.io.File(s"$root/data")
+      if (data.exists()) walk(data).filter(_.endsWith(".parquet")).toSet
+      else Set.empty[String]
+    }
+    assert(ops.Layout.snapshotClone(spark, srcRoot, dstRoot) === 1)
+    // the clone wrote no data files — manifest-only
+    assert(files(dstRoot).isEmpty, "clone must not copy data files")
+    val r = ops.Layout.readSnapshot(spark, dstRoot)
+    assert(r.exceptAll(orders).count() === 0 && orders.exceptAll(r).count() === 0)
+    // divergence: clone append invisible at source, source append
+    // invisible at clone
+    import spark.implicits._
+    ops.Layout.snapshotAppend(spark, dstRoot, Seq((900000001L, "C")).toDF("key", "status"))
+    ops.Layout.snapshotAppend(spark, srcRoot, Seq((900000002L, "S")).toDF("key", "status"))
+    assert(ops.Layout.readSnapshot(spark, dstRoot)
+      .filter(col("key") === 900000002L).count() === 0)
+    assert(ops.Layout.readSnapshot(spark, srcRoot)
+      .filter(col("key") === 900000001L).count() === 0)
+    // the documented caveat's escape hatch: compaction detaches the
+    // clone — afterwards it references only files under its own root
+    val before = ops.Layout.readSnapshot(spark, dstRoot).localCheckpoint()
+    ops.Layout.snapshotCompact(spark, dstRoot, targetBytes = 1L << 22)
+    val own = ops.Layout.readSnapshot(spark, dstRoot).inputFiles
+    assert(own.nonEmpty && own.forall(f =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(dstRoot)),
+      "post-compaction clone must own all its files")
+    val after = ops.Layout.readSnapshot(spark, dstRoot)
+    assert(after.exceptAll(before).count() === 0 &&
+      before.exceptAll(after).count() === 0)
+  }
+
   test("MOR delete: zero data I/O, scoped sidecar, time travel, re-insert survival, compaction folds the debt") {
     val root = java.nio.file.Files.createTempDirectory("graft-mor").toString
     val orders = Tables(spark, sf, "orders")
@@ -615,6 +655,62 @@ class StreamingSnapshotSinkSpec extends GraftSuite {
     assert(ops.Layout.snapshotVersions(spark, root) === Seq(1, 2, 3),
       "uncommitted data must not surface as a version")
     assert(ops.Layout.readSnapshot(spark, root).count() === docs.count())
+  }
+}
+
+/** ST31: the end-to-end streaming maintained view — exactly-once from
+  * file stream through versioned base table to incremental rollup.
+  */
+class StreamingMaintainedViewSpec extends GraftSuite {
+  test("ST31: per-epoch view advances track the base exactly; epoch replay and cold re-maintenance are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st31").toString
+    val (baseRoot, viewRoot) = (s"$dir/base", s"$dir/view")
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("price"))
+    new java.io.File(s"$dir/in").mkdirs()
+    (0 to 2).foreach { b =>
+      val stage = s"$dir/stage_$b"
+      orders.filter(col("key") % 3 === b).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$dir/in/0$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val q = ops.Layout.streamingMaintainedView(spark, s"$dir/in",
+      orders.schema, baseRoot, viewRoot, "status", "price")
+    q.awaitTermination(180000)
+    // incremental folds add partial sums in a different order than one
+    // full scan — compare at round(4), far above the ~1e-9 ulp drift and
+    // far below any real divergence
+    def viewNow() = ops.Layout.readSnapshot(spark, viewRoot)
+      .select(col("status"), round(col("sum_v"), 4).as("sum_v"), col("n"))
+    def want() = ops.Layout.readSnapshot(spark, baseRoot)
+      .groupBy(col("status"))
+      .agg(round(sum(col("price")), 4).as("sum_v"), count(lit(1)).as("n"))
+    assert(ops.Layout.snapshotVersions(spark, baseRoot) === Seq(1, 2, 3))
+    assert(viewNow().exceptAll(want()).count() === 0 &&
+      want().exceptAll(viewNow()).count() === 0,
+      "final view must equal the full rollup of the streamed table")
+    // every epoch advanced the view incrementally (3 view commits, each
+    // stamped with the base version it reflects)
+    assert(ops.Layout.snapshotVersions(spark, viewRoot).size === 3)
+    assert(ops.Layout.readSnapshot(spark, viewRoot)
+      .agg(max(col("base_version"))).head().getInt(0) === 3)
+    // crash-replay of epoch 1's whole foreachBatch body (same writer
+    // token): base commit no-ops, maintenance no-ops — nothing changes
+    val token = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$baseRoot/ckpt/graft-writer-id")), "UTF-8").trim
+    val baseBefore = ops.Layout.snapshotVersions(spark, baseRoot)
+    val viewBefore = ops.Layout.snapshotVersions(spark, viewRoot)
+    ops.Layout.snapshotAppendIdempotent(spark, baseRoot,
+      orders.filter(col("key") % 3 === 1), 1L, writerId = token)
+    ops.Layout.maintainSumView(spark, baseRoot, viewRoot, "status", "price")
+    assert(ops.Layout.snapshotVersions(spark, baseRoot) === baseBefore)
+    assert(ops.Layout.snapshotVersions(spark, viewRoot) === viewBefore,
+      "replayed epoch must not publish a view version")
   }
 }
 
