@@ -45,8 +45,15 @@ object Bloom {
     * h2 ≡ 0 (k collapsed positions → locally worse FPP) — harmless: no
     * false negatives either way, and build/probe share the expression.
     */
-  private def positions(item: Column): Column = {
-    val m = lit(MBits.toLong)
+  private def positions(item: Column): Column = positionsFor(item, MBits)
+
+  /** [[positions]] at an explicit geometry — the per-FILE bloom index
+    * ([[graft.ops.Layout.bloomIndexWrite]]) sizes m to the file row
+    * count instead of this object's bounded-set default (parquet's own
+    * column bloom filters parameterize identically, by expected NDV).
+    */
+  def positionsFor(item: Column, mBits: Int): Column = {
+    val m = lit(mBits.toLong)
     val h1 = pmod(xxhash64(item), m)
     val h2 = pmod(xxhash64(item, lit(Seed2)), m)
     transform(sequence(lit(0), lit(K - 1)), i =>

@@ -190,6 +190,92 @@ object Layout {
     CowMergeStats(ranges.size, touched.map(_._1), untouched.map(_._1))
   }
 
+  // ------------------------------------------------------- bloom file index
+  /** PER-FILE BLOOM SKIPPING INDEX — file skipping for point lookups on a
+    * HIGH-CARDINALITY, UNCLUSTERED column, the case footer min/max can't
+    * touch (under a hash layout every file's [min,max] spans the whole
+    * keyspace and range pruning keeps everything): one [[graft.functions.Bloom]]
+    * per data file, built in a single partial-aggregated pass
+    * (`input_file_name` → k bit masks → `bit_or` per (file, word)) and
+    * persisted as an `_`-prefixed sidecar directory Spark's file listing
+    * ignores. A lookup evaluates the probe keys' bit positions through
+    * the SAME Catalyst expression the build used (agreement by
+    * construction — one 1-row job), tests each file's bits driver-side
+    * (manifest-grade metadata: [[BloomIndexBits]]/8 bytes per file), and
+    * scans ONLY candidate files; no false negatives makes the result
+    * exactly the full filter's (q91's oracle), false positives cost one
+    * wasted file scan. Files missing from the index count as candidates —
+    * pruning stays conservative, like [[fileKeyRanges]]' no-stats rule.
+    * Geometry: m = 2^17 bits/file, k = 5 → FPP ≈ 0.3% at 10k rows/file;
+    * size m to expected rows-per-file like parquet's own column blooms.
+    * 100 TB: the index is O(files·16 KiB) — petabyte table, gigabyte
+    * index — and a point lookup reads O(true hits + FPP·files) files
+    * instead of every file; build cost is one scan of the indexed column.
+    */
+  val BloomIndexBits: Int = 1 << 17
+
+  private def bloomIdxDir(path: String, keyCol: String) =
+    s"$path/_bloomidx_$keyCol"
+
+  def bloomIndexWrite(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, mBits: Int = BloomIndexBits): Unit = {
+    import graft.functions.Bloom
+    spark.read.parquet(path)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        explode(Bloom.positionsFor(col(keyCol), mBits)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
+      .write.mode("overwrite").parquet(bloomIdxDir(path, keyCol))
+  }
+
+  /** Point/IN-list lookup through the index: returns the filtered rows
+    * (≡ `WHERE keyCol IN values` on the full table) plus which files were
+    * scanned, for the pruning assertion.
+    */
+  case class BloomLookup(result: DataFrame, scannedFiles: Seq[String],
+      totalFiles: Int)
+
+  def bloomIndexLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, values: Seq[Long],
+      mBits: Int = BloomIndexBits): BloomLookup = {
+    import graft.functions.Bloom
+    import spark.implicits._
+    require(values.nonEmpty, "empty probe set")
+    // the probe keys' bit positions via the build's own expression
+    val probePos: Array[Seq[Long]] = values.toDF("v")
+      .select(Bloom.positionsFor(col("v"), mBits).as("ps"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("ps").toSeq)
+    val idx: Map[String, Map[Int, Long]] =
+      spark.read.parquet(bloomIdxDir(path, keyCol))
+        .collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    def mightContain(words: Map[Int, Long], ps: Seq[Long]): Boolean =
+      ps.forall { p =>
+        (words.getOrElse((p / 64).toInt, 0L) & (1L << (p % 64).toInt)) != 0L
+      }
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val all = dir.getFileSystem(hconf).listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    val candidates = all.filter { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      idx.get(name) match {
+        case Some(words) => probePos.exists(ps => mightContain(words, ps))
+        case None => true // unindexed file: conservative, scan it
+      }
+    }
+    val probe = values.toDF("__graft_probe")
+    val base = spark.read.parquet(path)
+    val result =
+      if (candidates.isEmpty) base.where(lit(false))
+      else spark.read.parquet(candidates: _*)
+        .join(broadcast(probe), col(keyCol) === col("__graft_probe"), "left_semi")
+    BloomLookup(result, candidates, all.size)
+  }
+
   // ------------------------------------------------------------ snapshots
   /** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL + VACUUM — the
     * metadata layer that turns a directory of parquet files into a

@@ -2416,6 +2416,54 @@ object Relational {
       |    AND o_orderkey % 3 = 0)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** BLOOM-INDEXED POINT LOOKUP — the file-skipping case footer min/max
+    * CANNOT serve: the base table is written HASH-laid-out (every file's
+    * key range spans the whole keyspace — range pruning keeps all files;
+    * exactly how an ingest-ordered table looks to a late point query),
+    * and [[Layout.bloomIndexWrite]]'s per-file blooms recover the skipping:
+    * the probe keys (every o_orderkey ≡ 1 mod 7919 — a handful of point
+    * lookups) test each file's 16 KiB bloom driver-side and only
+    * candidate files are scanned ([[Layout.BloomLookup]] reports the
+    * pruning; `ScaleFeaturesSpec` asserts candidates ≪ files and result
+    * ≡ the full-scan filter). No false negatives ⇒ the oracle is the
+    * plain WHERE-filter, verbatim semantics.
+    */
+  private def bloomBase(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
+    val root = sessionRoot(sfDir, "bloomidx")
+    val dataDir = s"$root/orders"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir))) {
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("key"),
+          dec(col("o_totalprice")).cast("double").as("totalprice"),
+          col("o_orderstatus").as("status"))
+        .repartition(8) // hash layout: overlapping ranges, min/max useless
+        .write.mode("overwrite").parquet(dataDir)
+      Layout.bloomIndexWrite(spark, dataDir, "key")
+    }
+    dataDir
+  }
+
+  def q91BloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dataDir = bloomBase(spark, sfDir)
+    val keys = t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7919 === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
+    Layout.bloomIndexLookup(spark, dataDir, "key", keys)
+      .result
+      .select(col("key"), col("totalprice"), col("status"))
+      .orderBy(col("key"))
+  }
+
+  val q91Sql: String =
+    """SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  o_orderstatus AS status
+      |FROM orders WHERE o_orderkey % 7919 = 1
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q90
   /** ZERO-COPY SHALLOW CLONE + DIVERGENCE — [[Layout.snapshotClone]]'s
     * read contract: the clone of the q83/q85 versioned table costs one
@@ -3161,6 +3209,7 @@ object Relational {
     "q88_mor_delete" -> (q88MorDelete _),
     "q89_ivm_join" -> (q89IvmJoin _),
     "q90_shallow_clone" -> (q90ShallowClone _),
+    "q91_bloom_lookup" -> (q91BloomLookup _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3302,6 +3351,7 @@ object Relational {
     "q88_mor_delete" -> q88Sql,
     "q89_ivm_join" -> q89Sql,
     "q90_shallow_clone" -> q90Sql,
+    "q91_bloom_lookup" -> q91Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -480,6 +480,38 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
   }
 
+  test("bloom file index prunes a hash layout that min/max cannot, with zero false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    orders.repartition(8).write.mode("overwrite").parquet(dir)
+    // hash layout really defeats range pruning: every file spans ~the
+    // whole keyspace, so min/max overlap for any probe key
+    val ranges = ops.Layout.fileKeyRanges(spark, dir, "key")
+    val (gmn, gmx) = (ranges.map(_._2).min, ranges.map(_._3).max)
+    val mid = (gmn + gmx) / 2
+    assert(ranges.forall { case (_, mn, mx) => mn <= mid && mid <= mx },
+      "hash layout should give every file an overlapping range")
+    ops.Layout.bloomIndexWrite(spark, dir, "key")
+    // single-key lookups: exactly the owning file (+ rare FP) scans
+    val keys = orders.filter(col("key") % 701 === 3)
+      .select(col("key")).collect().map(_.getLong(0)).toSeq
+    assert(keys.nonEmpty)
+    val one = ops.Layout.bloomIndexLookup(spark, dir, "key", Seq(keys.head))
+    assert(one.totalFiles === 8)
+    assert(one.scannedFiles.size < one.totalFiles,
+      s"bloom must prune: scanned ${one.scannedFiles.size} of ${one.totalFiles}")
+    // no false negatives: the multi-key lookup equals the full filter
+    val multi = ops.Layout.bloomIndexLookup(spark, dir, "key", keys)
+    val want = orders.filter(col("key").isin(keys: _*))
+    assert(multi.result.select(col("key"), col("status")).exceptAll(want).count() === 0 &&
+      want.exceptAll(multi.result.select(col("key"), col("status"))).count() === 0)
+    // a key absent from the table scans (almost) nothing and returns none
+    val miss = ops.Layout.bloomIndexLookup(spark, dir, "key", Seq(gmx + 999999L))
+    assert(miss.result.count() === 0)
+    assert(miss.scannedFiles.size < miss.totalFiles)
+  }
+
   test("shallow clone: zero data copy, divergence isolated both ways, compaction detaches from the source") {
     val srcRoot = java.nio.file.Files.createTempDirectory("graft-clsrc").toString
     val dstRoot = java.nio.file.Files.createTempDirectory("graft-cldst").toString
