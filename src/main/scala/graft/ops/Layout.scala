@@ -449,7 +449,14 @@ object Layout {
     require(vs.contains(v), s"version $v not in $vs")
     val files = manifestFiles(spark, root, v)
     val dels = manifestDeleteFiles(spark, root, v)
-    if (dels.isEmpty) return spark.read.parquet(files: _*)
+    // SCHEMA EVOLUTION: a version's schema is the union of its files'
+    // schemas (appends may ADD columns; rows from pre-evolution files
+    // read the new columns as null; drops/renames are overwrite-class
+    // operations). mergeSchema prices this at one footer per file —
+    // manifest-grade planning metadata; conflicting types fail loudly.
+    def read(fs: Seq[String]) =
+      spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    if (dels.isEmpty) return read(files)
     val keyCol = manifestHeader(spark, root, v).getOrElse("deleteKey",
       throw new IllegalStateException(
         s"v$v carries delete sidecars but no #deleteKey header"))
@@ -465,18 +472,21 @@ object Layout {
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
     val (dirtyFiles, cleanFiles) = files.partition(f => dirty.contains(baseName(f)))
     val cleanDf =
-      if (cleanFiles.isEmpty) spark.read.parquet(files: _*).where(lit(false))
-      else spark.read.parquet(cleanFiles: _*)
+      if (cleanFiles.isEmpty) read(files).where(lit(false))
+      else read(cleanFiles)
     val dirtyDf =
       if (dirtyFiles.isEmpty) cleanDf.where(lit(false))
-      else spark.read.parquet(dirtyFiles: _*)
+      else read(dirtyFiles)
         .withColumn("__graft_file",
           element_at(split(input_file_name(), "/"), -1))
         .join(broadcast(side),
           col("__graft_file") === col("__graft_del_file") &&
             col(keyCol) === col("__graft_del_key"), "left_anti")
         .drop("__graft_file")
-    cleanDf.unionByName(dirtyDf)
+    // schema evolution can leave the clean/dirty halves with different
+    // column sets (old files lack added columns) — align on names,
+    // missing columns read null
+    cleanDf.unionByName(dirtyDf, allowMissingColumns = true)
   }
 
   /** MERGE-ON-READ DELETE — the O(deleted keys) commit every

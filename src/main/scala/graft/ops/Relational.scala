@@ -2416,6 +2416,52 @@ object Relational {
       |    AND o_orderkey % 3 = 0)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** SNAPSHOT SCHEMA EVOLUTION — additive column evolution on the
+    * versioned table (the ALTER TABLE ADD COLUMN every long-lived
+    * deployment performs without rewriting history): v2 appends rows
+    * carrying a NEW `channel` column; `readSnapshot` unions file schemas
+    * (one footer per file — manifest-grade), so pre-evolution rows read
+    * the added column as NULL and post-evolution rows carry their
+    * values — while TIME TRAVEL to v1 still shows the original narrow
+    * schema (spec'd: the old version's contract is immutable, columns
+    * included). Drops/renames are overwrite-class operations by design;
+    * type conflicts fail loudly at the parquet merge.
+    * 100 TB: evolution costs zero data I/O — no backfill rewrite of
+    * petabytes of history, the whole point of additive evolution.
+    */
+  private def evoTable(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
+    val root = sessionRoot(sfDir, "evo")
+    if (Layout.snapshotVersions(spark, root).isEmpty) {
+      val base = t(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("key"),
+          dec(col("o_totalprice")).cast("double").as("totalprice"))
+      Layout.snapshotAppend(spark, root, base.repartition(4))
+      Layout.snapshotAppend(spark, root, base.filter(col("key") % 400 === 7)
+        .select((col("key") + 50000000L).as("key"), col("totalprice"),
+          concat(lit("ch"), (col("key") % 3).cast("string")).as("channel")))
+    }
+    root
+  }
+
+  def q92SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = evoTable(spark, sfDir)
+    Layout.readSnapshot(spark, root)
+      .select(col("key"), col("totalprice"), col("channel"))
+      .orderBy(col("key"))
+  }
+
+  val q92Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+      |  FROM orders)
+      |SELECT key, totalprice, CAST(NULL AS VARCHAR) AS channel FROM base
+      |UNION ALL
+      |SELECT key + 50000000 AS key, totalprice,
+      |  'ch' || CAST(key % 3 AS VARCHAR) AS channel
+      |FROM base WHERE key % 400 = 7
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q91
   /** BLOOM-INDEXED POINT LOOKUP — the file-skipping case footer min/max
     * CANNOT serve: the base table is written HASH-laid-out (every file's
@@ -3210,6 +3256,7 @@ object Relational {
     "q89_ivm_join" -> (q89IvmJoin _),
     "q90_shallow_clone" -> (q90ShallowClone _),
     "q91_bloom_lookup" -> (q91BloomLookup _),
+    "q92_schema_evolution" -> (q92SchemaEvolution _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3352,6 +3399,7 @@ object Relational {
     "q89_ivm_join" -> q89Sql,
     "q90_shallow_clone" -> q90Sql,
     "q91_bloom_lookup" -> q91Sql,
+    "q92_schema_evolution" -> q92Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -480,6 +480,35 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
   }
 
+  test("schema evolution: additive columns read null on old rows; time travel keeps the narrow schema; MOR still applies") {
+    val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    ops.Layout.snapshotAppend(spark, root, orders.repartition(2))
+    ops.Layout.snapshotAppend(spark, root,
+      orders.filter(col("key") % 100 === 9)
+        .select((col("key") + 7000000L).as("key"), col("status"),
+          lit(42L).as("extra")))
+    val head = ops.Layout.readSnapshot(spark, root)
+    assert(head.columns.toSeq === Seq("key", "status", "extra"))
+    assert(head.filter(col("key") < 7000000L && col("extra").isNotNull).count() === 0,
+      "pre-evolution rows must read the added column as null")
+    assert(head.filter(col("extra") === 42L).count() ===
+      orders.filter(col("key") % 100 === 9).count())
+    // time travel: v1's schema contract is immutable
+    assert(ops.Layout.readSnapshot(spark, root, 1).columns.toSeq ===
+      Seq("key", "status"))
+    // MOR delete on the evolved table: both halves (old narrow files,
+    // new wide files) align by name and the delete applies
+    val delKeys = orders.filter(col("key") % 100 === 9)
+      .select(col("key") + 7000000L).collect().map(_.getLong(0)).take(5)
+    ops.Layout.snapshotDeleteMOR(spark, root, "key", delKeys)
+    val after = ops.Layout.readSnapshot(spark, root)
+    assert(after.columns.toSeq === Seq("key", "status", "extra"))
+    assert(after.filter(col("key").isin(delKeys: _*)).count() === 0)
+    assert(after.count() === head.count() - delKeys.length)
+  }
+
   test("bloom file index prunes a hash layout that min/max cannot, with zero false negatives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloomidx").toString
     val orders = Tables(spark, sf, "orders")
