@@ -818,6 +818,55 @@ object Layout {
     head
   }
 
+  /** COPY-ON-WRITE MERGE AS A SNAPSHOT COMMIT — `MERGE INTO` on the
+    * versioned table, closing the loop between the COW engine
+    * ([[cowMerge]]'s footer-pruned targeted rewrite) and the manifest
+    * layer: touched files (key-range overlap with the changelog keys)
+    * are rewritten through `rewrite` into the new version's own data
+    * directory; UNTOUCHED files are CARRIED BY REFERENCE — zero copy,
+    * byte-identical on disk, exactly how Delta/Iceberg publish a MERGE.
+    * The pre-merge version stays time-travelable; readers never see a
+    * half-merged table (the manifest commit is the atomic cutover).
+    * Precondition: the table carries no delete sidecars (compact first —
+    * a rewrite that ignored sidecars would resurrect deleted rows; the
+    * require makes that impossible rather than wrong).
+    * `rewrite` sees ONLY the touched rows and must return their merged
+    * replacement (matched updates + unmatched-changelog inserts);
+    * soundness of the touched/untouched split is [[cowMerge]]'s argument
+    * verbatim. Returns the committed version.
+    * 100 TB: merge I/O is O(touched bytes) + one manifest write; with a
+    * key-clustered layout a localized changelog touches O(changed
+    * bytes), not O(table).
+    */
+  def snapshotMerge(spark: org.apache.spark.sql.SparkSession, root: String,
+      keyCol: String, matchKeys: Array[Long],
+      rewrite: DataFrame => DataFrame): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    require(manifestDeleteFiles(spark, root, base).isEmpty,
+      "table carries MOR delete sidecars; snapshotCompact before MERGE")
+    val files = manifestFiles(spark, root, base)
+    val sorted = matchKeys.distinct.sorted
+    def overlaps(mn: Long, mx: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val at = if (i >= 0) i else -i - 1
+      at < sorted.length && sorted(at) <= mx
+    }
+    val ranges = fileKeyRangesOf(spark, files, keyCol)
+    val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
+    val v = base + 1
+    val dataDir = s"$root/data/v$v"
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
+      else spark.read.option("mergeSchema", "true").parquet(touched.map(_._1): _*)
+    rewrite(touchedDf).write.mode("error").parquet(dataDir)
+    commitManifest(spark, root, v,
+      untouched.map(_._1) ++ listDataFiles(spark, dataDir))
+    v
+  }
+
   /** ZERO-COPY SHALLOW CLONE — Delta/Iceberg's `CLONE`: commit a v1
     * manifest at `dstRoot` that REFERENCES the source version's data
     * files (and delete sidecars) without copying a byte. The clone is a

@@ -2416,6 +2416,72 @@ object Relational {
       |    AND o_orderkey % 3 = 0)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** MERGE INTO the versioned table — [[Layout.snapshotMerge]]: q78's
+    * footer-pruned COW merge published AS A SNAPSHOT COMMIT, the form a
+    * production table actually runs (q78 demonstrates the engine on a
+    * bare directory; here untouched files are carried BY REFERENCE into
+    * the new version's manifest, the rewrite lands in the version's own
+    * data directory, the commit is the atomic cutover, and the pre-merge
+    * version stays time-travelable — `ScaleFeaturesSpec` asserts the
+    * carried files are the same paths byte-identical and the old version
+    * still reads exactly). The changelog is q78's shape (range-localized
+    * updates at +10%, brand-new inserted keys); the rewrite returns the
+    * TABLE schema (a MERGE mutates the table, it does not annotate it).
+    * 100 TB: O(touched bytes) rewrite + one manifest write; the merge
+    * never blocks readers and never loses history.
+    */
+  private def smergeTable(spark: SparkSession, sfDir: String): String = baseBuildLock.synchronized {
+    val root = sessionRoot(sfDir, "smerge")
+    if (Layout.snapshotVersions(spark, root).isEmpty) {
+      val base = t(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("key"),
+          dec(col("o_totalprice")).cast("double").as("totalprice"),
+          col("o_orderstatus").as("status"))
+      Layout.snapshotAppend(spark, root,
+        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")))
+      val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
+      val changes = base
+        .filter(col("key") % 7 === 0 && col("key") <= cutoff)
+        .select(col("key").as("c_key"), (col("totalprice") * 1.1).as("c_price"),
+          lit("U").as("c_status"))
+        .unionAll(base.filter(col("key") % 1000 === 3)
+          .select((col("key") + 10000000L).as("c_key"),
+            col("totalprice").as("c_price"), lit("N").as("c_status")))
+        .localCheckpoint() // key collect + rewrite both read it
+      val matchKeys = changes.select(col("c_key")).collect().map(_.getLong(0))
+      Layout.snapshotMerge(spark, root, "key", matchKeys,
+        touched => touched
+          .join(changes, col("key") === col("c_key"), "full_outer")
+          .select(coalesce(col("key"), col("c_key")).as("key"),
+            coalesce(col("c_price"), col("totalprice")).as("totalprice"),
+            coalesce(col("c_status"), col("status")).as("status")))
+    }
+    root
+  }
+
+  def q93SnapshotMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = smergeTable(spark, sfDir)
+    Layout.readSnapshot(spark, root).orderBy(col("key"))
+  }
+
+  val q93Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  o_orderstatus AS status FROM orders),
+      |cutoff AS (SELECT CAST(floor(max(key) / 5) AS BIGINT) AS c FROM base),
+      |changes AS (
+      |  SELECT key AS c_key, totalprice * 1.1 AS c_price, 'U' AS c_status
+      |  FROM base WHERE key % 7 = 0 AND key <= (SELECT c FROM cutoff)
+      |  UNION ALL
+      |  SELECT key + 10000000 AS c_key, totalprice AS c_price, 'N' AS c_status
+      |  FROM base WHERE key % 1000 = 3)
+      |SELECT coalesce(key, c_key) AS key,
+      |  coalesce(c_price, totalprice) AS totalprice,
+      |  coalesce(c_status, status) AS status
+      |FROM base FULL OUTER JOIN changes ON key = c_key
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q92
   /** SNAPSHOT SCHEMA EVOLUTION — additive column evolution on the
     * versioned table (the ALTER TABLE ADD COLUMN every long-lived
@@ -3257,6 +3323,7 @@ object Relational {
     "q90_shallow_clone" -> (q90ShallowClone _),
     "q91_bloom_lookup" -> (q91BloomLookup _),
     "q92_schema_evolution" -> (q92SchemaEvolution _),
+    "q93_snapshot_merge" -> (q93SnapshotMerge _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3400,6 +3467,7 @@ object Relational {
     "q90_shallow_clone" -> q90Sql,
     "q91_bloom_lookup" -> q91Sql,
     "q92_schema_evolution" -> q92Sql,
+    "q93_snapshot_merge" -> q93Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -480,6 +480,54 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
   }
 
+  test("snapshotMerge: untouched files carried by reference, history readable, sidecar precondition enforced") {
+    val root = java.nio.file.Files.createTempDirectory("graft-smerge").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    ops.Layout.snapshotAppend(spark, root,
+      orders.repartitionByRange(6, col("key")).sortWithinPartitions(col("key")))
+    def listing() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val filesV1 = listing()
+    val cutoff = orders.agg(max(col("key"))).head().getLong(0) / 5
+    val changes = orders.filter(col("key") % 9 === 2 && col("key") <= cutoff)
+      .select(col("key").as("c_key"), lit("M").as("c_status"))
+      .localCheckpoint()
+    val keys = changes.select(col("c_key")).collect().map(_.getLong(0))
+    val v2 = ops.Layout.snapshotMerge(spark, root, "key", keys,
+      touched => touched.join(changes, col("key") === col("c_key"), "full_outer")
+        .select(coalesce(col("key"), col("c_key")).as("key"),
+          coalesce(col("c_status"), col("status")).as("status")))
+    assert(v2 === 2)
+    // untouched v1 files: same paths, byte-identical, REFERENCED by v2
+    val after = listing()
+    filesV1.foreach { case (p, sig) =>
+      assert(after(p) === sig, s"merge rewrote or removed base file $p") }
+    val v2Files = ops.Layout.readSnapshot(spark, root, 2).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val carried = filesV1.keySet.filter(v2Files.contains)
+    assert(carried.nonEmpty && carried.size < filesV1.size,
+      s"expected a proper subset carried by reference: ${carried.size}/${filesV1.size}")
+    // result ≡ the all-shuffle merge; v1 still reads exactly
+    val want = orders.join(changes, col("key") === col("c_key"), "full_outer")
+      .select(coalesce(col("key"), col("c_key")).as("key"),
+        coalesce(col("c_status"), col("status")).as("status"))
+    val got = ops.Layout.readSnapshot(spark, root, 2)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    val r1 = ops.Layout.readSnapshot(spark, root, 1)
+    assert(r1.exceptAll(orders).count() === 0 && orders.exceptAll(r1).count() === 0)
+    // a MOR-deleted table refuses to merge (sidecars would be ignored)
+    ops.Layout.snapshotDeleteMOR(spark, root, "key", Array(keys.head))
+    intercept[IllegalArgumentException] {
+      ops.Layout.snapshotMerge(spark, root, "key", keys, identity)
+    }
+  }
+
   test("schema evolution: additive columns read null on old rows; time travel keeps the narrow schema; MOR still applies") {
     val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
     val orders = Tables(spark, sf, "orders")

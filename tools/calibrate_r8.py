@@ -27,6 +27,11 @@ TARGETS = [
     "d21_substring_dedup", "q82_targeted_delete", "q83_time_travel",
     "s16_ann_sq8", "s17_mmr_rerank", "st10_drift_monitor",
     "a13_quota_sample", "t17_lm_score",
+    # round-8 session-3 additions (lakehouse + DSIR + incremental dedup)
+    "d23_incremental_containment", "q86_integrity_audit", "q87_scd2_pit",
+    "m7_phash_clusters", "q88_mor_delete", "q89_ivm_join",
+    "t19_dsir_weights", "a14_dsir_resample", "q90_shallow_clone",
+    "q91_bloom_lookup", "q92_schema_evolution",
 ]
 
 
