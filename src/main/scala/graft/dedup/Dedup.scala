@@ -1593,6 +1593,92 @@ object Dedup {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // ---------------------------------------------------------------- d24
+  /** DEDUP REGISTRY AS AN INCREMENTALLY-MAINTAINED VIEW — d1's exact
+    * content-hash dedup riding the snapshot layer's CDF (the poll-based
+    * twin of ST25's streamed gate, and the form a scheduled curation job
+    * runs): the registry (text_hash → keep_id, n_copies) is a snapshot
+    * table maintained from the versioned corpus's deltas. Both partials
+    * are MERGEABLE (min-merge for keep_id, sum for n_copies), so under
+    * append lineage a maintenance run prices at O(new bytes + registry)
+    * and the result is EXACTLY the full recompute — d1's oracle SQL
+    * verbatim certifies the final registry after three interleaved
+    * appends. Broken lineage (compaction / MOR delete — a removal can't
+    * be subtracted from a count) falls back to one full scan, the
+    * [[graft.ops.Layout.maintainSumView]] contract. Crash-atomic the
+    * same way: one registry commit per advance, stamped `base_version`.
+    * 100 TB: the registry shuffles 32-char hashes, never documents; the
+    * daily delta maintenance replaces the full-corpus GROUP BY re-run.
+    */
+  private val dedupViewLock = new Object
+
+  def maintainDedupRegistry(spark: SparkSession, baseRoot: String,
+      viewRoot: String): Int = {
+    import graft.ops.Layout
+    val baseVs = Layout.snapshotVersions(spark, baseRoot)
+    require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
+    val head = baseVs.last
+    val viewVs = Layout.snapshotVersions(spark, viewRoot)
+    val processed =
+      if (viewVs.isEmpty) 0
+      else Layout.readSnapshot(spark, viewRoot)
+        .agg(max(col("base_version"))).head().getInt(0)
+    if (processed == head) return head
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val newState =
+      if (!(processed > 0 &&
+          Layout.snapshotAppendLineage(spark, baseRoot, processed, head))) {
+        rollup(Layout.readSnapshot(spark, baseRoot, head))
+      } else {
+        val delta = rollup(Layout.snapshotDeltasSince(spark, baseRoot, processed)
+          .map(_._2).reduce(_ unionByName _))
+        Layout.readSnapshot(spark, viewRoot)
+          .select(col("text_hash"), col("keep_id").as("old_keep"),
+            col("n_copies").as("old_n"))
+          .join(delta, Seq("text_hash"), "full_outer")
+          .select(col("text_hash"),
+            least(col("old_keep"), col("keep_id"))
+              .as("keep_id"), // least() skips nulls: min-merge of partials
+            (coalesce(col("old_n"), lit(0L)) +
+              coalesce(col("n_copies"), lit(0L))).as("n_copies"))
+      }
+    Layout.snapshotOverwrite(spark, viewRoot,
+      newState.withColumn("base_version", lit(head)))
+    head
+  }
+
+  /** d24's driver demo: the d1 corpus (documents ∪ their +1e6-shifted
+    * copies) arrives as THREE appends to a versioned table, the registry
+    * maintains after each; the final registry ≡ d1's one-shot GROUP BY —
+    * the oracle is d1's SQL verbatim.
+    */
+  def d24DedupRegistryView(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = graft.ops.Relational.sessionRoot(sfDir, "dedupv")
+    val (baseRoot, viewRoot) = (s"$root/base", s"$root/registry")
+    dedupViewLock.synchronized {
+      if (Layout.snapshotVersions(spark, viewRoot).isEmpty) {
+        val docs = Tables(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val corpus = docs.unionAll(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Seq(0, 1, 2).foreach { b =>
+          Layout.snapshotAppend(spark, baseRoot,
+            corpus.filter(col("doc_id") % 3 === b))
+          maintainDedupRegistry(spark, baseRoot, viewRoot)
+        }
+      }
+    }
+    Layout.readSnapshot(spark, viewRoot)
+      .select(col("keep_id"), col("n_copies"), col("text_hash"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Oracle: d1's verbatim — incremental min/sum merges ≡ one GROUP BY. */
+  val d24Sql: String = d1Sql
+
   // ---------------------------------------------------------------- ST30
   /** ST30: LIVE containment ingest gate — d23 STREAMED, closing the live
     * dedup matrix (ST25 = near-dup/Jaccard live, this = doc-inside-doc
@@ -1681,6 +1767,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d23_incremental_containment" -> (d23IncrementalContainment _),
+    "d24_dedup_registry_view" -> (d24DedupRegistryView _),
     "d21_substring_dedup" -> (d21SubstringDedup _),
     "d20_semantic_dedup" -> (d20SemanticDedup _),
     "d19_edit_dedup_auto" -> (d19EditDedupAuto _),
@@ -1707,6 +1794,7 @@ object Dedup {
     // the auto-switch picks a blocking, never changes the contract — the
     // oracle is the same brute force both arms share
     "d23_incremental_containment" -> d23Sql,
+    "d24_dedup_registry_view" -> d24Sql,
     "d21_substring_dedup" -> d21Sql,
     "d20_semantic_dedup" -> d20Sql,
     "d19_edit_dedup_auto" -> d15Sql,

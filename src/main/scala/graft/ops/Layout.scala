@@ -746,6 +746,21 @@ object Layout {
     }
   }
 
+  /** Append-only lineage test between two versions: every `from` data
+    * file still referenced at `to` AND no delete-sidecar change (a MOR
+    * delete removes rows without touching data files). This is the
+    * precondition every merge-only incremental maintainer checks before
+    * trusting the CDF deltas ([[maintainSumView]], [[maintainJoinView]],
+    * the dedup registry).
+    */
+  def snapshotAppendLineage(spark: org.apache.spark.sql.SparkSession,
+      root: String, from: Int, to: Int): Boolean =
+    from == to || (from > 0 &&
+      manifestFiles(spark, root, from).toSet
+        .subsetOf(manifestFiles(spark, root, to).toSet) &&
+      manifestDeleteFiles(spark, root, from).toSet ==
+        manifestDeleteFiles(spark, root, to).toSet)
+
   /** INCREMENTAL MATERIALIZED VIEW over a versioned table — q80's
     * mergeable-partial discipline driven by the CDF ([[snapshotDeltasSince]])
     * instead of a hand-fed delta batch: maintain a per-group (sum, count)
@@ -786,14 +801,8 @@ object Layout {
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(col(groupCol))
       .agg(sum(col(valCol).cast("double")).as("sum_v"), count(lit(1)).as("n"))
-    val appendLineage = processed > 0 && {
-      val from = manifestFiles(spark, baseRoot, processed).toSet
-      // MOR deletes are removals too: unchanged data files with a grown
-      // sidecar set is NOT append lineage (sums can't subtract deletions)
-      from.subsetOf(manifestFiles(spark, baseRoot, head).toSet) &&
-        manifestDeleteFiles(spark, baseRoot, processed).toSet ==
-          manifestDeleteFiles(spark, baseRoot, head).toSet
-    }
+    val appendLineage = processed > 0 &&
+      snapshotAppendLineage(spark, baseRoot, processed, head)
     val newState =
       if (!appendLineage) {
         // overwrite in the lineage (or first run): one full head scan
@@ -941,11 +950,8 @@ object Layout {
       }
     if (pL == lHead && pR == rHead) return (lHead, rHead)
     def appendLineage(root: String, processed: Int, head: Int): Boolean =
-      processed == head || (processed > 0 &&
-        manifestFiles(spark, root, processed).toSet
-          .subsetOf(manifestFiles(spark, root, head).toSet) &&
-        manifestDeleteFiles(spark, root, processed).toSet ==
-          manifestDeleteFiles(spark, root, head).toSet)
+      processed == head ||
+        (processed > 0 && snapshotAppendLineage(spark, root, processed, head))
     def deltas(root: String, since: Int, head: Int): DataFrame = {
       val ds = snapshotDeltasSince(spark, root, since).map(_._2)
       if (ds.isEmpty) readSnapshot(spark, root, head).where(lit(false))

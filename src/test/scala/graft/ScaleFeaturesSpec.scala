@@ -879,6 +879,50 @@ class SnapshotIvmSpec extends GraftSuite {
     check("after MOR delete fallback")
   }
 
+  test("d24 dedup registry: incremental min/sum merges equal the full d1 rollup at every step; MOR delete forces fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d24").toString
+    val (baseRoot, viewRoot) = (s"$dir/base", s"$dir/registry")
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def check(tag: String): Unit = {
+      val want = ops.Layout.readSnapshot(spark, baseRoot)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      val got = ops.Layout.readSnapshot(spark, viewRoot)
+        .select(col("text_hash"), col("keep_id"), col("n_copies"))
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"$tag: registry diverged from the full rollup")
+    }
+    // duplicates arrive across DIFFERENT appends (the shifted copy in a
+    // later batch than its original) — the min-merge must still pick the
+    // original's id
+    ops.Layout.snapshotAppend(spark, baseRoot, docs)
+    dedup.Dedup.maintainDedupRegistry(spark, baseRoot, viewRoot)
+    check("originals only")
+    ops.Layout.snapshotAppend(spark, baseRoot,
+      corpus.filter(col("doc_id") >= 1000000L && col("doc_id") % 2 === 0))
+    dedup.Dedup.maintainDedupRegistry(spark, baseRoot, viewRoot)
+    check("half the copies")
+    ops.Layout.snapshotAppend(spark, baseRoot,
+      corpus.filter(col("doc_id") >= 1000000L && col("doc_id") % 2 === 1))
+    dedup.Dedup.maintainDedupRegistry(spark, baseRoot, viewRoot)
+    check("all copies")
+    // every duplicated hash counts 2 and keeps the ORIGINAL (un-shifted) id
+    val reg = ops.Layout.readSnapshot(spark, viewRoot)
+    assert(reg.filter(col("n_copies") === 2).count() === docs.count())
+    assert(reg.filter(col("keep_id") >= 1000000L).count() === 0,
+      "min-merge must keep the original id even when the copy arrived later")
+    // MOR delete on the base removes rows — counts can't subtract, so the
+    // maintainer must fall back and still be exact
+    val delKeys = corpus.filter(col("doc_id") % 97 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+    ops.Layout.snapshotDeleteMOR(spark, baseRoot, "doc_id", delKeys)
+    dedup.Dedup.maintainDedupRegistry(spark, baseRoot, viewRoot)
+    check("after MOR delete fallback")
+  }
+
   test("maintainJoinView: delta rule exact through interleaved appends, no-op reruns, and lineage-break fallback") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivmj").toString
     val (lRoot, rRoot, vRoot) = (s"$dir/L", s"$dir/R", s"$dir/V")
