@@ -363,7 +363,12 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(msDir(root),
       s".v$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
-    val body = (header.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+    // every commit is wall-clock stamped (AS OF timestamp reads resolve
+    // against it); callers may pin an explicit ts for reproducible tables
+    val stamped =
+      if (header.contains("ts")) header
+      else header + ("ts" -> System.currentTimeMillis().toString)
+    val body = (stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
       deletes.map(d => s"delete:$d") ++ files).mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
@@ -487,6 +492,34 @@ object Layout {
     // column sets (old files lack added columns) — align on names,
     // missing columns read null
     cleanDf.unionByName(dirtyDf, allowMissingColumns = true)
+  }
+
+  /** Commit timestamps of every version, ascending — the `#ts` header
+    * each commit stamps (0 for pre-stamping manifests: always eligible,
+    * the conservative reading for AS OF).
+    */
+  def snapshotTimestamps(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[(Int, Long)] =
+    snapshotVersions(spark, root).map { v =>
+      v -> manifestHeader(spark, root, v).get("ts").map(_.toLong).getOrElse(0L)
+    }
+
+  /** TIMESTAMP time travel — `AS OF <ts>` resolved against the commit
+    * stamps: the LATEST version whose commit time is ≤ `tsMillis` (ties
+    * resolve to the later version, the "state the table had at t"
+    * reading). Throws if `tsMillis` predates the first commit — there
+    * was no table then, and silently serving the first version would
+    * misreport history. Commit stamps are the writer's wall clock, the
+    * same contract (and the same skew caveat) every table format
+    * documents for its timestamp syntax; version pins remain the exact
+    * form.
+    */
+  def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, tsMillis: Long): DataFrame = {
+    val eligible = snapshotTimestamps(spark, root).filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"AS OF $tsMillis predates the first commit at $root")
+    readSnapshot(spark, root, eligible.last._1)
   }
 
   /** MERGE-ON-READ DELETE — the O(deleted keys) commit every

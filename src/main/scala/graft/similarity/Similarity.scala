@@ -1028,6 +1028,89 @@ object Similarity {
   /** Oracle: the full-corpus rebuild — append ≡ rebuild is the contract. */
   val s12Sql: String = s8Sql
 
+  // ---------------------------------------------------------------- s19
+  /** ANN INDEX AS A MAINTAINED VIEW — s12's nightly-append contract
+    * driven by the snapshot layer's CDF instead of a hand-fed batch (the
+    * d24 pattern applied to the ANN family, and the form a scheduled
+    * index-maintenance job actually takes): the residual-IVF-PQ index is
+    * ITSELF a snapshot table advanced from the versioned corpus's
+    * deltas. The model stays FROZEN at the first version (the coarse
+    * seeds live in v1 — s12's frozen-model argument verbatim), so
+    * append-lineage maintenance encodes ONLY the delta vectors
+    * (per-row literal expression tree, O(new bytes)) and appends them;
+    * broken lineage (MOR delete / compaction — the index must not serve
+    * deleted vectors) re-encodes the head in one pass and overwrites.
+    * Search runs over the view exactly as over a hand-built index; the
+    * oracle is s8's FULL-REBUILD SQL verbatim — maintained ≡ rebuilt,
+    * row for row, after three interleaved appends.
+    * 100 TB: the nightly job reads O(new bytes), the index table
+    * vacuums/compacts like any snapshot table, and crash-atomicity is
+    * the manifest commit — no bespoke index-build orchestration.
+    */
+  private val annViewLock = new Object
+
+  def maintainAnnIndex(spark: SparkSession, baseRoot: String,
+      indexRoot: String): Int = {
+    import graft.ops.Layout
+    val baseVs = Layout.snapshotVersions(spark, baseRoot)
+    require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
+    val head = baseVs.last
+    val viewVs = Layout.snapshotVersions(spark, indexRoot)
+    val processed =
+      if (viewVs.isEmpty) 0
+      else Layout.readSnapshot(spark, indexRoot)
+        .agg(max(col("base_version"))).head().getInt(0)
+    if (processed == head) return head
+    // frozen model: the coarse seeds are v1 rows by contract
+    val cents = stubCentroids(Layout.readSnapshot(spark, baseRoot, 1))
+    require(cents.size == NLists,
+      s"v1 must carry the $NLists coarse seed vectors (got ${cents.size})")
+    if (processed > 0 &&
+        Layout.snapshotAppendLineage(spark, baseRoot, processed, head)) {
+      val delta = Layout.snapshotDeltasSince(spark, baseRoot, processed)
+        .map(_._2).reduce(_ unionByName _)
+      Layout.snapshotAppend(spark, indexRoot,
+        residualEncode(delta, cents).withColumn("base_version", lit(head)))
+    } else {
+      Layout.snapshotOverwrite(spark, indexRoot,
+        residualEncode(Layout.readSnapshot(spark, baseRoot, head), cents)
+          .withColumn("base_version", lit(head)))
+    }
+    head
+  }
+
+  def s19AnnIndexView(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Layout
+    val nProbe = confInt(spark, ProbeConf, S7Probe)
+    val root = graft.ops.Relational.sessionRoot(sfDir, "annview")
+    val (baseRoot, indexRoot) = (s"$root/base", s"$root/index")
+    annViewLock.synchronized {
+      if (Layout.snapshotVersions(spark, indexRoot).isEmpty) {
+        val e = Tables(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // v1 carries the model seeds (vec_id < NLists) plus a third of
+        // the corpus; later appends are pure data
+        Layout.snapshotAppend(spark, baseRoot,
+          e.filter(col("vec_id") < NLists || col("vec_id") % 3 === 0))
+        maintainAnnIndex(spark, baseRoot, indexRoot)
+        Layout.snapshotAppend(spark, baseRoot,
+          e.filter(col("vec_id") >= NLists && col("vec_id") % 3 === 1))
+        maintainAnnIndex(spark, baseRoot, indexRoot)
+        Layout.snapshotAppend(spark, baseRoot,
+          e.filter(col("vec_id") >= NLists && col("vec_id") % 3 === 2))
+        maintainAnnIndex(spark, baseRoot, indexRoot)
+      }
+    }
+    val corpus = Layout.readSnapshot(spark, baseRoot)
+    val cents = stubCentroids(Layout.readSnapshot(spark, baseRoot, 1))
+    adcPipeline(corpus, Layout.readSnapshot(spark, indexRoot)
+      .drop("base_version"), cents, nProbe)
+  }
+
+  /** Oracle: the full-corpus rebuild — maintained ≡ rebuilt (s12's
+    * contract, now under CDF-driven maintenance). */
+  val s19Sql: String = s8Sql
+
   // ---------------------------------------------------------------- s13
   /** FILTERED ANN — the metadata-predicate + vector-top-k retrieval shape
     * ("nearest passages WHERE lang = 'en' AND license = permissive"), the
@@ -1496,6 +1579,7 @@ object Similarity {
     "s14_ann_delete" -> (s14AnnDelete _),
     "s13_filtered_ann" -> (s13FilteredAnn _),
     "s12_incremental_ann" -> (s12IncrementalAnn _),
+    "s19_ann_index_view" -> (s19AnnIndexView _),
     "s11_ann_fusion" -> (s11AnnFusion _),
     "s5_ann_pq" -> (s5AnnPq _),
     "s6_range_search" -> (s6RangeSearch _),
@@ -1515,6 +1599,7 @@ object Similarity {
     "s14_ann_delete" -> s14Sql,
     "s13_filtered_ann" -> s13Sql,
     "s12_incremental_ann" -> s12Sql,
+    "s19_ann_index_view" -> s19Sql,
     "s11_ann_fusion" -> s11Sql,
     "s5_ann_pq" -> s5Sql,
     "s6_range_search" -> s6Sql,

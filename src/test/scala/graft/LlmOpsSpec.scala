@@ -3220,6 +3220,50 @@ class LmScoreSpec extends GraftSuite {
   }
 }
 
+/** s19 ANN index as a maintained view: per-advance ≡ full re-encode, and
+  * a MOR delete on the corpus forces the rebuild fallback so the index
+  * never serves deleted vectors.
+  */
+class AnnIndexViewSpec extends GraftSuite {
+  test("s19: maintained index equals the full re-encode after every advance; MOR delete purges served vectors") {
+    import graft.similarity.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-s19").toString
+    val (baseRoot, indexRoot) = (s"$dir/base", s"$dir/index")
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def check(tag: String): Unit = {
+      val cents = Similarity.stubCentroids(ops.Layout.readSnapshot(spark, baseRoot, 1))
+      val want = Similarity.residualEncode(
+        ops.Layout.readSnapshot(spark, baseRoot), cents)
+      val got = ops.Layout.readSnapshot(spark, indexRoot).drop("base_version")
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"$tag: maintained index diverged from the full re-encode")
+    }
+    ops.Layout.snapshotAppend(spark, baseRoot,
+      e.filter(col("vec_id") < Similarity.NLists || col("vec_id") % 3 === 0))
+    Similarity.maintainAnnIndex(spark, baseRoot, indexRoot)
+    check("initial")
+    ops.Layout.snapshotAppend(spark, baseRoot,
+      e.filter(col("vec_id") >= Similarity.NLists && col("vec_id") % 3 =!= 0))
+    Similarity.maintainAnnIndex(spark, baseRoot, indexRoot)
+    check("after append")
+    // the append advance really appended (did not overwrite) the index
+    assert(ops.Layout.snapshotVersions(spark, indexRoot).size === 2)
+    // MOR delete on the corpus: the maintainer must fall back to a full
+    // re-encode — the index stops serving the deleted vectors
+    val delKeys = e.filter(col("vec_id") % 11 === 7 &&
+        col("vec_id") >= Similarity.NLists)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(delKeys.nonEmpty)
+    ops.Layout.snapshotDeleteMOR(spark, baseRoot, "vec_id", delKeys)
+    Similarity.maintainAnnIndex(spark, baseRoot, indexRoot)
+    check("after MOR delete fallback")
+    val served = ops.Layout.readSnapshot(spark, indexRoot)
+      .filter(col("vec_id").isin(delKeys: _*)).count()
+    assert(served === 0, "index must not serve deleted vectors")
+  }
+}
+
 /** t19 DSIR importance weights: the hashed-ngram log-ratio model must
   * actually separate the target domain, score every shingled doc, and
   * stay deterministic across partitionings.

@@ -480,6 +480,29 @@ class ScaleFeaturesSpec extends GraftSuite {
     }
   }
 
+  test("AS OF timestamp resolves to the latest commit at or before t; pre-history throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    ops.Layout.snapshotAppend(spark, root, orders.filter(col("key") % 2 === 0))
+    Thread.sleep(15) // distinct commit stamps at millisecond granularity
+    ops.Layout.snapshotAppend(spark, root, orders.filter(col("key") % 2 === 1))
+    val ts = ops.Layout.snapshotTimestamps(spark, root)
+    assert(ts.map(_._1) === Seq(1, 2) && ts(0)._2 < ts(1)._2 && ts(0)._2 > 0)
+    // at t = v1's stamp: v1; between the stamps: still v1; at/after v2: v2
+    assert(ops.Layout.readSnapshotAsOf(spark, root, ts(0)._2).count() ===
+      orders.filter(col("key") % 2 === 0).count())
+    assert(ops.Layout.readSnapshotAsOf(spark, root, ts(1)._2 - 1).count() ===
+      orders.filter(col("key") % 2 === 0).count())
+    assert(ops.Layout.readSnapshotAsOf(spark, root, ts(1)._2).count() ===
+      orders.count())
+    assert(ops.Layout.readSnapshotAsOf(spark, root, Long.MaxValue).count() ===
+      orders.count())
+    intercept[IllegalArgumentException] {
+      ops.Layout.readSnapshotAsOf(spark, root, ts(0)._2 - 1)
+    }
+  }
+
   test("snapshotMerge: untouched files carried by reference, history readable, sidecar precondition enforced") {
     val root = java.nio.file.Files.createTempDirectory("graft-smerge").toString
     val orders = Tables(spark, sf, "orders")
