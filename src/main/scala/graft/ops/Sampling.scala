@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -582,30 +582,44 @@ object Sampling {
     val keyed = scored
       .withColumn("g",
         round(col("dsir_score") / A14Temp - log(-log(u)), 6) + lit(0.0))
-      // ordered coarse bands: floor is weakly monotone in g (subtraction
-      // and doubling are order-preserving in doubles), which is all the
-      // band-major rank needs — within a band the window re-orders by g
-      .withColumn("band", least(greatest(
-        floor((lit(32.0) - col("g")) * 2.0), lit(0.0)),
-        lit((A14Bands - 1).toDouble)).cast("int"))
       .localCheckpoint() // score+key once: rank branch and offsets both read it
     val k = keyed.count() / 5
-    val wIn = Window.partitionBy(col("band"))
-      .orderBy(col("g").desc, col("doc_id"))
-    val wBand = Window.orderBy(col("band"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("band"))
-      .agg(count(lit(1)).as("band_n"))
-      .withColumn("offset", coalesce(sum(col("band_n")).over(wBand), lit(0L)))
-      .select(col("band"), col("offset"))
-    keyed
-      .withColumn("rk", row_number().over(wIn))
-      .join(broadcast(offsets), Seq("band"))
-      .withColumn("rank", (col("offset") + col("rk")).cast("long"))
+    bandedRank(keyed, col("g"), col("doc_id"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("dsir_score"), col("g").as("gumbel_key"),
         col("rank"))
       .orderBy(col("doc_id"))
+  }
+
+  /** GLOBAL RANK by (g DESC, id ASC) WITHOUT a single-partition sort —
+    * a12's two-phase distributed prefix-sum shape applied to ranking:
+    * g quantizes into ordered coarse bands (floor of an affine map is
+    * WEAKLY monotone in g — subtraction and doubling are order-preserving
+    * in doubles — which is all band-major order needs, since the
+    * within-band window re-orders by g exactly; values outside [−32, 32]
+    * clamp into the edge bands, still ordered, just unbalanced), each
+    * band ranks in a bounded-partition window, and the exclusive
+    * band-count cumsum (a ≤[[A14Bands]]-row broadcast) lifts the ranks
+    * global. `PropertySpec` certifies equality with the driver-side
+    * global sort on generated keys, clamp range included.
+    */
+  private[graft] def bandedRank(df: DataFrame, g: Column, id: Column): DataFrame = {
+    val banded = df.withColumn("__band", least(greatest(
+      floor((lit(32.0) - g) * 2.0), lit(0.0)),
+      lit((A14Bands - 1).toDouble)).cast("int"))
+    val wIn = Window.partitionBy(col("__band")).orderBy(g.desc, id)
+    val wBand = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__band_n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__band_n")).over(wBand), lit(0L)))
+      .select(col("__band"), col("__offset"))
+    banded
+      .withColumn("__rk", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("__band"))
+      .withColumn("rank", (col("__offset") + col("__rk")).cast("long"))
+      .drop("__band", "__band_n", "__rk", "__offset")
   }
 
   val a14Sql: String = {

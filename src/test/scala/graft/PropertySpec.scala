@@ -263,4 +263,30 @@ class KmvPropertySpec extends GraftSuite {
       assert(merged.sameElements(merged.distinct.sorted))
     }
   }
+
+  test("bandedRank equals the global sort rank on generated keys, clamp range included") {
+    import spark.implicits._
+    val gGen = Gen.frequency(
+      3 -> Gen.choose(-40.0, 40.0), // beyond the clamp range on both sides
+      3 -> Gen.choose(-1.0, 1.0), // dense ties near the band boundaries
+      1 -> Gen.oneOf(0.0, -0.0, 31.999999, -31.999999))
+    val rowGen = for {
+      id <- Gen.choose(0L, 500L)
+      g <- gGen
+    } yield (id, math.rint(g * 1e6) / 1e6 + 0.0)
+    // + 0.0 normalizes −0.0 like the operator's own keys do: Scala's
+    // driver-side Double ordering puts −0.0 < 0.0 while Spark's sort
+    // treats them equal — the contract is normalized keys
+    for (trial <- 0 until 3) {
+      val rows = samples(Gen.listOfN(300, rowGen), 5)(trial)
+        .distinctBy(_._1) // unique ids: the tie-break key must be unique
+      val df = rows.toDF("id", "g").repartition(7)
+      val got = ops.Sampling.bandedRank(df, col("g"), col("id"))
+        .select(col("id"), col("rank"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.sortBy { case (id, g) => (-g, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      assert(got === want, s"trial $trial: banded rank diverged from global sort")
+    }
+  }
 }
