@@ -652,7 +652,50 @@ object Sampling {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- a15
+  /** REPRODUCIBLE PER-EPOCH GLOBAL SHUFFLE — the training-data ORDERING
+    * op (data order is part of the training recipe: epochs must see the
+    * corpus in different orders, yet any rerun/resume must reproduce the
+    * exact same order): epoch e's permutation is the global rank of the
+    * scrambled hash of "e#doc_id" (doc_id tie-break on the rare
+    * collisions), so it is a pure function of (epoch, doc_id) — no RNG
+    * state, no shuffle files to keep, decorrelated across epochs by the
+    * hash (spec measures the two permutations disagreeing almost
+    * everywhere). Ranking is [[bandedRank]] per epoch (the hash maps
+    * affinely into the band domain — strictly monotone, ulp-safe at
+    * integer hash spacing), never a single-partition sort.
+    * 100 TB: the "shuffle" ships (epoch, doc_id, position) — 24 bytes a
+    * row — not documents; a resumed run recomputes any position locally.
+    */
+  val A15Epochs = 2
+
+  def a15EpochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"))
+    (0 until A15Epochs).map { ep =>
+      val keyed = docs
+        .withColumn("epoch", lit(ep))
+        .withColumn("h", hashBucket(
+          concat(lit(s"$ep#"), col("doc_id").cast("string")), 1000000))
+        // affine map into the band domain: strictly DECREASING in h, so
+        // bandedRank's g-descending order is exactly h-ascending
+        .withColumn("g", lit(32.0) - col("h").cast("double") * (64.0 / 1000000.0))
+      bandedRank(keyed, col("g"), col("doc_id"))
+        .select(col("epoch"), col("doc_id"), col("rank").as("position"))
+    }.reduce(_ unionAll _).orderBy(col("epoch"), col("doc_id"))
+  }
+
+  val a15Sql: String = {
+    val h = sqlHashBucket(
+      "CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)", 1000000)
+    s"""SELECT epoch, doc_id,
+      |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY $h, doc_id)
+      |    AS BIGINT) AS position
+      |FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+      |ORDER BY epoch, doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_epoch_shuffle" -> (a15EpochShuffle _),
     "a14_dsir_resample" -> (a14DsirResample _),
     "a13_quota_sample" -> (a13QuotaSample _),
     "a12_token_budget_mix" -> (a12TokenBudgetMix _),
@@ -666,6 +709,7 @@ object Sampling {
     "a7_weighted_upsample" -> (a7WeightedUpsample _))
 
   val sql: Map[String, String] = Map(
+    "a15_epoch_shuffle" -> a15Sql,
     "a14_dsir_resample" -> a14Sql,
     "a13_quota_sample" -> a13Sql,
     "a12_token_budget_mix" -> a12Sql,

@@ -3296,6 +3296,27 @@ class DsirSpec extends GraftSuite {
     assert(re.exceptAll(out).count() === 0 && out.exceptAll(re).count() === 0)
   }
 
+  test("a15: each epoch is an exact permutation, epochs decorrelate, and the order reproduces") {
+    val out = ops.Sampling.a15EpochShuffle(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = Tables(spark, sf, "documents").count()
+    // each epoch: positions are exactly 1..n (a permutation, no gaps)
+    (0 until ops.Sampling.A15Epochs).foreach { ep =>
+      val pos = out.filter(_._1 == ep).map(_._3).sorted.toSeq
+      assert(pos === (1L to n).toSeq, s"epoch $ep is not a permutation")
+    }
+    // decorrelated: the two epochs almost never agree on a position
+    val p0 = out.filter(_._1 == 0).map(t => t._2 -> t._3).toMap
+    val p1 = out.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    val agree = p0.count { case (id, p) => p1(id) == p }
+    assert(agree <= n / 20,
+      s"epoch orders should disagree almost everywhere: $agree/$n fixed points")
+    // reproducible: a rerun is bit-identical (the training-resume contract)
+    val re = ops.Sampling.a15EpochShuffle(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("a14: banded distributed Gumbel-top-k equals the brute-force global rank, exactly n/5 rows") {
     val sel = ops.Sampling.a14DsirResample(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
