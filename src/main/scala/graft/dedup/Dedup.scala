@@ -1535,7 +1535,12 @@ object Dedup {
     val shinglesDir = s"$root/shingles"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasState = fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
+    // PER-DIR existence (not one proxy): the two state writes below are
+    // sequential, so a crash between them leaves bands present and
+    // shingles absent — a replay gated on bandsDir alone would throw
+    // PATH_NOT_FOUND on the missing sibling instead of recovering
+    def dirExists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    val hasState = dirExists(bandsDir)
     val sig = signaturesOf(batch).localCheckpoint()
     val bands = bandSignatures(sig)
     val selfCand = bands.alias("x").join(bands.alias("y"),
@@ -1556,7 +1561,7 @@ object Dedup {
         selfCand.unionAll(cross)
       }).distinct()
     val shingleStore = sig.select(col("doc_id"), col("sh")).unionByName(
-      if (hasState) spark.read.parquet(shinglesDir)
+      if (dirExists(shinglesDir)) spark.read.parquet(shinglesDir)
         .filter(col("e") < epoch).drop("e").select(col("doc_id"), col("sh"))
       else sig.select(col("doc_id"), col("sh")).where(lit(false)))
     val matches = cand
@@ -1618,11 +1623,7 @@ object Dedup {
     val baseVs = Layout.snapshotVersions(spark, baseRoot)
     require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
     val head = baseVs.last
-    val viewVs = Layout.snapshotVersions(spark, viewRoot)
-    val processed =
-      if (viewVs.isEmpty) 0
-      else Layout.readSnapshot(spark, viewRoot)
-        .agg(max(col("base_version"))).head().getInt(0)
+    val processed = Layout.viewProcessedVersion(spark, viewRoot)
     if (processed == head) return head
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
@@ -1632,8 +1633,8 @@ object Dedup {
           Layout.snapshotAppendLineage(spark, baseRoot, processed, head))) {
         rollup(Layout.readSnapshot(spark, baseRoot, head))
       } else {
-        val delta = rollup(Layout.snapshotDeltasSince(spark, baseRoot, processed)
-          .map(_._2).reduce(_ unionByName _))
+        val delta = rollup(
+          Layout.snapshotDeltasUnion(spark, baseRoot, processed, head))
         Layout.readSnapshot(spark, viewRoot)
           .select(col("text_hash"), col("keep_id").as("old_keep"),
             col("n_copies").as("old_n"))
@@ -1706,7 +1707,6 @@ object Dedup {
     val shDir = s"$root/shingles"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasState = fs.exists(new org.apache.hadoop.fs.Path(idxDir))
     val docs = batch.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       .withColumn("n", size(col("sh")))
@@ -1715,8 +1715,13 @@ object Dedup {
     val bPref = docs.select(col("doc_id").as("i"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
     val bIdx = docs.select(col("doc_id").as("j"), explode(col("sh")).as("key"))
+    // existence is PER DIR, not a single proxy: the three state writes
+    // below are sequential, so a crash between them leaves some dirs
+    // present and some not — a replay gated on one proxy dir would throw
+    // PATH_NOT_FOUND on the missing sibling instead of recovering
     def standing(dir: String) =
-      if (hasState) Some(spark.read.parquet(dir).filter(col("e") < epoch).drop("e"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir)))
+        Some(spark.read.parquet(dir).filter(col("e") < epoch).drop("e"))
       else None
     val selfCand = bPref.join(bIdx, Seq("key"))
       .filter(col("i") =!= col("j")).select(col("i"), col("j"))

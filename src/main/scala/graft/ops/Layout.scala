@@ -220,9 +220,13 @@ object Layout {
   def bloomIndexWrite(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String, mBits: Int = BloomIndexBits): Unit = {
     import graft.functions.Bloom
+    // cast to long BEFORE hashing: xxhash64 hashes IntegerType and
+    // LongType differently, and the probe side always hashes Longs — an
+    // int-typed key column would otherwise produce silent false
+    // negatives (pruned owning files), breaking the no-FN contract
     spark.read.parquet(path)
       .select(element_at(split(input_file_name(), "/"), -1).as("file"),
-        explode(Bloom.positionsFor(col(keyCol), mBits)).as("pos"))
+        explode(Bloom.positionsFor(col(keyCol).cast("long"), mBits)).as("pos"))
       .select(col("file"), (col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
       .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
@@ -779,6 +783,34 @@ object Layout {
     }
   }
 
+  /** The union of every delta after `since`, as one frame — the input of
+    * every CDF-driven maintainer. `allowMissingColumns`: additive schema
+    * evolution can widen the base mid-gap, leaving consecutive deltas
+    * with different column sets; the maintainer must see the widened
+    * schema with nulls, exactly like [[readSnapshot]] does, not an
+    * AnalysisException. Empty when nothing advanced (schema'd off the
+    * head).
+    */
+  def snapshotDeltasUnion(spark: org.apache.spark.sql.SparkSession,
+      root: String, since: Int, head: Int): DataFrame = {
+    val ds = snapshotDeltasSince(spark, root, since).map(_._2)
+    if (ds.isEmpty)
+      readSnapshot(spark, root, head)
+        .where(org.apache.spark.sql.functions.lit(false))
+    else ds.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The base version a maintainer's view table currently reflects (the
+    * max `base_version` stamp), 0 for an empty view — the shared read of
+    * the maintainer protocol.
+    */
+  def viewProcessedVersion(spark: org.apache.spark.sql.SparkSession,
+      viewRoot: String): Int =
+    if (snapshotVersions(spark, viewRoot).isEmpty) 0
+    else readSnapshot(spark, viewRoot)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("base_version"))).head().getInt(0)
+
   /** Append-only lineage test between two versions: every `from` data
     * file still referenced at `to` AND no delete-sidecar change (a MOR
     * delete removes rows without touching data files). This is the
@@ -825,11 +857,7 @@ object Layout {
     val baseVs = snapshotVersions(spark, baseRoot)
     require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
     val head = baseVs.last
-    val viewVs = snapshotVersions(spark, viewRoot)
-    val processed =
-      if (viewVs.isEmpty) 0
-      else readSnapshot(spark, viewRoot)
-        .agg(max(col("base_version"))).head().getInt(0)
+    val processed = viewProcessedVersion(spark, viewRoot)
     if (processed == head) return head
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(col(groupCol))
@@ -842,8 +870,7 @@ object Layout {
         rollup(readSnapshot(spark, baseRoot, head))
       } else {
         val deltaAgg = rollup(
-          snapshotDeltasSince(spark, baseRoot, processed)
-            .map(_._2).reduce(_ unionByName _))
+          snapshotDeltasUnion(spark, baseRoot, processed, head))
         val old = readSnapshot(spark, viewRoot)
           .select(col(groupCol), col("sum_v").as("old_sum"), col("n").as("old_n"))
         // q80's combine: full-outer on the group key, coalesce-add the
@@ -985,17 +1012,12 @@ object Layout {
     def appendLineage(root: String, processed: Int, head: Int): Boolean =
       processed == head ||
         (processed > 0 && snapshotAppendLineage(spark, root, processed, head))
-    def deltas(root: String, since: Int, head: Int): DataFrame = {
-      val ds = snapshotDeltasSince(spark, root, since).map(_._2)
-      if (ds.isEmpty) readSnapshot(spark, root, head).where(lit(false))
-      else ds.reduce(_ unionByName _)
-    }
     val stamp = (df: DataFrame) => df
       .withColumn("base_l", lit(lHead)).withColumn("base_r", lit(rHead))
     if (pL > 0 && appendLineage(leftRoot, pL, lHead) &&
         appendLineage(rightRoot, pR, rHead)) {
-      val dL = deltas(leftRoot, pL, lHead)
-      val dR = deltas(rightRoot, pR, rHead)
+      val dL = snapshotDeltasUnion(spark, leftRoot, pL, lHead)
+      val dR = snapshotDeltasUnion(spark, rightRoot, pR, rHead)
       val rNew = readSnapshot(spark, rightRoot, rHead)
       val lOld = readSnapshot(spark, leftRoot, pL) // time travel IS L_old
       val dV = dL.join(rNew, Seq(key))
@@ -1059,7 +1081,19 @@ object Layout {
     def refs(v: Int) =
       manifestFiles(spark, root, v) ++ manifestDeleteFiles(spark, root, v)
     val keptFiles = retain.flatMap(refs).toSet
-    val deadFiles = drop.flatMap(refs).toSet -- keptFiles
+    // OWNERSHIP GUARD: vacuum deletes only files under ITS OWN root. A
+    // shallow clone's manifests reference the SOURCE table's files by
+    // absolute path — without this containment check, vacuuming a clone
+    // (e.g. right after the compaction that detaches it) would delete
+    // the live source table's data. Foreign refs just fall out of the
+    // dropped manifests; their owner's vacuum is the only thing that may
+    // ever delete them.
+    val ownRoot = fsOf(spark, root)
+      .makeQualified(new org.apache.hadoop.fs.Path(root)).toUri.getPath
+    def owned(f: String) =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath
+        .startsWith(ownRoot.stripSuffix("/") + "/")
+    val deadFiles = (drop.flatMap(refs).toSet -- keptFiles).filter(owned)
     // manifests FIRST, then their files: a crash mid-vacuum must leave
     // only harmless orphan data files, never a listed-but-unreadable
     // version (files-first would strand manifests pointing at nothing)

@@ -687,10 +687,13 @@ object Sampling {
   val a15Sql: String = {
     val h = sqlHashBucket(
       "CAST(epoch AS VARCHAR) || '#' || CAST(doc_id AS VARCHAR)", 1000000)
+    // epoch list generated from A15Epochs — a literal VALUES would
+    // silently break Scala/SQL parity if the constant ever moved
+    val epochs = (0 until A15Epochs).map(e => s"($e)").mkString(", ")
     s"""SELECT epoch, doc_id,
       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY $h, doc_id)
       |    AS BIGINT) AS position
-      |FROM documents CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+      |FROM documents CROSS JOIN (VALUES $epochs) AS e(epoch)
       |ORDER BY epoch, doc_id""".stripMargin
   }
 

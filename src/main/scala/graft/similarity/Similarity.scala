@@ -1055,11 +1055,7 @@ object Similarity {
     val baseVs = Layout.snapshotVersions(spark, baseRoot)
     require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
     val head = baseVs.last
-    val viewVs = Layout.snapshotVersions(spark, indexRoot)
-    val processed =
-      if (viewVs.isEmpty) 0
-      else Layout.readSnapshot(spark, indexRoot)
-        .agg(max(col("base_version"))).head().getInt(0)
+    val processed = Layout.viewProcessedVersion(spark, indexRoot)
     if (processed == head) return head
     // frozen model: the coarse seeds are v1 rows by contract
     val cents = stubCentroids(Layout.readSnapshot(spark, baseRoot, 1))
@@ -1067,8 +1063,7 @@ object Similarity {
       s"v1 must carry the $NLists coarse seed vectors (got ${cents.size})")
     if (processed > 0 &&
         Layout.snapshotAppendLineage(spark, baseRoot, processed, head)) {
-      val delta = Layout.snapshotDeltasSince(spark, baseRoot, processed)
-        .map(_._2).reduce(_ unionByName _)
+      val delta = Layout.snapshotDeltasUnion(spark, baseRoot, processed, head)
       Layout.snapshotAppend(spark, indexRoot,
         residualEncode(delta, cents).withColumn("base_version", lit(head)))
     } else {

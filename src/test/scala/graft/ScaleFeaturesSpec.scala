@@ -650,6 +650,18 @@ class ScaleFeaturesSpec extends GraftSuite {
     val after = ops.Layout.readSnapshot(spark, dstRoot)
     assert(after.exceptAll(before).count() === 0 &&
       before.exceptAll(after).count() === 0)
+    // vacuum OWNERSHIP: vacuuming the detached clone drops its pre-
+    // compaction manifests, whose refs point at the SOURCE's files —
+    // those must survive (only their owner's vacuum may delete them)
+    val srcFilesBefore = ops.Layout.readSnapshot(spark, srcRoot).inputFiles.toSet
+    ops.Layout.vacuumSnapshots(spark, dstRoot, keep = 1)
+    srcFilesBefore.foreach { f =>
+      assert(new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath).exists(),
+        s"clone-side vacuum deleted the source's file $f")
+    }
+    assert(ops.Layout.readSnapshot(spark, srcRoot).count() === orders.count() + 1,
+      "source table must still read after clone-side vacuum")
+    assert(ops.Layout.readSnapshot(spark, dstRoot).count() === before.count())
   }
 
   test("MOR delete: zero data I/O, scoped sidecar, time travel, re-insert survival, compaction folds the debt") {
@@ -900,6 +912,18 @@ class SnapshotIvmSpec extends GraftSuite {
     assert(ops.Layout.snapshotDeleteMOR(spark, base, "key", delKeys) === 5)
     assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 5)
     check("after MOR delete fallback")
+    // additive schema evolution mid-gap: TWO appends land before one
+    // maintenance run and the second is WIDER — the delta union must
+    // align by name (nulls), not throw, and the view must stay exact
+    ops.Layout.snapshotAppend(spark, base,
+      orders.filter(col("key") % 10 === 2)
+        .select((col("key") + 3000000L).as("key"), col("status"), col("price")))
+    ops.Layout.snapshotAppend(spark, base,
+      orders.filter(col("key") % 10 === 4)
+        .select((col("key") + 4000000L).as("key"), col("status"),
+          col("price"), lit("x").as("extra")))
+    assert(ops.Layout.maintainSumView(spark, base, view, "status", "price") === 7)
+    check("after widened delta union")
   }
 
   test("d24 dedup registry: incremental min/sum merges equal the full d1 rollup at every step; MOR delete forces fallback") {
