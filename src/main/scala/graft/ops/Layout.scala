@@ -1073,9 +1073,31 @@ object Layout {
   def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession, root: String,
       keep: Int): VacuumStats = {
     require(keep >= 1, "must keep at least the latest version")
-    val fs = fsOf(spark, root)
     val vs = snapshotVersions(spark, root)
-    val (drop, retain) = vs.splitAt(math.max(0, vs.size - keep))
+    vacuumDrop(spark, root, vs.dropRight(keep))
+  }
+
+  /** AGE-BASED retention — the form every deployment actually schedules
+    * ("expire snapshots older than 7 days"), resolved against the
+    * commit stamps ([[snapshotTimestamps]]): drop the OLDEST-PREFIX of
+    * versions committed before `cutoffMillis`, always keeping at least
+    * `minKeep` newest. Prefix-only is deliberate: retention erases the
+    * oldest history, never a hole in the middle — every surviving
+    * version still time-travels and diffs exactly.
+    */
+  def vacuumSnapshotsOlderThan(spark: org.apache.spark.sql.SparkSession,
+      root: String, cutoffMillis: Long, minKeep: Int = 1): VacuumStats = {
+    require(minKeep >= 1, "must keep at least the latest version")
+    val stamped = snapshotTimestamps(spark, root)
+    val drop = stamped.dropRight(minKeep)
+      .takeWhile(_._2 < cutoffMillis).map(_._1)
+    vacuumDrop(spark, root, drop)
+  }
+
+  private def vacuumDrop(spark: org.apache.spark.sql.SparkSession,
+      root: String, drop: Seq[Int]): VacuumStats = {
+    val fs = fsOf(spark, root)
+    val retain = snapshotVersions(spark, root).filterNot(drop.toSet)
     // delete sidecars are references like any other: a kept version's
     // sidecar must survive vacuum, a fully-unreferenced one is dead
     def refs(v: Int) =

@@ -501,6 +501,20 @@ class ScaleFeaturesSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       ops.Layout.readSnapshotAsOf(spark, root, ts(0)._2 - 1)
     }
+    // age-based retention: cutoff between the stamps drops only the
+    // oldest prefix (v1); the head still reads exactly
+    Thread.sleep(15)
+    ops.Layout.snapshotAppend(spark, root,
+      orders.limit(5).select(col("key") + 8000000L, col("status")))
+    val stats = ops.Layout.vacuumSnapshotsOlderThan(spark, root, ts(1)._2)
+    assert(stats.droppedVersions === Seq(1))
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(2, 3))
+    assert(ops.Layout.readSnapshot(spark, root).count() === orders.count() + 5)
+    // a cutoff in the future still keeps minKeep newest
+    val stats2 = ops.Layout.vacuumSnapshotsOlderThan(spark, root,
+      Long.MaxValue, minKeep = 1)
+    assert(stats2.droppedVersions === Seq(2))
+    assert(ops.Layout.snapshotVersions(spark, root) === Seq(3))
   }
 
   test("snapshotMerge: untouched files carried by reference, history readable, sidecar precondition enforced") {
