@@ -1042,3 +1042,70 @@ class SnapshotIvmSpec extends GraftSuite {
     check("incremental after fallback")
   }
 }
+
+/** Model-based randomized check of the snapshot layer: random
+  * append / MOR-delete / compact sequences must match a driver-side
+  * multiset model at EVERY committed version (time travel included),
+  * and the sum-view maintainer must track the head through every step.
+  * Interaction bugs (delete-then-reinsert scoping, delete-then-compact,
+  * back-to-back deletes) hide exactly in sequences no hand-written
+  * scenario enumerates.
+  */
+class SnapshotModelSpec extends GraftSuite {
+  test("random op sequences: every version reads its model state; the maintained view tracks the head") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 2) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-model$trial").toString
+      val viewRoot = java.nio.file.Files.createTempDirectory(s"graft-modelv$trial").toString
+      // model: multiset of (key, v); history: model state per version
+      var model = Vector.empty[(Long, Long)]
+      val history = scala.collection.mutable.Map.empty[Int, Vector[(Long, Long)]]
+      def appendOp(): Unit = {
+        val rows = Vector.fill(5 + rnd.nextInt(20))(
+          (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+        val v = ops.Layout.snapshotAppend(spark, root, rows.toDF("key", "v"))
+        model = model ++ rows
+        history(v) = model
+      }
+      def deleteOp(): Unit = {
+        val keys = model.map(_._1).distinct.filter(_ => rnd.nextBoolean()).toArray
+        if (keys.isEmpty) return
+        val v = ops.Layout.snapshotDeleteMOR(spark, root, "key", keys)
+        model = model.filterNot(r => keys.contains(r._1))
+        history(v) = model
+      }
+      def compactOp(): Unit = {
+        val v = ops.Layout.snapshotCompact(spark, root, targetBytes = 1L << 22)
+        history(v) = model // content unchanged
+      }
+      def checkHead(tag: String): Unit = {
+        val got = ops.Layout.readSnapshot(spark, root)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toVector.sorted
+        assert(got === model.sorted, s"trial $trial $tag: head diverged from model")
+      }
+      appendOp() // v1 always exists
+      checkHead("v1")
+      for (step <- 0 until 8) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => appendOp()
+          case 2 => deleteOp()
+          case 3 => compactOp()
+        }
+        checkHead(s"step $step")
+        ops.Layout.maintainSumView(spark, root, viewRoot, "key", "v")
+        val wantView = model.groupBy(_._1).view
+          .mapValues(rs => (rs.map(_._2).sum.toDouble, rs.size.toLong)).toMap
+        val gotView = ops.Layout.readSnapshot(spark, viewRoot)
+          .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+        assert(gotView === wantView, s"trial $trial step $step: view diverged")
+      }
+      // time travel: EVERY committed version still reads its recorded state
+      history.foreach { case (v, m) =>
+        val got = ops.Layout.readSnapshot(spark, root, v)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toVector.sorted
+        assert(got === m.sorted, s"trial $trial: version $v diverged from its model")
+      }
+    }
+  }
+}
