@@ -1050,14 +1050,32 @@ object Layout {
   def streamingMaintainedView(spark: org.apache.spark.sql.SparkSession,
       inDir: String, schema: org.apache.spark.sql.types.StructType,
       baseRoot: String, viewRoot: String, groupCol: String,
-      valCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      valCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingMaintained(spark, inDir, schema, baseRoot,
+      s => { maintainSumView(s, baseRoot, viewRoot, groupCol, valCol); () })
+
+  /** The MAINTAINER-GENERIC form of [[streamingMaintainedView]]: stream →
+    * idempotent epoch commit → `maintain` once per trigger. Any
+    * deterministic, idempotent maintainer keyed on the base's versions
+    * rides it unchanged — the sum view above, the dedup registry (ST32,
+    * `Dedup.maintainDedupRegistry`), the ANN index
+    * (`Similarity.maintainAnnIndex`) — because the exactly-once argument
+    * never mentions the maintainer's semantics: replays no-op at the base
+    * commit, and a maintainer that already reflects the head publishes
+    * nothing.
+    */
+  def streamingMaintained(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, schema: org.apache.spark.sql.types.StructType,
+      baseRoot: String,
+      maintain: org.apache.spark.sql.SparkSession => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val wid = writerToken(spark, s"$baseRoot/ckpt")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         snapshotAppendIdempotent(spark, baseRoot, batch, epoch, writerId = wid)
-        maintainSumView(spark, baseRoot, viewRoot, groupCol, valCol)
+        maintain(spark)
         ()
       }
       .option("checkpointLocation", s"$baseRoot/ckpt")

@@ -872,6 +872,56 @@ class StreamingMaintainedViewSpec extends GraftSuite {
   }
 }
 
+/** ST32: the live dedup registry — the maintainer-generic streaming
+  * driver carrying d24 instead of the sum view; same exactly-once
+  * composition, zero registry-specific streaming code.
+  */
+class StreamingDedupRegistrySpec extends GraftSuite {
+  test("ST32: the registry tracks the streamed corpus per epoch; a replayed epoch body changes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st32").toString
+    val (baseRoot, viewRoot) = (s"$dir/base", s"$dir/registry")
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // batch 2 re-sends batch 0's texts under shifted ids: cross-epoch
+    // duplicates the registry must count without re-reading old epochs
+    val feed = Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    new java.io.File(s"$dir/in").mkdirs()
+    feed.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$dir/stage_$i"
+      b.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$dir/in/0$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val q = ops.Layout.streamingMaintained(spark, s"$dir/in", docs.schema,
+      baseRoot, s => { dedup.Dedup.maintainDedupRegistry(s, baseRoot, viewRoot); () })
+    q.awaitTermination(180000)
+    assert(ops.Layout.snapshotVersions(spark, baseRoot) === Seq(1, 2, 3))
+    val reg = ops.Layout.readSnapshot(spark, viewRoot)
+    // every even doc's text arrived twice (original + shifted copy), and
+    // the registry keeps the ORIGINAL id though the copy came 2 epochs later
+    val evens = docs.filter(col("doc_id") % 2 === 0).count()
+    assert(reg.filter(col("n_copies") === 2).count() === evens)
+    assert(reg.filter(col("keep_id") >= 1000000L).count() === 0)
+    assert(reg.count() === docs.count())
+    // replayed epoch body (same writer token): base no-ops, registry
+    // publishes nothing
+    val token = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$baseRoot/ckpt/graft-writer-id")), "UTF-8").trim
+    val viewBefore = ops.Layout.snapshotVersions(spark, viewRoot)
+    ops.Layout.snapshotAppendIdempotent(spark, baseRoot, feed(1), 1L,
+      writerId = token)
+    dedup.Dedup.maintainDedupRegistry(spark, baseRoot, viewRoot)
+    assert(ops.Layout.snapshotVersions(spark, viewRoot) === viewBefore)
+  }
+}
+
 /** Incremental materialized view over the versioned table: correctness
   * under append lineage, the overwrite fallback, idempotence, and the
   * one-commit crash-atomicity contract.
