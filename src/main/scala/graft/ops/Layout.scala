@@ -304,6 +304,19 @@ object Layout {
 
   private def msDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/_manifests")
 
+  /** ATTEMPT-UNIQUE data directory for version `v`: two writers racing
+    * the same next version must never share a staging directory — a
+    * shared `data/vN` makes their parquet jobs fight over the SAME
+    * `_temporary` tree (one job's cleanup deletes the other's in-flight
+    * task files) and both fail with committer errors instead of the
+    * protocol's clean lost-the-race signal. Each attempt writes its own
+    * directory; the manifest references whichever attempt committed, a
+    * losing attempt's directory is an unreferenced orphan
+    * ([[vacuumOrphanFiles]] is the matching cleanup job).
+    */
+  private def attemptDir(root: String, kind: String, v: Int): String =
+    s"$root/$kind/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
   private def fsOf(spark: org.apache.spark.sql.SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -406,7 +419,7 @@ object Layout {
       df: DataFrame): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
-    val dataDir = s"$root/data/v$v"
+    val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
     val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
     // delete sidecars carry forward with the files they scope: an append
@@ -429,7 +442,7 @@ object Layout {
       df: DataFrame): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
-    val dataDir = s"$root/data/v$v"
+    val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
     commitManifest(spark, root, v, listDataFiles(spark, dataDir))
     v
@@ -579,7 +592,7 @@ object Layout {
         deletes = carriedDel)
       return v
     }
-    val delDir = s"$root/deletes/v$v"
+    val delDir = attemptDir(root, "deletes", v)
     import spark.implicits._
     scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
     commitManifest(spark, root, v, files,
@@ -756,7 +769,7 @@ object Layout {
     // publishing the repacked OLD head over the racer's commit, silently
     // erases its rows from the table head.
     val v = base + 1
-    val dataDir = s"$root/data/v$v"
+    val dataDir = attemptDir(root, "data", v)
     packed.write.mode("error").parquet(dataDir)
     commitManifest(spark, root, v, listDataFiles(spark, dataDir))
     v
@@ -925,7 +938,7 @@ object Layout {
     val ranges = fileKeyRangesOf(spark, files, keyCol)
     val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
     val v = base + 1
-    val dataDir = s"$root/data/v$v"
+    val dataDir = attemptDir(root, "data", v)
     val touchedDf =
       if (touched.isEmpty)
         spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
@@ -934,6 +947,43 @@ object Layout {
     commitManifest(spark, root, v,
       untouched.map(_._1) ++ listDataFiles(spark, dataDir))
     v
+  }
+
+  /** OPTIMISTIC-CONCURRENCY RETRY — the multi-writer loop every snapshot
+    * commit caller runs in production: the protocol makes a losing racer
+    * fail LOUDLY (rename-if-absent arbitration, or the `mode("error")`
+    * data write when the racer claimed the same version's data
+    * directory), and this wrapper is the other half — recompute against
+    * the NEW head and try again, bounded. Only the two loss signatures
+    * retry; any other failure propagates untouched (retrying an
+    * arbitrary error would mask real bugs). The op MUST be
+    * self-contained re-runnable (read head inside, like
+    * [[snapshotAppend]]/[[snapshotCompact]] are): a loser's partial
+    * data-dir writes are invisible (nothing references a file until its
+    * manifest commits) and each attempt writes a fresh version
+    * directory.
+    * 100 TB: contention cost is one wasted attempt's I/O; correctness
+    * never degrades — the committed history is always a linear sequence
+    * of winners.
+    */
+  def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
+    require(attempts >= 1)
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return op
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("lost the race") =>
+          last = e
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          last = e
+      }
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"commit still losing races after $attempts attempts", last)
   }
 
   /** ZERO-COPY SHALLOW CLONE — Delta/Iceberg's `CLONE`: commit a v1
@@ -1110,6 +1160,37 @@ object Layout {
     val drop = stamped.dropRight(minKeep)
       .takeWhile(_._2 < cutoffMillis).map(_._1)
     vacuumDrop(spark, root, drop)
+  }
+
+  /** ORPHAN-FILE SWEEP — the cleanup job matching attempt-unique staging
+    * (Iceberg's remove_orphan_files): delete every data/sidecar file
+    * under the root that NO existing manifest references — losing
+    * commit attempts, crashed half-writes. `cutoffMillis` is the
+    * safety margin every such job carries: an in-flight attempt's files
+    * are orphans only until its manifest commits, so only files last
+    * modified BEFORE the cutoff are swept (production passes
+    * now − hours; the default sweeps everything — test use). Never
+    * touches referenced files, so it composes with any retention
+    * policy.
+    */
+  def vacuumOrphanFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String, cutoffMillis: Long = Long.MaxValue): Int = {
+    val fs = fsOf(spark, root)
+    val referenced = snapshotVersions(spark, root)
+      .flatMap(v => manifestFiles(spark, root, v) ++
+        manifestDeleteFiles(spark, root, v))
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st)
+      }
+    val dead = (walk(new org.apache.hadoop.fs.Path(s"$root/data")) ++
+      walk(new org.apache.hadoop.fs.Path(s"$root/deletes")))
+      .filter(st => !referenced.contains(st.getPath.toUri.getPath) &&
+        st.getModificationTime < cutoffMillis)
+    dead.foreach(st => fs.delete(st.getPath, false))
+    dead.size
   }
 
   private def vacuumDrop(spark: org.apache.spark.sql.SparkSession,

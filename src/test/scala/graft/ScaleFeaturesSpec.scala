@@ -424,7 +424,7 @@ class ScaleFeaturesSpec extends GraftSuite {
     val diff = ops.Layout.snapshotDiff(spark, root, 1, 2)
     assert(diff.exceptAll(delta).count() === 0 && delta.exceptAll(diff).count() === 0)
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val v1Files = spark.read.parquet(s"$root/data/v1").inputFiles.map(norm).toSet
+    val v1Files = ops.Layout.readSnapshot(spark, root, 1).inputFiles.map(norm).toSet
     val read = diff.inputFiles.map(norm).toSet
     assert(read.nonEmpty && read.intersect(v1Files).isEmpty,
       s"CDF fast path must not touch v1 files: ${read.intersect(v1Files)}")
@@ -704,7 +704,9 @@ class ScaleFeaturesSpec extends GraftSuite {
       "MOR delete must not add or rewrite any data file")
     // sidecar scope: range-localized churn on a clustered table touches a
     // strict subset of files
-    val sidecar = spark.read.parquet(s"$root/deletes/v2")
+    val delDirs = new java.io.File(s"$root/deletes").listFiles().filter(_.isDirectory)
+    assert(delDirs.length === 1, "exactly one sidecar attempt dir expected")
+    val sidecar = spark.read.parquet(delDirs.head.getPath)
     val dirtyNames = sidecar.select(col("file")).distinct().count()
     assert(dirtyNames > 0 && dirtyNames < filesV1.size,
       s"expected scoped sidecar, got $dirtyNames of ${filesV1.size} files")
@@ -746,9 +748,14 @@ class ScaleFeaturesSpec extends GraftSuite {
     // vacuum to the folded head: the sidecar file itself is now
     // unreferenced and must go; the head still reads exactly
     ops.Layout.vacuumSnapshots(spark, root, keep = 1)
-    assert(!new java.io.File(s"$root/deletes/v2").exists() ||
-      new java.io.File(s"$root/deletes/v2").listFiles()
-        .forall(!_.getName.endsWith(".parquet")),
+    def sidecarParquets() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      val dels = new java.io.File(s"$root/deletes")
+      if (!dels.exists()) Nil
+      else walk(dels).filter(_.getName.endsWith(".parquet"))
+    }
+    assert(sidecarParquets().isEmpty,
       "vacuum must delete the unreferenced sidecar")
     val rHead = ops.Layout.readSnapshot(spark, root)
     assert(rHead.exceptAll(before).count() === 0 &&
@@ -869,6 +876,55 @@ class StreamingMaintainedViewSpec extends GraftSuite {
     assert(ops.Layout.snapshotVersions(spark, baseRoot) === baseBefore)
     assert(ops.Layout.snapshotVersions(spark, viewRoot) === viewBefore,
       "replayed epoch must not publish a view version")
+  }
+}
+
+/** Multi-writer optimistic concurrency: concurrent appends under the
+  * retry wrapper all land, history stays a linear sequence of winners,
+  * and no rows are lost or duplicated.
+  */
+class SnapshotConcurrencySpec extends GraftSuite {
+  test("eight concurrent appends with commit retry: all land exactly once, versions are linear") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    ops.Layout.snapshotAppend(spark, root,
+      Seq((0L, "base")).toDF("key", "tag"))
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (1 to writers).map { w =>
+      scala.concurrent.Future {
+        ops.Layout.withCommitRetry(attempts = writers + 2) {
+          ops.Layout.snapshotAppend(spark, root,
+            Seq((w.toLong, s"writer$w")).toDF("key", "tag"))
+        }
+      }
+    }
+    import scala.concurrent.duration._
+    val committed = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), 120.seconds)
+    pool.shutdown()
+    // a linear history: versions 1..9, each writer's commit distinct
+    assert(ops.Layout.snapshotVersions(spark, root) === (1 to writers + 1))
+    assert(committed.toSet.size === writers, "every writer won a distinct version")
+    // no lost or duplicated rows
+    val rows = ops.Layout.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows === ((0L, "base") +:
+      (1 to writers).map(w => (w.toLong, s"writer$w"))).sorted)
+    // losing attempts leave orphan attempt dirs; the orphan sweep
+    // removes them and NEVER touches a referenced file
+    val before = ops.Layout.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    ops.Layout.vacuumOrphanFiles(spark, root)
+    val after = ops.Layout.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after === before, "orphan sweep must not touch referenced files")
+    (1 to writers + 1).foreach { v =>
+      assert(ops.Layout.readSnapshot(spark, root, v).count() === v,
+        s"version $v must still time-travel after the orphan sweep")
+    }
   }
 }
 
