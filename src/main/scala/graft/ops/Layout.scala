@@ -118,35 +118,84 @@ object Layout {
     fileKeyRangesOf(spark, files, keyCol)
   }
 
+  /** Per-file (min, max, rowCount) of a long-typed column, read from
+    * parquet footers. The serializable result row of [[fileStatsOf]].
+    */
+  case class FileColStats(path: String, min: Long, max: Long, rows: Long)
+
+  /** Count of parquet footers opened by the stats core — the
+    * observability hook the manifest-stats spec asserts against: a
+    * pruning decision served from manifest-embedded stats must leave
+    * this counter untouched.
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One file's footer stats; static (no Spark capture) so the
+    * distributed path can ship it to executors.
+    */
+  private def footerStatsOne(fp: String,
+      hconf: org.apache.hadoop.conf.Configuration,
+      keyCol: String): FileColStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val f = new org.apache.hadoop.fs.Path(fp)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks.flatMap { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == keyCol)
+          .flatMap { cc =>
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue()))
+          }
+      }
+      if (ranges.isEmpty) FileColStats(fp, Long.MinValue, Long.MaxValue, rows)
+      else FileColStats(fp, ranges.map(_._1).min, ranges.map(_._2).max, rows)
+    } finally reader.close()
+  }
+
+  /** Footer stats for an explicit file list. ≤32 files run as a driver
+    * loop (a Spark job's scheduling floor would dominate); beyond that
+    * the reads fan out as ONE job over the file list — at a million
+    * stat-less files the driver no longer serially RPCs every footer
+    * (the round-8 scale finding), it schedules a job whose tasks each
+    * open a slice. Executors rebuild the Hadoop conf from broadcast
+    * properties (Configuration itself is not java-serializable).
+    */
+  def fileStatsOf(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], keyCol: String): Seq[FileColStats] = {
+    if (files.isEmpty) return Nil
+    footerReads.addAndGet(files.size)
+    if (files.size <= 32) {
+      val hconf = spark.sessionState.newHadoopConf()
+      files.map(footerStatsOne(_, hconf, keyCol))
+    } else {
+      import scala.jdk.CollectionConverters._
+      val props: Seq[(String, String)] = spark.sessionState.newHadoopConf()
+        .iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+      val bc = spark.sparkContext.broadcast(props)
+      val slices = math.min(files.size,
+        math.max(2, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices).map { fp =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => c.set(k, v) }
+        footerStatsOne(fp, c, keyCol)
+      }.collect().toSeq
+    }
+  }
+
   /** [[fileKeyRanges]] over an EXPLICIT file list — the form a manifest-
     * resolved snapshot uses (its files never come from a directory
     * listing).
     */
   def fileKeyRangesOf(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[String], keyCol: String): Seq[(String, Long, Long)] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val hconf = spark.sessionState.newHadoopConf()
-    files.map { fp =>
-      val f = new org.apache.hadoop.fs.Path(fp)
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
-      try {
-        val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol)
-            .flatMap { cc =>
-              val st = cc.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) None
-              else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue()))
-            }
-        }
-        if (ranges.isEmpty) (fp, Long.MinValue, Long.MaxValue)
-        else (fp, ranges.map(_._1).min, ranges.map(_._2).max)
-      } finally reader.close()
-    }
-  }
+      files: Seq[String], keyCol: String): Seq[(String, Long, Long)] =
+    fileStatsOf(spark, files, keyCol).map(s => (s.path, s.min, s.max))
 
   /** Copy-on-write MERGE, the targeted-file-rewrite plan every incremental
     * table deployment runs daily (q68's scaladoc names it; q68 itself is
@@ -183,6 +232,50 @@ object Layout {
     }
     val ranges = fileKeyRanges(spark, basePath, keyCol)
     val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
+    val touchedDf =
+      if (touched.isEmpty) spark.read.parquet(basePath).where(lit(false))
+      else spark.read.parquet(touched.map(_._1): _*)
+    rewrite(touchedDf).write.mode("overwrite").parquet(outPath)
+    CowMergeStats(ranges.size, touched.map(_._1), untouched.map(_._1))
+  }
+
+  /** Touched-file resolution as a JOIN — the changelog stays a DataFrame
+    * end to end: probe keys × (small, broadcast) per-file ranges on a
+    * BETWEEN condition, distinct the matching file names, collect
+    * O(files) paths. Removes the driver-side O(changelog) key
+    * materialization the Array form forces: the only collect here is the
+    * file list, which the manifest already prices driver-side. The
+    * nested-loop probe is map-side (each key row tests ≤ files ranges);
+    * partial aggregation collapses the distinct to ≤ files rows per
+    * partition before the one tiny shuffle.
+    */
+  private def touchedFilesFor(spark: org.apache.spark.sql.SparkSession,
+      ranges: Seq[(String, Long, Long)], keys: DataFrame): Set[String] = {
+    if (ranges.isEmpty) return Set.empty
+    import spark.implicits._
+    val kc = keys.columns.head
+    val rdf = ranges.toDF("__graft_f", "__graft_mn", "__graft_mx")
+    keys.select(col(kc).cast("long").as("__graft_k"))
+      .join(broadcast(rdf),
+        col("__graft_k") >= col("__graft_mn") &&
+          col("__graft_k") <= col("__graft_mx"))
+      .select(col("__graft_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** [[cowMerge]] with the changelog keys AS A DATAFRAME — the form that
+    * holds when the changelog outgrows driver memory: the touched-file
+    * set comes from [[touchedFilesFor]]'s broadcast range join instead of
+    * a collected, sorted key array. Same soundness argument (a key
+    * overlapping no file range matches no base row); same
+    * [[CowMergeStats]] contract.
+    */
+  def cowMergeKeys(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      keyCol: String, changeKeys: DataFrame,
+      rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats = {
+    val ranges = fileKeyRanges(spark, basePath, keyCol)
+    val touchedSet = touchedFilesFor(spark, ranges, changeKeys)
+    val (touched, untouched) = ranges.partition(r => touchedSet(r._1))
     val touchedDf =
       if (touched.isEmpty) spark.read.parquet(basePath).where(lit(false))
       else spark.read.parquet(touched.map(_._1): _*)
@@ -284,11 +377,16 @@ object Layout {
   /** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL + VACUUM — the
     * metadata layer that turns a directory of parquet files into a
     * versioned table (the Iceberg/Delta idea at its core): a commit is a
-    * MANIFEST (one data-file path per line under `_manifests/vN.manifest`)
-    * published atomically via write-temp-then-rename; data files are
-    * IMMUTABLE once referenced — an append writes only its own new files
-    * and a new manifest, an overwrite (compaction, COW merge) writes new
-    * files and a manifest that simply stops referencing the old ones.
+    * MANIFEST (`_manifests/vN.manifest`: header lines + `seg:` references
+    * to immutable SEGMENT files holding the data-file entries — see the
+    * segment scaladoc below) published atomically via
+    * write-temp-then-rename; data files are IMMUTABLE once referenced —
+    * an append writes only its own new files, ONE new segment, and a
+    * manifest of O(versions) reference lines; an overwrite (compaction,
+    * COW merge) writes new files and a manifest that simply stops
+    * referencing the old ones. Entries carry per-file column stats and
+    * partition values recorded at commit ([[FileStats]]/[[FileEntry]]),
+    * so pruning reads the manifest, not parquet footers.
     * Readers resolve a manifest ONCE and read exactly its file list, so
     * a query sees one version even while writers commit — and any retained
     * version stays readable forever (time travel) until `vacuumSnapshots`
@@ -341,10 +439,117 @@ object Layout {
     finally in.close()
   }
 
+  /** Manifest-embedded per-file column statistics: (min, max, rows) of
+    * the table's declared `statsKey` column, recorded AT COMMIT TIME
+    * (one footer pass over only the commit's NEW files) so every later
+    * pruning decision — COW merge, MOR delete scoping — reads
+    * manifest-grade metadata instead of re-opening parquet footers.
+    * The Iceberg/Delta stats idea, at its core.
+    */
+  case class FileStats(min: Long, max: Long, rows: Long)
+
+  /** One data-file entry of a manifest segment: path, optional
+    * [[FileStats]] on the table's statsKey column, and the file's
+    * distinct partition values (for tables with a declared `partCol`) —
+    * the unit of all manifest-side pruning.
+    */
+  case class FileEntry(path: String, stats: Option[FileStats],
+      parts: Option[Seq[String]])
+
+  /** Table properties that travel with the table across commits (the
+    * `deleteKey` carry rule, generalized): `statsKey` = the stats
+    * column, `partCol` = the partition column.
+    */
+  private val TableProps = Set("deleteKey", "statsKey", "partCol")
+
+  private def carriedProps(hdr: Map[String, String]): Map[String, String] =
+    hdr.view.filterKeys(TableProps).toMap
+
+  // Entry wire format: `path` optionally followed by tab-separated
+  // tokens `mn=<long>` `mx=<long>` `n=<rows>` `p=<enc,enc,...>`
+  // (partition values URL-encoded so commas/whitespace can't corrupt
+  // the line). Token-less lines parse as stat-less entries — the v1
+  // manifests' raw path lines remain readable.
+  private def serEntry(e: FileEntry): String = {
+    val st = e.stats.toSeq.flatMap(s =>
+      Seq(s"mn=${s.min}", s"mx=${s.max}", s"n=${s.rows}"))
+    val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
+      java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
+    (e.path +: (st ++ ps)).mkString("\t")
+  }
+
+  private def parseEntry(line: String): FileEntry = {
+    val toks = line.split('\t')
+    val kv = toks.tail.flatMap(t => t.split("=", 2) match {
+      case Array(k, v) => Some(k -> v)
+      case _ => None
+    }).toMap
+    val stats = for {
+      mn <- kv.get("mn"); mx <- kv.get("mx"); n <- kv.get("n")
+    } yield FileStats(mn.toLong, mx.toLong, n.toLong)
+    val parts = kv.get("p").map(_.split(",").toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8")))
+    FileEntry(toks.head, stats, parts)
+  }
+
+  /** MANIFEST SEGMENTS — the O(delta) commit structure (Iceberg's
+    * manifest-list, at its core): data-file entries live in immutable
+    * `.seg` files under `_manifests/segs/`; a manifest body holds only
+    * headers, delete-sidecar lines, and `seg:` references. An append
+    * writes ONE new segment (its own files) and a manifest whose seg
+    * list is the previous version's plus one line — per-commit metadata
+    * is O(new files + versions), not O(table files). At 10⁶ table files
+    * that is the difference between ~100 MB and ~KB of manifest text
+    * per append.
+    */
+  private def segsDir(root: String) =
+    new org.apache.hadoop.fs.Path(msDir(root), "segs")
+
+  private def writeSegment(spark: org.apache.spark.sql.SparkSession,
+      root: String, entries: Seq[FileEntry]): String = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(segsDir(root))
+    val name = s"${java.util.UUID.randomUUID().toString.take(12)}.seg"
+    val out = fs.create(new org.apache.hadoop.fs.Path(segsDir(root), name), false)
+    try out.write((entries.map(serEntry).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  private def segEntries(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(new org.apache.hadoop.fs.Path(segsDir(root), name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(parseEntry).toList
+    finally in.close()
+  }
+
+  private def manifestSegRefs(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[String] =
+    manifestLines(spark, root, version).filter(_.startsWith("seg:"))
+      .map(_.stripPrefix("seg:"))
+
+  /** Every data-file entry of a version, tagged with its owning segment
+    * name ("" for legacy inline path lines) — segment tags let
+    * [[snapshotMerge]] carry wholly-untouched segments BY REFERENCE.
+    */
+  private def manifestEntriesTagged(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[(String, FileEntry)] = {
+    val lines = manifestLines(spark, root, version)
+    lines.filter(_.startsWith("seg:")).map(_.stripPrefix("seg:"))
+      .flatMap(s => segEntries(spark, root, s).map(s -> _)) ++
+      lines.filterNot(l => l.startsWith("#") || l.startsWith("delete:") ||
+        l.startsWith("seg:")).map(l => "" -> parseEntry(l))
+  }
+
+  private def manifestEntries(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int): Seq[FileEntry] =
+    manifestEntriesTagged(spark, root, version).map(_._2)
+
   private def manifestFiles(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int): Seq[String] =
-    manifestLines(spark, root, version)
-      .filterNot(l => l.startsWith("#") || l.startsWith("delete:"))
+    manifestEntries(spark, root, version).map(_.path)
 
   /** MERGE-ON-READ delete sidecar files of a manifest (`delete:` lines):
     * parquet files of (file, key) equality-delete rows the reader applies
@@ -367,12 +572,21 @@ object Layout {
         }
       }.toMap
 
+  /** Commit a manifest: `newEntries` (if any) are first written as ONE
+    * new segment; the manifest body is headers + delete lines +
+    * `seg:` references (`carriedSegs` in order, then the new segment).
+    * The body never inlines data-file paths, so its size is O(versions
+    * + sidecars), and the bytes written per commit are O(new files).
+    */
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
-      root: String, version: Int, files: Seq[String],
+      root: String, version: Int, carriedSegs: Seq[String],
+      newEntries: Seq[FileEntry],
       header: Map[String, String] = Map.empty,
       deletes: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(msDir(root))
+    val segs = carriedSegs ++
+      (if (newEntries.nonEmpty) Seq(writeSegment(spark, root, newEntries)) else Nil)
     // a UNIQUE tmp per attempt: a shared ".vN.tmp" would let two racing
     // writers overwrite each other's staged body and cross-commit — the
     // rename guard below can only arbitrate if each writer renames its
@@ -386,7 +600,7 @@ object Layout {
       if (header.contains("ts")) header
       else header + ("ts" -> System.currentTimeMillis().toString)
     val body = (stamped.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
-      deletes.map(d => s"delete:$d") ++ files).mkString("\n") + "\n"
+      deletes.map(d => s"delete:$d") ++ segs.map(s => s"seg:$s")).mkString("\n") + "\n"
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
@@ -412,39 +626,118 @@ object Layout {
       .map(_.getPath.toString).toSeq.sorted
   }
 
+  private def uriPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Build the [[FileEntry]] rows for a commit's freshly-written files,
+    * per the table's declared properties: `statsKey` → one footer pass
+    * over ONLY the new files ([[fileStatsOf]] — distributed past 32
+    * files); `partCol` → one single-column distinct job over only the
+    * new files, recording each file's partition-value set. Both are the
+    * amortized O(new files) price a table format pays at commit so no
+    * later read ever re-derives them. Files missing the stats column
+    * record the conservative full range (prune nothing, stay correct).
+    */
+  private def entriesForNewFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
+    if (files.isEmpty) return Nil
+    val stats: Map[String, FileStats] = props.get("statsKey") match {
+      case Some(k) => fileStatsOf(spark, files, k)
+        .map(s => s.path -> FileStats(s.min, s.max, s.rows)).toMap
+      case None => Map.empty
+    }
+    val parts: Map[String, Seq[String]] = props.get("partCol") match {
+      case Some(pc) =>
+        val df = spark.read.parquet(files: _*)
+        if (!df.columns.contains(pc)) Map.empty
+        else df.select(input_file_name().as("__graft_f"),
+            // null partition values record as a NUL sentinel: such a
+            // file never matches a requested value (over-keeping at
+            // worst; the read-side row filter still applies)
+            coalesce(col(pc).cast("string"), lit("\u0000")).as("__graft_p"))
+          .distinct().collect()
+          .groupBy(r => uriPath(r.getString(0)))
+          .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+      case None => Map.empty
+    }
+    files.map(f => FileEntry(f, stats.get(f), parts.get(uriPath(f))))
+  }
+
   /** Append `df` as a new snapshot: new files + a manifest referencing
-    * old ∪ new. Returns the committed version.
+    * old ∪ new — the old files by SEGMENT REFERENCE (one `seg:` line
+    * each), so the commit writes O(new files) metadata regardless of
+    * table size. `statsKey`, given on the FIRST commit, declares the
+    * table's stats column; every subsequent commit records (min, max,
+    * rows) of it per new file in the manifest ([[FileStats]]), and
+    * every pruning path reads them instead of parquet footers.
+    * Returns the committed version.
     */
   def snapshotAppend(spark: org.apache.spark.sql.SparkSession, root: String,
-      df: DataFrame): Int = {
+      df: DataFrame, statsKey: Option[String] = None): Int =
+    appendInternal(spark, root, df, statsKey, None)
+
+  /** [[snapshotAppend]] for a PARTITIONED table: `partCol`, declared on
+    * the first commit, becomes a table property; the data is shuffled so
+    * each file holds few partition values, and each commit records every
+    * new file's distinct partition-value set in the manifest — the
+    * metadata [[readSnapshot]]'s `partitions` filter prunes from. The
+    * partition column stays IN the data (no directory encoding), so any
+    * non-partitioned read path works unchanged.
+    */
+  def snapshotAppendPartitioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, partCol: String,
+      statsKey: Option[String] = None): Int =
+    appendInternal(spark, root,
+      df.repartition(col(partCol)), statsKey, Some(partCol))
+
+  private def appendInternal(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, statsKey: Option[String],
+      partCol: Option[String]): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
+    val prevHdr = prev.lastOption
+      .map(manifestHeader(spark, root, _)).getOrElse(Map.empty[String, String])
+    // declared properties must agree with the table's: silently switching
+    // the stats column would leave old entries' stats wrong for pruning
+    for (k <- statsKey; e <- prevHdr.get("statsKey"))
+      require(e == k, s"table stats column is '$e', not '$k'")
+    for (p <- partCol; e <- prevHdr.get("partCol"))
+      require(e == p, s"table partition column is '$e', not '$p'")
+    val props = carriedProps(prevHdr) ++
+      statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _)
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
-    val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
+    val carriedSegs = prev.lastOption
+      .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
     // delete sidecars carry forward with the files they scope: an append
     // must not resurrect rows a prior MOR delete removed. The new files
     // are NOT in any sidecar's scope, so re-inserted keys in them survive.
     val carriedDel = prev.lastOption
       .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
-    val carriedHdr = prev.lastOption
-      .map(manifestHeader(spark, root, _).view.filterKeys(_ == "deleteKey").toMap)
-      .getOrElse(Map.empty[String, String])
-    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir),
-      header = carriedHdr, deletes = carriedDel)
+    commitManifest(spark, root, v, carriedSegs,
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props, deletes = carriedDel)
     v
   }
 
   /** Replace the table content in a new snapshot (compaction / COW merge
-    * publish): new files only; prior versions stay readable.
+    * publish): new files only; prior versions stay readable. Table
+    * properties (statsKey/partCol) survive the overwrite — the new
+    * files' stats/partition sets are recomputed; deleteKey does not
+    * (an overwrite's content carries no sidecar debt).
     */
   def snapshotOverwrite(spark: org.apache.spark.sql.SparkSession, root: String,
       df: DataFrame): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
+    val props = prev.lastOption
+      .map(v0 => carriedProps(manifestHeader(spark, root, v0)) - "deleteKey")
+      .getOrElse(Map.empty[String, String])
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
-    commitManifest(spark, root, v, listDataFiles(spark, dataDir))
+    commitManifest(spark, root, v, Nil,
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props)
     v
   }
 
@@ -464,12 +757,34 @@ object Layout {
     * away so read-side debt is bounded by the maintenance cadence.
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-      version: Int = -1): DataFrame = {
+      version: Int = -1, partitions: Seq[String] = Nil): DataFrame = {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots at $root")
     val v = if (version < 0) vs.last else version
     require(vs.contains(v), s"version $v not in $vs")
-    val files = manifestFiles(spark, root, v)
+    val hdr = manifestHeader(spark, root, v)
+    // PARTITION PRUNING from the manifest: keep only files whose recorded
+    // partition-value set intersects the requested values (entries
+    // without a recorded set — pre-partitioning commits, compactions that
+    // mixed values — stay in: conservative). The row filter below makes
+    // the result EXACTLY `readSnapshot(...).filter(partCol in values)`;
+    // the pruning decides only which files are never opened.
+    val partColOpt = if (partitions.isEmpty) None else Some(
+      hdr.getOrElse("partCol", throw new IllegalArgumentException(
+        s"$root carries no partCol table property; partition read impossible")))
+    val want = partitions.toSet
+    def partKeep(e: FileEntry): Boolean =
+      partColOpt.isEmpty || e.parts.forall(_.exists(want))
+    val files = manifestEntries(spark, root, v).filter(partKeep).map(_.path)
+    val partFilter = (df: DataFrame) => partColOpt match {
+      case Some(pc) => df.filter(col(pc).cast("string").isin(partitions: _*))
+      case None => df
+    }
+    if (files.isEmpty) {
+      // every file pruned: an empty frame with the version's schema
+      return partFilter(spark.read.option("mergeSchema", "true")
+        .parquet(manifestFiles(spark, root, v): _*).where(lit(false)))
+    }
     val dels = manifestDeleteFiles(spark, root, v)
     // SCHEMA EVOLUTION: a version's schema is the union of its files'
     // schemas (appends may ADD columns; rows from pre-evolution files
@@ -478,8 +793,8 @@ object Layout {
     // manifest-grade planning metadata; conflicting types fail loudly.
     def read(fs: Seq[String]) =
       spark.read.option("mergeSchema", "true").parquet(fs: _*)
-    if (dels.isEmpty) return read(files)
-    val keyCol = manifestHeader(spark, root, v).getOrElse("deleteKey",
+    if (dels.isEmpty) return partFilter(read(files))
+    val keyCol = hdr.getOrElse("deleteKey",
       throw new IllegalStateException(
         s"v$v carries delete sidecars but no #deleteKey header"))
     val side = spark.read.parquet(dels: _*)
@@ -508,7 +823,7 @@ object Layout {
     // schema evolution can leave the clean/dirty halves with different
     // column sets (old files lack added columns) — align on names,
     // missing columns read null
-    cleanDf.unionByName(dirtyDf, allowMissingColumns = true)
+    partFilter(cleanDf.unionByName(dirtyDf, allowMissingColumns = true))
   }
 
   /** Commit timestamps of every version, ascending — the `#ts` header
@@ -570,35 +885,53 @@ object Layout {
     val hdr = manifestHeader(spark, root, base)
     hdr.get("deleteKey").foreach(k => require(k == keyCol,
       s"table already carries deletes on '$k'; mixed delete keys need a compaction first"))
-    val files = manifestFiles(spark, root, base)
+    val entries = manifestEntries(spark, root, base)
     val sorted = keys.distinct.sorted
     def overlapping(mn: Long, mx: Long): Array[Long] = {
       val i = java.util.Arrays.binarySearch(sorted, mn)
       val from = if (i >= 0) i else -i - 1
       sorted.drop(from).takeWhile(_ <= mx)
     }
-    val scoped = fileKeyRangesOf(spark, files, keyCol).flatMap {
+    // scope from MANIFEST stats when the table declares this key column;
+    // footer fallback only for stat-less entries
+    val scoped = keyRangesOfEntries(spark, entries, hdr, keyCol).flatMap {
       case (f, mn, mx) =>
         val name = f.substring(f.lastIndexOf('/') + 1)
         overlapping(mn, mx).map(k => (name, k))
     }
     val v = base + 1
+    val carriedSegs = manifestSegRefs(spark, root, base)
     val carriedDel = manifestDeleteFiles(spark, root, base)
     if (scoped.isEmpty) {
       // no key overlaps any file: nothing to delete — still commit, so
       // the caller gets one version per request batch (audit trail)
-      commitManifest(spark, root, v, files,
-        header = hdr.view.filterKeys(_ == "deleteKey").toMap,
-        deletes = carriedDel)
+      commitManifest(spark, root, v, carriedSegs, Nil,
+        header = carriedProps(hdr), deletes = carriedDel)
       return v
     }
     val delDir = attemptDir(root, "deletes", v)
     import spark.implicits._
     scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
-    commitManifest(spark, root, v, files,
-      header = Map("deleteKey" -> keyCol),
+    commitManifest(spark, root, v, carriedSegs, Nil,
+      header = carriedProps(hdr) + ("deleteKey" -> keyCol),
       deletes = carriedDel ++ listDataFiles(spark, delDir))
     v
+  }
+
+  /** Per-file key ranges for pruning: MANIFEST STATS when the table's
+    * declared stats column is `keyCol` (zero parquet I/O — the payoff of
+    * recording stats at commit), parquet-footer fallback for entries
+    * without stats (stat-less tables, pre-stats commits) — and that
+    * fallback is [[fileStatsOf]]'s distributed job, never a serial
+    * driver loop past 32 files. Mixed tables split per entry.
+    */
+  private def keyRangesOfEntries(spark: org.apache.spark.sql.SparkSession,
+      entries: Seq[FileEntry], hdr: Map[String, String],
+      keyCol: String): Seq[(String, Long, Long)] = {
+    val statsUsable = hdr.get("statsKey").contains(keyCol)
+    val (have, missing) = entries.partition(e => statsUsable && e.stats.isDefined)
+    have.map(e => (e.path, e.stats.get.min, e.stats.get.max)) ++
+      fileKeyRangesOf(spark, missing.map(_.path), keyCol)
   }
 
   /** ST29: IDEMPOTENT epoch-keyed append — the snapshot layer as an
@@ -641,14 +974,16 @@ object Layout {
       s"epoch $epoch commits v$v but the latest committed version is ${prev.lastOption.getOrElse(0)}")
     val dataDir = s"$root/data/e=$epoch"
     df.write.mode("overwrite").parquet(dataDir)
-    val carried = prev.lastOption.map(manifestFiles(spark, root, _)).getOrElse(Nil)
+    val carriedSegs = prev.lastOption
+      .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
     val carriedDel = prev.lastOption
       .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
-    val carriedHdr = prev.lastOption
-      .map(manifestHeader(spark, root, _).view.filterKeys(_ == "deleteKey").toMap)
+    val props = prev.lastOption
+      .map(v0 => carriedProps(manifestHeader(spark, root, v0)))
       .getOrElse(Map.empty[String, String])
-    commitManifest(spark, root, v, carried ++ listDataFiles(spark, dataDir),
-      carriedHdr ++ Map("writer" -> writerId, "epoch" -> epoch.toString),
+    commitManifest(spark, root, v, carriedSegs,
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      props ++ Map("writer" -> writerId, "epoch" -> epoch.toString),
       deletes = carriedDel)
     v
   }
@@ -771,7 +1106,12 @@ object Layout {
     val v = base + 1
     val dataDir = attemptDir(root, "data", v)
     packed.write.mode("error").parquet(dataDir)
-    commitManifest(spark, root, v, listDataFiles(spark, dataDir))
+    // statsKey/partCol survive the compaction (stats recomputed for the
+    // packed files); deleteKey is dropped — the sidecar debt is folded in
+    val props = carriedProps(manifestHeader(spark, root, base)) - "deleteKey"
+    commitManifest(spark, root, v, Nil,
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props)
     v
   }
 
@@ -922,30 +1262,70 @@ object Layout {
     */
   def snapshotMerge(spark: org.apache.spark.sql.SparkSession, root: String,
       keyCol: String, matchKeys: Array[Long],
+      rewrite: DataFrame => DataFrame): Int =
+    snapshotMergeImpl(spark, root, keyCol, Left(matchKeys), rewrite)
+
+  /** [[snapshotMerge]] with the changelog keys AS A DATAFRAME — removes
+    * the COW engine's last driver-side O(changelog) ceiling: the
+    * touched-file set comes from [[touchedFilesFor]]'s broadcast range
+    * join against the (manifest-stats) file ranges; only O(files) paths
+    * ever reach the driver. Same commit shape, same soundness.
+    */
+  def snapshotMergeKeys(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, changeKeys: DataFrame,
+      rewrite: DataFrame => DataFrame): Int =
+    snapshotMergeImpl(spark, root, keyCol, Right(changeKeys), rewrite)
+
+  private def snapshotMergeImpl(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String,
+      keys: Either[Array[Long], DataFrame],
       rewrite: DataFrame => DataFrame): Int = {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots at $root")
     val base = vs.last
     require(manifestDeleteFiles(spark, root, base).isEmpty,
       "table carries MOR delete sidecars; snapshotCompact before MERGE")
-    val files = manifestFiles(spark, root, base)
-    val sorted = matchKeys.distinct.sorted
-    def overlaps(mn: Long, mx: Long): Boolean = {
-      val i = java.util.Arrays.binarySearch(sorted, mn)
-      val at = if (i >= 0) i else -i - 1
-      at < sorted.length && sorted(at) <= mx
+    val hdr = manifestHeader(spark, root, base)
+    val tagged = manifestEntriesTagged(spark, root, base)
+    val files = tagged.map(_._2.path)
+    val ranges = keyRangesOfEntries(spark, tagged.map(_._2), hdr, keyCol)
+    val touchedSet: Set[String] = keys match {
+      case Left(arr) =>
+        val sorted = arr.distinct.sorted
+        def overlaps(mn: Long, mx: Long): Boolean = {
+          val i = java.util.Arrays.binarySearch(sorted, mn)
+          val at = if (i >= 0) i else -i - 1
+          at < sorted.length && sorted(at) <= mx
+        }
+        ranges.collect { case (f, mn, mx) if overlaps(mn, mx) => f }.toSet
+      case Right(df) => touchedFilesFor(spark, ranges, df)
     }
-    val ranges = fileKeyRangesOf(spark, files, keyCol)
-    val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
+    val (touchedTagged, untouchedTagged) =
+      tagged.partition(t => touchedSet(t._2.path))
+    // SEGMENT-GRANULAR CARRY: a segment none of whose files are touched
+    // is carried by ONE `seg:` reference; only partially-touched
+    // segments have their untouched entries re-serialized (stats and
+    // partition sets preserved — no recompute) into the new segment
+    // alongside the rewrite's files. Metadata written stays O(touched +
+    // new), not O(table).
+    val touchedSegs = touchedTagged.map(_._1).toSet
+    val carriedSegs = manifestSegRefs(spark, root, base)
+      .filterNot(touchedSegs)
+    val residual = untouchedTagged
+      .collect { case (seg, e) if seg == "" || touchedSegs(seg) => e }
     val v = base + 1
     val dataDir = attemptDir(root, "data", v)
     val touchedDf =
-      if (touched.isEmpty)
+      if (touchedTagged.isEmpty)
         spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
-      else spark.read.option("mergeSchema", "true").parquet(touched.map(_._1): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(touchedTagged.map(_._2.path): _*)
     rewrite(touchedDf).write.mode("error").parquet(dataDir)
-    commitManifest(spark, root, v,
-      untouched.map(_._1) ++ listDataFiles(spark, dataDir))
+    val props = carriedProps(hdr) - "deleteKey"
+    commitManifest(spark, root, v, carriedSegs,
+      residual ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props)
     v
   }
 
@@ -1011,9 +1391,12 @@ object Layout {
     require(vs.contains(v), s"version $v not in $vs")
     require(snapshotVersions(spark, dstRoot).isEmpty,
       s"clone destination $dstRoot already has snapshots")
-    commitManifest(spark, dstRoot, 1, manifestFiles(spark, srcRoot, v),
-      header = manifestHeader(spark, srcRoot, v).view
-        .filterKeys(_ == "deleteKey").toMap,
+    // the clone materializes ONE segment of its own under dstRoot (seg
+    // references never cross roots — vacuum's ownership reasoning stays
+    // per-root); entries copy with their stats/partition sets, so the
+    // clone prunes as well as the source from birth
+    commitManifest(spark, dstRoot, 1, Nil, manifestEntries(spark, srcRoot, v),
+      header = carriedProps(manifestHeader(spark, srcRoot, v)),
       deletes = manifestDeleteFiles(spark, srcRoot, v))
     1
   }
@@ -1190,7 +1573,16 @@ object Layout {
       .filter(st => !referenced.contains(st.getPath.toUri.getPath) &&
         st.getModificationTime < cutoffMillis)
     dead.foreach(st => fs.delete(st.getPath, false))
-    dead.size
+    // orphan SEGMENTS too: a losing commit attempt writes its segment
+    // before the manifest rename arbitrates — the loser's seg is
+    // referenced by no manifest and sweeps under the same cutoff rule
+    val refSegs = snapshotVersions(spark, root)
+      .flatMap(v => manifestSegRefs(spark, root, v)).toSet
+    val deadSegs = walk(segsDir(root))
+      .filter(st => !refSegs.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoffMillis)
+    deadSegs.foreach(st => fs.delete(st.getPath, false))
+    dead.size + deadSegs.size
   }
 
   private def vacuumDrop(spark: org.apache.spark.sql.SparkSession,
@@ -1215,11 +1607,18 @@ object Layout {
       new org.apache.hadoop.fs.Path(f).toUri.getPath
         .startsWith(ownRoot.stripSuffix("/") + "/")
     val deadFiles = (drop.flatMap(refs).toSet -- keptFiles).filter(owned)
+    // segments are references like files: dead = referenced ONLY by
+    // dropped manifests (an append chain shares segments, so most segs
+    // survive any prefix vacuum; an overwrite orphans the whole chain)
+    val keptSegs = retain.flatMap(v => manifestSegRefs(spark, root, v)).toSet
+    val deadSegs = drop.flatMap(v => manifestSegRefs(spark, root, v)).toSet -- keptSegs
     // manifests FIRST, then their files: a crash mid-vacuum must leave
     // only harmless orphan data files, never a listed-but-unreadable
     // version (files-first would strand manifests pointing at nothing)
     drop.foreach(v => fs.delete(
       new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest"), false))
+    deadSegs.foreach(s => fs.delete(
+      new org.apache.hadoop.fs.Path(segsDir(root), s), false))
     deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     VacuumStats(deadFiles.size, keptFiles.size, drop)
   }

@@ -2169,12 +2169,14 @@ object Relational {
       .select((col("o_orderkey") + 10000000L).as("c_key"),
         dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
     val changes = updates.unionAll(inserts)
-    // the broadcast-small changelog key set (the COW precondition); ALL
-    // changelog keys probe the footers — an insert key overlaps no file,
-    // so it prunes nothing extra, and soundness never rests on knowing
-    // in advance which keys are inserts
-    val matchKeys = changes.select(col("c_key")).collect().map(_.getLong(0))
-    val stats = Layout.cowMerge(spark, baseDir, "o_orderkey", matchKeys,
+    // the changelog stays a DATAFRAME end to end (cowMergeKeys): the
+    // touched-file set comes from a broadcast range join against the
+    // per-file ranges — no O(changelog) driver collect. ALL changelog
+    // keys probe the ranges — an insert key overlaps no file, so it
+    // prunes nothing extra, and soundness never rests on knowing in
+    // advance which keys are inserts
+    val stats = Layout.cowMergeKeys(spark, baseDir, "o_orderkey",
+      changes.select(col("c_key")),
       touched => touched
         .join(changes, col("o_orderkey") === col("c_key"), "full_outer")
         .select(
@@ -2381,8 +2383,11 @@ object Relational {
         dec(col("o_totalprice")).cast("double").as("totalprice"))
     val root = sessionRoot(sfDir, "mor")
     if (Layout.snapshotVersions(spark, root).isEmpty) {
+      // statsKey declares the table's stats column: every later MOR
+      // delete scopes from manifest stats, zero footer reads
       Layout.snapshotAppend(spark, root,
-        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")))
+        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")),
+        statsKey = Some("key"))
       val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
       val delKeys = base
         .filter(col("key") % 13 === 1 && col("key") <= cutoff)
@@ -2438,8 +2443,10 @@ object Relational {
         .select(col("o_orderkey").as("key"),
           dec(col("o_totalprice")).cast("double").as("totalprice"),
           col("o_orderstatus").as("status"))
+      // statsKey: the merge's touched-file pruning reads manifest stats
       Layout.snapshotAppend(spark, root,
-        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")))
+        base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")),
+        statsKey = Some("key"))
       val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
       val changes = base
         .filter(col("key") % 7 === 0 && col("key") <= cutoff)
@@ -2448,9 +2455,11 @@ object Relational {
         .unionAll(base.filter(col("key") % 1000 === 3)
           .select((col("key") + 10000000L).as("c_key"),
             col("totalprice").as("c_price"), lit("N").as("c_status")))
-        .localCheckpoint() // key collect + rewrite both read it
-      val matchKeys = changes.select(col("c_key")).collect().map(_.getLong(0))
-      Layout.snapshotMerge(spark, root, "key", matchKeys,
+        .localCheckpoint() // the touched-file probe + rewrite both read it
+      // DataFrame changelog interface: touched files resolve via the
+      // manifest-stats range join; no key array ever materializes
+      Layout.snapshotMergeKeys(spark, root, "key",
+        changes.select(col("c_key")),
         touched => touched
           .join(changes, col("key") === col("c_key"), "full_outer")
           .select(coalesce(col("key"), col("c_key")).as("key"),
@@ -2480,6 +2489,50 @@ object Relational {
       |  coalesce(c_price, totalprice) AS totalprice,
       |  coalesce(c_status, status) AS status
       |FROM base FULL OUTER JOIN changes ON key = c_key
+      |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** PARTITIONED SNAPSHOT TABLE with manifest partition pruning — the
+    * read every date/status-partitioned corpus runs daily: the table is
+    * committed via [[Layout.snapshotAppendPartitioned]] (per-file
+    * partition-value sets recorded in the manifest at commit), and a
+    * partition read ([[Layout.readSnapshot]]'s `partitions` filter)
+    * OPENS only files whose recorded value set intersects the request —
+    * `inputFiles` excludes every out-of-partition file, which
+    * `ScaleFeaturesSpec` asserts. The oracle equality certifies the
+    * semantics: partition-pruned read ≡ plain filtered read of the whole
+    * table. The partition column stays in the data (no directory
+    * encoding), so the same files serve unpartitioned readers unchanged.
+    * 100 TB: a one-partition query on a 1000-partition corpus plans
+    * O(manifest) metadata and scans ~0.1% of the bytes — without
+    * per-file partition values it would read every footer just to
+    * discover the other 99.9% are irrelevant.
+    */
+  private def partTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val root = sessionRoot(sfDir, "part")
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("totalprice"),
+            col("o_orderstatus").as("status"))
+        Layout.snapshotAppendPartitioned(spark, root, base, "status",
+          statsKey = Some("key"))
+      }
+      root
+    }
+
+  def q94PartitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = partTable(spark, sfDir)
+    Layout.readSnapshot(spark, root, partitions = Seq("F"))
+      .orderBy(col("key"))
+  }
+
+  val q94Sql: String =
+    """SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  o_orderstatus AS status
+      |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------- q92
@@ -3324,6 +3377,7 @@ object Relational {
     "q91_bloom_lookup" -> (q91BloomLookup _),
     "q92_schema_evolution" -> (q92SchemaEvolution _),
     "q93_snapshot_merge" -> (q93SnapshotMerge _),
+    "q94_partition_prune" -> (q94PartitionPrune _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3468,6 +3522,7 @@ object Relational {
     "q91_bloom_lookup" -> q91Sql,
     "q92_schema_evolution" -> q92Sql,
     "q93_snapshot_merge" -> q93Sql,
+    "q94_partition_prune" -> q94Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** The round-9 manifest layer: per-file column stats recorded at commit
+  * (pruning without parquet-footer I/O), O(delta) segmented commits,
+  * the DataFrame changelog interface, and partitioned snapshot reads.
+  */
+class ManifestV2Spec extends GraftSuite {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def ordersBase = Tables(spark, sf, "orders")
+    .select(col("o_orderkey").as("key"),
+      col("o_totalprice").cast("double").as("price"))
+    .repartitionByRange(8, col("key")).sortWithinPartitions(col("key"))
+
+  test("stats-bearing table: MERGE pruning does ZERO parquet-footer reads") {
+    val root = freshRoot("stats")
+    Layout.snapshotAppend(spark, root, ordersBase, statsKey = Some("key"))
+    val before = Layout.readSnapshot(spark, root)
+    val maxKey = before.agg(max(col("key"))).head().getLong(0)
+    val keys = Array.range(1, (maxKey / 10).toInt, 13).map(_.toLong)
+    val f0 = Layout.footerReads.get()
+    val v = Layout.snapshotMerge(spark, root, "key", keys,
+      touched => touched.withColumn("price",
+        when(col("key").isin(keys.map(Long.box): _*), col("price") * 2)
+          .otherwise(col("price"))))
+    // the pruning decision AND the stats of the rewritten files both
+    // priced... no: the new files' stats are one footer pass (commit
+    // cost); the PRUNE itself must be free. Assert the delta is exactly
+    // the new files' count — not one footer more.
+    val newFiles = Layout.readSnapshot(spark, root, v).inputFiles
+      .count(_.contains(s"/data/v$v-"))
+    assert(Layout.footerReads.get() - f0 == newFiles,
+      s"pruning must read no footers beyond the ${newFiles} new files' " +
+        s"commit-time stats (saw ${Layout.footerReads.get() - f0})")
+    // correctness: doubled keys in range, untouched keys identical
+    val after = Layout.readSnapshot(spark, root, v)
+    val expect = before.withColumn("price",
+      when(col("key").isin(keys.map(Long.box): _*), col("price") * 2)
+        .otherwise(col("price")))
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+  }
+
+  test("stat-less table: the same MERGE falls back to footer reads and stays exact") {
+    val root = freshRoot("nostats")
+    Layout.snapshotAppend(spark, root, ordersBase) // no statsKey
+    val before = Layout.readSnapshot(spark, root)
+    val nFiles = before.inputFiles.length
+    val keys = Array(1L, 2L, 3L)
+    val f0 = Layout.footerReads.get()
+    val v = Layout.snapshotMerge(spark, root, "key", keys,
+      touched => touched.withColumn("price",
+        when(col("key").isin(keys.map(Long.box): _*), col("price") * 2)
+          .otherwise(col("price"))))
+    // fallback: one footer per base file (pruning) + commit-time stats
+    // of the new files are NOT computed (table has no statsKey)
+    assert(Layout.footerReads.get() - f0 == nFiles,
+      s"stat-less pruning reads one footer per base file ($nFiles), " +
+        s"saw ${Layout.footerReads.get() - f0}")
+    val after = Layout.readSnapshot(spark, root, v)
+    val expect = before.withColumn("price",
+      when(col("key").isin(keys.map(Long.box): _*), col("price") * 2)
+        .otherwise(col("price")))
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+  }
+
+  test("distributed footer fallback (>32 files) agrees with the driver loop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dist").toString
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(40, col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size > 32, s"need >32 files to exercise the job path, got ${files.size}")
+    val viaJob = Layout.fileStatsOf(spark, files, "o_orderkey")
+      .map(s => s.path -> ((s.min, s.max, s.rows))).toMap
+    val viaLoop = files.grouped(8).flatMap(g =>
+      Layout.fileStatsOf(spark, g, "o_orderkey")).map(
+      s => s.path -> ((s.min, s.max, s.rows))).toMap
+    assert(viaJob == viaLoop)
+    // ranges tile the keyspace disjointly (range-partitioned write)
+    val sorted = viaJob.values.toSeq.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, mx1, _), (mn2, _, _)) => mx1 < mn2
+      case _ => true
+    })
+  }
+
+  test("O(delta) commits: per-append metadata is O(new files), not O(table)") {
+    val root = freshRoot("delta")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestBytes(v: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/v$v.manifest")).getLen
+    def segsBytes(): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/_manifests/segs")
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).map(s => s.getPath.getName -> s.getLen).toMap
+    }
+    val batch = Tables(spark, sf, "orders").limit(500)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").cast("double").as("price"))
+      .repartition(4)
+    var perCommitSegBytes = Vector.empty[Long]
+    var segsBefore = segsBytes()
+    for (_ <- 1 to 12) {
+      Layout.snapshotAppend(spark, root, batch, statsKey = Some("key"))
+      val now = segsBytes()
+      val added = (now.keySet -- segsBefore.keySet).toSeq.map(now)
+      assert(added.size == 1, s"each append writes exactly ONE new segment, got ${added.size}")
+      perCommitSegBytes :+= added.sum
+      segsBefore = now
+    }
+    // the segment payload per append is constant (4 files each time):
+    // late appends may not write more file metadata than early ones
+    assert(perCommitSegBytes.last <= perCommitSegBytes.head * 2,
+      s"per-append segment bytes grew with table size: $perCommitSegBytes")
+    // the manifest body inlines NO file paths — only headers + seg refs —
+    // so it grows one ~20-byte line per version, not one per file
+    val body = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_manifests/v12.manifest"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(body.forall(l => l.startsWith("#") || l.startsWith("seg:")),
+      s"v12 manifest must hold only headers and seg refs:\n${body.mkString("\n")}")
+    assert(body.count(_.startsWith("seg:")) == 12)
+    assert(manifestBytes(12) < 1000,
+      s"12-version manifest stays metadata-light, got ${manifestBytes(12)}B")
+    // and the table still reads exactly: 12 appended batches
+    assert(Layout.readSnapshot(spark, root).count() == batch.count() * 12)
+  }
+
+  test("vacuum reclaims segments exactly: shared segs survive, orphaned chains die") {
+    val root = freshRoot("segvac")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nSegs: Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests/segs")).length
+    val batch = Tables(spark, sf, "nation").select(col("n_nationkey").as("key"))
+    for (_ <- 1 to 5) Layout.snapshotAppend(spark, root, batch.coalesce(1))
+    assert(nSegs == 5)
+    // keep=1 retains v5, which references ALL five segments — none die
+    Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(nSegs == 5, "segments referenced by the kept head must survive")
+    assert(Layout.readSnapshot(spark, root).count() == batch.count() * 5)
+    // an overwrite starts a fresh chain; vacuum keep=1 then orphans all
+    // five old segments and reclaims them with the old data files
+    Layout.snapshotOverwrite(spark, root, batch.coalesce(1))
+    Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(nSegs == 1, s"overwrite + vacuum must leave only the head's segment, got $nSegs")
+    assert(Layout.readSnapshot(spark, root).count() == batch.count())
+  }
+
+  test("snapshotMergeKeys (DataFrame changelog) ≡ snapshotMerge (Array), same touched set") {
+    import spark.implicits._
+    val rootA = freshRoot("mka")
+    val rootB = freshRoot("mkb")
+    Layout.snapshotAppend(spark, rootA, ordersBase, statsKey = Some("key"))
+    Layout.snapshotAppend(spark, rootB, ordersBase, statsKey = Some("key"))
+    val keys = Array(5L, 7L, 11L, 13L, 9999999L) // incl. a no-match insert key
+    val rw = (touched: org.apache.spark.sql.DataFrame) =>
+      touched.withColumn("price", col("price") + 1)
+    val vA = Layout.snapshotMerge(spark, rootA, "key", keys, rw)
+    val vB = Layout.snapshotMergeKeys(spark, rootB, "key", keys.toSeq.toDF("k"), rw)
+    val a = Layout.readSnapshot(spark, rootA, vA)
+    val b = Layout.readSnapshot(spark, rootB, vB)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // both carried the same number of untouched files by reference
+    def carried(root: String, v: Int) = Layout.readSnapshot(spark, root, v)
+      .inputFiles.count(f => !f.contains(s"/data/v$v-"))
+    assert(carried(rootA, vA) == carried(rootB, vB))
+    assert(carried(rootA, vA) > 0, "a localized changelog must leave untouched files")
+  }
+
+  test("partitioned snapshot: pruned read ≡ filtered read, inputFiles excludes other partitions") {
+    val root = freshRoot("part")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderstatus").as("status"))
+    // per-status ingest batches (the shape a partitioned feed arrives
+    // in): each append's files are value-pure, so the pruning assertion
+    // below is exact, not hash-layout-dependent
+    for (s <- Seq("O", "F", "P"))
+      Layout.snapshotAppendPartitioned(spark, root,
+        base.filter(col("status") === s), "status")
+    val full = Layout.readSnapshot(spark, root)
+    val pruned = Layout.readSnapshot(spark, root, partitions = Seq("F"))
+    val expect = full.filter(col("status") === "F")
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"partition read must open fewer files: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    // files opened by the pruned read must actually contain partition F
+    // (value-set pruning, not name matching): every kept file's recorded
+    // set intersects {F} — verified the hard way, by reading them
+    val onlyPruned = spark.read.parquet(pruned.inputFiles: _*)
+    assert(onlyPruned.filter(col("status") === "F").count() ==
+      expect.count())
+    // appends keep the partition property without re-declaring it
+    val v2 = Layout.snapshotAppend(spark, root,
+      base.filter(col("status") === "O").limit(100))
+    val pruned2 = Layout.readSnapshot(spark, root, v2, partitions = Seq("F"))
+    assert(pruned2.count() == expect.count(),
+      "an O-only append must not enter an F-partition read")
+  }
+}
