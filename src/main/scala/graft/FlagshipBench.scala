@@ -7,10 +7,21 @@ import org.apache.spark.sql.functions._
   * round-3-style wiring (each sub-operator re-scanning `documents` and
   * re-deriving its own shingle/minhash signatures) to quantify the shared
   * signature pass. Usage: runMain graft.FlagshipBench [sfDir]
+  *
+  * `runMain graft.FlagshipBench prod [sfDir]` instead times the
+  * PRODUCTION CONFIGURATION — the conf-gated slots a deployment would
+  * ship with ON (`estimateDedup`: d12's MinHash-estimate near-dup gate;
+  * `editDedup`: d19's auto-switched edit-distance gate;
+  * `substringDedup`: d21's sliding-window-hash substring gate) — so the
+  * shipped configuration has a committed number
+  * (`flagship_prod_sec` in tools/bench_anchor.json), not just the
+  * default-knob sweep entry (st8's batch twin).
   */
 object FlagshipBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val prod = args.headOption.contains("prod")
+    val rest = if (prod) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -19,6 +30,24 @@ object FlagshipBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // warm up
+
+    if (prod) {
+      spark.conf.set("spark.graft.curation.estimateDedup", "true")
+      spark.conf.set("spark.graft.curation.editDedup", "true")
+      spark.conf.set("spark.graft.curation.substringDedup", "true")
+      // three timed passes: the first carries one-time session costs, the
+      // anchor convention records the first (sweep-comparable) and min
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = ops.Curation.curate(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"flagship prod-config: $s%.2f s ($n rows)")
+        s
+      }
+      println(f"flagship_prod_sec first=${times.head}%.2f min=${times.min}%.2f")
+      spark.stop()
+      return
+    }
 
     def timed(tag: String)(df: => org.apache.spark.sql.DataFrame): Long = {
       val t0 = System.nanoTime()

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 /** Plan-level regression guards over the WHOLE query suite: the properties
   * that make these plans survive 100 TB are asserted, not just narrated.
   */
-class PlanInvariantsSpec extends GraftSuite {
-
+object PlanInvariantsSpec {
   /** Queries where a nested-loop/cartesian shape is the INTENDED plan:
     * each joins a bounded side (literal bands, a broadcast query set, a
     * 1-row aggregate) under a non-equi or constant-true condition.
+    * Shared by the invariants suite and the full-surface PlanLint gate.
     */
-  private val intendedNestedLoop = Set(
+  val intendedNestedLoop = Set(
     "q19_range_join", // 4-row literal bands, non-equi range predicate
     "q37_above_avg_inactive", // 1-row global average, constant-true join
     "s1_cosine_topk", // bounded broadcast query set, =!= predicate
@@ -29,6 +29,10 @@ class PlanInvariantsSpec extends GraftSuite {
     "t14_collocations", // 1-row (n, nb) totals aggregate crossed into the survivors
     "m5_feature_retrieval" // bounded broadcast query set, =!= predicate (s1's shape)
   )
+}
+
+class PlanInvariantsSpec extends GraftSuite {
+  import PlanInvariantsSpec.intendedNestedLoop
 
   test("no unintended CartesianProduct/BroadcastNestedLoopJoin in any query plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -217,4 +221,26 @@ class PlanLintSpec extends GraftSuite {
 
   private val intendedNestedLoopNames =
     Set("t15_tfidf_keywords") // 1-row n_docs aggregate crossed in (see allowlist above)
+
+  /** The WHOLE surface lints clean: every SparkEntry query runs through
+    * all three rules. Allowlists are per-query and justified inline —
+    * the repo's own plan invariants become a regression gate, so a new
+    * query with a forgotten projection or an accidental nested loop
+    * fails CI here, not in a 100 TB run. wideScanColumns=12 is tight
+    * enough to catch a missing projection on every test table (lineitem,
+    * the widest, has 16 columns).
+    */
+  test("all SparkEntry queries lint clean under per-query allowlists") {
+    val allowByQuery: Map[String, Set[String]] =
+      PlanInvariantsSpec.intendedNestedLoop.map(_ -> Set("cartesian")).toMap
+    val findings = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf)
+        PlanLint.lint(df, allow = allowByQuery.getOrElse(name, Set.empty),
+          wideScanColumns = 12)
+          .map(f => s"$name: [${f.rule}] ${f.detail}")
+    }
+    assert(findings.isEmpty,
+      s"plan lint findings:%n${findings.mkString("; ")}")
+  }
 }
