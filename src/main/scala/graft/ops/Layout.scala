@@ -373,6 +373,96 @@ object Layout {
     BloomLookup(result, candidates, all.size)
   }
 
+  /** CDF-MAINTAINED BLOOM INDEX over a VERSIONED table — q91's per-file
+    * bloom skipping integrated with the manifest layer, maintained
+    * incrementally: the index is ITSELF a snapshot table of
+    * (file, w, bits, base_version) rows, and one maintenance run scans
+    * ONLY the base files that have no bloom yet. Per-file blooms are
+    * IMMUNE to lineage (a data file's content never changes once a
+    * manifest references it), so — unlike the sum/join views — even an
+    * overwrite/compaction costs only the genuinely new files' scans;
+    * rows for files no manifest references any more are simply never
+    * consulted (a lookup joins against the CURRENT manifest) and fold
+    * away at the next index compaction. One run = one append commit —
+    * the same crash-atomic, re-runnable maintainer contract as
+    * [[maintainSumView]], so it rides [[streamingMaintained]] unchanged.
+    * Returns the base head version the index now covers.
+    * 100 TB: maintenance is O(new bytes) scan + O(new files · 16 KiB)
+    * index rows; the index table is the petabyte-table/gigabyte-index
+    * ratio of [[bloomIndexWrite]], now versioned, vacuumable, and
+    * exactly-once under streaming ingest.
+    */
+  def maintainBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      baseRoot: String, idxRoot: String, keyCol: String,
+      mBits: Int = BloomIndexBits): Int = {
+    import graft.functions.Bloom
+    val vs = snapshotVersions(spark, baseRoot)
+    require(vs.nonEmpty, s"no snapshots at $baseRoot")
+    val head = vs.last
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val have: Set[String] =
+      if (snapshotVersions(spark, idxRoot).isEmpty) Set.empty
+      else readSnapshot(spark, idxRoot).select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val newFiles = manifestFiles(spark, baseRoot, head)
+      .filterNot(f => have(baseName(f)))
+    if (newFiles.isEmpty) return head
+    val rows = spark.read.parquet(newFiles: _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        explode(Bloom.positionsFor(col(keyCol).cast("long"), mBits)).as("pos"))
+      .select(col("file"), (col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
+      .withColumn("base_version", lit(head))
+    snapshotAppend(spark, idxRoot, rows.coalesce(1))
+    head
+  }
+
+  /** Point/IN-list lookup on the VERSIONED table through
+    * [[maintainBloomIndex]]'s index — ≡ `readSnapshot(...).filter(keyCol
+    * IN values)`, including MOR delete semantics: candidate files (bloom
+    * hit, or not yet indexed — conservative) are read through the same
+    * MOR-aware subset engine as a partition read, so delete sidecars
+    * still apply; then one broadcast semi-join against the probe set.
+    * No false negatives (bloom contract + conservative unindexed rule)
+    * makes the result exact; false positives cost one wasted file scan.
+    */
+  def snapshotPointLookup(spark: org.apache.spark.sql.SparkSession,
+      baseRoot: String, idxRoot: String, keyCol: String, values: Seq[Long],
+      mBits: Int = BloomIndexBits): BloomLookup = {
+    import graft.functions.Bloom
+    import spark.implicits._
+    require(values.nonEmpty, "empty probe set")
+    val vs = snapshotVersions(spark, baseRoot)
+    require(vs.nonEmpty, s"no snapshots at $baseRoot")
+    val head = vs.last
+    val probePos: Array[Seq[Long]] = values.toDF("v")
+      .select(Bloom.positionsFor(col("v"), mBits).as("ps"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("ps").toSeq)
+    val idx: Map[String, Map[Int, Long]] =
+      if (snapshotVersions(spark, idxRoot).isEmpty) Map.empty
+      else readSnapshot(spark, idxRoot)
+        .select(col("file"), col("w"), col("bits")).collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    def mightContain(words: Map[Int, Long], ps: Seq[Long]): Boolean =
+      ps.forall { p =>
+        (words.getOrElse((p / 64).toInt, 0L) & (1L << (p % 64).toInt)) != 0L
+      }
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    def isCandidate(e: FileEntry): Boolean = idx.get(baseName(e.path)) match {
+      case Some(words) => probePos.exists(ps => mightContain(words, ps))
+      case None => true // unindexed file: conservative, scan it
+    }
+    val entries = manifestEntries(spark, baseRoot, head)
+    val candidates = entries.filter(isCandidate).map(_.path)
+    val probe = values.toDF("__graft_probe")
+    val hdr = manifestHeader(spark, baseRoot, head)
+    val result = readSnapshotSubset(spark, baseRoot, head, hdr, isCandidate)
+      .join(broadcast(probe), col(keyCol) === col("__graft_probe"), "left_semi")
+    BloomLookup(result, candidates, entries.size)
+  }
+
   // ------------------------------------------------------------ snapshots
   /** Manifest-based SNAPSHOT ISOLATION + TIME TRAVEL + VACUUM — the
     * metadata layer that turns a directory of parquet files into a
@@ -775,15 +865,27 @@ object Layout {
     val want = partitions.toSet
     def partKeep(e: FileEntry): Boolean =
       partColOpt.isEmpty || e.parts.forall(_.exists(want))
-    val files = manifestEntries(spark, root, v).filter(partKeep).map(_.path)
     val partFilter = (df: DataFrame) => partColOpt match {
       case Some(pc) => df.filter(col(pc).cast("string").isin(partitions: _*))
       case None => df
     }
+    partFilter(readSnapshotSubset(spark, root, v, hdr, partKeep))
+  }
+
+  /** MOR-aware read of the SUBSET of a version's files passing `keep` —
+    * the shared engine under [[readSnapshot]]'s partition pruning and
+    * [[snapshotPointLookup]]'s bloom candidates: delete sidecars still
+    * apply over the kept dirty files, so any file-level pruning composes
+    * with MOR deletes without re-deriving the anti-join.
+    */
+  private def readSnapshotSubset(spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Int, hdr: Map[String, String],
+      keep: FileEntry => Boolean): DataFrame = {
+    val files = manifestEntries(spark, root, v).filter(keep).map(_.path)
     if (files.isEmpty) {
       // every file pruned: an empty frame with the version's schema
-      return partFilter(spark.read.option("mergeSchema", "true")
-        .parquet(manifestFiles(spark, root, v): _*).where(lit(false)))
+      return spark.read.option("mergeSchema", "true")
+        .parquet(manifestFiles(spark, root, v): _*).where(lit(false))
     }
     val dels = manifestDeleteFiles(spark, root, v)
     // SCHEMA EVOLUTION: a version's schema is the union of its files'
@@ -793,7 +895,7 @@ object Layout {
     // manifest-grade planning metadata; conflicting types fail loudly.
     def read(fs: Seq[String]) =
       spark.read.option("mergeSchema", "true").parquet(fs: _*)
-    if (dels.isEmpty) return partFilter(read(files))
+    if (dels.isEmpty) return read(files)
     val keyCol = hdr.getOrElse("deleteKey",
       throw new IllegalStateException(
         s"v$v carries delete sidecars but no #deleteKey header"))
@@ -823,7 +925,7 @@ object Layout {
     // schema evolution can leave the clean/dirty halves with different
     // column sets (old files lack added columns) — align on names,
     // missing columns read null
-    partFilter(cleanDf.unionByName(dirtyDf, allowMissingColumns = true))
+    cleanDf.unionByName(dirtyDf, allowMissingColumns = true)
   }
 
   /** Commit timestamps of every version, ascending — the `#ts` header

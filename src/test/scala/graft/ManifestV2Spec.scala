@@ -208,4 +208,101 @@ class ManifestV2Spec extends GraftSuite {
     assert(pruned2.count() == expect.count(),
       "an O-only append must not enter an F-partition read")
   }
+
+  test("maintained bloom index: incremental per-file blooms, exact MOR-aware point lookup") {
+    val root = freshRoot("bloomidx")
+    val idx = freshRoot("bloomidx-i")
+    // HASH layout (key % 8): every file's key range spans the keyspace —
+    // the case footer min/max cannot prune and blooms exist for
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+      .repartition(8, col("key") % 8)
+    Layout.snapshotAppend(spark, root, base)
+    assert(Layout.maintainBloomIndex(spark, root, idx, "key") == 1)
+    val indexedOnce = Layout.readSnapshot(spark, idx)
+      .select(col("file")).distinct().count()
+    val someKeys = Layout.readSnapshot(spark, root)
+      .filter(col("key") % 97 === 1).select(col("key"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val lk = Layout.snapshotPointLookup(spark, root, idx, "key", someKeys)
+    assert(lk.scannedFiles.size < lk.totalFiles,
+      s"bloom must prune a hash layout: scanned ${lk.scannedFiles.size}/${lk.totalFiles}")
+    val expect = Layout.readSnapshot(spark, root)
+      .filter(col("key").isin(someKeys.map(Long.box): _*))
+    assert(lk.result.exceptAll(expect).isEmpty && expect.exceptAll(lk.result).isEmpty)
+    // append a batch → maintenance indexes ONLY the new files
+    Layout.snapshotAppend(spark, root,
+      base.filter(col("key") % 5 === 0)
+        .withColumn("key", col("key") + 100000000L).coalesce(2))
+    Layout.maintainBloomIndex(spark, root, idx, "key")
+    val indexedNow = Layout.readSnapshot(spark, idx)
+      .select(col("file")).distinct().count()
+    assert(indexedNow > indexedOnce && indexedNow <= indexedOnce + 2,
+      s"incremental run must add only the appended files' blooms ($indexedOnce -> $indexedNow)")
+    // a re-run with nothing new appends nothing (idempotent maintainer)
+    val idxVs = Layout.snapshotVersions(spark, idx)
+    Layout.maintainBloomIndex(spark, root, idx, "key")
+    assert(Layout.snapshotVersions(spark, idx) == idxVs)
+    // MOR delete composes: deleted keys vanish from the lookup result
+    Layout.snapshotDeleteMOR(spark, root, "key", Array(someKeys.head))
+    val lk2 = Layout.snapshotPointLookup(spark, root, idx, "key", someKeys)
+    val expect2 = Layout.readSnapshot(spark, root)
+      .filter(col("key").isin(someKeys.map(Long.box): _*))
+    assert(lk2.result.exceptAll(expect2).isEmpty &&
+      expect2.exceptAll(lk2.result).isEmpty)
+    assert(lk2.result.filter(col("key") === someKeys.head).count() == 0)
+    // absent key: lookup scans (almost) nothing and returns empty
+    val lk3 = Layout.snapshotPointLookup(spark, root, idx, "key",
+      Seq(999999999L))
+    assert(lk3.result.count() == 0)
+    assert(lk3.scannedFiles.size <= 2,
+      s"absent key must scan ~no files (FPP), scanned ${lk3.scannedFiles.size}")
+  }
+
+  test("ST33: bloom index rides the generic streaming maintainer exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-st33").toString
+    val (baseRoot, idxRoot) = (s"$dir/base", s"$dir/idx")
+    val rows = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+    val feed = Seq(
+      rows.filter(col("key") % 3 === 0),
+      rows.filter(col("key") % 3 === 1),
+      rows.filter(col("key") % 3 === 2))
+    new java.io.File(s"$dir/in").mkdirs()
+    feed.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$dir/stage_$i"
+      b.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(s"$dir/in/0$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val q = Layout.streamingMaintained(spark, s"$dir/in", feed.head.schema,
+      baseRoot, s => { Layout.maintainBloomIndex(s, baseRoot, idxRoot, "key"); () })
+    q.awaitTermination(180000)
+    assert(Layout.snapshotVersions(spark, baseRoot) == Seq(1, 2, 3))
+    // the index covers every base file, so a lookup across all three
+    // epochs' keys is exact
+    val probe = Seq(3L, 7L, 11L).filter(k =>
+      Layout.readSnapshot(spark, baseRoot).filter(col("key") === k).count() > 0)
+    if (probe.nonEmpty) {
+      val lk = Layout.snapshotPointLookup(spark, baseRoot, idxRoot, "key", probe)
+      val expect = Layout.readSnapshot(spark, baseRoot)
+        .filter(col("key").isin(probe.map(Long.box): _*))
+      assert(lk.result.exceptAll(expect).isEmpty &&
+        expect.exceptAll(lk.result).isEmpty)
+    }
+    // replayed epoch body: base no-ops, index publishes nothing
+    val token = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$baseRoot/ckpt/graft-writer-id")), "UTF-8").trim
+    val idxBefore = Layout.snapshotVersions(spark, idxRoot)
+    Layout.snapshotAppendIdempotent(spark, baseRoot, feed(1), 1L,
+      writerId = token)
+    Layout.maintainBloomIndex(spark, baseRoot, idxRoot, "key")
+    assert(Layout.snapshotVersions(spark, idxRoot) == idxBefore)
+  }
 }
