@@ -1020,6 +1020,16 @@ object Layout {
     v
   }
 
+  /** Per-file key ranges of a snapshot version — the pruning metadata a
+    * COW merge / MOR delete / external planner consumes: manifest stats
+    * when the table declares `keyCol` as its stats column (zero parquet
+    * I/O), footer fallback otherwise.
+    */
+  def snapshotKeyRanges(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int, keyCol: String): Seq[(String, Long, Long)] =
+    keyRangesOfEntries(spark, manifestEntries(spark, root, version),
+      manifestHeader(spark, root, version), keyCol)
+
   /** Per-file key ranges for pruning: MANIFEST STATS when the table's
     * declared stats column is `keyCol` (zero parquet I/O — the payoff of
     * recording stats at commit), parquet-footer fallback for entries

@@ -2535,6 +2535,50 @@ object Relational {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** POINT LOOKUP on the versioned table through the CDF-MAINTAINED
+    * BLOOM INDEX — the read a serving/debug path runs against a
+    * petabyte corpus ("fetch these 42 records"): the base is
+    * HASH-layouted (worst case for min/max pruning — every file's key
+    * range spans the keyspace), [[Layout.maintainBloomIndex]] keeps one
+    * 16 KiB bloom per data file as an incrementally-maintained snapshot
+    * table, and [[Layout.snapshotPointLookup]] reads only bloom-hit
+    * files then semi-joins the probe set. No false negatives ⇒ the
+    * result is EXACTLY the IN-filter (this oracle); the spec half
+    * (ManifestV2Spec) covers pruning counts, incremental maintenance,
+    * MOR composition, and streaming exactly-once.
+    * 100 TB: O(hits + FPP·files) file reads instead of a full scan —
+    * the difference between milliseconds and a cluster-hour per fetch.
+    */
+  private val lookupKeys: Seq[Long] = 1L to 4000L by 97L
+
+  private def slookTable(spark: SparkSession, sfDir: String): (String, String) =
+    baseBuildLock.synchronized {
+      val root = sessionRoot(sfDir, "slook")
+      val idx = sessionRoot(sfDir, "slookidx")
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("totalprice"))
+          .repartition(8, col("key") % 8)
+        Layout.snapshotAppend(spark, root, base)
+        Layout.maintainBloomIndex(spark, root, idx, "key")
+      }
+      (root, idx)
+    }
+
+  def q95SnapshotLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (root, idx) = slookTable(spark, sfDir)
+    Layout.snapshotPointLookup(spark, root, idx, "key", lookupKeys)
+      .result.orderBy(col("key"))
+  }
+
+  val q95Sql: String =
+    s"""SELECT o_orderkey AS key,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+       |FROM orders WHERE o_orderkey IN (${lookupKeys.mkString(", ")})
+       |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q92
   /** SNAPSHOT SCHEMA EVOLUTION — additive column evolution on the
     * versioned table (the ALTER TABLE ADD COLUMN every long-lived
@@ -3378,6 +3422,7 @@ object Relational {
     "q92_schema_evolution" -> (q92SchemaEvolution _),
     "q93_snapshot_merge" -> (q93SnapshotMerge _),
     "q94_partition_prune" -> (q94PartitionPrune _),
+    "q95_snapshot_lookup" -> (q95SnapshotLookup _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3523,6 +3568,7 @@ object Relational {
     "q92_schema_evolution" -> q92Sql,
     "q93_snapshot_merge" -> q93Sql,
     "q94_partition_prune" -> q94Sql,
+    "q95_snapshot_lookup" -> q95Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,
