@@ -130,12 +130,14 @@ object Layout {
     */
   private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** One file's footer stats; static (no Spark capture) so the
-    * distributed path can ship it to executors.
+  /** One file's footer stats over SEVERAL columns in one footer open;
+    * static (no Spark capture) so the distributed path can ship it to
+    * executors. A column with no usable stats in any block records the
+    * conservative full range.
     */
-  private def footerStatsOne(fp: String,
+  private def footerStatsMulti(fp: String,
       hconf: org.apache.hadoop.conf.Configuration,
-      keyCol: String): FileColStats = {
+      cols: Seq[String]): (String, Map[String, (Long, Long)], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -144,18 +146,21 @@ object Layout {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val ranges = blocks.flatMap { block =>
-        block.getColumns.asScala
-          .find(_.getPath.toDotString == keyCol)
-          .flatMap { cc =>
-            val st = cc.getStatistics
-            if (st == null || st.isEmpty || !st.hasNonNullValue) None
-            else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
-              st.genericGetMax.asInstanceOf[Number].longValue()))
-          }
-      }
-      if (ranges.isEmpty) FileColStats(fp, Long.MinValue, Long.MaxValue, rows)
-      else FileColStats(fp, ranges.map(_._1).min, ranges.map(_._2).max, rows)
+      val byCol = cols.map { keyCol =>
+        val ranges = blocks.flatMap { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue()))
+            }
+        }
+        if (ranges.isEmpty) keyCol -> ((Long.MinValue, Long.MaxValue))
+        else keyCol -> ((ranges.map(_._1).min, ranges.map(_._2).max))
+      }.toMap
+      (fp, byCol, rows)
     } finally reader.close()
   }
 
@@ -168,12 +173,23 @@ object Layout {
     * properties (Configuration itself is not java-serializable).
     */
   def fileStatsOf(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[String], keyCol: String): Seq[FileColStats] = {
+      files: Seq[String], keyCol: String): Seq[FileColStats] =
+    fileMultiStatsOf(spark, files, Seq(keyCol)).map { case (fp, byCol, rows) =>
+      val (mn, mx) = byCol(keyCol)
+      FileColStats(fp, mn, mx, rows)
+    }
+
+  /** [[fileStatsOf]] over SEVERAL columns — one footer open per file
+    * regardless of column count.
+    */
+  def fileMultiStatsOf(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], cols: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)], Long)] = {
     if (files.isEmpty) return Nil
     footerReads.addAndGet(files.size)
     if (files.size <= 32) {
       val hconf = spark.sessionState.newHadoopConf()
-      files.map(footerStatsOne(_, hconf, keyCol))
+      files.map(footerStatsMulti(_, hconf, cols))
     } else {
       import scala.jdk.CollectionConverters._
       val props: Seq[(String, String)] = spark.sessionState.newHadoopConf()
@@ -184,7 +200,7 @@ object Layout {
       spark.sparkContext.parallelize(files, slices).map { fp =>
         val c = new org.apache.hadoop.conf.Configuration(false)
         bc.value.foreach { case (k, v) => c.set(k, v) }
-        footerStatsOne(fp, c, keyCol)
+        footerStatsMulti(fp, c, cols)
       }.collect().toSeq
     }
   }
@@ -529,14 +545,18 @@ object Layout {
     finally in.close()
   }
 
-  /** Manifest-embedded per-file column statistics: (min, max, rows) of
-    * the table's declared `statsKey` column, recorded AT COMMIT TIME
+  /** Manifest-embedded per-file column statistics: (min, max) per
+    * declared stats column plus the row count, recorded AT COMMIT TIME
     * (one footer pass over only the commit's NEW files) so every later
     * pruning decision — COW merge, MOR delete scoping — reads
     * manifest-grade metadata instead of re-opening parquet footers.
-    * The Iceberg/Delta stats idea, at its core.
+    * The Iceberg/Delta stats idea, at its core. `statsKey` may declare
+    * SEVERAL comma-separated columns (a real table prunes on more than
+    * one); columns must be integral — a truncated double max would
+    * wrongly prune (10.5 > floor(10.7)), so the contract is long-typed
+    * keys only, same as the footer fallback's.
     */
-  case class FileStats(min: Long, max: Long, rows: Long)
+  case class FileStats(cols: Map[String, (Long, Long)], rows: Long)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -556,13 +576,16 @@ object Layout {
     hdr.view.filterKeys(TableProps).toMap
 
   // Entry wire format: `path` optionally followed by tab-separated
-  // tokens `mn=<long>` `mx=<long>` `n=<rows>` `p=<enc,enc,...>`
-  // (partition values URL-encoded so commas/whitespace can't corrupt
-  // the line). Token-less lines parse as stat-less entries — the v1
-  // manifests' raw path lines remain readable.
+  // tokens `n=<rows>`, one `s=<encCol>:<min>:<max>` per stats column,
+  // and `p=<enc,enc,...>` (names/values URL-encoded so separators
+  // can't corrupt the line). Token-less lines parse as stat-less
+  // entries — the v1 manifests' raw path lines remain readable.
   private def serEntry(e: FileEntry): String = {
-    val st = e.stats.toSeq.flatMap(s =>
-      Seq(s"mn=${s.min}", s"mx=${s.max}", s"n=${s.rows}"))
+    val st = e.stats.toSeq.flatMap { s =>
+      s"n=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"s=${java.net.URLEncoder.encode(c, "UTF-8")}:$mn:$mx"
+      }
+    }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
       java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
     (e.path +: (st ++ ps)).mkString("\t")
@@ -570,15 +593,20 @@ object Layout {
 
   private def parseEntry(line: String): FileEntry = {
     val toks = line.split('\t')
-    val kv = toks.tail.flatMap(t => t.split("=", 2) match {
+    val kvs = toks.tail.flatMap(t => t.split("=", 2) match {
       case Array(k, v) => Some(k -> v)
       case _ => None
-    }).toMap
-    val stats = for {
-      mn <- kv.get("mn"); mx <- kv.get("mx"); n <- kv.get("n")
-    } yield FileStats(mn.toLong, mx.toLong, n.toLong)
-    val parts = kv.get("p").map(_.split(",").toSeq
-      .map(java.net.URLDecoder.decode(_, "UTF-8")))
+    })
+    val cols = kvs.collect { case ("s", v) =>
+      v.split(":") match {
+        case Array(c, mn, mx) =>
+          java.net.URLDecoder.decode(c, "UTF-8") -> ((mn.toLong, mx.toLong))
+      }
+    }.toMap
+    val stats = kvs.collectFirst { case ("n", v) => v }
+      .map(n => FileStats(cols, n.toLong))
+    val parts = kvs.collectFirst { case ("p", v) => v }
+      .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
   }
 
@@ -732,8 +760,11 @@ object Layout {
       files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
     val stats: Map[String, FileStats] = props.get("statsKey") match {
-      case Some(k) => fileStatsOf(spark, files, k)
-        .map(s => s.path -> FileStats(s.min, s.max, s.rows)).toMap
+      case Some(k) =>
+        val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        fileMultiStatsOf(spark, files, cols)
+          .map { case (fp, byCol, rows) => fp -> FileStats(byCol, rows) }
+          .toMap
       case None => Map.empty
     }
     val parts: Map[String, Seq[String]] = props.get("partCol") match {
@@ -996,7 +1027,7 @@ object Layout {
     }
     // scope from MANIFEST stats when the table declares this key column;
     // footer fallback only for stat-less entries
-    val scoped = keyRangesOfEntries(spark, entries, hdr, keyCol).flatMap {
+    val scoped = keyRangesOfEntries(spark, entries, keyCol).flatMap {
       case (f, mn, mx) =>
         val name = f.substring(f.lastIndexOf('/') + 1)
         overlapping(mn, mx).map(k => (name, k))
@@ -1027,8 +1058,7 @@ object Layout {
     */
   def snapshotKeyRanges(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int, keyCol: String): Seq[(String, Long, Long)] =
-    keyRangesOfEntries(spark, manifestEntries(spark, root, version),
-      manifestHeader(spark, root, version), keyCol)
+    keyRangesOfEntries(spark, manifestEntries(spark, root, version), keyCol)
 
   /** Per-file key ranges for pruning: MANIFEST STATS when the table's
     * declared stats column is `keyCol` (zero parquet I/O — the payoff of
@@ -1038,12 +1068,14 @@ object Layout {
     * driver loop past 32 files. Mixed tables split per entry.
     */
   private def keyRangesOfEntries(spark: org.apache.spark.sql.SparkSession,
-      entries: Seq[FileEntry], hdr: Map[String, String],
+      entries: Seq[FileEntry],
       keyCol: String): Seq[(String, Long, Long)] = {
-    val statsUsable = hdr.get("statsKey").contains(keyCol)
-    val (have, missing) = entries.partition(e => statsUsable && e.stats.isDefined)
-    have.map(e => (e.path, e.stats.get.min, e.stats.get.max)) ++
-      fileKeyRangesOf(spark, missing.map(_.path), keyCol)
+    val (have, missing) = entries.partition(
+      _.stats.exists(_.cols.contains(keyCol)))
+    have.map { e =>
+      val (mn, mx) = e.stats.get.cols(keyCol)
+      (e.path, mn, mx)
+    } ++ fileKeyRangesOf(spark, missing.map(_.path), keyCol)
   }
 
   /** ST29: IDEMPOTENT epoch-keyed append — the snapshot layer as an
@@ -1400,7 +1432,7 @@ object Layout {
     val hdr = manifestHeader(spark, root, base)
     val tagged = manifestEntriesTagged(spark, root, base)
     val files = tagged.map(_._2.path)
-    val ranges = keyRangesOfEntries(spark, tagged.map(_._2), hdr, keyCol)
+    val ranges = keyRangesOfEntries(spark, tagged.map(_._2), keyCol)
     val touchedSet: Set[String] = keys match {
       case Left(arr) =>
         val sorted = arr.distinct.sorted

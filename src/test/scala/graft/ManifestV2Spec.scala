@@ -45,6 +45,54 @@ class ManifestV2Spec extends GraftSuite {
     assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
   }
 
+  test("multi-column stats: pruning on EITHER declared column reads zero footers") {
+    val root = freshRoot("mstats")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"))
+      .repartitionByRange(8, col("key")).sortWithinPartitions(col("key"))
+    Layout.snapshotAppend(spark, root, base, statsKey = Some("key,cust"))
+    for (kc <- Seq("key", "cust")) {
+      val f0 = Layout.footerReads.get()
+      val ranges = Layout.snapshotKeyRanges(spark, root,
+        Layout.snapshotVersions(spark, root).last, kc)
+      assert(Layout.footerReads.get() == f0,
+        s"$kc ranges must come from the manifest, not footers")
+      assert(ranges.size == Layout.readSnapshot(spark, root).inputFiles.length)
+    }
+    // key-clustered layout: key ranges tile disjointly, cust ranges
+    // (unclustered) overlap — both recorded faithfully per file
+    val keyRanges = Layout.snapshotKeyRanges(spark, root, 1, "key")
+      .map { case (_, mn, mx) => (mn, mx) }.sortBy(_._1)
+    assert(keyRanges.sliding(2).forall {
+      case Seq((_, mx1), (mn2, _)) => mx1 < mn2
+      case _ => true
+    }, s"clustered key ranges must tile: $keyRanges")
+    // an undeclared column still prunes correctly via the footer fallback
+    val f1 = Layout.footerReads.get()
+    val pr = Layout.snapshotKeyRanges(spark, root, 1, "price")
+    assert(Layout.footerReads.get() - f1 == pr.size,
+      "undeclared column falls back to one footer per file")
+    // merge on the SECOND declared column: zero footer reads for pruning
+    val custs = Layout.readSnapshot(spark, root)
+      .filter(col("cust") % 17 === 1).select(col("cust"))
+      .limit(5).collect().map(_.getLong(0))
+    val f2 = Layout.footerReads.get()
+    val v = Layout.snapshotMerge(spark, root, "cust", custs,
+      touched => touched.withColumn("price",
+        when(col("cust").isin(custs.map(Long.box): _*), col("price") * 2)
+          .otherwise(col("price"))))
+    val newFiles = Layout.readSnapshot(spark, root, v).inputFiles
+      .count(_.contains(s"/data/v$v-"))
+    assert(Layout.footerReads.get() - f2 == newFiles,
+      "cust-column pruning must be manifest-served")
+    val expect = Layout.readSnapshot(spark, root, 1).withColumn("price",
+      when(col("cust").isin(custs.map(Long.box): _*), col("price") * 2)
+        .otherwise(col("price")))
+    val after = Layout.readSnapshot(spark, root, v)
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+  }
+
   test("stat-less table: the same MERGE falls back to footer reads and stays exact") {
     val root = freshRoot("nostats")
     Layout.snapshotAppend(spark, root, ordersBase) // no statsKey
