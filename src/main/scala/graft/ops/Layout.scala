@@ -903,6 +903,33 @@ object Layout {
     partFilter(readSnapshotSubset(spark, root, v, hdr, partKeep))
   }
 
+  /** KEY-RANGE PRUNED snapshot read — the continuous sibling of the
+    * partition read, and the everyday query shape on a key/time-
+    * clustered corpus ("last week's rows"): keep only files whose
+    * manifest stats range for `keyCol` INTERSECTS [lo, hi] (stat-less
+    * entries conservatively kept; a stat-less TABLE keeps everything and
+    * degrades to the plain filtered read, never to a wrong one), then
+    * row-filter, so the result is exactly
+    * `readSnapshot(...).filter(keyCol BETWEEN lo AND hi)`. Composes
+    * with MOR deletes via the shared subset engine.
+    * 100 TB: on a [[zOrderWrite]]/clustered layout a narrow range opens
+    * O(overlapping files) — the manifest decides from metadata what
+    * footer-based pruning would re-derive from a million file opens.
+    */
+  def readSnapshotRange(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, lo: Long, hi: Long,
+      version: Int = -1): DataFrame = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    val hdr = manifestHeader(spark, root, v)
+    def keep(e: FileEntry): Boolean = e.stats.flatMap(_.cols.get(keyCol))
+      .forall { case (mn, mx) => mx >= lo && mn <= hi }
+    readSnapshotSubset(spark, root, v, hdr, keep)
+      .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
   /** MOR-aware read of the SUBSET of a version's files passing `keep` —
     * the shared engine under [[readSnapshot]]'s partition pruning and
     * [[snapshotPointLookup]]'s bloom candidates: delete sidecars still

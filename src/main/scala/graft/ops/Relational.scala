@@ -2579,6 +2579,48 @@ object Relational {
        |FROM orders WHERE o_orderkey IN (${lookupKeys.mkString(", ")})
        |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** KEY-RANGE PRUNED SNAPSHOT READ — the everyday query on a
+    * key/time-clustered versioned corpus ("last week's rows"):
+    * [[Layout.readSnapshotRange]] keeps only files whose MANIFEST STATS
+    * range intersects the request (the q93/q88 table is key-clustered
+    * with `statsKey`, so ranges tile disjointly and a narrow range
+    * opens O(overlapping) files — from metadata, zero footer I/O) and
+    * row-filters, so the result is exactly the BETWEEN filter (this
+    * oracle). Reuses q93's post-merge table: the range read composes
+    * with carried-by-reference files and rewritten files alike.
+    * 100 TB: a day's slice of a year-clustered corpus plans from the
+    * manifest and scans ~0.3% of the bytes.
+    */
+  def q96RangeRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = smergeTable(spark, sfDir) // key-clustered, statsKey=key
+    val hi = Layout.readSnapshot(spark, root, 1)
+      .agg(max(col("key"))).head().getLong(0) / 4
+    Layout.readSnapshotRange(spark, root, "key", 10L, hi)
+      .orderBy(col("key"))
+  }
+
+  val q96Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      |  o_orderstatus AS status FROM orders),
+      |cutoff AS (SELECT CAST(floor(max(key) / 5) AS BIGINT) AS c FROM base),
+      |hi AS (SELECT CAST(floor(max(key) / 4) AS BIGINT) AS h FROM base),
+      |changes AS (
+      |  SELECT key AS c_key, totalprice * 1.1 AS c_price, 'U' AS c_status
+      |  FROM base WHERE key % 7 = 0 AND key <= (SELECT c FROM cutoff)
+      |  UNION ALL
+      |  SELECT key + 10000000 AS c_key, totalprice AS c_price, 'N' AS c_status
+      |  FROM base WHERE key % 1000 = 3),
+      |merged AS (
+      |  SELECT coalesce(key, c_key) AS key,
+      |    coalesce(c_price, totalprice) AS totalprice,
+      |    coalesce(c_status, status) AS status
+      |  FROM base FULL OUTER JOIN changes ON key = c_key)
+      |SELECT key, totalprice, status FROM merged
+      |WHERE key >= 10 AND key <= (SELECT h FROM hi)
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q92
   /** SNAPSHOT SCHEMA EVOLUTION — additive column evolution on the
     * versioned table (the ALTER TABLE ADD COLUMN every long-lived
@@ -3423,6 +3465,7 @@ object Relational {
     "q93_snapshot_merge" -> (q93SnapshotMerge _),
     "q94_partition_prune" -> (q94PartitionPrune _),
     "q95_snapshot_lookup" -> (q95SnapshotLookup _),
+    "q96_range_read" -> (q96RangeRead _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3569,6 +3612,7 @@ object Relational {
     "q93_snapshot_merge" -> q93Sql,
     "q94_partition_prune" -> q94Sql,
     "q95_snapshot_lookup" -> q95Sql,
+    "q96_range_read" -> q96Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -308,6 +308,34 @@ class ManifestV2Spec extends GraftSuite {
       s"absent key must scan ~no files (FPP), scanned ${lk3.scannedFiles.size}")
   }
 
+  test("range read: narrow range on a clustered table opens only overlapping files") {
+    val root = freshRoot("range")
+    Layout.snapshotAppend(spark, root, ordersBase, statsKey = Some("key"))
+    val full = Layout.readSnapshot(spark, root)
+    val maxKey = full.agg(max(col("key"))).head().getLong(0)
+    val (lo, hi) = (maxKey / 2, maxKey / 2 + maxKey / 16)
+    val f0 = Layout.footerReads.get()
+    val ranged = Layout.readSnapshotRange(spark, root, "key", lo, hi)
+    assert(Layout.footerReads.get() == f0, "range pruning must be manifest-served")
+    assert(ranged.inputFiles.length < full.inputFiles.length,
+      s"narrow range must open fewer files: ${ranged.inputFiles.length}/${full.inputFiles.length}")
+    val expect = full.filter(col("key") >= lo && col("key") <= hi)
+    assert(ranged.exceptAll(expect).isEmpty && expect.exceptAll(ranged).isEmpty)
+    // MOR composes: delete a key inside the range, the range read drops it
+    Layout.snapshotDeleteMOR(spark, root, "key",
+      Array(expect.agg(min(col("key"))).head().getLong(0)))
+    val ranged2 = Layout.readSnapshotRange(spark, root, "key", lo, hi)
+    assert(ranged2.count() == expect.count() - 1)
+    // stat-less table: degrades to the plain filtered read (no pruning,
+    // same rows)
+    val root2 = freshRoot("range2")
+    Layout.snapshotAppend(spark, root2, ordersBase)
+    val r2 = Layout.readSnapshotRange(spark, root2, "key", lo, hi)
+    assert(r2.inputFiles.length ==
+      Layout.readSnapshot(spark, root2).inputFiles.length)
+    assert(r2.exceptAll(expect).isEmpty && expect.exceptAll(r2).isEmpty)
+  }
+
   test("ST33: bloom index rides the generic streaming maintainer exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st33").toString
     val (baseRoot, idxRoot) = (s"$dir/base", s"$dir/idx")
