@@ -442,6 +442,15 @@ object Layout {
     * still apply; then one broadcast semi-join against the probe set.
     * No false negatives (bloom contract + conservative unindexed rule)
     * makes the result exact; false positives cost one wasted file scan.
+    *
+    * Candidate resolution is DISTRIBUTED: the probes' (word, mask)
+    * requirements (broadcast: |values|·k rows) join the index table on
+    * the word id; a file whose bits satisfy ALL k masks of some probe is
+    * a candidate, found with one partial-aggregated pass over the index
+    * — the index NEVER collects to the driver (at 10⁶ files it is
+    * ~16 GB; only the O(candidates) file names come back). The bare-
+    * directory [[bloomIndexLookup]] keeps its driver-side test for
+    * bounded file counts; this is the production form.
     */
   def snapshotPointLookup(spark: org.apache.spark.sql.SparkSession,
       baseRoot: String, idxRoot: String, keyCol: String, values: Seq[Long],
@@ -452,23 +461,36 @@ object Layout {
     val vs = snapshotVersions(spark, baseRoot)
     require(vs.nonEmpty, s"no snapshots at $baseRoot")
     val head = vs.last
-    val probePos: Array[Seq[Long]] = values.toDF("v")
-      .select(Bloom.positionsFor(col("v"), mBits).as("ps"))
-      .collect().map(_.getAs[scala.collection.Seq[Long]]("ps").toSeq)
-    val idx: Map[String, Map[Int, Long]] =
-      if (snapshotVersions(spark, idxRoot).isEmpty) Map.empty
+    val haveIdx = snapshotVersions(spark, idxRoot).nonEmpty
+    // (probeId, w, m): probe p requires bit m set in word w. k masks per
+    // probe (dedup'd within a word); a file is a hit for p iff ALL its
+    // requirements hold — counted distributively below.
+    val reqs = values.zipWithIndex.toDF("v", "pid")
+      .select(col("pid"), explode(Bloom.positionsFor(col("v"), mBits)).as("p"))
+      .select(col("pid"), (col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
+      .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
+    val nWords = reqs.groupBy(col("pid")).agg(count(lit(1)).as("n_need"))
+    val hitFiles: Set[String] =
+      if (!haveIdx) Set.empty
       else readSnapshot(spark, idxRoot)
-        .select(col("file"), col("w"), col("bits")).collect()
-        .groupBy(_.getString(0))
-        .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
-    def mightContain(words: Map[Int, Long], ps: Seq[Long]): Boolean =
-      ps.forall { p =>
-        (words.getOrElse((p / 64).toInt, 0L) & (1L << (p % 64).toInt)) != 0L
-      }
+        .join(broadcast(reqs), Seq("w"))
+        .filter((col("bits").bitwiseAND(col("need"))) === col("need"))
+        .groupBy(col("file"), col("pid")).agg(count(lit(1)).as("n_ok"))
+        .join(broadcast(nWords), Seq("pid"))
+        .filter(col("n_ok") === col("n_need"))
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // files the index covers at all (a maintenance lag leaves fresh
+    // files unindexed — they must scan, conservatively)
+    val indexedFiles: Set[String] =
+      if (!haveIdx) Set.empty
+      else readSnapshot(spark, idxRoot).select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
-    def isCandidate(e: FileEntry): Boolean = idx.get(baseName(e.path)) match {
-      case Some(words) => probePos.exists(ps => mightContain(words, ps))
-      case None => true // unindexed file: conservative, scan it
+    def isCandidate(e: FileEntry): Boolean = {
+      val n = baseName(e.path)
+      !indexedFiles.contains(n) || hitFiles.contains(n)
     }
     val entries = manifestEntries(spark, baseRoot, head)
     val candidates = entries.filter(isCandidate).map(_.path)
