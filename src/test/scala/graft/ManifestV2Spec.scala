@@ -336,6 +336,121 @@ class ManifestV2Spec extends GraftSuite {
     assert(r2.exceptAll(expect).isEmpty && expect.exceptAll(r2).isEmpty)
   }
 
+  test("schema evolution × stats: a file missing the stats column records the full range and stays merge-safe") {
+    import spark.implicits._
+    val root = freshRoot("evostats")
+    Layout.snapshotAppend(spark, root,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("key", "price")
+        .repartitionByRange(2, col("key")),
+      statsKey = Some("key"))
+    // an append WITHOUT the declared stats column (schema evolution gone
+    // sideways): its entries record the conservative full range instead
+    // of failing or silently mis-pruning
+    Layout.snapshotAppend(spark, root,
+      Seq(("x", 1.0), ("y", 2.0)).toDF("tag", "price").coalesce(1))
+    val f0 = Layout.footerReads.get()
+    val ranges = Layout.snapshotKeyRanges(spark, root,
+      Layout.snapshotVersions(spark, root).last, "key")
+    assert(Layout.footerReads.get() == f0, "all entries carry stats — no footers")
+    assert(ranges.count { case (_, mn, mx) =>
+      mn == Long.MinValue && mx == Long.MaxValue } == 1,
+      s"the key-less file must record the full range: $ranges")
+    // a merge on key treats the full-range file as touched (conservative)
+    // and the result is exact: key-less rows pass through the rewrite's
+    // otherwise-branch with key null
+    val v = Layout.snapshotMerge(spark, root, "key", Array(2L),
+      touched => touched.withColumn("price",
+        when(col("key") === 2L, col("price") * 2).otherwise(col("price"))))
+    val after = Layout.readSnapshot(spark, root, v)
+    assert(after.filter(col("key") === 2L).head().getAs[Double]("price") == 40.0)
+    assert(after.filter(col("key").isNull).count() == 2, "evolved rows survive")
+    assert(after.count() == 5)
+  }
+
+  test("model: random op sequences over the round-9 surface — stats, partitions, merge, range/partition/bloom reads") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val root = freshRoot("model9")
+    val idxRoot = freshRoot("model9-idx")
+    // model rows: (key, part, v); part is a function of key so every
+    // read predicate has a model-side mirror
+    def partOf(k: Long) = "P" + (k % 3)
+    var model = Vector.empty[(Long, String, Long)]
+    val history = scala.collection.mutable.Map.empty[Int, Vector[(Long, String, Long)]]
+    var sidecars = false
+    def df(rows: Vector[(Long, String, Long)]) = rows.toDF("key", "part", "v")
+    def appendOp(): Unit = {
+      val rows = Vector.fill(5 + rnd.nextInt(20))(
+        { val k = rnd.nextInt(400).toLong; (k, partOf(k), rnd.nextInt(1000).toLong) })
+      val v = Layout.snapshotAppendPartitioned(spark, root, df(rows), "part",
+        statsKey = Some("key"))
+      model = model ++ rows; history(v) = model
+    }
+    def deleteOp(): Unit = {
+      val keys = model.map(_._1).distinct.filter(_ => rnd.nextInt(4) == 0).toArray
+      if (keys.isEmpty) return
+      val v = Layout.snapshotDeleteMOR(spark, root, "key", keys)
+      model = model.filterNot(r => keys.contains(r._1)); history(v) = model
+      sidecars = true
+    }
+    def compactOp(): Unit = {
+      val v = Layout.snapshotCompact(spark, root, targetBytes = 1L << 22)
+      history(v) = model; sidecars = false
+    }
+    def mergeOp(): Unit = {
+      if (sidecars) { compactOp() } // merge refuses sidecar debt
+      val keys = model.map(_._1).distinct.filter(_ => rnd.nextInt(3) == 0)
+      if (keys.isEmpty) return
+      val ks = keys.toSet
+      val v = Layout.snapshotMergeKeys(spark, root, "key", keys.toDF("k"),
+        touched => touched.withColumn("v",
+          when(col("key").isin(keys.map(Long.box): _*), col("v") + 1000)
+            .otherwise(col("v"))))
+      model = model.map { case r @ (k, p, x) =>
+        if (ks(k)) (k, p, x + 1000) else r }
+      history(v) = model
+    }
+    def check(tag: String): Unit = {
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("key"), col("part"), col("v"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toVector.sorted
+      assert(rows(Layout.readSnapshot(spark, root)) == model.sorted, s"$tag: head")
+      // range read mirrors the model filter
+      val (lo, hi) = (50L, 250L)
+      assert(rows(Layout.readSnapshotRange(spark, root, "key", lo, hi)) ==
+        model.filter(r => r._1 >= lo && r._1 <= hi).sorted, s"$tag: range")
+      // partition read mirrors the model filter
+      val p = "P" + rnd.nextInt(3)
+      assert(rows(Layout.readSnapshot(spark, root, partitions = Seq(p))) ==
+        model.filter(_._2 == p).sorted, s"$tag: partition $p")
+      // point lookup stays exact whether or not the index is fresh
+      // (unindexed files scan conservatively); maintain on a coin flip
+      if (rnd.nextBoolean()) Layout.maintainBloomIndex(spark, root, idxRoot, "key")
+      val probe = model.map(_._1).distinct.take(3) :+ 999999L
+      val lk = Layout.snapshotPointLookup(spark, root, idxRoot, "key", probe)
+      assert(rows(lk.result) ==
+        model.filter(r => probe.contains(r._1)).sorted, s"$tag: lookup")
+    }
+    appendOp(); check("v1")
+    for (step <- 0 until 8) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => appendOp()
+        case 2 => deleteOp()
+        case 3 => compactOp()
+        case 4 => mergeOp()
+      }
+      check(s"step $step")
+    }
+    history.foreach { case (v, m) =>
+      val got = Layout.readSnapshot(spark, root, v)
+        .select(col("key"), col("part"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toVector.sorted
+      assert(got == m.sorted, s"version $v diverged from its model")
+    }
+  }
+
   test("ST33: bloom index rides the generic streaming maintainer exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-st33").toString
     val (baseRoot, idxRoot) = (s"$dir/base", s"$dir/idx")
