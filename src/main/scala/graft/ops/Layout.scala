@@ -829,9 +829,14 @@ object Layout {
     */
   def snapshotAppendPartitioned(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, partCol: String,
-      statsKey: Option[String] = None): Int =
+      statsKey: Option[String] = None,
+      shuffleByPartition: Boolean = true): Int =
     appendInternal(spark, root,
-      df.repartition(col(partCol)), statsKey, Some(partCol))
+      // value-localized files by default; pass shuffleByPartition=false
+      // when the caller already arranged a layout (e.g. key-clustered
+      // within a single partition value) that the shuffle would destroy
+      if (shuffleByPartition) df.repartition(col(partCol)) else df,
+      statsKey, Some(partCol))
 
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, statsKey: Option[String],
@@ -950,6 +955,50 @@ object Layout {
       .forall { case (mn, mx) => mx >= lo && mn <= hi }
     readSnapshotSubset(spark, root, v, hdr, keep)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** THE VERSIONED TABLE AS A FIRST-CLASS SPARK RELATION — a
+    * `HadoopFsRelation` over [[graft.sources.SnapshotFileIndex]], so
+    * CATALYST drives the manifest pruning: any pushed filter on a stats
+    * column (BETWEEN, =, IN, conjunctions — including join-pushed
+    * predicates) or on the partition column prunes the file list AT
+    * PHYSICAL PLANNING, with Spark's own parquet reader doing the I/O.
+    * This subsumes [[readSnapshotRange]]/partition reads for tables
+    * without MOR debt: no special read API, the optimizer decides and
+    * the manifest answers. Precondition: no delete sidecars (their
+    * anti-join belongs to [[readSnapshot]]'s path; compact first — the
+    * require makes a silent resurrect impossible).
+    */
+  def snapshotTable(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int = -1): DataFrame =
+    snapshotTableWithIndex(spark, root, version)._1
+
+  private[graft] def snapshotTableWithIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int = -1): (DataFrame, graft.sources.SnapshotFileIndex) = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    require(manifestDeleteFiles(spark, root, v).isEmpty,
+      "table carries MOR delete sidecars; snapshotCompact before snapshotTable")
+    val hdr = manifestHeader(spark, root, v)
+    val entries = manifestEntries(spark, root, v)
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(_.path): _*).schema
+    val index = new graft.sources.SnapshotFileIndex(
+      spark, root, entries, hdr.get("partCol"))
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map("mergeSchema" -> "true"))(spark)
+    val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+    (df, index)
   }
 
   /** MOR-aware read of the SUBSET of a version's files passing `keep` —

@@ -2600,6 +2600,28 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  // ---------------------------------------------------------------- q97
+  /** THE VERSIONED TABLE AS A CATALYST RELATION — q96's range read with
+    * NO special read API: [[Layout.snapshotTable]] exposes the snapshot
+    * as a `HadoopFsRelation` over [[graft.sources.SnapshotFileIndex]],
+    * and an ordinary `.filter(key BETWEEN ...)` is pushed by Catalyst
+    * into MANIFEST-STATS file pruning at physical planning (the
+    * Delta/Iceberg integration shape — the optimizer decides, the
+    * manifest answers; ManifestV2Spec asserts the pruned listing for
+    * BETWEEN/IN/partition/conjunction shapes and conservative fallback).
+    * Same oracle as q96: the two paths must agree with the plain SQL —
+    * certifying that API-side pruning and Catalyst-side pruning
+    * implement the same table.
+    */
+  def q97CatalystTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = smergeTable(spark, sfDir)
+    val hi = Layout.readSnapshot(spark, root, 1)
+      .agg(max(col("key"))).head().getLong(0) / 4
+    Layout.snapshotTable(spark, root)
+      .filter(col("key") >= 10L && col("key") <= hi)
+      .orderBy(col("key"))
+  }
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3466,6 +3488,7 @@ object Relational {
     "q94_partition_prune" -> (q94PartitionPrune _),
     "q95_snapshot_lookup" -> (q95SnapshotLookup _),
     "q96_range_read" -> (q96RangeRead _),
+    "q97_catalyst_table" -> (q97CatalystTable _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3613,6 +3636,7 @@ object Relational {
     "q94_partition_prune" -> q94Sql,
     "q95_snapshot_lookup" -> q95Sql,
     "q96_range_read" -> q96Sql,
+    "q97_catalyst_table" -> q96Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

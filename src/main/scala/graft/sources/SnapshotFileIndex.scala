@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Layout
+
+/** CATALYST-INTEGRATED DATA SKIPPING for the manifest-versioned table —
+  * the snapshot table exposed as a first-class Spark relation (the
+  * Delta/Iceberg integration shape: a custom [[FileIndex]] behind a
+  * `HadoopFsRelation`, Spark's own parquet reader doing the I/O): at
+  * PHYSICAL PLANNING, `FileSourceScanExec` hands every pushed data
+  * filter to [[listFiles]], and this index prunes the version's file
+  * list from MANIFEST METADATA — stats ranges for the table's declared
+  * stats columns, partition-value sets for its `partCol` — before a
+  * single split is planned. Any query shape benefits (`WHERE key
+  * BETWEEN`, `= lit`, `IN (...)`, conjunctions, join-pushed filters) with
+  * no special read API: the optimizer decides, the manifest answers.
+  *
+  * Pruning is CONSERVATIVE by construction: only conjuncts it can prove
+  * prune (attribute ⋈ literal on a stats/partition column) narrow the
+  * list; everything else — casts, functions, disjunctions, unknown
+  * columns, stat-less entries — keeps the file. Spark re-evaluates the
+  * full predicate on the rows, so over-keeping is only a cost, never a
+  * wrong answer.
+  *
+  * 100 TB: this is where manifest stats pay off END TO END — a
+  * `BETWEEN` on a clustered key plans O(overlapping files) splits out
+  * of a million-file table from pure metadata, inside the same Catalyst
+  * plan that then broadcast-joins or aggregates the survivors.
+  */
+class SnapshotFileIndex(
+    spark: SparkSession,
+    root: String,
+    entries: Seq[Layout.FileEntry],
+    partCol: Option[String]) extends FileIndex {
+
+  // One listStatus per distinct parent directory (a commit's data dir),
+  // not one RPC per file: the statuses carry the sizes Spark needs for
+  // split planning and broadcast sizing.
+  private val statusByPath: Map[String, FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.map(e => new Path(e.path)).groupBy(_.getParent).flatMap {
+      case (parent, _) =>
+        parent.getFileSystem(conf).listStatus(parent)
+          .map(st => st.getPath.toUri.getPath -> st)
+    }
+  }
+  private def statusOf(e: Layout.FileEntry): FileStatus =
+    statusByPath(new Path(e.path).toUri.getPath)
+
+  /** Files listed by the latest [[listFiles]] call — observability for
+    * the pruning specs (`FileSourceScanExec`'s numFiles metric, without
+    * metric plumbing).
+    */
+  @volatile var lastListedFiles: Int = entries.size
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(statusOf(_).getLen).sum
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  /** Bounds a conjunct proves for `colName`, as an allowed [lo, hi]
+    * interval — None when the conjunct says nothing about the column.
+    */
+  private def boundOf(e: Expression, colName: String): Option[(Long, Long)] = {
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    def isCol(x: Expression) = x match {
+      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case _ => false
+    }
+    e match {
+      case EqualTo(a, l: Literal) if isCol(a) => longOf(l).map(v => (v, v))
+      case EqualTo(l: Literal, a) if isCol(a) => longOf(l).map(v => (v, v))
+      case GreaterThan(a, l: Literal) if isCol(a) =>
+        longOf(l).map(v => (v + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, l: Literal) if isCol(a) =>
+        longOf(l).map(v => (v, Long.MaxValue))
+      case LessThan(a, l: Literal) if isCol(a) =>
+        longOf(l).map(v => (Long.MinValue, v - 1))
+      case LessThanOrEqual(a, l: Literal) if isCol(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case GreaterThan(l: Literal, a) if isCol(a) =>
+        longOf(l).map(v => (Long.MinValue, v - 1))
+      case GreaterThanOrEqual(l: Literal, a) if isCol(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case LessThan(l: Literal, a) if isCol(a) =>
+        longOf(l).map(v => (v + 1, Long.MaxValue))
+      case LessThanOrEqual(l: Literal, a) if isCol(a) =>
+        longOf(l).map(v => (Long.MinValue, v))
+      case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ls = vs.collect { case l: Literal => longOf(l) }.flatten
+        if (ls.size == vs.size && ls.nonEmpty) Some((ls.min, ls.max)) else None
+      case And(l, r) =>
+        (boundOf(l, colName), boundOf(r, colName)) match {
+          case (Some((a1, b1)), Some((a2, b2))) =>
+            Some((math.max(a1, a2), math.min(b1, b2)))
+          case (x, None) => x
+          case (None, y) => y
+        }
+      case _ => None
+    }
+  }
+
+  /** Partition values a conjunct restricts `partCol` to (None = no
+    * restriction proven).
+    */
+  private def partValuesOf(e: Expression, colName: String): Option[Set[String]] = {
+    def isCol(x: Expression) = x match {
+      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case _ => false
+    }
+    e match {
+      case EqualTo(a, l: Literal) if isCol(a) && l.value != null =>
+        Some(Set(l.value.toString))
+      case EqualTo(l: Literal, a) if isCol(a) && l.value != null =>
+        Some(Set(l.value.toString))
+      case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.collect { case l: Literal if l.value != null =>
+          l.value.toString }.toSet)
+      case _ => None
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val statsCols = entries.flatMap(_.stats.toSeq.flatMap(_.cols.keys)).distinct
+    // per stats column: the intersection of every conjunct's bound
+    val bounds: Map[String, (Long, Long)] = statsCols.flatMap { c =>
+      val bs = dataFilters.flatMap(boundOf(_, c))
+      if (bs.isEmpty) None
+      else Some(c -> bs.reduce((x, y) =>
+        (math.max(x._1, y._1), math.min(x._2, y._2))))
+    }.toMap
+    val partWant: Option[Set[String]] = partCol.flatMap { pc =>
+      val vs = dataFilters.flatMap(partValuesOf(_, pc))
+      if (vs.isEmpty) None else Some(vs.reduce(_ intersect _))
+    }
+    def keep(e: Layout.FileEntry): Boolean = {
+      val statsOk = bounds.forall { case (c, (lo, hi)) =>
+        e.stats.flatMap(_.cols.get(c)).forall { case (mn, mx) =>
+          mx >= lo && mn <= hi
+        }
+      }
+      val partOk = partWant.forall(want => e.parts.forall(_.exists(want)))
+      statsOk && partOk
+    }
+    val kept = entries.filter(keep)
+    lastListedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
+  }
+}

@@ -336,6 +336,65 @@ class ManifestV2Spec extends GraftSuite {
     assert(r2.exceptAll(expect).isEmpty && expect.exceptAll(r2).isEmpty)
   }
 
+  test("snapshotTable: Catalyst pushes filters into manifest pruning (stats, IN, partition, conjunction)") {
+    val root = freshRoot("cattab")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderstatus").as("part"))
+    // clustered on key, stats on key+cust, partitioned by status
+    for (s <- Seq("O", "F", "P"))
+      Layout.snapshotAppendPartitioned(spark, root,
+        base.filter(col("part") === s)
+          .repartitionByRange(4, col("key")).sortWithinPartitions(col("key")),
+        "part", statsKey = Some("key,cust"), shuffleByPartition = false)
+    val plain = Layout.readSnapshot(spark, root)
+    val maxKey = plain.agg(max(col("key"))).head().getLong(0)
+    val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+    val total = idx.inputFiles.length
+
+    def checkPruned(filtered: org.apache.spark.sql.DataFrame,
+        expect: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      assert(filtered.exceptAll(expect).isEmpty &&
+        expect.exceptAll(filtered).isEmpty, s"$tag: rows diverged")
+      assert(idx.lastListedFiles < total,
+        s"$tag: expected pruning, listed ${idx.lastListedFiles}/$total")
+    }
+    // BETWEEN on the clustered stats column
+    checkPruned(
+      df.filter(col("key") >= maxKey / 2 && col("key") <= maxKey / 2 + maxKey / 16),
+      plain.filter(col("key") >= maxKey / 2 && col("key") <= maxKey / 2 + maxKey / 16),
+      "between")
+    // IN on the stats column
+    checkPruned(df.filter(col("key").isin(1L, 2L, 3L)),
+      plain.filter(col("key").isin(1L, 2L, 3L)), "in")
+    // equality on the PARTITION column
+    checkPruned(df.filter(col("part") === "F"),
+      plain.filter(col("part") === "F"), "partition")
+    // conjunction across BOTH pruning dimensions
+    checkPruned(df.filter(col("part") === "F" && col("key") <= maxKey / 8),
+      plain.filter(col("part") === "F" && col("key") <= maxKey / 8), "conj")
+    // a non-provable predicate keeps every file and stays correct
+    // (pmod survives the optimizer — key+0 would constant-fold to a
+    // provable key=5 and legitimately prune)
+    val hard = df.filter(pmod(col("key"), lit(97L)) === 5L)
+    val hardExpect = plain.filter(pmod(col("key"), lit(97L)) === 5L)
+    assert(hard.exceptAll(hardExpect).isEmpty &&
+      hardExpect.exceptAll(hard).isEmpty)
+    assert(idx.lastListedFiles == total,
+      "an unprovable predicate must keep every file (conservative)")
+    // unfiltered scan equals the plain read; aggregation rides the scan
+    assert(df.count() == plain.count())
+    assert(df.agg(sum(col("price"))).head().getDouble(0) ==
+      plain.agg(sum(col("price"))).head().getDouble(0))
+    // MOR debt refuses loudly
+    Layout.snapshotDeleteMOR(spark, root, "key", Array(1L))
+    intercept[IllegalArgumentException] {
+      Layout.snapshotTable(spark, root)
+    }
+  }
+
   test("schema evolution × stats: a file missing the stats column records the full range and stays merge-safe") {
     import spark.implicits._
     val root = freshRoot("evostats")
