@@ -957,6 +957,28 @@ object Layout {
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
   }
 
+  /** METADATA-ONLY ROW COUNT — `SELECT count(*)` answered from the
+    * manifest (Iceberg's metadata-table trick): stats-bearing entries
+    * carry their row counts from commit time; a table whose entries all
+    * have stats (and no MOR sidecar debt — deleted rows aren't in the
+    * manifest's arithmetic) counts in O(manifest) with ZERO data I/O.
+    * Falls back to counting the read when any entry is stat-less or
+    * sidecars exist — correct for every table, free for the well-kept
+    * ones.
+    */
+  def snapshotRowCount(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int = -1): Long = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    val entries = manifestEntries(spark, root, v)
+    if (manifestDeleteFiles(spark, root, v).isEmpty &&
+        entries.forall(_.stats.isDefined))
+      entries.map(_.stats.get.rows).sum
+    else readSnapshot(spark, root, v).count()
+  }
+
   /** THE VERSIONED TABLE AS A FIRST-CLASS SPARK RELATION — a
     * `HadoopFsRelation` over [[graft.sources.SnapshotFileIndex]], so
     * CATALYST drives the manifest pruning: any pushed filter on a stats

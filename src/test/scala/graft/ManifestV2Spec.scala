@@ -336,6 +336,21 @@ class ManifestV2Spec extends GraftSuite {
     assert(r2.exceptAll(expect).isEmpty && expect.exceptAll(r2).isEmpty)
   }
 
+  test("snapshotRowCount: metadata-only on stats-bearing tables, fallback on MOR debt") {
+    val root = freshRoot("rowcnt")
+    Layout.snapshotAppend(spark, root, ordersBase, statsKey = Some("key"))
+    val want = Layout.readSnapshot(spark, root).count()
+    val f0 = Layout.footerReads.get()
+    assert(Layout.snapshotRowCount(spark, root) == want)
+    assert(Layout.footerReads.get() == f0, "stats-bearing count is metadata-only")
+    // MOR debt: manifest arithmetic would over-count — falls back exactly
+    Layout.snapshotDeleteMOR(spark, root, "key", Array(1L, 2L, 3L))
+    assert(Layout.snapshotRowCount(spark, root) ==
+      Layout.readSnapshot(spark, root).count())
+    // time travel still metadata-only on the pre-delete version
+    assert(Layout.snapshotRowCount(spark, root, 1) == want)
+  }
+
   test("snapshotTable: Catalyst pushes filters into manifest pruning (stats, IN, partition, conjunction)") {
     val root = freshRoot("cattab")
     val base = Tables(spark, sf, "orders")
