@@ -137,7 +137,7 @@ object Layout {
     */
   private def footerStatsMulti(fp: String,
       hconf: org.apache.hadoop.conf.Configuration,
-      cols: Seq[String]): (String, Map[String, (Long, Long)], Long) = {
+      cols: Seq[String]): MultiStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -146,21 +146,45 @@ object Layout {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val byCol = cols.map { keyCol =>
-        val ranges = blocks.flatMap { block =>
+      val longB = Map.newBuilder[String, (Long, Long)]
+      val strB = Map.newBuilder[String, (String, String)]
+      // pruning on strings compares with Java (UTF-16) order while the
+      // footer orders unsigned bytes — identical only on ASCII, so
+      // non-ASCII bounds stay unrecorded (prune nothing, stay correct)
+      def ascii(x: String) = x.forall(_ < 128)
+      cols.foreach { keyCol =>
+        val vals = blocks.flatMap { block =>
           block.getColumns.asScala
             .find(_.getPath.toDotString == keyCol)
             .flatMap { cc =>
               val st = cc.getStatistics
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
-              else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue()))
+              else Some((st.genericGetMin: Any, st.genericGetMax: Any))
             }
         }
-        if (ranges.isEmpty) keyCol -> ((Long.MinValue, Long.MaxValue))
-        else keyCol -> ((ranges.map(_._1).min, ranges.map(_._2).max))
-      }.toMap
-      (fp, byCol, rows)
+        vals.headOption match {
+          case Some((_: Number, _)) =>
+            val ls = vals.map { case (mn, mx) =>
+              (mn.asInstanceOf[Number].longValue(),
+                mx.asInstanceOf[Number].longValue())
+            }
+            longB += keyCol -> ((ls.map(_._1).min, ls.map(_._2).max))
+          case Some((_: org.apache.parquet.io.api.Binary, _)) =>
+            val ss = vals.map { case (mn, mx) =>
+              (mn.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                mx.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+            }
+            val (mn, mx) = (ss.map(_._1).min, ss.map(_._2).max)
+            if (ascii(mn) && ascii(mx)) strB += keyCol -> ((mn, mx))
+            else longB += keyCol -> ((Long.MinValue, Long.MaxValue))
+          case _ =>
+            // no usable stats (or an unexpected stats type): record the
+            // conservative full numeric range so the entry still counts
+            // as "has stats" for this column without ever pruning
+            longB += keyCol -> ((Long.MinValue, Long.MaxValue))
+        }
+      }
+      MultiStats(fp, longB.result(), strB.result(), rows)
     } finally reader.close()
   }
 
@@ -172,19 +196,25 @@ object Layout {
     * open a slice. Executors rebuild the Hadoop conf from broadcast
     * properties (Configuration itself is not java-serializable).
     */
+  /** One file's stats over several columns: integral column ranges,
+    * ASCII string-column ranges, and the row count.
+    */
+  case class MultiStats(path: String, longCols: Map[String, (Long, Long)],
+      strCols: Map[String, (String, String)], rows: Long)
+
   def fileStatsOf(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], keyCol: String): Seq[FileColStats] =
-    fileMultiStatsOf(spark, files, Seq(keyCol)).map { case (fp, byCol, rows) =>
-      val (mn, mx) = byCol(keyCol)
-      FileColStats(fp, mn, mx, rows)
+    fileMultiStatsOf(spark, files, Seq(keyCol)).map { ms =>
+      val (mn, mx) = ms.longCols.getOrElse(keyCol,
+        (Long.MinValue, Long.MaxValue))
+      FileColStats(ms.path, mn, mx, ms.rows)
     }
 
   /** [[fileStatsOf]] over SEVERAL columns — one footer open per file
     * regardless of column count.
     */
   def fileMultiStatsOf(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[String], cols: Seq[String])
-      : Seq[(String, Map[String, (Long, Long)], Long)] = {
+      files: Seq[String], cols: Seq[String]): Seq[MultiStats] = {
     if (files.isEmpty) return Nil
     footerReads.addAndGet(files.size)
     if (files.size <= 32) {
@@ -574,11 +604,18 @@ object Layout {
     * manifest-grade metadata instead of re-opening parquet footers.
     * The Iceberg/Delta stats idea, at its core. `statsKey` may declare
     * SEVERAL comma-separated columns (a real table prunes on more than
-    * one); columns must be integral — a truncated double max would
-    * wrongly prune (10.5 > floor(10.7)), so the contract is long-typed
-    * keys only, same as the footer fallback's.
+    * one); numeric columns must be integral — a truncated double max
+    * would wrongly prune (10.5 > floor(10.7)), so the numeric contract
+    * is long-typed keys, same as the footer fallback's.
+    * STRING columns (ISO-date strings, UUIDs, URL prefixes) record
+    * (min, max) too — with the collation guard that keeps byte-order
+    * pruning SOUND: parquet footer stats order binary min/max by
+    * unsigned byte, which coincides with Java string comparison only on
+    * ASCII, so non-ASCII bounds are recorded as absent (the file prunes
+    * nothing — conservative, never wrong).
     */
-  case class FileStats(cols: Map[String, (Long, Long)], rows: Long)
+  case class FileStats(cols: Map[String, (Long, Long)],
+      strCols: Map[String, (String, String)], rows: Long)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -603,10 +640,14 @@ object Layout {
   // can't corrupt the line). Token-less lines parse as stat-less
   // entries — the v1 manifests' raw path lines remain readable.
   private def serEntry(e: FileEntry): String = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
     val st = e.stats.toSeq.flatMap { s =>
-      s"n=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"s=${java.net.URLEncoder.encode(c, "UTF-8")}:$mn:$mx"
-      }
+      s"n=${s.rows}" +:
+        (s.cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"s=${enc(c)}:$mn:$mx"
+        } ++ s.strCols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"t=${enc(c)}:${enc(mn)}:${enc(mx)}"
+        })
     }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
       java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
@@ -619,14 +660,20 @@ object Layout {
       case Array(k, v) => Some(k -> v)
       case _ => None
     })
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
     val cols = kvs.collect { case ("s", v) =>
       v.split(":") match {
-        case Array(c, mn, mx) =>
-          java.net.URLDecoder.decode(c, "UTF-8") -> ((mn.toLong, mx.toLong))
+        case Array(c, mn, mx) => dec(c) -> ((mn.toLong, mx.toLong))
+      }
+    }.toMap
+    val strCols = kvs.collect { case ("t", v) =>
+      // -1 limit keeps trailing empty fields (an empty-string min/max)
+      v.split(":", -1) match {
+        case Array(c, mn, mx) => dec(c) -> ((dec(mn), dec(mx)))
       }
     }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
-      .map(n => FileStats(cols, n.toLong))
+      .map(n => FileStats(cols, strCols, n.toLong))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -785,7 +832,7 @@ object Layout {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
-          .map { case (fp, byCol, rows) => fp -> FileStats(byCol, rows) }
+          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows))
           .toMap
       case None => Map.empty
     }

@@ -134,9 +134,44 @@ class SnapshotFileIndex(
     }
   }
 
+  /** String bounds a conjunct proves for `colName` (Java string order —
+    * sound against the recorded ASCII-only stats; see the FileStats
+    * collation guard). None bound component = unbounded on that side.
+    */
+  private def strBoundOf(e: Expression,
+      colName: String): Option[(Option[String], Option[String])] = {
+    def isCol(x: Expression) = x match {
+      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case _ => false
+    }
+    def strOf(l: Literal): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) if isCol(a) => strOf(l).map(v => (Some(v), Some(v)))
+      case EqualTo(l: Literal, a) if isCol(a) => strOf(l).map(v => (Some(v), Some(v)))
+      case GreaterThanOrEqual(a, l: Literal) if isCol(a) => strOf(l).map(v => (Some(v), None))
+      case GreaterThan(a, l: Literal) if isCol(a) => strOf(l).map(v => (Some(v), None))
+      case LessThanOrEqual(a, l: Literal) if isCol(a) => strOf(l).map(v => (None, Some(v)))
+      case LessThan(a, l: Literal) if isCol(a) => strOf(l).map(v => (None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a) if isCol(a) => strOf(l).map(v => (None, Some(v)))
+      case GreaterThan(l: Literal, a) if isCol(a) => strOf(l).map(v => (None, Some(v)))
+      case LessThanOrEqual(l: Literal, a) if isCol(a) => strOf(l).map(v => (Some(v), None))
+      case LessThan(l: Literal, a) if isCol(a) => strOf(l).map(v => (Some(v), None))
+      case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.collect { case l: Literal => strOf(l) }.flatten
+        if (ss.size == vs.size && ss.nonEmpty) Some((Some(ss.min), Some(ss.max)))
+        else None
+      case _ => None
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val statsCols = entries.flatMap(_.stats.toSeq.flatMap(_.cols.keys)).distinct
+    val strStatsCols = entries.flatMap(_.stats.toSeq.flatMap(_.strCols.keys)).distinct
     // per stats column: the intersection of every conjunct's bound
     val bounds: Map[String, (Long, Long)] = statsCols.flatMap { c =>
       val bs = dataFilters.flatMap(boundOf(_, c))
@@ -144,6 +179,16 @@ class SnapshotFileIndex(
       else Some(c -> bs.reduce((x, y) =>
         (math.max(x._1, y._1), math.min(x._2, y._2))))
     }.toMap
+    val strBounds: Map[String, (Option[String], Option[String])] =
+      strStatsCols.flatMap { c =>
+        val bs = dataFilters.flatMap(strBoundOf(_, c))
+        if (bs.isEmpty) None
+        else Some(c -> bs.reduce { (x, y) =>
+          val lo = (x._1.toSeq ++ y._1.toSeq).maxOption
+          val hi = (x._2.toSeq ++ y._2.toSeq).minOption
+          (lo, hi)
+        })
+      }.toMap
     val partWant: Option[Set[String]] = partCol.flatMap { pc =>
       val vs = dataFilters.flatMap(partValuesOf(_, pc))
       if (vs.isEmpty) None else Some(vs.reduce(_ intersect _))
@@ -154,8 +199,13 @@ class SnapshotFileIndex(
           mx >= lo && mn <= hi
         }
       }
+      val strOk = strBounds.forall { case (c, (lo, hi)) =>
+        e.stats.flatMap(_.strCols.get(c)).forall { case (mn, mx) =>
+          lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+        }
+      }
       val partOk = partWant.forall(want => e.parts.forall(_.exists(want)))
-      statsOk && partOk
+      statsOk && strOk && partOk
     }
     val kept = entries.filter(keep)
     lastListedFiles = kept.size

@@ -410,6 +410,48 @@ class ManifestV2Spec extends GraftSuite {
     }
   }
 
+  test("string-column stats: date-string ranges prune through Catalyst; ASCII guard holds") {
+    val root = freshRoot("strstats")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_totalprice").cast("double").as("price"))
+      .repartitionByRange(8, col("d")).sortWithinPartitions(col("d"))
+    Layout.snapshotAppend(spark, root, base, statsKey = Some("d,key"))
+    val plain = Layout.readSnapshot(spark, root)
+    val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+    val total = idx.inputFiles.length
+    // a narrow slice of the date-clustered corpus (middle ~10% of the
+    // distinct days): the everyday time-range query, pruned from string
+    // stats
+    val days = plain.select(col("d")).distinct().orderBy(col("d"))
+      .collect().map(_.getString(0))
+    val (lo, hi) = (days(days.length * 45 / 100), days(days.length * 55 / 100))
+    val f = df.filter(col("d") >= lo && col("d") < hi)
+    val expect = plain.filter(col("d") >= lo && col("d") < hi)
+    assert(f.exceptAll(expect).isEmpty && expect.exceptAll(f).isEmpty)
+    assert(idx.lastListedFiles < total,
+      s"date-string range must prune: ${idx.lastListedFiles}/$total")
+    assert(f.count() > 0, "the slice must be non-empty for the test to mean anything")
+    // equality on the string column prunes too
+    val day = expect.agg(min(col("d"))).head().getString(0)
+    val eq = df.filter(col("d") === day)
+    assert(eq.count() == plain.filter(col("d") === day).count())
+    assert(idx.lastListedFiles < total)
+    // non-ASCII values: bounds are withheld (the collation guard), the
+    // file never prunes on that column, rows stay exact
+    val root2 = freshRoot("strstats2")
+    import spark.implicits._
+    Layout.snapshotAppend(spark, root2,
+      Seq(("héllo", 1L), ("wörld", 2L), ("plain", 3L)).toDF("s", "k").coalesce(1),
+      statsKey = Some("s"))
+    val (df2, idx2) = Layout.snapshotTableWithIndex(spark, root2)
+    assert(df2.filter(col("s") === "zzz").count() == 0)
+    assert(idx2.lastListedFiles == idx2.inputFiles.length,
+      "non-ASCII bounds must withhold pruning (conservative)")
+    assert(df2.filter(col("s") === "wörld").count() == 1)
+  }
+
   test("schema evolution × stats: a file missing the stats column records the full range and stays merge-safe") {
     import spark.implicits._
     val root = freshRoot("evostats")
