@@ -148,19 +148,24 @@ object Layout {
       val rows = blocks.map(_.getRowCount).sum
       val longB = Map.newBuilder[String, (Long, Long)]
       val strB = Map.newBuilder[String, (String, String)]
+      val nullB = Map.newBuilder[String, Long]
       // pruning on strings compares with Java (UTF-16) order while the
       // footer orders unsigned bytes — identical only on ASCII, so
       // non-ASCII bounds stay unrecorded (prune nothing, stay correct)
       def ascii(x: String) = x.forall(_ < 128)
       cols.foreach { keyCol =>
-        val vals = blocks.flatMap { block =>
+        val colStats = blocks.flatMap { block =>
           block.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol)
-            .flatMap { cc =>
-              val st = cc.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) None
-              else Some((st.genericGetMin: Any, st.genericGetMax: Any))
-            }
+            .find(_.getPath.toDotString == keyCol).map(_.getStatistics)
+        }
+        // null count: recorded only when EVERY block sets it — a single
+        // unset block makes the total unknowable (no conservative sum)
+        if (colStats.size == blocks.size && colStats.forall(st =>
+            st != null && !st.isEmpty && st.isNumNullsSet))
+          nullB += keyCol -> colStats.map(_.getNumNulls).sum
+        val vals = colStats.flatMap { st =>
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else Some((st.genericGetMin: Any, st.genericGetMax: Any))
         }
         vals.headOption match {
           case Some((_: Number, _)) =>
@@ -184,7 +189,7 @@ object Layout {
             longB += keyCol -> ((Long.MinValue, Long.MaxValue))
         }
       }
-      MultiStats(fp, longB.result(), strB.result(), rows)
+      MultiStats(fp, longB.result(), strB.result(), rows, nullB.result())
     } finally reader.close()
   }
 
@@ -200,7 +205,8 @@ object Layout {
     * ASCII string-column ranges, and the row count.
     */
   case class MultiStats(path: String, longCols: Map[String, (Long, Long)],
-      strCols: Map[String, (String, String)], rows: Long)
+      strCols: Map[String, (String, String)], rows: Long,
+      nulls: Map[String, Long] = Map.empty)
 
   def fileStatsOf(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], keyCol: String): Seq[FileColStats] =
@@ -615,7 +621,8 @@ object Layout {
     * nothing — conservative, never wrong).
     */
   case class FileStats(cols: Map[String, (Long, Long)],
-      strCols: Map[String, (String, String)], rows: Long)
+      strCols: Map[String, (String, String)], rows: Long,
+      nulls: Map[String, Long] = Map.empty)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -647,6 +654,8 @@ object Layout {
           s"s=${enc(c)}:$mn:$mx"
         } ++ s.strCols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
           s"t=${enc(c)}:${enc(mn)}:${enc(mx)}"
+        } ++ s.nulls.toSeq.sortBy(_._1).map { case (c, z) =>
+          s"z=${enc(c)}:$z"
         })
     }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
@@ -672,8 +681,13 @@ object Layout {
         case Array(c, mn, mx) => dec(c) -> ((dec(mn), dec(mx)))
       }
     }.toMap
+    val nulls = kvs.collect { case ("z", v) =>
+      v.split(":") match {
+        case Array(c, z) => dec(c) -> z.toLong
+      }
+    }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
-      .map(n => FileStats(cols, strCols, n.toLong))
+      .map(n => FileStats(cols, strCols, n.toLong, nulls))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -832,7 +846,7 @@ object Layout {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
-          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows))
+          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows, ms.nulls))
           .toMap
       case None => Map.empty
     }
@@ -1002,6 +1016,51 @@ object Layout {
       .forall { case (mn, mx) => mx >= lo && mn <= hi }
     readSnapshotSubset(spark, root, v, hdr, keep)
       .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+  }
+
+  /** METADATA TABLES — the table's own history and file inventory AS
+    * DATAFRAMES (Delta's `DESCRIBE HISTORY` / Iceberg's `.files`
+    * metadata tables): everything comes from manifests, zero data I/O.
+    * `snapshotHistory`: one row per version — commit timestamp,
+    * operation hints from the header (writer/epoch), file/delete-sidecar
+    * counts, recorded row count (null when any entry is stat-less).
+    * `snapshotFilesTable`: one row per data-file entry of a version —
+    * path, rows, per-column min/max (stats columns as a map), partition
+    * values — what an ops dashboard or a debugging session joins
+    * against. Both are plain DataFrames: filter, join, aggregate them
+    * like any table.
+    */
+  def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    import spark.implicits._
+    snapshotVersions(spark, root).map { v =>
+      val hdr = manifestHeader(spark, root, v)
+      val entries = manifestEntries(spark, root, v)
+      val rows = if (entries.forall(_.stats.isDefined))
+        Some(entries.map(_.stats.get.rows).sum) else None
+      (v, hdr.get("ts").map(_.toLong).getOrElse(0L),
+        entries.size, manifestDeleteFiles(spark, root, v).size,
+        rows, hdr.get("writer"), hdr.get("epoch").map(_.toLong))
+    }.toDF("version", "commit_ts", "n_files", "n_delete_files",
+      "recorded_rows", "writer", "epoch")
+  }
+
+  def snapshotFilesTable(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    manifestEntries(spark, root, v).map { e =>
+      (e.path,
+        e.stats.map(_.rows),
+        e.stats.map(_.cols.view.mapValues { case (mn, mx) =>
+          s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
+        e.stats.map(_.strCols.view.mapValues { case (mn, mx) =>
+          s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
+        e.parts.getOrElse(Seq.empty[String]))
+    }.toDF("path", "rows", "col_ranges", "str_ranges", "partitions")
   }
 
   /** METADATA-ONLY ROW COUNT — `SELECT count(*)` answered from the

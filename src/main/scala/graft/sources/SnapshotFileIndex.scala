@@ -205,7 +205,22 @@ class SnapshotFileIndex(
         }
       }
       val partOk = partWant.forall(want => e.parts.forall(_.exists(want)))
-      statsOk && strOk && partOk
+      // null-count pruning: `c IS NULL` skips files recording zero nulls
+      // in c; `c IS NOT NULL` skips files whose every row is null in c
+      // (an all-null file under an IS NOT NULL conjunct yields no rows).
+      // Unknown counts keep the file.
+      val nullOk = dataFilters.forall {
+        case IsNull(a: Attribute) =>
+          e.stats.flatMap(_.nulls.find { case (c, _) =>
+            spark.sessionState.conf.resolver(a.name, c) })
+            .forall { case (_, z) => z > 0 }
+        case IsNotNull(a: Attribute) =>
+          !(e.stats.exists(st => st.nulls.exists { case (c, z) =>
+            spark.sessionState.conf.resolver(a.name, c) && z == st.rows &&
+              st.rows > 0 }))
+        case _ => true
+      }
+      statsOk && strOk && partOk && nullOk
     }
     val kept = entries.filter(keep)
     lastListedFiles = kept.size

@@ -452,6 +452,37 @@ class ManifestV2Spec extends GraftSuite {
     assert(df2.filter(col("s") === "wörld").count() == 1)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; metadata tables read from manifests only") {
+    import spark.implicits._
+    val root = freshRoot("nullstats")
+    // file 1: every `v` null; file 2: no `v` null — the two poles the
+    // null-count pruning rules bite on
+    Layout.snapshotAppend(spark, root,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+        .toDF("key", "v").coalesce(1),
+      statsKey = Some("key,v"))
+    Layout.snapshotAppend(spark, root,
+      Seq((3L, Some(30L)), (4L, Some(40L))).toDF("key", "v").coalesce(1))
+    val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+    val total = idx.inputFiles.length
+    assert(df.filter(col("v").isNull).count() == 2)
+    assert(idx.lastListedFiles == 1, s"IS NULL must skip the no-null file")
+    assert(df.filter(col("v").isNotNull).count() == 2)
+    assert(idx.lastListedFiles == 1, s"IS NOT NULL must skip the all-null file")
+    assert(df.count() == 4 && idx.lastListedFiles == total)
+    // metadata tables: zero data I/O, manifest-derived
+    val f0 = Layout.footerReads.get()
+    val hist = Layout.snapshotHistory(spark, root)
+    assert(hist.count() == 2)
+    assert(hist.orderBy(col("version")).collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hist.filter(col("version") === 2)
+      .head().getAs[Long]("recorded_rows") == 4L)
+    val files = Layout.snapshotFilesTable(spark, root)
+    assert(files.count() == total)
+    assert(files.filter(col("rows") === 2L).count() == total)
+    assert(Layout.footerReads.get() == f0, "metadata tables must not touch parquet")
+  }
+
   test("schema evolution × stats: a file missing the stats column records the full range and stays merge-safe") {
     import spark.implicits._
     val root = freshRoot("evostats")
