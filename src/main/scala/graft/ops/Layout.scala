@@ -167,7 +167,17 @@ object Layout {
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else Some((st.genericGetMin: Any, st.genericGetMax: Any))
         }
+        def integral(x: Any) = x match {
+          case _: java.lang.Long | _: java.lang.Integer |
+               _: java.lang.Short | _: java.lang.Byte => true
+          case _ => false
+        }
         vals.headOption match {
+          // INTEGRAL only: a double/float column's truncated long range
+          // would mis-prune (10.5 lies outside the truncated (10, 10)) —
+          // record the conservative full range instead
+          case Some((mn0, _)) if mn0.isInstanceOf[Number] && !integral(mn0) =>
+            longB += keyCol -> ((Long.MinValue, Long.MaxValue))
           case Some((_: Number, _)) =>
             val ls = vals.map { case (mn, mx) =>
               (mn.asInstanceOf[Number].longValue(),
@@ -275,15 +285,30 @@ object Layout {
     */
   def cowMerge(spark: org.apache.spark.sql.SparkSession, basePath: String,
       keyCol: String, matchKeys: Array[Long],
+      rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats =
+    cowMergeImpl(spark, basePath, keyCol, Left(matchKeys), rewrite, outPath)
+
+  /** Shared COW engine body (mirrors [[snapshotMergeImpl]]'s shape): the
+    * two public forms differ ONLY in how the touched-file set resolves —
+    * sorted-array binary search vs the broadcast range join.
+    */
+  private def cowMergeImpl(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, keyCol: String,
+      keys: Either[Array[Long], DataFrame],
       rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats = {
-    val sorted = matchKeys.distinct.sorted
-    def overlaps(mn: Long, mx: Long): Boolean = {
-      val i = java.util.Arrays.binarySearch(sorted, mn)
-      val at = if (i >= 0) i else -i - 1 // first key >= mn
-      at < sorted.length && sorted(at) <= mx
-    }
     val ranges = fileKeyRanges(spark, basePath, keyCol)
-    val (touched, untouched) = ranges.partition { case (_, mn, mx) => overlaps(mn, mx) }
+    val touchedSet: Set[String] = keys match {
+      case Left(arr) =>
+        val sorted = arr.distinct.sorted
+        def overlaps(mn: Long, mx: Long): Boolean = {
+          val i = java.util.Arrays.binarySearch(sorted, mn)
+          val at = if (i >= 0) i else -i - 1 // first key >= mn
+          at < sorted.length && sorted(at) <= mx
+        }
+        ranges.collect { case (f, mn, mx) if overlaps(mn, mx) => f }.toSet
+      case Right(df) => touchedFilesFor(spark, ranges, df)
+    }
+    val (touched, untouched) = ranges.partition(r => touchedSet(r._1))
     val touchedDf =
       if (touched.isEmpty) spark.read.parquet(basePath).where(lit(false))
       else spark.read.parquet(touched.map(_._1): _*)
@@ -324,16 +349,8 @@ object Layout {
     */
   def cowMergeKeys(spark: org.apache.spark.sql.SparkSession, basePath: String,
       keyCol: String, changeKeys: DataFrame,
-      rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats = {
-    val ranges = fileKeyRanges(spark, basePath, keyCol)
-    val touchedSet = touchedFilesFor(spark, ranges, changeKeys)
-    val (touched, untouched) = ranges.partition(r => touchedSet(r._1))
-    val touchedDf =
-      if (touched.isEmpty) spark.read.parquet(basePath).where(lit(false))
-      else spark.read.parquet(touched.map(_._1): _*)
-    rewrite(touchedDf).write.mode("overwrite").parquet(outPath)
-    CowMergeStats(ranges.size, touched.map(_._1), untouched.map(_._1))
-  }
+      rewrite: DataFrame => DataFrame, outPath: String): CowMergeStats =
+    cowMergeImpl(spark, basePath, keyCol, Right(changeKeys), rewrite, outPath)
 
   // ------------------------------------------------------- bloom file index
   /** PER-FILE BLOOM SKIPPING INDEX — file skipping for point lookups on a
@@ -500,34 +517,41 @@ object Layout {
     val haveIdx = snapshotVersions(spark, idxRoot).nonEmpty
     // (probeId, w, m): probe p requires bit m set in word w. k masks per
     // probe (dedup'd within a word); a file is a hit for p iff ALL its
-    // requirements hold — counted distributively below.
+    // requirements hold — counted distributively below. ONE pass over
+    // the index produces per-file (indexed, hit) status: a left join
+    // keeps index rows matching no requirement word (need null), so
+    // every indexed file surfaces; what returns to the driver is
+    // O(indexed files) NAMES + booleans — name-scale like the manifest
+    // itself, never the 16 KiB/file bit payload.
     val reqs = values.zipWithIndex.toDF("v", "pid")
       .select(col("pid"), explode(Bloom.positionsFor(col("v"), mBits)).as("p"))
       .select(col("pid"), (col("p") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
       .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
-    val nWords = reqs.groupBy(col("pid")).agg(count(lit(1)).as("n_need"))
-    val hitFiles: Set[String] =
-      if (!haveIdx) Set.empty
+    val nNeed: Map[Long, Long] = reqs.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_need"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val status: Map[String, Boolean] = // file -> bloom hit?
+      if (!haveIdx) Map.empty
       else readSnapshot(spark, idxRoot)
-        .join(broadcast(reqs), Seq("w"))
-        .filter((col("bits").bitwiseAND(col("need"))) === col("need"))
-        .groupBy(col("file"), col("pid")).agg(count(lit(1)).as("n_ok"))
-        .join(broadcast(nWords), Seq("pid"))
-        .filter(col("n_ok") === col("n_need"))
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
-    // files the index covers at all (a maintenance lag leaves fresh
-    // files unindexed — they must scan, conservatively)
-    val indexedFiles: Set[String] =
-      if (!haveIdx) Set.empty
-      else readSnapshot(spark, idxRoot).select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
+        .join(broadcast(reqs), Seq("w"), "left_outer")
+        .groupBy(col("file"), col("pid"))
+        .agg(sum(when(col("need").isNotNull &&
+          (col("bits").bitwiseAND(col("need"))) === col("need"), 1L)
+          .otherwise(0L)).as("n_ok"))
+        .groupBy(col("file"))
+        .agg(collect_list(struct(col("pid"), col("n_ok"))).as("per_probe"))
+        .collect().map { r =>
+          val hit = r.getSeq[org.apache.spark.sql.Row](1).exists { pr =>
+            !pr.isNullAt(0) && nNeed.get(pr.getInt(0).toLong)
+              .contains(pr.getLong(1))
+          }
+          r.getString(0) -> hit
+        }.toMap
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
-    def isCandidate(e: FileEntry): Boolean = {
-      val n = baseName(e.path)
-      !indexedFiles.contains(n) || hitFiles.contains(n)
-    }
+    def isCandidate(e: FileEntry): Boolean =
+      // unindexed (maintenance lag): conservative, scan it
+      status.getOrElse(baseName(e.path), true)
     val entries = manifestEntries(spark, baseRoot, head)
     val candidates = entries.filter(isCandidate).map(_.path)
     val probe = values.toDF("__graft_probe")
@@ -641,6 +665,50 @@ object Layout {
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
     hdr.view.filterKeys(TableProps).toMap
 
+  /** SCHEMA IN THE MANIFEST (Delta's log-recorded schema): each commit
+    * records its version's full schema as a header (`#schema=<json>`),
+    * so planning — the Catalyst relation, an all-files-pruned read —
+    * never infers schema from O(table) parquet footers. Additive merge:
+    * new columns append (nullable), a type conflict drops the header
+    * (readers fall back to the mergeSchema read, which fails loudly —
+    * same contract as before). Tables whose history predates the header
+    * simply keep falling back.
+    */
+  private def mergeSchemas(
+      prev: Option[org.apache.spark.sql.types.StructType],
+      add: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val norm = org.apache.spark.sql.types.StructType(
+      add.fields.map(_.copy(nullable = true)))
+    prev match {
+      case None => Some(norm)
+      case Some(p) =>
+        val byName = p.fields.map(f => f.name -> f).toMap
+        val conflict = norm.fields.exists(f =>
+          byName.get(f.name).exists(_.dataType != f.dataType))
+        if (conflict) None
+        else Some(org.apache.spark.sql.types.StructType(
+          p.fields ++ norm.fields.filterNot(f => byName.contains(f.name))))
+    }
+  }
+
+  private def schemaHeaderOf(
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Map[String, String] =
+    schema.map(sc =>
+      "schema" -> java.net.URLEncoder.encode(sc.json, "UTF-8")).toMap
+
+  private def manifestSchema(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestHeader(spark, root, version).get("schema").flatMap { j =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        java.net.URLDecoder.decode(j, "UTF-8")) match {
+        case st: org.apache.spark.sql.types.StructType => Some(st)
+        case _ => None
+      }
+    }
+
   // Entry wire format: `path` optionally followed by tab-separated
   // tokens `n=<rows>`, one `s=<encCol>:<min>:<max>` per stats column,
   // and `p=<enc,enc,...>` (names/values URL-encoded so separators
@@ -717,13 +785,36 @@ object Layout {
     name
   }
 
+  /** Parsed-segment memo: segment files are IMMUTABLE once written
+    * (attempt-unique names, never rewritten), so their parsed entries
+    * cache safely forever — an append chain's history walk becomes
+    * O(segments) instead of O(versions · segments), and one read
+    * resolves a manifest's segments at most once per process. Bounded
+    * LRU; vacuumed segments age out naturally (no manifest references
+    * them, so they are never looked up again).
+    */
+  private val segCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
+        size() > 4096
+    }
+
   private def segEntries(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String): Seq[FileEntry] = {
+    val key = s"$root|$name"
+    segCache.synchronized {
+      val hit = segCache.get(key)
+      if (hit != null) return hit
+    }
     val fs = fsOf(spark, root)
     val in = fs.open(new org.apache.hadoop.fs.Path(segsDir(root), name))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(parseEntry).toList
-    finally in.close()
+    val parsed =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(parseEntry).toList
+      finally in.close()
+    segCache.synchronized { segCache.put(key, parsed) }
+    parsed
   }
 
   private def manifestSegRefs(spark: org.apache.spark.sql.SparkSession,
@@ -918,14 +1009,28 @@ object Layout {
     df.write.mode("error").parquet(dataDir)
     val carriedSegs = prev.lastOption
       .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
+    // legacy v1-format manifests inline their entries (no segment):
+    // those must be re-serialized into the new segment or the commit
+    // would silently drop every pre-v2 data file
+    val carriedInline = prev.lastOption
+      .map(manifestEntriesTagged(spark, root, _)
+        .collect { case ("", e) => e }).getOrElse(Nil)
     // delete sidecars carry forward with the files they scope: an append
     // must not resurrect rows a prior MOR delete removed. The new files
     // are NOT in any sidecar's scope, so re-inserted keys in them survive.
     val carriedDel = prev.lastOption
       .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
+    // schema header: the union of the previous version's recorded
+    // schema and this batch's (None once unknowable — legacy history or
+    // a type conflict; readers then fall back to mergeSchema inference)
+    val schema =
+      if (prev.isEmpty) mergeSchemas(None, df.schema)
+      else manifestSchema(spark, root, prev.last)
+        .flatMap(ps => mergeSchemas(Some(ps), df.schema))
     commitManifest(spark, root, v, carriedSegs,
-      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props, deletes = carriedDel)
+      carriedInline ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props ++ schemaHeaderOf(schema), deletes = carriedDel)
     v
   }
 
@@ -946,7 +1051,7 @@ object Layout {
     df.write.mode("error").parquet(dataDir)
     commitManifest(spark, root, v, Nil,
       entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props)
+      header = props ++ schemaHeaderOf(mergeSchemas(None, df.schema)))
     v
   }
 
@@ -1112,8 +1217,12 @@ object Layout {
       "table carries MOR delete sidecars; snapshotCompact before snapshotTable")
     val hdr = manifestHeader(spark, root, v)
     val entries = manifestEntries(spark, root, v)
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(_.path): _*).schema
+    // manifest-recorded schema keeps relation construction metadata-only
+    // (the whole point at a million files); legacy history falls back to
+    // footer-union inference
+    val schema = manifestSchema(spark, root, v).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_.path): _*).schema)
     val index = new graft.sources.SnapshotFileIndex(
       spark, root, entries, hdr.get("partCol"))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -1140,9 +1249,15 @@ object Layout {
       keep: FileEntry => Boolean): DataFrame = {
     val files = manifestEntries(spark, root, v).filter(keep).map(_.path)
     if (files.isEmpty) {
-      // every file pruned: an empty frame with the version's schema
-      return spark.read.option("mergeSchema", "true")
-        .parquet(manifestFiles(spark, root, v): _*).where(lit(false))
+      // every file pruned: an empty frame with the version's schema —
+      // from the manifest header when recorded (O(1)); footer-union
+      // inference only for legacy history
+      return manifestSchema(spark, root, v) match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(manifestFiles(spark, root, v): _*).where(lit(false))
+      }
     }
     val dels = manifestDeleteFiles(spark, root, v)
     // SCHEMA EVOLUTION: a version's schema is the union of its files'
@@ -1260,18 +1375,20 @@ object Layout {
     }
     val v = base + 1
     val carriedSegs = manifestSegRefs(spark, root, base)
+    val carriedInline = manifestEntriesTagged(spark, root, base)
+      .collect { case ("", e) => e } // legacy inline entries must survive
     val carriedDel = manifestDeleteFiles(spark, root, base)
     if (scoped.isEmpty) {
       // no key overlaps any file: nothing to delete — still commit, so
       // the caller gets one version per request batch (audit trail)
-      commitManifest(spark, root, v, carriedSegs, Nil,
+      commitManifest(spark, root, v, carriedSegs, carriedInline,
         header = carriedProps(hdr), deletes = carriedDel)
       return v
     }
     val delDir = attemptDir(root, "deletes", v)
     import spark.implicits._
     scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
-    commitManifest(spark, root, v, carriedSegs, Nil,
+    commitManifest(spark, root, v, carriedSegs, carriedInline,
       header = carriedProps(hdr) + ("deleteKey" -> keyCol),
       deletes = carriedDel ++ listDataFiles(spark, delDir))
     v
@@ -1346,14 +1463,23 @@ object Layout {
     df.write.mode("overwrite").parquet(dataDir)
     val carriedSegs = prev.lastOption
       .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
+    val carriedInline = prev.lastOption
+      .map(manifestEntriesTagged(spark, root, _)
+        .collect { case ("", e) => e }).getOrElse(Nil)
     val carriedDel = prev.lastOption
       .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
     val props = prev.lastOption
       .map(v0 => carriedProps(manifestHeader(spark, root, v0)))
       .getOrElse(Map.empty[String, String])
+    val schema =
+      if (prev.isEmpty) mergeSchemas(None, df.schema)
+      else manifestSchema(spark, root, prev.last)
+        .flatMap(ps => mergeSchemas(Some(ps), df.schema))
     commitManifest(spark, root, v, carriedSegs,
-      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      props ++ Map("writer" -> writerId, "epoch" -> epoch.toString),
+      carriedInline ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      props ++ schemaHeaderOf(schema) ++
+        Map("writer" -> writerId, "epoch" -> epoch.toString),
       deletes = carriedDel)
     v
   }
@@ -1481,7 +1607,10 @@ object Layout {
     val props = carriedProps(manifestHeader(spark, root, base)) - "deleteKey"
     commitManifest(spark, root, v, Nil,
       entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props)
+      // compaction preserves content, so the base's recorded schema (if
+      // any) carries verbatim
+      header = props ++
+        schemaHeaderOf(manifestSchema(spark, root, base)))
     v
   }
 
@@ -1690,12 +1819,15 @@ object Layout {
         spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
       else spark.read.option("mergeSchema", "true")
         .parquet(touchedTagged.map(_._2.path): _*)
-    rewrite(touchedDf).write.mode("error").parquet(dataDir)
+    val rewritten = rewrite(touchedDf)
+    rewritten.write.mode("error").parquet(dataDir)
     val props = carriedProps(hdr) - "deleteKey"
+    val schema = manifestSchema(spark, root, base)
+      .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
     commitManifest(spark, root, v, carriedSegs,
       residual ++
         entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props)
+      header = props ++ schemaHeaderOf(schema))
     v
   }
 
@@ -1766,7 +1898,8 @@ object Layout {
     // per-root); entries copy with their stats/partition sets, so the
     // clone prunes as well as the source from birth
     commitManifest(spark, dstRoot, 1, Nil, manifestEntries(spark, srcRoot, v),
-      header = carriedProps(manifestHeader(spark, srcRoot, v)),
+      header = carriedProps(manifestHeader(spark, srcRoot, v)) ++
+        schemaHeaderOf(manifestSchema(spark, srcRoot, v)),
       deletes = manifestDeleteFiles(spark, srcRoot, v))
     1
   }

@@ -73,12 +73,27 @@ class SnapshotFileIndex(
     * interval — None when the conjunct says nothing about the column.
     */
   private def boundOf(e: Expression, colName: String): Option[(Long, Long)] = {
+    // INTEGRAL-ONLY, both sides: a fractional literal truncated by
+    // longValue() would build a wrong interval (price > 10.5 -> (11, max)
+    // prunes a file whose stats are the truncated (10, 10) but whose rows
+    // 10.6..10.8 match), and a fractional COLUMN records truncated stats
+    // — either way pruning must not engage (conservative: keep the file)
     def longOf(l: Literal): Option[Long] = l.value match {
-      case n: java.lang.Number => Some(n.longValue())
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[java.lang.Number].longValue())
       case _ => None
     }
     def isCol(x: Expression) = x match {
-      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case a: Attribute =>
+        spark.sessionState.conf.resolver(a.name, colName) &&
+          (a.dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.ByteType => true
+            case _ => false
+          })
       case _ => false
     }
     e match {
@@ -118,18 +133,29 @@ class SnapshotFileIndex(
     * restriction proven).
     */
   private def partValuesOf(e: Expression, colName: String): Option[Set[String]] = {
+    // STRING-TYPED columns and literals only: partition values are
+    // recorded via cast-to-string at commit, but a date/timestamp
+    // literal's INTERNAL value (days/micros as a number) never equals
+    // that recorded text — comparing them would prune every file and
+    // silently return zero rows. Non-string partition columns simply
+    // don't prune (conservative).
     def isCol(x: Expression) = x match {
-      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case a: Attribute =>
+        spark.sessionState.conf.resolver(a.name, colName) &&
+          a.dataType == org.apache.spark.sql.types.StringType
       case _ => false
     }
+    def strOf(l: Literal): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
     e match {
-      case EqualTo(a, l: Literal) if isCol(a) && l.value != null =>
-        Some(Set(l.value.toString))
-      case EqualTo(l: Literal, a) if isCol(a) && l.value != null =>
-        Some(Set(l.value.toString))
+      case EqualTo(a, l: Literal) if isCol(a) => strOf(l).map(Set(_))
+      case EqualTo(l: Literal, a) if isCol(a) => strOf(l).map(Set(_))
       case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
-        Some(vs.collect { case l: Literal if l.value != null =>
-          l.value.toString }.toSet)
+        val ss = vs.collect { case l: Literal => strOf(l) }.flatten
+        if (ss.size == vs.size) Some(ss.toSet) else None
       case _ => None
     }
   }
@@ -141,7 +167,9 @@ class SnapshotFileIndex(
   private def strBoundOf(e: Expression,
       colName: String): Option[(Option[String], Option[String])] = {
     def isCol(x: Expression) = x match {
-      case a: Attribute => spark.sessionState.conf.resolver(a.name, colName)
+      case a: Attribute =>
+        spark.sessionState.conf.resolver(a.name, colName) &&
+          a.dataType == org.apache.spark.sql.types.StringType
       case _ => false
     }
     def strOf(l: Literal): Option[String] = l.value match {

@@ -452,6 +452,38 @@ class ManifestV2Spec extends GraftSuite {
     assert(df2.filter(col("s") === "wörld").count() == 1)
   }
 
+  test("type guards: date partitions and fractional stats columns never mis-prune") {
+    import spark.implicits._
+    // TIMESTAMP-typed partition column: internal literals (micros)
+    // can never match the recorded cast-to-string values — pruning must
+    // not engage, rows must be exact
+    val root = freshRoot("dateguard")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderdate").as("d"),
+        col("o_totalprice").cast("double").as("price"))
+    Layout.snapshotAppendPartitioned(spark, root, base, "d")
+    val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+    val day = base.agg(min(col("d"))).head().getTimestamp(0)
+    val got = df.filter(col("d") === lit(day)).count()
+    val want = base.filter(col("d") === lit(day)).count()
+    assert(want > 0 && got == want,
+      s"date-partition equality must return all $want rows, got $got")
+    // FRACTIONAL stats column: declared on a double — commit records the
+    // conservative full range, the index refuses fractional bounds, and
+    // a x.5 threshold loses no rows
+    val root2 = freshRoot("fracguard")
+    Layout.snapshotAppend(spark, root2,
+      Seq((1L, 10.2), (2L, 10.6), (3L, 10.8)).toDF("key", "price").coalesce(1),
+      statsKey = Some("key,price"))
+    val (df2, idx2) = Layout.snapshotTableWithIndex(spark, root2)
+    assert(df2.filter(col("price") > 10.5).count() == 2,
+      "rows above a fractional threshold must survive")
+    assert(idx2.lastListedFiles == idx2.inputFiles.length,
+      "a fractional column must never prune")
+    // integral pruning on the same table's long column still works
+    assert(df2.filter(col("key") === 2L).count() == 1)
+  }
+
   test("null-count stats prune IS NULL / IS NOT NULL; metadata tables read from manifests only") {
     import spark.implicits._
     val root = freshRoot("nullstats")
