@@ -896,18 +896,36 @@ object Layout {
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.manifest")
-    // rename-if-absent IS the commit. NB: FileSystem.rename OVERWRITES an
-    // existing destination on local/POSIX filesystems (rename(2)), which
-    // would let a lost race silently clobber the winner — FileContext with
-    // Rename.NONE enforces fail-if-exists on every filesystem.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-    catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+    // ATOMIC CLAIM, then rename. Rename-if-absent alone is NOT atomic on
+    // a local filesystem: FileContext's Rename.NONE is an exists-check
+    // followed by rename(2), so two racers can both pass the check and
+    // the loser's rename silently overwrites the winner (observed as a
+    // CRC-sidecar mismatch under the concurrency spec). The commit
+    // therefore first claims the version with a CREATE-EXCLUSIVE marker
+    // (O_EXCL via java.nio on local paths — kernel-atomic; name-node-
+    // atomic create(overwrite=false) elsewhere); only the claim winner
+    // renames, so the manifest rename is single-writer and appears
+    // atomically to readers. A claim whose writer crashed pre-rename is
+    // swept by [[vacuumOrphanFiles]] under its age cutoff.
+    val claim = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.claim")
+    val won =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(claim.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(claim, false).close(); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    if (!won) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"snapshot commit lost the race for v$version", e)
+        s"snapshot commit lost the race for v$version")
     }
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest rename failed for v$version")
   }
 
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
@@ -2085,7 +2103,20 @@ object Layout {
       .filter(st => !refSegs.contains(st.getPath.getName) &&
         st.getModificationTime < cutoffMillis)
     deadSegs.foreach(st => fs.delete(st.getPath, false))
-    dead.size + deadSegs.size
+    // a claim whose writer crashed between claiming and renaming leaves
+    // the version permanently blocked — sweep claims with no manifest
+    // once past the cutoff (an in-flight commit's claim is younger)
+    val live = snapshotVersions(spark, root).toSet
+    val deadClaims =
+      (if (fs.exists(msDir(root))) fs.listStatus(msDir(root)).toSeq else Nil)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.matches("v\\d+\\.claim") &&
+            !live.contains(n.stripPrefix("v").stripSuffix(".claim").toInt) &&
+            st.getModificationTime < cutoffMillis
+        }
+    deadClaims.foreach(st => fs.delete(st.getPath, false))
+    dead.size + deadSegs.size + deadClaims.size
   }
 
   private def vacuumDrop(spark: org.apache.spark.sql.SparkSession,
@@ -2118,8 +2149,12 @@ object Layout {
     // manifests FIRST, then their files: a crash mid-vacuum must leave
     // only harmless orphan data files, never a listed-but-unreadable
     // version (files-first would strand manifests pointing at nothing)
-    drop.foreach(v => fs.delete(
-      new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest"), false))
+    drop.foreach { v =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(msDir(root), s"v$v.manifest"), false)
+      fs.delete(
+        new org.apache.hadoop.fs.Path(msDir(root), s"v$v.claim"), false)
+    }
     deadSegs.foreach(s => fs.delete(
       new org.apache.hadoop.fs.Path(segsDir(root), s), false))
     deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
