@@ -154,10 +154,32 @@ object Layout {
       // non-ASCII bounds stay unrecorded (prune nothing, stay correct)
       def ascii(x: String) = x.forall(_ < 128)
       cols.foreach { keyCol =>
-        val colStats = blocks.flatMap { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol).map(_.getStatistics)
+        val chunks = blocks.flatMap { block =>
+          block.getColumns.asScala.find(_.getPath.toDotString == keyCol)
         }
+        // LOGICAL-TYPE guard: DECIMAL/DATE/TIMESTAMP columns ride
+        // integral physical types whose raw stats are UNSCALED values —
+        // pruning against them drops rows (DECIMAL(10,2) 10.50 records
+        // as 1050). Only plain ints (no annotation / int annotation) and
+        // plain strings record usable bounds; everything else records
+        // the conservative full range.
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val annOk = chunks.forall { cc =>
+          cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case null => true
+            case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+            case _ => false
+          }
+        }
+        val colStats = chunks.map(_.getStatistics)
+        if (!annOk) {
+          longB += keyCol -> ((Long.MinValue, Long.MaxValue))
+          // null counts stay safe regardless of logical type
+          if (colStats.size == blocks.size && colStats.forall(st =>
+              st != null && !st.isEmpty && st.isNumNullsSet))
+            nullB += keyCol -> colStats.map(_.getNumNulls).sum
+        } else {
         // null count: recorded only when EVERY block sets it — a single
         // unset block makes the total unknowable (no conservative sum)
         if (colStats.size == blocks.size && colStats.forall(st =>
@@ -197,6 +219,7 @@ object Layout {
             // conservative full numeric range so the entry still counts
             // as "has stats" for this column without ever pruning
             longB += keyCol -> ((Long.MinValue, Long.MaxValue))
+        }
         }
       }
       MultiStats(fp, longB.result(), strB.result(), rows, nullB.result())
@@ -588,6 +611,11 @@ object Layout {
     */
   case class VacuumStats(deletedFiles: Int, keptFiles: Int, droppedVersions: Seq[Int])
 
+  /** Minimum age before an uncommitted version claim may be swept —
+    * bounds how long a writer may stall between claiming and renaming.
+    */
+  val ClaimGraceMillis: Long = 15L * 60 * 1000
+
   private def msDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/_manifests")
 
   /** ATTEMPT-UNIQUE data directory for version `v`: two writers racing
@@ -674,15 +702,34 @@ object Layout {
     * same contract as before). Tables whose history predates the header
     * simply keep falling back.
     */
+  /** DEEP nullability normalization: encoder-derived schemas mark
+    * nested fields non-nullable where a parquet read-back marks them
+    * nullable — a strict dataType comparison would call that a "type
+    * conflict" and permanently drop the schema header. Everything
+    * recorded and compared is all-nullable at every depth.
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(asNullable(at.elementType), true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        asNullable(mt.keyType), asNullable(mt.valueType), true)
+    case other => other
+  }
+
   private def mergeSchemas(
       prev: Option[org.apache.spark.sql.types.StructType],
       add: org.apache.spark.sql.types.StructType)
       : Option[org.apache.spark.sql.types.StructType] = {
-    val norm = org.apache.spark.sql.types.StructType(
-      add.fields.map(_.copy(nullable = true)))
+    val norm = asNullable(add).asInstanceOf[org.apache.spark.sql.types.StructType]
     prev match {
       case None => Some(norm)
-      case Some(p) =>
+      case Some(p0) =>
+        val p = asNullable(p0).asInstanceOf[org.apache.spark.sql.types.StructType]
         val byName = p.fields.map(f => f.name -> f).toMap
         val conflict = norm.fields.exists(f =>
           byName.get(f.name).exists(_.dataType != f.dataType))
@@ -697,6 +744,27 @@ object Layout {
       : Map[String, String] =
     schema.map(sc =>
       "schema" -> java.net.URLEncoder.encode(sc.json, "UTF-8")).toMap
+
+  /** The carry-forward state of a version, shared by every commit path
+    * that extends it (append, idempotent append, MOR delete): segment
+    * references, legacy inline entries (which must re-serialize or the
+    * commit silently drops pre-v2 files), delete sidecars, table
+    * properties, and the recorded schema.
+    */
+  private case class CarriedState(segs: Seq[String], inline: Seq[FileEntry],
+      deletes: Seq[String], props: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def carriedStateOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, prev: Option[Int]): CarriedState = prev match {
+    case None => CarriedState(Nil, Nil, Nil, Map.empty, None)
+    case Some(v0) => CarriedState(
+      manifestSegRefs(spark, root, v0),
+      manifestEntriesTagged(spark, root, v0).collect { case ("", e) => e },
+      manifestDeleteFiles(spark, root, v0),
+      carriedProps(manifestHeader(spark, root, v0)),
+      manifestSchema(spark, root, v0))
+  }
 
   private def manifestSchema(spark: org.apache.spark.sql.SparkSession,
       root: String, version: Int)
@@ -738,24 +806,36 @@ object Layout {
       case _ => None
     })
     def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
-    val cols = kvs.collect { case ("s", v) =>
-      v.split(":") match {
-        case Array(c, mn, mx) => dec(c) -> ((mn.toLong, mx.toLong))
+    // TOLERANT token parsing: a malformed or unknown token degrades to
+    // "that statistic is absent" (prune nothing, stay correct) instead
+    // of a MatchError that would brick every version sharing the segment
+    val cols = kvs.flatMap {
+      case ("s", v) => v.split(":") match {
+        case Array(c, mn, mx) =>
+          scala.util.Try(dec(c) -> ((mn.toLong, mx.toLong))).toOption
+        case _ => None
       }
+      case _ => None
     }.toMap
-    val strCols = kvs.collect { case ("t", v) =>
+    val strCols = kvs.flatMap {
       // -1 limit keeps trailing empty fields (an empty-string min/max)
-      v.split(":", -1) match {
-        case Array(c, mn, mx) => dec(c) -> ((dec(mn), dec(mx)))
+      case ("t", v) => v.split(":", -1) match {
+        case Array(c, mn, mx) =>
+          scala.util.Try(dec(c) -> ((dec(mn), dec(mx)))).toOption
+        case _ => None
       }
+      case _ => None
     }.toMap
-    val nulls = kvs.collect { case ("z", v) =>
-      v.split(":") match {
-        case Array(c, z) => dec(c) -> z.toLong
+    val nulls = kvs.flatMap {
+      case ("z", v) => v.split(":") match {
+        case Array(c, z) => scala.util.Try(dec(c) -> z.toLong).toOption
+        case _ => None
       }
+      case _ => None
     }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
-      .map(n => FileStats(cols, strCols, n.toLong, nulls))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .map(n => FileStats(cols, strCols, n, nulls))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -874,7 +954,8 @@ object Layout {
       root: String, version: Int, carriedSegs: Seq[String],
       newEntries: Seq[FileEntry],
       header: Map[String, String] = Map.empty,
-      deletes: Seq[String] = Nil): Unit = {
+      deletes: Seq[String] = Nil,
+      claimOwner: Option[String] = None): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(msDir(root))
     val segs = carriedSegs ++
@@ -908,24 +989,51 @@ object Layout {
     // atomically to readers. A claim whose writer crashed pre-rename is
     // swept by [[vacuumOrphanFiles]] under its age cutoff.
     val claim = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.claim")
+    val ownerBytes = claimOwner.getOrElse("").getBytes("UTF-8")
     val won =
       if (fs.getScheme == "file") {
         try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(claim.toUri.getPath))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(claim.toUri.getPath), ownerBytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW)
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        try { fs.create(claim, false).close(); true }
+        try {
+          val o = fs.create(claim, false)
+          try o.write(ownerBytes) finally o.close()
+          true
+        }
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       }
-    if (!won) {
+    // OWNED-CLAIM RECLAIM: an idempotent writer (claimOwner set) that
+    // crashed between claiming and renaming finds, on replay, its OWN
+    // writer token in the claim with no manifest behind it — that is a
+    // resumable half-commit, not a lost race, and the replay proceeds to
+    // the rename. Foreign or anonymous claims stay a loss (a generic
+    // crashed claim is swept by [[vacuumOrphanFiles]] after its grace).
+    val reclaimed = !won && claimOwner.exists { me =>
+      !fs.exists(dst) && {
+        val in = fs.open(claim)
+        val held =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        held == me
+      }
+    }
+    if (!won && !reclaimed) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"snapshot commit lost the race for v$version")
     }
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(tmp, dst)) {
+      // the rename failing leaves the claim blocking the version — give
+      // it back before surfacing the error (the JVM is alive to do so;
+      // only a crash leaves a stale claim, which vacuum's grace handles)
+      fs.delete(claim, false)
+      fs.delete(tmp, false)
       throw new java.io.IOException(s"manifest rename failed for v$version")
+    }
   }
 
   private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
@@ -1025,30 +1133,20 @@ object Layout {
       statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _)
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
-    val carriedSegs = prev.lastOption
-      .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
-    // legacy v1-format manifests inline their entries (no segment):
-    // those must be re-serialized into the new segment or the commit
-    // would silently drop every pre-v2 data file
-    val carriedInline = prev.lastOption
-      .map(manifestEntriesTagged(spark, root, _)
-        .collect { case ("", e) => e }).getOrElse(Nil)
+    val carried = carriedStateOf(spark, root, prev.lastOption)
     // delete sidecars carry forward with the files they scope: an append
     // must not resurrect rows a prior MOR delete removed. The new files
     // are NOT in any sidecar's scope, so re-inserted keys in them survive.
-    val carriedDel = prev.lastOption
-      .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
-    // schema header: the union of the previous version's recorded
-    // schema and this batch's (None once unknowable — legacy history or
-    // a type conflict; readers then fall back to mergeSchema inference)
+    // Schema header: the union of the previous version's recorded schema
+    // and this batch's (None once unknowable — legacy history or a type
+    // conflict; readers then fall back to mergeSchema inference).
     val schema =
       if (prev.isEmpty) mergeSchemas(None, df.schema)
-      else manifestSchema(spark, root, prev.last)
-        .flatMap(ps => mergeSchemas(Some(ps), df.schema))
-    commitManifest(spark, root, v, carriedSegs,
-      carriedInline ++
+      else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
+    commitManifest(spark, root, v, carried.segs,
+      carried.inline ++
         entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props ++ schemaHeaderOf(schema), deletes = carriedDel)
+      header = props ++ schemaHeaderOf(schema), deletes = carried.deletes)
     v
   }
 
@@ -1159,10 +1257,13 @@ object Layout {
     snapshotVersions(spark, root).map { v =>
       val hdr = manifestHeader(spark, root, v)
       val entries = manifestEntries(spark, root, v)
-      val rows = if (entries.forall(_.stats.isDefined))
+      val nDel = manifestDeleteFiles(spark, root, v).size
+      // sidecar debt makes the manifest arithmetic an OVER-count (deleted
+      // rows still sit in the files) — report unknown, like snapshotRowCount
+      val rows = if (nDel == 0 && entries.forall(_.stats.isDefined))
         Some(entries.map(_.stats.get.rows).sum) else None
       (v, hdr.get("ts").map(_.toLong).getOrElse(0L),
-        entries.size, manifestDeleteFiles(spark, root, v).size,
+        entries.size, nDel,
         rows, hdr.get("writer"), hdr.get("epoch").map(_.toLong))
     }.toDF("version", "commit_ts", "n_files", "n_delete_files",
       "recorded_rows", "writer", "epoch")
@@ -1392,23 +1493,21 @@ object Layout {
         overlapping(mn, mx).map(k => (name, k))
     }
     val v = base + 1
-    val carriedSegs = manifestSegRefs(spark, root, base)
-    val carriedInline = manifestEntriesTagged(spark, root, base)
-      .collect { case ("", e) => e } // legacy inline entries must survive
-    val carriedDel = manifestDeleteFiles(spark, root, base)
+    val carried = carriedStateOf(spark, root, Some(base))
+    val hdrOut = carried.props ++ schemaHeaderOf(carried.schema)
     if (scoped.isEmpty) {
       // no key overlaps any file: nothing to delete — still commit, so
       // the caller gets one version per request batch (audit trail)
-      commitManifest(spark, root, v, carriedSegs, carriedInline,
-        header = carriedProps(hdr), deletes = carriedDel)
+      commitManifest(spark, root, v, carried.segs, carried.inline,
+        header = hdrOut, deletes = carried.deletes)
       return v
     }
     val delDir = attemptDir(root, "deletes", v)
     import spark.implicits._
     scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
-    commitManifest(spark, root, v, carriedSegs, carriedInline,
-      header = carriedProps(hdr) + ("deleteKey" -> keyCol),
-      deletes = carriedDel ++ listDataFiles(spark, delDir))
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = hdrOut + ("deleteKey" -> keyCol),
+      deletes = carried.deletes ++ listDataFiles(spark, delDir))
     v
   }
 
@@ -1479,26 +1578,19 @@ object Layout {
       s"epoch $epoch commits v$v but the latest committed version is ${prev.lastOption.getOrElse(0)}")
     val dataDir = s"$root/data/e=$epoch"
     df.write.mode("overwrite").parquet(dataDir)
-    val carriedSegs = prev.lastOption
-      .map(manifestSegRefs(spark, root, _)).getOrElse(Nil)
-    val carriedInline = prev.lastOption
-      .map(manifestEntriesTagged(spark, root, _)
-        .collect { case ("", e) => e }).getOrElse(Nil)
-    val carriedDel = prev.lastOption
-      .map(manifestDeleteFiles(spark, root, _)).getOrElse(Nil)
-    val props = prev.lastOption
-      .map(v0 => carriedProps(manifestHeader(spark, root, v0)))
-      .getOrElse(Map.empty[String, String])
+    val carried = carriedStateOf(spark, root, prev.lastOption)
     val schema =
       if (prev.isEmpty) mergeSchemas(None, df.schema)
-      else manifestSchema(spark, root, prev.last)
-        .flatMap(ps => mergeSchemas(Some(ps), df.schema))
-    commitManifest(spark, root, v, carriedSegs,
-      carriedInline ++
-        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      props ++ schemaHeaderOf(schema) ++
+      else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
+    commitManifest(spark, root, v, carried.segs,
+      carried.inline ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), carried.props),
+      carried.props ++ schemaHeaderOf(schema) ++
         Map("writer" -> writerId, "epoch" -> epoch.toString),
-      deletes = carriedDel)
+      deletes = carried.deletes,
+      // ownership lets a crash between claim and rename REPLAY instead
+      // of deadlocking the stream on its own stale claim (ST29 contract)
+      claimOwner = Some(writerId))
     v
   }
 
@@ -2104,16 +2196,22 @@ object Layout {
         st.getModificationTime < cutoffMillis)
     deadSegs.foreach(st => fs.delete(st.getPath, false))
     // a claim whose writer crashed between claiming and renaming leaves
-    // the version permanently blocked — sweep claims with no manifest
-    // once past the cutoff (an in-flight commit's claim is younger)
+    // the version permanently blocked — sweep claims with no manifest,
+    // but NEVER younger than the grace period regardless of the caller's
+    // cutoff: an IN-FLIGHT commit's claim (writer mid-rename) must not be
+    // deleted, or a second writer could claim the same version and the
+    // stalled first rename would clobber its manifest — the exact race
+    // the claim protocol closes
     val live = snapshotVersions(spark, root).toSet
+    val claimCutoff = math.min(cutoffMillis,
+      System.currentTimeMillis() - ClaimGraceMillis)
     val deadClaims =
       (if (fs.exists(msDir(root))) fs.listStatus(msDir(root)).toSeq else Nil)
         .filter { st =>
           val n = st.getPath.getName
           n.matches("v\\d+\\.claim") &&
             !live.contains(n.stripPrefix("v").stripSuffix(".claim").toInt) &&
-            st.getModificationTime < cutoffMillis
+            st.getModificationTime < claimCutoff
         }
     deadClaims.foreach(st => fs.delete(st.getPath, false))
     dead.size + deadSegs.size + deadClaims.size

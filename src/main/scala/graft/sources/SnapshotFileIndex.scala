@@ -69,33 +69,53 @@ class SnapshotFileIndex(
 
   override def partitionSchema: StructType = StructType(Nil)
 
+  // ----- shared matchers: ONE definition of "this expression is the
+  // integral/string column named c" and of literal extraction, so the
+  // three bound translators cannot silently diverge in what they prune on
+
+  /** The attribute is `colName` AND integral-typed — the only numeric
+    * shape whose recorded stats and literal semantics are exact (a
+    * fractional literal truncated by longValue() would build a wrong
+    * interval, and a fractional column records truncated stats).
+    */
+  private def isIntegralCol(x: Expression, colName: String): Boolean = x match {
+    case a: Attribute =>
+      spark.sessionState.conf.resolver(a.name, colName) &&
+        (a.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        })
+    case _ => false
+  }
+
+  private def isStringCol(x: Expression, colName: String): Boolean = x match {
+    case a: Attribute =>
+      spark.sessionState.conf.resolver(a.name, colName) &&
+        a.dataType == org.apache.spark.sql.types.StringType
+    case _ => false
+  }
+
+  private def longOf(l: Literal): Option[Long] = l.value match {
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      Some(n.asInstanceOf[java.lang.Number].longValue())
+    case _ => None
+  }
+
+  private def strOf(l: Literal): Option[String] = l.value match {
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
   /** Bounds a conjunct proves for `colName`, as an allowed [lo, hi]
     * interval — None when the conjunct says nothing about the column.
     */
   private def boundOf(e: Expression, colName: String): Option[(Long, Long)] = {
-    // INTEGRAL-ONLY, both sides: a fractional literal truncated by
-    // longValue() would build a wrong interval (price > 10.5 -> (11, max)
-    // prunes a file whose stats are the truncated (10, 10) but whose rows
-    // 10.6..10.8 match), and a fractional COLUMN records truncated stats
-    // — either way pruning must not engage (conservative: keep the file)
-    def longOf(l: Literal): Option[Long] = l.value match {
-      case n @ (_: java.lang.Long | _: java.lang.Integer |
-                _: java.lang.Short | _: java.lang.Byte) =>
-        Some(n.asInstanceOf[java.lang.Number].longValue())
-      case _ => None
-    }
-    def isCol(x: Expression) = x match {
-      case a: Attribute =>
-        spark.sessionState.conf.resolver(a.name, colName) &&
-          (a.dataType match {
-            case org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.ShortType |
-                 org.apache.spark.sql.types.ByteType => true
-            case _ => false
-          })
-      case _ => false
-    }
+    def isCol(x: Expression) = isIntegralCol(x, colName)
     e match {
       case EqualTo(a, l: Literal) if isCol(a) => longOf(l).map(v => (v, v))
       case EqualTo(l: Literal, a) if isCol(a) => longOf(l).map(v => (v, v))
@@ -139,17 +159,7 @@ class SnapshotFileIndex(
     // that recorded text — comparing them would prune every file and
     // silently return zero rows. Non-string partition columns simply
     // don't prune (conservative).
-    def isCol(x: Expression) = x match {
-      case a: Attribute =>
-        spark.sessionState.conf.resolver(a.name, colName) &&
-          a.dataType == org.apache.spark.sql.types.StringType
-      case _ => false
-    }
-    def strOf(l: Literal): Option[String] = l.value match {
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-      case s: String => Some(s)
-      case _ => None
-    }
+    def isCol(x: Expression) = isStringCol(x, colName)
     e match {
       case EqualTo(a, l: Literal) if isCol(a) => strOf(l).map(Set(_))
       case EqualTo(l: Literal, a) if isCol(a) => strOf(l).map(Set(_))
@@ -166,17 +176,7 @@ class SnapshotFileIndex(
     */
   private def strBoundOf(e: Expression,
       colName: String): Option[(Option[String], Option[String])] = {
-    def isCol(x: Expression) = x match {
-      case a: Attribute =>
-        spark.sessionState.conf.resolver(a.name, colName) &&
-          a.dataType == org.apache.spark.sql.types.StringType
-      case _ => false
-    }
-    def strOf(l: Literal): Option[String] = l.value match {
-      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-      case s: String => Some(s)
-      case _ => None
-    }
+    def isCol(x: Expression) = isStringCol(x, colName)
     e match {
       case EqualTo(a, l: Literal) if isCol(a) => strOf(l).map(v => (Some(v), Some(v)))
       case EqualTo(l: Literal, a) if isCol(a) => strOf(l).map(v => (Some(v), Some(v)))

@@ -484,6 +484,65 @@ class ManifestV2Spec extends GraftSuite {
     assert(df2.filter(col("key") === 2L).count() == 1)
   }
 
+  test("claim protocol: owned stale claims replay (ST29); foreign claims lose; vacuum grace protects in-flight claims") {
+    import spark.implicits._
+    val root = freshRoot("claims")
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("key", "tag")
+    Layout.snapshotAppendIdempotent(spark, root, rows, 0L, writerId = "w1")
+    // simulate a crash between claim and rename for epoch 1: the claim
+    // exists with w1's token, no v2 manifest behind it
+    val claim = java.nio.file.Paths.get(s"$root/_manifests/v2.claim")
+    java.nio.file.Files.write(claim, "w1".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // the SAME writer's replay reclaims and commits (no deadlock)
+    assert(Layout.snapshotAppendIdempotent(spark, root, rows, 1L,
+      writerId = "w1") == 2)
+    assert(Layout.readSnapshot(spark, root).count() == 4)
+    // a FOREIGN stale claim is a lost race for an anonymous writer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_manifests/v3.claim"),
+      "someone-else".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    intercept[IllegalStateException] {
+      Layout.snapshotAppend(spark, root, rows)
+    }
+    // vacuum's claim grace: the fresh orphan claim SURVIVES the default
+    // sweep (an in-flight commit must never lose its claim)...
+    Layout.vacuumOrphanFiles(spark, root)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifests/v3.claim")))
+    // ...but an AGED one is reclaimed (backdate past the grace period)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/_manifests/v3.claim"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Layout.ClaimGraceMillis - 60000))
+    Layout.vacuumOrphanFiles(spark, root)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_manifests/v3.claim")))
+    // and the table is writable again
+    assert(Layout.snapshotAppend(spark, root, rows) == 3)
+  }
+
+  test("logical-type guard: decimal-backed stats record the full range, never unscaled bounds") {
+    import spark.implicits._
+    val root = freshRoot("decguard")
+    Layout.snapshotAppend(spark, root,
+      Seq((1L, BigDecimal("10.50")), (2L, BigDecimal("20.99")))
+        .toDF("key", "amt")
+        .select(col("key"), col("amt").cast("decimal(10,2)").as("amt"))
+        .coalesce(1),
+      statsKey = Some("key,amt"))
+    // the decimal column's recorded range must be the conservative full
+    // range — unscaled int stats (1050, 2099) would mis-prune BETWEEN 10
+    // AND 20
+    val ranges = Layout.snapshotKeyRanges(spark, root, 1, "amt")
+    assert(ranges == Seq((ranges.head._1, Long.MinValue, Long.MaxValue)),
+      s"decimal stats must be full-range: $ranges")
+    // and a range read on it returns exact rows (no file pruned)
+    val r = Layout.readSnapshotRange(spark, root, "key", 1L, 1L)
+    assert(r.count() == 1)
+  }
+
   test("null-count stats prune IS NULL / IS NOT NULL; metadata tables read from manifests only") {
     import spark.implicits._
     val root = freshRoot("nullstats")
