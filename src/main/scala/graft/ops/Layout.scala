@@ -167,7 +167,10 @@ object Layout {
         val annOk = chunks.forall { cc =>
           cc.getPrimitiveType.getLogicalTypeAnnotation match {
             case null => true
-            case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+            // SIGNED only: an unsigned UINT32/UINT64 column's raw min/max
+            // are sign-wrapped bits (a UINT32 3e9 reads as a negative
+            // long) — recording them inverts the range and mis-prunes
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
             case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
             case _ => false
           }
