@@ -167,10 +167,19 @@ object Layout {
         val annOk = chunks.forall { cc =>
           cc.getPrimitiveType.getLogicalTypeAnnotation match {
             case null => true
-            // SIGNED only: an unsigned UINT32/UINT64 column's raw min/max
-            // are sign-wrapped bits (a UINT32 3e9 reads as a negative
-            // long) — recording them inverts the range and mis-prunes
-            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            // SIGNED, or unsigned NARROWER than its physical type: a
+            // UINT32/UINT64 column's raw min/max are sign-wrapped bits
+            // (a UINT32 3e9 reads as a negative long) — recording them
+            // inverts the range and mis-prunes — but UINT_8/UINT_16 ride
+            // INT32 with headroom and can never wrap, so their footer
+            // bounds are exact and safe to prune on
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+              val physBits = cc.getPrimitiveType.getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 => 64
+                case _ => 32
+              }
+              i.isSigned || i.getBitWidth < physBits
             case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
             case _ => false
           }
@@ -560,6 +569,14 @@ object Layout {
     val status: Map[String, Boolean] = // file -> bloom hit?
       if (!haveIdx) Map.empty
       else readSnapshot(spark, idxRoot)
+        // DUPLICATE-ROW GUARD: two overlapping maintenance runs can both
+        // commit rows for the same file (the have-set read and the
+        // append are not serialized). A file's bloom is a pure function
+        // of its immutable content, so duplicates are value-identical —
+        // but left un-collapsed they double-count satisfied words below
+        // (n_ok > n_need) and silently prune a TRUE hit. bit_or over
+        // (file, w) collapses them exactly (x | x = x) before counting.
+        .groupBy(col("file"), col("w")).agg(bit_or(col("bits")).as("bits"))
         .join(broadcast(reqs), Seq("w"), "left_outer")
         .groupBy(col("file"), col("pid"))
         .agg(sum(when(col("need").isNotNull &&
@@ -618,6 +635,16 @@ object Layout {
     * bounds how long a writer may stall between claiming and renaming.
     */
   val ClaimGraceMillis: Long = 15L * 60 * 1000
+
+  /** Filesystem schemes where `create(path, overwrite=false)` is a true
+    * atomic claim: kernel-atomic (local), namenode-atomic (HDFS family),
+    * or hierarchical-namespace-atomic (ABFS). Flat object stores (s3a …)
+    * are deliberately absent — their create-exclusive is HEAD-then-PUT;
+    * deployments with conditional-put or an external lock opt in via
+    * `spark.graft.commit.assumeAtomicClaim=true`.
+    */
+  val AtomicClaimSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss")
 
   private def msDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/_manifests")
 
@@ -992,7 +1019,15 @@ object Layout {
     // atomically to readers. A claim whose writer crashed pre-rename is
     // swept by [[vacuumOrphanFiles]] under its age cutoff.
     val claim = new org.apache.hadoop.fs.Path(msDir(root), s"v$version.claim")
-    val ownerBytes = claimOwner.getOrElse("").getBytes("UTF-8")
+    // PER-ATTEMPT TOKEN: idempotent writers claim under their stable
+    // owner string (so a crash-replay recognizes its own half-commit
+    // below); anonymous writers claim under a fresh UUID. Either way the
+    // token is what the pre-rename re-read compares against — a swept-
+    // and-re-claimed version holds a DIFFERENT token, which is how a
+    // stalled writer learns it lost the lock instead of clobbering.
+    val token = claimOwner.getOrElse(
+      s"anon:${java.util.UUID.randomUUID().toString}")
+    val ownerBytes = token.getBytes("UTF-8")
     val won =
       if (fs.getScheme == "file") {
         try {
@@ -1002,6 +1037,25 @@ object Layout {
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
+        // create(overwrite=false) is only an atomic claim where the
+        // store enforces it server-side (namenode / hierarchical
+        // namespace). Flat object stores (S3A and kin) implement it as
+        // HEAD-then-PUT — two racers can both "win" — so the commit
+        // refuses them loudly unless the deployment explicitly opts in
+        // (e.g. S3 strong-consistency + an external lock, or a store
+        // whose PUT honors If-None-Match).
+        val scheme = Option(fs.getScheme).getOrElse("").toLowerCase
+        if (!AtomicClaimSchemes.contains(scheme) &&
+            spark.conf.get("spark.graft.commit.assumeAtomicClaim",
+              "false") != "true")
+          throw new IllegalStateException(
+            s"snapshot commit on scheme '$scheme' cannot guarantee an " +
+              "atomic version claim: create(overwrite=false) is " +
+              "HEAD-then-PUT on flat object stores, so two writers can " +
+              "both claim the same version. Commit from an " +
+              s"atomic-create store (${AtomicClaimSchemes.mkString(", ")}) " +
+              "or set spark.graft.commit.assumeAtomicClaim=true if this " +
+              "store provides conditional-put/locking semantics.")
         try {
           val o = fs.create(claim, false)
           try o.write(ownerBytes) finally o.close()
@@ -1028,6 +1082,30 @@ object Layout {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"snapshot commit lost the race for v$version")
+    }
+    // STALLED-WRITER GUARD: between claim and rename this writer may
+    // have stalled past ClaimGraceMillis, had its claim swept by
+    // [[vacuumOrphanFiles]], and the version re-claimed (and possibly
+    // committed) by another writer — renaming now would OVERWRITE that
+    // committed manifest. Re-read the claim immediately before the
+    // rename: only the holder of OUR token proceeds; a missing claim
+    // (swept, not re-claimed) aborts too — the lock is simply no longer
+    // ours. The window between this read and the rename is bounded by
+    // one metadata op, vs the unbounded stall it closes.
+    val stillMine =
+      try {
+        val in = fs.open(claim)
+        val held =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        held == token
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (!stillMine) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit claim for v$version was swept or re-claimed " +
+          "while this writer was stalled; aborting before rename to " +
+          "avoid clobbering a committed manifest")
     }
     if (!fs.rename(tmp, dst)) {
       // the rename failing leaves the claim blocking the version — give

@@ -51,7 +51,13 @@ class SnapshotFileIndex(
     }
   }
   private def statusOf(e: Layout.FileEntry): FileStatus =
-    statusByPath(new Path(e.path).toUri.getPath)
+    statusByPath.getOrElse(new Path(e.path).toUri.getPath,
+      throw new java.util.NoSuchElementException(
+        s"snapshot data file ${e.path} is referenced by the resolved " +
+          s"manifest under $root but missing from its directory listing " +
+          "— most likely vacuumed by a concurrent retention job after " +
+          "this snapshot was resolved. Re-open the table to resolve a " +
+          "current version, or raise the vacuum retention window."))
 
   /** Files listed by the latest [[listFiles]] call — observability for
     * the pruning specs (`FileSourceScanExec`'s numFiles metric, without

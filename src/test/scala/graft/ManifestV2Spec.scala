@@ -523,6 +523,131 @@ class ManifestV2Spec extends GraftSuite {
     assert(Layout.snapshotAppend(spark, root, rows) == 3)
   }
 
+  test("bloom lookup: duplicate index rows from overlapping maintenance cause NO false negatives") {
+    val root = freshRoot("bloomdup")
+    val idx = freshRoot("bloomdup-i")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+      .repartition(8, col("key") % 8)
+    Layout.snapshotAppend(spark, root, base)
+    Layout.maintainBloomIndex(spark, root, idx, "key")
+    // OVERLAPPING MAINTENANCE: a second run whose have-set read raced
+    // the first run's append commits the SAME (file, w, bits) rows
+    // again. Reproduce its exact effect: append the index to itself.
+    Layout.snapshotAppend(spark, idx, Layout.readSnapshot(spark, idx)
+      .select(col("file"), col("w"), col("bits"), col("base_version")))
+    val dups = Layout.readSnapshot(spark, idx)
+      .groupBy(col("file"), col("w")).count().filter(col("count") > 1).count()
+    assert(dups > 0, "precondition: the index must actually hold duplicates")
+    val someKeys = Layout.readSnapshot(spark, root)
+      .filter(col("key") % 97 === 1).select(col("key"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val lk = Layout.snapshotPointLookup(spark, root, idx, "key", someKeys)
+    val expect = Layout.readSnapshot(spark, root)
+      .filter(col("key").isin(someKeys.map(Long.box): _*))
+    assert(expect.count() > 0, "precondition: probes must have real hits")
+    // the operator's contract: duplicates may cost scans, never rows
+    assert(lk.result.exceptAll(expect).isEmpty &&
+      expect.exceptAll(lk.result).isEmpty,
+      "duplicate (file, w) index rows must not prune a true hit")
+    assert(lk.scannedFiles.size < lk.totalFiles,
+      "dedup'd bits must still prune non-matching files")
+  }
+
+  test("claim protocol: non-atomic-create scheme refuses loudly; opt-in conf proceeds") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.stall.impl", classOf[StallFs].getName)
+    val root = "stall:" +
+      java.nio.file.Files.createTempDirectory("graft-stallfs").toString + "/t"
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("key", "tag")
+    // `stall` is not in the atomic-create allowlist: the commit must
+    // refuse with an error naming the hazard and the opt-in conf —
+    // never silently claim over HEAD-then-PUT semantics
+    val ex = intercept[IllegalStateException] {
+      Layout.snapshotAppend(spark, root, rows)
+    }
+    assert(ex.getMessage.contains("atomic version claim") &&
+      ex.getMessage.contains("assumeAtomicClaim"))
+    try {
+      spark.conf.set("spark.graft.commit.assumeAtomicClaim", "true")
+      assert(Layout.snapshotAppend(spark, root, rows) == 1)
+      assert(Layout.readSnapshot(spark, root).count() == 2)
+    } finally spark.conf.set("spark.graft.commit.assumeAtomicClaim", "false")
+  }
+
+  test("stalled-writer guard: a swept-and-re-claimed version aborts before rename, never clobbers") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.stall.impl", classOf[StallFs].getName)
+    val root = "stall:" +
+      java.nio.file.Files.createTempDirectory("graft-stallwr").toString + "/t"
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("key", "tag")
+    try {
+      spark.conf.set("spark.graft.commit.assumeAtomicClaim", "true")
+      Layout.snapshotAppend(spark, root, rows)
+      // Writer A claims v2, then STALLS past the grace period; vacuum
+      // sweeps the claim and writer B re-claims the version. The hook
+      // runs at exactly that point in A's timeline — between its
+      // claim-create and its pre-rename re-read — replacing A's token
+      // with B's, as the sweep + re-claim would.
+      StallFs.onClaimOpen = p =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          "writer-B".getBytes("UTF-8"))
+      val ex = intercept[IllegalStateException] {
+        Layout.snapshotAppend(spark, root, rows)
+      }
+      assert(ex.getMessage.contains("swept or re-claimed"))
+      // A renamed NOTHING: v1 is intact, no v2 manifest appeared
+      assert(Layout.snapshotVersions(spark, root) == Seq(1))
+      assert(Layout.readSnapshot(spark, root).count() == 2)
+      // once the foreign claim ages out (vacuum grace), the version
+      // commits normally — the abort poisoned nothing
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(s"$root/_manifests/v2.claim")
+          .toUri.getPath))
+      assert(Layout.snapshotAppend(spark, root, rows) == 2)
+      assert(Layout.readSnapshot(spark, root).count() == 4)
+    } finally {
+      StallFs.onClaimOpen = null
+      spark.conf.set("spark.graft.commit.assumeAtomicClaim", "false")
+    }
+  }
+
+  test("unsigned-int guard: wide unsigned records the sentinel, NARROW unsigned records exact bounds") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Types}
+    val dir = java.nio.file.Files.createTempDirectory("graft-uint").toString
+    // UINT_16 rides INT32 with headroom — can never sign-wrap, footer
+    // bounds exact; UINT_32 fills INT32 — 3e9 stores as a negative raw
+    // int, bounds inverted, must fall to the conservative sentinel
+    val schema = Types.buildMessage()
+      .required(PrimitiveType.PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(16, false)).named("u16")
+      .required(PrimitiveType.PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.intType(32, false)).named("u32")
+      .named("rec")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/u.parquet")
+    val w = ExampleParquetWriter.builder(p).withType(schema)
+      .withConf(spark.sessionState.newHadoopConf()).build()
+    val gf = new SimpleGroupFactory(schema)
+    for (v <- Seq(5, 60000)) {
+      val g = gf.newGroup()
+      g.add("u16", v)
+      g.add("u32", (3000000000L + v).toInt) // > Int.MaxValue as unsigned
+      w.write(g)
+    }
+    w.close()
+    val ms = Layout.fileMultiStatsOf(spark, Seq(p.toString), Seq("u16", "u32")).head
+    assert(ms.longCols("u16") == ((5L, 60000L)),
+      "narrow unsigned (UINT_16 on INT32) bounds are exact and prunable")
+    assert(ms.longCols("u32") == ((Long.MinValue, Long.MaxValue)),
+      "wide unsigned (UINT_32) must record the conservative sentinel")
+  }
+
   test("logical-type guard: decimal-backed stats record the full range, never unscaled bounds") {
     import spark.implicits._
     val root = freshRoot("decguard")
