@@ -1406,6 +1406,26 @@ object Layout {
       version: Int = -1): DataFrame =
     snapshotTableWithIndex(spark, root, version)._1
 
+  /** One version's catalog-facing metadata, resolved once: file list,
+    * recorded schema, header properties, sidecar debt. What a DSv2
+    * `Table` implementation ([[graft.sources.GraftCatalog]]) pins at
+    * load so every downstream scan/plan is metadata-only.
+    */
+  case class SnapshotMeta(version: Int, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      header: Map[String, String], hasDeleteSidecars: Boolean)
+
+  def snapshotMeta(spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int = -1): SnapshotMeta = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    SnapshotMeta(v, manifestEntries(spark, root, v).map(_.path),
+      manifestSchema(spark, root, v), manifestHeader(spark, root, v),
+      manifestDeleteFiles(spark, root, v).nonEmpty)
+  }
+
   private[graft] def snapshotTableWithIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       version: Int = -1): (DataFrame, graft.sources.SnapshotFileIndex) = {

@@ -2622,6 +2622,68 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  // ---------------------------------------------------------------- q98
+  /** THE SQL SURFACE END TO END — q93's merge story driven ENTIRELY
+    * through SQL over the DSv2 catalog ([[graft.sources.GraftCatalog]]):
+    * `CREATE TABLE` (statsKey property) → `INSERT INTO` (snapshot
+    * commit of the key-clustered base) → `MERGE INTO` (rewritten by
+    * [[graft.plans.GraftMergeRule]] into the manifest-stats-pruned COW
+    * merge — O(touched + source), untouched files carried by
+    * reference) → a pure-SQL `SELECT … WHERE key BETWEEN` through
+    * Spark's own vectorized DSv2 parquet scan. Same oracle as q96/q97:
+    * the Scala API, the Catalyst relation, and the SQL catalog must
+    * all describe the same table.
+    * 100 TB: identical plans to q93+q96 — the SQL layer adds one
+    * manifest resolve at `loadTable`, nothing per-row.
+    */
+  private def sqlCatTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "sqlcat")
+      val root = s"$wh/q98t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        spark.conf.set("spark.sql.catalog.graft_sql",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_sql.root", wh)
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("totalprice"),
+            col("o_orderstatus").as("status"))
+        base.repartitionByRange(8, col("key"))
+          .sortWithinPartitions(col("key"))
+          .createOrReplaceTempView("q98_base")
+        val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
+        base.filter(col("key") % 7 === 0 && col("key") <= cutoff)
+          .select(col("key").as("c_key"),
+            (col("totalprice") * 1.1).as("c_price"), lit("U").as("c_status"))
+          .unionAll(base.filter(col("key") % 1000 === 3)
+            .select((col("key") + 10000000L).as("c_key"),
+              col("totalprice").as("c_price"), lit("N").as("c_status")))
+          .localCheckpoint() // the merge probes + rewrites read it twice
+          .createOrReplaceTempView("q98_changes")
+        spark.sql("CREATE TABLE graft_sql.q98t " +
+          "(key BIGINT, totalprice DOUBLE, status STRING) " +
+          "TBLPROPERTIES ('statsKey'='key')")
+        spark.sql("INSERT INTO graft_sql.q98t SELECT * FROM q98_base")
+        spark.sql(
+          """MERGE INTO graft_sql.q98t t USING q98_changes s
+            |ON t.key = s.c_key
+            |WHEN MATCHED THEN
+            |  UPDATE SET totalprice = s.c_price, status = s.c_status
+            |WHEN NOT MATCHED THEN
+            |  INSERT (key, totalprice, status)
+            |  VALUES (s.c_key, s.c_price, s.c_status)""".stripMargin)
+      }
+      root
+    }
+
+  def q98SqlTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = sqlCatTable(spark, sfDir)
+    val hi = Layout.readSnapshot(spark, root, 2) // v2 = the base INSERT
+      .agg(max(col("key"))).head().getLong(0) / 4
+    spark.sql("SELECT key, totalprice, status FROM graft_sql.q98t " +
+      s"WHERE key >= 10 AND key <= $hi ORDER BY key")
+  }
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3489,6 +3551,7 @@ object Relational {
     "q95_snapshot_lookup" -> (q95SnapshotLookup _),
     "q96_range_read" -> (q96RangeRead _),
     "q97_catalyst_table" -> (q97CatalystTable _),
+    "q98_sql_table" -> (q98SqlTable _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3637,6 +3700,7 @@ object Relational {
     "q95_snapshot_lookup" -> q95Sql,
     "q96_range_read" -> q96Sql,
     "q97_catalyst_table" -> q96Sql,
+    "q98_sql_table" -> q96Sql,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -1,0 +1,310 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, EqualNullSafe, EqualTo, Filter, In, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Layout
+
+/** SQL/DataSourceV2 SURFACE for the manifest-versioned snapshot layer —
+  * the `DeltaCatalog` slot: register with
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse/dir
+  * }}}
+  *
+  * and every snapshot table under the root is a first-class SQL table:
+  *
+  *  - `SELECT … FROM graft.t` — reads plan through Spark's OWN DSv2
+  *    parquet scan (vectorized, filter-pushdown, column-pruned) over the
+  *    pinned manifest's file list; a table carrying MOR delete sidecars
+  *    falls back to the sidecar-aware [[Layout.readSnapshot]] engine via
+  *    a `V1Scan`, so SQL reads are NEVER wrong, only (transiently,
+  *    until compaction) less vectorized.
+  *  - `SELECT … FROM graft.t VERSION AS OF 3` / `TIMESTAMP AS OF …` —
+  *    time travel via `loadTable(ident, version|timestamp)`; pinned
+  *    versions are read-only (writes/deletes refuse loudly).
+  *  - `INSERT INTO graft.t …` → [[Layout.snapshotAppend]];
+  *    `INSERT OVERWRITE` → [[Layout.snapshotOverwrite]] — every write is
+  *    a manifest commit (atomic, versioned), never a bare file drop.
+  *  - `DELETE FROM graft.t WHERE key = v / key IN (…)` →
+  *    [[Layout.snapshotDeleteMOR]] (O(keys) sidecar commit, no data
+  *    rewrite); unqualified `DELETE FROM t` truncates via an
+  *    empty-overwrite commit.
+  *  - `MERGE INTO graft.t` → the COW merge engine
+  *    ([[Layout.snapshotMergeKeys]]) through
+  *    [[graft.plans.GraftMergeRule]] (inject
+  *    `graft.functions.GraftExtensions`).
+  *
+  * Identifiers map to directories: `graft.t` → `<root>/t`,
+  * `graft.ns.t` → `<root>/ns/t`. `CREATE TABLE` commits an empty v1
+  * carrying the declared schema; `statsKey` / `partCol` TBLPROPERTIES
+  * become the table's manifest properties (declared once, enforced by
+  * the commit path thereafter).
+  *
+  * 100 TB: `loadTable` resolves ONE manifest (O(files) metadata); scans
+  * hand Spark an explicit file list, so planning cost is the same as
+  * the Scala-side [[Layout.snapshotTable]] path, and all data I/O is
+  * Spark's native vectorized parquet reader.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("root")).getOrElse(throw
+      new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catName
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def existingRoot(ident: Identifier): String = {
+    val r = rootOf(ident)
+    if (Layout.snapshotVersions(spark, r).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (catName +: ident.namespace.toSeq :+ ident.name).toSeq)
+    r
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Layout.snapshotVersions(spark, rootOf(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, "_manifests")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    GraftTable(existingRoot(ident), ident.toString, -1)
+
+  /** `VERSION AS OF n` — the snapshot version number, exactly the
+    * integer [[Layout.snapshotAppend]] returned / `snapshotHistory`
+    * lists.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': graft snapshot versions are integers")
+      }
+    val root = existingRoot(ident)
+    require(Layout.snapshotVersions(spark, root).contains(v),
+      s"version $v not committed at $root")
+    GraftTable(root, ident.toString, v)
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands micros since epoch; commits are
+    * wall-clock stamped in millis, and the read resolves to the latest
+    * version committed at or before the instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = existingRoot(ident)
+    val tsMillis = timestamp / 1000L
+    val eligible = Layout.snapshotTimestamps(spark, root)
+      .filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"TIMESTAMP AS OF $tsMillis predates the first commit at $root")
+    GraftTable(root, ident.toString, eligible.last._1)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables take no PARTITIONED BY transforms; declare " +
+        "'partCol'/'statsKey' TBLPROPERTIES instead")
+    val root = rootOf(ident)
+    if (Layout.snapshotVersions(spark, root).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catName +: ident.namespace.toSeq :+ ident.name).toSeq)
+    def prop(k: String): Option[String] =
+      properties.asScala.collectFirst {
+        case (pk, pv) if pk.equalsIgnoreCase(k) => pv }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    prop("partCol") match {
+      case Some(pc) => Layout.snapshotAppendPartitioned(spark, root, empty,
+        pc, statsKey = prop("statsKey"))
+      case None => Layout.snapshotAppend(spark, root, empty,
+        statsKey = prop("statsKey"))
+    }
+    GraftTable(root, ident.toString, -1)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve additively on write (INSERT the evolved " +
+        "frame); ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(rootOf(ident))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new Path(p, "_manifests")) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new Path(rootOf(oldIdent))
+    val dst = new Path(rootOf(newIdent))
+    if (!fs.exists(new Path(src, "_manifests")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (catName +: oldIdent.namespace.toSeq :+ oldIdent.name).toSeq)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+}
+
+/** One snapshot table version as a DSv2 [[Table]] — see
+  * [[GraftCatalog]] for the surface. `pinnedVersion < 0` means "head"
+  * (writable); an explicit version (time travel) is read-only.
+  */
+case class GraftTable(root: String, identName: String, pinnedVersion: Int)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  // resolved ONCE per loaded table: the query's pinned manifest
+  @transient private lazy val meta = Layout.snapshotMeta(
+    spark, root, pinnedVersion)
+
+  private[graft] def tableRoot: String = root
+  private[graft] def writable: Boolean = pinnedVersion < 0
+  private def requireWritable(op: String): Unit =
+    require(writable,
+      s"$op targets $identName pinned at VERSION AS OF ${meta.version} — " +
+        "time-traveled tables are read-only")
+
+  override def name(): String = identName
+
+  override def schema(): StructType = meta.schema.getOrElse {
+    if (meta.paths.isEmpty) new StructType()
+    else spark.read.option("mergeSchema", "true")
+      .parquet(meta.paths: _*).schema
+  }
+
+  override def properties(): util.Map[String, String] =
+    meta.header.asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (!meta.hasDeleteSidecars) {
+      // clean table: Spark's own DSv2 parquet machinery does the scan —
+      // vectorized reader, pushed filters (row-group pruning), pruned
+      // columns — over exactly the manifest's file list
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        identName,
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        new CaseInsensitiveStringMap(
+          Map("mergeSchema" -> "true").asJava),
+        meta.paths,
+        Some(schema()),
+        classOf[org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat])
+        .newScanBuilder(options)
+    } else {
+      // MOR sidecar debt: route through readSnapshot's anti-join engine
+      // (a V1 scan — correct always; compaction restores the fast path)
+      val tbl = this
+      new ScanBuilder {
+        override def build(): Scan = new V1Scan {
+          override def readSchema(): StructType = tbl.schema()
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = tbl.schema()
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[Row] =
+                Layout.readSnapshot(tbl.spark, tbl.root, meta.version).rdd
+            }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ovr: Boolean): Unit = {
+              requireWritable(if (overwrite || ovr) "INSERT OVERWRITE"
+                else "INSERT")
+              if (overwrite || ovr) Layout.snapshotOverwrite(spark, root, data)
+              else Layout.snapshotAppend(spark, root, data)
+            }
+          }
+      }
+    }
+
+  // ---- DELETE FROM: key equality/IN-list → O(keys) MOR sidecar commit;
+  // unqualified delete → truncating empty-overwrite commit
+  private def deleteKeysOf(
+      filters: Array[Filter]): Option[(String, Array[Long])] = {
+    def longsOf(vs: Array[Any]): Option[Array[Long]] = {
+      val ls = vs.collect {
+        case n: Long => n
+        case n: Int => n.toLong
+        case n: Short => n.toLong
+        case n: Byte => n.toLong
+      }
+      if (ls.length == vs.length) Some(ls) else None
+    }
+    filters match {
+      case Array(EqualTo(c, v)) => longsOf(Array(v)).map(c -> _)
+      case Array(EqualNullSafe(c, v)) => longsOf(Array(v)).map(c -> _)
+      case Array(In(c, vs)) => longsOf(vs).map(c -> _)
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(_.isInstanceOf[AlwaysTrue]) ||
+      deleteKeysOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable("DELETE")
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      Layout.snapshotOverwrite(spark, root,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema()))
+    } else deleteKeysOf(filters) match {
+      case Some((keyCol, keys)) =>
+        Layout.snapshotDeleteMOR(spark, root, keyCol, keys)
+      case None => throw new UnsupportedOperationException(
+        "graft DELETE supports `key = v`, `key IN (…)`, or no WHERE " +
+          "(truncate); for arbitrary predicates run a COW rewrite via " +
+          "Layout.snapshotMergeKeys")
+    }
+  }
+}

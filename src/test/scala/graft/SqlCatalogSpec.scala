@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** The DSv2 catalog + SQL surface over the snapshot layer
+  * ([[graft.sources.GraftCatalog]] / [[graft.plans.GraftMergeRule]]):
+  * CREATE/INSERT/SELECT, VERSION AS OF / TIMESTAMP AS OF, DELETE FROM
+  * (MOR), MERGE INTO (pruned COW), read-only time travel, catalog ops.
+  */
+class SqlCatalogSpec extends GraftSuite {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", dir)
+    dir
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE + INSERT + SELECT round-trips through manifest commits") {
+    wh
+    sql("CREATE TABLE gtest.t1 (key BIGINT, price DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('statsKey'='key')")
+    assert(Layout.snapshotVersions(spark, s"$wh/t1") == Seq(1),
+      "CREATE must commit an empty v1")
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderstatus").as("tag"))
+      .createOrReplaceTempView("t1_src")
+    sql("INSERT INTO gtest.t1 SELECT key, price, tag FROM t1_src")
+    assert(Layout.snapshotVersions(spark, s"$wh/t1") == Seq(1, 2),
+      "INSERT must be one snapshot commit")
+    val viaSql = sql("SELECT key, price, tag FROM gtest.t1")
+    val direct = Layout.readSnapshot(spark, s"$wh/t1")
+    assert(viaSql.exceptAll(direct).isEmpty && direct.exceptAll(viaSql).isEmpty)
+    // the INSERT recorded key stats: the table property survived CREATE
+    assert(Layout.snapshotMeta(spark, s"$wh/t1").header.get("statsKey")
+      .contains("key"))
+    // pushdown sanity: the scan is Spark's v2 parquet batch scan
+    val plan = sql("SELECT key FROM gtest.t1 WHERE key = 42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("Scan parquet"),
+      s"expected a parquet batch scan, got:\n$plan")
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF match readSnapshot; time travel is read-only") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.tt (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("tt_src1")
+    sql("INSERT INTO gtest.tt SELECT * FROM tt_src1")            // v2
+    Seq((3L, "c")).toDF("k", "v").createOrReplaceTempView("tt_src2")
+    sql("INSERT INTO gtest.tt SELECT * FROM tt_src2")            // v3
+    val v2 = sql("SELECT * FROM gtest.tt VERSION AS OF 2")
+    val v2d = Layout.readSnapshot(spark, s"$wh/tt", 2)
+    assert(v2.exceptAll(v2d).isEmpty && v2d.exceptAll(v2).isEmpty)
+    assert(sql("SELECT * FROM gtest.tt VERSION AS OF 3").count() == 3)
+    // timestamp travel: resolve v2's commit stamp, query AS OF it
+    val ts2 = Layout.snapshotTimestamps(spark, s"$wh/tt")
+      .find(_._1 == 2).get._2
+    val asOf = sql("SELECT * FROM gtest.tt TIMESTAMP AS OF " +
+      s"timestamp_millis(${ts2}L)")
+    assert(asOf.exceptAll(v2d).isEmpty && v2d.exceptAll(asOf).isEmpty)
+    // a pinned version refuses writes
+    val ex = intercept[Exception] {
+      sql("DELETE FROM gtest.tt VERSION AS OF 2 WHERE k = 1")
+    }
+    // (parser may reject time travel on DELETE outright — either way,
+    // nothing mutated)
+    assert(Layout.snapshotVersions(spark, s"$wh/tt") == Seq(1, 2, 3))
+  }
+
+  test("DELETE FROM key IN (...) commits an O(keys) MOR sidecar; SQL reads stay exact") {
+    wh
+    sql("CREATE TABLE gtest.td (key BIGINT, price DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='key')")
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+      .createOrReplaceTempView("td_src")
+    sql("INSERT INTO gtest.td SELECT * FROM td_src")
+    val keys = sql("SELECT key FROM gtest.td ORDER BY key LIMIT 3")
+      .collect().map(_.getLong(0))
+    val before = Layout.snapshotVersions(spark, s"$wh/td").size
+    sql(s"DELETE FROM gtest.td WHERE key IN (${keys.mkString(",")})")
+    assert(Layout.snapshotVersions(spark, s"$wh/td").size == before + 1,
+      "DELETE must be one sidecar commit, no data rewrite")
+    assert(Layout.snapshotMeta(spark, s"$wh/td").hasDeleteSidecars,
+      "the commit must be MOR, not COW")
+    // the sidecar-aware V1 fallback read still serves SQL exactly
+    val after = sql("SELECT * FROM gtest.td")
+    val direct = Layout.readSnapshot(spark, s"$wh/td")
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+    assert(after.filter(col("key").isin(keys.map(Long.box): _*)).count() == 0)
+    // equality delete and truncate forms
+    val k4 = sql("SELECT key FROM gtest.td ORDER BY key LIMIT 1")
+      .head().getLong(0)
+    sql(s"DELETE FROM gtest.td WHERE key = $k4")
+    assert(sql(s"SELECT * FROM gtest.td WHERE key = $k4").count() == 0)
+  }
+
+  test("MERGE INTO ≡ snapshotMergeKeys: same rows, pruned COW commit") {
+    wh
+    // twin tables with identical content; one merged via SQL, one via
+    // the Scala changelog API — results must be identical
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderstatus").as("status"))
+      .repartitionByRange(4, col("key")).sortWithinPartitions(col("key"))
+    val sqlRoot = s"$wh/tm"
+    val apiRoot = java.nio.file.Files
+      .createTempDirectory("graft-mergeapi").toString + "/t"
+    Layout.snapshotAppend(spark, sqlRoot, base, statsKey = Some("key"))
+    Layout.snapshotAppend(spark, apiRoot, base, statsKey = Some("key"))
+    val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
+    val changes = base.filter(col("key") % 7 === 0 && col("key") <= cutoff)
+      .select(col("key").as("c_key"), (col("price") * 1.1).as("c_price"),
+        lit("U").as("c_status"))
+      .unionAll(base.filter(col("key") % 1000 === 3)
+        .select((col("key") + 10000000L).as("c_key"),
+          col("price").as("c_price"), lit("N").as("c_status")))
+      .localCheckpoint()
+    changes.createOrReplaceTempView("tm_changes")
+    val filesBefore = Layout.snapshotMeta(spark, sqlRoot).paths.toSet
+    sql("""MERGE INTO gtest.tm t USING tm_changes s ON t.key = s.c_key
+          |WHEN MATCHED THEN UPDATE SET price = s.c_price, status = s.c_status
+          |WHEN NOT MATCHED THEN INSERT (key, price, status)
+          |  VALUES (s.c_key, s.c_price, s.c_status)""".stripMargin)
+    Layout.snapshotMergeKeys(spark, apiRoot, "key",
+      changes.select(col("c_key")),
+      touched => touched.join(changes, col("key") === col("c_key"),
+          "full_outer")
+        .select(coalesce(col("key"), col("c_key")).as("key"),
+          coalesce(col("c_price"), col("price")).as("price"),
+          coalesce(col("c_status"), col("status")).as("status")))
+    val viaSql = sql("SELECT * FROM gtest.tm")
+    val viaApi = Layout.readSnapshot(spark, apiRoot)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "SQL MERGE and snapshotMergeKeys must produce identical tables")
+    // PRUNED: untouched files carried by reference into the new version
+    val filesAfter = Layout.snapshotMeta(spark, sqlRoot).paths.toSet
+    assert((filesBefore intersect filesAfter).nonEmpty,
+      "the merge must carry untouched files, not rewrite the table")
+    // unsupported shapes fail loudly, naming the Scala API
+    val ex = intercept[Exception] {
+      sql("""MERGE INTO gtest.tm t USING tm_changes s ON t.key = s.c_key
+            |WHEN MATCHED AND s.c_status = 'U' THEN DELETE""".stripMargin)
+    }
+    assert(ex.getMessage.contains("snapshotMergeKeys"))
+  }
+
+  test("MERGE WHEN MATCHED DELETE drops exactly the matched keys") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.md (k BIGINT, v STRING)")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .createOrReplaceTempView("md_src")
+    sql("INSERT INTO gtest.md SELECT * FROM md_src")
+    Seq(2L, 4L, 9L).toDF("dk").createOrReplaceTempView("md_del")
+    sql("MERGE INTO gtest.md t USING md_del s ON t.k = s.dk " +
+      "WHEN MATCHED THEN DELETE")
+    assert(sql("SELECT k FROM gtest.md ORDER BY k").as[Long]
+      .collect().toSeq == Seq(1L, 3L))
+  }
+
+  test("catalog ops: listTables / tableExists / DROP TABLE") {
+    wh
+    sql("CREATE TABLE gtest.c1 (k BIGINT)")
+    sql("CREATE TABLE gtest.c2 (k BIGINT)")
+    val listed = sql("SHOW TABLES IN gtest").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("c1", "c2").subsetOf(listed))
+    sql("DROP TABLE gtest.c2")
+    assert(!sql("SHOW TABLES IN gtest").select("tableName")
+      .collect().map(_.getString(0)).contains("c2"))
+    intercept[Exception] { sql("SELECT * FROM gtest.no_such") }
+  }
+}
