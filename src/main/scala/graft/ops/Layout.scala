@@ -1856,7 +1856,14 @@ object Layout {
     */
   def snapshotDeltasUnion(spark: org.apache.spark.sql.SparkSession,
       root: String, since: Int, head: Int): DataFrame = {
-    val ds = snapshotDeltasSince(spark, root, since).map(_._2)
+    // CAP AT `head`, never "whatever is committed by now": a maintainer
+    // reads head, then the deltas — a commit landing between the two
+    // reads would otherwise ride into this advance while the view is
+    // stamped with the OLDER head, and the next advance re-applies it
+    // (double-count). The CDF-stream spec (ST34) reproduces exactly
+    // that interleaving.
+    val ds = snapshotDeltasSince(spark, root, since)
+      .filter(_._1 <= head).map(_._2)
     if (ds.isEmpty)
       readSnapshot(spark, root, head)
         .where(org.apache.spark.sql.functions.lit(false))

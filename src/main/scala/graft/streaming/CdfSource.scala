@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.ops.Layout
+
+/** `readStream` SOURCE OVER THE SNAPSHOT CDF — the Delta-streaming-
+  * source slot: the manifest-versioned table becomes a Structured
+  * Streaming input, each micro-batch carrying exactly the rows the
+  * commits in `(lastOffset, head]` added
+  * ([[Layout.snapshotDeltasSince]] — append lineage is metadata-priced,
+  * overwrite lineage row-exact), stamped with their commit version in
+  * `_graft_version`. Incremental consumers (maintained views, indexes,
+  * downstream curation) stop polling and ride engine triggers:
+  *
+  * {{{
+  * spark.readStream.format("graft-cdf").option("path", root).load()
+  * }}}
+  *
+  * EXACTLY-ONCE is offset arithmetic, not faith: the offset IS the
+  * snapshot version number. The engine's WAL records (start, end] per
+  * batch; a replay after any crash calls `getBatch` with the same
+  * version interval, and the manifest layer reconstructs the identical
+  * delta (committed manifests are immutable). Composing with the
+  * epoch-keyed snapshot sink (ST29) or the overwrite-idempotent cache
+  * layout gives end-to-end exactly-once with no source-side state at
+  * all — the checkpoint holds two integers.
+  *
+  * Schema is pinned at stream start (the head manifest's recorded
+  * schema); later additive evolution null-fills through the union and
+  * is projected back to the pinned columns — a restart picks up the
+  * widened schema. MOR deletes are NOT emitted as retractions (this is
+  * an insert-CDF; the maintainers that need delete awareness check
+  * [[Layout.snapshotAppendLineage]] and recompute, same contract as the
+  * poll path).
+  *
+  * 100 TB: `getOffset` is one manifest-directory listing;  a batch
+  * plans O(delta bytes) — the stream never rescans the table.
+  */
+class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdf"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-cdf needs .option(\"path\", <snapshot table root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      CdfSource.cdfSchema(sqlContext, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new CdfSource(sqlContext, rootOf(parameters),
+      schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters))))
+}
+
+object CdfSource {
+  /** The emitted column carrying each row's commit version. */
+  val VersionCol = "_graft_version"
+
+  private[streaming] def cdfSchema(sqlContext: SQLContext,
+      root: String): StructType = {
+    val meta = Layout.snapshotMeta(sqlContext.sparkSession, root)
+    val base = meta.schema.getOrElse(
+      if (meta.paths.isEmpty) new StructType()
+      else sqlContext.sparkSession.read.option("mergeSchema", "true")
+        .parquet(meta.paths: _*).schema)
+    require(!base.fieldNames.contains(VersionCol),
+      s"table at $root already has a $VersionCol column")
+    StructType(base.fields :+ StructField(VersionCol, IntegerType,
+      nullable = false))
+  }
+}
+
+class CdfSource(sqlContext: SQLContext, root: String,
+    declaredSchema: StructType) extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  override def schema: StructType = declaredSchema
+
+  private def versionOf(o: Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json().trim.toInt
+  }
+
+  override def getOffset: Option[Offset] = {
+    val vs = Layout.snapshotVersions(spark, root)
+    if (vs.isEmpty) None else Some(LongOffset(vs.last.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(versionOf).getOrElse(0)
+    val endV = versionOf(end)
+    val deltas = Layout.snapshotDeltasSince(spark, root, since)
+      .filter(_._1 <= endV)
+      .map { case (v, df) =>
+        df.withColumn(CdfSource.VersionCol, lit(v)) }
+    val dataCols = declaredSchema.fields
+    val unioned =
+      if (deltas.isEmpty)
+        // engine contract: getBatch can be called with an empty
+        // interval on recovery — answer with an empty, schema-exact frame
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], declaredSchema)
+      else deltas.reduce(_.unionByName(_, allowMissingColumns = true))
+    // project (and null-fill) to the PINNED schema: additive evolution
+    // mid-stream widens the union, not this stream's contract
+    val projected = unioned.select(dataCols.map { f =>
+      (if (unioned.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    // the engine asserts isStreaming on the returned frame
+    org.apache.spark.sql.GraftDatasetBridge.streamingDataFrame(
+      spark, projected)
+  }
+
+  override def stop(): Unit = ()
+}

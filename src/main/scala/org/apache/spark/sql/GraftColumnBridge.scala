@@ -19,4 +19,13 @@ object GraftDatasetBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame carrying `isStreaming = true` — what a V1 streaming
+    * `Source.getBatch` must return (the engine asserts it). The batch
+    * plan is materialized lazily through its InternalRow RDD, the same
+    * shape Delta's source uses for arbitrary delta plans.
+    */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** ST34: the snapshot CDF as a `readStream` source
+  * ([[graft.streaming.CdfSourceProvider]]) — exact delta emission,
+  * exactly-once across a checkpointed restart, and ST31's maintained
+  * view re-expressed on engine triggers instead of polling.
+  */
+class CdfSourceSpec extends GraftSuite {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def orders = Tables(spark, sf, "orders")
+    .select(col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("double").as("price"))
+
+  test("CDF stream emits exactly the committed deltas, stamped with their versions") {
+    val dir = freshDir("cdf1")
+    val root = s"$dir/t"
+    val slices = (0 to 2).map(b => orders.filter(col("key") % 3 === b))
+    Layout.snapshotAppend(spark, root, slices(0)) // v1 before stream start
+    val q = spark.readStream.format("graft-cdf").option("path", root).load()
+      .writeStream.format("memory").queryName("cdf_t1")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("cdf_t1")
+      assert(got1.count() == slices(0).count(),
+        "the pre-existing table arrives as the first batch (version 1)")
+      assert(got1.select("_graft_version").distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(1))
+      // two interleaved appends while the stream runs
+      Layout.snapshotAppend(spark, root, slices(1)) // v2
+      Layout.snapshotAppend(spark, root, slices(2)) // v3
+      q.processAllAvailable()
+      val got = spark.table("cdf_t1")
+      assert(got.count() == orders.count(),
+        "each row must arrive exactly once across the three versions")
+      val byV = got.groupBy(col("_graft_version")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byV.keySet == Set(1, 2, 3))
+      (0 to 2).foreach(b => assert(byV(b + 1) == slices(b).count(),
+        s"version ${b + 1} must carry exactly its append's rows"))
+      val data = got.drop("_graft_version")
+      assert(data.exceptAll(orders).isEmpty && orders.exceptAll(data).isEmpty)
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from the committed version exactly-once") {
+    val dir = freshDir("cdf2")
+    val root = s"$dir/t"
+    // memory sinks can't recover a checkpoint; a parquet-appending
+    // foreachBatch is the recoverable production shape
+    def run(out: String): Unit = {
+      val q = spark.readStream.format("graft-cdf").option("path", root).load()
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 0))
+    run(s"$dir/out1")
+    assert(spark.read.parquet(s"$dir/out1").count() ==
+      orders.filter(col("key") % 3 === 0).count())
+    // table advances while no stream is running
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 1))
+    // restart from the SAME checkpoint into a fresh sink: only v2 arrives
+    run(s"$dir/out2")
+    val resumed = spark.read.parquet(s"$dir/out2")
+    assert(resumed.select("_graft_version").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2),
+      "a restarted stream must not replay the committed version 1")
+    assert(resumed.count() ==
+      orders.filter(col("key") % 3 === 1).count())
+  }
+
+  test("ST31 on engine triggers: CDF-stream-driven maintainSumView tracks the base exactly") {
+    val dir = freshDir("cdf3")
+    val (baseRoot, viewRoot) = (s"$dir/base", s"$dir/view")
+    Layout.snapshotAppend(spark, baseRoot, orders.filter(col("key") % 3 === 0))
+    val q = spark.readStream.format("graft-cdf").option("path", baseRoot).load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the stream IS the trigger; the maintainer advances from the
+        // view's own recorded base_version (idempotent under replay)
+        Layout.maintainSumView(spark, baseRoot, viewRoot, "status", "price")
+        ()
+      }.start()
+    def viewNow() = Layout.readSnapshot(spark, viewRoot)
+      .select(col("status"), round(col("sum_v"), 4).as("sum_v"), col("n"))
+    def want() = Layout.readSnapshot(spark, baseRoot)
+      .groupBy(col("status"))
+      .agg(round(sum(col("price")), 4).as("sum_v"), count(lit(1)).as("n"))
+    try {
+      q.processAllAvailable()
+      assert(viewNow().exceptAll(want()).isEmpty &&
+        want().exceptAll(viewNow()).isEmpty)
+      Layout.snapshotAppend(spark, baseRoot, orders.filter(col("key") % 3 === 1))
+      Layout.snapshotAppend(spark, baseRoot, orders.filter(col("key") % 3 === 2))
+      q.processAllAvailable()
+      assert(viewNow().exceptAll(want()).isEmpty &&
+        want().exceptAll(viewNow()).isEmpty,
+        "view maintained on engine triggers must equal the full rollup")
+      assert(Layout.readSnapshot(spark, viewRoot)
+        .agg(max(col("base_version"))).head().getInt(0) ==
+        Layout.snapshotVersions(spark, baseRoot).last)
+    } finally q.stop()
+  }
+}
