@@ -1567,7 +1567,150 @@ object Similarity {
     IvfTuneResult(best.nProbe, best.recall, sweep)
   }
 
+  // ---------------------------------------------------------------- s20
+  /** GRAPH-TRAVERSAL ANN (the HNSW tier) — beam search over s15's kNN
+    * graph, the high-recall/fixed-latency serving rung production vector
+    * stores reach for above IVF: symmetrize the kNN edges (standard
+    * kNN-graph → navigable-graph step), seed every query at a fixed
+    * deterministic entry set (vec_ids 0..[[S20Entries]]−1 — literal ids,
+    * no join, the single-layer stand-in for HNSW's top-layer descent),
+    * then [[S20Hops]] PLAN-UNROLLED expansion rounds: each hop scores
+    * beam ∪ neighbors(beam) against the query and keeps the
+    * [[S20Beam]]-best (one window per hop over the same q_id
+    * partitioning — s17's unrolling precedent). Result = top-[[TopK]]
+    * of the final beam. Every per-hop step is an EQUI-join (beam.id =
+    * edges.src; candidates.id = vecs.vec_id; candidates.q_id =
+    * queries.q_id) — no pair space, no nested loop ([[PlanInvariants]]
+    * spec'd).
+    * Determinism: scores round(cos, 9) with id tiebreaks before every
+    * rank (house convention), so the oracle replays the traversal
+    * bit-for-bit as chained CTEs.
+    * 100 TB: the graph is O(n·k) rows built once (s15); a serving batch
+    * touches O(|queries|·beam·degree·hops) edge rows via equi-joins —
+    * independent of corpus size, the property that makes graph ANN the
+    * serving tier; recall tunes with beam/hops exactly like HNSW's
+    * efSearch (spec pins the floor vs s1's exact baseline).
+    */
+  val S20Entries = 16
+  val S20Beam = 32
+  val S20Hops = 4
+
+  /** Symmetrized s15 edges — (src, dst), both directions, distinct. */
+  private[graft] def s20Edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = s15KnnGraph(spark, sfDir)
+      .select(col("q_id").as("src"), col("neighbor_id").as("dst"))
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  def s20GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint() // scored at every hop
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val edges = s20Edges(spark, sfDir).localCheckpoint() // built once
+    def score(ids: DataFrame): DataFrame = ids
+      .join(e.select(col("vec_id").as("id"), col("v"), col("norm")),
+        Seq("id"))
+      .join(q, Seq("q_id"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("id"))
+    // seed: literal entry ids per query — a projection, not a join
+    var beam = score(q.select(col("q_id"),
+        explode(array((0 until S20Entries).map(i => lit(i.toLong)): _*))
+          .as("id")))
+      .localCheckpoint()
+    for (_ <- 1 to S20Hops) {
+      val grown = beam.select(col("q_id"), col("id"))
+        .unionByName(beam
+          .join(edges, beam("id") === edges("src"))
+          .select(col("q_id"), col("dst").as("id")))
+        .distinct()
+      // flatten each hop's plan (s17's precedent): the unrolled plan is
+      // the loop; checkpoints keep analysis/codegen linear in hops
+      beam = score(grown)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= S20Beam)
+        .select(col("q_id"), col("id"), col("cos"))
+        .localCheckpoint()
+    }
+    beam.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: the traversal replayed as chained CTEs — graph build
+    * (s15's SQL shape), symmetrize, seed, one CTE per hop, final top-k.
+    */
+  val s20Sql: String = {
+    val hops = (1 to S20Hops).map { h =>
+      val prev = if (h == 1) "beam0" else s"hop${h - 1}"
+      s"""hop$h AS (
+        |  SELECT q_id, id, cos FROM (
+        |    SELECT q_id, id, cos,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rn
+        |    FROM (
+        |      SELECT x.q_id, x.id,
+        |        round(list_dot_product(q.qv, w.v) / (q.qnorm * w.norm), 9) AS cos
+        |      FROM (SELECT q_id, id FROM $prev
+        |            UNION
+        |            SELECT b.q_id, ed.dst AS id FROM $prev b
+        |            JOIN edges ed ON ed.src = b.id) x
+        |      JOIN vecs w ON w.vec_id = x.id
+        |      JOIN queries q ON q.q_id = x.q_id
+        |      WHERE x.id <> x.q_id))
+        |  WHERE rn <= $S20Beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+      |    ${sqlHyperplaneBuckets("v", NTables, PlanesPerTable, Dim)} AS tb
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |eb AS (
+      |  SELECT vec_id, v, norm, generate_subscripts(tb, 1) - 1 AS t,
+      |    unnest(tb) AS bucket FROM vecs),
+      |knn AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+      |    FROM (
+      |      SELECT DISTINCT q.vec_id AS src, e.vec_id AS dst,
+      |        round(list_dot_product(q.v, e.v) / (q.norm * e.norm), 9) AS cos
+      |      FROM eb q JOIN eb e
+      |        ON e.t = q.t AND e.bucket = q.bucket AND e.vec_id <> q.vec_id))
+      |  WHERE rn <= $S15K),
+      |edges AS (
+      |  SELECT src, dst FROM knn UNION SELECT dst AS src, src AS dst FROM knn),
+      |queries AS (
+      |  SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM vecs
+      |  WHERE vec_id < $NQueries),
+      |beam0 AS (
+      |  SELECT q.q_id, en.id,
+      |    round(list_dot_product(q.qv, w.v) / (q.qnorm * w.norm), 9) AS cos
+      |  FROM queries q
+      |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS id
+      |              FROM range(0, $S20Entries)) en
+      |  JOIN vecs w ON w.vec_id = en.id
+      |  WHERE en.id <> q.q_id),
+      |$hops
+      |SELECT q_id, rank, id AS neighbor_id, cos FROM (
+      |  SELECT q_id, id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rank
+      |  FROM hop$S20Hops)
+      |WHERE rank <= $TopK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_graph_ann" -> (s20GraphAnn _),
     "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_ann_sq8" -> (s16AnnSq8 _),
     "s15_knn_graph" -> (s15KnnGraph _),
@@ -1588,6 +1731,7 @@ object Similarity {
     "s4_embed_dimstats" -> (s4EmbedDimStats _))
 
   val sql: Map[String, String] = Map(
+    "s20_graph_ann" -> s20Sql,
     "s17_mmr_rerank" -> s17Sql,
     "s16_ann_sq8" -> s16Sql,
     "s15_knn_graph" -> s15Sql,
