@@ -339,10 +339,18 @@ object Sampling {
   val A12Bands = 32
   val A12BudgetBase = 400L
 
-  def a12TokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+  def a12TokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame =
+    a12TokenBudgetMixWith(spark, sfDir, graft.functions.WhitespaceTokenizer)
+
+  /** [[a12TokenBudgetMix]] under an injected [[graft.functions.Tokenizer]]
+    * — banding, offsets and admission are tokenizer-agnostic
+    * (`TokenizerSpec`).
+    */
+  def a12TokenBudgetMixWith(spark: SparkSession, sfDir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        tok.countCol(col("text")).as("n_tokens"),
         hashBucket(concat(col("source"), lit("#"), col("doc_id").cast("string")),
           A12Bands).as("band"),
         hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
@@ -426,7 +434,9 @@ object Sampling {
     * trivially rebuildable from the admitted lists.
     */
   def st28AdmitBatch(spark: SparkSession, batch: DataFrame, root: String,
-      epoch: Long): DataFrame = {
+      epoch: Long,
+      tok: graft.functions.Tokenizer =
+        graft.functions.WhitespaceTokenizer): DataFrame = {
     val countersDir = s"$root/counters"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -436,7 +446,7 @@ object Sampling {
       else spark.read.parquet(countersDir).filter(col("e") < epoch)
         .groupBy(col("source")).agg(sum(col("toks")).as("consumed"))
     val docs = batch.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      tok.countCol(col("text")).as("n_tokens"),
       hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
         1000000).as("pos"))
     val wIn = Window.partitionBy(col("source")).orderBy(col("pos"), col("doc_id"))
@@ -463,12 +473,14 @@ object Sampling {
     */
   def streamingTokenBudgetGate(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+      root: String,
+      tok: graft.functions.Tokenizer = graft.functions.WhitespaceTokenizer)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        st28AdmitBatch(spark, batch, root, epoch)
+        st28AdmitBatch(spark, batch, root, epoch, tok)
           .write.mode("overwrite").parquet(s"$root/admitted/e=$epoch")
         ()
       }

@@ -40,8 +40,10 @@ object TextOps {
   def t1TokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(tokens(col("text"))).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("([a-z]+|[0-9]+|[^a-z0-9 ])"), lit(1)))
+        // both counts ride the Tokenizer seam (native overrides — no UDF)
+        WhitespaceTokenizer.countCol(col("text")).cast("int")
+          .as("n_ws_tokens"),
+        RegexBpeTokenizer.countCol(col("text")).cast("int")
           .as("n_bpe_tokens"),
         length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
@@ -612,13 +614,21 @@ object TextOps {
     */
   val PackBudget = 256
 
-  def t11SeqPacking(spark: SparkSession, sfDir: String): DataFrame = {
+  def t11SeqPacking(spark: SparkSession, sfDir: String): DataFrame =
+    t11SeqPackingWith(spark, sfDir, WhitespaceTokenizer)
+
+  /** [[t11SeqPacking]] under an injected [[Tokenizer]] — the packing
+    * window/bin arithmetic is tokenizer-agnostic; only the count column
+    * changes (`TokenizerSpec`).
+    */
+  def t11SeqPackingWith(spark: SparkSession, sfDir: String,
+      tok: Tokenizer): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        tok.countCol(col("text")).as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")).cast("double") / PackBudget)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FnTokenizer, RegexBpeTokenizer, WhitespaceTokenizer}
+
+/** The Tokenizer boundary (the Decoder seam for token-priced operators):
+  * default ≡ pre-seam behavior, a kernel-function tokenizer matches its
+  * native twin, and injected counts flow through t11 packing and
+  * a12/ST28 budget admission end to end.
+  */
+class TokenizerSpec extends GraftSuite {
+
+  test("default tokenizer reproduces the oracle-pinned surface; FnTokenizer kernel ≡ native twin") {
+    val t11Default = text.TextOps.t11SeqPacking(spark, sf)
+    val t11Seam = text.TextOps.t11SeqPackingWith(spark, sf, WhitespaceTokenizer)
+    assert(t11Default.exceptAll(t11Seam).isEmpty &&
+      t11Seam.exceptAll(t11Default).isEmpty)
+    // an arbitrary JVM kernel computing the same tokenization must agree
+    // exactly with the native expression path (UDF seam ≡ codegen seam)
+    val kernel = new FnTokenizer(s => s.split(" ", -1).toSeq)
+    val viaKernel = text.TextOps.t11SeqPackingWith(spark, sf, kernel)
+    assert(t11Default.exceptAll(viaKernel).isEmpty &&
+      viaKernel.exceptAll(t11Default).isEmpty,
+      "FnTokenizer(whitespace) must equal the native WhitespaceTokenizer")
+    val a12Default = ops.Sampling.a12TokenBudgetMix(spark, sf)
+    val a12Kernel = ops.Sampling.a12TokenBudgetMixWith(spark, sf, kernel)
+    assert(a12Default.exceptAll(a12Kernel).isEmpty &&
+      a12Kernel.exceptAll(a12Default).isEmpty)
+  }
+
+  test("injected tokenizer counts flow through t11 packing bins") {
+    // a 'BPE' pricing text ~per-4-chars: different counts => different
+    // bins, recomputed independently here from the injected counts
+    val bpe = new FnTokenizer(s => s.grouped(4).toSeq)
+    val got = text.TextOps.t11SeqPackingWith(spark, sf, bpe)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        // grouped(4) yields ceil(len/4) groups; zero for the empty string
+        when(length(col("text")) === 0, 0L)
+          .otherwise(ceil(length(col("text")).cast("double") / 4)
+            .cast("long")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") /
+          text.TextOps.PackBudget).cast("bigint").as("bin"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "packing bins must be driven by the injected tokenizer's counts")
+    // and they genuinely differ from the whitespace packing
+    assert(got.exceptAll(text.TextOps.t11SeqPacking(spark, sf)).count() > 0)
+  }
+
+  test("ST28 admission gate prices batches with the injected tokenizer") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tokgate").toString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") % 7 === 0)
+    val admitted = ops.Sampling.st28AdmitBatch(
+      spark, docs, root, 0L, RegexBpeTokenizer)
+    // recompute the admission prefix from the injected counts
+    val priced = docs.select(col("doc_id"), col("source"),
+      RegexBpeTokenizer.countCol(col("text")).as("n_tokens"),
+      graft.functions.hashBucket(concat(col("source"), lit("@"),
+        col("doc_id").cast("string")), 1000000).as("pos"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pos"), col("doc_id"))
+    val budget = lit(ops.Sampling.A12BudgetBase) *
+      (lit(1L) + substring(col("source"), 4, 10).cast("long") % 3)
+    val want = priced.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_tokens", col("cum") - col("n_tokens"))
+      .filter(col("start_tokens") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_tokens"))
+    assert(admitted.exceptAll(want).isEmpty &&
+      want.exceptAll(admitted).isEmpty,
+      "ST28 admission must follow the injected tokenizer's pricing")
+  }
+}
