@@ -432,7 +432,9 @@ object Layout {
 
   /** Point/IN-list lookup through the index: returns the filtered rows
     * (≡ `WHERE keyCol IN values` on the full table) plus which files were
-    * scanned, for the pruning assertion.
+    * scanned, for the pruning assertion. The Seq form keeps its
+    * driver-side probe test for bounded IN-lists; joinable request
+    * tables ride [[bloomIndexLookupKeys]] (distributed resolution).
     */
   case class BloomLookup(result: DataFrame, scannedFiles: Seq[String],
       totalFiles: Int)
@@ -474,6 +476,63 @@ object Layout {
       if (candidates.isEmpty) base.where(lit(false))
       else spark.read.parquet(candidates: _*)
         .join(broadcast(probe), col(keyCol) === col("__graft_probe"), "left_semi")
+    BloomLookup(result, candidates, all.size)
+  }
+
+  /** [[bloomIndexLookup]] with the probe keys AS A DATAFRAME — the form
+    * that survives when the probe set outgrows the driver (a joinable
+    * request table instead of an IN-list): candidate resolution is
+    * [[snapshotPointLookup]]'s distributed shape — the probes' (word,
+    * mask) requirements join the index on the word id, a file is a hit
+    * for probe p iff ALL of p's word-masks are satisfied (counted with
+    * one partial-aggregated pass; the probe VALUE doubles as the probe
+    * id, so no driver-side need-count map either). Duplicate index rows
+    * collapse via bit_or before counting (the no-false-negative guard).
+    * Only O(files) names return to the driver; the rows come back
+    * through one broadcast semi-join against the probe frame.
+    */
+  def bloomIndexLookupKeys(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, keys: DataFrame,
+      mBits: Int = BloomIndexBits): BloomLookup = {
+    import graft.functions.Bloom
+    val kdf = keys.select(col(keys.columns.head).cast("long")
+        .as("__graft_probe")).distinct()
+      .localCheckpoint() // probes feed the requirements AND the semi-join
+    val reqs = kdf
+      .select(col("__graft_probe").as("pid"),
+        explode(Bloom.positionsFor(col("__graft_probe"), mBits)).as("p"))
+      .select(col("pid"), (col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
+      .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
+      .localCheckpoint() // read by the hit pass and the need-count pass
+    val needCounts = reqs.groupBy(col("pid")).agg(count(lit(1)).as("n_need"))
+    val idx = spark.read.parquet(bloomIdxDir(path, keyCol))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("bits")).as("bits"))
+      .localCheckpoint() // hit pass + indexed-file listing
+    val satisfied: Set[String] = idx.join(broadcast(reqs), Seq("w"))
+      .filter((col("bits").bitwiseAND(col("need"))) === col("need"))
+      .groupBy(col("file"), col("pid")).agg(count(lit(1)).as("n_ok"))
+      .join(broadcast(needCounts), Seq("pid"))
+      .filter(col("n_ok") === col("n_need"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val indexed: Set[String] = idx.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val all = dir.getFileSystem(hconf).listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    val candidates = all.filter { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      !indexed(name) || satisfied(name) // unindexed: conservative
+    }
+    val base = spark.read.parquet(path)
+    val result =
+      if (candidates.isEmpty) base.where(lit(false))
+      else spark.read.parquet(candidates: _*)
+        .join(broadcast(kdf), col(keyCol) === col("__graft_probe"),
+          "left_semi")
     BloomLookup(result, candidates, all.size)
   }
 
@@ -1570,6 +1629,10 @@ object Layout {
     * debt is bounded by compaction cadence. Deletion keys are
     * broadcast-small by nature (requests arrive row-at-a-time).
     * Returns the committed version.
+    *
+    * Array form = the bounded-batch convenience; production request
+    * tables ride [[snapshotDeleteMORKeys]] (DataFrame changelog, no
+    * driver materialization).
     */
   def snapshotDeleteMOR(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String, keys: Array[Long]): Int = {
@@ -1606,6 +1669,49 @@ object Layout {
     val delDir = attemptDir(root, "deletes", v)
     import spark.implicits._
     scoped.toDF("file", "key").coalesce(1).write.mode("error").parquet(delDir)
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = hdrOut + ("deleteKey" -> keyCol),
+      deletes = carried.deletes ++ listDataFiles(spark, delDir))
+    v
+  }
+
+  /** [[snapshotDeleteMOR]] with the deletion keys AS A DATAFRAME —
+    * removes the driver-side O(requests) ceiling: scoping is the same
+    * broadcast range join the COW changelog path uses
+    * ([[touchedFilesFor]]'s shape), producing the (file, key) sidecar
+    * rows DISTRIBUTED; only the O(files) range table ever touches the
+    * driver. Same commit shape, same soundness (a key overlapping no
+    * file range owns no row), same audit-trail empty commit.
+    */
+  def snapshotDeleteMORKeys(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, keys: DataFrame): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    hdr.get("deleteKey").foreach(k => require(k == keyCol,
+      s"table already carries deletes on '$k'; mixed delete keys need a compaction first"))
+    val entries = manifestEntries(spark, root, base)
+    import spark.implicits._
+    val rdf = keyRangesOfEntries(spark, entries, keyCol)
+      .map { case (f, mn, mx) =>
+        (f.substring(f.lastIndexOf('/') + 1), mn, mx) }
+      .toDF("file", "__graft_mn", "__graft_mx")
+    val kc = keys.columns.head
+    val scoped = keys.select(col(kc).cast("long").as("key")).distinct()
+      .join(broadcast(rdf),
+        col("key") >= col("__graft_mn") && col("key") <= col("__graft_mx"))
+      .select(col("file"), col("key"))
+    val v = base + 1
+    val carried = carriedStateOf(spark, root, Some(base))
+    val hdrOut = carried.props ++ schemaHeaderOf(carried.schema)
+    if (scoped.isEmpty) {
+      commitManifest(spark, root, v, carried.segs, carried.inline,
+        header = hdrOut, deletes = carried.deletes)
+      return v
+    }
+    val delDir = attemptDir(root, "deletes", v)
+    scoped.coalesce(1).write.mode("error").parquet(delDir)
     commitManifest(spark, root, v, carried.segs, carried.inline,
       header = hdrOut + ("deleteKey" -> keyCol),
       deletes = carried.deletes ++ listDataFiles(spark, delDir))

@@ -2250,8 +2250,10 @@ object Relational {
     val requests = base
       .filter(col("o_orderkey") % 13 === 1 && col("o_orderkey") <= cutoff)
       .select(col("o_orderkey").as("d_key"))
-    val delKeys = requests.collect().map(_.getLong(0))
-    val stats = Layout.cowMerge(spark, baseDir, "o_orderkey", delKeys,
+      .localCheckpoint() // probes the file ranges AND feeds the anti-join
+    // DataFrame changelog end to end: the request set never collects —
+    // touched files resolve via the broadcast range join
+    val stats = Layout.cowMergeKeys(spark, baseDir, "o_orderkey", requests,
       touched => touched
         .join(broadcast(requests), col("o_orderkey") === col("d_key"), "left_anti")
         .select(col("o_orderkey").as("key"),
@@ -2389,10 +2391,11 @@ object Relational {
         base.repartitionByRange(8, col("key")).sortWithinPartitions(col("key")),
         statsKey = Some("key"))
       val cutoff = base.agg(max(col("key"))).head().getLong(0) / 5
-      val delKeys = base
+      // DataFrame deletion requests: scoping rides the broadcast range
+      // join, no key array ever materializes on the driver
+      Layout.snapshotDeleteMORKeys(spark, root, "key", base
         .filter(col("key") % 13 === 1 && col("key") <= cutoff)
-        .select(col("key")).collect().map(_.getLong(0))
-      Layout.snapshotDeleteMOR(spark, root, "key", delKeys)
+        .select(col("key")))
       Layout.snapshotAppend(spark, root, base
         .filter(col("key") % 13 === 1 && col("key") <= cutoff &&
           col("key") % 3 === 0)
@@ -2783,10 +2786,12 @@ object Relational {
 
   def q91BloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val dataDir = bloomBase(spark, sfDir)
-    val keys = t(spark, sfDir, "orders")
-      .filter(col("o_orderkey") % 7919 === 1)
-      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSeq
-    Layout.bloomIndexLookup(spark, dataDir, "key", keys)
+    // DataFrame probe set: candidate resolution is distributed (the
+    // probes' word-masks join the index table), no key collect
+    Layout.bloomIndexLookupKeys(spark, dataDir, "key",
+      t(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 7919 === 1)
+        .select(col("o_orderkey")))
       .result
       .select(col("key"), col("totalprice"), col("status"))
       .orderBy(col("key"))
