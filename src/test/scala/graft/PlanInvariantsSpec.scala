@@ -49,6 +49,32 @@ class PlanInvariantsSpec extends GraftSuite {
       s"unintended nested-loop/cartesian plans: $offenders")
   }
 
+  test("every no-partition window's input is bounded, suite-wide (offset tables, not data)") {
+    // A WindowExec without PARTITION BY moves its whole input to one
+    // partition — fatal on data, fine on a bands/strata-scale offset
+    // table. This turns the sweep's single-partition warnings into
+    // evidence: for EVERY query, each no-partition logical Window's
+    // child is executed standalone and must stay under the offset-table
+    // budget (far above any bands×sources table, far below the corpus).
+    val Budget = 4096L
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val windows = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        windows.flatMap { w =>
+          val n = org.apache.spark.sql.GraftDatasetBridge
+            .ofRows(spark, w.child).count()
+          if (n > Budget) Some(s"$name: no-partition window over $n rows")
+          else None
+        }
+    }
+    assert(offenders.isEmpty,
+      s"no-partition windows over unbounded inputs: $offenders")
+  }
+
   test("q2's filters and projection reach the parquet scan") {
     val plan = ops.Relational.q2FilterProject(spark, sf)
       .queryExecution.executedPlan.toString
