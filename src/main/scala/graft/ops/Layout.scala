@@ -705,6 +705,23 @@ object Layout {
   val AtomicClaimSchemes: Set[String] =
     Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "abfs", "abfss")
 
+  /** Reflectively-loaded [[ClaimArbiter]] per
+    * `spark.graft.commit.arbiter` — instantiated once per class name
+    * (implementations are driver-thread-safe by contract). Unset (the
+    * default) means the filesystem claim file arbitrates.
+    */
+  private val arbiterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ClaimArbiter]()
+
+  private def externalArbiter(
+      spark: org.apache.spark.sql.SparkSession): Option[ClaimArbiter] =
+    spark.conf.get("spark.graft.commit.arbiter", "") match {
+      case "" => None
+      case cn => Some(arbiterCache.computeIfAbsent(cn, c =>
+        Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[ClaimArbiter]))
+    }
+
   private def msDir(root: String) = new org.apache.hadoop.fs.Path(s"$root/_manifests")
 
   /** ATTEMPT-UNIQUE data directory for version `v`: two writers racing
@@ -1087,7 +1104,14 @@ object Layout {
     val token = claimOwner.getOrElse(
       s"anon:${java.util.UUID.randomUUID().toString}")
     val ownerBytes = token.getBytes("UTF-8")
-    val won =
+    // EXTERNAL ARBITER ([[ClaimArbiter]]): when configured, the claim's
+    // three primitives (atomic try-claim, holder re-read, release) ride
+    // the deployment's lock service instead of the claim file — the
+    // object-store answer, since a conditional-PUT/lock-table CAS is
+    // atomic where create(overwrite=false) is not. The protocol below
+    // is identical either way.
+    val external = externalArbiter(spark)
+    val won = external.map(_.tryClaim(spark, root, version, token)).getOrElse {
       if (fs.getScheme == "file") {
         try {
           java.nio.file.Files.write(
@@ -1112,9 +1136,11 @@ object Layout {
               "atomic version claim: create(overwrite=false) is " +
               "HEAD-then-PUT on flat object stores, so two writers can " +
               "both claim the same version. Commit from an " +
-              s"atomic-create store (${AtomicClaimSchemes.mkString(", ")}) " +
+              s"atomic-create store (${AtomicClaimSchemes.mkString(", ")}), " +
+              "configure spark.graft.commit.arbiter=<graft.ops.ClaimArbiter " +
+              "implementation> backed by a lock table / conditional PUT, " +
               "or set spark.graft.commit.assumeAtomicClaim=true if this " +
-              "store provides conditional-put/locking semantics.")
+              "store provides conditional-put semantics natively.")
         try {
           val o = fs.create(claim, false)
           try o.write(ownerBytes) finally o.close()
@@ -1122,6 +1148,17 @@ object Layout {
         }
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       }
+    }
+    // the holder re-read, against whichever store arbitrates the claim
+    def claimHolder(): Option[String] = external match {
+      case Some(a) => a.holder(spark, root, version)
+      case None =>
+        try {
+          val in = fs.open(claim)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+    }
     // OWNED-CLAIM RECLAIM: an idempotent writer (claimOwner set) that
     // crashed between claiming and renaming finds, on replay, its OWN
     // writer token in the claim with no manifest behind it — that is a
@@ -1129,13 +1166,7 @@ object Layout {
     // the rename. Foreign or anonymous claims stay a loss (a generic
     // crashed claim is swept by [[vacuumOrphanFiles]] after its grace).
     val reclaimed = !won && claimOwner.exists { me =>
-      !fs.exists(dst) && {
-        val in = fs.open(claim)
-        val held =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        held == me
-      }
+      !fs.exists(dst) && claimHolder().contains(me)
     }
     if (!won && !reclaimed) {
       fs.delete(tmp, false)
@@ -1151,14 +1182,7 @@ object Layout {
     // (swept, not re-claimed) aborts too — the lock is simply no longer
     // ours. The window between this read and the rename is bounded by
     // one metadata op, vs the unbounded stall it closes.
-    val stillMine =
-      try {
-        val in = fs.open(claim)
-        val held =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        held == token
-      } catch { case _: java.io.FileNotFoundException => false }
+    val stillMine = claimHolder().contains(token)
     if (!stillMine) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
@@ -1169,8 +1193,12 @@ object Layout {
     if (!fs.rename(tmp, dst)) {
       // the rename failing leaves the claim blocking the version — give
       // it back before surfacing the error (the JVM is alive to do so;
-      // only a crash leaves a stale claim, which vacuum's grace handles)
-      fs.delete(claim, false)
+      // only a crash leaves a stale claim, which vacuum's grace — or the
+      // external arbiter's TTL — handles)
+      external match {
+        case Some(a) => a.release(spark, root, version, token)
+        case None => fs.delete(claim, false)
+      }
       fs.delete(tmp, false)
       throw new java.io.IOException(s"manifest rename failed for v$version")
     }
@@ -1830,6 +1858,13 @@ object Layout {
     }
   }
 
+  /** The checkpoint-scoped writer token, public for the engine-native
+    * sink ([[graft.streaming.SnapshotSink]]) — same lifetime argument
+    * as the foreachBatch driver below.
+    */
+  def streamWriterToken(spark: org.apache.spark.sql.SparkSession,
+      ckptDir: String): String = writerToken(spark, ckptDir)
+
   def streamingSnapshotSink(spark: org.apache.spark.sql.SparkSession,
       inDir: String, schema: org.apache.spark.sql.types.StructType,
       root: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -1878,6 +1913,34 @@ object Layout {
     } else
       readSnapshot(spark, root, toVersion)
         .exceptAll(readSnapshot(spark, root, fromVersion))
+  }
+
+  /** OP-TYPED CHANGE FEED — the `_change_type` surface (Delta CDF's
+    * shape) on top of the version diff: every row the `from → to`
+    * transition ADDED tagged `insert`, every row it REMOVED tagged
+    * `delete`, multiset-exact. Consumers that must handle retractions
+    * (maintained joins, downstream mirrors) read this instead of the
+    * insert-only [[snapshotDiff]]. APPEND lineage (file-set inclusion +
+    * unchanged sidecars) short-circuits the delete side to empty with
+    * ZERO extra scans — the common case stays metadata-priced; any
+    * other lineage (overwrite, compaction, MOR delete) pays the two-scan
+    * row-level diff, correct for every history.
+    */
+  def snapshotChanges(spark: org.apache.spark.sql.SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion, s"changes need from < to")
+    import org.apache.spark.sql.functions.lit
+    // from 0 = "since before the table existed": everything is an insert
+    val ins = (if (fromVersion == 0) readSnapshot(spark, root, toVersion)
+               else snapshotDiff(spark, root, fromVersion, toVersion))
+      .withColumn("_change_type", lit("insert"))
+    val appendOnly = snapshotAppendLineage(spark, root, fromVersion, toVersion)
+    if (appendOnly || fromVersion == 0) ins
+    else ins.unionByName(
+      readSnapshot(spark, root, fromVersion)
+        .exceptAll(readSnapshot(spark, root, toVersion))
+        .withColumn("_change_type", lit("delete")),
+      allowMissingColumns = true)
   }
 
   /** OPTIMIZE on the versioned table — [[compact]] composed with
@@ -2471,6 +2534,92 @@ object Layout {
       new org.apache.hadoop.fs.Path(segsDir(root), s), false))
     deadFiles.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
     VacuumStats(deadFiles.size, keptFiles.size, drop)
+  }
+
+  /** Thresholds the standing maintenance job measures the table head
+    * against — the policy every table format ships as OPTIMIZE/VACUUM
+    * scheduling knobs, decided here from MANIFEST METADATA only (file
+    * counts, sidecar counts, commit stamps): the decision itself costs
+    * zero data I/O, which is what lets one maintenance driver poll
+    * thousands of tables.
+    *
+    *  - `maxDeleteFiles`: MOR sidecar debt — every sidecar is a
+    *    broadcast anti-join every reader pays; past this count the debt
+    *    is folded by compaction.
+    *  - `maxSmallFiles` / `smallFileBytes`: small-file debt — files
+    *    under `smallFileBytes` (default targetFileBytes/2) count as
+    *    small; past `maxSmallFiles` of them the head is bin-packed.
+    *  - `retentionMillis` / `minKeepVersions`: age-based history
+    *    retention ([[vacuumSnapshotsOlderThan]] semantics — oldest
+    *    prefix only, never a hole).
+    *  - `orphanGraceMillis`: safety margin for the orphan sweep — an
+    *    in-flight attempt's files are orphans only until its manifest
+    *    commits, so only files older than the grace are swept.
+    */
+  case class MaintenancePolicy(
+      targetFileBytes: Long = 128L << 20,
+      maxDeleteFiles: Int = 4,
+      maxSmallFiles: Int = 16,
+      smallFileBytes: Long = -1L,
+      retentionMillis: Long = 7L * 24 * 3600 * 1000,
+      minKeepVersions: Int = 2,
+      orphanGraceMillis: Long = ClaimGraceMillis,
+      clusterBy: Seq[Column] = Nil) {
+    def smallCutoff: Long =
+      if (smallFileBytes > 0) smallFileBytes else targetFileBytes / 2
+  }
+
+  /** What one maintenance cycle did — debt observed, actions taken. */
+  case class MaintenanceReport(
+      deleteFilesBefore: Int, smallFilesBefore: Int,
+      compactedVersion: Option[Int],
+      vacuum: VacuumStats, orphansSwept: Int)
+
+  /** THE STANDING MAINTENANCE JOB — one call a scheduler runs per table
+    * on its cadence (Delta's auto-optimize + vacuum slot, Iceberg's
+    * maintenance actions): measure the head's debt against the policy,
+    * compact if past threshold, expire aged history, sweep orphans.
+    * Decisions are manifest-metadata-priced; only a triggered compaction
+    * touches data, and it commits as a NEW version via
+    * [[snapshotCompact]]'s optimistic-concurrency path — a concurrent
+    * writer's commit makes the compaction fail LOUDLY (caller's next
+    * cycle retries against the new head) rather than erase it.
+    *
+    * Order matters: compact FIRST, then retention — the compacted
+    * commit supersedes the debt-laden head, so the same cycle's vacuum
+    * can already expire pre-compaction versions past retention.
+    * Convergence: a head below both debt thresholds triggers nothing,
+    * so the cycle after a compaction is a no-op until new debt accrues —
+    * maintenance never ping-pongs.
+    *
+    * `nowMillis` is the policy clock (injectable for tests and for
+    * schedulers that pin a cycle's cutoffs); file-age checks inside the
+    * orphan sweep use the same clock via the grace cutoff.
+    */
+  def snapshotMaintain(spark: org.apache.spark.sql.SparkSession,
+      root: String, policy: MaintenancePolicy = MaintenancePolicy(),
+      nowMillis: Long = System.currentTimeMillis()): MaintenanceReport = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val head = vs.last
+    val fs = fsOf(spark, root)
+    val nDel = manifestDeleteFiles(spark, root, head).size
+    val nSmall = manifestFiles(spark, root, head).count { f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        .getLen < policy.smallCutoff
+    }
+    // compaction folds BOTH debts at once (sidecars anti-join during the
+    // read, bin-packing during the write) — one rewrite, never two
+    val compacted =
+      if (nDel >= policy.maxDeleteFiles || nSmall >= policy.maxSmallFiles)
+        Some(snapshotCompact(spark, root, policy.targetFileBytes,
+          policy.clusterBy))
+      else None
+    val vac = vacuumSnapshotsOlderThan(spark, root,
+      nowMillis - policy.retentionMillis, policy.minKeepVersions)
+    val orphans = vacuumOrphanFiles(spark, root,
+      nowMillis - policy.orphanGraceMillis)
+    MaintenanceReport(nDel, nSmall, compacted, vac, orphans)
   }
 
   case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.GraftDatasetBridge
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, In, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -45,14 +45,55 @@ import graft.sources.GraftTable
 case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case m: MergeIntoTable if m.resolved && graftTarget(m).isDefined =>
+      case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
         GraftMergeCommand(m)
+      case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+        GraftUpdateCommand(u)
+      // DELETE: leave the MOR-servable shapes (no WHERE / key = / key IN)
+      // to the DSv2 SupportsDelete path — O(keys) sidecar commit, zero
+      // data I/O; everything richer rewrites COW here
+      case d: DeleteFromTable if d.resolved &&
+          graftTarget(d.table).isDefined && !morServable(d.condition) =>
+        GraftDeleteCommand(d)
     }
 
-  private def graftTarget(m: MergeIntoTable): Option[DataSourceV2Relation] =
-    m.targetTable.collectFirst {
+  private def graftTarget(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
     }
+
+  // foldable, not Literal — and cast-tolerant on BOTH sides: this rule
+  // runs at ANALYSIS (post-hoc resolution), before ConstantFolding /
+  // UnwrapCastInBinaryComparison, so type coercion leaves
+  // `key IN (2, 5)` as `cast(key) IN (cast(2), cast(5))`; the optimizer
+  // strips those before the DSv2 filter translation the MOR path sees
+  private def integralType(dt: org.apache.spark.sql.types.DataType) =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+
+  private def integralLit(e: Expression): Boolean =
+    e.foldable && integralType(e.dataType)
+
+  private def keyAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference => integralType(a.dataType)
+    case c: Cast if integralType(c.dataType) => keyAttr(c.child)
+    case _ => false
+  }
+
+  /** The exact predicate shapes [[GraftTable.deleteWhere]] serves as an
+    * O(keys) MOR sidecar — the fast path this rule must NOT steal.
+    */
+  private def morServable(cond: Expression): Boolean = cond match {
+    case Literal(true, _) => true
+    case EqualTo(a, v) if keyAttr(a) => integralLit(v)
+    case EqualTo(v, a) if keyAttr(a) => integralLit(v)
+    case EqualNullSafe(a, v) if keyAttr(a) => integralLit(v)
+    case EqualNullSafe(v, a) if keyAttr(a) => integralLit(v)
+    case In(a, vs) if keyAttr(a) && vs.nonEmpty => vs.forall(integralLit)
+    case _ => false
+  }
 }
 
 case class GraftMergeCommand(merge: MergeIntoTable)
@@ -175,6 +216,150 @@ case class GraftMergeCommand(merge: MergeIntoTable)
 
     Layout.snapshotMergeKeys(spark, gt.tableRoot, tKey.name,
       changeKeys, rewrite)
+    Nil
+  }
+}
+
+/** Shared plumbing for single-table row-level rewrites (UPDATE / COW
+  * DELETE): resolve the graft target, derive the pruning key from the
+  * table's declared `statsKey`, translate resolved condition/assignment
+  * expressions to Columns over a re-read of the same table (attribute →
+  * plain name; single table, no ambiguity), and route the rewrite
+  * through the manifest-stats-pruned COW engine
+  * [[Layout.snapshotMergeKeys]] — touched files resolve from the keys
+  * of rows the predicate ACTUALLY matches (a file containing a matching
+  * row necessarily has that row's key in its stats range), untouched
+  * files are carried by reference, so SQL UPDATE/DELETE cost
+  * O(matched-scan + touched-rewrite), never a whole-table rewrite.
+  */
+private[plans] trait GraftRowLevelCommand { self: LeafRunnableCommand =>
+
+  protected def opName: String
+
+  protected def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft $opName: $what. For richer shapes use " +
+        "Layout.snapshotMergeKeys directly.")
+
+  protected def relationOf(plan: LogicalPlan): (DataSourceV2Relation, GraftTable) = {
+    val rel = plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+    }.getOrElse(unsupported("target is not a graft table"))
+    val gt = rel.table.asInstanceOf[GraftTable]
+    require(gt.writable,
+      s"$opName targets ${gt.name()} pinned by time travel — read-only")
+    (rel, gt)
+  }
+
+  /** The pruning key: first column of the table's `statsKey` property —
+    * declared once at CREATE, the same column every manifest commit
+    * records ranges for.
+    */
+  protected def pruneKeyOf(rel: DataSourceV2Relation, gt: GraftTable): String = {
+    val sk = Option(gt.properties().get("statsKey"))
+      .map(_.split(",").head.trim).filter(_.nonEmpty)
+      .getOrElse(unsupported(s"table ${gt.name()} declares no 'statsKey' " +
+        "TBLPROPERTY — the COW rewrite needs a stats column to prune " +
+        "touched files by"))
+    val att = rel.output.find(_.name == sk)
+      .getOrElse(unsupported(s"statsKey column `$sk` missing from the " +
+        "table schema"))
+    att.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case dt => unsupported(s"statsKey column `$sk` has type $dt " +
+        "(manifest key pruning is integral)")
+    }
+    sk
+  }
+
+  /** Resolved expression → Column over a frame with the table's plain
+    * column names. Subqueries can't ride the Dataset rewrite — refuse
+    * loudly rather than silently drop them.
+    */
+  protected def colOf(e: Expression): org.apache.spark.sql.Column = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported(s"condition `${e.sql}` contains a subquery")
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+  }
+
+  /** Keys of the rows the predicate matches, as the merge engine's
+    * changelog frame — read through the head snapshot (null predicate
+    * rows don't match, SQL semantics).
+    */
+  protected def matchedKeys(spark: SparkSession, gt: GraftTable,
+      keyCol: String, cond: Option[Expression]): DataFrame = {
+    val base = Layout.readSnapshot(spark, gt.tableRoot)
+    val c = cond.map(e => coalesce(colOf(e), lit(false))).getOrElse(lit(true))
+    base.filter(c).select(col(keyCol).cast("long").as("__graft_k"))
+  }
+}
+
+/** `UPDATE graft.t SET c = expr, … [WHERE cond]` → the COW merge
+  * engine: touched files (those whose stats range covers a matched
+  * row's key) rewrite with the assignments applied to rows the
+  * condition matches, every other row — in touched files and out —
+  * byte-for-byte preserved or carried by reference. Cost
+  * O(matched-scan + touched bytes), the Delta UPDATE shape.
+  */
+case class GraftUpdateCommand(update: UpdateTable)
+    extends LeafRunnableCommand with GraftRowLevelCommand {
+
+  override protected def opName: String = "UPDATE"
+  override def innerChildren: Seq[LogicalPlan] = Seq(update)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, gt) = relationOf(update.table)
+    val keyCol = pruneKeyOf(rel, gt)
+    val assigns: Map[String, Assignment] = update.assignments.map { a =>
+      a.key match {
+        case att: Attribute => att.name -> a
+        case other => unsupported(s"assignment key `${other.sql}` is " +
+          "not a plain column")
+      }
+    }.toMap
+    val changeKeys = matchedKeys(spark, gt, keyCol, update.condition)
+    val rewrite: DataFrame => DataFrame = { touched =>
+      val c = update.condition
+        .map(e => coalesce(colOf(e), lit(false))).getOrElse(lit(true))
+      touched.select(rel.output.map { a =>
+        assigns.get(a.name) match {
+          case Some(x) =>
+            when(c, colOf(x.value).cast(a.dataType))
+              .otherwise(col(a.name)).as(a.name)
+          case None => col(a.name)
+        }
+      }: _*)
+    }
+    Layout.snapshotMergeKeys(spark, gt.tableRoot, keyCol, changeKeys, rewrite)
+    Nil
+  }
+}
+
+/** `DELETE FROM graft.t WHERE <arbitrary predicate>` → COW rewrite of
+  * only the touched files, rows failing the predicate (or evaluating it
+  * null) preserved exactly. The key-equality/IN shapes never reach here
+  * (the rule leaves them to the O(keys) MOR sidecar path); this command
+  * is the exact-any-predicate completion, correct even when a key is
+  * NOT unique — an equality sidecar would over-delete every row sharing
+  * a matched row's key, the COW rewrite re-evaluates the predicate per
+  * row.
+  */
+case class GraftDeleteCommand(delete: DeleteFromTable)
+    extends LeafRunnableCommand with GraftRowLevelCommand {
+
+  override protected def opName: String = "DELETE"
+  override def innerChildren: Seq[LogicalPlan] = Seq(delete)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, gt) = relationOf(delete.table)
+    val keyCol = pruneKeyOf(rel, gt)
+    val changeKeys = matchedKeys(spark, gt, keyCol, Some(delete.condition))
+    val rewrite: DataFrame => DataFrame = { touched =>
+      touched.filter(!coalesce(colOf(delete.condition), lit(false)))
+    }
+    Layout.snapshotMergeKeys(spark, gt.tableRoot, keyCol, changeKeys, rewrite)
     Nil
   }
 }

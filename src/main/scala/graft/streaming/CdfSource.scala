@@ -34,10 +34,13 @@ import graft.ops.Layout
   * Schema is pinned at stream start (the head manifest's recorded
   * schema); later additive evolution null-fills through the union and
   * is projected back to the pinned columns — a restart picks up the
-  * widened schema. MOR deletes are NOT emitted as retractions (this is
-  * an insert-CDF; the maintainers that need delete awareness check
-  * [[Layout.snapshotAppendLineage]] and recompute, same contract as the
-  * poll path).
+  * widened schema. The DEFAULT mode is the insert-CDF: MOR deletes are
+  * not emitted as retractions (maintainers that need delete awareness
+  * check [[Layout.snapshotAppendLineage]] and recompute, same contract
+  * as the poll path). `.option("mode", "cdc")` switches to the OP-TYPED
+  * feed: each batch carries `_change_type` ∈ {insert, delete} rows from
+  * [[Layout.snapshotChanges]] — what a downstream mirror or maintained
+  * join consumes to apply retractions exactly.
   *
   * 100 TB: `getOffset` is one manifest-directory listing;  a batch
   * plans O(delta bytes) — the stream never rescans the table.
@@ -50,25 +53,40 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-cdf needs .option(\"path\", <snapshot table root>)"))
 
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("mode", "insert") match {
+      case "insert" => false
+      case "cdc" => true
+      case m => throw new IllegalArgumentException(
+        s"graft-cdf mode '$m': use 'insert' (added rows only, the " +
+          "default) or 'cdc' (op-typed rows with _change_type)")
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(
-      CdfSource.cdfSchema(sqlContext, rootOf(parameters))))
+      CdfSource.cdfSchema(sqlContext, rootOf(parameters), cdcOf(parameters))))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val cdc = cdcOf(parameters)
     new CdfSource(sqlContext, rootOf(parameters),
-      schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters))))
+      schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters),
+        cdc)), cdc)
+  }
 }
 
 object CdfSource {
   /** The emitted column carrying each row's commit version. */
   val VersionCol = "_graft_version"
 
+  /** CDC mode's op column: `insert` | `delete` (Delta CDF's shape). */
+  val ChangeTypeCol = "_change_type"
+
   private[streaming] def cdfSchema(sqlContext: SQLContext,
-      root: String): StructType = {
+      root: String, cdc: Boolean = false): StructType = {
     val meta = Layout.snapshotMeta(sqlContext.sparkSession, root)
     val base = meta.schema.getOrElse(
       if (meta.paths.isEmpty) new StructType()
@@ -76,13 +94,21 @@ object CdfSource {
         .parquet(meta.paths: _*).schema)
     require(!base.fieldNames.contains(VersionCol),
       s"table at $root already has a $VersionCol column")
-    StructType(base.fields :+ StructField(VersionCol, IntegerType,
+    val withOp =
+      if (!cdc) base.fields
+      else {
+        require(!base.fieldNames.contains(ChangeTypeCol),
+          s"table at $root already has a $ChangeTypeCol column")
+        base.fields :+ StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false)
+      }
+    StructType(withOp :+ StructField(VersionCol, IntegerType,
       nullable = false))
   }
 }
 
 class CdfSource(sqlContext: SQLContext, root: String,
-    declaredSchema: StructType) extends Source {
+    declaredSchema: StructType, cdc: Boolean = false) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -101,10 +127,25 @@ class CdfSource(sqlContext: SQLContext, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(versionOf).getOrElse(0)
     val endV = versionOf(end)
-    val deltas = Layout.snapshotDeltasSince(spark, root, since)
-      .filter(_._1 <= endV)
-      .map { case (v, df) =>
-        df.withColumn(CdfSource.VersionCol, lit(v)) }
+    val deltas =
+      if (!cdc)
+        Layout.snapshotDeltasSince(spark, root, since)
+          .filter(_._1 <= endV)
+          .map { case (v, df) =>
+            df.withColumn(CdfSource.VersionCol, lit(v)) }
+      else {
+        // CDC: per committed version, the OP-TYPED change set — inserts
+        // AND deletes ([[Layout.snapshotChanges]]); append lineage stays
+        // metadata-priced, overwrites/MOR deletes pay the row diff
+        val vs = Layout.snapshotVersions(spark, root)
+          .filter(v => v > since && v <= endV)
+        var prev = since
+        vs.map { v =>
+          val d = Layout.snapshotChanges(spark, root, prev, v)
+          prev = v
+          d.withColumn(CdfSource.VersionCol, lit(v))
+        }
+      }
     val dataCols = declaredSchema.fields
     val unioned =
       if (deltas.isEmpty)

@@ -28,4 +28,12 @@ object GraftDatasetBridge {
   def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The inverse rebind for a V1 `Sink.addBatch` frame: wrap the
+    * micro-batch's executed plan as an ordinary batch DataFrame
+    * (ForeachBatchSink's shape) so downstream `.write` works on it.
+    */
+  def batchDataFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

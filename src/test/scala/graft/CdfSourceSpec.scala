@@ -112,4 +112,50 @@ class CdfSourceSpec extends GraftSuite {
         Layout.snapshotVersions(spark, baseRoot).last)
     } finally q.stop()
   }
+
+  test("ST35: CDC mode emits op-typed rows — MOR deletes arrive as retractions, appends stay insert-only") {
+    val dir = freshDir("cdf-cdc")
+    val root = s"$dir/t"
+    Layout.snapshotAppend(spark, root,
+      orders.filter(col("key") % 3 === 0)
+        .repartitionByRange(2, col("key")).sortWithinPartitions(col("key")),
+      statsKey = Some("key")) // v1
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("mode", "cdc").load()
+      .writeStream.format("memory").queryName("cdf_cdc")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("cdf_cdc")
+      assert(first.filter(col("_change_type") =!= "insert").count() == 0,
+        "the initial snapshot is inserts only")
+      // an append (insert-only delta) and a MOR delete (retraction)
+      Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 1)) // v2
+      val delKeys = Layout.readSnapshot(spark, root)
+        .select("key").orderBy("key").limit(5).collect().map(_.getLong(0))
+      Layout.snapshotDeleteMOR(spark, root, "key", delKeys) // v3
+      q.processAllAvailable()
+      val got = spark.table("cdf_cdc")
+      val v2ops = got.filter(col("_graft_version") === 2)
+        .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+      assert(v2ops == Set("insert"), s"append version must be insert-only, saw $v2ops")
+      val dels = got.filter(col("_graft_version") === 3 &&
+        col("_change_type") === "delete")
+      assert(dels.count() == delKeys.length,
+        "the MOR delete must retract exactly the deleted rows")
+      assert(dels.select("key").collect().map(_.getLong(0)).sorted
+        .sameElements(delKeys.sorted))
+      // APPLYING the feed reproduces the head: inserts minus deletes
+      // (localCheckpoint: both sides of the self-except need distinct
+      // attribute ids)
+      val gotC = got.localCheckpoint()
+      val applied = gotC.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_graft_version")
+        .exceptAll(gotC.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_graft_version"))
+      val head = Layout.readSnapshot(spark, root)
+      assert(applied.exceptAll(head).isEmpty && head.exceptAll(applied).isEmpty,
+        "replaying the op-typed feed must reconstruct the table head")
+    } finally q.stop()
+  }
 }

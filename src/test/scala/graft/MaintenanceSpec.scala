@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+import graft.ops.Layout.{MaintenancePolicy, MaintenanceReport}
+
+/** The standing maintenance driver ([[Layout.snapshotMaintain]]):
+  * metadata-priced debt measurement, threshold-gated compaction that
+  * fires EXACTLY ONCE per debt accrual, age-based retention, orphan
+  * sweep — and a guaranteed no-op rerun (maintenance never ping-pongs).
+  */
+class MaintenanceSpec extends GraftSuite {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def ordersBase = Tables(spark, sf, "orders")
+    .select(col("o_orderkey").as("key"),
+      col("o_totalprice").cast("double").as("price"))
+    .repartitionByRange(8, col("key")).sortWithinPartitions(col("key"))
+
+  test("MOR sidecar debt past threshold: compaction fires once, folds the debt, retention expires history, rerun is a no-op") {
+    val root = freshRoot("maint-mor")
+    Layout.snapshotAppend(spark, root, ordersBase, statsKey = Some("key"))
+    val keys = Layout.readSnapshot(spark, root)
+      .select("key").orderBy("key").limit(9)
+      .collect().map(_.getLong(0))
+    // three MOR deletes = three sidecar commits (debt past maxDeleteFiles=3)
+    keys.grouped(3).foreach(g =>
+      Layout.snapshotDeleteMOR(spark, root, "key", g))
+    val preVersions = Layout.snapshotVersions(spark, root)
+    assert(preVersions.size == 4)
+    val expect = Layout.readSnapshot(spark, root).localCheckpoint()
+    assert(expect.filter(col("key").isin(keys.map(Long.box): _*)).isEmpty)
+
+    val policy = MaintenancePolicy(maxDeleteFiles = 3,
+      maxSmallFiles = 1000000, retentionMillis = 0, minKeepVersions = 1)
+    val now = System.currentTimeMillis() + 10000
+    val r: MaintenanceReport = Layout.snapshotMaintain(spark, root, policy, now)
+
+    assert(r.deleteFilesBefore >= 3, s"saw ${r.deleteFilesBefore} sidecars")
+    assert(r.compactedVersion.contains(preVersions.last + 1))
+    // debt folded: head has zero sidecars and serves the same rows
+    val head = Layout.snapshotVersions(spark, root)
+    assert(head == Seq(r.compactedVersion.get),
+      s"retention should keep only the compacted head, saw $head")
+    val hist = Layout.snapshotHistory(spark, root)
+      .select("n_delete_files").head().getInt(0)
+    assert(hist == 0, "compaction must fold the sidecar debt")
+    val after = Layout.readSnapshot(spark, root)
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+    // retention dropped every pre-compaction version (oldest prefix)
+    assert(r.vacuum.droppedVersions == preVersions)
+
+    // CONVERGENCE: the very next cycle observes zero debt and does nothing
+    val r2 = Layout.snapshotMaintain(spark, root, policy,
+      System.currentTimeMillis() + 10000)
+    assert(r2.compactedVersion.isEmpty, "no-op rerun must not re-compact")
+    assert(r2.deleteFilesBefore == 0)
+    assert(r2.vacuum.droppedVersions.isEmpty && r2.vacuum.deletedFiles == 0)
+    val after2 = Layout.readSnapshot(spark, root)
+    assert(after2.exceptAll(expect).isEmpty && expect.exceptAll(after2).isEmpty)
+  }
+
+  test("small-file debt past threshold: bin-pack fires once; under-threshold head never re-triggers") {
+    val root = freshRoot("maint-small")
+    // 12 one-file appends = 12 tiny files at the head (enough that the
+    // zero-shuffle bin-packer's bytes-per-core split sizing packs
+    // multiple files per split even at local[4])
+    val rows = ordersBase.limit(120).localCheckpoint()
+    (0 until 12).foreach { i =>
+      Layout.snapshotAppend(spark, root,
+        rows.filter(col("key") % 12 === i).coalesce(1))
+    }
+    val preHead = Layout.snapshotVersions(spark, root).last
+    assert(preHead == 12)
+    val expect = Layout.readSnapshot(spark, root).localCheckpoint()
+
+    // every file is "small" vs a 10 MB cutoff; threshold 8 < 12 → trigger.
+    // retention huge → vacuum must NOT expire anything this cycle.
+    val policy = MaintenancePolicy(maxDeleteFiles = 1000000,
+      maxSmallFiles = 8, smallFileBytes = 10L << 20,
+      retentionMillis = 365L * 24 * 3600 * 1000, minKeepVersions = 1)
+    val r = Layout.snapshotMaintain(spark, root, policy)
+    assert(r.smallFilesBefore == 12)
+    assert(r.compactedVersion.contains(preHead + 1))
+    assert(r.vacuum.droppedVersions.isEmpty, "inside retention: no expiry")
+    val nAfter = Layout.readSnapshot(spark, root).inputFiles.length
+    assert(nAfter < 12, s"bin-pack must reduce the file count (saw $nAfter)")
+    val after = Layout.readSnapshot(spark, root)
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+
+    // the packed head is below the COUNT threshold even though its files
+    // are still under the size cutoff — no ping-pong
+    val r2 = Layout.snapshotMaintain(spark, root, policy)
+    assert(r2.compactedVersion.isEmpty,
+      s"packed head (${r2.smallFilesBefore} small files) must not re-trigger")
+  }
+
+  test("orphan sweep honors the grace clock: aged strays go, fresh attempt files survive") {
+    val root = freshRoot("maint-orphan")
+    Layout.snapshotAppend(spark, root, ordersBase.limit(20).coalesce(1))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val aged = new org.apache.hadoop.fs.Path(dataDir, "crashed-attempt.parquet")
+    val fresh = new org.apache.hadoop.fs.Path(dataDir, "inflight-attempt.parquet")
+    for (p <- Seq(aged, fresh)) { val o = fs.create(p); o.write(1); o.close() }
+    fs.setTimes(aged, 1000L, -1) // crashed long ago
+
+    val r = Layout.snapshotMaintain(spark, root,
+      MaintenancePolicy(maxDeleteFiles = 1000000, maxSmallFiles = 1000000,
+        retentionMillis = 365L * 24 * 3600 * 1000))
+    assert(r.compactedVersion.isEmpty)
+    assert(!fs.exists(aged), "aged orphan must be swept")
+    assert(fs.exists(fresh), "an in-grace attempt file must survive")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      Layout.readSnapshot(spark, root).inputFiles.head
+        .stripPrefix("file:"))), "referenced data is never an orphan")
+  }
+}

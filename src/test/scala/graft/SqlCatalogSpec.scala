@@ -181,4 +181,78 @@ class SqlCatalogSpec extends GraftSuite {
       .collect().map(_.getString(0)).contains("c2"))
     intercept[Exception] { sql("SELECT * FROM gtest.no_such") }
   }
+
+  test("UPDATE with arbitrary predicate: pruned COW rewrite, exact rows, history intact") {
+    wh
+    sql("CREATE TABLE gtest.tu (key BIGINT, price DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('statsKey'='key')")
+    Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"),
+        col("o_orderstatus").as("tag"))
+      .repartitionByRange(4, col("key")).sortWithinPartitions(col("key"))
+      .createOrReplaceTempView("tu_src")
+    sql("INSERT INTO gtest.tu SELECT key, price, tag FROM tu_src")
+    val before = Layout.readSnapshot(spark, s"$wh/tu").localCheckpoint()
+    sql("UPDATE gtest.tu SET price = price * 2, tag = concat(tag, '!') " +
+      "WHERE price > 150000")
+    val expect = before.select(col("key"),
+      when(col("price") > 150000, col("price") * 2)
+        .otherwise(col("price")).as("price"),
+      when(col("price") > 150000, concat(col("tag"), lit("!")))
+        .otherwise(col("tag")).as("tag"))
+    val after = sql("SELECT key, price, tag FROM gtest.tu")
+    assert(after.exceptAll(expect).isEmpty && expect.exceptAll(after).isEmpty)
+    // one COW commit, zero sidecars, pre-update version still travels
+    val vs = Layout.snapshotVersions(spark, s"$wh/tu")
+    assert(vs == Seq(1, 2, 3), "UPDATE must be exactly one commit")
+    assert(Layout.snapshotHistory(spark, s"$wh/tu")
+      .filter(col("version") === 3).select("n_delete_files")
+      .head().getInt(0) == 0, "UPDATE is COW — no MOR sidecar")
+    val old = sql("SELECT key, price, tag FROM gtest.tu VERSION AS OF 2")
+    assert(old.exceptAll(before).isEmpty && before.exceptAll(old).isEmpty)
+  }
+
+  test("UPDATE without a statsKey refuses loudly, naming the property") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.tun (k BIGINT, v DOUBLE)")
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("tun_src")
+    sql("INSERT INTO gtest.tun SELECT * FROM tun_src")
+    val ex = intercept[Exception] {
+      sql("UPDATE gtest.tun SET v = 0 WHERE k = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("statsKey")),
+      s"error must name the missing property, got: ${ex.getMessage}")
+  }
+
+  test("DELETE with an arbitrary predicate is a COW rewrite: exact rows, NULL-predicate rows kept, no sidecar") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.tdc (key BIGINT, price DOUBLE, tag STRING) " +
+      "TBLPROPERTIES ('statsKey'='key')")
+    Seq((1L, 10.0, "F"), (2L, 20.0, "O"), (3L, 30.0, null),
+        (4L, 40.0, "F"), (5L, 50.0, "O"))
+      .toDF("key", "price", "tag").createOrReplaceTempView("tdc_src")
+    sql("INSERT INTO gtest.tdc SELECT * FROM tdc_src")
+    // predicate no MOR sidecar can serve (non-key column, conjunction);
+    // the NULL-tag row must SURVIVE (SQL: null predicate doesn't match)
+    sql("DELETE FROM gtest.tdc WHERE tag = 'F' AND price < 35")
+    val after = sql("SELECT key FROM gtest.tdc").collect()
+      .map(_.getLong(0)).sorted
+    assert(after.sameElements(Array(2L, 3L, 4L, 5L)),
+      s"only (1, 'F', 10.0) matches; saw ${after.mkString(",")}")
+    assert(Layout.snapshotHistory(spark, s"$wh/tdc")
+      .agg(sum("n_delete_files")).head().getLong(0) == 0,
+      "predicate DELETE is COW — never a sidecar")
+    // the key-IN shape still rides the O(keys) MOR fast path
+    sql("DELETE FROM gtest.tdc WHERE key IN (2, 5)")
+    assert(Layout.snapshotHistory(spark, s"$wh/tdc")
+      .agg(sum("n_delete_files")).head().getLong(0) == 1,
+      "key-IN DELETE must stay on the MOR sidecar path")
+    assert(sql("SELECT key FROM gtest.tdc").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+  }
 }
