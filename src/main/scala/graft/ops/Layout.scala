@@ -1829,6 +1829,82 @@ object Layout {
     v
   }
 
+  /** [[snapshotAppendIdempotent]] WITHOUT the version = epoch+1 pin —
+    * the streaming-sink commit that TOLERATES interleaved non-stream
+    * commits (a [[snapshotMaintain]] compaction between triggers,
+    * another writer's append): replay detection keys on the
+    * (writer, epoch) HEADERS, resolved by scanning back from the head
+    * for this writer's most recent commit, and a fresh epoch commits at
+    * head+1 whatever the head is.
+    *
+    * Exactly-once argument, restated for the relaxed contract: engine
+    * epochs per checkpoint are strictly increasing, so "this writer's
+    * latest committed epoch ≥ e" ⇔ "epoch e already landed" — a replay
+    * returns that version and writes nothing. The scan is O(commits
+    * since this writer's last one) manifest header reads — O(1)
+    * amortized for a live stream, never O(table).
+    *
+    * The wiped-checkpoint guard keeps its teeth in the new shape: a
+    * fresh checkpoint mints a fresh writer id ([[streamWriterToken]]),
+    * and a writer with NO commit history targeting a NON-EMPTY table
+    * refuses loudly unless `appendToExisting` — otherwise an rm-rf'd
+    * checkpoint would silently re-ingest its whole feed as duplicates.
+    * Set `appendToExisting = true` for the legitimate version of the
+    * same situation: deliberately pointing a NEW stream at an existing
+    * table.
+    */
+  def snapshotAppendEpoch(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, epoch: Long, writerId: String,
+      appendToExisting: Boolean = false): Int = {
+    val vs = snapshotVersions(spark, root)
+    val mine = vs.reverse.iterator
+      .map(v => v -> manifestHeader(spark, root, v))
+      .find(_._2.get("writer").contains(writerId))
+    mine match {
+      case Some((v, hdr)) =>
+        val lastEpoch = hdr.get("epoch").map(_.toLong).getOrElse(-1L)
+        if (lastEpoch == epoch) return v // replay of the last batch
+        if (lastEpoch > epoch)
+          // deeper replays only happen when the engine re-runs an epoch
+          // it already moved past — resolve the exact committed version
+          return vs.reverse.iterator
+            .map(w => w -> manifestHeader(spark, root, w))
+            .collectFirst { case (w, h)
+                if h.get("writer").contains(writerId) &&
+                  h.get("epoch").map(_.toLong).contains(epoch) => w }
+            .getOrElse(throw new IllegalStateException(
+              s"writer '$writerId' is past epoch $epoch but no manifest " +
+                "records it — was that version vacuumed? cannot prove " +
+                "the replay idempotent"))
+      case None =>
+        if (vs.nonEmpty && !appendToExisting)
+          throw new IllegalStateException(
+            s"writer '$writerId' has no commits at $root but the table " +
+              s"has ${vs.size} versions — a wiped checkpoint would " +
+              "re-ingest its feed as duplicates. Pass appendToExisting " +
+              "= true (sink option) if this NEW stream is deliberately " +
+              "targeting the existing table.")
+    }
+    val v = vs.lastOption.getOrElse(0) + 1
+    val dataDir = s"$root/data/w=${sanitize(writerId)}-e=$epoch"
+    df.write.mode("overwrite").parquet(dataDir)
+    val carried = carriedStateOf(spark, root, vs.lastOption)
+    val schema =
+      if (vs.isEmpty) mergeSchemas(None, df.schema)
+      else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
+    commitManifest(spark, root, v, carried.segs,
+      carried.inline ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), carried.props),
+      carried.props ++ schemaHeaderOf(schema) ++
+        Map("writer" -> writerId, "epoch" -> epoch.toString),
+      deletes = carried.deletes,
+      claimOwner = Some(writerId))
+    v
+  }
+
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_.-]", "_")
+
   /** The streaming driver for [[snapshotAppendIdempotent]]: a file-source
     * stream lands as a manifest-versioned table, one version per
     * micro-batch.

@@ -99,8 +99,32 @@ class GraftCatalog extends TableCatalog {
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
-  override def loadTable(ident: Identifier): Table =
-    GraftTable(existingRoot(ident), ident.toString, -1)
+  override def loadTable(ident: Identifier): Table = {
+    val r = rootOf(ident)
+    if (Layout.snapshotVersions(spark, r).nonEmpty)
+      GraftTable(r, ident.toString, -1)
+    else metaTableOf(ident).getOrElse {
+      existingRoot(ident) // throws the canonical NoSuchTableException
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Iceberg-style METADATA TABLES: `SELECT … FROM graft.t.history` /
+    * `graft.t.files` serve the per-version commit log and the head's
+    * per-file stats inventory ([[Layout.snapshotHistory]] /
+    * [[Layout.snapshotFilesTable]]) as plain read-only SQL tables —
+    * resolved from manifests alone, zero data I/O. A REAL table at the
+    * same identifier shadows the metadata name (checked first above).
+    */
+  private def metaTableOf(ident: Identifier): Option[Table] =
+    if (ident.namespace.isEmpty ||
+        !GraftMetaTable.Kinds.contains(ident.name)) None
+    else {
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val parentRoot = rootOf(parent)
+      if (Layout.snapshotVersions(spark, parentRoot).isEmpty) None
+      else Some(GraftMetaTable(parentRoot, ident.name, ident.toString))
+    }
 
   /** `VERSION AS OF n` — the snapshot version number, exactly the
     * integer [[Layout.snapshotAppend]] returned / `snapshotHistory`
@@ -307,4 +331,47 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
           "Layout.snapshotMergeKeys")
     }
   }
+}
+
+/** A read-only metadata table over a snapshot table's manifests —
+  * `graft.t.history` (per-version commit log) / `graft.t.files` (the
+  * head's per-file stats inventory). Manifest-priced: planning and
+  * execution never touch a data byte; the V1 scan materializes the
+  * metadata DataFrame the Scala API already serves.
+  */
+case class GraftMetaTable(root: String, kind: String, identName: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def df: DataFrame = kind match {
+    case "history" => Layout.snapshotHistory(spark, root)
+    case "files" => Layout.snapshotFilesTable(spark, root)
+  }
+
+  override def name(): String = identName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val tbl = this
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tbl.schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = tbl.schema()
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              tbl.df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+  }
+}
+
+object GraftMetaTable {
+  val Kinds: Set[String] = Set("history", "files")
 }

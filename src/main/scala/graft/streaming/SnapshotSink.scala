@@ -18,16 +18,17 @@ import graft.ops.Layout
   * }}}
   *
   * EXACTLY-ONCE is the ST29 contract, now engine-wired: every batch
-  * commits via [[Layout.snapshotAppendIdempotent]] — version = epoch+1,
-  * the commit claim owned by a WRITER TOKEN minted inside the
-  * checkpoint directory ([[Layout]]'s `writerToken` reasoning: a
-  * genuine restart reads the same token and replays no-op; a WIPED
-  * checkpoint loses the token with the epochs, so a colliding fresh
-  * stream fails loudly instead of silently dropping batches). The sink
-  * therefore OWNS its table — version numbers are the stream's epoch
-  * arithmetic, which is exactly what makes replay detection exact; a
-  * table shared with other writers belongs to `foreachBatch` +
-  * `snapshotAppend` instead.
+  * commits via [[Layout.snapshotAppendEpoch]] — replay detection keys
+  * on (writer, epoch) HEADERS (the writer token is minted inside the
+  * checkpoint directory: a genuine restart reads the same token and
+  * replays no-op; a WIPED checkpoint loses the token with the epochs
+  * and the fresh writer refuses a non-empty table loudly instead of
+  * re-ingesting duplicates — `.option("appendToExisting", "true")` is
+  * the deliberate form of that situation). Because the detection is
+  * header-keyed rather than version-arithmetic, NON-STREAM commits may
+  * interleave freely: a [[Layout.snapshotMaintain]] compaction between
+  * triggers, another sink on the same table, a manual append — the
+  * stream just commits its next epoch at the new head.
   *
   * Composed with the CDF source this closes the loop: `readStream
   * .format("graft-cdf")` → transforms → `format("graft-snapshot")` is a
@@ -59,12 +60,14 @@ class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
         "graft-snapshot needs .option(\"checkpointLocation\", …) — the " +
           "writer token that makes replays exact lives there"))
     new SnapshotSink(sqlContext, root, ckpt,
-      parameters.get("statsKey"))
+      parameters.get("statsKey"),
+      parameters.get("appendToExisting").exists(_.toBoolean))
   }
 }
 
 class SnapshotSink(sqlContext: SQLContext, root: String, ckptDir: String,
-    statsKey: Option[String]) extends Sink {
+    statsKey: Option[String], appendToExisting: Boolean = false)
+    extends Sink {
 
   private def spark = sqlContext.sparkSession
 
@@ -79,8 +82,11 @@ class SnapshotSink(sqlContext: SQLContext, root: String, ckptDir: String,
     // commit path's ordinary .write works on it
     val batch = org.apache.spark.sql.GraftDatasetBridge
       .batchDataFrame(spark, data)
-    val v = Layout.snapshotAppendIdempotent(spark, root, batch, batchId,
-      writerId = writerId)
+    // epoch-header replay detection (not the version=epoch+1 pin), so
+    // maintenance compactions and other writers may interleave with the
+    // stream — see [[Layout.snapshotAppendEpoch]]
+    val v = Layout.snapshotAppendEpoch(spark, root, batch, batchId,
+      writerId = writerId, appendToExisting = appendToExisting)
     // first commit may declare the stats column (carried thereafter)
     statsKey.foreach { sk =>
       val hdr = Layout.snapshotMeta(spark, root, v).header

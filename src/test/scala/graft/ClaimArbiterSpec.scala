@@ -114,4 +114,36 @@ class ClaimArbiterSpec extends GraftSuite {
       TestLockTableArbiter.unplant(root, 3)
     }
   }
+
+  test("eight concurrent appends through the lock-table arbiter: linear history, no lost commits") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("arb-conc")
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("key", "tag"))
+      val writers = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (1 to writers).map { w =>
+        scala.concurrent.Future {
+          Layout.withCommitRetry(attempts = writers + 2) {
+            Layout.snapshotAppend(spark, root,
+              Seq((w.toLong, s"writer$w")).toDF("key", "tag"))
+          }
+        }
+      }
+      import scala.concurrent.duration._
+      val committed = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures), 120.seconds)
+      pool.shutdown()
+      assert(Layout.snapshotVersions(spark, root) == (1 to writers + 1),
+        "history must be a linear sequence of winners")
+      assert(committed.toSet.size == writers)
+      val rows = Layout.readSnapshot(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == ((0L, "base") +:
+        (1 to writers).map(w => (w.toLong, s"writer$w"))).sorted,
+        "no commit lost, none duplicated — the lock-table CAS arbitrated")
+    }
+  }
 }

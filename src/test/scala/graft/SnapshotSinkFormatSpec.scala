@@ -98,4 +98,71 @@ class SnapshotSinkFormatSpec extends GraftSuite {
     assert(msgs(badMode).exists(m =>
       m.contains("Append") || m.contains("not supported")))
   }
+
+  test("maintenance compactions interleave with a live stream: epochs stay exactly-once across the version shift") {
+    val dir = tmp("native-maint")
+    val srcRoot = s"$dir/src"
+    val dstRoot = s"$dir/dst"
+    val ckpt = s"$dir/ckpt"
+    def runPipe(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", srcRoot).load()
+        .select(col("key"), col("price"))
+        .writeStream.format("graft-snapshot")
+        .option("path", dstRoot).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Layout.snapshotAppend(spark, srcRoot, ordersSlice(0, 20))
+    runPipe()
+    // a compaction commits BETWEEN stream runs — the head version is no
+    // longer epoch+1, which the old version-arithmetic contract refused
+    val compacted = Layout.snapshotCompact(spark, dstRoot, 128L << 20)
+    Layout.snapshotAppend(spark, srcRoot, ordersSlice(20, 40))
+    runPipe()
+    val expected = Layout.readSnapshot(spark, srcRoot)
+      .select(col("key"), col("price"))
+    val got = Layout.readSnapshot(spark, dstRoot)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "the stream must continue exactly-once past the interleaved commit")
+    assert(Layout.snapshotVersions(spark, dstRoot).contains(compacted))
+    // a pure replay still commits nothing
+    val vs = Layout.snapshotVersions(spark, dstRoot)
+    runPipe()
+    assert(Layout.snapshotVersions(spark, dstRoot) == vs)
+    // WIPED-CHECKPOINT GUARD survives the relaxed contract: a fresh
+    // checkpoint (new writer id) against the existing table refuses
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", srcRoot).load()
+        .select(col("key"), col("price"))
+        .writeStream.format("graft-snapshot")
+        .option("path", dstRoot)
+        .option("checkpointLocation", s"$dir/ckpt-wiped")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("appendToExisting")),
+      s"fresh writer on a non-empty table must refuse, got: ${msgs(ex)}")
+    // ... and the deliberate opt-in lands the full feed as a second copy
+    Layout.snapshotAppend(spark, srcRoot, ordersSlice(40, 45))
+    val q2 = spark.readStream.format("graft-cdf")
+      .option("path", srcRoot).load()
+      .select(col("key"), col("price"))
+      .writeStream.format("graft-snapshot")
+      .option("path", dstRoot)
+      .option("checkpointLocation", s"$dir/ckpt-optin")
+      .option("appendToExisting", "true")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val expect2 = Layout.readSnapshot(spark, srcRoot)
+      .select(col("key"), col("price"))
+    val got2 = Layout.readSnapshot(spark, dstRoot)
+    // first stream's copy (through slice 40) + opt-in stream's full copy
+    assert(got2.count() ==
+      expected.count() + expect2.count(),
+      "the opt-in stream appends its whole feed alongside the original")
+  }
 }

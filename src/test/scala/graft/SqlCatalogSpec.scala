@@ -255,4 +255,34 @@ class SqlCatalogSpec extends GraftSuite {
     assert(sql("SELECT key FROM gtest.tdc").collect()
       .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
   }
+
+  test("metadata tables: graft.t.history / graft.t.files answer from manifests; real tables shadow the names") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.mt (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("mt_src")
+    sql("INSERT INTO gtest.mt SELECT * FROM mt_src")      // v2
+    sql("INSERT INTO gtest.mt SELECT k + 2, v FROM mt_src") // v3
+    val hist = sql("SELECT version, n_files, n_delete_files FROM gtest.mt.history")
+    assert(hist.count() == 3, "one history row per committed version")
+    assert(hist.select("version").collect().map(_.getInt(0)).sorted
+      .sameElements(Array(1, 2, 3)))
+    val files = sql("SELECT path, rows FROM gtest.mt.files")
+    val nInput = Layout.readSnapshot(spark, s"$wh/mt").inputFiles.length
+    assert(files.count() == nInput,
+      "one files row per head data file")
+    assert(sql("SELECT sum(rows) FROM gtest.mt.files").head().getLong(0) == 4,
+      "commit-time row stats must sum to the table count")
+    // a REAL table at the metadata name shadows it
+    sql("CREATE TABLE gtest.mt.history (note STRING)")
+    Seq("real").toDF("note").createOrReplaceTempView("mth_src")
+    sql("INSERT INTO gtest.mt.history SELECT * FROM mth_src")
+    val shadowed = sql("SELECT * FROM gtest.mt.history")
+    assert(shadowed.columns.toSeq == Seq("note"),
+      "a real table must win over the metadata name")
+    // an unknown suffix on a real table is still a missing table
+    intercept[Exception] { sql("SELECT * FROM gtest.mt.nope") }
+  }
 }
