@@ -1855,7 +1855,8 @@ object Layout {
     */
   def snapshotAppendEpoch(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, epoch: Long, writerId: String,
-      appendToExisting: Boolean = false): Int = {
+      appendToExisting: Boolean = false,
+      statsKey: Option[String] = None): Int = {
     val vs = snapshotVersions(spark, root)
     val mine = vs.reverse.iterator
       .map(v => v -> manifestHeader(spark, root, v))
@@ -1889,13 +1890,21 @@ object Layout {
     val dataDir = s"$root/data/w=${sanitize(writerId)}-e=$epoch"
     df.write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, vs.lastOption)
+    // the FIRST commit may declare the stats column (carried thereafter,
+    // exactly like snapshotAppend's statsKey); an existing declaration
+    // must not be contradicted
+    for (sk <- statsKey; prev <- carried.props.get("statsKey"))
+      require(prev == sk,
+        s"table at $root already declares statsKey=$prev (asked: $sk)")
+    val props = carried.props ++
+      (if (vs.isEmpty) statsKey.map("statsKey" -> _) else None)
     val schema =
       if (vs.isEmpty) mergeSchemas(None, df.schema)
       else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
     commitManifest(spark, root, v, carried.segs,
       carried.inline ++
-        entriesForNewFiles(spark, listDataFiles(spark, dataDir), carried.props),
-      carried.props ++ schemaHeaderOf(schema) ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      props ++ schemaHeaderOf(schema) ++
         Map("writer" -> writerId, "epoch" -> epoch.toString),
       deletes = carried.deletes,
       claimOwner = Some(writerId))
@@ -2012,11 +2021,66 @@ object Layout {
       .withColumn("_change_type", lit("insert"))
     val appendOnly = snapshotAppendLineage(spark, root, fromVersion, toVersion)
     if (appendOnly || fromVersion == 0) ins
-    else ins.unionByName(
-      readSnapshot(spark, root, fromVersion)
-        .exceptAll(readSnapshot(spark, root, toVersion))
-        .withColumn("_change_type", lit("delete")),
-      allowMissingColumns = true)
+    else morOnlyDeletes(spark, root, fromVersion, toVersion) match {
+      case Some(dels) =>
+        // MOR-ONLY lineage: zero inserts, and the retracted rows
+        // resolve from the NEW sidecar entries alone — O(scoped files)
+        dels.withColumn("_change_type", lit("delete"))
+      case None =>
+        ins.unionByName(
+          readSnapshot(spark, root, fromVersion)
+            .exceptAll(readSnapshot(spark, root, toVersion))
+            .withColumn("_change_type", lit("delete")),
+          allowMissingColumns = true)
+    }
+  }
+
+  /** The CDC FAST PATH for a merge-on-read delete transition: when
+    * `from → to` changed NO data file and only GREW the sidecar set,
+    * the exact retracted multiset is derivable from the new sidecar
+    * entries alone — read ONLY the files the new entries scope, keep
+    * rows matching a new (file, key) pair, drop rows an OLD entry had
+    * already deleted (they were not in `from`'s logical content). Cost
+    * O(scoped files), not the two full scans of the row-level diff —
+    * at 100 TB this is what makes a deletion's downstream propagation
+    * (CDC consumers, maintained views) minutes instead of a rescan.
+    * None when the lineage is not MOR-only (caller falls back).
+    */
+  private def morOnlyDeletes(spark: org.apache.spark.sql.SparkSession,
+      root: String, fromVersion: Int, toVersion: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val fromFiles = manifestFiles(spark, root, fromVersion).toSet
+    val toFilesSeq = manifestFiles(spark, root, toVersion)
+    val fromDel = manifestDeleteFiles(spark, root, fromVersion).toSet
+    val toDel = manifestDeleteFiles(spark, root, toVersion).toSet
+    if (fromFiles != toFilesSeq.toSet || !fromDel.subsetOf(toDel) ||
+        fromDel == toDel) return None
+    val keyCol = manifestHeader(spark, root, toVersion).getOrElse("deleteKey",
+      return None)
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val newSide = spark.read.parquet((toDel -- fromDel).toSeq: _*)
+      .select(col("file").as("__graft_nf"), col("key").as("__graft_nk"))
+    val scopedNames = newSide.select("__graft_nf").distinct()
+      .collect().map(_.getString(0)).toSet
+    val scoped = toFilesSeq.filter(f => scopedNames.contains(baseName(f)))
+    if (scoped.isEmpty)
+      return Some(readSnapshot(spark, root, toVersion).where(lit(false)))
+    val rows = spark.read.option("mergeSchema", "true").parquet(scoped: _*)
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+    val newlyDead = rows.join(broadcast(newSide),
+        rows("__graft_file") === col("__graft_nf") &&
+          rows(keyCol) === col("__graft_nk"), "left_semi")
+    val out =
+      if (fromDel.isEmpty) newlyDead
+      else {
+        val oldSide = spark.read.parquet(fromDel.toSeq: _*)
+          .select(col("file").as("__graft_of"), col("key").as("__graft_ok"))
+        newlyDead.join(broadcast(oldSide),
+          newlyDead("__graft_file") === col("__graft_of") &&
+            newlyDead(keyCol) === col("__graft_ok"), "left_anti")
+      }
+    Some(out.drop("__graft_file"))
   }
 
   /** OPTIMIZE on the versioned table — [[compact]] composed with
@@ -2196,6 +2260,63 @@ object Layout {
               coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
             (coalesce(col("old_n"), lit(0L)) +
               coalesce(col("n"), lit(0L))).as("n"))
+      }
+    snapshotOverwrite(spark, viewRoot,
+      newState.withColumn("base_version", lit(head)))
+    head
+  }
+
+  /** [[maintainSumView]] WITH RETRACTIONS — the op-typed change feed
+    * ([[snapshotChanges]]) upgrades the non-append path: where the
+    * plain maintainer answers an MOR delete with a FULL head rescan,
+    * sum/count are SIGNED-mergeable, so this maintainer absorbs deletes
+    * as NEGATIVE partials — and the MOR fast path inside
+    * [[snapshotChanges]] prices the delete delta at O(scoped files).
+    * A deletion request against a 100 TB corpus thus propagates to the
+    * standing rollup in O(scoped + groups), the property privacy-purge
+    * SLAs actually need. (min/max-style aggs are NOT subtractable —
+    * they keep the full-recompute maintainer; this being a separate
+    * entry point makes that distinction explicit rather than silent.)
+    * Groups whose count reaches zero DROP from the view, exactly as a
+    * full recompute would produce. True overwrite lineage (compaction,
+    * INSERT OVERWRITE) still falls back to the row-level diff inside
+    * [[snapshotChanges]] — correct for every history. Same crash-atomic
+    * contract as [[maintainSumView]]: one overwrite commit stamped with
+    * the base version it reflects.
+    */
+  def maintainSumViewCdc(spark: org.apache.spark.sql.SparkSession,
+      baseRoot: String, viewRoot: String,
+      groupCol: String, valCol: String): Int = {
+    import org.apache.spark.sql.functions._
+    val baseVs = snapshotVersions(spark, baseRoot)
+    require(baseVs.nonEmpty, s"no base snapshots at $baseRoot")
+    val head = baseVs.last
+    val processed = viewProcessedVersion(spark, viewRoot)
+    if (processed == head) return head
+    val newState =
+      if (processed == 0) {
+        readSnapshot(spark, baseRoot, head)
+          .groupBy(col(groupCol))
+          .agg(sum(col(valCol).cast("double")).as("sum_v"),
+            count(lit(1)).as("n"))
+      } else {
+        val ch = snapshotChanges(spark, baseRoot, processed, head)
+        val sign = when(col("_change_type") === "insert", lit(1))
+          .otherwise(lit(-1))
+        val deltaAgg = ch
+          .groupBy(col(groupCol))
+          .agg(sum(col(valCol).cast("double") * sign).as("d_sum"),
+            sum(sign.cast("long")).as("d_n"))
+        val old = readSnapshot(spark, viewRoot)
+          .select(col(groupCol), col("sum_v").as("old_sum"),
+            col("n").as("old_n"))
+        old.join(deltaAgg, Seq(groupCol), "full_outer")
+          .select(col(groupCol),
+            (coalesce(col("old_sum"), lit(0.0)) +
+              coalesce(col("d_sum"), lit(0.0))).as("sum_v"),
+            (coalesce(col("old_n"), lit(0L)) +
+              coalesce(col("d_n"), lit(0L))).as("n"))
+          .filter(col("n") > 0)
       }
     snapshotOverwrite(spark, viewRoot,
       newState.withColumn("base_version", lit(head)))

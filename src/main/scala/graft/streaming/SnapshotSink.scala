@@ -59,14 +59,36 @@ class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-snapshot needs .option(\"checkpointLocation\", …) — the " +
           "writer token that makes replays exact lives there"))
+    // AUTO-MAINTENANCE (Delta's auto-optimize slot): every
+    // `maintainEvery` batches the sink runs [[Layout.snapshotMaintain]]
+    // on its own table — possible precisely because the epoch-header
+    // commit tolerates the interleaved compaction version
+    val maintainEvery = parameters.get("maintainEvery").map(_.toInt)
+    maintainEvery.foreach(n => require(n > 0, "maintainEvery must be > 0"))
+    val policy = Layout.MaintenancePolicy(
+      targetFileBytes = parameters.get("maintainTargetBytes")
+        .map(_.toLong).getOrElse(128L << 20),
+      maxDeleteFiles = parameters.get("maintainMaxDeleteFiles")
+        .map(_.toInt).getOrElse(4),
+      maxSmallFiles = parameters.get("maintainMaxSmallFiles")
+        .map(_.toInt).getOrElse(16),
+      smallFileBytes = parameters.get("maintainSmallFileBytes")
+        .map(_.toLong).getOrElse(-1L),
+      retentionMillis = parameters.get("maintainRetentionMillis")
+        .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000),
+      minKeepVersions = parameters.get("maintainMinKeepVersions")
+        .map(_.toInt).getOrElse(2))
     new SnapshotSink(sqlContext, root, ckpt,
       parameters.get("statsKey"),
-      parameters.get("appendToExisting").exists(_.toBoolean))
+      parameters.get("appendToExisting").exists(_.toBoolean),
+      maintainEvery, policy)
   }
 }
 
 class SnapshotSink(sqlContext: SQLContext, root: String, ckptDir: String,
-    statsKey: Option[String], appendToExisting: Boolean = false)
+    statsKey: Option[String], appendToExisting: Boolean = false,
+    maintainEvery: Option[Int] = None,
+    policy: Layout.MaintenancePolicy = Layout.MaintenancePolicy())
     extends Sink {
 
   private def spark = sqlContext.sparkSession
@@ -85,13 +107,13 @@ class SnapshotSink(sqlContext: SQLContext, root: String, ckptDir: String,
     // epoch-header replay detection (not the version=epoch+1 pin), so
     // maintenance compactions and other writers may interleave with the
     // stream — see [[Layout.snapshotAppendEpoch]]
-    val v = Layout.snapshotAppendEpoch(spark, root, batch, batchId,
-      writerId = writerId, appendToExisting = appendToExisting)
-    // first commit may declare the stats column (carried thereafter)
-    statsKey.foreach { sk =>
-      val hdr = Layout.snapshotMeta(spark, root, v).header
-      require(hdr.get("statsKey").forall(_ == sk),
-        s"table at $root already declares statsKey=${hdr("statsKey")}")
+    Layout.snapshotAppendEpoch(spark, root, batch, batchId,
+      writerId = writerId, appendToExisting = appendToExisting,
+      statsKey = statsKey)
+    // cadence-gated auto-maintenance: a replayed batch re-running it is
+    // harmless — maintenance converges (below-threshold heads no-op)
+    maintainEvery.foreach { n =>
+      if (batchId % n == n - 1) Layout.snapshotMaintain(spark, root, policy)
     }
   }
 
