@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Layout
+
+/** The PATH-BASED batch surface for the versioned table —
+  * `format("graft")`, the Delta-format slot for code that works with
+  * paths instead of a catalog:
+  *
+  * {{{
+  * spark.read.format("graft").option("path", root).load()          // head
+  *   .option("versionAsOf", "3")                                   // pin
+  *   .option("timestampAsOf", "1723680000000")                     // as-of
+  *   .option("changesFrom", "2")[.option("changesTo", "5")]        // CDC
+  * df.write.format("graft").mode("append"|"overwrite")
+  *   .option("path", root)[.option("statsKey", "k")].save()
+  * }}}
+  *
+  * Reads resolve through the SAME engines as the catalog
+  * ([[Layout.readSnapshot]] / [[Layout.readSnapshotAsOf]] /
+  * [[Layout.snapshotChanges]] — sidecar-aware, never wrong); writes are
+  * manifest commits ([[Layout.snapshotAppend]] /
+  * [[Layout.snapshotOverwrite]]), never bare file drops. `changesFrom`
+  * serves the op-typed feed (`_change_type` insert/delete), the batch
+  * twin of the `graft-cdf` stream's cdc mode — `table_changes(...)`
+  * without needing a TVF.
+  */
+class GraftRelationProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs .option(\"path\", <snapshot table root>) " +
+        "or load(<root>)"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"format(\"graft\") at $root: $msg")
+    val version = parameters.get("versionAsOf").map(_.toInt)
+    val tsOf = parameters.get("timestampAsOf").map(_.toLong)
+    val chFrom = parameters.get("changesFrom").map(_.toInt)
+    val chTo = parameters.get("changesTo").map(_.toInt)
+    if (Seq(version, tsOf, chFrom).flatten.size > 1)
+      bad("versionAsOf, timestampAsOf and changesFrom are exclusive")
+    if (chTo.isDefined && chFrom.isEmpty)
+      bad("changesTo needs changesFrom")
+    val df: DataFrame = (version, tsOf, chFrom) match {
+      case (Some(v), _, _) => Layout.readSnapshot(spark, root, v)
+      case (_, Some(ts), _) => Layout.readSnapshotAsOf(spark, root, ts)
+      case (_, _, Some(from)) =>
+        val to = chTo.getOrElse(Layout.snapshotVersions(spark, root).last)
+        Layout.snapshotChanges(spark, root, from, to)
+      case _ => Layout.readSnapshot(spark, root)
+    }
+    val ctx = sqlContext
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val statsKey = parameters.get("statsKey")
+    mode match {
+      case SaveMode.Append =>
+        Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+      case SaveMode.Overwrite =>
+        Layout.snapshotOverwrite(spark, root, data)
+      case SaveMode.ErrorIfExists =>
+        if (Layout.snapshotVersions(spark, root).nonEmpty)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(Seq(root))
+        Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+      case SaveMode.Ignore =>
+        if (Layout.snapshotVersions(spark, root).isEmpty)
+          Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}

@@ -285,4 +285,25 @@ class SqlCatalogSpec extends GraftSuite {
     // an unknown suffix on a real table is still a missing table
     intercept[Exception] { sql("SELECT * FROM gtest.mt.nope") }
   }
+
+  test("CTAS and REPLACE TABLE ride the catalog: content exact, properties recorded, history resets on replace") {
+    wh
+    import spark.implicits._
+    Seq((1L, 2.0), (3L, 4.0), (5L, 6.0)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    sql("CREATE TABLE gtest.ct TBLPROPERTIES('statsKey'='k') " +
+      "AS SELECT * FROM ctas_src")
+    val got = sql("SELECT * FROM gtest.ct")
+    val src = spark.table("ctas_src")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+    assert(Layout.snapshotMeta(spark, s"$wh/ct").header.get("statsKey")
+      .contains("k"), "CTAS must record the declared table property")
+    // non-staging REPLACE = drop + recreate + insert: fresh history,
+    // new schema
+    sql("REPLACE TABLE gtest.ct AS SELECT k FROM ctas_src")
+    assert(sql("SELECT * FROM gtest.ct").columns.toSeq == Seq("k"))
+    assert(sql("SELECT * FROM gtest.ct").count() == 3)
+    assert(Layout.snapshotVersions(spark, s"$wh/ct") == Seq(1, 2),
+      "REPLACE starts a fresh manifest history (create + insert)")
+  }
 }
