@@ -149,6 +149,7 @@ object Layout {
       val longB = Map.newBuilder[String, (Long, Long)]
       val strB = Map.newBuilder[String, (String, String)]
       val nullB = Map.newBuilder[String, Long]
+      val dblB = Map.newBuilder[String, (Double, Double)]
       // pruning on strings compares with Java (UTF-16) order while the
       // footer orders unsigned bytes — identical only on ASCII, so
       // non-ASCII bounds stay unrecorded (prune nothing, stay correct)
@@ -157,13 +158,19 @@ object Layout {
         val chunks = blocks.flatMap { block =>
           block.getColumns.asScala.find(_.getPath.toDotString == keyCol)
         }
-        // LOGICAL-TYPE guard: DECIMAL/DATE/TIMESTAMP columns ride
-        // integral physical types whose raw stats are UNSCALED values —
-        // pruning against them drops rows (DECIMAL(10,2) 10.50 records
-        // as 1050). Only plain ints (no annotation / int annotation) and
-        // plain strings record usable bounds; everything else records
-        // the conservative full range.
+        // LOGICAL-TYPE guard: DECIMAL columns ride integral physical
+        // types whose raw stats are UNSCALED values — pruning against
+        // them drops rows (DECIMAL(10,2) 10.50 records as 1050). Only
+        // annotations whose raw integral value IS the engine-side value
+        // (plain ints, DATE = days, TIMESTAMP micros — matching exactly
+        // what a Catalyst literal of that type holds) and plain strings
+        // record usable bounds; everything else records the
+        // conservative full range.
         import org.apache.parquet.schema.LogicalTypeAnnotation
+        // raw footer value → engine value multiplier (TIMESTAMP_MILLIS
+        // footers hold millis; Catalyst timestamps are micros — exact
+        // ×1000, every stored value being a whole millisecond)
+        var valueScale = 1L
         val annOk = chunks.forall { cc =>
           cc.getPrimitiveType.getLogicalTypeAnnotation match {
             case null => true
@@ -180,6 +187,22 @@ object Layout {
                 case _ => 32
               }
               i.isSigned || i.getBitWidth < physBits
+            // DATE: INT32 days since epoch — exactly a Catalyst
+            // DateType literal's value; monotone, exact, prunable
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+            // TIMESTAMP: INT64 micros (Spark's TIMESTAMP[_NTZ] output
+            // unit) compares directly against Catalyst's micros
+            // literals; MILLIS scales exactly. NANOS (never
+            // Spark-written) stays out; legacy INT96 carries no
+            // annotation AND no usable footer stats, so it falls to the
+            // conservative branch below on its own
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => true
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  valueScale = 1000L; true
+                case _ => false
+              }
             case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
             case _ => false
           }
@@ -207,17 +230,44 @@ object Layout {
           case _ => false
         }
         vals.headOption match {
-          // INTEGRAL only: a double/float column's truncated long range
-          // would mis-prune (10.5 lies outside the truncated (10, 10)) —
-          // record the conservative full range instead
+          // FRACTIONAL (double/float) columns record a DOUBLE range
+          // (float widens exactly). Pruning on it is ONE-SIDED — see
+          // SnapshotFileIndex: footer min is sound even when the file
+          // hides NaN rows (Spark orders NaN greatest, so every value
+          // including NaN is ≥ min), footer max is NOT (a NaN row
+          // satisfies `d > lo` while the NaN-excluding footer max
+          // doesn't know it). NaN-contaminated bounds (old writers put
+          // NaN IN the stats) record the full range.
           case Some((mn0, _)) if mn0.isInstanceOf[Number] && !integral(mn0) =>
-            longB += keyCol -> ((Long.MinValue, Long.MaxValue))
+            val ds = vals.map { case (mn, mx) =>
+              (mn.asInstanceOf[Number].doubleValue(),
+                mx.asInstanceOf[Number].doubleValue())
+            }
+            val (mn, mx) = (ds.map(_._1).min, ds.map(_._2).max)
+            if (mn.isNaN || mx.isNaN)
+              dblB += keyCol ->
+                ((Double.NegativeInfinity, Double.PositiveInfinity))
+            else
+              // ±0.0 widening (parquet spec guidance): a writer may
+              // normalize -0.0/+0.0 in either direction; widen so the
+              // recorded interval covers both
+              dblB += keyCol -> ((if (mn == 0.0d) -0.0d else mn,
+                if (mx == 0.0d) 0.0d else mx))
           case Some((_: Number, _)) =>
             val ls = vals.map { case (mn, mx) =>
               (mn.asInstanceOf[Number].longValue(),
                 mx.asInstanceOf[Number].longValue())
             }
-            longB += keyCol -> ((ls.map(_._1).min, ls.map(_._2).max))
+            // valueScale (millis→micros) with overflow guard: a
+            // sentinel-extreme stored value that can't scale exactly
+            // records the full range instead of a wrapped bound
+            val (rawMn, rawMx) = (ls.map(_._1).min, ls.map(_._2).max)
+            longB += keyCol -> (try {
+              (Math.multiplyExact(rawMn, valueScale),
+                Math.multiplyExact(rawMx, valueScale))
+            } catch { case _: ArithmeticException =>
+              (Long.MinValue, Long.MaxValue)
+            })
           case Some((_: org.apache.parquet.io.api.Binary, _)) =>
             val ss = vals.map { case (mn, mx) =>
               (mn.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
@@ -234,7 +284,8 @@ object Layout {
         }
         }
       }
-      MultiStats(fp, longB.result(), strB.result(), rows, nullB.result())
+      MultiStats(fp, longB.result(), strB.result(), rows, nullB.result(),
+        dblB.result())
     } finally reader.close()
   }
 
@@ -251,7 +302,8 @@ object Layout {
     */
   case class MultiStats(path: String, longCols: Map[String, (Long, Long)],
       strCols: Map[String, (String, String)], rows: Long,
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty,
+      dblCols: Map[String, (Double, Double)] = Map.empty)
 
   def fileStatsOf(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], keyCol: String): Seq[FileColStats] =
@@ -780,7 +832,8 @@ object Layout {
     */
   case class FileStats(cols: Map[String, (Long, Long)],
       strCols: Map[String, (String, String)], rows: Long,
-      nulls: Map[String, Long] = Map.empty)
+      nulls: Map[String, Long] = Map.empty,
+      dblCols: Map[String, (Double, Double)] = Map.empty)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -898,6 +951,11 @@ object Layout {
           s"t=${enc(c)}:${enc(mn)}:${enc(mx)}"
         } ++ s.nulls.toSeq.sortBy(_._1).map { case (c, z) =>
           s"z=${enc(c)}:$z"
+        } ++ s.dblCols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          // raw-bits longs, not decimal text: the round-trip is exact
+          // for every double including ±0.0 and infinities
+          s"d=${enc(c)}:${java.lang.Double.doubleToRawLongBits(mn)}:" +
+            s"${java.lang.Double.doubleToRawLongBits(mx)}"
         })
     }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
@@ -939,9 +997,18 @@ object Layout {
       }
       case _ => None
     }.toMap
+    val dblCols = kvs.flatMap {
+      case ("d", v) => v.split(":") match {
+        case Array(c, mn, mx) => scala.util.Try(dec(c) ->
+          ((java.lang.Double.longBitsToDouble(mn.toLong),
+            java.lang.Double.longBitsToDouble(mx.toLong)))).toOption
+        case _ => None
+      }
+      case _ => None
+    }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .map(n => FileStats(cols, strCols, n, nulls))
+      .map(n => FileStats(cols, strCols, n, nulls, dblCols))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -1231,7 +1298,8 @@ object Layout {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
-          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows, ms.nulls))
+          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
+            ms.nulls, ms.dblCols))
           .toMap
       case None => Map.empty
     }
@@ -2092,7 +2160,10 @@ object Layout {
     * rather than an in-place rewrite. Returns the committed version.
     */
   def snapshotCompact(spark: org.apache.spark.sql.SparkSession, root: String,
-      targetBytes: Long, clusterBy: Seq[Column] = Nil): Int = {
+      targetBytes: Long, clusterBy: Seq[Column] = Nil,
+      zOrderBy: Seq[Column] = Nil, zBits: Int = 16): Int = {
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy (lexicographic) and zOrderBy (interleaved) are exclusive")
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots at $root")
     val base = vs.last
@@ -2100,7 +2171,20 @@ object Layout {
       .map(f => fsOf(spark, root)
         .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
     val packed =
-      if (clusterBy.isEmpty) {
+      if (zOrderBy.nonEmpty) {
+        // Z-ORDER mode (Delta's OPTIMIZE ZORDER BY): interleave the
+        // dimensions' bits so every file's manifest range is tight on
+        // EVERY z column — a lexicographic sort prunes only its leading
+        // column; the z-curve is what makes a two-dimensional slice
+        // (key range × cust range) skip files on either predicate alone
+        val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val df = readSnapshot(spark, root, base)
+        val scaled = linearBins(df, zOrderBy, zBits)
+        df.withColumn("__graft_zv", zvalue(zBits, scaled: _*))
+          .repartitionByRange(n, col("__graft_zv"))
+          .sortWithinPartitions(col("__graft_zv"))
+          .drop("__graft_zv")
+      } else if (clusterBy.isEmpty) {
         // plain mode = Layout.compact's zero-shuffle bin-packing: a CLONED
         // session sizes read splits to targetBytes so the scan itself
         // packs small files and the write emits ~one file per split
@@ -2761,7 +2845,8 @@ object Layout {
       retentionMillis: Long = 7L * 24 * 3600 * 1000,
       minKeepVersions: Int = 2,
       orphanGraceMillis: Long = ClaimGraceMillis,
-      clusterBy: Seq[Column] = Nil) {
+      clusterBy: Seq[Column] = Nil,
+      zOrderBy: Seq[Column] = Nil) {
     def smallCutoff: Long =
       if (smallFileBytes > 0) smallFileBytes else targetFileBytes / 2
   }
@@ -2810,7 +2895,7 @@ object Layout {
     val compacted =
       if (nDel >= policy.maxDeleteFiles || nSmall >= policy.maxSmallFiles)
         Some(snapshotCompact(spark, root, policy.targetFileBytes,
-          policy.clusterBy))
+          policy.clusterBy, policy.zOrderBy))
       else None
     val vac = vacuumSnapshotsOlderThan(spark, root,
       nowMillis - policy.retentionMillis, policy.minKeepVersions)

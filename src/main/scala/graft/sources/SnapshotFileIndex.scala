@@ -79,10 +79,13 @@ class SnapshotFileIndex(
   // integral/string column named c" and of literal extraction, so the
   // three bound translators cannot silently diverge in what they prune on
 
-  /** The attribute is `colName` AND integral-typed — the only numeric
-    * shape whose recorded stats and literal semantics are exact (a
-    * fractional literal truncated by longValue() would build a wrong
-    * interval, and a fractional column records truncated stats).
+  /** The attribute is `colName` AND carries its value as an exact
+    * integer — plain integrals, DATE (Catalyst value = days since
+    * epoch) and TIMESTAMP[_NTZ] (value = micros): exactly the unit the
+    * manifest records from footers, so interval arithmetic is exact.
+    * Fractional types stay out here (a fractional literal truncated by
+    * longValue() would build a wrong interval); doubles prune through
+    * their own one-sided path.
     */
   private def isIntegralCol(x: Expression, colName: String): Boolean = x match {
     case a: Attribute =>
@@ -91,7 +94,10 @@ class SnapshotFileIndex(
           case org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.IntegerType |
                org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.ByteType => true
+               org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
           case _ => false
         })
     case _ => false
@@ -115,6 +121,57 @@ class SnapshotFileIndex(
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
     case s: String => Some(s)
     case _ => None
+  }
+
+  private def isFractionalCol(x: Expression, colName: String): Boolean = x match {
+    case a: Attribute =>
+      spark.sessionState.conf.resolver(a.name, colName) &&
+        (a.dataType == org.apache.spark.sql.types.DoubleType ||
+          a.dataType == org.apache.spark.sql.types.FloatType)
+    case _ => false
+  }
+
+  private def dblOf(l: Literal): Option[Double] = l.value match {
+    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(f.toDouble)
+    case _ => None
+  }
+
+  /** The UPPER bound a conjunct proves for fractional `colName`, as
+    * (bound, inclusive) — the only side of a double interval that is
+    * sound to prune on from footer stats: footer min is a true lower
+    * bound of every row even when the file hides NaN rows (Spark
+    * orders NaN greatest), footer max is not (a hidden NaN satisfies
+    * `d > lo` while the NaN-excluding footer max says nothing about
+    * it), so lower-bound conjuncts never prune here.
+    */
+  private def dblHiOf(e: Expression,
+      colName: String): Option[(Double, Boolean)] = {
+    def isCol(x: Expression) = isFractionalCol(x, colName)
+    e match {
+      case EqualTo(a, l: Literal) if isCol(a) => dblOf(l).map(v => (v, true))
+      case EqualTo(l: Literal, a) if isCol(a) => dblOf(l).map(v => (v, true))
+      case LessThan(a, l: Literal) if isCol(a) => dblOf(l).map(v => (v, false))
+      case LessThanOrEqual(a, l: Literal) if isCol(a) => dblOf(l).map(v => (v, true))
+      case GreaterThan(l: Literal, a) if isCol(a) => dblOf(l).map(v => (v, false))
+      case GreaterThanOrEqual(l: Literal, a) if isCol(a) => dblOf(l).map(v => (v, true))
+      case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ds = vs.collect { case l: Literal => dblOf(l) }.flatten
+        if (ds.size == vs.size && ds.nonEmpty && !ds.exists(_.isNaN))
+          Some((ds.max, true))
+        else None
+      case And(l, r) =>
+        (dblHiOf(l, colName), dblHiOf(r, colName)) match {
+          case (Some((v1, i1)), Some((v2, i2))) =>
+            // tighter bound wins; on a tie the EXCLUSIVE form is tighter
+            if (v1 < v2) Some((v1, i1))
+            else if (v2 < v1) Some((v2, i2))
+            else Some((v1, i1 && i2))
+          case (x, None) => x
+          case (None, y) => y
+        }
+      case _ => None
+    }
   }
 
   /** Bounds a conjunct proves for `colName`, as an allowed [lo, hi]
@@ -223,6 +280,14 @@ class SnapshotFileIndex(
           (lo, hi)
         })
       }.toMap
+    val dblStatsCols = entries.flatMap(_.stats.toSeq.flatMap(_.dblCols.keys)).distinct
+    val dblHis: Map[String, (Double, Boolean)] = dblStatsCols.flatMap { c =>
+      val bs = dataFilters.flatMap(dblHiOf(_, c))
+      if (bs.isEmpty) None
+      else Some(c -> bs.reduce { (x, y) =>
+        if (x._1 < y._1) x else if (y._1 < x._1) y else (x._1, x._2 && y._2)
+      })
+    }.toMap
     val partWant: Option[Set[String]] = partCol.flatMap { pc =>
       val vs = dataFilters.flatMap(partValuesOf(_, pc))
       if (vs.isEmpty) None else Some(vs.reduce(_ intersect _))
@@ -236,6 +301,14 @@ class SnapshotFileIndex(
       val strOk = strBounds.forall { case (c, (lo, hi)) =>
         e.stats.flatMap(_.strCols.get(c)).forall { case (mn, mx) =>
           lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+        }
+      }
+      // one-sided double check with PRIMITIVE comparisons: any
+      // comparison against a NaN bound is false → keep (conservative),
+      // and IEEE -0.0 == 0.0 matches Spark's predicate semantics
+      val dblOk = dblHis.forall { case (c, (hi, incl)) =>
+        e.stats.flatMap(_.dblCols.get(c)).forall { case (mn, _) =>
+          if (incl) !(mn > hi) else !(mn >= hi)
         }
       }
       val partOk = partWant.forall(want => e.parts.forall(_.exists(want)))
@@ -254,7 +327,7 @@ class SnapshotFileIndex(
               st.rows > 0 }))
         case _ => true
       }
-      statsOk && strOk && partOk && nullOk
+      statsOk && strOk && dblOk && partOk && nullOk
     }
     val kept = entries.filter(keep)
     lastListedFiles = kept.size

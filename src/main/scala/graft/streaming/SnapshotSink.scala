@@ -77,7 +77,10 @@ class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
       retentionMillis = parameters.get("maintainRetentionMillis")
         .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000),
       minKeepVersions = parameters.get("maintainMinKeepVersions")
-        .map(_.toInt).getOrElse(2))
+        .map(_.toInt).getOrElse(2),
+      zOrderBy = parameters.get("maintainZOrderBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(org.apache.spark.sql.functions.col))
     new SnapshotSink(sqlContext, root, ckpt,
       parameters.get("statsKey"),
       parameters.get("appendToExisting").exists(_.toBoolean),

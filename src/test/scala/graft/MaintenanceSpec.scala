@@ -97,6 +97,57 @@ class MaintenanceSpec extends GraftSuite {
       s"packed head (${r2.smallFilesBefore} small files) must not re-trigger")
   }
 
+  test("OPTIMIZE ZORDER: after z-order compaction a filter on EITHER dimension prunes files through the manifest") {
+    val root = freshRoot("maint-zorder")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast("double").as("price"))
+      // clustered by key ONLY: every file's cust range spans the space
+      .repartitionByRange(8, col("key")).sortWithinPartitions(col("key"))
+    Layout.snapshotAppend(spark, root, base, statsKey = Some("key,cust"))
+    val (loK, hiK) = {
+      val r = base.agg(min("key"), max("key")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (loC, hiC) = {
+      val r = base.agg(min("cust"), max("cust")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // pre-compaction: a narrow cust slice prunes NOTHING (overlap everywhere)
+    // (pruning happens at physical planning — measure via the index's
+    // lastListedFiles after an action, not df.inputFiles which is unpruned)
+    def filesFor(cond: org.apache.spark.sql.Column): (Int, Int) = {
+      val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+      df.filter(cond).count()
+      (idx.lastListedFiles, idx.inputFiles.length)
+    }
+    val custSlice = col("cust").between(loC, loC + (hiC - loC) / 10)
+    val keySlice = col("key").between(loK, loK + (hiK - loK) / 10)
+    val (custBefore, totalBefore) = filesFor(custSlice)
+    assert(custBefore == totalBefore,
+      "key-clustered layout must NOT prune on cust (the motivating gap)")
+    // z-order compact on (key, cust) into ~8 files
+    val bytes = Layout.readSnapshot(spark, root).inputFiles
+      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
+    val v = Layout.snapshotCompact(spark, root, math.max(1L, bytes / 8),
+      zOrderBy = Seq(col("key"), col("cust")))
+    val after = Layout.readSnapshot(spark, root, v)
+    assert(after.exceptAll(base).isEmpty && base.exceptAll(after).isEmpty,
+      "compaction preserves content exactly")
+    // BOTH dimensions now prune through Catalyst + manifest stats
+    val (nCust, total) = filesFor(custSlice)
+    assert(total >= 4, s"need a multi-file layout to show pruning (got $total)")
+    val (nKey, _) = filesFor(keySlice)
+    assert(nCust < total,
+      s"z-order must make cust prune ($nCust of $total files)")
+    assert(nKey < total,
+      s"z-order must keep key pruning ($nKey of $total files)")
+    // and the results stay exact
+    val expCust = base.filter(custSlice)
+    val gotCust = Layout.snapshotTable(spark, root).filter(custSlice)
+    assert(gotCust.exceptAll(expCust).isEmpty && expCust.exceptAll(gotCust).isEmpty)
+  }
+
   test("orphan sweep honors the grace clock: aged strays go, fresh attempt files survive") {
     val root = freshRoot("maint-orphan")
     Layout.snapshotAppend(spark, root, ordersBase.limit(20).coalesce(1))

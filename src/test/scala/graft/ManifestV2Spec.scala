@@ -859,4 +859,104 @@ class ManifestV2Spec extends GraftSuite {
     Layout.maintainBloomIndex(spark, baseRoot, idxRoot, "key")
     assert(Layout.snapshotVersions(spark, idxRoot) == idxBefore)
   }
+
+  test("temporal stats: TIMESTAMP and DATE columns prune through the manifest; INT96 lineage stays exact without pruning") {
+    val root = freshRoot("tstats")
+    val prevOtt = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val base = Tables(spark, sf, "orders")
+        .select(col("o_orderkey").as("key"),
+          col("o_orderdate").as("ts"),
+          col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice").cast("double").as("price"))
+        .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      Layout.snapshotAppend(spark, root, base, statsKey = Some("ts,d"))
+      val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+      val total = idx.inputFiles.length
+      assert(total >= 4, s"need a multi-file layout (got $total)")
+      val r = base.agg(min("ts"), max("ts")).head()
+      val (loMs, hiMs) = (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+      def check(cond: org.apache.spark.sql.Column): Int = {
+        val got = df.filter(cond)
+        val exp = base.filter(cond)
+        assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+          s"rows diverged under $cond")
+        idx.lastListedFiles
+      }
+      // a 10% window on the TIMESTAMP cluster column prunes
+      val tsCut = new java.sql.Timestamp(loMs + (hiMs - loMs) / 10)
+      val nTs = check(col("ts") <= lit(tsCut))
+      assert(nTs < total, s"timestamp slice must prune ($nTs of $total)")
+      // the derived DATE column (same clustering) prunes too
+      val dCut = new java.sql.Date(loMs + (hiMs - loMs) / 10)
+      val nD = check(col("d") <= lit(dCut))
+      assert(nD < total, s"date slice must prune ($nD of $total)")
+      // string-literal form folds to the same typed literal and prunes
+      val iso = tsCut.toInstant.toString.stripSuffix("Z").replace("T", " ")
+      val nIso = check(col("ts") <= lit(iso).cast("timestamp"))
+      assert(nIso < total)
+
+      // INT96 lineage (the pre-annotation legacy unit): footers carry no
+      // usable stats, so the column records the conservative range —
+      // zero pruning, still exact
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      val root96 = freshRoot("tstats96")
+      Layout.snapshotAppend(spark, root96, base, statsKey = Some("ts"))
+      val (df96, idx96) = Layout.snapshotTableWithIndex(spark, root96)
+      val got96 = df96.filter(col("ts") <= lit(tsCut))
+      val exp96 = base.filter(col("ts") <= lit(tsCut))
+      assert(got96.exceptAll(exp96).isEmpty && exp96.exceptAll(got96).isEmpty)
+      assert(idx96.lastListedFiles == idx96.inputFiles.length,
+        "INT96 stats must not prune (no usable footer bounds)")
+    } finally {
+      prevOtt match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  test("double stats: upper-bound predicates prune, lower-bound predicates never do (NaN soundness), hidden NaN rows always survive") {
+    val root = freshRoot("dstats")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_totalprice").cast("double").as("price"))
+      .repartitionByRange(8, col("price")).sortWithinPartitions(col("price"))
+    Layout.snapshotAppend(spark, root, base, statsKey = Some("price"))
+    val (df, idx) = Layout.snapshotTableWithIndex(spark, root)
+    val total = idx.inputFiles.length
+    assert(total >= 4)
+    val r = base.agg(min("price"), max("price")).head()
+    val (loP, hiP) = (r.getDouble(0), r.getDouble(1))
+    def check(cond: org.apache.spark.sql.Column): Int = {
+      val got = df.filter(cond)
+      val exp = base.filter(cond)
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+      idx.lastListedFiles
+    }
+    // price ≤ low-cut prunes: footer MIN is sound even against NaN
+    val nHi = check(col("price") <= lit(loP + (hiP - loP) / 10))
+    assert(nHi < total, s"upper-bounded double slice must prune ($nHi of $total)")
+    // price ≥ high-cut must NOT prune: footer MAX cannot rule out a
+    // hidden NaN row (Spark orders NaN greatest — it satisfies ≥)
+    val nLo = check(col("price") >= lit(hiP - (hiP - loP) / 10))
+    assert(nLo == total,
+      s"lower-bounded double predicates must stay conservative ($nLo of $total)")
+
+    // the NaN case itself: a file whose footer max (NaN-excluding) is
+    // tiny still carries a NaN row that satisfies `price > big`
+    import spark.implicits._
+    val root2 = freshRoot("dstats-nan")
+    Layout.snapshotAppend(spark, root2,
+      Seq(1.0d, 2.0d, Double.NaN).toDF("price").coalesce(1),
+      statsKey = Some("price"))
+    Layout.snapshotAppend(spark, root2,
+      Seq(1000.0d, 2000.0d).toDF("price").coalesce(1))
+    val big = Layout.snapshotTable(spark, root2)
+      .filter(col("price") > lit(500.0d))
+    assert(big.count() == 3,
+      "NaN satisfies `> 500` in Spark semantics and must never be pruned away")
+    assert(big.filter(isnan(col("price"))).count() == 1)
+  }
 }
