@@ -44,6 +44,9 @@ import graft.ops.Layout
   *
   * 100 TB: `getOffset` is one manifest-directory listing;  a batch
   * plans O(delta bytes) — the stream never rescans the table.
+  * `.option("maxVersionsPerTrigger", n)` bounds each micro-batch to n
+  * commits (Delta's `maxFilesPerTrigger` slot) so a backfill over deep
+  * history streams as bounded batches instead of one giant first batch.
   */
 class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -72,9 +75,14 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val cdc = cdcOf(parameters)
+    val maxV = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxVersionsPerTrigger must be positive (got $n)")
+      n
+    }
     new CdfSource(sqlContext, rootOf(parameters),
       schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters),
-        cdc)), cdc)
+        cdc)), cdc, maxV)
   }
 }
 
@@ -108,7 +116,8 @@ object CdfSource {
 }
 
 class CdfSource(sqlContext: SQLContext, root: String,
-    declaredSchema: StructType, cdc: Boolean = false) extends Source {
+    declaredSchema: StructType, cdc: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -119,14 +128,45 @@ class CdfSource(sqlContext: SQLContext, root: String,
     case other => other.json().trim.toInt
   }
 
+  /** RATE-LIMIT watermark (`maxVersionsPerTrigger`, Delta's
+    * `maxFilesPerTrigger` slot): the highest version this source has
+    * offered or served. `getOffset` offers at most N versions past it —
+    * a backfill over a long table history becomes a sequence of bounded
+    * micro-batches instead of one unbounded batch that must fit in one
+    * trigger. Restart-safe: the engine replays the offset log's last
+    * `getBatch` BEFORE asking for new offsets (the V1 source recovery
+    * contract), which re-seeds this watermark; and `getOffset` never
+    * offers below it, so a capped offer can never rewind the WAL.
+    */
+  @volatile private var lastOffered: Int = 0
+
   override def getOffset: Option[Offset] = {
     val vs = Layout.snapshotVersions(spark, root)
-    if (vs.isEmpty) None else Some(LongOffset(vs.last.toLong))
+    if (vs.isEmpty) None
+    else {
+      val head = vs.last
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) =>
+          // versions can be sparse (vacuumed prefix) — cap by POSITION
+          // among the pending versions, not by arithmetic on ids
+          val pending = vs.filter(_ > lastOffered)
+          if (pending.isEmpty) math.max(lastOffered, vs.last)
+          else pending.take(n).last
+        case None => head
+      }
+      val offer = math.max(capped, lastOffered)
+      if (offer <= 0) None
+      else {
+        lastOffered = offer
+        Some(LongOffset(offer.toLong))
+      }
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val since = start.map(versionOf).getOrElse(0)
     val endV = versionOf(end)
+    if (endV > lastOffered) lastOffered = endV
     val deltas =
       if (!cdc)
         Layout.snapshotDeltasSince(spark, root, since)

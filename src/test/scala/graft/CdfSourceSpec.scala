@@ -158,4 +158,38 @@ class CdfSourceSpec extends GraftSuite {
         "replaying the op-typed feed must reconstruct the table head")
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger bounds every micro-batch to N commits; the backfill still arrives exactly-once") {
+    val dir = freshDir("cdf-rate")
+    val root = s"$dir/t"
+    // five commits BEFORE the stream starts — the backfill case the
+    // rate limit exists for
+    val slices = (0 to 4).map(b => orders.filter(col("key") % 5 === b))
+    slices.foreach(s => Layout.snapshotAppend(spark, root, s)) // v1..v5
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    val q = spark.readStream.format("graft-cdf").option("path", root)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val vs = df.select("_graft_version").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        batches.synchronized { batches += ((id, vs)) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = batches.filter(_._2.nonEmpty)
+      assert(nonEmpty.forall(_._2.size <= 2),
+        s"every batch must carry at most 2 versions, saw $nonEmpty")
+      assert(nonEmpty.size >= 3,
+        s"5 versions at 2/trigger need >= 3 batches, saw ${nonEmpty.size}")
+      val all = nonEmpty.flatMap(_._2).sorted
+      assert(all == Seq(1, 2, 3, 4, 5),
+        s"each version exactly once across batches, saw $all")
+      // a live append keeps flowing under the cap
+      Layout.snapshotAppend(spark, root, slices(0)) // v6
+      q.processAllAvailable()
+      assert(batches.flatMap(_._2).sorted == Seq(1, 2, 3, 4, 5, 6))
+    } finally q.stop()
+  }
 }
