@@ -1422,6 +1422,39 @@ object Layout {
     * only dirty files, and compaction ([[snapshotCompact]]) folds them
     * away so read-side debt is bounded by the maintenance cadence.
     */
+  /** ALTER TABLE ADD COLUMN as a METADATA-ONLY commit: a new version
+    * carrying the same files/sidecars/properties and a WIDENED recorded
+    * schema (the new columns appended, forced nullable — pre-existing
+    * rows read them as null, exactly like columns added by an evolved
+    * append before their first row). Zero data I/O; time travel below
+    * the commit keeps the narrow schema. Requires a recorded schema
+    * (legacy header-less history evolves by appending an evolved frame
+    * instead) and refuses duplicate names.
+    */
+  def snapshotAddColumns(spark: org.apache.spark.sql.SparkSession,
+      root: String, newCols: org.apache.spark.sql.types.StructType): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val prev = manifestSchema(spark, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root records no schema header (legacy history); evolve it by " +
+          "appending an evolved frame instead of ALTER"))
+    val resolver = spark.sessionState.conf.resolver
+    newCols.fields.foreach { f =>
+      require(!prev.fields.exists(p => resolver(p.name, f.name)),
+        s"column '${f.name}' already exists")
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      prev.fields ++ newCols.fields.map(_.copy(nullable = true)))
+    val v = base + 1
+    val carried = carriedStateOf(spark, root, Some(base))
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = carried.props ++ schemaHeaderOf(Some(widened)),
+      deletes = carried.deletes)
+    v
+  }
+
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
       version: Int = -1, partitions: Seq[String] = Nil): DataFrame = {
     val vs = snapshotVersions(spark, root)
@@ -1642,7 +1675,21 @@ object Layout {
     // manifest-grade planning metadata; conflicting types fail loudly.
     def read(fs: Seq[String]) =
       spark.read.option("mergeSchema", "true").parquet(fs: _*)
-    if (dels.isEmpty) return read(files)
+    // HEADER-ONLY columns ([[snapshotAddColumns]] — ALTER TABLE ADD
+    // COLUMN commits the widened schema with zero new files): any
+    // recorded column no file carries yet reads as typed null, exactly
+    // like a column added by an evolved append before its first row
+    def align(df: DataFrame): DataFrame =
+      hdr.get("schema").map(j => org.apache.spark.sql.types.DataType
+          .fromJson(java.net.URLDecoder.decode(j, "UTF-8"))) match {
+        case Some(sc: org.apache.spark.sql.types.StructType) =>
+          val have = df.columns.toSet
+          sc.fields.filterNot(f => have.contains(f.name))
+            .foldLeft(df)((d, f) =>
+              d.withColumn(f.name, lit(null).cast(f.dataType)))
+        case _ => df
+      }
+    if (dels.isEmpty) return align(read(files))
     val keyCol = hdr.getOrElse("deleteKey",
       throw new IllegalStateException(
         s"v$v carries delete sidecars but no #deleteKey header"))
@@ -1672,7 +1719,7 @@ object Layout {
     // schema evolution can leave the clean/dirty halves with different
     // column sets (old files lack added columns) — align on names,
     // missing columns read null
-    cleanDf.unionByName(dirtyDf, allowMissingColumns = true)
+    align(cleanDf.unionByName(dirtyDf, allowMissingColumns = true))
   }
 
   /** Commit timestamps of every version, ascending — the `#ts` header

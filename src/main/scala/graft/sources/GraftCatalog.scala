@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -58,7 +59,7 @@ import graft.ops.Layout
   * the Scala-side [[Layout.snapshotTable]] path, and all data I/O is
   * Spark's native vectorized parquet reader.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -182,16 +183,51 @@ class GraftCatalog extends TableCatalog {
     GraftTable(root, ident.toString, -1)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve additively on write (INSERT the evolved " +
-        "frame); ALTER TABLE is not supported")
+  /** `ALTER TABLE graft.t ADD COLUMN(S) …` — a metadata-only commit of
+    * the widened schema ([[Layout.snapshotAddColumns]]): existing rows
+    * read the new columns as null, time travel below the commit keeps
+    * the narrow schema. Top-level nullable appends only (the additive
+    * evolution the engine supports); everything else refuses loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = existingRoot(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft ALTER TABLE supports ADD COLUMN(S) only; drops/renames/" +
+        "type changes are overwrite-class operations (REPLACE TABLE)")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"nested ADD COLUMN ${a.fieldNames.mkString(".")} not supported")
+      require(a.isNullable,
+        s"ADD COLUMN ${a.fieldNames.head}: new columns must be nullable " +
+          "(existing rows have no value for them)")
+      require(a.position() == null,
+        s"ADD COLUMN ${a.fieldNames.head}: FIRST/AFTER positions not " +
+          "supported (new columns append)")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)
+    }
+    Layout.snapshotAddColumns(spark, root,
+      org.apache.spark.sql.types.StructType(fields))
+    GraftTable(root, ident.toString, -1)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(rootOf(ident))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(new Path(p, "_manifests")) && fs.delete(p, true)
   }
+
+  // ---- SQL stored procedures (`CALL graft.system.…`): the maintenance
+  // surface as SQL — see [[GraftProcedures]]
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(spark, warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.Names
+        .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val fs = new Path(warehouse)
@@ -257,19 +293,54 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
         .newScanBuilder(options)
     } else {
       // MOR sidecar debt: route through readSnapshot's anti-join engine
-      // (a V1 scan — correct always; compaction restores the fast path)
+      // (a V1 scan — correct always; compaction restores the fast path).
+      // The builder still accepts column pruning + filter pushdown: both
+      // re-apply inside readSnapshot's DataFrame plan, so the projection
+      // and predicates reach the underlying parquet scan instead of
+      // materializing every column of every row through the bridge.
       val tbl = this
-      new ScanBuilder {
+      new ScanBuilder
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+          with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        private var required: Option[StructType] = None
+        private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+          Array.empty
+        override def pruneColumns(requiredSchema: StructType): Unit =
+          required = Some(requiredSchema)
+        override def pushFilters(
+            filters: Array[org.apache.spark.sql.sources.Filter])
+            : Array[org.apache.spark.sql.sources.Filter] = {
+          // remember translatable ones for the scan; report ALL of them
+          // back as unhandled so Spark re-evaluates the full predicate
+          pushed = filters.filter(V1Filters.toColumn(_).isDefined)
+          filters
+        }
+        override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+          pushed
         override def build(): Scan = new V1Scan {
-          override def readSchema(): StructType = tbl.schema()
+          private val outSchema = required.getOrElse(tbl.schema())
+          override def readSchema(): StructType = outSchema
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {
               override def sqlContext: SQLContext = context
-              override def schema: StructType = tbl.schema()
+              override def schema: StructType = outSchema
+              // real bytes (one listing per commit dir), so a small MOR
+              // table still broadcasts in joins instead of inheriting
+              // the unknowable-huge V1 default
+              override def sizeInBytes: Long =
+                V1Filters.bytesOf(tbl.spark, meta.paths)
               override def buildScan()
-                  : org.apache.spark.rdd.RDD[Row] =
-                Layout.readSnapshot(tbl.spark, tbl.root, meta.version).rdd
+                  : org.apache.spark.rdd.RDD[Row] = {
+                val base = Layout.readSnapshot(tbl.spark, tbl.root,
+                  meta.version)
+                val filtered = V1Filters.conjunctionOf(pushed.toSeq)
+                  .map(base.filter).getOrElse(base)
+                (if (outSchema.isEmpty) filtered.select()
+                 else filtered.select(outSchema.fieldNames.toIndexedSeq
+                   .map(n => org.apache.spark.sql.functions.col(s"`$n`")): _*))
+                  .rdd
+              }
             }.asInstanceOf[T]
         }
       }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Layout
@@ -62,10 +62,35 @@ class GraftRelationProvider extends RelationProvider
       case _ => Layout.readSnapshot(spark, root)
     }
     val ctx = sqlContext
-    new BaseRelation with TableScan {
+    // PrunedFilteredScan: the projection and (translatable) predicates
+    // re-apply INSIDE df's own plan, so they reach the parquet reader
+    // (column skip, row-group pruning) and the manifest layer (file
+    // pruning) instead of materializing every column of every row.
+    // All filters stay "unhandled" (the default) — Spark re-evaluates
+    // the full predicate above, so translation is pure optimization.
+    // plain table reads (head / version / as-of) report their real byte
+    // size so small tables broadcast in joins; the change feed keeps the
+    // conservative default (its row volume is not the files' volume)
+    val tableBytes: Option[Long] =
+      if (chFrom.isDefined) None
+      else Some(V1Filters.bytesOf(spark, df.inputFiles.toSeq))
+    new BaseRelation with PrunedFilteredScan {
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = df.schema
-      override def buildScan(): RDD[Row] = df.rdd
+      override def sizeInBytes: Long =
+        tableBytes.getOrElse(super.sizeInBytes)
+      override def buildScan(requiredColumns: Array[String],
+          filters: Array[Filter]): RDD[Row] = {
+        val filtered = V1Filters.conjunctionOf(filters.toSeq)
+          .map(df.filter).getOrElse(df)
+        val projected =
+          if (requiredColumns.isEmpty)
+            // COUNT(*)-style scan: no columns needed, rows still counted
+            filtered.select()
+          else filtered.select(requiredColumns.toIndexedSeq
+            .map(n => org.apache.spark.sql.functions.col(s"`$n`")): _*)
+        projected.rdd
+      }
     }
   }
 

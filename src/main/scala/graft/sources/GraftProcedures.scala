@@ -1,0 +1,191 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.ops.Layout
+
+/** SQL STORED PROCEDURES for the snapshot layer — the `CALL` surface
+  * every table format ships its maintenance through (Iceberg's
+  * `CALL cat.system.rewrite_data_files`, Delta's `OPTIMIZE`/`VACUUM`
+  * statements), on Spark 4's native `ProcedureCatalog` API:
+  *
+  * {{{
+  * CALL graft.system.optimize(table => 't', target_bytes => 134217728,
+  *                            zorder_by => 'key,cust')
+  * CALL graft.system.vacuum(table => 't', older_than_millis => …)
+  * CALL graft.system.maintain(table => 't')          -- the policy driver
+  * }}}
+  *
+  * Each procedure is a thin SQL binding over the SAME engines the Scala
+  * API runs ([[Layout.snapshotCompact]] / [[Layout
+  * .vacuumSnapshotsOlderThan]] + [[Layout.vacuumOrphanFiles]] /
+  * [[Layout.snapshotMaintain]]) and returns its report as a one-row
+  * result set (a [[LocalScan]] — the rows are driver-side metadata, no
+  * job runs to serve them). A scheduler that can only submit SQL can
+  * therefore run the full standing-maintenance loop.
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+  val Names: Seq[String] = Seq("optimize", "vacuum", "maintain")
+
+  def load(spark: => SparkSession, warehouse: String,
+      ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Namespace),
+      s"graft procedures live under the 'system' namespace " +
+        s"(got ${ident.namespace.mkString(".")}.${ident.name})")
+    def rootOf(table: String): String =
+      (warehouse +: table.split('.').toSeq).mkString("/")
+    ident.name match {
+      case "optimize" => new OptimizeProcedure(spark, rootOf)
+      case "vacuum" => new VacuumProcedure(spark, rootOf)
+      case "maintain" => new MaintainProcedure(spark, rootOf)
+      case other => throw new UnsupportedOperationException(
+        s"no graft procedure 'system.$other' " +
+          s"(available: ${Names.mkString(", ")})")
+    }
+  }
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def pd(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def zcolsOf(s: String): Seq[org.apache.spark.sql.Column] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(col)
+
+  private def result(schema: StructType,
+      row: InternalRow): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }
+    Seq(scan).asJava.iterator()
+  }
+
+  /** `CALL graft.system.optimize(table, [target_bytes], [zorder_by],
+    * [cluster_by])` — OPTIMIZE [ZORDER BY]: bin-pack (default),
+    * z-order-recluster (`zorder_by => 'a,b'`), or lexicographically
+    * recluster (`cluster_by => 'a'`), committed as a new version.
+    */
+  private final class OptimizeProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "bin-pack / re-cluster a snapshot table into a new version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pd("target_bytes", LongType, (128L << 20).toString),
+      pd("zorder_by", StringType, "NULL"),
+      pd("cluster_by", StringType, "NULL"))
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val zBy = if (input.isNullAt(2)) Nil
+        else zcolsOf(input.getUTF8String(2).toString)
+      val cBy = if (input.isNullAt(3)) Nil
+        else zcolsOf(input.getUTF8String(3).toString)
+      val before = Layout.readSnapshot(spark, root).inputFiles.length
+      val v = Layout.snapshotCompact(spark, root, target,
+        clusterBy = cBy, zOrderBy = zBy)
+      val after = Layout.readSnapshot(spark, root, v).inputFiles.length
+      result(outSchema, InternalRow(v, before, after))
+    }
+  }
+
+  /** `CALL graft.system.vacuum(table, older_than_millis, [min_keep])` —
+    * expire versions committed before the cutoff (always keeping the
+    * newest `min_keep`) and delete the files only they referenced.
+    */
+  private final class VacuumProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "expire snapshot versions older than a cutoff; delete their files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("older_than_millis", LongType),
+      pd("min_keep", IntegerType, "2"))
+    private val outSchema = StructType(Seq(
+      StructField("deleted_files", IntegerType, nullable = false),
+      StructField("kept_files", IntegerType, nullable = false),
+      StructField("dropped_versions", ArrayType(IntegerType), nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val st = Layout.vacuumSnapshotsOlderThan(spark, root,
+        input.getLong(1), input.getInt(2))
+      result(outSchema, InternalRow(st.deletedFiles, st.keptFiles,
+        new GenericArrayData(st.droppedVersions.toArray)))
+    }
+  }
+
+  /** `CALL graft.system.maintain(table, [thresholds…])` — one cycle of
+    * the standing maintenance policy ([[Layout.snapshotMaintain]]):
+    * metadata-priced debt measurement, threshold-gated compaction (with
+    * optional standing z-order), retention, orphan sweep.
+    */
+  private final class MaintainProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "run one standing-maintenance cycle (compact/vacuum/orphan sweep)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pd("target_bytes", LongType, (128L << 20).toString),
+      pd("max_delete_files", IntegerType, "4"),
+      pd("max_small_files", IntegerType, "16"),
+      pd("retention_millis", LongType, (7L * 24 * 3600 * 1000).toString),
+      pd("min_keep", IntegerType, "2"),
+      pd("zorder_by", StringType, "NULL"))
+    private val outSchema = StructType(Seq(
+      StructField("delete_files_before", IntegerType, nullable = false),
+      StructField("small_files_before", IntegerType, nullable = false),
+      StructField("compacted_version", IntegerType, nullable = true),
+      StructField("vacuum_deleted_files", IntegerType, nullable = false),
+      StructField("vacuum_dropped_versions", ArrayType(IntegerType),
+        nullable = false),
+      StructField("orphans_swept", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val policy = Layout.MaintenancePolicy(
+        targetFileBytes = input.getLong(1),
+        maxDeleteFiles = input.getInt(2),
+        maxSmallFiles = input.getInt(3),
+        retentionMillis = input.getLong(4),
+        minKeepVersions = input.getInt(5),
+        zOrderBy = if (input.isNullAt(6)) Nil
+          else zcolsOf(input.getUTF8String(6).toString))
+      val rep = Layout.snapshotMaintain(spark, root, policy)
+      result(outSchema, InternalRow(
+        rep.deleteFilesBefore, rep.smallFilesBefore,
+        rep.compactedVersion.map(Int.box).orNull,
+        rep.vacuum.deletedFiles,
+        new GenericArrayData(rep.vacuum.droppedVersions.toArray),
+        rep.orphansSwept))
+    }
+  }
+}

@@ -69,4 +69,29 @@ class GraftFormatSpec extends GraftSuite {
         .option("changesFrom", "1").load(root).count()
     }
   }
+
+  test("format(\"graft\") reads prune columns and push filters into the relation") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fmt-prune").toString + "/t"
+    Seq.tabulate(50)(i => (i.toLong, i * 2.0, s"s$i", s"t$i"))
+      .toDF("k", "v", "s", "t")
+      .write.format("graft").option("statsKey", "k").save(root)
+    val q = spark.read.format("graft").load(root)
+      .filter(col("k") < 10).select("k", "v")
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.sameElements((0 until 10).map(i => (i.toLong, i * 2.0))))
+    // the physical scan carries only the pruned projection
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("Scan"))
+    assert(scans.nonEmpty && scans.forall(s => !s.contains("t#")),
+      s"scan must not carry unprojected columns:\n${scans.mkString("\n")}")
+    // count(*) survives the zero-column projection path
+    assert(spark.read.format("graft").load(root).count() == 50)
+    // a NOT over a conjunction stays exact (polarity rule: translated
+    // only when complete; either way Spark re-evaluates)
+    val notQ = spark.read.format("graft").load(root)
+      .filter(!(col("k") < 40 && col("s").startsWith("s1"))).select("k")
+    assert(notQ.count() == 50 - (0 until 40).count(i => s"s$i".startsWith("s1")))
+  }
 }

@@ -306,4 +306,125 @@ class SqlCatalogSpec extends GraftSuite {
     assert(Layout.snapshotVersions(spark, s"$wh/ct") == Seq(1, 2),
       "REPLACE starts a fresh manifest history (create + insert)")
   }
+
+  test("CALL graft.system.optimize/vacuum/maintain drive the maintenance engines from SQL and return their reports") {
+    wh
+    import spark.implicits._
+    // a table with small-file debt: three tiny single-file commits
+    sql("CREATE TABLE gtest.mx (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    for (b <- 0 to 2) {
+      Seq.tabulate(40)(i => (b * 40L + i, i.toDouble)).toDF("k", "v")
+        .coalesce(1).createOrReplaceTempView(s"mx_src$b")
+      sql(s"INSERT INTO gtest.mx SELECT * FROM mx_src$b")
+    }
+    val root = s"$wh/mx"
+    val before = Layout.readSnapshot(spark, root).inputFiles.length
+    assert(before >= 3)
+
+    // OPTIMIZE with z-order: one row back (version, files before/after),
+    // content exact, recorded head advanced
+    val opt = sql("CALL gtest.system.optimize(table => 'mx', " +
+      "zorder_by => 'k')").collect()
+    assert(opt.length == 1)
+    val newV = opt(0).getInt(0)
+    assert(opt(0).getInt(1) == before, "files_before must report the head")
+    assert(Layout.snapshotVersions(spark, root).last == newV)
+    val head = sql("SELECT * FROM gtest.mx")
+    assert(head.count() == 120 &&
+      head.distinct().count() == 120, "optimize preserves content exactly")
+
+    // VACUUM: cutoff now, keep 1 → every superseded version expires
+    val vac = sql("CALL gtest.system.vacuum(table => 'mx', " +
+      s"older_than_millis => ${System.currentTimeMillis() + 1000}, " +
+      "min_keep => 1)").collect()
+    assert(vac.length == 1)
+    val dropped = vac(0).getSeq[Int](2)
+    assert(dropped.nonEmpty && !dropped.contains(newV),
+      s"vacuum must drop only superseded versions, dropped $dropped")
+    assert(Layout.snapshotVersions(spark, root) == Seq(newV))
+
+    // MAINTAIN on a clean head: debt below thresholds → no compaction,
+    // nothing vacuumed (fresh timestamps), report says so
+    val m = sql("CALL gtest.system.maintain(table => 'mx')").collect()
+    assert(m.length == 1)
+    assert(m(0).isNullAt(2), "no compaction on a packed head")
+    assert(m(0).getSeq[Int](4).isEmpty, "retention must not expire fresh commits")
+    assert(Layout.snapshotVersions(spark, root) == Seq(newV),
+      "a no-debt maintenance cycle must not commit")
+
+    // procedures are discoverable and self-describing
+    val shown = sql("SHOW PROCEDURES IN gtest.system").collect()
+      .map(_.toString).mkString("\n")
+    Seq("optimize", "vacuum", "maintain").foreach(p =>
+      assert(shown.contains(p), s"SHOW PROCEDURES must list $p:\n$shown"))
+  }
+
+  test("MOR fallback scan prunes columns and pushes filters through the V1 bridge") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.morp (k BIGINT, a DOUBLE, b STRING, c STRING) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    Seq.tabulate(100)(i =>
+        (i.toLong, i * 1.5, s"b$i", s"c$i")).toDF("k", "a", "b", "c")
+      .createOrReplaceTempView("morp_src")
+    sql("INSERT INTO gtest.morp SELECT * FROM morp_src")
+    sql("DELETE FROM gtest.morp WHERE k IN (5, 6)") // → MOR sidecar debt
+    assert(Layout.snapshotMeta(spark, s"$wh/morp").hasDeleteSidecars,
+      "precondition: the table must be on the MOR fallback path")
+    val q = sql("SELECT k, a FROM gtest.morp WHERE k >= 90")
+    // rows exact (deleted keys gone, filter applied)
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.sameElements((90 until 100).map(i => (i.toLong, i * 1.5))))
+    // the scan node's output is the PRUNED projection, not all 4 columns
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("Scan"))
+    assert(scans.nonEmpty && scans.forall { s =>
+      s.contains("k") && !s.contains("c#") && !s.contains("b#")
+    }, s"scan must carry only (k, a):\n${scans.mkString("\n")}")
+    // the fallback reports REAL bytes, so this tiny table broadcasts in
+    // a join instead of inheriting the unknowable-huge V1 default
+    spark.range(0, 100000).toDF("k").createOrReplaceTempView("morp_big")
+    val j = sql("SELECT b.k FROM morp_big b JOIN gtest.morp m ON b.k = m.k")
+    assert(j.count() == 98) // 100 rows minus the 2 MOR-deleted keys
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "a KB-sized MOR table must broadcast:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only widening, old rows null, time travel keeps the narrow schema") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.ev (k BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("ev_src")
+    sql("INSERT INTO gtest.ev SELECT * FROM ev_src")            // v2
+    val root = s"$wh/ev"
+    val filesBefore = Layout.readSnapshot(spark, root).inputFiles.toSet
+    sql("ALTER TABLE gtest.ev ADD COLUMN extra STRING")         // v3
+    assert(Layout.snapshotVersions(spark, root) == Seq(1, 2, 3))
+    assert(Layout.readSnapshot(spark, root).inputFiles.toSet == filesBefore,
+      "ALTER must be metadata-only (zero new data files)")
+    // SQL and Scala reads both surface the null-filled column
+    val viaSql = sql("SELECT k, v, extra FROM gtest.ev")
+    assert(viaSql.count() == 2 &&
+      viaSql.filter(col("extra").isNull).count() == 2)
+    assert(Layout.readSnapshot(spark, root).columns.toSeq ==
+      Seq("k", "v", "extra"))
+    // INSERT with the new column; old rows stay null, new row valued
+    Seq((3L, 3.0, "x")).toDF("k", "v", "extra")
+      .createOrReplaceTempView("ev_src2")
+    sql("INSERT INTO gtest.ev SELECT * FROM ev_src2")           // v4
+    val after = sql("SELECT k, extra FROM gtest.ev").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(after == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+    // time travel below the ALTER keeps the narrow schema
+    assert(sql("SELECT * FROM gtest.ev VERSION AS OF 2").columns.toSeq ==
+      Seq("k", "v"))
+    // refusals: duplicate name, NOT NULL, non-ADD changes
+    intercept[Exception] { sql("ALTER TABLE gtest.ev ADD COLUMN v STRING") }
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.ev ADD COLUMN req STRING NOT NULL") }
+    intercept[Exception] { sql("ALTER TABLE gtest.ev DROP COLUMN extra") }
+  }
 }
