@@ -2687,6 +2687,54 @@ object Relational {
       s"WHERE key >= 10 AND key <= $hi ORDER BY key")
   }
 
+  // ---------------------------------------------------------------- q99
+  /** TEMPORAL-PRUNED SNAPSHOT READ — q96's everyday query in its most
+    * common production spelling: the corpus is clustered and
+    * stats-keyed on its EVENT-TIME column (`o_orderdate`, written as
+    * parquet TIMESTAMP_MICROS so footer stats are exact micros — see
+    * the manifest-v2 temporal stats), and the query slices one calendar
+    * year through [[Layout.snapshotTable]]. The filter reaches
+    * [[graft.sources.SnapshotFileIndex]] as micros-literal bounds and
+    * prunes to the O(overlapping) files from manifest metadata alone.
+    * 100 TB: "last month over a years-deep time-clustered corpus" —
+    * THE dominant scan shape of every telemetry/training-log table;
+    * with temporal stats it plans from the manifest instead of
+    * footer-probing a million files.
+    */
+  private def timeTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val root = sessionRoot(sfDir, "timetab") + "/q99t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        val prevOtt = spark.conf.getOption(
+          "spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+          "TIMESTAMP_MICROS")
+        try {
+          val base = t(spark, sfDir, "orders")
+            .select(col("o_orderkey").as("key"),
+              col("o_orderdate").as("odate"),
+              dec(col("o_totalprice")).cast("double").as("price"))
+            .repartitionByRange(8, col("odate"))
+            .sortWithinPartitions(col("odate"))
+          Layout.snapshotAppend(spark, root, base, statsKey = Some("odate"))
+        } finally prevOtt match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+          case None =>
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        }
+      }
+      root
+    }
+
+  def q99TimeSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = timeTable(spark, sfDir)
+    Layout.snapshotTable(spark, root)
+      .filter(col("odate") >= lit("1996-01-01").cast("timestamp") &&
+        col("odate") < lit("1997-01-01").cast("timestamp"))
+      .orderBy(col("key"))
+  }
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3557,6 +3605,7 @@ object Relational {
     "q96_range_read" -> (q96RangeRead _),
     "q97_catalyst_table" -> (q97CatalystTable _),
     "q98_sql_table" -> (q98SqlTable _),
+    "q99_time_slice" -> (q99TimeSlice _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3706,6 +3755,13 @@ object Relational {
     "q96_range_read" -> q96Sql,
     "q97_catalyst_table" -> q96Sql,
     "q98_sql_table" -> q96Sql,
+    "q99_time_slice" ->
+      """SELECT o_orderkey AS key, o_orderdate AS odate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY key""".stripMargin,
     "q86_integrity_audit" -> q86Sql,
     "q87_scd2_pit" -> q87Sql,
     "q79_scd2_dim" -> q79Sql,

@@ -80,9 +80,22 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
       require(n > 0, s"maxVersionsPerTrigger must be positive (got $n)")
       n
     }
+    // startingVersion v: serve only commits AFTER v (Delta's slot —
+    // "don't backfill, start from here"); "latest" resolves the head at
+    // stream creation so only post-start commits flow
+    val startV = parameters.get("startingVersion").map {
+      case "latest" =>
+        val vs = Layout.snapshotVersions(sqlContext.sparkSession,
+          rootOf(parameters))
+        if (vs.isEmpty) 0 else vs.last
+      case s =>
+        val v = s.toInt
+        require(v >= 0, s"startingVersion must be >= 0 (got $v)")
+        v
+    }.getOrElse(0)
     new CdfSource(sqlContext, rootOf(parameters),
       schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters),
-        cdc)), cdc, maxV)
+        cdc)), cdc, maxV, startV)
   }
 }
 
@@ -117,7 +130,8 @@ object CdfSource {
 
 class CdfSource(sqlContext: SQLContext, root: String,
     declaredSchema: StructType, cdc: Boolean = false,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingVersion: Int = 0) extends Source {
 
   private def spark = sqlContext.sparkSession
 
@@ -138,7 +152,7 @@ class CdfSource(sqlContext: SQLContext, root: String,
     * contract), which re-seeds this watermark; and `getOffset` never
     * offers below it, so a capped offer can never rewind the WAL.
     */
-  @volatile private var lastOffered: Int = 0
+  @volatile private var lastOffered: Int = startingVersion
 
   override def getOffset: Option[Offset] = {
     val vs = Layout.snapshotVersions(spark, root)
@@ -164,7 +178,9 @@ class CdfSource(sqlContext: SQLContext, root: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val since = start.map(versionOf).getOrElse(0)
+    // first batch of a fresh stream (no WAL) starts at startingVersion,
+    // so a `startingVersion` consumer never backfills the prefix
+    val since = start.map(versionOf).getOrElse(startingVersion)
     val endV = versionOf(end)
     if (endV > lastOffered) lastOffered = endV
     val deltas =

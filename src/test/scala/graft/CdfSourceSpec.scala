@@ -192,4 +192,40 @@ class CdfSourceSpec extends GraftSuite {
       assert(batches.flatMap(_._2).sorted == Seq(1, 2, 3, 4, 5, 6))
     } finally q.stop()
   }
+
+  test("startingVersion skips the backfill: only post-start commits flow; 'latest' starts at the live edge") {
+    val dir = freshDir("cdf-start")
+    val root = s"$dir/t"
+    val slices = (0 to 3).map(b => orders.filter(col("key") % 4 === b))
+    slices.take(3).foreach(s => Layout.snapshotAppend(spark, root, s)) // v1..v3
+    // numeric form: start AFTER v2 — v1/v2 never emitted
+    val q1 = spark.readStream.format("graft-cdf").option("path", root)
+      .option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("cdf_sv")
+      .option("checkpointLocation", s"$dir/ckpt1").start()
+    try {
+      q1.processAllAvailable()
+      val got = spark.table("cdf_sv")
+      assert(got.select("_graft_version").distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(3),
+        "startingVersion=2 must serve exactly v3")
+      assert(got.count() == slices(2).count())
+    } finally q1.stop()
+    // 'latest': nothing from the existing history, everything after
+    val q2 = spark.readStream.format("graft-cdf").option("path", root)
+      .option("startingVersion", "latest").load()
+      .writeStream.format("memory").queryName("cdf_svl")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("cdf_svl").count() == 0,
+        "'latest' must not backfill")
+      Layout.snapshotAppend(spark, root, slices(3)) // v4
+      q2.processAllAvailable()
+      val got = spark.table("cdf_svl")
+      assert(got.select("_graft_version").distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(4))
+      assert(got.count() == slices(3).count())
+    } finally q2.stop()
+  }
 }
