@@ -405,10 +405,18 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
 }
 
 /** A read-only metadata table over a snapshot table's manifests —
-  * `graft.t.history` (per-version commit log) / `graft.t.files` (the
-  * head's per-file stats inventory). Manifest-priced: planning and
-  * execution never touch a data byte; the V1 scan materializes the
-  * metadata DataFrame the Scala API already serves.
+  * `graft.t.history` (per-version commit log), `graft.t.files` (the
+  * head's per-file stats inventory), and `graft.t.changes` (the FULL
+  * op-typed change feed, Delta's `table_changes` TVF as a plain table:
+  * every version's [[Layout.snapshotChanges]] delta stamped
+  * `_graft_version`, `_change_type` ∈ {insert, delete}). history/files
+  * are manifest-priced (planning and execution never touch a data
+  * byte); `changes` accepts VERSION-RANGE PUSHDOWN — conjuncts on
+  * `_graft_version` (`>`, `>=`, `<`, `<=`, `=`, `IN`, `BETWEEN`)
+  * restrict which versions' deltas are COMPUTED at all, so
+  * `WHERE _graft_version > 40` on a 50-commit table prices the scan at
+  * the last 10 deltas (append lineage metadata-priced, MOR-delete
+  * transitions O(scoped files)), not the full history.
   */
 case class GraftMetaTable(root: String, kind: String, identName: String)
     extends Table with SupportsRead {
@@ -420,23 +428,121 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
     case "files" => Layout.snapshotFilesTable(spark, root)
   }
 
+  private def changesSchema: StructType = {
+    val meta = Layout.snapshotMeta(spark, root)
+    val base = meta.schema.getOrElse {
+      if (meta.paths.isEmpty) new StructType()
+      else spark.read.option("mergeSchema", "true")
+        .parquet(meta.paths: _*).schema
+    }
+    StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_graft_version",
+        org.apache.spark.sql.types.IntegerType, nullable = true))
+  }
+
   override def name(): String = identName
-  override def schema(): StructType = df.schema
+  override def schema(): StructType =
+    if (kind == "changes") changesSchema else df.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** [lo, hi] a conjunct proves for `_graft_version` — the weakening
+    * rule of [[V1Filters]]: only restrictions IMPLIED by the predicate
+    * (plain comparisons, IN, conjunctions) narrow the computed range;
+    * anything else leaves the side unrestricted.
+    */
+  private def versionBoundOf(f: org.apache.spark.sql.sources.Filter)
+      : Option[(Int, Int)] = {
+    import org.apache.spark.sql.sources._
+    val res = spark.sessionState.conf.resolver
+    def isV(a: String) = res(a, "_graft_version")
+    def num(v: Any): Option[Int] = v match {
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) =>
+        Some(n.asInstanceOf[Number].intValue())
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) if isV(a) => num(v).map(x => (x, x))
+      case GreaterThan(a, v) if isV(a) => num(v).map(x => (x + 1, Int.MaxValue))
+      case GreaterThanOrEqual(a, v) if isV(a) => num(v).map(x => (x, Int.MaxValue))
+      case LessThan(a, v) if isV(a) => num(v).map(x => (Int.MinValue, x - 1))
+      case LessThanOrEqual(a, v) if isV(a) => num(v).map(x => (Int.MinValue, x))
+      case In(a, vs) if isV(a) =>
+        val ns = vs.flatMap(num)
+        if (ns.length == vs.length && ns.nonEmpty) Some((ns.min, ns.max))
+        else None
+      case And(l, r) =>
+        (versionBoundOf(l), versionBoundOf(r)) match {
+          case (Some((a1, b1)), Some((a2, b2))) =>
+            Some((math.max(a1, a2), math.min(b1, b2)))
+          case (x, None) => x
+          case (None, y) => y
+        }
+      case _ => None
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val tbl = this
-    new ScanBuilder {
+    if (kind != "changes") {
+      new ScanBuilder {
+        override def build(): Scan = new V1Scan {
+          override def readSchema(): StructType = tbl.schema()
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = tbl.schema()
+              override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+                tbl.df.rdd
+            }.asInstanceOf[T]
+        }
+      }
+    } else new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var lo = Int.MinValue
+      private var hi = Int.MaxValue
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        filters.flatMap(versionBoundOf).foreach { case (l, h) =>
+          lo = math.max(lo, l); hi = math.min(hi, h)
+        }
+        filters // all re-evaluated by Spark — bounds only prune compute
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = tbl.schema()
+        private val outSchema = tbl.changesSchema
+        override def readSchema(): StructType = outSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
-            override def schema: StructType = tbl.schema()
-            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
-              tbl.df.rdd
+            override def schema: StructType = outSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+              import org.apache.spark.sql.functions.{col, lit}
+              val all = Layout.snapshotVersions(tbl.spark, tbl.root)
+              val wanted = all.filter(v => v >= lo && v <= hi)
+              val deltas = wanted.map { v =>
+                val prev = all.takeWhile(_ < v).lastOption.getOrElse(0)
+                Layout.snapshotChanges(tbl.spark, tbl.root, prev, v)
+                  .withColumn("_graft_version", lit(v))
+              }
+              val unioned = deltas
+                .reduceOption(_.unionByName(_, allowMissingColumns = true))
+                .getOrElse(tbl.spark.createDataFrame(
+                  tbl.spark.sparkContext.emptyRDD[Row], outSchema))
+              // project (and null-fill) to the declared schema: additive
+              // evolution mid-history must not change this table's shape
+              unioned.select(outSchema.fields.toIndexedSeq.map { f =>
+                (if (unioned.columns.contains(f.name)) col(s"`${f.name}`")
+                 else lit(null)).cast(f.dataType).as(f.name)
+              }: _*).rdd
+            }
           }.asInstanceOf[T]
       }
     }
@@ -444,5 +550,5 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
 }
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("history", "files")
+  val Kinds: Set[String] = Set("history", "files", "changes")
 }

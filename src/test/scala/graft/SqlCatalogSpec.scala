@@ -392,6 +392,40 @@ class SqlCatalogSpec extends GraftSuite {
         j.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("graft.t.changes: the full op-typed feed as SQL; version predicates bound which deltas are computed; replay reconstructs the head") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.ch (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")                       // v1 (empty)
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("ch_src1")
+    sql("INSERT INTO gtest.ch SELECT * FROM ch_src1")          // v2
+    Seq((4L, 4.0), (5L, 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("ch_src2")
+    sql("INSERT INTO gtest.ch SELECT * FROM ch_src2")          // v3
+    sql("DELETE FROM gtest.ch WHERE k IN (2, 4)")              // v4 (MOR)
+    val all = sql("SELECT * FROM gtest.ch.changes")
+    assert(all.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_graft_version"))
+    val byV = all.groupBy("_graft_version", "_change_type").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byV == Map((2, "insert") -> 3L, (3, "insert") -> 2L,
+      (4, "delete") -> 2L), s"feed shape wrong: $byV")
+    // version-range predicate: rows exact under the bounded compute
+    val tail = sql(
+      "SELECT k, _change_type FROM gtest.ch.changes WHERE _graft_version >= 4")
+    assert(tail.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      .sameElements(Array((2L, "delete"), (4L, "delete"))))
+    // replaying the feed reconstructs the head
+    val allC = all.localCheckpoint()
+    val replay = allC.filter(col("_change_type") === "insert")
+      .drop("_change_type", "_graft_version")
+      .exceptAll(allC.filter(col("_change_type") === "delete")
+        .drop("_change_type", "_graft_version"))
+    val head = sql("SELECT * FROM gtest.ch")
+    assert(replay.exceptAll(head).isEmpty && head.exceptAll(replay).isEmpty)
+  }
+
   test("ALTER TABLE ADD COLUMN: metadata-only widening, old rows null, time travel keeps the narrow schema") {
     wh
     import spark.implicits._
