@@ -1603,7 +1603,17 @@ object Similarity {
       .distinct()
   }
 
-  def s20GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def s20GraphAnn(spark: SparkSession, sfDir: String): DataFrame =
+    graphAnnWith(spark, sfDir, S20Beam, S20Hops)
+
+  /** The s20 traversal with the serving knobs exposed — what the
+    * [[s21BeamTune]] sweep (and a deployment picking its own
+    * recall/latency point) calls: beam width = HNSW's efSearch, hops =
+    * the traversal depth. Plan shape identical to s20 (per-hop
+    * equi-joins, one window per hop).
+    */
+  private[graft] def graphAnnWith(spark: SparkSession, sfDir: String,
+      beamWidth: Int, hops: Int): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -1627,7 +1637,7 @@ object Similarity {
         explode(array((0 until S20Entries).map(i => lit(i.toLong)): _*))
           .as("id")))
       .localCheckpoint()
-    for (_ <- 1 to S20Hops) {
+    for (_ <- 1 to hops) {
       val grown = beam.select(col("q_id"), col("id"))
         .unionByName(beam
           .join(edges, beam("id") === edges("src"))
@@ -1637,7 +1647,7 @@ object Similarity {
       // the loop; checkpoints keep analysis/codegen linear in hops
       beam = score(grown)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= S20Beam)
+        .filter(col("rn") <= beamWidth)
         .select(col("q_id"), col("id"), col("cos"))
         .localCheckpoint()
     }
@@ -1707,6 +1717,42 @@ object Similarity {
       |  FROM hop$S20Hops)
       |WHERE rank <= $TopK
       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s21
+  case class BeamTunePoint(beam: Int, recall: Double)
+  case class BeamTuneResult(beam: Int, recall: Double,
+      sweep: Seq[BeamTunePoint])
+
+  /** BEAM-WIDTH AUTO-TUNER for the graph-ANN tier (s18's nprobe tuner,
+    * transplanted to s20 — HNSW deployments tune efSearch exactly this
+    * way): run the SAME deterministic traversal at each candidate beam
+    * width, measure recall@k against the exact s1 baseline (computed
+    * once), and return the SMALLEST beam meeting the target plus the
+    * whole measured curve (the artifact a deployment records — the
+    * recall/latency trade is explicit, not folklore). Serving cost
+    * scales linearly in the beam, so the chosen point is the cheapest
+    * configuration that meets the SLA. Recall is monotone
+    * non-decreasing in beam width by construction (a wider beam keeps a
+    * superset of candidates at every hop) — asserted by the spec, not
+    * assumed.
+    */
+  def s21BeamTune(spark: SparkSession, sfDir: String,
+      targetRecall: Double = 0.9,
+      beams: Seq[Int] = Seq(2, 4, 8, 16)): BeamTuneResult = {
+    require(beams.nonEmpty && beams.forall(_ > 0), "beams must be positive")
+    val exact = s1CosineTopK(spark, sfDir)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint() // the O(corpus·queries) baseline computes ONCE
+    val denom = exact.count().toDouble
+    val sweep = beams.sorted.map { b =>
+      val got = graphAnnWith(spark, sfDir, b, S20Hops)
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = got.join(exact, Seq("q_id", "neighbor_id")).count()
+      BeamTunePoint(b, hits / denom)
+    }
+    val best = sweep.find(_.recall >= targetRecall).getOrElse(sweep.last)
+    BeamTuneResult(best.beam, best.recall, sweep)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

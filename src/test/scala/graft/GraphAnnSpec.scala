@@ -39,4 +39,32 @@ class GraphAnnSpec extends GraftSuite {
     assert(edges.count() <= 2L * Similarity.S15K * nodes,
       "edge count must stay within the 2k-per-node kNN budget")
   }
+
+  test("s21 beam tuner: recall is monotone in beam width, the chosen beam is the cheapest meeting target, the curve tops out at s20's operating point") {
+    val beams = Seq(2, 4, Similarity.S20Beam)
+    val r = Similarity.s21BeamTune(spark, sf,
+      targetRecall = 0.5, beams = beams)
+    assert(r.sweep.map(_.beam) == beams.sorted)
+    // monotone non-decreasing: a wider beam keeps a superset per hop
+    r.sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.recall >= a.recall - 1e-12,
+        s"recall must not drop with a wider beam: $a -> $b")
+    }
+    // the chosen point is the SMALLEST beam meeting the target
+    val firstOk = r.sweep.find(_.recall >= 0.5)
+    assert(firstOk.contains(BeamTunePointOf(r)),
+      s"chosen ${r.beam}@${r.recall} must be the first point >= target " +
+        s"in ${r.sweep}")
+    // at s20's own beam the tuner reproduces s20's measured recall floor
+    val top = r.sweep.last
+    assert(top.beam == Similarity.S20Beam && top.recall >= 0.6,
+      s"the widest point must match s20's recall floor, got $top")
+    // an unreachable target falls back to the widest (best) point
+    val hard = Similarity.s21BeamTune(spark, sf,
+      targetRecall = 1.01, beams = Seq(2, 4))
+    assert(hard.beam == 4 && hard.sweep.size == 2)
+  }
+
+  private def BeamTunePointOf(r: Similarity.BeamTuneResult) =
+    Similarity.BeamTunePoint(r.beam, r.recall)
 }
