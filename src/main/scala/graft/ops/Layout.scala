@@ -2208,7 +2208,8 @@ object Layout {
     */
   def snapshotCompact(spark: org.apache.spark.sql.SparkSession, root: String,
       targetBytes: Long, clusterBy: Seq[Column] = Nil,
-      zOrderBy: Seq[Column] = Nil, zBits: Int = 16): Int = {
+      zOrderBy: Seq[Column] = Nil, zBits: Int = 16,
+      zQuantile: Boolean = false): Int = {
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (lexicographic) and zOrderBy (interleaved) are exclusive")
     val vs = snapshotVersions(spark, root)
@@ -2226,8 +2227,14 @@ object Layout {
         // (key range × cust range) skip files on either predicate alone
         val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         val df = readSnapshot(spark, root, base)
-        val scaled = linearBins(df, zOrderBy, zBits)
-        df.withColumn("__graft_zv", zvalue(zBits, scaled: _*))
+        // quantile = equal-population bins ([[zOrderWrite]]'s skew path:
+        // under a Zipf/outlier domain linear binning collapses — one
+        // extreme value stretches the range so every row lands in bin 0
+        // and that dimension prunes nothing)
+        val bits = if (zQuantile) math.min(zBits, 10) else zBits
+        val scaled = if (zQuantile) quantileBins(df, zOrderBy, bits)
+                     else linearBins(df, zOrderBy, bits)
+        df.withColumn("__graft_zv", zvalue(bits, scaled: _*))
           .repartitionByRange(n, col("__graft_zv"))
           .sortWithinPartitions(col("__graft_zv"))
           .drop("__graft_zv")
@@ -2893,7 +2900,8 @@ object Layout {
       minKeepVersions: Int = 2,
       orphanGraceMillis: Long = ClaimGraceMillis,
       clusterBy: Seq[Column] = Nil,
-      zOrderBy: Seq[Column] = Nil) {
+      zOrderBy: Seq[Column] = Nil,
+      zQuantile: Boolean = false) {
     def smallCutoff: Long =
       if (smallFileBytes > 0) smallFileBytes else targetFileBytes / 2
   }
@@ -2942,7 +2950,7 @@ object Layout {
     val compacted =
       if (nDel >= policy.maxDeleteFiles || nSmall >= policy.maxSmallFiles)
         Some(snapshotCompact(spark, root, policy.targetFileBytes,
-          policy.clusterBy, policy.zOrderBy))
+          policy.clusterBy, policy.zOrderBy, zQuantile = policy.zQuantile))
       else None
     val vac = vacuumSnapshotsOlderThan(spark, root,
       nowMillis - policy.retentionMillis, policy.minKeepVersions)

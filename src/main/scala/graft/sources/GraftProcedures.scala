@@ -90,7 +90,8 @@ private[sources] object GraftProcedures {
       p("table", StringType),
       pd("target_bytes", LongType, (128L << 20).toString),
       pd("zorder_by", StringType, "NULL"),
-      pd("cluster_by", StringType, "NULL"))
+      pd("cluster_by", StringType, "NULL"),
+      pd("zorder_quantile", BooleanType, "false"))
     private val outSchema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("files_before", IntegerType, nullable = false),
@@ -105,7 +106,8 @@ private[sources] object GraftProcedures {
         else zcolsOf(input.getUTF8String(3).toString)
       val before = Layout.readSnapshot(spark, root).inputFiles.length
       val v = Layout.snapshotCompact(spark, root, target,
-        clusterBy = cBy, zOrderBy = zBy)
+        clusterBy = cBy, zOrderBy = zBy,
+        zQuantile = input.getBoolean(4))
       val after = Layout.readSnapshot(spark, root, v).inputFiles.length
       result(outSchema, InternalRow(v, before, after))
     }

@@ -80,7 +80,8 @@ class SnapshotSinkProvider extends StreamSinkProvider with DataSourceRegister {
         .map(_.toInt).getOrElse(2),
       zOrderBy = parameters.get("maintainZOrderBy").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        .map(org.apache.spark.sql.functions.col))
+        .map(org.apache.spark.sql.functions.col),
+      zQuantile = parameters.get("maintainZQuantile").exists(_.toBoolean))
     new SnapshotSink(sqlContext, root, ckpt,
       parameters.get("statsKey"),
       parameters.get("appendToExisting").exists(_.toBoolean),

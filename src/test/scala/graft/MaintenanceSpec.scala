@@ -146,6 +146,20 @@ class MaintenanceSpec extends GraftSuite {
     val expCust = base.filter(custSlice)
     val gotCust = Layout.snapshotTable(spark, root).filter(custSlice)
     assert(gotCust.exceptAll(expCust).isEmpty && expCust.exceptAll(gotCust).isEmpty)
+    // QUANTILE mode (the skew-safe binning): recompaction stays
+    // content-exact and keeps pruning on both dimensions
+    val bytes2 = Layout.readSnapshot(spark, root).inputFiles
+      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
+    val v2 = Layout.snapshotCompact(spark, root, math.max(1L, bytes2 / 8),
+      zOrderBy = Seq(col("key"), col("cust")), zQuantile = true)
+    val afterQ = Layout.readSnapshot(spark, root, v2)
+    assert(afterQ.exceptAll(base).isEmpty && base.exceptAll(afterQ).isEmpty,
+      "quantile z-order compaction preserves content exactly")
+    val (nCustQ, totalQ) = filesFor(custSlice)
+    val (nKeyQ, _) = filesFor(keySlice)
+    assert(nCustQ < totalQ && nKeyQ < totalQ,
+      s"quantile z-order must keep both dimensions pruning " +
+        s"($nCustQ/$nKeyQ of $totalQ)")
   }
 
   test("orphan sweep honors the grace clock: aged strays go, fresh attempt files survive") {
