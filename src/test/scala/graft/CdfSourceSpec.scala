@@ -159,7 +159,7 @@ class CdfSourceSpec extends GraftSuite {
     } finally q.stop()
   }
 
-  test("maxVersionsPerTrigger bounds every micro-batch to N commits; the backfill still arrives exactly-once") {
+  test("maxVersionsPerTrigger bounds every micro-batch to N commits; the backfill still arrives exactly-once, including across a checkpointed restart") {
     val dir = freshDir("cdf-rate")
     val root = s"$dir/t"
     // five commits BEFORE the stream starts — the backfill case the
@@ -167,15 +167,17 @@ class CdfSourceSpec extends GraftSuite {
     val slices = (0 to 4).map(b => orders.filter(col("key") % 5 === b))
     slices.foreach(s => Layout.snapshotAppend(spark, root, s)) // v1..v5
     val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
-    val q = spark.readStream.format("graft-cdf").option("path", root)
-      .option("maxVersionsPerTrigger", "2").load()
-      .writeStream.option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-        val vs = df.select("_graft_version").distinct()
-          .collect().map(_.getInt(0)).toSeq.sorted
-        batches.synchronized { batches += ((id, vs)) }
-        ()
-      }.start()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-cdf").option("path", root)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val vs = df.select("_graft_version").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          batches.synchronized { batches += ((id, vs)) }
+          ()
+        }.start()
+    val q = run()
     try {
       q.processAllAvailable()
       val nonEmpty = batches.filter(_._2.nonEmpty)
@@ -191,6 +193,21 @@ class CdfSourceSpec extends GraftSuite {
       q.processAllAvailable()
       assert(batches.flatMap(_._2).sorted == Seq(1, 2, 3, 4, 5, 6))
     } finally q.stop()
+    // RESTART under the cap: a fresh source re-seeds its watermark from
+    // the engine's offset-log replay — a capped getOffset can never
+    // rewind the WAL and nothing re-emits
+    Layout.snapshotAppend(spark, root, slices(1)) // v7
+    Layout.snapshotAppend(spark, root, slices(2)) // v8
+    Layout.snapshotAppend(spark, root, slices(3)) // v9
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      val all2 = batches.flatMap(_._2).sorted
+      assert(all2 == (1 to 9), s"restart must continue exactly-once under " +
+        s"the cap (no re-emits, no gaps), saw $all2")
+      assert(batches.filter(_._2.nonEmpty).forall(_._2.size <= 2),
+        "the cap must survive the restart")
+    } finally q2.stop()
   }
 
   test("startingVersion skips the backfill: only post-start commits flow; 'latest' starts at the live edge") {
