@@ -847,7 +847,7 @@ object Layout {
     * `deleteKey` carry rule, generalized): `statsKey` = the stats
     * column, `partCol` = the partition column.
     */
-  private val TableProps = Set("deleteKey", "statsKey", "partCol")
+  private val TableProps = Set("deleteKey", "statsKey", "partCol", "clusterBy")
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
     hdr.view.filterKeys(TableProps).toMap
@@ -1330,8 +1330,9 @@ object Layout {
     * Returns the committed version.
     */
   def snapshotAppend(spark: org.apache.spark.sql.SparkSession, root: String,
-      df: DataFrame, statsKey: Option[String] = None): Int =
-    appendInternal(spark, root, df, statsKey, None)
+      df: DataFrame, statsKey: Option[String] = None,
+      clusterBy: Option[String] = None): Int =
+    appendInternal(spark, root, df, statsKey, None, clusterBy)
 
   /** [[snapshotAppend]] for a PARTITIONED table: `partCol`, declared on
     * the first commit, becomes a table property; the data is shuffled so
@@ -1354,7 +1355,7 @@ object Layout {
 
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, statsKey: Option[String],
-      partCol: Option[String]): Int = {
+      partCol: Option[String], clusterBy: Option[String] = None): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
     val prevHdr = prev.lastOption
@@ -1365,10 +1366,30 @@ object Layout {
       require(e == k, s"table stats column is '$e', not '$k'")
     for (p <- partCol; e <- prevHdr.get("partCol"))
       require(e == p, s"table partition column is '$e', not '$p'")
+    for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
+      require(e == c, s"table cluster columns are '$e', not '$c'")
     val props = carriedProps(prevHdr) ++
-      statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _)
+      statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
+      clusterBy.map("clusterBy" -> _)
+    // CLUSTERED-ON-WRITE (Delta liquid clustering's slot): a table that
+    // declared `clusterBy` range-clusters EVERY append at write time, so
+    // each commit's files tile its batch's key space and manifest stats
+    // stay tight without waiting for a maintenance compaction. One extra
+    // shuffle per append — the price every subsequent pruned scan repays.
+    // (Not combined with partCol: the partition shuffle owns the layout.)
+    require(props.get("clusterBy").isEmpty || props.get("partCol").isEmpty,
+      "clusterBy and partCol are exclusive (the partition shuffle owns " +
+        "the layout; cluster within partitions by pre-arranging the frame " +
+        "and shuffleByPartition=false)")
+    val toWrite = props.get("clusterBy") match {
+      case Some(cs) if df.columns.nonEmpty =>
+        val cols = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(col)
+        if (cols.isEmpty) df
+        else df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      case _ => df
+    }
     val dataDir = attemptDir(root, "data", v)
-    df.write.mode("error").parquet(dataDir)
+    toWrite.write.mode("error").parquet(dataDir)
     val carried = carriedStateOf(spark, root, prev.lastOption)
     // delete sidecars carry forward with the files they scope: an append
     // must not resurrect rows a prior MOR delete removed. The new files
@@ -1536,6 +1557,37 @@ object Layout {
         rows, hdr.get("writer"), hdr.get("epoch").map(_.toLong))
     }.toDF("version", "commit_ts", "n_files", "n_delete_files",
       "recorded_rows", "writer", "epoch")
+  }
+
+  /** Iceberg's `partitions` metadata table: per partition value of the
+    * HEAD (or pinned version), the file count and — when every file of
+    * the value carries stats and single-value scope — its recorded row
+    * count (multi-value files contribute files but unknown rows:
+    * reported null, never a guess). Resolved from manifests alone, zero
+    * data I/O — what a maintenance scheduler reads to find the skewed
+    * or splintered partition worth a scoped OPTIMIZE.
+    */
+  def snapshotPartitionsTable(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    val entries = manifestEntries(spark, root, v)
+    val perValue = entries.flatMap { e =>
+      e.parts.getOrElse(Seq.empty).map { p =>
+        // rows attributable only when the file holds exactly this value
+        val rows = e.stats.map(_.rows)
+          .filter(_ => e.parts.exists(_.size == 1))
+        (p, rows)
+      }
+    }
+    perValue.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, xs) =>
+      val allKnown = xs.forall(_._2.isDefined)
+      (p, xs.size.toLong,
+        if (allKnown) Some(xs.flatMap(_._2).sum) else None)
+    }.toDF("partition", "n_files", "recorded_rows")
   }
 
   def snapshotFilesTable(spark: org.apache.spark.sql.SparkSession,
@@ -2550,6 +2602,66 @@ object Layout {
       residual ++
         entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
       header = props ++ schemaHeaderOf(schema))
+    v
+  }
+
+  /** OPTIMIZE scoped to a PARTITION SUBSET (Delta's `OPTIMIZE t WHERE
+    * part = …`, Iceberg's rewrite_data_files filter): bin-pack ONLY the
+    * files whose recorded partition-value set lies entirely within
+    * `partitions`, carrying everything else untouched — wholly-foreign
+    * segments by reference, partially-touched segments' residual entries
+    * re-serialized (the [[snapshotMerge]] carry machinery). At 100 TB
+    * this is the difference between "compact yesterday's partition after
+    * the daily load" (O(one day's bytes)) and rewriting the table; the
+    * standing job compacts the hot partition on its cadence and never
+    * touches cold history. Files with no recorded partition set or a
+    * mixed set stay carried (conservative — repacking them would need a
+    * read-and-split). Requires a sidecar-free head (fold MOR debt with
+    * the full [[snapshotCompact]] first) and a declared `partCol`.
+    * Returns the committed version — or the base version unchanged when
+    * no file is in scope (a no-op never commits).
+    */
+  def snapshotCompactPartitions(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetBytes: Long, partitions: Seq[String]): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    require(manifestDeleteFiles(spark, root, base).isEmpty,
+      "partition-scoped OPTIMIZE needs a sidecar-free head — run " +
+        "snapshotCompact to fold MOR debt first")
+    val hdr = manifestHeader(spark, root, base)
+    require(hdr.contains("partCol"),
+      s"$root declares no partCol; partition-scoped OPTIMIZE needs one")
+    val want = partitions.toSet
+    require(want.nonEmpty, "no partitions given")
+    val tagged = manifestEntriesTagged(spark, root, base)
+    val (touchedTagged, untouchedTagged) = tagged.partition(t =>
+      t._2.parts.exists(ps => ps.nonEmpty && ps.forall(want)))
+    if (touchedTagged.isEmpty) return base
+    val touchedSegs = touchedTagged.map(_._1).toSet
+    val carriedSegs = manifestSegRefs(spark, root, base)
+      .filterNot(touchedSegs)
+    val residual = untouchedTagged
+      .collect { case (seg, e) if seg == "" || touchedSegs(seg) => e }
+    val v = base + 1
+    val dataDir = attemptDir(root, "data", v)
+    // bin-pack via the cloned-session split sizing ([[snapshotCompact]]'s
+    // plain mode): the scan itself packs the small files; zero shuffle
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
+    // without this the split planner still fans out to default
+    // parallelism (minPartitionNum) and a small hot partition never
+    // packs below its input file count
+    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
+    val packed = scoped.read.option("mergeSchema", "true")
+      .parquet(touchedTagged.map(_._2.path): _*)
+    packed.write.mode("error").parquet(dataDir)
+    val props = carriedProps(hdr)
+    commitManifest(spark, root, v, carriedSegs,
+      residual ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props ++ schemaHeaderOf(manifestSchema(spark, root, base)))
     v
   }
 

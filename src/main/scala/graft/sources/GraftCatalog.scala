@@ -178,7 +178,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case Some(pc) => Layout.snapshotAppendPartitioned(spark, root, empty,
         pc, statsKey = prop("statsKey"))
       case None => Layout.snapshotAppend(spark, root, empty,
-        statsKey = prop("statsKey"))
+        statsKey = prop("statsKey"), clusterBy = prop("clusterBy"))
     }
     GraftTable(root, ident.toString, -1)
   }
@@ -426,6 +426,7 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
   private def df: DataFrame = kind match {
     case "history" => Layout.snapshotHistory(spark, root)
     case "files" => Layout.snapshotFilesTable(spark, root)
+    case "partitions" => Layout.snapshotPartitionsTable(spark, root)
   }
 
   private def changesSchema: StructType = {
@@ -550,5 +551,5 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
 }
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("history", "files", "changes")
+  val Kinds: Set[String] = Set("history", "files", "changes", "partitions")
 }

@@ -99,19 +99,23 @@ class GraftRelationProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val statsKey = parameters.get("statsKey")
+    val clusterBy = parameters.get("clusterBy")
     mode match {
       case SaveMode.Append =>
-        Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+        Layout.snapshotAppend(spark, root, data, statsKey = statsKey,
+          clusterBy = clusterBy)
       case SaveMode.Overwrite =>
         Layout.snapshotOverwrite(spark, root, data)
       case SaveMode.ErrorIfExists =>
         if (Layout.snapshotVersions(spark, root).nonEmpty)
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(Seq(root))
-        Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+        Layout.snapshotAppend(spark, root, data, statsKey = statsKey,
+          clusterBy = clusterBy)
       case SaveMode.Ignore =>
         if (Layout.snapshotVersions(spark, root).isEmpty)
-          Layout.snapshotAppend(spark, root, data, statsKey = statsKey)
+          Layout.snapshotAppend(spark, root, data, statsKey = statsKey,
+            clusterBy = clusterBy)
     }
     createRelation(sqlContext, parameters)
   }

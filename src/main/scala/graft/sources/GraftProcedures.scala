@@ -91,7 +91,8 @@ private[sources] object GraftProcedures {
       pd("target_bytes", LongType, (128L << 20).toString),
       pd("zorder_by", StringType, "NULL"),
       pd("cluster_by", StringType, "NULL"),
-      pd("zorder_quantile", BooleanType, "false"))
+      pd("zorder_quantile", BooleanType, "false"),
+      pd("where_partitions", StringType, "NULL"))
     private val outSchema = StructType(Seq(
       StructField("version", IntegerType, nullable = false),
       StructField("files_before", IntegerType, nullable = false),
@@ -105,9 +106,19 @@ private[sources] object GraftProcedures {
       val cBy = if (input.isNullAt(3)) Nil
         else zcolsOf(input.getUTF8String(3).toString)
       val before = Layout.readSnapshot(spark, root).inputFiles.length
-      val v = Layout.snapshotCompact(spark, root, target,
-        clusterBy = cBy, zOrderBy = zBy,
-        zQuantile = input.getBoolean(4))
+      val v =
+        if (!input.isNullAt(5)) {
+          // OPTIMIZE … WHERE: partition-scoped bin-pack — cold history
+          // untouched, the hot partitions repack (recluster modes are
+          // whole-table operations and don't combine with a scope)
+          require(zBy.isEmpty && cBy.isEmpty,
+            "where_partitions does not combine with zorder_by/cluster_by")
+          Layout.snapshotCompactPartitions(spark, root, target,
+            input.getUTF8String(5).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq)
+        } else Layout.snapshotCompact(spark, root, target,
+          clusterBy = cBy, zOrderBy = zBy,
+          zQuantile = input.getBoolean(4))
       val after = Layout.readSnapshot(spark, root, v).inputFiles.length
       result(outSchema, InternalRow(v, before, after))
     }
@@ -161,7 +172,8 @@ private[sources] object GraftProcedures {
       pd("max_small_files", IntegerType, "16"),
       pd("retention_millis", LongType, (7L * 24 * 3600 * 1000).toString),
       pd("min_keep", IntegerType, "2"),
-      pd("zorder_by", StringType, "NULL"))
+      pd("zorder_by", StringType, "NULL"),
+      pd("zorder_quantile", BooleanType, "false"))
     private val outSchema = StructType(Seq(
       StructField("delete_files_before", IntegerType, nullable = false),
       StructField("small_files_before", IntegerType, nullable = false),
@@ -180,7 +192,8 @@ private[sources] object GraftProcedures {
         retentionMillis = input.getLong(4),
         minKeepVersions = input.getInt(5),
         zOrderBy = if (input.isNullAt(6)) Nil
-          else zcolsOf(input.getUTF8String(6).toString))
+          else zcolsOf(input.getUTF8String(6).toString),
+        zQuantile = input.getBoolean(7))
       val rep = Layout.snapshotMaintain(spark, root, policy)
       result(outSchema, InternalRow(
         rep.deleteFilesBefore, rep.smallFilesBefore,

@@ -83,6 +83,9 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
     // startingVersion v: serve only commits AFTER v (Delta's slot —
     // "don't backfill, start from here"); "latest" resolves the head at
     // stream creation so only post-start commits flow
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are exclusive")
     val startV = parameters.get("startingVersion").map {
       case "latest" =>
         val vs = Layout.snapshotVersions(sqlContext.sparkSession,
@@ -92,7 +95,13 @@ class CdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
         val v = s.toInt
         require(v >= 0, s"startingVersion must be >= 0 (got $v)")
         v
-    }.getOrElse(0)
+    }.orElse(parameters.get("startingTimestamp").map { s =>
+      // serve only commits stamped AFTER the instant (epoch millis):
+      // the watermark seeds at the latest commit at-or-before it
+      val cut = s.toLong
+      Layout.snapshotTimestamps(sqlContext.sparkSession, rootOf(parameters))
+        .takeWhile(_._2 <= cut).lastOption.map(_._1).getOrElse(0)
+    }).getOrElse(0)
     new CdfSource(sqlContext, rootOf(parameters),
       schema.getOrElse(CdfSource.cdfSchema(sqlContext, rootOf(parameters),
         cdc)), cdc, maxV, startV)

@@ -228,6 +228,18 @@ class CdfSourceSpec extends GraftSuite {
         "startingVersion=2 must serve exactly v3")
       assert(got.count() == slices(2).count())
     } finally q1.stop()
+    // startingTimestamp: the wall-clock twin — start after v2's stamp
+    val ts2 = Layout.snapshotTimestamps(spark, root).find(_._1 == 2).get._2
+    val q1b = spark.readStream.format("graft-cdf").option("path", root)
+      .option("startingTimestamp", ts2.toString).load()
+      .writeStream.format("memory").queryName("cdf_svt")
+      .option("checkpointLocation", s"$dir/ckpt1b").start()
+    try {
+      q1b.processAllAvailable()
+      assert(spark.table("cdf_svt").select("_graft_version").distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(3),
+        "startingTimestamp at v2's stamp must serve exactly v3")
+    } finally q1b.stop()
     // 'latest': nothing from the existing history, everything after
     val q2 = spark.readStream.format("graft-cdf").option("path", root)
       .option("startingVersion", "latest").load()

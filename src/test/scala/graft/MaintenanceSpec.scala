@@ -162,6 +162,56 @@ class MaintenanceSpec extends GraftSuite {
         s"($nCustQ/$nKeyQ of $totalQ)")
   }
 
+  test("OPTIMIZE WHERE: partition-scoped compaction repacks only the target partition's files; cold partitions carry untouched") {
+    val root = freshRoot("maint-pscope")
+    val base = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_orderstatus").as("part"),
+        col("o_totalprice").cast("double").as("price"))
+    // per-partition appends, each splintered into several small files
+    for (s <- Seq("O", "F", "P"))
+      Layout.snapshotAppendPartitioned(spark, root,
+        base.filter(col("part") === s).repartition(4),
+        // keep the pre-splintered 4-file layout: the default partition
+        // shuffle would fold each single-value batch into one file
+        "part", statsKey = Some("key"), shuffleByPartition = false)
+    val before = Layout.readSnapshot(spark, root)
+    val beforeFiles = before.inputFiles.toSet
+    def filesOf(p: String): Set[String] =
+      Layout.readSnapshot(spark, root, -1, partitions = Seq(p))
+        .inputFiles.toSet
+    val fBefore = filesOf("F")
+    val oBefore = filesOf("O")
+    assert(fBefore.size >= 3, s"need small-file debt in F (${fBefore.size})")
+    // compact ONLY partition F into ~1 target-sized file
+    val bytes = beforeFiles.toSeq
+      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
+    val v = Layout.snapshotCompactPartitions(spark, root, bytes, Seq("F"))
+    val after = Layout.readSnapshot(spark, root, v)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "scoped compaction preserves content exactly")
+    val fAfter = filesOf("F")
+    assert(fAfter.size < fBefore.size,
+      s"F must repack (${fBefore.size} -> ${fAfter.size})")
+    assert(fAfter.intersect(fBefore).isEmpty, "F's files are new files")
+    assert(filesOf("O") == oBefore && filesOf("P").subsetOf(beforeFiles),
+      "cold partitions' files must carry byte-identical (same paths)")
+    // partition pruning still serves from the new manifest
+    val gotF = Layout.readSnapshot(spark, root, v, partitions = Seq("F"))
+    val expF = base.filter(col("part") === "F")
+    assert(gotF.exceptAll(expF).isEmpty && expF.exceptAll(gotF).isEmpty)
+    // no-op scope: unknown partition value commits NOTHING
+    assert(Layout.snapshotCompactPartitions(spark, root, bytes,
+      Seq("ZZ")) == v, "out-of-scope OPTIMIZE must not commit")
+    assert(Layout.snapshotVersions(spark, root).last == v)
+    // sidecar debt refuses the scoped form
+    val k = after.select("key").head().getLong(0)
+    Layout.snapshotDeleteMOR(spark, root, "key", Array(k))
+    intercept[IllegalArgumentException] {
+      Layout.snapshotCompactPartitions(spark, root, bytes, Seq("F"))
+    }
+  }
+
   test("orphan sweep honors the grace clock: aged strays go, fresh attempt files survive") {
     val root = freshRoot("maint-orphan")
     Layout.snapshotAppend(spark, root, ordersBase.limit(20).coalesce(1))

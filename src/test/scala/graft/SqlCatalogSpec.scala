@@ -392,6 +392,91 @@ class SqlCatalogSpec extends GraftSuite {
         j.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("graft.t.partitions: per-value file and row inventory from manifests; the scoped-OPTIMIZE shopping list") {
+    wh
+    val src = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("part"),
+        col("o_totalprice").cast("double").as("v"))
+    val root = s"$wh/pt"
+    for (s <- Seq("O", "F", "P"))
+      Layout.snapshotAppendPartitioned(spark, root,
+        src.filter(col("part") === s), "part", statsKey = Some("k"))
+    val got = sql("SELECT * FROM gtest.pt.partitions").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    val expRows = src.groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("O", "F", "P"))
+    expRows.foreach { case (p, n) =>
+      assert(got(p)._2.contains(n),
+        s"partition $p must report $n recorded rows, got ${got(p)}")
+      assert(got(p)._1 >= 1)
+    }
+    // the inventory is manifest-priced: zero parquet footers opened
+    val f0 = Layout.footerReads.get()
+    Layout.snapshotPartitionsTable(spark, root).collect()
+    assert(Layout.footerReads.get() == f0,
+      "partitions table must resolve from manifests alone")
+  }
+
+  test("clusterBy table property: every INSERT range-clusters at write, so narrow slices prune; an undeclared twin does not") {
+    wh
+    val src = Tables(spark, sf, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("double").as("v"))
+      .repartition(4) // hash layout: every partition spans the key space
+    src.createOrReplaceTempView("cl_src")
+    val (loK, hiK) = {
+      val r = src.agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val slice = col("k").between(loK, loK + (hiK - loK) / 20)
+    def prunedCount(table: String,
+        expected: org.apache.spark.sql.DataFrame = src): (Int, Int) = {
+      val (df, idx) = Layout.snapshotTableWithIndex(spark, s"$wh/$table")
+      val got = df.filter(slice)
+      val exp = expected.filter(slice)
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+        s"$table: rows diverged")
+      (idx.lastListedFiles, idx.inputFiles.length)
+    }
+    // pin the shuffle layout: AQE's partition coalescing would merge a
+    // tiny test batch into one range partition (one file spanning the
+    // space); production batches are file-sized and tile naturally
+    val prevCoalesce = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // declared: inserts cluster on write, the slice prunes
+      sql("CREATE TABLE gtest.cl (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('statsKey'='k', 'clusterBy'='k')")
+      sql("INSERT INTO gtest.cl SELECT * FROM cl_src WHERE k % 2 = 0")
+      sql("INSERT INTO gtest.cl SELECT * FROM cl_src WHERE k % 2 = 1")
+      val (nCl, totCl) = prunedCount("cl")
+      assert(totCl >= 4 && nCl < totCl,
+        s"clustered-on-write inserts must prune ($nCl of $totCl files)")
+      // undeclared twin with the SAME hash-shuffled inserts: no pruning
+      sql("CREATE TABLE gtest.cln (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('statsKey'='k')")
+      sql("INSERT INTO gtest.cln SELECT * FROM cl_src WHERE k % 2 = 0")
+      sql("INSERT INTO gtest.cln SELECT * FROM cl_src WHERE k % 2 = 1")
+      val (nPlain, totPlain) = prunedCount("cln")
+      assert(nPlain == totPlain,
+        s"hash-layout control must NOT prune ($nPlain of $totPlain) — " +
+          "the clusterBy property is what made the difference")
+      // the property travels: a later Scala append clusters too
+      val extra = src.limit(500).localCheckpoint()
+      Layout.snapshotAppend(spark, s"$wh/cl", extra)
+      val (nCl2, totCl2) = prunedCount("cl", src.unionAll(extra))
+      assert(nCl2 < totCl2, "carried clusterBy must keep clustering appends")
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    // declaring a conflicting layout refuses
+    intercept[Exception] {
+      Layout.snapshotAppend(spark, s"$wh/cl", src.limit(10),
+        clusterBy = Some("v"))
+    }
+  }
+
   test("graft.t.changes: the full op-typed feed as SQL; version predicates bound which deltas are computed; replay reconstructs the head") {
     wh
     import spark.implicits._
