@@ -2605,6 +2605,31 @@ object Layout {
     v
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE t TO VERSION AS OF v`) — the undo
+    * button: commit version `toVersion`'s EXACT state (file list,
+    * delete sidecars, table properties, recorded schema) as the NEW
+    * head. Metadata-only — zero data I/O, O(that version's manifest) —
+    * because data files are immutable and manifests reference them: the
+    * restore manifest simply references the old files again, which also
+    * re-PROTECTS them from retention (vacuum keeps anything a kept
+    * manifest references). History stays intact: the bad head remains
+    * time-travelable below the restore commit; a subsequent vacuum can
+    * expire it. Returns the committed version.
+    */
+  def snapshotRestore(spark: org.apache.spark.sql.SparkSession,
+      root: String, toVersion: Int): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.contains(toVersion), s"version $toVersion not in $vs")
+    val head = vs.last
+    if (toVersion == head) return head // restoring the head is a no-op
+    val carried = carriedStateOf(spark, root, Some(toVersion))
+    val v = head + 1
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = carried.props ++ schemaHeaderOf(carried.schema),
+      deletes = carried.deletes)
+    v
+  }
+
   /** OPTIMIZE scoped to a PARTITION SUBSET (Delta's `OPTIMIZE t WHERE
     * part = …`, Iceberg's rewrite_data_files filter): bin-pack ONLY the
     * files whose recorded partition-value set lies entirely within

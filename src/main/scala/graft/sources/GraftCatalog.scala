@@ -440,7 +440,9 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField("_graft_version",
-        org.apache.spark.sql.types.IntegerType, nullable = true))
+        org.apache.spark.sql.types.IntegerType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.LongType, nullable = true))
   }
 
   override def name(): String = identName
@@ -527,11 +529,14 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
             override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
               import org.apache.spark.sql.functions.{col, lit}
               val all = Layout.snapshotVersions(tbl.spark, tbl.root)
+              val stamps = Layout.snapshotTimestamps(tbl.spark, tbl.root)
+                .toMap
               val wanted = all.filter(v => v >= lo && v <= hi)
               val deltas = wanted.map { v =>
                 val prev = all.takeWhile(_ < v).lastOption.getOrElse(0)
                 Layout.snapshotChanges(tbl.spark, tbl.root, prev, v)
                   .withColumn("_graft_version", lit(v))
+                  .withColumn("_commit_ts", lit(stamps.getOrElse(v, 0L)))
               }
               val unioned = deltas
                 .reduceOption(_.unionByName(_, allowMissingColumns = true))

@@ -36,7 +36,8 @@ import graft.ops.Layout
 private[sources] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("optimize", "vacuum", "maintain")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "maintain", "restore", "clone")
 
   def load(spark: => SparkSession, warehouse: String,
       ident: Identifier): UnboundProcedure = {
@@ -49,6 +50,8 @@ private[sources] object GraftProcedures {
       case "optimize" => new OptimizeProcedure(spark, rootOf)
       case "vacuum" => new VacuumProcedure(spark, rootOf)
       case "maintain" => new MaintainProcedure(spark, rootOf)
+      case "restore" => new RestoreProcedure(spark, rootOf)
+      case "clone" => new CloneProcedure(spark, rootOf)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure 'system.$other' " +
           s"(available: ${Names.mkString(", ")})")
@@ -150,6 +153,62 @@ private[sources] object GraftProcedures {
         input.getLong(1), input.getInt(2))
       result(outSchema, InternalRow(st.deletedFiles, st.keptFiles,
         new GenericArrayData(st.droppedVersions.toArray)))
+    }
+  }
+
+  /** `CALL graft.system.restore(table, version)` — Delta's `RESTORE
+    * TABLE … TO VERSION AS OF` as a procedure: commit the named
+    * version's exact state as the new head ([[Layout.snapshotRestore]]
+    * — metadata-only, zero data I/O; the bad head stays
+    * time-travelable below the restore commit).
+    */
+  private final class RestoreProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "commit an old version's exact state as the new head (undo)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("version", IntegerType))
+    private val outSchema = StructType(Seq(
+      StructField("restored_to", IntegerType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val target = input.getInt(1)
+      val v = Layout.snapshotRestore(spark, root, target)
+      result(outSchema, InternalRow(target, v))
+    }
+  }
+
+  /** `CALL graft.system.clone(source, target, [version])` — zero-copy
+    * shallow clone ([[Layout.snapshotClone]]): one manifest write
+    * referencing the source version's files; the clone is a full
+    * read-write table from birth and diverges freely.
+    */
+  private final class CloneProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy shallow clone of a snapshot table version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("source", StringType),
+      p("target", StringType),
+      pd("version", IntegerType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("cloned_version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val v = Layout.snapshotClone(spark,
+        rootOf(input.getUTF8String(0).toString),
+        rootOf(input.getUTF8String(1).toString),
+        input.getInt(2))
+      result(outSchema, InternalRow(v))
     }
   }
 

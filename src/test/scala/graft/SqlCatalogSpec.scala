@@ -392,6 +392,49 @@ class SqlCatalogSpec extends GraftSuite {
         j.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("CALL restore: metadata-only undo to an old version; CALL clone: zero-copy table copy that diverges freely") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.rt (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")                      // v1
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("rt_s1")
+    sql("INSERT INTO gtest.rt SELECT * FROM rt_s1")           // v2
+    Seq((3L, 3.0)).toDF("k", "v").createOrReplaceTempView("rt_s2")
+    sql("INSERT INTO gtest.rt SELECT * FROM rt_s2")           // v3
+    sql("DELETE FROM gtest.rt WHERE k IN (1)")                // v4 (the "bad" write)
+    val root = s"$wh/rt"
+    val v2 = Layout.readSnapshot(spark, root, 2).localCheckpoint()
+    val dataBefore = Layout.readSnapshot(spark, root).inputFiles.toSet
+    val r = sql("CALL gtest.system.restore(table => 'rt', version => 2)")
+      .collect()
+    assert(r.length == 1 && r(0).getInt(0) == 2 && r(0).getInt(1) == 5)
+    val head = sql("SELECT * FROM gtest.rt")
+    assert(head.exceptAll(v2).isEmpty && v2.exceptAll(head).isEmpty,
+      "restored head must equal version 2 exactly")
+    assert(Layout.readSnapshot(spark, root, 5).inputFiles.toSet
+      .subsetOf(dataBefore), "restore must be metadata-only (no new files)")
+    // the bad head stays time-travelable below the restore
+    assert(sql("SELECT * FROM gtest.rt VERSION AS OF 4").count() == 2)
+    // properties restored with the state: appends still record stats
+    sql("INSERT INTO gtest.rt SELECT * FROM rt_s2")           // v6
+    assert(Layout.snapshotMeta(spark, root).header.get("statsKey")
+      .contains("k"))
+
+    // zero-copy clone, then divergence isolation both ways
+    val c = sql("CALL gtest.system.clone(source => 'rt', target => 'rtc')")
+      .collect()
+    assert(c.length == 1)
+    val cloned = sql("SELECT * FROM gtest.rtc")
+    val srcHead = sql("SELECT * FROM gtest.rt")
+    assert(cloned.exceptAll(srcHead).isEmpty && srcHead.exceptAll(cloned).isEmpty)
+    sql("INSERT INTO gtest.rtc SELECT * FROM rt_s1")
+    assert(sql("SELECT * FROM gtest.rtc").count() ==
+      srcHead.count() + 2, "clone writes land on the clone")
+    assert(sql("SELECT * FROM gtest.rt").count() == srcHead.count(),
+      "the source never sees the clone's writes")
+  }
+
   test("graft.t.partitions: per-value file and row inventory from manifests; the scoped-OPTIMIZE shopping list") {
     wh
     val src = Tables(spark, sf, "orders")
@@ -490,8 +533,10 @@ class SqlCatalogSpec extends GraftSuite {
     sql("INSERT INTO gtest.ch SELECT * FROM ch_src2")          // v3
     sql("DELETE FROM gtest.ch WHERE k IN (2, 4)")              // v4 (MOR)
     val all = sql("SELECT * FROM gtest.ch.changes")
-    assert(all.columns.takeRight(2).toSeq ==
-      Seq("_change_type", "_graft_version"))
+    assert(all.columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_graft_version", "_commit_ts"))
+    assert(all.filter(col("_commit_ts") <= 0).count() == 0,
+      "every change row carries its commit's wall-clock stamp")
     val byV = all.groupBy("_graft_version", "_change_type").count()
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(byV == Map((2, "insert") -> 3L, (3, "insert") -> 2L,
@@ -504,9 +549,9 @@ class SqlCatalogSpec extends GraftSuite {
     // replaying the feed reconstructs the head
     val allC = all.localCheckpoint()
     val replay = allC.filter(col("_change_type") === "insert")
-      .drop("_change_type", "_graft_version")
+      .drop("_change_type", "_graft_version", "_commit_ts")
       .exceptAll(allC.filter(col("_change_type") === "delete")
-        .drop("_change_type", "_graft_version"))
+        .drop("_change_type", "_graft_version", "_commit_ts"))
     val head = sql("SELECT * FROM gtest.ch")
     assert(replay.exceptAll(head).isEmpty && head.exceptAll(replay).isEmpty)
   }
