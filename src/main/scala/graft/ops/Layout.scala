@@ -1604,8 +1604,11 @@ object Layout {
           s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
         e.stats.map(_.strCols.view.mapValues { case (mn, mx) =>
           s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
+        e.stats.map(_.dblCols.view.mapValues { case (mn, mx) =>
+          s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
         e.parts.getOrElse(Seq.empty[String]))
-    }.toDF("path", "rows", "col_ranges", "str_ranges", "partitions")
+    }.toDF("path", "rows", "col_ranges", "str_ranges", "dbl_ranges",
+      "partitions")
   }
 
   /** METADATA-ONLY ROW COUNT — `SELECT count(*)` answered from the

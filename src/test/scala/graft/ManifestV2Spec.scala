@@ -773,6 +773,14 @@ class ManifestV2Spec extends GraftSuite {
         if (ks(k)) (k, p, x + 1000) else r }
       history(v) = model
     }
+    def restoreOp(): Unit = {
+      val vs = Layout.snapshotVersions(spark, root)
+      val target = vs(rnd.nextInt(vs.length))
+      val v = Layout.snapshotRestore(spark, root, target)
+      model = history(target); history(v) = model
+      // the restored state's sidecar debt is the head's debt again
+      sidecars = Layout.snapshotMeta(spark, root).hasDeleteSidecars
+    }
     def check(tag: String): Unit = {
       def rows(d: org.apache.spark.sql.DataFrame) =
         d.select(col("key"), col("part"), col("v"))
@@ -796,12 +804,13 @@ class ManifestV2Spec extends GraftSuite {
         model.filter(r => probe.contains(r._1)).sorted, s"$tag: lookup")
     }
     appendOp(); check("v1")
-    for (step <- 0 until 8) {
-      rnd.nextInt(5) match {
+    for (step <- 0 until 10) {
+      rnd.nextInt(6) match {
         case 0 | 1 => appendOp()
         case 2 => deleteOp()
         case 3 => compactOp()
         case 4 => mergeOp()
+        case 5 => restoreOp()
       }
       check(s"step $step")
     }
