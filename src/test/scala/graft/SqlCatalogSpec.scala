@@ -392,6 +392,46 @@ class SqlCatalogSpec extends GraftSuite {
         j.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("composition: clusterBy on the event-time column + temporal stats = time-sliced reads prune on a clustered-on-write table") {
+    wh
+    val prevOtt = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val prevCoal = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val src = Tables(spark, sf, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts"))
+        .repartition(4) // hash layout in: the table's own clustering fixes it
+      src.createOrReplaceTempView("tcl_src")
+      sql("CREATE TABLE gtest.tcl (k BIGINT, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('statsKey'='ts', 'clusterBy'='ts')")
+      sql("INSERT INTO gtest.tcl SELECT * FROM tcl_src")
+      val r = src.agg(min("ts"), max("ts")).head()
+      val (loMs, hiMs) = (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+      val cut = new java.sql.Timestamp(loMs + (hiMs - loMs) / 10)
+      val (df, idx) = Layout.snapshotTableWithIndex(spark, s"$wh/tcl")
+      val got = df.filter(col("ts") <= lit(cut))
+      val exp = src.filter(col("ts") <= lit(cut))
+      assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+      assert(idx.lastListedFiles < idx.inputFiles.length,
+        s"time slice must prune a ts-clustered-on-write table " +
+          s"(${idx.lastListedFiles}/${idx.inputFiles.length})")
+      // the declared properties are SQL-visible
+      val props = sql("SHOW TBLPROPERTIES gtest.tcl").collect()
+        .map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+      assert(props.get("statsKey").contains("ts") &&
+        props.get("clusterBy").contains("ts"),
+        s"SHOW TBLPROPERTIES must surface the declared layout, got $props")
+    } finally {
+      prevOtt match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoal)
+    }
+  }
+
   test("CALL restore: metadata-only undo to an old version; CALL clone: zero-copy table copy that diverges freely") {
     wh
     import spark.implicits._
