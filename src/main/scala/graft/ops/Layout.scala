@@ -1669,6 +1669,21 @@ object Layout {
       manifestDeleteFiles(spark, root, v).nonEmpty)
   }
 
+  /** The resolved (version, file entries, header) triple of a snapshot —
+    * the planning inputs the DSv2 scan ([[graft.sources.GraftScan]])
+    * needs to prune, size, and runtime-filter from manifest metadata
+    * alone. One manifest resolution, zero data I/O.
+    */
+  private[graft] def snapshotEntriesFor(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      version: Int = -1): (Int, Seq[FileEntry], Map[String, String]) = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    (v, manifestEntries(spark, root, v), manifestHeader(spark, root, v))
+  }
+
   private[graft] def snapshotTableWithIndex(
       spark: org.apache.spark.sql.SparkSession, root: String,
       version: Int = -1): (DataFrame, graft.sources.SnapshotFileIndex) = {

@@ -278,19 +278,12 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (!meta.hasDeleteSidecars) {
-      // clean table: Spark's own DSv2 parquet machinery does the scan —
-      // vectorized reader, pushed filters (row-group pruning), pruned
-      // columns — over exactly the manifest's file list
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-        identName,
-        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        new CaseInsensitiveStringMap(
-          Map("mergeSchema" -> "true").asJava),
-        meta.paths,
-        Some(schema()),
-        classOf[org.apache.spark.sql.execution.datasources
-          .parquet.ParquetFileFormat])
-        .newScanBuilder(options)
+      // clean table: the manifest-planned scan ([[GraftScan]]) — static
+      // file pruning from manifest stats, optimizer statistics from the
+      // pruned real bytes, runtime (DPP) re-pruning — delegating data
+      // I/O to Spark's own vectorized DSv2 parquet batch over the
+      // surviving file list
+      new GraftScanBuilder(root, identName, meta.version, schema(), options)
     } else {
       // MOR sidecar debt: route through readSnapshot's anti-join engine
       // (a V1 scan — correct always; compaction restores the fast path).

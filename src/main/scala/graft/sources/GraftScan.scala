@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, In, Literal, EqualTo => CatEqualTo}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources.{Filter, EqualTo => SrcEqualTo, In => SrcIn}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Layout
+
+/** MANIFEST-PLANNED DSv2 SCAN for snapshot tables — the clean-table read
+  * path behind [[GraftCatalog]] (`SELECT … FROM graft.t`), closing the
+  * three scale gaps a bare file-list scan leaves open at 100 TB:
+  *
+  *  1. '''Static file pruning''': pushed catalyst predicates prune the
+  *     version's file list through [[SnapshotFileIndex]]'s manifest-stats
+  *     engine (integral/string/double ranges, partition-value sets,
+  *     null counts) BEFORE a single split is planned — the SQL surface
+  *     now skips files exactly like the Scala-side
+  *     [[Layout.snapshotTable]] path (q97/q99's evidence).
+  *  2. '''Manifest statistics''' ([[SupportsReportStatistics]]): the
+  *     optimizer sees the PRUNED byte size (real per-file lengths) and,
+  *     for unfiltered scans, the exact manifest row count — so a fact
+  *     table filtered to one partition broadcasts in a join instead of
+  *     inheriting an unknowably-huge default and shuffling 100 TB.
+  *  3. '''Runtime filtering / DPP''' ([[SupportsRuntimeFiltering]]): the
+  *     scan advertises its partition + stats columns; Spark's dynamic
+  *     partition pruning plants the dim-side subquery, and the delivered
+  *     `IN` filter RE-prunes the file list at execution — the fact side
+  *     of a star join reads only the files whose partition values /
+  *     stats ranges survive the dimension's selective predicate.
+  *
+  * Data I/O stays Spark's own vectorized parquet machinery: the scan
+  * delegates to a [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]]
+  * built over the pruned file list, with the same predicates re-pushed
+  * (row-group pruning) and the same projection re-pruned. Every pruning
+  * decision is conservative — an unprovable conjunct keeps the file, and
+  * Spark re-evaluates the full predicate on the rows — so over-keeping
+  * is only a cost, never a wrong answer.
+  */
+private[graft] object GraftScanUtil {
+
+  /** Inner parquet scan over `paths`, with the projection and (the
+    * translatable subset of) `filters` re-applied — ONE constructor for
+    * the static plan and every runtime re-plan, so the two can never
+    * diverge in options or schema.
+    */
+  def innerScan(identName: String, tableSchema: StructType,
+      required: StructType, filters: Seq[Expression],
+      paths: Seq[String], options: CaseInsensitiveStringMap): Scan = {
+    val spark = SparkSession.active
+    val tbl = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      identName,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new CaseInsensitiveStringMap(Map("mergeSchema" -> "true").asJava),
+      paths,
+      Some(tableSchema),
+      classOf[org.apache.spark.sql.execution.datasources
+        .parquet.ParquetFileFormat])
+    val sb = tbl.newScanBuilder(options)
+    sb match {
+      case c: SupportsPushDownCatalystFilters => c.pushFilters(filters)
+      case _ => ()
+    }
+    sb match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(required)
+      case _ => ()
+    }
+    sb.build()
+  }
+}
+
+/** The [[ScanBuilder]] [[GraftCatalog]] hands Spark for a sidecar-free
+  * snapshot table: receives catalyst pushdown (filters + projection),
+  * resolves the manifest ONCE, and builds a [[GraftScan]]. All filters
+  * are reported back as post-scan residuals (Spark re-evaluates them on
+  * rows); pruning uses only what it can prove.
+  */
+private[graft] class GraftScanBuilder(root: String, identName: String,
+    version: Int, tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private var required: StructType = tableSchema
+  private var filters: Seq[Expression] = Nil
+
+  override def pushFilters(f: Seq[Expression]): Seq[Expression] = {
+    // deterministic conjuncts inform file pruning; everything comes back
+    // as a residual, so correctness never depends on the pruning proof
+    filters = f.filter(_.deterministic)
+    f
+  }
+
+  // plan display: the conjuncts the manifest pruner will consider
+  override def pushedFilters(): Array[Predicate] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val (v, entries, header) = Layout.snapshotEntriesFor(spark, root, version)
+    val index = new SnapshotFileIndex(spark, root, entries, header.get("partCol"))
+    new GraftScan(root, identName, v, index, header, tableSchema,
+      required, filters, options)
+  }
+}
+
+/** One snapshot scan: statically pruned at build, re-pruned on runtime
+  * filters, delegating data I/O to the vectorized parquet batch. See
+  * [[GraftScanUtil]] for the composition contract.
+  */
+private[graft] class GraftScan(val root: String, identName: String,
+    val version: Int, index: SnapshotFileIndex,
+    header: Map[String, String], tableSchema: StructType,
+    val required: StructType, val dataFilters: Seq[Expression],
+    options: CaseInsensitiveStringMap)
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Static pruning happens once: the survivors of the pushed filters. */
+  private val staticKept = index.prunedEntries(dataFilters)
+
+  /** Total entries, for plan-evidence ("kept/total"). */
+  private val totalFiles = index.inputFiles.length
+
+  /** Runtime (DPP-delivered) filters; empty until [[filter]] runs. */
+  @volatile private var runtime: Seq[Expression] = Nil
+
+  /** Files planned by the most recent [[toBatch]] — observability for
+    * the pruning specs, mirroring [[SnapshotFileIndex.lastListedFiles]].
+    */
+  @volatile var lastPlannedFiles: Int = staticKept.size
+
+  // the inner scan is rebuilt per toBatch call because BatchScanExec
+  // re-invokes toBatch AFTER delivering runtime filters; schema is
+  // pinned by the static build below, so only the file list varies
+  private def currentInner(): Scan = {
+    val kept =
+      if (runtime.isEmpty) staticKept
+      else index.prunedEntries(dataFilters ++ runtime)
+    lastPlannedFiles = kept.size
+    GraftScanUtil.innerScan(identName, tableSchema, required,
+      dataFilters ++ runtime, kept.map(_._1.path), options)
+  }
+
+  // schema authority: the inner parquet scan decides column order
+  // (dataSchema order), so readSchema MUST be taken from it — a
+  // runtime re-plan only changes the file list, never the schema
+  private val staticInner: Scan =
+    GraftScanUtil.innerScan(identName, tableSchema, required,
+      dataFilters, staticKept.map(_._1.path), options)
+
+  override def readSchema(): StructType = staticInner.readSchema()
+
+  override def description(): String = {
+    val cols = filterAttributes().map(_.describe()).mkString(",")
+    s"graft $identName v$version files=${staticKept.size}/$totalFiles" +
+      (if (cols.nonEmpty) s" runtimeFilterable=[$cols]" else "")
+  }
+
+  override def toBatch: Batch = new Batch {
+    private lazy val inner: Batch = currentInner().toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.createReaderFactory()
+  }
+
+  /** Optimizer-visible statistics from the manifest: pruned real bytes
+    * always; exact row counts only when no residual filter could shrink
+    * the output below the manifest's count (i.e. an unfiltered scan
+    * whose every kept entry carries stats).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(staticKept.map(_._2.getLen).sum)
+    override def numRows(): OptionalLong =
+      if (dataFilters.isEmpty && staticKept.nonEmpty &&
+          staticKept.forall(_._1.stats.isDefined))
+        OptionalLong.of(staticKept.map(_._1.stats.get.rows).sum)
+      else if (staticKept.isEmpty) OptionalLong.of(0L)
+      else OptionalLong.empty()
+  }
+
+  /** The columns a runtime `IN` filter can prune files on: the table's
+    * partition column plus every column any entry records stats for.
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val statCols = staticKept.flatMap(_._1.stats.toSeq.flatMap(s =>
+      s.cols.keys ++ s.strCols.keys ++ s.dblCols.keys)).distinct
+    (header.get("partCol").toSeq ++ statCols).distinct
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = filters.toSeq.flatMap(sourceToCatalyst)
+  }
+
+  /** Runtime source-filters re-expressed as catalyst conjuncts the
+    * manifest pruner understands (attr ⋈ literal only — anything else
+    * is dropped, i.e. prunes nothing: conservative).
+    */
+  private def sourceToCatalyst(f: Filter): Option[Expression] = {
+    def attrOf(name: String): Option[Attribute] =
+      tableSchema.fields
+        .find(fd => SparkSession.active.sessionState.conf.resolver(fd.name, name))
+        .map(fd => AttributeReference(fd.name, fd.dataType)())
+    f match {
+      case SrcIn(name, vals) => attrOf(name).map(a =>
+        In(a, vals.toSeq.map(v => Literal.create(v, a.dataType))))
+      case SrcEqualTo(name, v) => attrOf(name).map(a =>
+        CatEqualTo(a, Literal.create(v, a.dataType)))
+      case _ => None
+    }
+  }
+
+  // plan-level equality (exchange/subquery reuse): two scans of the same
+  // version with semantically-equal pushdown are the same scan
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftScan =>
+      g.root == root && g.version == version &&
+        g.required == required &&
+        g.dataFilters.map(_.canonicalized) == dataFilters.map(_.canonicalized)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (root, version, required).hashCode()
+}

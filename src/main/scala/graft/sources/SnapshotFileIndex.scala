@@ -261,6 +261,19 @@ class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = prunedEntries(dataFilters).map(_._2)
+    lastListedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  /** The manifest entries (with their [[FileStatus]]es — real sizes for
+    * split planning and statistics) surviving `dataFilters` — the one
+    * pruning engine behind both [[listFiles]] (the V1
+    * `HadoopFsRelation` path) and the DSv2 [[GraftScan]], which also
+    * re-prunes on runtime (DPP) filters through it.
+    */
+  def prunedEntries(
+      dataFilters: Seq[Expression]): Seq[(Layout.FileEntry, FileStatus)] = {
     val statsCols = entries.flatMap(_.stats.toSeq.flatMap(_.cols.keys)).distinct
     val strStatsCols = entries.flatMap(_.stats.toSeq.flatMap(_.strCols.keys)).distinct
     // per stats column: the intersection of every conjunct's bound
@@ -293,6 +306,11 @@ class SnapshotFileIndex(
       if (vs.isEmpty) None else Some(vs.reduce(_ intersect _))
     }
     def keep(e: Layout.FileEntry): Boolean = {
+      // a file the manifest KNOWS is empty (rows=0 — e.g. the data file
+      // behind CREATE TABLE's empty first commit) contributes nothing to
+      // any scan; its stats are the conservative full range, so without
+      // this check it would survive every predicate forever
+      if (e.stats.exists(_.rows == 0)) return false
       val statsOk = bounds.forall { case (c, (lo, hi)) =>
         e.stats.flatMap(_.cols.get(c)).forall { case (mn, mx) =>
           mx >= lo && mn <= hi
@@ -329,8 +347,6 @@ class SnapshotFileIndex(
       }
       statsOk && strOk && dblOk && partOk && nullOk
     }
-    val kept = entries.filter(keep)
-    lastListedFiles = kept.size
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
+    entries.filter(keep).map(e => e -> statusOf(e))
   }
 }

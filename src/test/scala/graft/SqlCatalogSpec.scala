@@ -543,9 +543,12 @@ class SqlCatalogSpec extends GraftSuite {
       sql("INSERT INTO gtest.cln SELECT * FROM cl_src WHERE k % 2 = 0")
       sql("INSERT INTO gtest.cln SELECT * FROM cl_src WHERE k % 2 = 1")
       val (nPlain, totPlain) = prunedCount("cln")
-      assert(nPlain == totPlain,
-        s"hash-layout control must NOT prune ($nPlain of $totPlain) — " +
-          "the clusterBy property is what made the difference")
+      // totPlain counts CREATE's empty first-commit file too, which the
+      // pruner always drops (rows=0); stats must not prune any DATA file
+      assert(nPlain == totPlain - 1,
+        s"hash-layout control must NOT prune data files ($nPlain of " +
+          s"$totPlain incl. the empty CREATE file) — the clusterBy " +
+          "property is what made the difference")
       // the property travels: a later Scala append clusters too
       val extra = src.limit(500).localCheckpoint()
       Layout.snapshotAppend(spark, s"$wh/cl", extra)
