@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.zvalue
 
+/** A snapshot commit lost its version claim to a concurrent writer —
+  * the OPTIMISTIC-CONCURRENCY signal. Appends catch it internally and
+  * REBASE (their new files commute with any interleaved commit);
+  * read-dependent committers (overwrite, merge, delete, compact) let it
+  * surface, because their output was computed FROM the base version and
+  * silently rebasing could drop the interleaved commit's effect — the
+  * caller decides whether to recompute ([[Layout.withCommitRetry]]) or
+  * fail the job. Subclasses `IllegalStateException` so pre-existing
+  * handlers keyed on the message keep working.
+  */
+class CommitConflictException(val root: String, val version: Int)
+    extends IllegalStateException(
+      s"snapshot commit lost the race for v$version at $root: a " +
+        "concurrent writer claimed this version first")
+
 /** Physical-layout operators: how a 100 TB table gets WRITTEN so that
   * later scans can skip most of it. Query operators assume the engine
   * prunes; these produce the layouts that make pruning possible.
@@ -1237,8 +1252,7 @@ object Layout {
     }
     if (!won && !reclaimed) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"snapshot commit lost the race for v$version")
+      throw new CommitConflictException(root, version)
     }
     // STALLED-WRITER GUARD: between claim and rename this writer may
     // have stalled past ClaimGraceMillis, had its claim swept by
@@ -1356,21 +1370,24 @@ object Layout {
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, statsKey: Option[String],
       partCol: Option[String], clusterBy: Option[String] = None): Int = {
+    // declared properties must agree with the table's: silently switching
+    // the stats column would leave old entries' stats wrong for pruning
+    def propsAgainst(prevHdr: Map[String, String]): Map[String, String] = {
+      for (k <- statsKey; e <- prevHdr.get("statsKey"))
+        require(e == k, s"table stats column is '$e', not '$k'")
+      for (p <- partCol; e <- prevHdr.get("partCol"))
+        require(e == p, s"table partition column is '$e', not '$p'")
+      for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
+        require(e == c, s"table cluster columns are '$e', not '$c'")
+      carriedProps(prevHdr) ++
+        statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
+        clusterBy.map("clusterBy" -> _)
+    }
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
     val prevHdr = prev.lastOption
       .map(manifestHeader(spark, root, _)).getOrElse(Map.empty[String, String])
-    // declared properties must agree with the table's: silently switching
-    // the stats column would leave old entries' stats wrong for pruning
-    for (k <- statsKey; e <- prevHdr.get("statsKey"))
-      require(e == k, s"table stats column is '$e', not '$k'")
-    for (p <- partCol; e <- prevHdr.get("partCol"))
-      require(e == p, s"table partition column is '$e', not '$p'")
-    for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
-      require(e == c, s"table cluster columns are '$e', not '$c'")
-    val props = carriedProps(prevHdr) ++
-      statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
-      clusterBy.map("clusterBy" -> _)
+    val props = propsAgainst(prevHdr)
     // CLUSTERED-ON-WRITE (Delta liquid clustering's slot): a table that
     // declared `clusterBy` range-clusters EVERY append at write time, so
     // each commit's files tile its batch's key space and manifest stats
@@ -1390,21 +1407,57 @@ object Layout {
     }
     val dataDir = attemptDir(root, "data", v)
     toWrite.write.mode("error").parquet(dataDir)
-    val carried = carriedStateOf(spark, root, prev.lastOption)
-    // delete sidecars carry forward with the files they scope: an append
-    // must not resurrect rows a prior MOR delete removed. The new files
-    // are NOT in any sidecar's scope, so re-inserted keys in them survive.
-    // Schema header: the union of the previous version's recorded schema
-    // and this batch's (None once unknowable — legacy history or a type
-    // conflict; readers then fall back to mergeSchema inference).
-    val schema =
-      if (prev.isEmpty) mergeSchemas(None, df.schema)
-      else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
-    commitManifest(spark, root, v, carried.segs,
-      carried.inline ++
-        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props ++ schemaHeaderOf(schema), deletes = carried.deletes)
-    v
+    val newFiles = listDataFiles(spark, dataDir)
+
+    // OPTIMISTIC REBASE: an append's new files commute with ANY
+    // interleaved commit (they are outside every sidecar's scope and
+    // replace nothing), so losing the version claim costs one manifest
+    // recompute — the data files written above are reused as-is, never
+    // rewritten. Read-dependent committers (merge/overwrite/delete)
+    // deliberately do NOT get this: their output derives from the base
+    // version, and rebasing could silently drop the winner's effect.
+    val maxRetries = spark.conf
+      .get("spark.graft.commit.maxRetries", "3").toInt
+    var attempt = 0
+    var attemptV = v
+    var attemptProps = props
+    var entries = entriesForNewFiles(spark, newFiles, props)
+    while (true) {
+      val head = snapshotVersions(spark, root).lastOption
+      attemptV = head.getOrElse(0) + 1
+      val hdr = head.map(manifestHeader(spark, root, _))
+        .getOrElse(Map.empty[String, String])
+      val effProps = propsAgainst(hdr) // re-validate vs the CURRENT head
+      // a concurrent first commit may have declared stats/partition
+      // properties this attempt's entries were not computed under
+      if (effProps.get("statsKey") != attemptProps.get("statsKey") ||
+          effProps.get("partCol") != attemptProps.get("partCol")) {
+        entries = entriesForNewFiles(spark, newFiles, effProps)
+      }
+      attemptProps = effProps
+      val carried = carriedStateOf(spark, root, head)
+      // delete sidecars carry forward with the files they scope: an
+      // append must not resurrect rows a prior MOR delete removed. The
+      // new files are NOT in any sidecar's scope, so re-inserted keys in
+      // them survive. Schema header: the union of the head's recorded
+      // schema and this batch's (None once unknowable — legacy history
+      // or a type conflict; readers then fall back to mergeSchema).
+      val schema =
+        if (head.isEmpty) mergeSchemas(None, df.schema)
+        else carried.schema.flatMap(ps => mergeSchemas(Some(ps), df.schema))
+      try {
+        commitManifest(spark, root, attemptV, carried.segs,
+          carried.inline ++ entries,
+          header = effProps ++ schemaHeaderOf(schema),
+          deletes = carried.deletes)
+        return attemptV
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    attemptV // unreachable
   }
 
   /** Replace the table content in a new snapshot (compaction / COW merge
