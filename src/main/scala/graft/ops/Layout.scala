@@ -15,10 +15,10 @@ import graft.functions.zvalue
   * fail the job. Subclasses `IllegalStateException` so pre-existing
   * handlers keyed on the message keep working.
   */
-class CommitConflictException(val root: String, val version: Int)
+class CommitConflictException(val root: String, val version: Int,
+    detail: String = "a concurrent writer claimed this version first")
     extends IllegalStateException(
-      s"snapshot commit lost the race for v$version at $root: a " +
-        "concurrent writer claimed this version first")
+      s"snapshot commit lost the race for v$version at $root: $detail")
 
 /** Physical-layout operators: how a 100 TB table gets WRITTEN so that
   * later scans can skip most of it. Query operators assume the engine
@@ -862,7 +862,8 @@ object Layout {
     * `deleteKey` carry rule, generalized): `statsKey` = the stats
     * column, `partCol` = the partition column.
     */
-  private val TableProps = Set("deleteKey", "statsKey", "partCol", "clusterBy")
+  private val TableProps = Set("deleteKey", "statsKey", "partCol",
+    "clusterBy", "colmap", "tombstones")
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
     hdr.view.filterKeys(TableProps).toMap
@@ -1388,6 +1389,22 @@ object Layout {
     val prevHdr = prev.lastOption
       .map(manifestHeader(spark, root, _)).getOrElse(Map.empty[String, String])
     val props = propsAgainst(prevHdr)
+    // COLUMN MAPPING at the write boundary: the caller's frame carries
+    // LOGICAL names; files store PHYSICAL names ([[snapshotRenameColumn]]
+    // fixes a column's physical slot at first write forever). New logical
+    // columns must not collide with physical slots still living in files.
+    val entryCmap = colMapOf(prevHdr)
+    val entryTombs = tombstonesOf(prevHdr)
+    if (entryCmap.nonEmpty || entryTombs.nonEmpty) {
+      val recorded = prev.lastOption.flatMap(manifestSchema(spark, root, _))
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      df.columns.filterNot(recorded)
+        .foreach(requireFreshPhysicalName(spark, prevHdr, _))
+    }
+    val dfW =
+      if (entryCmap.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        col(s"`$c`").as(entryCmap.getOrElse(c, c))): _*)
     // CLUSTERED-ON-WRITE (Delta liquid clustering's slot): a table that
     // declared `clusterBy` range-clusters EVERY append at write time, so
     // each commit's files tile its batch's key space and manifest stats
@@ -1399,11 +1416,11 @@ object Layout {
         "the layout; cluster within partitions by pre-arranging the frame " +
         "and shuffleByPartition=false)")
     val toWrite = props.get("clusterBy") match {
-      case Some(cs) if df.columns.nonEmpty =>
+      case Some(cs) if dfW.columns.nonEmpty =>
         val cols = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(col)
-        if (cols.isEmpty) df
-        else df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
-      case _ => df
+        if (cols.isEmpty) dfW
+        else dfW.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      case _ => dfW
     }
     val dataDir = attemptDir(root, "data", v)
     toWrite.write.mode("error").parquet(dataDir)
@@ -1428,6 +1445,15 @@ object Layout {
       val hdr = head.map(manifestHeader(spark, root, _))
         .getOrElse(Map.empty[String, String])
       val effProps = propsAgainst(hdr) // re-validate vs the CURRENT head
+      // a concurrent RENAME/DROP changed the column mapping the staged
+      // files were written under — those bytes carry the WRONG physical
+      // names now; the whole append must re-run ([[withCommitRetry]]'s
+      // slot), not just the manifest
+      if (colMapOf(hdr) != entryCmap || tombstonesOf(hdr) != entryTombs)
+        throw new CommitConflictException(root, attemptV,
+          "a concurrent schema change (rename/drop) altered the column " +
+            "mapping while this append was staged; re-run the append to " +
+            "rewrite the batch under the new mapping")
       // a concurrent first commit may have declared stats/partition
       // properties this attempt's entries were not computed under
       if (effProps.get("statsKey") != attemptProps.get("statsKey") ||
@@ -1470,8 +1496,11 @@ object Layout {
       df: DataFrame): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
+    // an overwrite REPLACES the content with the caller's logical frame:
+    // sidecar debt and column-mapping debt both reset with it
     val props = prev.lastOption
-      .map(v0 => carriedProps(manifestHeader(spark, root, v0)) - "deleteKey")
+      .map(v0 => carriedProps(manifestHeader(spark, root, v0)) -
+        "deleteKey" - "colmap" - "tombstones")
       .getOrElse(Map.empty[String, String])
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
@@ -1515,9 +1544,11 @@ object Layout {
         s"$root records no schema header (legacy history); evolve it by " +
           "appending an evolved frame instead of ALTER"))
     val resolver = spark.sessionState.conf.resolver
+    val hdr0 = manifestHeader(spark, root, base)
     newCols.fields.foreach { f =>
       require(!prev.fields.exists(p => resolver(p.name, f.name)),
         s"column '${f.name}' already exists")
+      requireFreshPhysicalName(spark, hdr0, f.name)
     }
     val widened = org.apache.spark.sql.types.StructType(
       prev.fields ++ newCols.fields.map(_.copy(nullable = true)))
@@ -1525,6 +1556,185 @@ object Layout {
     val carried = carriedStateOf(spark, root, Some(base))
     commitManifest(spark, root, v, carried.segs, carried.inline,
       header = carried.props ++ schemaHeaderOf(Some(widened)),
+      deletes = carried.deletes)
+    v
+  }
+
+  // ---- COLUMN MAPPING (Delta column-mapping "name" mode, at its core):
+  // the manifest header records the LOGICAL schema (`#schema=`) plus a
+  // `colmap` of logical->PHYSICAL names for renamed columns (physical =
+  // the name actually written in parquet, fixed at first write forever)
+  // and a `tombstones` set of dropped physical names. Reads alias
+  // physical->logical; writes alias logical->physical; RENAME/DROP are
+  // metadata-only commits that never touch a data file.
+
+  private def encTok(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decTok(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** logical -> physical name map of a manifest header (empty = every
+    * column's physical name IS its logical name).
+    */
+  private[graft] def colMapOf(hdr: Map[String, String]): Map[String, String] =
+    hdr.get("colmap").map(_.split(",").toSeq.flatMap(_.split(":", 2) match {
+      case Array(l, p) => Some(decTok(l) -> decTok(p))
+      case _ => None
+    }).toMap).getOrElse(Map.empty)
+
+  /** Physical names of DROPPED columns — still present in old files, no
+    * longer part of the table; re-using one would resurrect old values.
+    */
+  private[graft] def tombstonesOf(hdr: Map[String, String]): Set[String] =
+    hdr.get("tombstones").map(_.split(",").toSeq.filter(_.nonEmpty)
+      .map(decTok).toSet).getOrElse(Set.empty)
+
+  private def colMapHeader(m: Map[String, String],
+      tombs: Set[String]): Map[String, String] =
+    (if (m.isEmpty) Map.empty[String, String]
+     else Map("colmap" -> m.toSeq.sortBy(_._1)
+       .map { case (l, p) => s"${encTok(l)}:${encTok(p)}" }.mkString(","))) ++
+      (if (tombs.isEmpty) Map.empty[String, String]
+       else Map("tombstones" -> tombs.toSeq.sorted.map(encTok).mkString(",")))
+
+  /** Physical name of logical column `c` under header `hdr`. */
+  private[graft] def physicalNameOf(hdr: Map[String, String],
+      c: String): String = colMapOf(hdr).getOrElse(c, c)
+
+  /** A caller-facing (LOGICAL-named) frame re-aliased to the PHYSICAL
+    * names files store — every data write of a mapped table passes
+    * through here (or clears the mapping, for full rewrites).
+    */
+  private def toPhysicalFrame(df: DataFrame,
+      hdr: Map[String, String]): DataFrame = {
+    val m = colMapOf(hdr)
+    if (m.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map(c =>
+      col(s"`$c`").as(m.getOrElse(c, c))): _*)
+  }
+
+  /** A PHYSICAL frame (raw file read) projected to exactly the recorded
+    * LOGICAL schema: renamed slots alias, dropped slots project out,
+    * header-only columns null-fill — the read-side mapping boundary.
+    */
+  private def toLogicalFrame(df: DataFrame, hdr: Map[String, String],
+      sc: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cmap = colMapOf(hdr)
+    val have = df.columns.toSet
+    df.select(sc.fields.toIndexedSeq.map { f =>
+      val phys = cmap.getOrElse(f.name, f.name)
+      if (have.contains(phys)) col(s"`$phys`").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Columns the table's layout/engine properties reference (always
+    * PHYSICAL names): these refuse rename/drop — the stats, partition,
+    * clustering, and delete-key identities are overwrite-class changes.
+    */
+  private def reservedCols(hdr: Map[String, String]): Set[String] =
+    (hdr.get("statsKey").toSeq.flatMap(_.split(",")) ++
+      hdr.get("partCol") ++ hdr.get("deleteKey") ++
+      hdr.get("clusterBy").toSeq.flatMap(_.split(",")))
+      .map(_.trim).filter(_.nonEmpty).toSet
+
+  /** A NEW column name must not collide with any physical name still
+    * living in data files: a tombstoned (dropped) column's or a renamed
+    * column's physical slot — writing it would make old file bytes
+    * readable as the new column's values.
+    */
+  private def requireFreshPhysicalName(
+      spark: org.apache.spark.sql.SparkSession,
+      hdr: Map[String, String], name: String): Unit = {
+    val resolver = spark.sessionState.conf.resolver
+    require(!tombstonesOf(hdr).exists(resolver(_, name)),
+      s"column name '$name' was DROPPED and its physical slot still " +
+        "lives in data files; compact (rewrite) the table before reusing " +
+        "the name")
+    require(!colMapOf(hdr).values.exists(resolver(_, name)),
+      s"column name '$name' is the physical slot of a renamed column; " +
+        "pick another name or compact the table first")
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit: the logical
+    * schema renames the field and `colmap` records logical->physical so
+    * every read aliases old-file bytes to the new name and every append
+    * writes the ORIGINAL physical name (all files agree physically,
+    * forever). Zero data I/O; time travel below the commit sees the old
+    * name. Columns the table's properties reference (statsKey, partCol,
+    * clusterBy, deleteKey) refuse — renaming the pruning/layout identity
+    * is an overwrite-class operation.
+    */
+  def snapshotRenameColumn(spark: org.apache.spark.sql.SparkSession,
+      root: String, from: String, to: String): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    val prev = manifestSchema(spark, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root records no schema header (legacy history); RENAME needs " +
+          "a recorded schema"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = prev.fields.find(f => resolver(f.name, from)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$from' to rename"))
+    require(!prev.fields.exists(f => resolver(f.name, to)),
+      s"column '$to' already exists")
+    require(!reservedCols(hdr).exists(resolver(_, field.name)),
+      s"column '$from' is referenced by a table property (statsKey/" +
+        "partCol/clusterBy/deleteKey); renaming the pruning identity is " +
+        "an overwrite-class operation (REPLACE TABLE)")
+    val cmap0 = colMapOf(hdr)
+    val phys = cmap0.getOrElse(field.name, field.name)
+    // renaming BACK to the column's OWN physical slot clears the mapping
+    // entry (and is always legal); any other target must be fresh
+    if (!resolver(to, phys)) requireFreshPhysicalName(spark, hdr, to)
+    val cmap = (cmap0 - field.name) ++
+      (if (resolver(phys, to)) Map.empty else Map(to -> phys))
+    val renamed = org.apache.spark.sql.types.StructType(prev.fields.map(f =>
+      if (resolver(f.name, from)) f.copy(name = to) else f))
+    val v = base + 1
+    val carried = carriedStateOf(spark, root, Some(base))
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = (carried.props -- Seq("colmap", "tombstones")) ++
+        colMapHeader(cmap, tombstonesOf(hdr)) ++
+        schemaHeaderOf(Some(renamed)),
+      deletes = carried.deletes)
+    v
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the logical
+    * schema drops the field; its physical slot joins `tombstones` (old
+    * files still carry the bytes — reads project them out; the name
+    * cannot be re-added until a rewrite clears the slot). Same reserved-
+    * column refusal as RENAME.
+    */
+  def snapshotDropColumn(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    val prev = manifestSchema(spark, root, base).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root records no schema header (legacy history); DROP needs " +
+          "a recorded schema"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = prev.fields.find(f => resolver(f.name, name)).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' to drop"))
+    require(prev.fields.length > 1, "cannot drop the only column")
+    require(!reservedCols(hdr).exists(resolver(_, field.name)),
+      s"column '$name' is referenced by a table property (statsKey/" +
+        "partCol/clusterBy/deleteKey); dropping the pruning identity is " +
+        "an overwrite-class operation (REPLACE TABLE)")
+    val cmap0 = colMapOf(hdr)
+    val phys = cmap0.getOrElse(field.name, field.name)
+    val narrowed = org.apache.spark.sql.types.StructType(
+      prev.fields.filterNot(f => resolver(f.name, name)))
+    val v = base + 1
+    val carried = carriedStateOf(spark, root, Some(base))
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = (carried.props -- Seq("colmap", "tombstones")) ++
+        colMapHeader(cmap0 - field.name, tombstonesOf(hdr) + phys) ++
+        schemaHeaderOf(Some(narrowed)),
       deletes = carried.deletes)
     v
   }
@@ -1754,18 +1964,31 @@ object Layout {
     val schema = manifestSchema(spark, root, v).getOrElse(
       spark.read.option("mergeSchema", "true")
         .parquet(entries.map(_.path): _*).schema)
+    // the relation reads PHYSICAL columns; a renamed table gets a
+    // logical alias projection on top — the optimizer rewrites pushed
+    // predicates through the aliases, so pruning/pushdown see physical
+    // names, exactly what manifest stats and footers record
+    val cmap = colMapOf(hdr)
+    val physSchema =
+      if (cmap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = cmap.getOrElse(f.name, f.name))))
     val index = new graft.sources.SnapshotFileIndex(
       spark, root, entries, hdr.get("partCol"))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = schema,
+      dataSchema = physSchema,
       bucketSpec = None,
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map("mergeSchema" -> "true"))(spark)
-    val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val raw = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+    val df =
+      if (cmap.isEmpty) raw
+      else raw.select(schema.fields.toIndexedSeq.map(f =>
+        col(s"`${cmap.getOrElse(f.name, f.name)}`").as(f.name)): _*)
     (df, index)
   }
 
@@ -1798,18 +2021,21 @@ object Layout {
     // manifest-grade planning metadata; conflicting types fail loudly.
     def read(fs: Seq[String]) =
       spark.read.option("mergeSchema", "true").parquet(fs: _*)
-    // HEADER-ONLY columns ([[snapshotAddColumns]] — ALTER TABLE ADD
-    // COLUMN commits the widened schema with zero new files): any
-    // recorded column no file carries yet reads as typed null, exactly
-    // like a column added by an evolved append before its first row
+    // LOGICAL alignment: project the physical frame to exactly the
+    // header's recorded (logical) schema —
+    //  - HEADER-ONLY columns ([[snapshotAddColumns]] — zero new files)
+    //    read as typed null, exactly like a column added by an evolved
+    //    append before its first row;
+    //  - RENAMED columns ([[snapshotRenameColumn]]) alias their physical
+    //    slot to the logical name;
+    //  - DROPPED columns ([[snapshotDropColumn]]) — still physically in
+    //    old files — project out.
+    // Legacy header-less history returns the physical frame unchanged.
     def align(df: DataFrame): DataFrame =
       hdr.get("schema").map(j => org.apache.spark.sql.types.DataType
           .fromJson(java.net.URLDecoder.decode(j, "UTF-8"))) match {
         case Some(sc: org.apache.spark.sql.types.StructType) =>
-          val have = df.columns.toSet
-          sc.fields.filterNot(f => have.contains(f.name))
-            .foldLeft(df)((d, f) =>
-              d.withColumn(f.name, lit(null).cast(f.dataType)))
+          toLogicalFrame(df, hdr, sc)
         case _ => df
       }
     if (dels.isEmpty) return align(read(files))
@@ -2050,7 +2276,9 @@ object Layout {
     require(prev.lastOption.getOrElse(0) == v - 1,
       s"epoch $epoch commits v$v but the latest committed version is ${prev.lastOption.getOrElse(0)}")
     val dataDir = s"$root/data/e=$epoch"
-    df.write.mode("overwrite").parquet(dataDir)
+    val hdr0 = prev.lastOption.map(manifestHeader(spark, root, _))
+      .getOrElse(Map.empty[String, String])
+    toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, prev.lastOption)
     val schema =
       if (prev.isEmpty) mergeSchemas(None, df.schema)
@@ -2126,7 +2354,9 @@ object Layout {
     }
     val v = vs.lastOption.getOrElse(0) + 1
     val dataDir = s"$root/data/w=${sanitize(writerId)}-e=$epoch"
-    df.write.mode("overwrite").parquet(dataDir)
+    val hdr0 = vs.lastOption.map(manifestHeader(spark, root, _))
+      .getOrElse(Map.empty[String, String])
+    toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, vs.lastOption)
     // the FIRST commit may declare the stats column (carried thereafter,
     // exactly like snapshotAppend's statsKey); an existing declaration
@@ -2384,8 +2614,13 @@ object Layout {
     val dataDir = attemptDir(root, "data", v)
     packed.write.mode("error").parquet(dataDir)
     // statsKey/partCol survive the compaction (stats recomputed for the
-    // packed files); deleteKey is dropped — the sidecar debt is folded in
-    val props = carriedProps(manifestHeader(spark, root, base)) - "deleteKey"
+    // packed files); deleteKey is dropped — the sidecar debt is folded
+    // in. colmap/tombstones clear too: the FULL rewrite above read the
+    // LOGICAL frame, so the packed files' physical names ARE the logical
+    // names — compaction is the mapping-debt escape hatch (frees dropped
+    // names for reuse).
+    val props = carriedProps(manifestHeader(spark, root, base)) -
+      "deleteKey" - "colmap" - "tombstones"
     commitManifest(spark, root, v, Nil,
       entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
       // compaction preserves content, so the base's recorded schema (if
@@ -2632,7 +2867,10 @@ object Layout {
     val hdr = manifestHeader(spark, root, base)
     val tagged = manifestEntriesTagged(spark, root, base)
     val files = tagged.map(_._2.path)
-    val ranges = keyRangesOfEntries(spark, tagged.map(_._2), keyCol)
+    // manifest stats are keyed by PHYSICAL name; the caller's keyCol is
+    // logical (identical unless renamed — reserved columns never are)
+    val ranges = keyRangesOfEntries(spark, tagged.map(_._2),
+      physicalNameOf(hdr, keyCol))
     val touchedSet: Set[String] = keys match {
       case Left(arr) =>
         val sorted = arr.distinct.sorted
@@ -2659,15 +2897,25 @@ object Layout {
       .collect { case (seg, e) if seg == "" || touchedSegs(seg) => e }
     val v = base + 1
     val dataDir = attemptDir(root, "data", v)
-    val touchedDf =
+    val touchedRaw =
       if (touchedTagged.isEmpty)
         spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
       else spark.read.option("mergeSchema", "true")
         .parquet(touchedTagged.map(_._2.path): _*)
+    // COLUMN-MAPPING boundary: `rewrite` (the caller's / SQL MERGE's
+    // logic) speaks LOGICAL names; the touched files speak physical.
+    // Logicalize in, physicalize out — untouched entries carry verbatim,
+    // so old and new files agree physically.
+    val recordedSc = manifestSchema(spark, root, base)
+    val mapped = (colMapOf(hdr).nonEmpty || tombstonesOf(hdr).nonEmpty) &&
+      recordedSc.isDefined
+    val touchedDf =
+      if (mapped) toLogicalFrame(touchedRaw, hdr, recordedSc.get)
+      else touchedRaw
     val rewritten = rewrite(touchedDf)
-    rewritten.write.mode("error").parquet(dataDir)
+    toPhysicalFrame(rewritten, hdr).write.mode("error").parquet(dataDir)
     val props = carriedProps(hdr) - "deleteKey"
-    val schema = manifestSchema(spark, root, base)
+    val schema = recordedSc
       .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
     commitManifest(spark, root, v, carriedSegs,
       residual ++

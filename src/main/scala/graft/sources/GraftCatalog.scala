@@ -191,10 +191,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = existingRoot(ident)
+    // RENAME / DROP COLUMN: metadata-only commits via the column-mapping
+    // layer ([[Layout.snapshotRenameColumn]]/[[Layout.snapshotDropColumn]])
+    // — old files keep their physical names, reads alias, zero data I/O.
+    // One rename or one drop per statement (Spark's SQL grammar's shape).
+    changes.toSeq match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN ${r.fieldNames.mkString(".")} not supported")
+        Layout.snapshotRenameColumn(spark, root, r.fieldNames.head, r.newName)
+        return GraftTable(root, ident.toString, -1)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN ${d.fieldNames.mkString(".")} not supported")
+        Layout.snapshotDropColumn(spark, root, d.fieldNames.head)
+        return GraftTable(root, ident.toString, -1)
+      case _ => ()
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     require(adds.size == changes.size,
-      "graft ALTER TABLE supports ADD COLUMN(S) only; drops/renames/" +
-        "type changes are overwrite-class operations (REPLACE TABLE)")
+      "graft ALTER TABLE supports ADD COLUMN(S), RENAME COLUMN, and " +
+        "DROP COLUMN; type changes are overwrite-class operations " +
+        "(REPLACE TABLE)")
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"nested ADD COLUMN ${a.fieldNames.mkString(".")} not supported")

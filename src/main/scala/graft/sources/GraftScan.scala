@@ -126,8 +126,29 @@ private[graft] class GraftScan(val root: String, identName: String,
     options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
+  // COLUMN MAPPING (logical -> physical; [[Layout.snapshotRenameColumn]]):
+  // the query speaks logical names, the files speak physical. Schemas
+  // and filters physicalize on the way IN (field-by-field rename keeps
+  // positions, so rows bind positionally); readSchema logicalizes on the
+  // way OUT. Mapped columns are never stats/partition columns (reserved-
+  // column refusal), so the manifest pruner needs no translation.
+  private val cmap: Map[String, String] = Layout.colMapOf(header)
+  private val reverseMap: Map[String, String] = cmap.map(_.swap)
+
+  private def physSchema(s: StructType): StructType =
+    if (cmap.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  private def physFilters(fs: Seq[Expression]): Seq[Expression] =
+    if (cmap.isEmpty) fs
+    else fs.map(_.transform {
+      case a: AttributeReference if cmap.contains(a.name) =>
+        a.withName(cmap(a.name))
+    })
+
   /** Static pruning happens once: the survivors of the pushed filters. */
-  private val staticKept = index.prunedEntries(dataFilters)
+  private val staticKept = index.prunedEntries(physFilters(dataFilters))
 
   /** Total entries, for plan-evidence ("kept/total"). */
   private val totalFiles = index.inputFiles.length
@@ -146,20 +167,27 @@ private[graft] class GraftScan(val root: String, identName: String,
   private def currentInner(): Scan = {
     val kept =
       if (runtime.isEmpty) staticKept
-      else index.prunedEntries(dataFilters ++ runtime)
+      else index.prunedEntries(physFilters(dataFilters ++ runtime))
     lastPlannedFiles = kept.size
-    GraftScanUtil.innerScan(identName, tableSchema, required,
-      dataFilters ++ runtime, kept.map(_._1.path), options)
+    GraftScanUtil.innerScan(identName, physSchema(tableSchema),
+      physSchema(required), physFilters(dataFilters ++ runtime),
+      kept.map(_._1.path), options)
   }
 
   // schema authority: the inner parquet scan decides column order
   // (dataSchema order), so readSchema MUST be taken from it — a
   // runtime re-plan only changes the file list, never the schema
   private val staticInner: Scan =
-    GraftScanUtil.innerScan(identName, tableSchema, required,
-      dataFilters, staticKept.map(_._1.path), options)
+    GraftScanUtil.innerScan(identName, physSchema(tableSchema),
+      physSchema(required), physFilters(dataFilters),
+      staticKept.map(_._1.path), options)
 
-  override def readSchema(): StructType = staticInner.readSchema()
+  override def readSchema(): StructType = {
+    val inner = staticInner.readSchema()
+    if (reverseMap.isEmpty) inner
+    else StructType(inner.fields.map(f =>
+      f.copy(name = reverseMap.getOrElse(f.name, f.name))))
+  }
 
   override def description(): String = {
     val cols = filterAttributes().map(_.describe()).mkString(",")

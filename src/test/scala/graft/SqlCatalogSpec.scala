@@ -628,10 +628,13 @@ class SqlCatalogSpec extends GraftSuite {
     // time travel below the ALTER keeps the narrow schema
     assert(sql("SELECT * FROM gtest.ev VERSION AS OF 2").columns.toSeq ==
       Seq("k", "v"))
-    // refusals: duplicate name, NOT NULL, non-ADD changes
+    // refusals: duplicate name, NOT NULL
     intercept[Exception] { sql("ALTER TABLE gtest.ev ADD COLUMN v STRING") }
     intercept[Exception] {
       sql("ALTER TABLE gtest.ev ADD COLUMN req STRING NOT NULL") }
-    intercept[Exception] { sql("ALTER TABLE gtest.ev DROP COLUMN extra") }
+    // DROP COLUMN is now a metadata-only commit (ColumnMappingSpec owns
+    // the detailed contract); here just prove the SQL surface routes
+    sql("ALTER TABLE gtest.ev DROP COLUMN extra")
+    assert(sql("SELECT * FROM gtest.ev").columns.toSeq == Seq("k", "v"))
   }
 }
