@@ -87,12 +87,18 @@ private[graft] object GraftScanUtil {
 private[graft] class GraftScanBuilder(root: String, identName: String,
     version: Int, tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private def spark: SparkSession = SparkSession.active
 
   private var required: StructType = tableSchema
   private var filters: Seq[Expression] = Nil
+  private var aggScan: Option[Scan] = None
+
+  // one manifest resolution per scan build, shared by the agg path
+  private lazy val manifest: (Int, Seq[Layout.FileEntry], Map[String, String]) =
+    Layout.snapshotEntriesFor(spark, root, version)
 
   override def pushFilters(f: Seq[Expression]): Seq[Expression] = {
     // deterministic conjuncts inform file pruning; everything comes back
@@ -107,12 +113,131 @@ private[graft] class GraftScanBuilder(root: String, identName: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val (v, entries, header) = Layout.snapshotEntriesFor(spark, root, version)
+  // ---- METADATA-ONLY AGGREGATES (Iceberg's count-from-manifest trick,
+  // as DSv2 aggregate pushdown): an unfiltered global COUNT(*) /
+  // COUNT(col) / MIN(col) / MAX(col) over a clean snapshot answers from
+  // the manifest in O(entries) with ZERO data I/O — the SQL twin of
+  // [[Layout.snapshotRowCount]]. Refusal is always safe: anything not
+  // provably exact falls back to the real scan.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answerFromManifest(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val s = answerFromManifest(agg)
+    if (s.isDefined) { aggScan = s; true } else false
+  }
+
+  /** The one-row scan answering `agg` from manifest stats, or None when
+    * any part is not PROVABLY exact:
+    *  - any pushed filter, grouping, or distinct → refuse (only global
+    *    plain aggregates answer);
+    *  - a stat-less entry → refuse (row counts unknowable);
+    *  - MIN/MAX: integral-class columns only (plain ints, DATE,
+    *    TIMESTAMP — exactly what the manifest records exactly), and any
+    *    entry recording the conservative full-range sentinel (all-null
+    *    file, unsupported logical type) refuses — a sentinel is a
+    *    "don't know", never a bound;
+    *  - COUNT(col): every live entry must record a null count for it.
+    * Empty tables (or all-empty files) answer COUNT 0 / MIN,MAX null.
+    */
+  private def answerFromManifest(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Scan] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val (v, entries, header) = manifest
+    if (entries.exists(_.stats.isEmpty)) return None
+    val live = entries.filter(_.stats.get.rows > 0)
+    val resolver = spark.sessionState.conf.resolver
+    def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        tableSchema.fields.map(_.name).find(resolver(_, nr.fieldNames()(0)))
+      case _ => None
+    }
+    def physOf(c: String) = Layout.physicalNameOf(header, c)
+    val Sentinel = (Long.MinValue, Long.MaxValue)
+    def exactRanges(c: String): Option[Seq[(Long, Long)]] = {
+      val rs = live.map(_.stats.get.cols.get(physOf(c)))
+      if (rs.exists(r => r.isEmpty || r.contains(Sentinel))) None
+      else Some(rs.map(_.get))
+    }
+    def integralType(c: String): Option[DataType] =
+      tableSchema.fields.find(f => resolver(f.name, c)).map(_.dataType)
+        .filter {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+    def box(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v
+    }
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some(("count(*)", LongType: DataType,
+          entries.map(_.stats.get.rows).sum: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          name <- colNameOf(c.column())
+          nulls <- {
+            val ns = live.map(_.stats.get.nulls.get(physOf(name)))
+            if (ns.exists(_.isEmpty)) None else Some(ns.map(_.get).sum)
+          }
+        } yield (s"count($name)", LongType: DataType,
+          (live.map(_.stats.get.rows).sum - nulls): Any)
+      case m: Min =>
+        for {
+          name <- colNameOf(m.column())
+          dt <- integralType(name)
+          rs <- exactRanges(name)
+        } yield (s"min($name)", dt,
+          (if (rs.isEmpty) null else box(rs.map(_._1).min, dt)): Any)
+      case m: Max =>
+        for {
+          name <- colNameOf(m.column())
+          dt <- integralType(name)
+          rs <- exactRanges(name)
+        } yield (s"max($name)", dt,
+          (if (rs.isEmpty) null else box(rs.map(_._2).max, dt)): Any)
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) return None
+    val cols = answered.map(_.get)
+    val schema = StructType(cols.map { case (n, dt, _) =>
+      StructField(n, dt, nullable = true) })
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(cols.map(_._3).toArray)
+    Some(new GraftAggScan(schema, row,
+      s"graft $identName v$v agg-from-manifest [${cols.map(_._1).mkString(", ")}]"))
+  }
+
+  override def build(): Scan = aggScan.getOrElse {
+    val (v, entries, header) = manifest
     val index = new SnapshotFileIndex(spark, root, entries, header.get("partCol"))
     new GraftScan(root, identName, v, index, header, tableSchema,
       required, filters, options)
   }
+}
+
+/** The one-row driver-local result of a manifest-answered aggregate —
+  * plans as a LocalTableScan: zero tasks, zero data I/O.
+  */
+private[graft] class GraftAggScan(schema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow, desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(row)
+  override def readSchema(): StructType = schema
+  override def description(): String = desc
 }
 
 /** One snapshot scan: statically pruned at build, re-pruned on runtime
