@@ -2735,6 +2735,108 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  // ---------------------------------------------------------------- q100
+  /** DPP STAR JOIN THROUGH THE SQL CATALOG — the dominant warehouse
+    * query shape at 100 TB (fact ⋈ small dim, dim-side selective
+    * predicate), driven end-to-end over two graft snapshot tables: the
+    * fact is PARTITIONED on the join key (`partCol='flag'` — each file's
+    * flag set in the manifest), and [[graft.sources.GraftScan]]'s
+    * `SupportsRuntimeFiltering` lets Spark's dynamic partition pruning
+    * deliver the dim's surviving keys as a runtime `IN` filter that
+    * RE-prunes the fact's file list at execution — the fact reads
+    * O(matching partition's files), not O(table), with no static
+    * predicate on it at all. `SqlScanPruningSpec` pins the file-count
+    * evidence; this query pins the row-level answer against the oracle.
+    */
+  private def dppTables(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "dppcat")
+      spark.conf.set("spark.sql.catalog.graft_dpp",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_dpp.root", wh)
+      val factRoot = s"$wh/q100f"
+      if (Layout.snapshotVersions(spark, factRoot).isEmpty) {
+        val fact = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("price"),
+            col("o_orderstatus").as("flag"))
+        Layout.snapshotAppendPartitioned(spark, factRoot, fact, "flag")
+        val dim = fact.select(col("flag")).distinct()
+          .withColumn("keep",
+            when(col("flag") === "F", lit("yes")).otherwise(lit("no")))
+        Layout.snapshotAppend(spark, s"$wh/q100d", dim)
+      }
+      wh
+    }
+
+  def q100DppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    dppTables(spark, sfDir)
+    spark.sql(
+      """SELECT f.key, f.price, f.flag FROM graft_dpp.q100f f
+        |JOIN graft_dpp.q100d d ON f.flag = d.flag
+        |WHERE d.keep = 'yes'
+        |ORDER BY f.key""".stripMargin)
+  }
+
+  val q100Sql: String =
+    """WITH fact AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  o_orderstatus AS flag FROM orders),
+      |dim AS (SELECT DISTINCT flag,
+      |  CASE WHEN flag = 'F' THEN 'yes' ELSE 'no' END AS keep FROM fact)
+      |SELECT f.key, f.price, f.flag FROM fact f
+      |JOIN dim d ON f.flag = d.flag
+      |WHERE d.keep = 'yes'
+      |ORDER BY f.key""".stripMargin
+
+  // ---------------------------------------------------------------- q101
+  /** COLUMN MAPPING ON THE ORACLE GATE — a table whose column was
+    * RENAMED by a metadata-only commit ([[Layout.snapshotRenameColumn]])
+    * must answer a pure-SQL read under the NEW name with the OLD files'
+    * bytes: the logical->physical alias crosses the whole stack (DSv2
+    * scan schema mapping, filter physicalization for row-group pushdown,
+    * post-rename appends writing the original physical slot). The oracle
+    * just aliases in SQL — the two must agree row-for-row.
+    */
+  private def renameTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "renamecat")
+      spark.conf.set("spark.sql.catalog.graft_ren",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_ren.root", wh)
+      val root = s"$wh/q101t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status"),
+            dec(col("o_totalprice")).cast("double").as("price"))
+        val cutoff = base.agg(max(col("key"))).head().getLong(0) / 2
+        // two appends AROUND the rename: files under BOTH physical eras
+        Layout.snapshotAppend(spark, root,
+          base.filter(col("key") <= cutoff), statsKey = Some("key"))
+        Layout.snapshotRenameColumn(spark, root, "status", "state")
+        Layout.snapshotAppend(spark, root,
+          base.filter(col("key") > cutoff)
+            .withColumnRenamed("status", "state"))
+      }
+      root
+    }
+
+  def q101RenameRead(spark: SparkSession, sfDir: String): DataFrame = {
+    renameTable(spark, sfDir)
+    spark.sql(
+      """SELECT key, state, price FROM graft_ren.q101t
+        |WHERE state <> 'P'
+        |ORDER BY key""".stripMargin)
+  }
+
+  val q101Sql: String =
+    """SELECT o_orderkey AS key, o_orderstatus AS state,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |ORDER BY key""".stripMargin
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3606,6 +3708,8 @@ object Relational {
     "q97_catalyst_table" -> (q97CatalystTable _),
     "q98_sql_table" -> (q98SqlTable _),
     "q99_time_slice" -> (q99TimeSlice _),
+    "q100_dpp_join" -> (q100DppJoin _),
+    "q101_rename_read" -> (q101RenameRead _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3755,6 +3859,8 @@ object Relational {
     "q96_range_read" -> q96Sql,
     "q97_catalyst_table" -> q96Sql,
     "q98_sql_table" -> q96Sql,
+    "q100_dpp_join" -> q100Sql,
+    "q101_rename_read" -> q101Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
