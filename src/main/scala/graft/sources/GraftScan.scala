@@ -240,6 +240,31 @@ private[graft] class GraftAggScan(schema: StructType,
   override def description(): String = desc
 }
 
+/** One task's worth of a partition value's files, carrying the value as
+  * the partition key — what lets Spark's storage-partitioned join prove
+  * two graft scans are co-partitioned and skip the shuffle.
+  */
+private[graft] case class GraftKeyedPartition(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    inner: InputPartition)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Delegates to the parquet reader factory through the key wrapper. */
+private[graft] class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[GraftKeyedPartition].inner
+  override def createReader(p: InputPartition) = inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+}
+
 /** One snapshot scan: statically pruned at build, re-pruned on runtime
   * filters, delegating data I/O to the vectorized parquet batch. See
   * [[GraftScanUtil]] for the composition contract.
@@ -249,7 +274,8 @@ private[graft] class GraftScan(val root: String, identName: String,
     header: Map[String, String], tableSchema: StructType,
     val required: StructType, val dataFilters: Seq[Expression],
     options: CaseInsensitiveStringMap)
-    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // COLUMN MAPPING (logical -> physical; [[Layout.snapshotRenameColumn]]):
   // the query speaks logical names, the files speak physical. Schemas
@@ -320,12 +346,97 @@ private[graft] class GraftScan(val root: String, identName: String,
       (if (cols.nonEmpty) s" runtimeFilterable=[$cols]" else "")
   }
 
-  override def toBatch: Batch = new Batch {
-    private lazy val inner: Batch = currentInner().toBatch
-    override def planInputPartitions(): Array[InputPartition] =
-      inner.planInputPartitions()
-    override def createReaderFactory(): PartitionReaderFactory =
-      inner.createReaderFactory()
+  // ---- STORAGE-PARTITIONED JOIN (Iceberg's SPJ slot): when the table
+  // declares a string `partCol` and every planned file holds EXACTLY ONE
+  // partition value (the partition shuffle's normal product — recorded
+  // per file in the manifest), the scan reports
+  // KeyGroupedPartitioning(identity(partCol)) and plans one keyed
+  // partition per value. Two graft tables partitioned on the join key
+  // then join WITHOUT A SHUFFLE — at 100 TB the single largest cost of a
+  // fact-fact join. Opt-in via Spark's own SPJ switch
+  // (`spark.sql.sources.v2.bucketing.enabled`); any multi-value file,
+  // null partition value, non-string partCol, or a projection that
+  // pruned the column away falls back to the unkeyed batch — only a
+  // provably value-pure layout reports co-partitioning.
+
+  private def bucketingOn: Boolean =
+    SparkSession.active.sessionState.conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  /** (value, that value's file paths), sorted by value — or None when
+    * any planned file is not provably single-valued.
+    */
+  private def keyedGroupsOf(kept: Seq[(Layout.FileEntry,
+      org.apache.hadoop.fs.FileStatus)]): Option[Seq[(String, Seq[String])]] =
+    header.get("partCol").flatMap { pc =>
+      val resolver = SparkSession.active.sessionState.conf.resolver
+      val typed = tableSchema.fields.exists(f => resolver(f.name, pc) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      val projected = required.fields.exists(f => resolver(f.name, pc))
+      val pure = kept.nonEmpty && kept.forall(_._1.parts.exists(ps =>
+        ps.size == 1 && ps.head != "\u0000"))
+      if (!typed || !projected || !pure) None
+      else Some(kept.groupBy(_._1.parts.get.head).view
+        .mapValues(_.map(_._1.path)).toSeq.sortBy(_._1))
+    }
+
+  private lazy val staticGroups: Option[Seq[(String, Seq[String])]] =
+    if (bucketingOn) keyedGroupsOf(staticKept) else None
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    staticGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.identity(header("partCol"))), groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  /** One keyed InputPartition per partition value: each value's files
+    * merge into a single FilePartition (SPJ runs one task per key
+    * anyway), read by the shared parquet reader factory.
+    */
+  private def keyedBatch(groups: Seq[(String, Seq[String])]): Batch =
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        lastPlannedFiles = groups.map(_._2.size).sum
+        groups.zipWithIndex.map { case ((value, paths), i) =>
+          val files = GraftScanUtil
+            .innerScan(identName, physSchema(tableSchema),
+              physSchema(required), physFilters(dataFilters ++ runtime),
+              paths, options)
+            .toBatch.planInputPartitions()
+            .flatMap(_.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.FilePartition].files)
+          GraftKeyedPartition(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](org.apache.spark.unsafe.types.UTF8String
+                .fromString(value))),
+            org.apache.spark.sql.execution.datasources.FilePartition(i, files))
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftKeyedReaderFactory(currentInner().toBatch.createReaderFactory())
+    }
+
+  override def toBatch: Batch = {
+    val groups =
+      if (!bucketingOn) None
+      else if (runtime.isEmpty) staticGroups
+      else keyedGroupsOf(index.prunedEntries(physFilters(dataFilters ++ runtime)))
+    groups match {
+      case Some(g) => keyedBatch(g)
+      case None => new Batch {
+        private lazy val inner: Batch = currentInner().toBatch
+        override def planInputPartitions(): Array[InputPartition] =
+          inner.planInputPartitions()
+        override def createReaderFactory(): PartitionReaderFactory =
+          inner.createReaderFactory()
+      }
+    }
   }
 
   /** Optimizer-visible statistics from the manifest: pruned real bytes

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** STORAGE-PARTITIONED JOINS: two graft tables partitioned on the join
+  * key report KeyGroupedPartitioning from manifest metadata, and Spark
+  * plans their join WITHOUT a shuffle on either side — at 100 TB the
+  * single largest cost of a fact-fact join. Opt-in via Spark's own
+  * `spark.sql.sources.v2.bucketing.enabled`; any file not provably
+  * single-valued falls back to the normal shuffled plan.
+  */
+class StoragePartitionedJoinSpec extends GraftSuite {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.gspj",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.root", dir)
+    dir
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def withSpj[T](on: Boolean)(body: => T): T = {
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", on.toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange"))
+  }
+
+  private lazy val tables: Unit = {
+    wh
+    import spark.implicits._
+    val a = (0 until 400).map(i => (i.toLong, s"g${i % 6}")).toDF("ka", "part")
+    val b = (0 until 300).map(i => (i * 2L, s"g${i % 6}")).toDF("kb", "part")
+    // value-pure files by construction: one single-value append per
+    // partition value (a hash shuffle can co-locate two values in one
+    // file, which correctly disqualifies SPJ — the fallback test below
+    // covers that shape)
+    for (v <- 0 until 6) {
+      Layout.snapshotAppendPartitioned(spark, s"$wh/ta",
+        a.filter(col("part") === s"g$v").coalesce(1), "part",
+        shuffleByPartition = false)
+      Layout.snapshotAppendPartitioned(spark, s"$wh/tb",
+        b.filter(col("part") === s"g$v").coalesce(1), "part",
+        shuffleByPartition = false)
+    }
+  }
+
+  private val joinSql =
+    """SELECT a.part, count(*) AS n, sum(a.ka + b.kb) AS s
+      |FROM gspj.ta a JOIN gspj.tb b ON a.part = b.part
+      |GROUP BY a.part""".stripMargin
+
+  test("co-partitioned graft tables join with zero shuffles under SPJ") {
+    tables
+    val (spjPlanShuffles, spjRows) = withSpj(on = true) {
+      val q = sql(joinSql)
+      (shuffles(q), q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    }
+    val (ctlShuffles, ctlRows) = withSpj(on = false) {
+      val q = sql(joinSql)
+      (shuffles(q), q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    }
+    assert(spjRows == ctlRows, "SPJ must not change the answer")
+    assert(ctlShuffles > 0, s"control plan should shuffle ($ctlShuffles)")
+    // the JOIN itself is shuffle-free: only the final single-partition
+    // aggregate exchange may remain
+    assert(spjPlanShuffles < ctlShuffles,
+      s"SPJ must remove join shuffles: $spjPlanShuffles vs $ctlShuffles")
+  }
+
+  test("the join itself plans no exchange below it under SPJ") {
+    tables
+    withSpj(on = true) {
+      val q = sql("SELECT a.ka, b.kb, a.part FROM gspj.ta a " +
+        "JOIN gspj.tb b ON a.part = b.part")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+        s"expected a real join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"a pure co-partitioned join must plan ZERO exchanges:\n$plan")
+    }
+  }
+
+  test("a table with multi-value files falls back to the shuffled plan and stays exact") {
+    tables
+    import spark.implicits._
+    // un-shuffled append: files span many partition values
+    val c = (0 until 200).map(i => (i.toLong, s"g${i % 6}")).toDF("kc", "part")
+    Layout.snapshotAppend(spark, s"$wh/tc", c)
+    withSpj(on = true) {
+      val q = sql("SELECT c.part, count(*) AS n FROM gspj.tc c " +
+        "JOIN gspj.ta a ON c.part = a.part GROUP BY c.part")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // per part value: |c rows| * |a rows| pairs
+      val aCnt = (0 until 400).groupBy(i => s"g${i % 6}").view.mapValues(_.size)
+      val cCnt = (0 until 200).groupBy(i => s"g${i % 6}").view.mapValues(_.size)
+      val want = cCnt.map { case (p, n) => p -> (n.toLong * aCnt(p)) }.toMap
+      assert(got == want)
+    }
+  }
+}
