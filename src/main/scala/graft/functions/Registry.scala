@@ -108,6 +108,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // optimizer: nested-loop range joins → bucketed equi-joins, gated on
     // spark.graft.rangeJoin.width (see graft.plans.BucketedRangeJoinRule)
     ext.injectOptimizerRule(s => graft.plans.BucketedRangeJoinRule(s))
+    ext.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     // SQL MERGE INTO on graft catalog tables → the pruned snapshot COW
     // merge engine (see graft.plans.GraftMergeRule)
     ext.injectPostHocResolutionRule(s => graft.plans.GraftMergeRule(s))
