@@ -1420,7 +1420,21 @@ object Layout {
         val cols = cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(col)
         if (cols.isEmpty) dfW
         else dfW.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
-      case _ => dfW
+      case _ => props.get("partCol") match {
+        // DECLARED-LAYOUT CARRY, partCol edition (clusterBy's rule above):
+        // an append that did NOT take layout responsibility itself
+        // (partCol param None — SQL INSERT INTO, plain snapshotAppend)
+        // into a table that DECLARED a partition column gets the same
+        // value-localizing shuffle snapshotAppendPartitioned applies, so
+        // every commit's files stay value-pure — partition pruning stays
+        // sharp and storage-partitioned joins stay eligible. An explicit
+        // partCol arg (snapshotAppendPartitioned, incl. its
+        // shuffleByPartition=false escape hatch) owns the layout and
+        // skips this.
+        case Some(pc) if partCol.isEmpty && dfW.columns.contains(pc) =>
+          dfW.repartition(col(pc))
+        case _ => dfW
+      }
     }
     val dataDir = attemptDir(root, "data", v)
     toWrite.write.mode("error").parquet(dataDir)

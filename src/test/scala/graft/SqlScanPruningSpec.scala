@@ -147,6 +147,35 @@ class SqlScanPruningSpec extends GraftSuite {
       got.forall(r => r.getString(1) == "t1" && r.getInt(2) == 1))
   }
 
+  test("INSERT INTO a declared-partCol table value-localizes its files") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gprune.ploc (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('partCol'='tag')")
+    (0 until 200).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "tag")
+      .createOrReplaceTempView("ploc_src")
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try sql("INSERT INTO gprune.ploc SELECT * FROM ploc_src")
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", saved)
+    // the declared partition column LOCALIZES the INSERT's shuffle: each
+    // file holds the value(s) hashed to its shuffle partition — never the
+    // whole value space an unshuffled write would smear across every file
+    val (_, entries, _) = Layout.snapshotEntriesFor(spark, s"$wh/ploc")
+    val dataEntries = entries.filter(_.parts.isDefined)
+    assert(dataEntries.nonEmpty &&
+      dataEntries.forall(_.parts.exists(_.size < 3)),
+      s"INSERT must write value-localized files: " +
+        s"${dataEntries.map(_.parts)}")
+    assert(dataEntries.flatMap(_.parts.get).toSet == Set("p0", "p1", "p2"))
+    // and partition pruning pays off: a one-value read opens a subset
+    val hit = dataEntries.count(_.parts.get.contains("p2"))
+    assert(hit < dataEntries.size,
+      s"a p2-only read must prune ($hit of ${dataEntries.size})")
+    assert(sql("SELECT count(*) FROM gprune.ploc").head().getLong(0) == 200L)
+  }
+
   test("SQL reads over an evolved schema and empty prune results stay correct") {
     wh
     mkRangedTable("t")
