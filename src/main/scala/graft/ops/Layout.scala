@@ -1524,6 +1524,116 @@ object Layout {
     v
   }
 
+  /** PARTITION-SCOPED OVERWRITE (Delta's `replaceWhere` / the classic
+    * `INSERT OVERWRITE … PARTITION` semantics): atomically replace every
+    * row whose `partCol` value is in `partitions` with `df`, leaving all
+    * other partitions' files UNTOUCHED (carried by segment reference —
+    * the commit writes O(replaced + mixed) bytes, never O(table)). The
+    * daily-load shape at 100 TB: "reload yesterday's partition" costs
+    * one partition's I/O.
+    *
+    * File handling from the manifest's per-file value sets:
+    *  - files wholly inside `partitions` DROP (their replacement is `df`);
+    *  - files wholly outside carry verbatim;
+    *  - MIXED files (and files with no recorded value set) REWRITE,
+    *    keeping only rows outside `partitions` (null partition values
+    *    are outside by definition — they are kept).
+    * `df` must itself lie inside `partitions` (checked — replacing
+    * partition X with rows claiming partition Y would corrupt the
+    * manifest's pruning metadata, so it refuses loudly). Requires a
+    * sidecar-free head: a MOR delete scoped to a mixed file would be
+    * silently lost by its rewrite (compact first — same precondition as
+    * the scoped OPTIMIZE). Returns the committed version.
+    */
+  def snapshotOverwritePartitions(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, partitions: Seq[String]): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    val pc = hdr.getOrElse("partCol", throw new IllegalArgumentException(
+      s"$root declares no partCol; partition overwrite needs one"))
+    require(partitions.nonEmpty, "no partitions given")
+    require(manifestDeleteFiles(spark, root, base).isEmpty,
+      "partition overwrite needs a sidecar-free head — a MOR delete " +
+        "scoped to a mixed file would be lost by its rewrite; run " +
+        "snapshotCompact first")
+    val want = partitions.toSet
+    // the replacement content must lie INSIDE the replaced partitions
+    val got = df.select(coalesce(col(pc).cast("string"), lit("\u0000")))
+      .distinct().collect().map(_.getString(0)).toSet
+    val stray = got -- want
+    require(stray.isEmpty,
+      "replacement rows carry partition values outside the overwrite " +
+        "scope: " + stray.toSeq.sorted.take(5)
+          .map(s => if (s == "\u0000") "NULL" else s).mkString(", ") +
+        " — widen the partition list or fix the frame")
+    val tagged = manifestEntriesTagged(spark, root, base)
+    def scopeOf(e: FileEntry): Int = e.parts match {
+      case Some(ps) if ps.nonEmpty && ps.forall(want) => 2 // wholly inside
+      case Some(ps) if !ps.exists(want) => 0               // wholly outside
+      case _ => 1                                          // mixed/unknown
+    }
+    val touched = tagged.filter(t => scopeOf(t._2) > 0)
+    val touchedSegs = touched.map(_._1).toSet
+    val carriedSegs = manifestSegRefs(spark, root, base)
+      .filterNot(touchedSegs)
+    val residual = tagged.collect {
+      case (seg, e) if scopeOf(e) == 0 && (seg == "" || touchedSegs(seg)) => e
+    }
+    val mixed = touched.collect { case (_, e) if scopeOf(e) == 1 => e }
+    val v = base + 1
+    val dataDir = attemptDir(root, "data", v)
+    val props = carriedProps(hdr)
+    // survivors of mixed files: rows OUTSIDE the replaced partitions
+    // (null partition values are outside — kept). Raw physical read →
+    // physical write: byte-compatible with the carried files. partCol is
+    // a reserved column (never renamed), so the filter binds either way.
+    val keepMixed = mixed.map(_.path) match {
+      case Nil => None
+      case ps => Some(spark.read.option("mergeSchema", "true")
+        .parquet(ps: _*)
+        .filter(coalesce(!col(pc).cast("string").isin(want.toSeq: _*),
+          lit(true))))
+    }
+    val newContent = {
+      val replacement = toPhysicalFrame(df, hdr).repartition(col(pc))
+      keepMixed match {
+        case Some(k) => replacement.unionByName(k, allowMissingColumns = true)
+        case None => replacement
+      }
+    }
+    newContent.write.mode("error").parquet(dataDir)
+    val schema = manifestSchema(spark, root, base)
+      .flatMap(ps => mergeSchemas(Some(ps), df.schema))
+    commitManifest(spark, root, v, carriedSegs,
+      residual ++
+        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
+      header = props ++ schemaHeaderOf(schema))
+    v
+  }
+
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions PRESENT IN `df` — the reload-what-
+    * arrived shape. Null partition values refuse (they cannot name a
+    * partition to replace).
+    */
+  def snapshotOverwritePartitionsDynamic(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame): Int = {
+    val hdr = manifestHeader(spark, root, snapshotVersions(spark, root).last)
+    val pc = hdr.getOrElse("partCol", throw new IllegalArgumentException(
+      s"$root declares no partCol; partition overwrite needs one"))
+    val values = df.select(col(pc).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    require(values.forall(_.isDefined),
+      "dynamic partition overwrite: the frame carries NULL partition " +
+        "values, which cannot name a partition to replace")
+    require(values.nonEmpty, "dynamic partition overwrite of an empty " +
+      "frame would replace nothing; use snapshotOverwrite to truncate")
+    snapshotOverwritePartitions(spark, root, df, values.flatten.toSeq)
+  }
+
   /** Read a snapshot (default: latest). The manifest resolves once here —
     * the returned frame is pinned to this version's file list.
     *

@@ -161,9 +161,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no PARTITIONED BY transforms; declare " +
-        "'partCol'/'statsKey' TBLPROPERTIES instead")
+    // `PARTITIONED BY (col)` — ONE identity transform — is sugar for the
+    // partCol table property (the column stays IN the data; the manifest
+    // records each file's value set). Bucket/temporal transforms refuse:
+    // graft's layout vocabulary is partCol + clusterBy.
+    val partFromTransforms: Option[String] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => throw new IllegalArgumentException(
+        "graft tables take at most ONE identity PARTITIONED BY column " +
+          s"(got: ${other.mkString(", ")}); use 'clusterBy' TBLPROPERTIES " +
+          "for multi-column layouts")
+    }
     val root = rootOf(ident)
     if (Layout.snapshotVersions(spark, root).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -172,9 +183,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     def prop(k: String): Option[String] =
       properties.asScala.collectFirst {
         case (pk, pv) if pk.equalsIgnoreCase(k) => pv }
+    for (p1 <- partFromTransforms; p2 <- prop("partCol"))
+      require(p1 == p2, s"PARTITIONED BY ($p1) and TBLPROPERTIES " +
+        s"partCol='$p2' disagree")
+    val partCol = partFromTransforms.orElse(prop("partCol"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    prop("partCol") match {
+    partCol match {
       case Some(pc) => Layout.snapshotAppendPartitioned(spark, root, empty,
         pc, statsKey = prop("statsKey"))
       case None => Layout.snapshotAppend(spark, root, empty,
@@ -290,9 +305,17 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
   override def properties(): util.Map[String, String] =
     meta.header.asJava
 
+  // a declared partCol surfaces as identity partitioning (DESCRIBE /
+  // SHOW CREATE show it; INSERT OVERWRITE … PARTITION resolves on it)
+  override def partitioning(): Array[Transform] =
+    meta.header.get("partCol")
+      .map(pc => Array(org.apache.spark.sql.connector.expressions
+        .Expressions.identity(pc))).getOrElse(Array.empty)
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (!meta.hasDeleteSidecars) {
@@ -358,21 +381,72 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      // Some(values): partition-scoped replace; None: whole-table
+      private var scope: Option[Seq[String]] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+
+      /** `INSERT OVERWRITE … PARTITION (pc=v)` arrives as a conjunction
+        * of filters on the partition column: translate to the value set
+        * and route to the partition-scoped engine; `AlwaysTrue` is the
+        * unqualified overwrite. Anything else refuses loudly — a filter
+        * this writer can't honor exactly must never silently widen or
+        * narrow the replaced scope.
+        */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwrite = true
+        scope = partitionScopeOf(filters)
+        if (scope.isEmpty && !filters.forall(_ == AlwaysTrue))
+          throw new UnsupportedOperationException(
+            s"graft INSERT OVERWRITE supports PARTITION (=/IN on the " +
+              s"declared partCol) or the unqualified form; got: " +
+              filters.mkString(", "))
+        this
+      }
+
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ovr: Boolean): Unit = {
               requireWritable(if (overwrite || ovr) "INSERT OVERWRITE"
                 else "INSERT")
-              if (overwrite || ovr) Layout.snapshotOverwrite(spark, root, data)
-              else Layout.snapshotAppend(spark, root, data)
+              (if (overwrite || ovr) scope else None) match {
+                case Some(values) =>
+                  Layout.snapshotOverwritePartitions(spark, root, data, values)
+                case None if overwrite || ovr =>
+                  Layout.snapshotOverwrite(spark, root, data)
+                case None =>
+                  Layout.snapshotAppend(spark, root, data)
+              }
             }
           }
       }
     }
+
+  /** The partition-value set a filter conjunction pins the declared
+    * partCol to — None when it isn't exactly that shape.
+    */
+  private def partitionScopeOf(filters: Array[Filter]): Option[Seq[String]] = {
+    val pc = meta.header.get("partCol").getOrElse(return None)
+    def valuesOf(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(c, v) if c.equalsIgnoreCase(pc) =>
+        Option(v).map(x => Set(x.toString))
+      case EqualNullSafe(c, v) if c.equalsIgnoreCase(pc) =>
+        Option(v).map(x => Set(x.toString))
+      case In(c, vs) if c.equalsIgnoreCase(pc) && vs.forall(_ != null) =>
+        Some(vs.map(_.toString).toSet)
+      case _ => None
+    }
+    val nonTrivial = filters.filterNot(_ == AlwaysTrue)
+    if (nonTrivial.isEmpty) None
+    else {
+      val sets = nonTrivial.map(valuesOf)
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.flatten.reduce(_ intersect _).toSeq.sorted)
+    }
+  }
 
   // ---- DELETE FROM: key equality/IN-list → O(keys) MOR sidecar commit;
   // unqualified delete → truncating empty-overwrite commit
