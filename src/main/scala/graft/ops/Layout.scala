@@ -858,15 +858,21 @@ object Layout {
   case class FileEntry(path: String, stats: Option[FileStats],
       parts: Option[Seq[String]])
 
-  /** Table properties that travel with the table across commits (the
-    * `deleteKey` carry rule, generalized): `statsKey` = the stats
-    * column, `partCol` = the partition column.
+  /** Header keys that are PER-COMMIT metadata, never table properties:
+    * everything else carries across commits (the `deleteKey` carry rule,
+    * generalized to user properties and `check.*` constraints).
     */
-  private val TableProps = Set("deleteKey", "statsKey", "partCol",
-    "clusterBy", "colmap", "tombstones")
+  private val EphemeralHeaders = Set("ts", "writer", "epoch", "schema")
+
+  /** Engine-owned properties a user must not SET/UNSET directly — each
+    * has its own evolution path (declaration at first commit; the
+    * rename/drop engine for the mapping pair).
+    */
+  private[graft] val ReservedProps = Set("deleteKey", "statsKey", "partCol",
+    "clusterBy", "colmap", "tombstones") ++ EphemeralHeaders
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
-    hdr.view.filterKeys(TableProps).toMap
+    hdr -- EphemeralHeaders
 
   /** SCHEMA IN THE MANIFEST (Delta's log-recorded schema): each commit
     * records its version's full schema as a header (`#schema=<json>`),
@@ -1346,8 +1352,9 @@ object Layout {
     */
   def snapshotAppend(spark: org.apache.spark.sql.SparkSession, root: String,
       df: DataFrame, statsKey: Option[String] = None,
-      clusterBy: Option[String] = None): Int =
-    appendInternal(spark, root, df, statsKey, None, clusterBy)
+      clusterBy: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): Int =
+    appendInternal(spark, root, df, statsKey, None, clusterBy, extraProps)
 
   /** [[snapshotAppend]] for a PARTITIONED table: `partCol`, declared on
     * the first commit, becomes a table property; the data is shuffled so
@@ -1360,17 +1367,22 @@ object Layout {
   def snapshotAppendPartitioned(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, partCol: String,
       statsKey: Option[String] = None,
-      shuffleByPartition: Boolean = true): Int =
+      shuffleByPartition: Boolean = true,
+      extraProps: Map[String, String] = Map.empty): Int =
     appendInternal(spark, root,
       // value-localized files by default; pass shuffleByPartition=false
       // when the caller already arranged a layout (e.g. key-clustered
       // within a single partition value) that the shuffle would destroy
       if (shuffleByPartition) df.repartition(col(partCol)) else df,
-      statsKey, Some(partCol))
+      statsKey, Some(partCol), extraProps = extraProps)
 
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, statsKey: Option[String],
-      partCol: Option[String], clusterBy: Option[String] = None): Int = {
+      partCol: Option[String], clusterBy: Option[String] = None,
+      extraProps: Map[String, String] = Map.empty): Int = {
+    require(extraProps.keySet.intersect(ReservedProps).isEmpty,
+      s"extraProps must not set engine-owned keys: " +
+        extraProps.keySet.intersect(ReservedProps).mkString(", "))
     // declared properties must agree with the table's: silently switching
     // the stats column would leave old entries' stats wrong for pruning
     def propsAgainst(prevHdr: Map[String, String]): Map[String, String] = {
@@ -1380,7 +1392,10 @@ object Layout {
         require(e == p, s"table partition column is '$e', not '$p'")
       for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
         require(e == c, s"table cluster columns are '$e', not '$c'")
-      carriedProps(prevHdr) ++
+      // user properties (incl. check.* constraints) may DECLARE at the
+      // first commit; thereafter the table's own carry wins
+      (if (prevHdr.isEmpty) extraProps else Map.empty[String, String]) ++
+        carriedProps(prevHdr) ++
         statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
         clusterBy.map("clusterBy" -> _)
     }
@@ -1389,6 +1404,9 @@ object Layout {
     val prevHdr = prev.lastOption
       .map(manifestHeader(spark, root, _)).getOrElse(Map.empty[String, String])
     val props = propsAgainst(prevHdr)
+    // CHECK constraints gate the batch BEFORE any file is written
+    enforceConstraints(props, df, "append")
+    var enforcedChecks = props.filter(_._1.startsWith("check."))
     // COLUMN MAPPING at the write boundary: the caller's frame carries
     // LOGICAL names; files store PHYSICAL names ([[snapshotRenameColumn]]
     // fixes a column's physical slot at first write forever). New logical
@@ -1474,6 +1492,13 @@ object Layout {
           effProps.get("partCol") != attemptProps.get("partCol")) {
         entries = entriesForNewFiles(spark, newFiles, effProps)
       }
+      // a concurrent SET TBLPROPERTIES may have added a constraint this
+      // batch was never checked against
+      val checksNow = effProps.filter(_._1.startsWith("check."))
+      if (checksNow != enforcedChecks) {
+        enforceConstraints(effProps, df, "append")
+        enforcedChecks = checksNow
+      }
       attemptProps = effProps
       val carried = carriedStateOf(spark, root, head)
       // delete sidecars carry forward with the files they scope: an
@@ -1516,6 +1541,7 @@ object Layout {
       .map(v0 => carriedProps(manifestHeader(spark, root, v0)) -
         "deleteKey" - "colmap" - "tombstones")
       .getOrElse(Map.empty[String, String])
+    enforceConstraints(props, df, "overwrite")
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
     commitManifest(spark, root, v, Nil,
@@ -1585,6 +1611,7 @@ object Layout {
     val v = base + 1
     val dataDir = attemptDir(root, "data", v)
     val props = carriedProps(hdr)
+    enforceConstraints(props, df, "partition overwrite")
     // survivors of mixed files: rows OUTSIDE the replaced partitions
     // (null partition values are outside — kept). Raw physical read →
     // physical write: byte-compatible with the carried files. partCol is
@@ -1776,6 +1803,68 @@ object Layout {
     require(!colMapOf(hdr).values.exists(resolver(_, name)),
       s"column name '$name' is the physical slot of a renamed column; " +
         "pick another name or compact the table first")
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a METADATA-ONLY commit:
+    * user properties (and `check.*` CHECK constraints) change in one
+    * versioned header commit — zero data I/O, time travel below keeps
+    * the old properties. Engine-owned properties refuse (each has its
+    * own evolution path). A NEW `check.<name>` constraint is validated
+    * against the CURRENT head before it commits (the Delta contract:
+    * a constraint you could not have written under must not appear to
+    * hold), and every subsequent write enforces it
+    * ([[enforceConstraints]]).
+    */
+  def snapshotSetProperties(spark: org.apache.spark.sql.SparkSession,
+      root: String, set: Map[String, String],
+      unset: Seq[String] = Nil): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    (set.keys ++ unset).foreach { k =>
+      require(!ReservedProps.contains(k),
+        s"property '$k' is engine-owned (declared at first commit / " +
+          "evolved by its own ALTER path); SET/UNSET refuses it")
+    }
+    // a new or changed CHECK constraint must hold on the EXISTING rows
+    val newChecks = set.filter(_._1.startsWith("check."))
+    if (newChecks.nonEmpty) {
+      val head = readSnapshot(spark, root, base)
+      newChecks.foreach { case (name, exprSql) =>
+        val bad = head.filter(
+          !coalesce(expr(exprSql).cast("boolean"), lit(true))).limit(1)
+        require(bad.isEmpty,
+          s"cannot add constraint $name ($exprSql): existing rows " +
+            s"violate it, e.g. ${bad.head().toString}")
+      }
+    }
+    val carried = carriedStateOf(spark, root, Some(base))
+    val v = base + 1
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = (carried.props -- unset) ++ set ++
+        schemaHeaderOf(carried.schema),
+      deletes = carried.deletes)
+    v
+  }
+
+  /** The write-side CHECK-constraint gate: every committed batch must
+    * satisfy each `check.*` property (SQL-standard semantics: a row
+    * violates only when the expression is FALSE — nulls pass). One
+    * filter-and-probe job per write, and only for tables that declared
+    * constraints; the refusal names the constraint and one offending
+    * row. Runs on the LOGICAL frame, before physical renaming.
+    */
+  private def enforceConstraints(props: Map[String, String],
+      df: DataFrame, op: String): Unit = {
+    val checks = props.filter(_._1.startsWith("check."))
+    if (checks.isEmpty || df.columns.isEmpty) return
+    checks.foreach { case (name, exprSql) =>
+      val bad = df.filter(
+        !coalesce(expr(exprSql).cast("boolean"), lit(true))).limit(1)
+      val hit = bad.collect()
+      require(hit.isEmpty,
+        s"$op violates constraint $name ($exprSql): e.g. ${hit.head}")
+    }
   }
 
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit: the logical
@@ -2402,6 +2491,7 @@ object Layout {
     val dataDir = s"$root/data/e=$epoch"
     val hdr0 = prev.lastOption.map(manifestHeader(spark, root, _))
       .getOrElse(Map.empty[String, String])
+    enforceConstraints(carriedProps(hdr0), df, s"epoch $epoch append")
     toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, prev.lastOption)
     val schema =
@@ -2480,6 +2570,7 @@ object Layout {
     val dataDir = s"$root/data/w=${sanitize(writerId)}-e=$epoch"
     val hdr0 = vs.lastOption.map(manifestHeader(spark, root, _))
       .getOrElse(Map.empty[String, String])
+    enforceConstraints(carriedProps(hdr0), df, s"epoch $epoch append")
     toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, vs.lastOption)
     // the FIRST commit may declare the stats column (carried thereafter,
@@ -3037,8 +3128,11 @@ object Layout {
       if (mapped) toLogicalFrame(touchedRaw, hdr, recordedSc.get)
       else touchedRaw
     val rewritten = rewrite(touchedDf)
-    toPhysicalFrame(rewritten, hdr).write.mode("error").parquet(dataDir)
     val props = carriedProps(hdr) - "deleteKey"
+    // merged output re-checks constraints: an UPDATE/MERGE can introduce
+    // a violating value even when every input row was valid
+    enforceConstraints(props, rewritten, "merge")
+    toPhysicalFrame(rewritten, hdr).write.mode("error").parquet(dataDir)
     val schema = recordedSc
       .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
     commitManifest(spark, root, v, carriedSegs,

@@ -189,11 +189,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val partCol = partFromTransforms.orElse(prop("partCol"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+    // user properties (incl. check.* constraints) declare at CREATE and
+    // carry with the table; engine-declared and Spark-reserved keys stay
+    // out of the generic channel
+    val userProps = properties.asScala.toMap.filter { case (k, _) =>
+      val lk = k.toLowerCase
+      !Layout.ReservedProps.contains(k) &&
+        !Set("provider", "location", "owner", "comment", "external",
+          "option.path", "path").contains(lk) &&
+        !lk.startsWith("option.")
+    }
     partCol match {
       case Some(pc) => Layout.snapshotAppendPartitioned(spark, root, empty,
-        pc, statsKey = prop("statsKey"))
+        pc, statsKey = prop("statsKey"), extraProps = userProps)
       case None => Layout.snapshotAppend(spark, root, empty,
-        statsKey = prop("statsKey"), clusterBy = prop("clusterBy"))
+        statsKey = prop("statsKey"), clusterBy = prop("clusterBy"),
+        extraProps = userProps)
     }
     GraftTable(root, ident.toString, -1)
   }
@@ -210,6 +221,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // layer ([[Layout.snapshotRenameColumn]]/[[Layout.snapshotDropColumn]])
     // — old files keep their physical names, reads alias, zero data I/O.
     // One rename or one drop per statement (Spark's SQL grammar's shape).
+    // SET/UNSET TBLPROPERTIES: one metadata commit for the whole
+    // statement; check.* constraints validate against existing rows
+    // inside snapshotSetProperties
+    if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty]) && changes.nonEmpty) {
+      val sets = changes.collect {
+        case s: TableChange.SetProperty => s.property -> s.value }.toMap
+      val unsets = changes.collect {
+        case r: TableChange.RemoveProperty => r.property }
+      Layout.snapshotSetProperties(spark, root, sets, unsets)
+      return GraftTable(root, ident.toString, -1)
+    }
     changes.toSeq match {
       case Seq(r: TableChange.RenameColumn) =>
         require(r.fieldNames.length == 1,
