@@ -2492,7 +2492,14 @@ object Layout {
     val hdr0 = prev.lastOption.map(manifestHeader(spark, root, _))
       .getOrElse(Map.empty[String, String])
     enforceConstraints(carriedProps(hdr0), df, s"epoch $epoch append")
-    toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
+    // declared-layout carry (appendInternal's rule): a table that
+    // declared partCol value-localizes streaming batches too, so files
+    // stay prunable/SPJ-eligible without a separate maintenance pass
+    val dfE = hdr0.get("partCol") match {
+      case Some(pc) if df.columns.contains(pc) => df.repartition(col(pc))
+      case _ => df
+    }
+    toPhysicalFrame(dfE, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, prev.lastOption)
     val schema =
       if (prev.isEmpty) mergeSchemas(None, df.schema)
@@ -2571,7 +2578,14 @@ object Layout {
     val hdr0 = vs.lastOption.map(manifestHeader(spark, root, _))
       .getOrElse(Map.empty[String, String])
     enforceConstraints(carriedProps(hdr0), df, s"epoch $epoch append")
-    toPhysicalFrame(df, hdr0).write.mode("overwrite").parquet(dataDir)
+    // declared-layout carry (appendInternal's rule): a table that
+    // declared partCol value-localizes streaming batches too, so files
+    // stay prunable/SPJ-eligible without a separate maintenance pass
+    val dfE = hdr0.get("partCol") match {
+      case Some(pc) if df.columns.contains(pc) => df.repartition(col(pc))
+      case _ => df
+    }
+    toPhysicalFrame(dfE, hdr0).write.mode("overwrite").parquet(dataDir)
     val carried = carriedStateOf(spark, root, vs.lastOption)
     // the FIRST commit may declare the stats column (carried thereafter,
     // exactly like snapshotAppend's statsKey); an existing declaration

@@ -2837,6 +2837,60 @@ object Relational {
       |WHERE o_orderstatus <> 'P'
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** PARTITION-SCOPED OVERWRITE ON THE ORACLE GATE — the daily-reload
+    * shape (`INSERT OVERWRITE … PARTITION`, Delta's replaceWhere) driven
+    * end-to-end through SQL: a fact table partitioned on `flag` loads
+    * all of `orders`, then the 'F' partition is atomically REPLACED with
+    * its recomputed content (prices marked up 10%) — every other
+    * partition's files carried by reference
+    * ([[Layout.snapshotOverwritePartitions]]). The oracle recomputes the
+    * same final state in plain SQL (CASE on the partition). Certifies
+    * replace-exactness row-for-row: nothing lost outside the scope,
+    * nothing stale inside it.
+    * 100 TB: "reload yesterday's partition" costs one partition's I/O —
+    * untouched history never rewrites.
+    */
+  private def partOvwTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "povwcat")
+      spark.conf.set("spark.sql.catalog.graft_po",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_po.root", wh)
+      val root = s"$wh/q102t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        spark.sql("CREATE TABLE graft_po.q102t " +
+          "(key BIGINT, price DOUBLE, flag STRING) PARTITIONED BY (flag)")
+        t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("price"),
+            col("o_orderstatus").as("flag"))
+          .createOrReplaceTempView("q102_src")
+        spark.sql("INSERT INTO graft_po.q102t SELECT * FROM q102_src")
+        spark.sql(
+          """INSERT OVERWRITE graft_po.q102t PARTITION (flag = 'F')
+            |SELECT key, price * 1.1 AS price FROM q102_src
+            |WHERE flag = 'F'""".stripMargin)
+      }
+      root
+    }
+
+  def q102PartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    partOvwTable(spark, sfDir)
+    spark.sql(
+      "SELECT key, price, flag FROM graft_po.q102t ORDER BY key, flag")
+  }
+
+  val q102Sql: String =
+    """SELECT o_orderkey AS key,
+      |  CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 1.1
+      |    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS price,
+      |  o_orderstatus AS flag
+      |FROM orders
+      |ORDER BY key, flag""".stripMargin
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3710,6 +3764,7 @@ object Relational {
     "q99_time_slice" -> (q99TimeSlice _),
     "q100_dpp_join" -> (q100DppJoin _),
     "q101_rename_read" -> (q101RenameRead _),
+    "q102_partition_overwrite" -> (q102PartitionOverwrite _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3861,6 +3916,7 @@ object Relational {
     "q98_sql_table" -> q96Sql,
     "q100_dpp_join" -> q100Sql,
     "q101_rename_read" -> q101Sql,
+    "q102_partition_overwrite" -> q102Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
