@@ -643,8 +643,19 @@ object Layout {
       .select(col("file"), (col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
       .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
-      .withColumn("base_version", lit(head))
-    snapshotAppend(spark, idxRoot, rows.coalesce(1))
+    // files contributing NO positions (empty files, all-null key column)
+    // record a (w=-1, bits=0) MARKER row: "indexed, contains nothing".
+    // Without it such a file never enters the index and stays an
+    // eternal conservative candidate — every point lookup would scan it
+    // forever. No probe requirement ever targets w=-1, so the marker
+    // satisfies nothing and the file prunes on every probe.
+    import spark.implicits._
+    val markers = newFiles.map(baseName).toDF("file")
+      .join(rows.select(col("file")).distinct(), Seq("file"), "left_anti")
+      .select(col("file"), lit(-1).cast("int").as("w"), lit(0L).as("bits"))
+    snapshotAppend(spark, idxRoot,
+      rows.unionByName(markers).withColumn("base_version", lit(head))
+        .coalesce(1))
     head
   }
 
@@ -666,6 +677,85 @@ object Layout {
     * directory [[bloomIndexLookup]] keeps its driver-side test for
     * bounded file counts; this is the production form.
     */
+  /** Per-file bloom verdicts for a probe set: file base-name → "might
+    * contain some probe". Files absent from the map are UNINDEXED
+    * (maintenance lag) — callers must treat them as candidates. The one
+    * distributed candidate-resolution pass shared by
+    * [[snapshotPointLookup]] and the DSv2 scan's equality skipping:
+    *
+    * (probeId, w, m): probe p requires bit m set in word w. k masks per
+    * probe (dedup'd within a word); a file is a hit for p iff ALL its
+    * requirements hold — counted distributively. ONE pass over the
+    * index produces per-file (indexed, hit) status: a left join keeps
+    * index rows matching no requirement word (need null), so every
+    * indexed file surfaces; what returns to the driver is O(indexed
+    * files) NAMES + booleans — name-scale like the manifest itself,
+    * never the 16 KiB/file bit payload. Duplicate index rows (two
+    * overlapping maintenance runs both committing a file's rows —
+    * value-identical, blooms being pure functions of immutable content)
+    * collapse via bit_or over (file, w) before counting, the
+    * no-false-negative guard.
+    */
+  private[graft] def bloomCandidateStatus(
+      spark: org.apache.spark.sql.SparkSession, idxRoot: String,
+      values: Seq[Long], mBits: Int = BloomIndexBits)
+      : Map[String, Boolean] = {
+    import graft.functions.Bloom
+    import spark.implicits._
+    if (snapshotVersions(spark, idxRoot).isEmpty) return Map.empty
+    val reqs = values.zipWithIndex.toDF("v", "pid")
+      .select(col("pid"), explode(Bloom.positionsFor(col("v"), mBits)).as("p"))
+      .select(col("pid"), (col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
+      .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
+    val nNeed: Map[Long, Long] = reqs.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_need"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    readSnapshot(spark, idxRoot)
+      .groupBy(col("file"), col("w")).agg(bit_or(col("bits")).as("bits"))
+      .join(broadcast(reqs), Seq("w"), "left_outer")
+      .groupBy(col("file"), col("pid"))
+      .agg(sum(when(col("need").isNotNull &&
+        (col("bits").bitwiseAND(col("need"))) === col("need"), 1L)
+        .otherwise(0L)).as("n_ok"))
+      .groupBy(col("file"))
+      .agg(collect_list(struct(col("pid"), col("n_ok"))).as("per_probe"))
+      .collect().map { r =>
+        val hit = r.getSeq[org.apache.spark.sql.Row](1).exists { pr =>
+          !pr.isNullAt(0) && nNeed.get(pr.getInt(0).toLong)
+            .contains(pr.getLong(1))
+        }
+        r.getString(0) -> hit
+      }.toMap
+  }
+
+  /** The CONVENTION index root for [[maintainBloomIndexFor]]'s indexes:
+    * a sibling of the data dirs (vacuum walks only `data/` + `deletes/`,
+    * so the index table is never swept as orphans).
+    */
+  private[graft] def bloomSnapIdxRoot(root: String, keyCol: String): String =
+    s"$root/_bloomidx_$keyCol"
+
+  /** [[maintainBloomIndex]] at the convention location, RECORDED on the
+    * base table (`bloomIndex` property: comma set of indexed columns) so
+    * the DSv2 scan discovers and uses the index for equality/IN
+    * predicates with zero per-query configuration. Run it on the same
+    * cadence as any maintenance job; unindexed fresh files stay
+    * conservative (scanned) until the next run.
+    */
+  def maintainBloomIndexFor(spark: org.apache.spark.sql.SparkSession,
+      root: String, keyCol: String, mBits: Int = BloomIndexBits): Int = {
+    val v = maintainBloomIndex(spark, root, bloomSnapIdxRoot(root, keyCol),
+      keyCol, mBits)
+    val declared = manifestHeader(spark, root, snapshotVersions(spark, root).last)
+      .get("bloomIndex").map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty)
+    if (!declared.contains(keyCol))
+      snapshotSetProperties(spark, root,
+        Map("bloomIndex" -> (declared + keyCol).toSeq.sorted.mkString(",")))
+    v
+  }
+
   def snapshotPointLookup(spark: org.apache.spark.sql.SparkSession,
       baseRoot: String, idxRoot: String, keyCol: String, values: Seq[Long],
       mBits: Int = BloomIndexBits): BloomLookup = {
@@ -675,48 +765,7 @@ object Layout {
     val vs = snapshotVersions(spark, baseRoot)
     require(vs.nonEmpty, s"no snapshots at $baseRoot")
     val head = vs.last
-    val haveIdx = snapshotVersions(spark, idxRoot).nonEmpty
-    // (probeId, w, m): probe p requires bit m set in word w. k masks per
-    // probe (dedup'd within a word); a file is a hit for p iff ALL its
-    // requirements hold — counted distributively below. ONE pass over
-    // the index produces per-file (indexed, hit) status: a left join
-    // keeps index rows matching no requirement word (need null), so
-    // every indexed file surfaces; what returns to the driver is
-    // O(indexed files) NAMES + booleans — name-scale like the manifest
-    // itself, never the 16 KiB/file bit payload.
-    val reqs = values.zipWithIndex.toDF("v", "pid")
-      .select(col("pid"), explode(Bloom.positionsFor(col("v"), mBits)).as("p"))
-      .select(col("pid"), (col("p") / 64).cast("int").as("w"),
-        call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
-      .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
-    val nNeed: Map[Long, Long] = reqs.groupBy(col("pid"))
-      .agg(count(lit(1)).as("n_need"))
-      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
-    val status: Map[String, Boolean] = // file -> bloom hit?
-      if (!haveIdx) Map.empty
-      else readSnapshot(spark, idxRoot)
-        // DUPLICATE-ROW GUARD: two overlapping maintenance runs can both
-        // commit rows for the same file (the have-set read and the
-        // append are not serialized). A file's bloom is a pure function
-        // of its immutable content, so duplicates are value-identical —
-        // but left un-collapsed they double-count satisfied words below
-        // (n_ok > n_need) and silently prune a TRUE hit. bit_or over
-        // (file, w) collapses them exactly (x | x = x) before counting.
-        .groupBy(col("file"), col("w")).agg(bit_or(col("bits")).as("bits"))
-        .join(broadcast(reqs), Seq("w"), "left_outer")
-        .groupBy(col("file"), col("pid"))
-        .agg(sum(when(col("need").isNotNull &&
-          (col("bits").bitwiseAND(col("need"))) === col("need"), 1L)
-          .otherwise(0L)).as("n_ok"))
-        .groupBy(col("file"))
-        .agg(collect_list(struct(col("pid"), col("n_ok"))).as("per_probe"))
-        .collect().map { r =>
-          val hit = r.getSeq[org.apache.spark.sql.Row](1).exists { pr =>
-            !pr.isNullAt(0) && nNeed.get(pr.getInt(0).toLong)
-              .contains(pr.getLong(1))
-          }
-          r.getString(0) -> hit
-        }.toMap
+    val status = bloomCandidateStatus(spark, idxRoot, values, mBits)
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
     def isCandidate(e: FileEntry): Boolean =
       // unindexed (maintenance lag): conservative, scan it

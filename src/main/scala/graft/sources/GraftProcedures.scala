@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "maintain", "restore", "clone")
+    Seq("optimize", "vacuum", "maintain", "restore", "clone", "index")
 
   def load(spark: => SparkSession, warehouse: String,
       ident: Identifier): UnboundProcedure = {
@@ -52,6 +52,7 @@ private[sources] object GraftProcedures {
       case "maintain" => new MaintainProcedure(spark, rootOf)
       case "restore" => new RestoreProcedure(spark, rootOf)
       case "clone" => new CloneProcedure(spark, rootOf)
+      case "index" => new IndexProcedure(spark, rootOf)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure 'system.$other' " +
           s"(available: ${Names.mkString(", ")})")
@@ -124,6 +125,35 @@ private[sources] object GraftProcedures {
           zQuantile = input.getBoolean(4))
       val after = Layout.readSnapshot(spark, root, v).inputFiles.length
       result(outSchema, InternalRow(v, before, after))
+    }
+  }
+
+  /** `CALL graft.system.index(table, key_col)` — build/advance the
+    * per-file BLOOM INDEX on `key_col` ([[Layout.maintainBloomIndexFor]]:
+    * only files new since the last run index; the convention location
+    * and the table's `bloomIndex` property let the DSv2 scan prune
+    * equality/IN predicates through it with zero per-query config).
+    * Run on the maintenance cadence; un-caught-up files stay scanned
+    * (conservative).
+    */
+  private final class IndexProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "index"
+    override def description(): String =
+      "build/advance the per-file bloom index on a column"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("key_col", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("indexed_through_version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val v = Layout.maintainBloomIndexFor(spark, root,
+        input.getUTF8String(1).toString)
+      result(outSchema, InternalRow(v))
     }
   }
 

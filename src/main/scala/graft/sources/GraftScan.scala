@@ -298,8 +298,57 @@ private[graft] class GraftScan(val root: String, identName: String,
         a.withName(cmap(a.name))
     })
 
+  // ---- BLOOM-INDEX FILE SKIPPING (Databricks bloom-filter-index slot):
+  // a table whose `bloomIndex` property lists maintained per-file bloom
+  // indexes ([[Layout.maintainBloomIndexFor]]) prunes equality/IN
+  // predicates on those columns through the index — point lookups on a
+  // NON-clustered column plan O(bloom hits) files instead of O(table),
+  // the query shape min/max stats can never serve. One distributed
+  // candidate-resolution pass per indexed predicate at planning time;
+  // files the index hasn't caught up to stay candidates (conservative —
+  // no false negatives, exactly snapshotPointLookup's contract).
+  private def bloomPrune(
+      kept: Seq[(Layout.FileEntry, org.apache.hadoop.fs.FileStatus)],
+      filters: Seq[Expression])
+      : Seq[(Layout.FileEntry, org.apache.hadoop.fs.FileStatus)] = {
+    val indexed = header.get("bloomIndex")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    if (indexed.isEmpty || kept.isEmpty) return kept
+    def longsOf(es: Seq[Expression]): Option[Seq[Long]] = {
+      val ls = es.collect {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Short, _) => v.toLong
+        case Literal(v: Byte, _) => v.toLong
+      }
+      if (ls.length == es.length && ls.nonEmpty) Some(ls) else None
+    }
+    val resolver = SparkSession.active.sessionState.conf.resolver
+    val probes: Seq[(String, Seq[Long])] = filters.flatMap {
+      case CatEqualTo(a: Attribute, l: Literal)
+          if indexed.exists(resolver(_, a.name)) =>
+        longsOf(Seq(l)).map(a.name -> _)
+      case CatEqualTo(l: Literal, a: Attribute)
+          if indexed.exists(resolver(_, a.name)) =>
+        longsOf(Seq(l)).map(a.name -> _)
+      case In(a: Attribute, vs) if indexed.exists(resolver(_, a.name)) =>
+        longsOf(vs).map(a.name -> _)
+      case _ => None
+    }
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    probes.foldLeft(kept) { case (k, (c, vals)) =>
+      val status = Layout.bloomCandidateStatus(SparkSession.active,
+        Layout.bloomSnapIdxRoot(root, c), vals)
+      if (status.isEmpty) k // no index commits yet: nothing to prune on
+      else k.filter(e => status.getOrElse(baseName(e._1.path), true))
+    }
+  }
+
   /** Static pruning happens once: the survivors of the pushed filters. */
-  private val staticKept = index.prunedEntries(physFilters(dataFilters))
+  private val staticKept =
+    bloomPrune(index.prunedEntries(physFilters(dataFilters)),
+      physFilters(dataFilters))
 
   /** Total entries, for plan-evidence ("kept/total"). */
   private val totalFiles = index.inputFiles.length
@@ -318,7 +367,9 @@ private[graft] class GraftScan(val root: String, identName: String,
   private def currentInner(): Scan = {
     val kept =
       if (runtime.isEmpty) staticKept
-      else index.prunedEntries(physFilters(dataFilters ++ runtime))
+      else bloomPrune(
+        index.prunedEntries(physFilters(dataFilters ++ runtime)),
+        physFilters(dataFilters ++ runtime))
     lastPlannedFiles = kept.size
     GraftScanUtil.innerScan(identName, physSchema(tableSchema),
       physSchema(required), physFilters(dataFilters ++ runtime),
@@ -426,7 +477,9 @@ private[graft] class GraftScan(val root: String, identName: String,
     val groups =
       if (!bucketingOn) None
       else if (runtime.isEmpty) staticGroups
-      else keyedGroupsOf(index.prunedEntries(physFilters(dataFilters ++ runtime)))
+      else keyedGroupsOf(bloomPrune(
+        index.prunedEntries(physFilters(dataFilters ++ runtime)),
+        physFilters(dataFilters ++ runtime)))
     groups match {
       case Some(g) => keyedBatch(g)
       case None => new Batch {
