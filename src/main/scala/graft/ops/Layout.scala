@@ -745,8 +745,26 @@ object Layout {
     */
   def maintainBloomIndexFor(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String, mBits: Int = BloomIndexBits): Int = {
-    val v = maintainBloomIndex(spark, root, bloomSnapIdxRoot(root, keyCol),
-      keyCol, mBits)
+    import spark.implicits._
+    val idxRoot = bloomSnapIdxRoot(root, keyCol)
+    val v = maintainBloomIndex(spark, root, idxRoot, keyCol, mBits)
+    // INDEX GC: rows for files the head no longer references (compaction
+    // / overwrite victims) are dead weight every candidate-resolution
+    // pass re-reads. When the dead outnumber the live, ONE overwrite
+    // commit keeps only live files' rows (the index is itself a snapshot
+    // table, so the rewrite is atomic and time-travelable).
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    if (snapshotVersions(spark, idxRoot).isEmpty) return v // nothing indexed
+    val live = manifestFiles(spark, root, v).map(baseName).toDF("file")
+    val idx = readSnapshot(spark, idxRoot)
+    val counts = idx.select(col("file")).distinct()
+      .join(live.withColumn("__graft_live", lit(true)), Seq("file"), "left_outer")
+      .agg(sum(when(col("__graft_live").isNotNull, 1L).otherwise(0L)),
+        sum(when(col("__graft_live").isNull, 1L).otherwise(0L))).head()
+    val (nLive, nDead) = (counts.getLong(0), counts.getLong(1))
+    if (nDead > nLive)
+      snapshotOverwrite(spark, idxRoot,
+        idx.join(live, Seq("file"), "left_semi").coalesce(1))
     val declared = manifestHeader(spark, root, snapshotVersions(spark, root).last)
       .get("bloomIndex").map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set.empty)
@@ -3647,7 +3665,8 @@ object Layout {
   case class MaintenanceReport(
       deleteFilesBefore: Int, smallFilesBefore: Int,
       compactedVersion: Option[Int],
-      vacuum: VacuumStats, orphansSwept: Int)
+      vacuum: VacuumStats, orphansSwept: Int,
+      indexedCols: Seq[String] = Nil)
 
   /** THE STANDING MAINTENANCE JOB — one call a scheduler runs per table
     * on its cadence (Delta's auto-optimize + vacuum slot, Iceberg's
@@ -3693,7 +3712,21 @@ object Layout {
       nowMillis - policy.retentionMillis, policy.minKeepVersions)
     val orphans = vacuumOrphanFiles(spark, root,
       nowMillis - policy.orphanGraceMillis)
-    MaintenanceReport(nDel, nSmall, compacted, vac, orphans)
+    // DECLARED BLOOM INDEXES advance in the same cycle (zero-config:
+    // `CALL graft.system.index` recorded them on the table) — a
+    // compaction above rewrote every file, so this is also what re-fills
+    // the index after OPTIMIZE; each index table gets the table's own
+    // retention applied (it is a snapshot table too)
+    val idxCols = manifestHeader(spark, root,
+      snapshotVersions(spark, root).last)
+      .get("bloomIndex").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    idxCols.foreach { c =>
+      maintainBloomIndexFor(spark, root, c)
+      vacuumSnapshotsOlderThan(spark, bloomSnapIdxRoot(root, c),
+        nowMillis - policy.retentionMillis, policy.minKeepVersions)
+    }
+    MaintenanceReport(nDel, nSmall, compacted, vac, orphans, idxCols)
   }
 
   case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)

@@ -93,6 +93,30 @@ class BloomScanSpec extends GraftSuite {
         s"${scans.map(_.lastPlannedFiles)} of $total")
   }
 
+  test("maintenance advances declared indexes and GCs dead rows after a compaction") {
+    wh
+    import spark.implicits._
+    val root = s"$wh/t"
+    val idxRoot = Layout.bloomSnapIdxRoot(root, "ref")
+    // OPTIMIZE rewrites every file: the whole old index is dead weight
+    Layout.snapshotCompact(spark, root, targetBytes = 128L * 1024 * 1024)
+    val report = Layout.snapshotMaintain(spark, root,
+      Layout.MaintenancePolicy(retentionMillis = Long.MaxValue))
+    assert(report.indexedCols == Seq("ref"),
+      s"maintenance must advance the declared index: $report")
+    // the GC kept only live files' rows
+    def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
+    val liveNames = Layout.snapshotMeta(spark, root).paths.map(baseName).toSet
+    val indexedNames = Layout.readSnapshot(spark, idxRoot)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(indexedNames.subsetOf(liveNames),
+      s"dead index rows must GC: ${indexedNames -- liveNames}")
+    assert(indexedNames.nonEmpty, "live files must be indexed")
+    // and lookups through the rebuilt index stay exact + pruned
+    val q = sql("SELECT k FROM gbl.t WHERE ref = 424243")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(9999L))
+  }
+
   test("IN-lists prune to the union of owners; unindexed columns are untouched") {
     wh
     val probes = Seq(42L * 7919L, 100L * 7919L)
