@@ -2102,6 +2102,38 @@ object Layout {
       "recorded_rows", "writer", "epoch")
   }
 
+  /** Delta's `DESCRIBE DETAIL` as a metadata table (`graft.t.detail`):
+    * ONE row summarizing the head — version, commit time, file/sidecar
+    * counts, real bytes, attributable row count (null when sidecar debt
+    * or stat-less entries make the manifest arithmetic an over-count),
+    * the declared layout/engine properties, and every user property —
+    * resolved from manifests + one listing, zero data I/O. What an
+    * operator looks at first.
+    */
+  def snapshotDetail(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not in $vs")
+    val hdr = manifestHeader(spark, root, v)
+    val entries = manifestEntries(spark, root, v)
+    val nDel = manifestDeleteFiles(spark, root, v).size
+    val bytes = graft.sources.V1Filters.bytesOf(spark, entries.map(_.path))
+    val rows = if (nDel == 0 && entries.nonEmpty &&
+        entries.forall(_.stats.isDefined))
+      Some(entries.map(_.stats.get.rows).sum) else None
+    val userProps = (hdr -- ReservedProps).view
+      .filterKeys(!Set("ts", "writer", "epoch", "schema").contains(_)).toMap
+    Seq((v, hdr.get("ts").map(_.toLong).getOrElse(0L), entries.size, nDel,
+      bytes, rows, hdr.get("partCol"), hdr.get("statsKey"),
+      hdr.get("clusterBy"), hdr.get("bloomIndex"), userProps))
+      .toDF("version", "commit_ts", "n_files", "n_delete_files",
+        "size_bytes", "recorded_rows", "part_col", "stats_key",
+        "cluster_by", "bloom_index", "properties")
+  }
+
   /** Iceberg's `partitions` metadata table: per partition value of the
     * HEAD (or pinned version), the file count and — when every file of
     * the value carries stats and single-value scope — its recorded row

@@ -535,6 +535,7 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
     case "history" => Layout.snapshotHistory(spark, root)
     case "files" => Layout.snapshotFilesTable(spark, root)
     case "partitions" => Layout.snapshotPartitionsTable(spark, root)
+    case "detail" => Layout.snapshotDetail(spark, root)
   }
 
   private def changesSchema: StructType = {
@@ -664,5 +665,6 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
 }
 
 object GraftMetaTable {
-  val Kinds: Set[String] = Set("history", "files", "changes", "partitions")
+  val Kinds: Set[String] =
+    Set("history", "files", "changes", "partitions", "detail")
 }

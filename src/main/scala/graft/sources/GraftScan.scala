@@ -512,6 +512,12 @@ private[graft] class GraftScan(val root: String, identName: String,
     * partition column plus every column any entry records stats for.
     */
   override def filterAttributes(): Array[NamedReference] = {
+    // a KEYED (storage-partitioned-join) scan opts out of runtime
+    // filtering: SPJ already avoids the shuffle DPP exists to shrink,
+    // and a runtime re-plan that drops partition values would interact
+    // with Spark's keyed-partition consistency checks — one mechanism
+    // per scan, decided by which one is active
+    if (staticGroups.isDefined) return Array.empty
     val statCols = staticKept.flatMap(_._1.stats.toSeq.flatMap(s =>
       s.cols.keys ++ s.strCols.keys ++ s.dblCols.keys)).distinct
     (header.get("partCol").toSeq ++ statCols).distinct

@@ -19,7 +19,7 @@ import org.apache.spark.sql.sources._
   * would DROP rows ¬B∧A the true predicate keeps), so a negation
   * translates only when its child translates EXACTLY.
   */
-private[sources] object V1Filters {
+private[graft] object V1Filters {
 
   private def c(name: String): Column = col(s"`$name`")
 

@@ -360,6 +360,24 @@ class SqlCatalogSpec extends GraftSuite {
       assert(shown.contains(p), s"SHOW PROCEDURES must list $p:\n$shown"))
   }
 
+  test("graft.t.detail: one-row operator summary from manifests + one listing") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.det (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statsKey'='k', 'owner.team' = 'curation')")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("det_src")
+    sql("INSERT INTO gtest.det SELECT * FROM det_src")
+    val r = sql("SELECT * FROM gtest.det.detail").head()
+    assert(r.getAs[Int]("version") == 2 &&
+      r.getAs[Int]("n_delete_files") == 0 &&
+      r.getAs[Long]("size_bytes") > 0 &&
+      r.getAs[Long]("recorded_rows") == 2L &&
+      r.getAs[String]("stats_key") == "k" &&
+      r.getAs[Map[String, String]]("properties")
+        .get("owner.team").contains("curation"), s"detail row: $r")
+  }
+
   test("MOR fallback scan prunes columns and pushes filters through the V1 bridge") {
     wh
     import spark.implicits._
