@@ -2788,9 +2788,21 @@ object Layout {
       manifestDeleteFiles(spark, root, toVersion).toSet
     if (delsEqual && from.forall(to.toSet)) {
       val added = to.filterNot(from.toSet)
-      if (added.isEmpty)
-        spark.read.parquet(to: _*).where(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(added: _*)
+      val raw =
+        if (added.isEmpty)
+          spark.read.parquet(to: _*).where(org.apache.spark.sql.functions.lit(false))
+        else spark.read.option("mergeSchema", "true").parquet(added: _*)
+      // the fast path reads raw files (PHYSICAL names, file-local
+      // schema); align to the TO version's recorded LOGICAL schema like
+      // every other read — without this a delta crossing a RENAME (or an
+      // ADD COLUMN the batch didn't populate) surfaces the physical name
+      // and a downstream unionByName silently null-fills the "missing"
+      // logical column
+      manifestSchema(spark, root, toVersion) match {
+        case Some(sc) =>
+          toLogicalFrame(raw, manifestHeader(spark, root, toVersion), sc)
+        case None => raw
+      }
     } else
       readSnapshot(spark, root, toVersion)
         .exceptAll(readSnapshot(spark, root, fromVersion))

@@ -85,6 +85,29 @@ class ColumnMappingSpec extends GraftSuite {
       again.filter(col("score").isNotNull).count() == 0)
   }
 
+  test("the change feed stays LOGICAL across a rename: deltas before and after carry the current names") {
+    import spark.implicits._
+    val root = freshRoot("cdfren")
+    Layout.snapshotAppend(spark, root, Seq((1L, "a")).toDF("k", "v"))   // v1
+    Layout.snapshotRenameColumn(spark, root, "v", "label")             // v2
+    Layout.snapshotAppend(spark, root, Seq((2L, "b")).toDF("k", "label")) // v3
+    val deltas = Layout.snapshotDeltasSince(spark, root, 1)
+    assert(deltas.map(_._1) == Seq(2, 3))
+    // every delta speaks the head's LOGICAL name — a maintainer's
+    // unionByName must see ONE column, never v-and-label halves
+    deltas.foreach { case (v, d) =>
+      assert(d.columns.toSeq == Seq("k", "label"),
+        s"delta v$v columns: ${d.columns.mkString(",")}")
+    }
+    assert(deltas.find(_._1 == 2).get._2.isEmpty, "a rename adds no rows")
+    assert(deltas.find(_._1 == 3).get._2.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    val merged = deltas.map(_._2)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    assert(merged.filter(col("label").isNull).count() == 0,
+      "no silent null-fill from a physical-name leak")
+  }
+
   test("reserved (pruning-identity) columns refuse rename and drop") {
     import spark.implicits._
     val root = freshRoot("cres")
