@@ -759,8 +759,12 @@ object Layout {
     val idx = readSnapshot(spark, idxRoot)
     val counts = idx.select(col("file")).distinct()
       .join(live.withColumn("__graft_live", lit(true)), Seq("file"), "left_outer")
-      .agg(sum(when(col("__graft_live").isNotNull, 1L).otherwise(0L)),
-        sum(when(col("__graft_live").isNull, 1L).otherwise(0L))).head()
+      // coalesce: an EMPTY index (a fully-truncated table's GC'd index)
+      // sums to null, not 0
+      .agg(coalesce(sum(when(col("__graft_live").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("__graft_live").isNull, 1L)
+          .otherwise(0L)), lit(0L))).head()
     val (nLive, nDead) = (counts.getLong(0), counts.getLong(1))
     if (nDead > nLive)
       snapshotOverwrite(spark, idxRoot,

@@ -462,7 +462,15 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
         Some(vs.map(_.toString).toSet)
       case _ => None
     }
-    val nonTrivial = filters.filterNot(_ == AlwaysTrue)
+    // AlwaysTrue and an IsNotNull on the partition column are no-ops
+    // here (the equality conjuncts imply the latter) — dropping them is
+    // lenient, never scope-changing
+    val nonTrivial = filters.filterNot {
+      case AlwaysTrue => true
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        c.equalsIgnoreCase(pc)
+      case _ => false
+    }
     if (nonTrivial.isEmpty) None
     else {
       val sets = nonTrivial.map(valuesOf)
