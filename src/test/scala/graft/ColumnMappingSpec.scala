@@ -123,6 +123,44 @@ class ColumnMappingSpec extends GraftSuite {
     assert(ex2.getMessage.contains("statsKey"), ex2.getMessage)
   }
 
+  test("row-level SQL (UPDATE / MERGE) composes with a renamed column: rewrites speak logical, files stay physical") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cmaprl").toString
+    spark.conf.set("spark.sql.catalog.gmr",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmr.root", wh)
+    spark.sql("CREATE TABLE gmr.t (k BIGINT, price DOUBLE, note STRING) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    (1 to 50).map(i => (i.toLong, i * 1.0, s"n$i")).toDF("k", "price", "note")
+      .createOrReplaceTempView("mr_src")
+    spark.sql("INSERT INTO gmr.t SELECT * FROM mr_src")
+    spark.sql("ALTER TABLE gmr.t RENAME COLUMN note TO label")
+    // UPDATE references (and rewrites) the RENAMED column by its
+    // logical name; the COW engine must write the physical slot
+    spark.sql("UPDATE gmr.t SET label = 'flagged' WHERE k <= 3")
+    assert(spark.sql("SELECT count(*) FROM gmr.t WHERE label = 'flagged'")
+      .head().getLong(0) == 3L)
+    // MERGE updates the renamed column and inserts new rows through it
+    Seq((2L, 99.0, "merged"), (1000L, 5.0, "new"))
+      .toDF("mk", "mprice", "mlabel").createOrReplaceTempView("mr_chg")
+    spark.sql(
+      """MERGE INTO gmr.t t USING mr_chg s ON t.k = s.mk
+        |WHEN MATCHED THEN UPDATE SET price = s.mprice, label = s.mlabel
+        |WHEN NOT MATCHED THEN INSERT (k, price, label)
+        |  VALUES (s.mk, s.mprice, s.mlabel)""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, price, label FROM gmr.t WHERE k IN (1, 2, 1000) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1.0, "flagged"), (2L, 99.0, "merged"),
+      (1000L, 5.0, "new")), got.mkString(", "))
+    // every data file still stores the ORIGINAL physical name
+    val allCols = Layout.snapshotMeta(spark, s"$wh/t").paths
+      .flatMap(p => spark.read.parquet(p).columns).toSet
+    assert(allCols.contains("note") && !allCols.contains("label"),
+      s"files must stay physical: $allCols")
+    assert(Layout.readSnapshot(spark, s"$wh/t").count() == 51)
+  }
+
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN through the catalog; scans stay pruned and exact") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-cmapsql").toString
