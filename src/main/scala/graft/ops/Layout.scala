@@ -3078,9 +3078,14 @@ object Layout {
     val head = baseVs.last
     val processed = viewProcessedVersion(spark, viewRoot)
     if (processed == head) return head
+    // layout: sum_v (NULL iff the group has no non-null values — SQL SUM
+    // semantics), n = COUNT(*), nn = COUNT(valCol). nn is the AVG
+    // denominator (AVG divides by the NON-NULL count, not the row count)
+    // and the guard that keeps sum_v NULL-preserving through merges.
     def rollup(df: DataFrame): DataFrame = df
       .groupBy(col(groupCol))
-      .agg(sum(col(valCol).cast("double")).as("sum_v"), count(lit(1)).as("n"))
+      .agg(sum(col(valCol).cast("double")).as("sum_v"),
+        count(lit(1)).as("n"), count(col(valCol)).as("nn"))
     val appendLineage = processed > 0 &&
       snapshotAppendLineage(spark, baseRoot, processed, head)
     val newState =
@@ -3091,15 +3096,22 @@ object Layout {
         val deltaAgg = rollup(
           snapshotDeltasUnion(spark, baseRoot, processed, head))
         val old = readSnapshot(spark, viewRoot)
-          .select(col(groupCol), col("sum_v").as("old_sum"), col("n").as("old_n"))
+          .select(col(groupCol), col("sum_v").as("old_sum"),
+            col("n").as("old_n"), col("nn").as("old_nn"))
         // q80's combine: full-outer on the group key, coalesce-add the
-        // MERGEABLE partials (sum/count merge; an avg would be re-derived)
+        // MERGEABLE partials (sum/count merge; an avg would be re-derived).
+        // sum_v stays NULL when the merged non-null count is 0 — an
+        // all-NULL group must answer SUM with NULL, never a coalesced 0.
+        val mergedNn = coalesce(col("old_nn"), lit(0L)) +
+          coalesce(col("nn"), lit(0L))
         old.join(deltaAgg, Seq(groupCol), "full_outer")
           .select(col(groupCol),
-            (coalesce(col("old_sum"), lit(0.0)) +
-              coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
+            when(mergedNn === 0L, lit(null).cast("double"))
+              .otherwise(coalesce(col("old_sum"), lit(0.0)) +
+                coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
             (coalesce(col("old_n"), lit(0L)) +
-              coalesce(col("n"), lit(0L))).as("n"))
+              coalesce(col("n"), lit(0L))).as("n"),
+            mergedNn.as("nn"))
       }
     snapshotOverwrite(spark, viewRoot,
       newState.withColumn("base_version", lit(head)))
@@ -3138,7 +3150,7 @@ object Layout {
         readSnapshot(spark, baseRoot, head)
           .groupBy(col(groupCol))
           .agg(sum(col(valCol).cast("double")).as("sum_v"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"), count(col(valCol)).as("nn"))
       } else {
         val ch = snapshotChanges(spark, baseRoot, processed, head)
         val sign = when(col("_change_type") === "insert", lit(1))
@@ -3146,16 +3158,22 @@ object Layout {
         val deltaAgg = ch
           .groupBy(col(groupCol))
           .agg(sum(col(valCol).cast("double") * sign).as("d_sum"),
-            sum(sign.cast("long")).as("d_n"))
+            sum(sign.cast("long")).as("d_n"),
+            sum(when(col(valCol).isNotNull, sign).otherwise(lit(0))
+              .cast("long")).as("d_nn"))
         val old = readSnapshot(spark, viewRoot)
           .select(col(groupCol), col("sum_v").as("old_sum"),
-            col("n").as("old_n"))
+            col("n").as("old_n"), col("nn").as("old_nn"))
+        val mergedNn = coalesce(col("old_nn"), lit(0L)) +
+          coalesce(col("d_nn"), lit(0L))
         old.join(deltaAgg, Seq(groupCol), "full_outer")
           .select(col(groupCol),
-            (coalesce(col("old_sum"), lit(0.0)) +
-              coalesce(col("d_sum"), lit(0.0))).as("sum_v"),
+            when(mergedNn === 0L, lit(null).cast("double"))
+              .otherwise(coalesce(col("old_sum"), lit(0.0)) +
+                coalesce(col("d_sum"), lit(0.0))).as("sum_v"),
             (coalesce(col("old_n"), lit(0L)) +
-              coalesce(col("d_n"), lit(0L))).as("n"))
+              coalesce(col("d_n"), lit(0L))).as("n"),
+            mergedNn.as("nn"))
           .filter(col("n") > 0)
       }
     snapshotOverwrite(spark, viewRoot,

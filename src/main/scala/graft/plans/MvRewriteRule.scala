@@ -48,8 +48,18 @@ object MvRewriteRule {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
-  private def norm(root: String): String =
-    new org.apache.hadoop.fs.Path(root).toUri.getPath
+  /** Registry key: the FULLY-QUALIFIED table root (scheme + authority +
+    * path via `FileSystem.makeQualified`) — `hdfs://nn/x` and `file:/x`
+    * are different tables and must not collide on a scheme-stripped
+    * `/x`, especially since this registry is JVM-global across sessions.
+    */
+  private def norm(root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
 
   def register(baseRoot: String, viewRoot: String,
       groupCol: String, valCol: String): Unit =
@@ -122,8 +132,12 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     // a filter may reference ONLY the group key (its predicate then
-    // pushes onto the view's key column verbatim)
-    if (filterCond.exists(_.references.exists(_.exprId != baseG.exprId)))
+    // pushes onto the view's key column verbatim) and must be
+    // DETERMINISTIC — a predicate like `g > rand()` evaluates once per
+    // base ROW in the original plan but once per view GROUP after the
+    // rewrite, which changes semantics.
+    if (filterCond.exists(c =>
+        !c.deterministic || c.references.exists(_.exprId != baseG.exprId)))
       return None
     def isVal(e: Expression): Boolean = e match {
       case a: Attribute => baseV.exists(_.exprId == a.exprId)
@@ -139,6 +153,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val vG = attrOf(viewPlan.output, mv.groupCol).getOrElse(return None)
     val vSum = attrOf(viewPlan.output, "sum_v").getOrElse(return None)
     val vN = attrOf(viewPlan.output, "n").getOrElse(return None)
+    // nn = COUNT(valCol), the NON-NULL count — required unconditionally:
+    // a legacy view without it cannot answer AVG (wrong denominator when
+    // the value column holds NULLs) nor SUM (a merged all-NULL group may
+    // carry 0.0 instead of NULL), so such views refuse entirely.
+    val vNN = attrOf(viewPlan.output, "nn").getOrElse(return None)
     def sumOf(c: Expression) =
       AggregateExpression(Sum(c), Complete, isDistinct = false)
     // translate each output; any untranslatable shape refuses the whole
@@ -148,15 +167,25 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(vG, a.name)(exprId = a.exprId)
       case al @ Alias(AggregateExpression(Sum(c, _), Complete, false, _, _), _)
           if isVal(c) && al.dataType == DoubleType =>
+        // sum_v is NULL iff the group's non-null count is 0 (maintainer
+        // invariant), so SUM(sum_v) matches SQL SUM exactly, all-NULL
+        // groups included
         Alias(sumOf(vSum), al.name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Count(Seq(Literal(1, _))),
           Complete, false, _, _), _) =>
         // COUNT is 0 on an empty global aggregate; SUM is null — coalesce
         Alias(Coalesce(Seq(sumOf(vN), Literal(0L, LongType))),
           al.name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Count(Seq(c)), Complete, false, _, _), _)
+          if isVal(c) =>
+        // COUNT(v) counts non-null values — the maintained nn partial
+        Alias(Coalesce(Seq(sumOf(vNN), Literal(0L, LongType))),
+          al.name)(exprId = al.exprId)
       case al @ Alias(AggregateExpression(Average(c, _), Complete, false, _, _), _)
           if isVal(c) && al.dataType == DoubleType =>
-        Alias(Divide(sumOf(vSum), Cast(sumOf(vN), DoubleType)),
+        // AVG divides by the NON-NULL count; SUM(nn)=0 → divide-by-zero
+        // → NULL, matching AVG over an all-NULL selection
+        Alias(Divide(sumOf(vSum), Cast(sumOf(vNN), DoubleType)),
           al.name)(exprId = al.exprId)
       case _ => return None
     }

@@ -194,7 +194,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // out of the generic channel
     val userProps = properties.asScala.toMap.filter { case (k, _) =>
       val lk = k.toLowerCase
-      !Layout.ReservedProps.contains(k) &&
+      // reserved keys filter CASE-INSENSITIVELY, matching prop()'s
+      // lookup — TBLPROPERTIES('PartCol'='x') declares partCol and must
+      // not ALSO leak a stray 'PartCol' user property into the header
+      !Layout.ReservedProps.exists(_.equalsIgnoreCase(k)) &&
         !Set("provider", "location", "owner", "comment", "external",
           "option.path", "path").contains(lk) &&
         !lk.startsWith("option.")

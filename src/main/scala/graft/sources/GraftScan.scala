@@ -547,7 +547,13 @@ private[graft] class GraftScan(val root: String, identName: String,
   }
 
   // plan-level equality (exchange/subquery reuse): two scans of the same
-  // version with semantically-equal pushdown are the same scan
+  // version with semantically-equal pushdown are the same scan.
+  // INVARIANT: delivered runtime (DPP) filters are deliberately EXCLUDED
+  // — runtime pruning only drops files whose rows the join re-filters
+  // anyway, so two scans differing solely in runtime filters produce
+  // row-equivalent output and may share an exchange. If runtime filters
+  // ever start feeding estimateStatistics() or otherwise change scan
+  // SEMANTICS (not just pruning), they must join this comparison.
   override def equals(other: Any): Boolean = other match {
     case g: GraftScan =>
       g.root == root && g.version == version &&

@@ -111,4 +111,80 @@ class MvRewriteSpec extends GraftSuite {
     val q = sql(groupedSql)
     assert(!usesView(q))
   }
+
+  test("a nondeterministic filter refuses the rewrite") {
+    base
+    MvRewriteRule.register(s"$wh/base", s"$wh/base_by_cat", "cat", "price")
+    try {
+      val q = sql("SELECT cat, count(*) FROM gmv.base " +
+        "WHERE cat > string(rand()) GROUP BY cat")
+      assert(!usesView(q),
+        "rand() evaluates per-row on the base but per-group on the view " +
+          "— the rewrite must refuse")
+    } finally MvRewriteRule.clear()
+  }
+
+  /** NULL semantics through the rollup: AVG divides by the NON-NULL
+    * count, SUM over an all-NULL group is NULL (not 0.0), COUNT(v)
+    * counts non-nulls — on both the full-recompute and the incremental
+    * append-merge maintainer paths.
+    */
+  test("NULLs in the value column: SUM/AVG/COUNT(v) match the base scan, incremental merges included") {
+    wh
+    import spark.implicits._
+    // c0: mixed nulls; c1: ALL null; c2: no nulls
+    val rows = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "c0", 10.0), (2L, "c0", null), (3L, "c0", 20.0),
+      (4L, "c1", null), (5L, "c1", null),
+      (6L, "c2", 7.0), (7L, "c2", 9.0))
+    rows.toDF("k", "cat", "price").createOrReplaceTempView("mvn_src")
+    sql("CREATE TABLE gmv.nbase (k BIGINT, cat STRING, price DOUBLE)")
+    sql("INSERT INTO gmv.nbase SELECT * FROM mvn_src")
+    Layout.maintainSumView(spark, s"$wh/nbase", s"$wh/nbase_by_cat",
+      "cat", "price")
+    val q = "SELECT cat, sum(price) AS s, count(*) AS n, " +
+      "count(price) AS nn, avg(price) AS a FROM gmv.nbase GROUP BY cat"
+    def snap(df: DataFrame) = df.collect().map(r => (r.getString(0),
+      Option(r.get(1)), r.getLong(2), r.getLong(3), Option(r.get(4))))
+      .sortBy(_._1).toSeq
+    val control = snap(sql(q))
+    assert(control.find(_._1 == "c1").get._2.isEmpty,
+      "sanity: base SUM over the all-NULL group is NULL")
+    assert(control.find(_._1 == "c0").get._5.contains(15.0),
+      "sanity: base AVG divides by the non-null count (30/2, not 30/3)")
+    MvRewriteRule.register(s"$wh/nbase", s"$wh/nbase_by_cat",
+      "cat", "price")
+    try {
+      val v = sql(q)
+      assert(usesView(v), s"must rewrite:\n${v.queryExecution.optimizedPlan}")
+      assert(snap(v) == control)
+      // incremental path: append more rows (one null into the all-null
+      // group, keeping it all-null; one value into c0) and re-maintain —
+      // the APPEND-lineage merge must keep c1's sum NULL
+      Seq[(java.lang.Long, String, java.lang.Double)](
+        (8L, "c1", null), (9L, "c0", 40.0))
+        .toDF("k", "cat", "price").createOrReplaceTempView("mvn_add")
+      sql("INSERT INTO gmv.nbase SELECT * FROM mvn_add")
+      Layout.maintainSumView(spark, s"$wh/nbase", s"$wh/nbase_by_cat",
+        "cat", "price")
+      val control2 = {
+        MvRewriteRule.clear()
+        val c = snap(sql(q))
+        MvRewriteRule.register(s"$wh/nbase", s"$wh/nbase_by_cat",
+          "cat", "price")
+        c
+      }
+      assert(control2.find(_._1 == "c1").get._2.isEmpty,
+        "sanity: still all-NULL after the append")
+      val v2 = sql(q)
+      assert(usesView(v2))
+      assert(snap(v2) == control2)
+      // global AVG over ONLY the all-null group: view answers NULL
+      val g = sql("SELECT avg(price) AS a, sum(price) AS s " +
+        "FROM gmv.nbase WHERE cat = 'c1'")
+      assert(usesView(g))
+      val gr = g.head()
+      assert(gr.isNullAt(0) && gr.isNullAt(1))
+    } finally MvRewriteRule.clear()
+  }
 }
