@@ -1297,10 +1297,14 @@ object Layout {
               "HEAD-then-PUT on flat object stores, so two writers can " +
               "both claim the same version. Commit from an " +
               s"atomic-create store (${AtomicClaimSchemes.mkString(", ")}), " +
-              "configure spark.graft.commit.arbiter=<graft.ops.ClaimArbiter " +
-              "implementation> backed by a lock table / conditional PUT, " +
-              "or set spark.graft.commit.assumeAtomicClaim=true if this " +
-              "store provides conditional-put semantics natively.")
+              "configure spark.graft.commit.arbiter — shipped: " +
+              "graft.ops.SingleDriverArbiter (all writers in one driver " +
+              "JVM) or graft.ops.LockRootArbiter (+ " +
+              "spark.graft.commit.lockRoot on an atomic store), or any " +
+              "graft.ops.ClaimArbiter backed by a lock table / " +
+              "conditional PUT — or set " +
+              "spark.graft.commit.assumeAtomicClaim=true if this store " +
+              "provides conditional-put semantics natively.")
         try {
           val o = fs.create(claim, false)
           try o.write(ownerBytes) finally o.close()

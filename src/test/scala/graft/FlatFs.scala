@@ -1,0 +1,66 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Test-only Hadoop FileSystem simulating a FLAT OBJECT STORE's
+  * `create(path, overwrite = false)`: HEAD (exists check) then PUT
+  * (unconditional create) — the s3a-class semantics where two racers
+  * can both pass the HEAD and both "win" the create. The injectable
+  * [[FlatFs.betweenHeadAndPut]] hook runs between the two, so a spec
+  * can deterministically interleave a second writer inside the window
+  * a real race would only sample. Registered per-test via
+  * `fs.flat.impl` in the Hadoop conf.
+  */
+object FlatFs {
+  /** Fires once between the exists-check and the create of the next
+    * create-exclusive call on a `*.claim` path (the commit protocol's
+    * claim marker — other create-exclusive calls, e.g. parquet task
+    * files and manifest temps, pass through), then disarms.
+    */
+  @volatile var betweenHeadAndPut: Path => Unit = null
+}
+
+class FlatFs extends RawLocalFileSystem {
+  override def getScheme: String = "flat"
+  override def getUri: URI = URI.create("flat:///")
+
+  // HEAD (exists) … hook … then PUT unconditionally — the
+  // non-atomicity under test
+  private def headThenPut(f: Path): Unit = {
+    if (exists(f))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    val hook = FlatFs.betweenHeadAndPut
+    if (hook != null && f.getName.endsWith(".claim")) {
+      FlatFs.betweenHeadAndPut = null; hook(f)
+    }
+  }
+
+  // both create overloads RawLocalFileSystem routes exclusive creates
+  // through: with and without an explicit permission
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) {
+      headThenPut(f)
+      return super.create(f, permission, true, bufferSize, replication,
+        blockSize, progress)
+    }
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) {
+      headThenPut(f)
+      return super.create(f, true, bufferSize, replication, blockSize,
+        progress)
+    }
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Arbiters, CommitConflictException, Layout,
+  LockRootArbiter, SingleDriverArbiter}
+
+/** [[LockRootArbiter]] with a test seam on the holder re-read — the
+  * "meanwhile, on another writer" hook firing between a commit's claim
+  * and its pre-rename re-read, where a sweep + re-claim by another
+  * writer would land.
+  */
+class HookedLockRootArbiter extends LockRootArbiter {
+  override def holder(spark: SparkSession, root: String,
+      version: Int): Option[String] = {
+    val hook = HookedLockRootArbiter.onHolderRead
+    if (hook != null) { HookedLockRootArbiter.onHolderRead = null; hook() }
+    super.holder(spark, root, version)
+  }
+}
+object HookedLockRootArbiter {
+  @volatile var onHolderRead: () => Unit = null
+}
+
+/** The SHIPPED flat-object-store commit arbiters, proven through a
+  * flat-store-simulating filesystem ([[FlatFs]]: create-exclusive is
+  * HEAD-then-PUT): the hazard the refusal default guards against is
+  * REAL (a deterministic interleaving silently loses a committed
+  * manifest), and with [[SingleDriverArbiter]] or [[LockRootArbiter]]
+  * configured the same store COMMITS with a linear history — operate,
+  * not refuse, on s3a-class schemes.
+  */
+class FlatStoreCommitSpec extends GraftSuite {
+
+  private def flatRoot(tag: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flat.impl", classOf[FlatFs].getName)
+    "flat:" +
+      java.nio.file.Files.createTempDirectory(s"graft-$tag").toString + "/t"
+  }
+
+  private def withConf[T](kvs: (String, String)*)(body: => T): T = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("the flat-store hazard is real: HEAD-then-PUT claims let a racer silently clobber a committed manifest") {
+    import spark.implicits._
+    val root = flatRoot("flat-hazard")
+    withConf("spark.graft.commit.assumeAtomicClaim" -> "true") {
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      // Writer A passes the claim's HEAD; in that window writer B runs
+      // an ENTIRE successful commit of the same version; A's PUT then
+      // overwrites B's claim, A re-reads its own token, and A's rename
+      // replaces B's manifest. B's acknowledged commit is gone.
+      var bCommitted = -1
+      FlatFs.betweenHeadAndPut = _ => {
+        bCommitted = Layout.snapshotAppend(spark, root,
+          Seq((2L, "writer-B")).toDF("k", "tag"))
+      }
+      Layout.snapshotAppend(spark, root, Seq((1L, "writer-A")).toDF("k", "tag"))
+      assert(bCommitted == 2, "B's commit succeeded (and was acknowledged)")
+      val tags = Layout.readSnapshot(spark, root)
+        .select("tag").as[String].collect().toSet
+      assert(!tags.contains("writer-B") && tags.contains("writer-A"),
+        s"the interleaving must demonstrate B's lost commit (got $tags) — " +
+          "this is exactly why flat schemes refuse without an arbiter")
+    }
+  }
+
+  test("SingleDriverArbiter on the flat store: concurrent appends arbitrate to a linear, lossless history") {
+    import spark.implicits._
+    val root = flatRoot("flat-sda")
+    withConf("spark.graft.commit.arbiter" ->
+        classOf[SingleDriverArbiter].getName) {
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      val writers = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (1 to writers).map { w =>
+        scala.concurrent.Future {
+          Layout.withCommitRetry(attempts = writers + 2) {
+            Layout.snapshotAppend(spark, root,
+              Seq((w.toLong, s"writer$w")).toDF("k", "tag"))
+          }
+        }
+      }
+      import scala.concurrent.duration._
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), 120.seconds)
+      pool.shutdown()
+      assert(Layout.snapshotVersions(spark, root) == (1 to writers + 1),
+        "linear history of winners on the flat store")
+      val rows = Layout.readSnapshot(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows == ((0L, "base") +:
+        (1 to writers).map(w => (w.toLong, s"writer$w"))).sorted,
+        "no commit lost, none duplicated")
+    }
+  }
+
+  test("SingleDriverArbiter TTL: a stale claim on an UNCOMMITTED version expires; on a committed version it never breaks") {
+    import spark.implicits._
+    val root = flatRoot("flat-ttl")
+    withConf("spark.graft.commit.arbiter" ->
+        classOf[SingleDriverArbiter].getName) {
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      val arb = new SingleDriverArbiter
+      // a writer claimed v2 then crashed (no manifest). Fresh: blocks.
+      assert(arb.tryClaim(spark, root, 2, "crashed-writer"))
+      intercept[CommitConflictException] {
+        Layout.snapshotAppend(spark, root, Seq((1L, "blocked")).toDF("k", "tag"))
+      }
+      // …aged past the grace: the next commit breaks it and proceeds
+      SingleDriverArbiter.backdate(spark, root, 2,
+        Layout.ClaimGraceMillis + 1000)
+      assert(Layout.snapshotAppend(spark, root,
+        Seq((1L, "after-ttl")).toDF("k", "tag")) == 2)
+      // v2 is COMMITTED now; even an ancient claim entry must not break
+      SingleDriverArbiter.backdate(spark, root, 2,
+        10 * Layout.ClaimGraceMillis)
+      assert(!arb.tryClaim(spark, root, 2, "late-racer"),
+        "a committed version's claim is inert history — never re-handed out")
+      assert(Layout.snapshotVersions(spark, root) == Seq(1, 2))
+    }
+  }
+
+  test("LockRootArbiter primitives: CAS on the lock store, stale-lock break only on uncommitted versions") {
+    import spark.implicits._
+    val root = flatRoot("flat-lr")
+    val lockRoot =
+      java.nio.file.Files.createTempDirectory("graft-locks").toString
+    withConf("spark.graft.commit.lockRoot" -> lockRoot) {
+      // seed a committed table (v1) through the arbiter
+      withConf("spark.graft.commit.arbiter" ->
+          classOf[LockRootArbiter].getName) {
+        Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      }
+      // two DRIVER instances race the same version: exactly one token wins
+      val a1 = new LockRootArbiter
+      val a2 = new LockRootArbiter
+      val w1 = a1.tryClaim(spark, root, 2, "driver-1")
+      val w2 = a2.tryClaim(spark, root, 2, "driver-2")
+      assert(w1 && !w2, "create-exclusive on the lock root arbitrates")
+      assert(a2.holder(spark, root, 2).contains("driver-1"))
+      // release is content-guarded: the loser's release is a no-op
+      a2.release(spark, root, 2, "driver-2")
+      assert(a1.holder(spark, root, 2).contains("driver-1"))
+      // stale + uncommitted → broken by the next claimer
+      val lockDir = new java.io.File(lockRoot).listFiles()
+        .find(_.isDirectory).get
+      val lock = new java.io.File(lockDir, "v2.lock")
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - Layout.ClaimGraceMillis - 60000))
+      assert(a2.tryClaim(spark, root, 2, "driver-2"),
+        "a stale lock on an uncommitted version must break")
+      assert(a1.holder(spark, root, 2).contains("driver-2"))
+      // stale + COMMITTED → inert: v1's lock never re-hands out
+      val lock1 = new java.io.File(lockDir, "v1.lock")
+      assert(lock1.setLastModified(
+        System.currentTimeMillis() - Layout.ClaimGraceMillis - 60000))
+      assert(!a2.tryClaim(spark, root, 1, "time-traveler"))
+      // housekeeping: sweep removes only committed-version locks past grace
+      val swept = LockRootArbiter.sweep(spark, root)
+      assert(swept == 1, s"sweep drops v1's inert lock only (got $swept)")
+      assert(a1.holder(spark, root, 2).contains("driver-2"),
+        "the live uncommitted claim survives the sweep")
+    }
+  }
+
+  test("LockRootArbiter end-to-end on the flat store: commits operate; a crashed writer's stale lock self-heals") {
+    import spark.implicits._
+    val root = flatRoot("flat-lr-e2e")
+    val lockRoot =
+      java.nio.file.Files.createTempDirectory("graft-locks2").toString
+    withConf(
+      "spark.graft.commit.arbiter" -> classOf[LockRootArbiter].getName,
+      "spark.graft.commit.lockRoot" -> lockRoot) {
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      Layout.snapshotAppend(spark, root, Seq((1L, "w1")).toDF("k", "tag"))
+      assert(Layout.snapshotVersions(spark, root) == Seq(1, 2))
+      // crash-between-claim-and-manifest: a writer claimed v3 and died.
+      // Fresh lock: the next commit loses loudly. Aged past grace: the
+      // next commit breaks the lock and publishes v3.
+      val arb = new LockRootArbiter
+      assert(arb.tryClaim(spark, root, 3, "crashed"))
+      intercept[CommitConflictException] {
+        Layout.snapshotAppend(spark, root, Seq((2L, "blocked")).toDF("k", "tag"))
+      }
+      val lockDir = new java.io.File(lockRoot).listFiles()
+        .find(_.isDirectory).get
+      val lock = new java.io.File(lockDir, "v3.lock")
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - Layout.ClaimGraceMillis - 60000))
+      assert(Layout.snapshotAppend(spark, root,
+        Seq((2L, "healed")).toDF("k", "tag")) == 3)
+      assert(Layout.readSnapshot(spark, root).count() == 3)
+      // concurrent load through the lock root stays linear
+      val writers = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (1 to writers).map { w =>
+        scala.concurrent.Future {
+          Layout.withCommitRetry(attempts = writers + 2) {
+            Layout.snapshotAppend(spark, root,
+              Seq((10L + w, s"c$w")).toDF("k", "tag"))
+          }
+        }
+      }
+      import scala.concurrent.duration._
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), 120.seconds)
+      pool.shutdown()
+      assert(Layout.snapshotVersions(spark, root) == (1 to 3 + writers))
+      assert(Layout.readSnapshot(spark, root).count() == 3 + writers)
+    }
+  }
+
+  test("stalled-writer guard through the lock root: a broken-and-re-claimed lock aborts before rename") {
+    import spark.implicits._
+    val root = flatRoot("flat-lr-stall")
+    val lockRoot =
+      java.nio.file.Files.createTempDirectory("graft-locks3").toString
+    withConf(
+      "spark.graft.commit.arbiter" -> classOf[HookedLockRootArbiter].getName,
+      "spark.graft.commit.lockRoot" -> lockRoot) {
+      Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+      // between this writer's claim of v2 and its pre-rename re-read,
+      // the lock is swept and re-claimed by another driver (the hook
+      // rewrites the lock content, as the break + re-claim would)
+      HookedLockRootArbiter.onHolderRead = () => {
+        val lockDir = new java.io.File(lockRoot).listFiles()
+          .find(_.isDirectory).get
+        java.nio.file.Files.write(
+          new java.io.File(lockDir, "v2.lock").toPath,
+          "other-driver".getBytes("UTF-8"))
+      }
+      val ex = intercept[IllegalStateException] {
+        Layout.snapshotAppend(spark, root, Seq((1L, "stalled")).toDF("k", "tag"))
+      }
+      assert(ex.getMessage.contains("swept or re-claimed"))
+      assert(Layout.snapshotVersions(spark, root) == Seq(1),
+        "the stalled writer renamed nothing")
+    }
+  }
+
+  test("LockRootArbiter refuses an unset or non-atomic lock root loudly") {
+    import spark.implicits._
+    val root = flatRoot("flat-lr-refuse")
+    withConf("spark.graft.commit.arbiter" ->
+        classOf[LockRootArbiter].getName) {
+      val ex = intercept[IllegalArgumentException] {
+        Layout.snapshotAppend(spark, root, Seq((0L, "x")).toDF("k", "tag"))
+      }
+      assert(ex.getMessage.contains("spark.graft.commit.lockRoot"))
+      // a lock root on the flat store itself defeats the purpose: refuse
+      withConf("spark.graft.commit.lockRoot" -> flatRoot("flat-lockroot")) {
+        val ex2 = intercept[IllegalStateException] {
+          Layout.snapshotAppend(spark, root, Seq((0L, "x")).toDF("k", "tag"))
+        }
+        assert(ex2.getMessage.contains("atomic create-exclusive") ||
+          ex2.getMessage.contains("no atomic"))
+      }
+    }
+  }
+}
