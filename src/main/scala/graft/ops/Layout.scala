@@ -1901,16 +1901,22 @@ object Layout {
         s"property '$k' is engine-owned (declared at first commit / " +
           "evolved by its own ALTER path); SET/UNSET refuses it")
     }
-    // a new or changed CHECK constraint must hold on the EXISTING rows
+    // a new or changed CHECK constraint must hold on the EXISTING rows —
+    // all added rules validate in ONE labeled pass over the head
     val newChecks = set.filter(_._1.startsWith("check."))
     if (newChecks.nonEmpty) {
       val head = readSnapshot(spark, root, base)
-      newChecks.foreach { case (name, exprSql) =>
-        val bad = head.filter(
-          !coalesce(expr(exprSql).cast("boolean"), lit(true))).limit(1)
-        require(bad.isEmpty,
-          s"cannot add constraint $name ($exprSql): existing rows " +
-            s"violate it, e.g. ${bad.head().toString}")
+      val hit = head
+        .select(violationLabel(newChecks).as("__graft_violated"),
+          struct(head.columns.map(col): _*).as("__graft_row"))
+        .filter(col("__graft_violated").isNotNull)
+        .limit(1).collect()
+      if (hit.nonEmpty) {
+        val name = hit.head.getString(0)
+        throw new IllegalArgumentException(
+          s"requirement failed: cannot add constraint $name " +
+            s"(${newChecks(name)}): existing rows violate it, " +
+            s"e.g. ${hit.head.get(1)}")
       }
     }
     val carried = carriedStateOf(spark, root, Some(base))
@@ -1922,23 +1928,38 @@ object Layout {
     v
   }
 
+  /** First violated `check.*` rule per row, as a label column: NULL
+    * when every rule holds (SQL-standard semantics: a row violates only
+    * when the expression is FALSE — nulls pass). ONE expression folding
+    * all k rules, so the gate is one filter-and-probe job regardless of
+    * how many constraints the table declares.
+    */
+  private def violationLabel(checks: Map[String, String]) =
+    coalesce(checks.toSeq.sortBy(_._1).map { case (name, exprSql) =>
+      when(!coalesce(expr(exprSql).cast("boolean"), lit(true)), lit(name))
+    }: _*)
+
   /** The write-side CHECK-constraint gate: every committed batch must
-    * satisfy each `check.*` property (SQL-standard semantics: a row
-    * violates only when the expression is FALSE — nulls pass). One
-    * filter-and-probe job per write, and only for tables that declared
-    * constraints; the refusal names the constraint and one offending
-    * row. Runs on the LOGICAL frame, before physical renaming.
+    * satisfy each `check.*` property. ONE filter-and-probe job per
+    * write — the k rules fold into a single CASE-labeled pass — and
+    * only for tables that declared constraints; the refusal names the
+    * violated constraint and one offending row. Runs on the LOGICAL
+    * frame, before physical renaming.
     */
   private def enforceConstraints(props: Map[String, String],
       df: DataFrame, op: String): Unit = {
     val checks = props.filter(_._1.startsWith("check."))
     if (checks.isEmpty || df.columns.isEmpty) return
-    checks.foreach { case (name, exprSql) =>
-      val bad = df.filter(
-        !coalesce(expr(exprSql).cast("boolean"), lit(true))).limit(1)
-      val hit = bad.collect()
-      require(hit.isEmpty,
-        s"$op violates constraint $name ($exprSql): e.g. ${hit.head}")
+    val hit = df
+      .select(violationLabel(checks).as("__graft_violated"),
+        struct(df.columns.map(col): _*).as("__graft_row"))
+      .filter(col("__graft_violated").isNotNull)
+      .limit(1).collect()
+    if (hit.nonEmpty) {
+      val name = hit.head.getString(0)
+      throw new IllegalArgumentException(
+        s"requirement failed: $op violates constraint $name " +
+          s"(${checks(name)}): e.g. ${hit.head.get(1)}")
     }
   }
 

@@ -99,4 +99,50 @@ class ConstraintsSpec extends GraftSuite {
     assert(ex.getMessage.contains("check.positive"), ex.getMessage)
     assert(Layout.readSnapshot(spark, root).count() == 2)
   }
+
+  test("the gate is ONE job regardless of how many constraints the table declares") {
+    import spark.implicits._
+    def jobsForAppend(nChecks: Int): Int = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-chk-j$nChecks").toString + "/t"
+      val checks = (1 to nChecks)
+        .map(i => s"check.c$i" -> s"price > ${-i}").toMap
+      Layout.snapshotAppend(spark, root,
+        Seq((1L, 5.0)).toDF("k", "price"), extraProps = checks)
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Layout.snapshotAppend(spark, root, Seq((2L, 6.0)).toDF("k", "price"))
+        // drain the async listener bus so every job-start event lands
+        val deadline = System.currentTimeMillis() + 30000
+        var last = -1
+        while (System.currentTimeMillis() < deadline &&
+            counter.get() != last) {
+          last = counter.get(); Thread.sleep(200)
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val one = jobsForAppend(1)
+    val five = jobsForAppend(5)
+    assert(five == one,
+      s"k constraints must cost the same job count as 1 (got $one vs $five)" +
+        " — the rules fold into a single labeled pass")
+    // and the fold still names the SPECIFIC violated rule
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chk-name").toString + "/t"
+    Layout.snapshotAppend(spark, root, Seq((1L, 5.0)).toDF("k", "price"),
+      extraProps = Map("check.pos" -> "price > 0",
+        "check.cap" -> "price < 100"))
+    val ex = intercept[Exception] {
+      Layout.snapshotAppend(spark, root, Seq((2L, 200.0)).toDF("k", "price"))
+    }
+    assert(ex.getMessage.contains("check.cap") &&
+      ex.getMessage.contains("price < 100"), ex.getMessage)
+  }
 }
