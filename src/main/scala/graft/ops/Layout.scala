@@ -7,18 +7,40 @@ import graft.functions.zvalue
 
 /** A snapshot commit lost its version claim to a concurrent writer —
   * the OPTIMISTIC-CONCURRENCY signal. Appends catch it internally and
-  * REBASE (their new files commute with any interleaved commit);
-  * read-dependent committers (overwrite, merge, delete, compact) let it
-  * surface, because their output was computed FROM the base version and
-  * silently rebasing could drop the interleaved commit's effect — the
-  * caller decides whether to recompute ([[Layout.withCommitRetry]]) or
-  * fail the job. Subclasses `IllegalStateException` so pre-existing
-  * handlers keyed on the message keep working.
+  * REBASE (their new files commute with any interleaved commit).
+  * Read-dependent committers (merge, compaction) resolve LOGICALLY:
+  * when the interleaved commit is a pure append disjoint from their
+  * read set they rebase too (both commits land); an overlapping
+  * interleaving surfaces the typed
+  * [[ConcurrentWriteConflictException]] instead, because silently
+  * rebasing would drop the winner's effect — the caller re-runs
+  * against the new head ([[Layout.withCommitRetry]]'s slot). A raw
+  * `CommitConflictException` still surfaces when retries exhaust or
+  * for committers with no rebase path (overwrite). Subclasses
+  * `IllegalStateException` so pre-existing handlers keyed on the
+  * message keep working.
   */
 class CommitConflictException(val root: String, val version: Int,
     detail: String = "a concurrent writer claimed this version first")
     extends IllegalStateException(
       s"snapshot commit lost the race for v$version at $root: $detail")
+
+/** A read-dependent commit (merge, compaction) lost its claim AND the
+  * interleaved commit's changes OVERLAP its read set — the losing
+  * output was computed from state the winner changed, so a rebase
+  * would be silently wrong. DISJOINT interleavings (pure appends whose
+  * rows this operation would not have read) never surface this: they
+  * rebase internally and both commits land. The typed error tells the
+  * caller the one honest remedy: re-run the operation against the new
+  * head.
+  */
+class ConcurrentWriteConflictException(val root: String, val base: Int,
+    val head: Int, val op: String, why: String)
+    extends IllegalStateException(
+      s"$op computed against $root v$base conflicts with a concurrent " +
+        s"commit (head is now v$head): $why. The operation's output " +
+        "would drop or miss the concurrent commit's effect; re-run it " +
+        "against the new head.")
 
 /** Physical-layout operators: how a 100 TB table gets WRITTEN so that
   * later scans can skip most of it. Query operators assume the engine
@@ -2973,14 +2995,17 @@ object Layout {
         readSnapshot(spark, root, base).repartitionByRange(n, clusterBy: _*)
           .sortWithinPartitions(clusterBy: _*)
       }
-    // OPTIMISTIC CONCURRENCY: commit exactly base+1 (not "latest+1
-    // re-listed at publish"). If a writer committed base+1 while we were
-    // repacking, our data write (mode error) or manifest rename fails
-    // LOUDLY and the caller retries on the new head — the alternative,
-    // publishing the repacked OLD head over the racer's commit, silently
-    // erases its rows from the table head.
-    val v = base + 1
-    val dataDir = attemptDir(root, "data", v)
+    // OPTIMISTIC CONCURRENCY with LOGICAL RESOLUTION: commit exactly
+    // base+1; if a writer interleaved, losing the claim is only a real
+    // conflict when its changes overlap what the repack read.
+    // Compaction is content-preserving, so ANY pure append commutes:
+    // rebase carries the appended entries verbatim next to the packed
+    // files (they simply stay un-packed until the next cycle) and
+    // recommits the SAME packed data — zero data I/O. This is the
+    // maintenance-vs-writer race every standing snapshotMaintain cycle
+    // hits; only overwrite-class interleavings (removed files, sidecar/
+    // mapping/property/schema changes) surface the typed conflict.
+    val dataDir = attemptDir(root, "data", base + 1)
     packed.write.mode("error").parquet(dataDir)
     // statsKey/partCol survive the compaction (stats recomputed for the
     // packed files); deleteKey is dropped — the sidecar debt is folded
@@ -2990,13 +3015,48 @@ object Layout {
     // names for reuse).
     val props = carriedProps(manifestHeader(spark, root, base)) -
       "deleteKey" - "colmap" - "tombstones"
-    commitManifest(spark, root, v, Nil,
-      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      // compaction preserves content, so the base's recorded schema (if
-      // any) carries verbatim
-      header = props ++
-        schemaHeaderOf(manifestSchema(spark, root, base)))
-    v
+    val packedEntries =
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props)
+    val maxRetries = spark.conf
+      .get("spark.graft.commit.maxRetries", "3").toInt
+    var attempt = 0
+    var curBase = base
+    var carriedAdds: Seq[FileEntry] = Nil
+    while (true) {
+      try {
+        commitManifest(spark, root, curBase + 1, Nil,
+          packedEntries ++ carriedAdds,
+          // compaction preserves content, so the base's recorded schema
+          // (if any) carries verbatim
+          header = props ++
+            schemaHeaderOf(manifestSchema(spark, root, curBase)))
+        return curBase + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val newHead = snapshotVersions(spark, root).last
+          appendOnlyDiff(spark, root, curBase, newHead) match {
+            case Left(why) => throw new ConcurrentWriteConflictException(
+              root, curBase, newHead, "OPTIMIZE/compaction", why)
+            case Right(added) =>
+              // the packed commit CLEARS colmap/tombstones; appended
+              // files written UNDER a live mapping carry physical names
+              // that would then read wrong — only a mapping-free base
+              // may carry them verbatim
+              if (colMapOf(manifestHeader(spark, root, curBase)).nonEmpty ||
+                  tombstonesOf(manifestHeader(spark, root, curBase)).nonEmpty)
+                throw new ConcurrentWriteConflictException(root, curBase,
+                  newHead, "OPTIMIZE/compaction",
+                  "concurrent appends interleaved while this compaction " +
+                    "was folding column-mapping debt; carrying them " +
+                    "verbatim would strand their physical column names")
+              carriedAdds = carriedAdds ++ added
+              curBase = newHead
+          }
+      }
+    }
+    -1 // unreachable
   }
 
   /** Poll-based incremental consumer: every (version, delta) committed
@@ -3062,6 +3122,44 @@ object Layout {
     * trusting the CDF deltas ([[maintainSumView]], [[maintainJoinView]],
     * the dedup registry).
     */
+  /** LOGICAL CONFLICT ANALYSIS for read-dependent committers: what did
+    * the commits interleaved between `base` and `head` change? Returns
+    * `Right(addedEntries)` when EVERY interleaved effect is a pure
+    * append — no file removed or rewritten, delete sidecars unchanged,
+    * column mapping unchanged, carried table properties (constraints
+    * included) unchanged, recorded schema unchanged — i.e. the only
+    * delta is new files, which a merge/compaction can carry through a
+    * rebase. Returns `Left(why)` naming the first overlapping change
+    * otherwise (the caller surfaces it as
+    * [[ConcurrentWriteConflictException]]). O(two manifests) metadata.
+    */
+  private def appendOnlyDiff(spark: org.apache.spark.sql.SparkSession,
+      root: String, base: Int, head: Int): Either[String, Seq[FileEntry]] = {
+    val hdrB = manifestHeader(spark, root, base)
+    val hdrH = manifestHeader(spark, root, head)
+    val filesB = manifestFiles(spark, root, base).toSet
+    val entriesH = manifestEntries(spark, root, head)
+    if (!filesB.subsetOf(entriesH.map(_.path).toSet))
+      Left("it removed or rewrote files this operation read " +
+        "(overwrite/compaction/merge in the interleaving)")
+    else if (manifestDeleteFiles(spark, root, base).toSet !=
+        manifestDeleteFiles(spark, root, head).toSet)
+      Left("it changed MOR delete sidecars (rows this operation read " +
+        "were deleted)")
+    else if (colMapOf(hdrB) != colMapOf(hdrH) ||
+        tombstonesOf(hdrB) != tombstonesOf(hdrH))
+      Left("it changed the logical-to-physical column mapping " +
+        "(rename/drop); files staged under the old mapping carry the " +
+        "wrong physical names")
+    else if (carriedProps(hdrB) != carriedProps(hdrH))
+      Left("it changed table properties (possibly constraints) this " +
+        "operation's output was not validated against")
+    else if (manifestSchema(spark, root, base) !=
+        manifestSchema(spark, root, head))
+      Left("it changed the recorded table schema")
+    else Right(entriesH.filterNot(e => filesB(e.path)))
+  }
+
   def snapshotAppendLineage(spark: org.apache.spark.sql.SparkSession,
       root: String, from: Int, to: Int): Boolean =
     from == to || (from > 0 &&
@@ -3269,21 +3367,40 @@ object Layout {
         ranges.collect { case (f, mn, mx) if overlaps(mn, mx) => f }.toSet
       case Right(df) => touchedFilesFor(spark, ranges, df)
     }
-    val (touchedTagged, untouchedTagged) =
-      tagged.partition(t => touchedSet(t._2.path))
     // SEGMENT-GRANULAR CARRY: a segment none of whose files are touched
     // is carried by ONE `seg:` reference; only partially-touched
     // segments have their untouched entries re-serialized (stats and
     // partition sets preserved — no recompute) into the new segment
     // alongside the rewrite's files. Metadata written stays O(touched +
-    // new), not O(table).
-    val touchedSegs = touchedTagged.map(_._1).toSet
-    val carriedSegs = manifestSegRefs(spark, root, base)
-      .filterNot(touchedSegs)
-    val residual = untouchedTagged
-      .collect { case (seg, e) if seg == "" || touchedSegs(seg) => e }
-    val v = base + 1
-    val dataDir = attemptDir(root, "data", v)
+    // new), not O(table). Recomputable against any rebased head: the
+    // touched set is fixed (pure-append interleavings never remove
+    // files), so re-partitioning a later head's entries just routes the
+    // interleaved appends into the carried side.
+    def carryAgainst(taggedNow: Seq[(String, FileEntry)],
+        baseNow: Int): (Seq[String], Seq[FileEntry]) = {
+      val (touchedNow, untouchedNow) =
+        taggedNow.partition(t => touchedSet(t._2.path))
+      val touchedSegsNow = touchedNow.map(_._1).toSet
+      val carriedSegsNow = manifestSegRefs(spark, root, baseNow)
+        .filterNot(touchedSegsNow)
+      val residualNow = untouchedNow
+        .collect { case (seg, e) if seg == "" || touchedSegsNow(seg) => e }
+      (carriedSegsNow, residualNow)
+    }
+    // do concurrently-appended file ranges overlap this merge's keys?
+    def rangesOverlapKeys(ranges: Seq[(String, Long, Long)]): Boolean =
+      keys match {
+        case Left(arr) =>
+          val sorted = arr.distinct.sorted
+          ranges.exists { case (_, mn, mx) =>
+            val i = java.util.Arrays.binarySearch(sorted, mn)
+            val at = if (i >= 0) i else -i - 1
+            at < sorted.length && sorted(at) <= mx
+          }
+        case Right(df) => touchedFilesFor(spark, ranges, df).nonEmpty
+      }
+    val touchedTagged = tagged.filter(t => touchedSet(t._2.path))
+    val dataDir = attemptDir(root, "data", base + 1)
     val touchedRaw =
       if (touchedTagged.isEmpty)
         spark.read.option("mergeSchema", "true").parquet(files: _*).where(lit(false))
@@ -3305,13 +3422,55 @@ object Layout {
     // a violating value even when every input row was valid
     enforceConstraints(props, rewritten, "merge")
     toPhysicalFrame(rewritten, hdr).write.mode("error").parquet(dataDir)
-    val schema = recordedSc
-      .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
-    commitManifest(spark, root, v, carriedSegs,
-      residual ++
-        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props ++ schemaHeaderOf(schema))
-    v
+    val newEntries =
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props)
+    // LOGICAL CONFLICT RESOLUTION (Delta's conflict-checker discipline):
+    // losing the version claim is only a real conflict when the
+    // interleaved commit's changes OVERLAP this merge's read set. A pure
+    // append whose file key-ranges are disjoint from the changelog keys
+    // commutes — rebase: carry the appended files through the
+    // segment-granular carry against the new head and recommit the SAME
+    // rewritten data files (zero data I/O, O(manifest) metadata).
+    // Anything else — removed/rewritten files, sidecar or mapping or
+    // property or schema change, or appended rows this merge matches —
+    // surfaces the typed [[ConcurrentWriteConflictException]]: silently
+    // rebasing would drop the winner's effect. Under standing
+    // maintenance cycles (appenders racing snapshotMaintain), the
+    // disjoint path is the routine one.
+    val maxRetries = spark.conf
+      .get("spark.graft.commit.maxRetries", "3").toInt
+    var attempt = 0
+    var curBase = base
+    var curTagged = tagged
+    while (true) {
+      val (carriedSegs, residual) = carryAgainst(curTagged, curBase)
+      val schema = manifestSchema(spark, root, curBase)
+        .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
+      try {
+        commitManifest(spark, root, curBase + 1, carriedSegs,
+          residual ++ newEntries, header = props ++ schemaHeaderOf(schema))
+        return curBase + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val newHead = snapshotVersions(spark, root).last
+          val added = appendOnlyDiff(spark, root, curBase, newHead) match {
+            case Left(why) => throw new ConcurrentWriteConflictException(
+              root, curBase, newHead, "MERGE", why)
+            case Right(a) => a
+          }
+          if (rangesOverlapKeys(keyRangesOfEntries(spark, added,
+              physicalNameOf(hdr, keyCol))))
+            throw new ConcurrentWriteConflictException(root, curBase,
+              newHead, "MERGE",
+              "concurrently appended files carry key ranges this merge " +
+                "matches — its rewrite would miss those rows")
+          curBase = newHead
+          curTagged = manifestEntriesTagged(spark, root, newHead)
+      }
+    }
+    -1 // unreachable
   }
 
   /** RESTORE (Delta's `RESTORE TABLE t TO VERSION AS OF v`) — the undo

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ClaimArbiter, CommitConflictException, Layout}
+import graft.ops.{ClaimArbiter, CommitConflictException,
+  ConcurrentWriteConflictException, Layout}
 
 /** Deterministic two-writer arbiter: the FIRST claim attempt after
   * arming triggers `racer` — a full competing commit of the SAME
@@ -132,6 +133,120 @@ class OptimisticConcurrencySpec extends GraftSuite {
       // the table is untouched: same head, same rows
       assert(Layout.snapshotVersions(spark, root) == Seq(1))
       assert(Layout.readSnapshot(spark, root).count() == 1)
+    }
+  }
+
+  test("LOGICAL RESOLUTION: a MERGE racing a DISJOINT append — both commits land, zero data re-I/O") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("occ-merge-disjoint")
+      Layout.snapshotAppend(spark, root,
+        (1L to 100L).map(k => (k, "orig")).toDF("k", "v"),
+        statsKey = Some("k")) // v1
+      // writer B appends keys 1000.. INSIDE the merge's claim for v2 —
+      // ranges disjoint from the merge's changelog keys {5, 6}
+      RacingArbiter.racer = () => Layout.snapshotAppend(spark, root,
+        Seq((1000L, "appended")).toDF("k", "v"))
+      RacingArbiter.armed = true
+      val committed = Layout.snapshotMerge(spark, root, "k",
+        Array(5L, 6L), df => df.withColumn("v",
+          when(col("k").isin(5L, 6L), lit("updated")).otherwise(col("v"))))
+      assert(committed == 3,
+        s"the merge must rebase onto the append and commit v3 (got v$committed)")
+      assert(Layout.snapshotVersions(spark, root) == Seq(1, 2, 3))
+      val head = Layout.readSnapshot(spark, root)
+      assert(head.count() == 101, "both commits' effects present")
+      assert(head.filter(col("v") === "updated").count() == 2)
+      assert(head.filter(col("k") === 1000L && col("v") === "appended")
+        .count() == 1, "the winner's appended row survives the rebase")
+      // zero data re-I/O: the merge's rewritten files were staged for the
+      // v2 attempt and committed verbatim at v3
+      val v3New = Layout.snapshotMeta(spark, root, 3).paths
+        .filterNot(Layout.snapshotMeta(spark, root, 2).paths.toSet)
+      assert(v3New.nonEmpty && v3New.forall(_.contains("/v2-")),
+        s"rebase must reuse the staged rewrite: $v3New")
+    }
+  }
+
+  test("LOGICAL RESOLUTION: a MERGE racing an OVERLAPPING append refuses with the typed conflict") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("occ-merge-overlap")
+      Layout.snapshotAppend(spark, root,
+        (1L to 100L).map(k => (k, "orig")).toDF("k", "v"),
+        statsKey = Some("k")) // v1
+      // writer B appends a row whose key THIS merge matches — the
+      // merge's rewrite, computed before B landed, would miss it
+      RacingArbiter.racer = () => Layout.snapshotAppend(spark, root,
+        Seq((5L, "late-arrival")).toDF("k", "v"))
+      RacingArbiter.armed = true
+      val ex = intercept[ConcurrentWriteConflictException] {
+        Layout.snapshotMerge(spark, root, "k",
+          Array(5L, 6L), df => df.withColumn("v",
+            when(col("k").isin(5L, 6L), lit("updated")).otherwise(col("v"))))
+      }
+      assert(ex.getMessage.contains("key ranges this merge matches"),
+        ex.getMessage)
+      // deterministic refusal: the winner's state is intact, the merge
+      // published nothing
+      assert(Layout.snapshotVersions(spark, root) == Seq(1, 2))
+      val head = Layout.readSnapshot(spark, root)
+      assert(head.count() == 101 &&
+        head.filter(col("v") === "updated").count() == 0)
+      // and the honest remedy works: re-run against the new head
+      val v = Layout.snapshotMerge(spark, root, "k",
+        Array(5L, 6L), df => df.withColumn("v",
+          when(col("k").isin(5L, 6L), lit("updated")).otherwise(col("v"))))
+      assert(v == 3 && Layout.readSnapshot(spark, root)
+        .filter(col("v") === "updated").count() == 3,
+        "the re-run sees BOTH rows with k=5 plus k=6")
+    }
+  }
+
+  test("LOGICAL RESOLUTION: compaction racing an append — both land (the standing-maintenance race)") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("occ-compact-append")
+      Layout.snapshotAppend(spark, root,
+        (1L to 50L).map(k => (k, "a")).toDF("k", "v"))
+      Layout.snapshotAppend(spark, root,
+        (51L to 100L).map(k => (k, "b")).toDF("k", "v")) // v2, 2+ files
+      RacingArbiter.racer = () => Layout.snapshotAppend(spark, root,
+        Seq((999L, "during-compact")).toDF("k", "v"))
+      RacingArbiter.armed = true
+      val committed = Layout.snapshotCompact(spark, root,
+        targetBytes = 128L * 1024 * 1024)
+      assert(committed == 4,
+        s"compaction must rebase past the append (got v$committed)")
+      val head = Layout.readSnapshot(spark, root)
+      assert(head.count() == 101,
+        "packed content AND the interleaved append both present")
+      assert(head.filter(col("k") === 999L).count() == 1)
+      // the appended file is carried verbatim (un-packed) — content
+      // equality with a fresh union proves nothing dropped or doubled
+      assert(head.groupBy("k").count().filter(col("count") > 1).count() == 0)
+    }
+  }
+
+  test("LOGICAL RESOLUTION: compaction racing an OVERWRITE refuses with the typed conflict") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("occ-compact-ovr")
+      Layout.snapshotAppend(spark, root,
+        (1L to 50L).map(k => (k, "a")).toDF("k", "v"))
+      RacingArbiter.racer = () => Layout.snapshotOverwrite(spark, root,
+        Seq((7L, "replaced")).toDF("k", "v"))
+      RacingArbiter.armed = true
+      val ex = intercept[ConcurrentWriteConflictException] {
+        Layout.snapshotCompact(spark, root, targetBytes = 128L * 1024 * 1024)
+      }
+      assert(ex.getMessage.contains("removed or rewrote files"),
+        ex.getMessage)
+      // the overwrite (winner) is the head; the stale repack never landed
+      assert(Layout.snapshotVersions(spark, root) == Seq(1, 2))
+      assert(Layout.readSnapshot(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((7L, "replaced")))
     }
   }
 
