@@ -110,7 +110,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectOptimizerRule(s => graft.plans.BucketedRangeJoinRule(s))
     ext.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     // SQL MERGE INTO on graft catalog tables → the pruned snapshot COW
-    // merge engine (see graft.plans.GraftMergeRule)
+    // merge engine (see graft.plans.GraftMergeRule). WITH SCHEMA
+    // EVOLUTION needs no extra rule: GraftTable declares
+    // AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own
+    // ResolveMergeIntoSchemaEvolution widens the target through
+    // GraftCatalog.alterTable (metadata-only ADD COLUMN) first
     ext.injectPostHocResolutionRule(s => graft.plans.GraftMergeRule(s))
   }
 }

@@ -2891,6 +2891,110 @@ object Relational {
       |FROM orders
       |ORDER BY key, flag""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** MULTI-CLAUSE CONDITIONAL MERGE ON THE ORACLE GATE — the full
+    * Delta-style clause matrix ([[graft.plans.GraftMergeRule]]) driven
+    * through SQL in one statement: three WHEN MATCHED clauses
+    * (conditional DELETE, conditional UPDATE, unconditional UPDATE —
+    * first wins), two WHEN NOT MATCHED INSERT clauses (conditional +
+    * fallback), and two WHEN NOT MATCHED BY SOURCE clauses (conditional
+    * DELETE + conditional UPDATE). The oracle replays the same
+    * semantics as a FULL OUTER JOIN + first-match CASE ladder in plain
+    * SQL — row-for-row equality certifies clause ORDERING, null-safe
+    * condition evaluation, and the NMBS full-width changelog path.
+    * 100 TB: without NMBS clauses the rewrite prunes to source-key-
+    * overlapping files; with them every populated file rewrites (the
+    * same price Delta pays — no file-level stat bounds "keys ABSENT
+    * from the source").
+    */
+  private def mergeTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "mrgcat")
+      spark.conf.set("spark.sql.catalog.graft_mrg",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_mrg.root", wh)
+      val root = s"$wh/q103t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        spark.sql("CREATE TABLE graft_mrg.q103t " +
+          "(key BIGINT, price DOUBLE, status STRING) " +
+          "TBLPROPERTIES ('statsKey' = 'key')")
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("price"),
+            col("o_orderstatus").as("status"))
+        base.createOrReplaceTempView("q103_base")
+        spark.sql("INSERT INTO graft_mrg.q103t SELECT * FROM q103_base")
+        spark.sql(
+          """SELECT key AS k, price * 1.1 AS sprice, 'U' AS tag
+            |FROM q103_base WHERE key % 7 = 0
+            |UNION ALL
+            |SELECT key + 10000000 AS k, price AS sprice,
+            |  CASE WHEN key % 2000 = 3 THEN 'N' ELSE 'O' END AS tag
+            |FROM q103_base WHERE key % 1000 = 3""".stripMargin)
+          .createOrReplaceTempView("q103_src")
+        spark.sql(
+          """MERGE INTO graft_mrg.q103t t USING q103_src s ON t.key = s.k
+            |WHEN MATCHED AND s.tag = 'U' AND t.key % 21 = 0 THEN DELETE
+            |WHEN MATCHED AND t.key % 14 = 0 THEN
+            |  UPDATE SET price = s.sprice * 2, status = 'D2'
+            |WHEN MATCHED THEN UPDATE SET price = s.sprice, status = 'U1'
+            |WHEN NOT MATCHED AND s.tag = 'N' THEN
+            |  INSERT (key, price, status) VALUES (s.k, s.sprice, 'IN')
+            |WHEN NOT MATCHED THEN
+            |  INSERT (key, price, status) VALUES (s.k, s.sprice + 1, 'IO')
+            |WHEN NOT MATCHED BY SOURCE AND t.key % 11 = 0 THEN DELETE
+            |WHEN NOT MATCHED BY SOURCE AND t.key % 13 = 0 THEN
+            |  UPDATE SET status = 'NX'""".stripMargin)
+      }
+      root
+    }
+
+  def q103MultiClauseMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    mergeTable(spark, sfDir)
+    spark.sql(
+      "SELECT key, price, status FROM graft_mrg.q103t ORDER BY key")
+  }
+
+  val q103Sql: String =
+    """WITH base AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  o_orderstatus AS status FROM orders),
+      |src AS (
+      |  SELECT key AS k, price * 1.1 AS sprice, 'U' AS tag
+      |  FROM base WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT key + 10000000 AS k, price AS sprice,
+      |    CASE WHEN key % 2000 = 3 THEN 'N' ELSE 'O' END AS tag
+      |  FROM base WHERE key % 1000 = 3),
+      |joined AS (SELECT t.key AS tkey, t.price AS tprice,
+      |    t.status AS tstatus, s.k, s.sprice, s.tag
+      |  FROM base t FULL OUTER JOIN src s ON t.key = s.k),
+      |merged AS (
+      |  SELECT
+      |    CASE WHEN tkey IS NOT NULL THEN tkey ELSE k END AS key,
+      |    CASE
+      |      WHEN tkey IS NOT NULL AND k IS NOT NULL THEN
+      |        CASE WHEN tkey % 14 = 0 THEN sprice * 2 ELSE sprice END
+      |      WHEN tkey IS NOT NULL THEN tprice
+      |      ELSE CASE WHEN tag = 'N' THEN sprice ELSE sprice + 1 END
+      |    END AS price,
+      |    CASE
+      |      WHEN tkey IS NOT NULL AND k IS NOT NULL THEN
+      |        CASE WHEN tkey % 14 = 0 THEN 'D2' ELSE 'U1' END
+      |      WHEN tkey IS NOT NULL THEN
+      |        CASE WHEN tkey % 13 = 0 THEN 'NX' ELSE tstatus END
+      |      ELSE CASE WHEN tag = 'N' THEN 'IN' ELSE 'IO' END
+      |    END AS status,
+      |    CASE
+      |      WHEN tkey IS NOT NULL AND k IS NOT NULL THEN
+      |        (tag = 'U' AND tkey % 21 = 0)
+      |      WHEN tkey IS NOT NULL THEN tkey % 11 = 0
+      |      ELSE FALSE
+      |    END AS deleted
+      |  FROM joined)
+      |SELECT key, price, status FROM merged WHERE NOT deleted
+      |ORDER BY key""".stripMargin
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3765,6 +3869,7 @@ object Relational {
     "q100_dpp_join" -> (q100DppJoin _),
     "q101_rename_read" -> (q101RenameRead _),
     "q102_partition_overwrite" -> (q102PartitionOverwrite _),
+    "q103_multi_clause_merge" -> (q103MultiClauseMerge _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -3917,6 +4022,7 @@ object Relational {
     "q100_dpp_join" -> q100Sql,
     "q101_rename_read" -> q101Sql,
     "q102_partition_overwrite" -> q102Sql,
+    "q103_multi_clause_merge" -> q103Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

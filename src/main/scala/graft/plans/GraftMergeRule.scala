@@ -25,22 +25,35 @@ import graft.sources.GraftTable
   * property a group-based DSv2 ReplaceData plan without runtime file
   * filtering would lose.
   *
-  * Supported shape (the canonical upsert; anything else fails loudly
-  * naming the Scala API):
+  * Supported surface — the full Delta-style clause matrix on a
+  * single-key equality condition:
   *
   * {{{
   * MERGE INTO graft.t t USING src s ON t.key = s.k
-  *   WHEN MATCHED THEN UPDATE SET c = expr… | WHEN MATCHED THEN DELETE
-  *   WHEN NOT MATCHED THEN INSERT (cols…) VALUES (exprs…)
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET c = expr… | DELETE   (×N, first wins)
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT (cols…) VALUES (…)   (×N, first wins)
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE (×N)
   * }}}
   *
   * Semantics per row (replayed in the rewrite over the full-outer join
-  * of touched rows with the source): matched → the UPDATE assignments
-  * (or dropped, for DELETE); target-only → unchanged; source-only →
-  * the INSERT row (or dropped if no NOT MATCHED clause). Source rows
+  * of touched rows with the source, SQL clause order = first matching
+  * clause wins): matched → its clause's UPDATE assignments / DELETE,
+  * no clause matching → unchanged; target-only → the first matching
+  * NOT MATCHED BY SOURCE clause (unchanged without one); source-only →
+  * the first matching INSERT clause (dropped without one). Source rows
   * whose key misses every touched file are genuinely new keys — the
   * full-outer join surfaces them as inserts precisely because a
-  * matching target row would have made its file touched.
+  * matching target row would have made its file touched. Clause
+  * conditions must be DETERMINISTIC (each is evaluated in more than
+  * one derived expression; Delta refuses the same).
+  *
+  * PRICING: without NOT MATCHED BY SOURCE the touched-file set prunes
+  * to files whose key ranges overlap the SOURCE keys — O(touched +
+  * source). A NOT MATCHED BY SOURCE clause can change any target row
+  * whose key is absent from the source, which no file-level key stat
+  * can bound, so the changelog widens to all target keys (every
+  * populated file rewrites — the same full-scan price Delta pays for
+  * that clause).
   */
 case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -103,10 +116,10 @@ case class GraftMergeCommand(merge: MergeIntoTable)
 
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft MERGE INTO supports one unconditional WHEN MATCHED " +
-        s"UPDATE/DELETE and one unconditional WHEN NOT MATCHED INSERT " +
-        s"on a single-key equality condition; $what. For richer shapes " +
-        "use Layout.snapshotMergeKeys directly.")
+      s"graft MERGE INTO supports conditional multi-clause WHEN MATCHED " +
+        "UPDATE/DELETE, WHEN NOT MATCHED INSERT, and WHEN NOT MATCHED " +
+        s"BY SOURCE UPDATE/DELETE on a single-key equality condition; " +
+        s"$what. For richer shapes use Layout.snapshotMergeKeys directly.")
 
   override def run(spark: SparkSession): Seq[Row] = {
     val rel = merge.targetTable.collectFirst {
@@ -134,25 +147,36 @@ case class GraftMergeCommand(merge: MergeIntoTable)
         "(manifest key stats are integral)")
     }
 
-    // ---- actions
-    sealed trait Matched
-    case object MKeep extends Matched
-    case object MDelete extends Matched
-    case class MUpdate(assigns: Seq[Assignment]) extends Matched
-    val matched: Matched = merge.matchedActions match {
-      case Seq() => MKeep
-      case Seq(UpdateAction(None, assigns, _)) => MUpdate(assigns)
-      case Seq(DeleteAction(None)) => MDelete
-      case _ => unsupported("matched clauses are conditional or multiple")
+    // ---- actions: ordered clause lists, each (condition, effect).
+    // condition None = always; a clause condition must be deterministic
+    // (it is evaluated in several derived expressions — keep/value
+    // chains — which must agree per row)
+    sealed trait Effect
+    case object EDelete extends Effect
+    case class EUpdate(assigns: Seq[Assignment]) extends Effect
+    case class EInsert(assigns: Seq[Assignment]) extends Effect
+    def checkCond(c: Option[Expression]): Option[Expression] = {
+      c.foreach(e => if (!e.deterministic)
+        unsupported(s"clause condition `${e.sql}` is nondeterministic"))
+      c
     }
-    val insert: Option[Seq[Assignment]] = merge.notMatchedActions match {
-      case Seq() => None
-      case Seq(InsertAction(None, assigns)) => Some(assigns)
-      case _ => unsupported("not-matched clauses are conditional or multiple")
-    }
-    if (merge.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE scans every target row " +
-        "(unpruneable)")
+    val matchedClauses: Seq[(Option[Expression], Effect)] =
+      merge.matchedActions.map {
+        case UpdateAction(c, assigns, _) => (checkCond(c), EUpdate(assigns))
+        case DeleteAction(c) => (checkCond(c), EDelete)
+        case other => unsupported(s"matched action $other")
+      }
+    val insertClauses: Seq[(Option[Expression], Seq[Assignment])] =
+      merge.notMatchedActions.map {
+        case InsertAction(c, assigns) => (checkCond(c), assigns)
+        case other => unsupported(s"not-matched action $other")
+      }
+    val nmbsClauses: Seq[(Option[Expression], Effect)] =
+      merge.notMatchedBySourceActions.map {
+        case UpdateAction(c, assigns, _) => (checkCond(c), EUpdate(assigns))
+        case DeleteAction(c) => (checkCond(c), EDelete)
+        case other => unsupported(s"not-matched-by-source action $other")
+      }
 
     // ---- translate resolved expressions to columns over the prefixed
     // full-outer join: attribute identity (exprId) decides which side
@@ -172,13 +196,24 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     }
 
     val sourceDf = GraftDatasetBridge.ofRows(spark, merge.sourceTable)
-    val changeKeys = sourceDf
+    val sourceKeys = sourceDf
       .select(GraftColumnBridge.column(sKey).cast("long").as("__graft_k"))
+    // NOT MATCHED BY SOURCE can change any target row whose key the
+    // source lacks — unboundable by file key stats, so the changelog
+    // widens to every target key (all populated files rewrite)
+    val changeKeys =
+      if (nmbsClauses.isEmpty) sourceKeys
+      else sourceKeys.union(Layout.readSnapshot(spark, gt.tableRoot)
+        .select(col(tKey.name).cast("long").as("__graft_k")))
 
     val targetCols: Seq[Attribute] = rel.output
     val rewrite: DataFrame => DataFrame = { touched =>
+      // files written BEFORE a schema evolution lack the new columns
+      // physically; pad them as NULL (exactly what a table read shows)
       val tP = touched.select(
-        targetCols.map(a => touched(a.name).as(tPref + a.name)) :+
+        targetCols.map(a =>
+          (if (touched.columns.contains(a.name)) touched(a.name)
+           else lit(null).cast(a.dataType)).as(tPref + a.name)) :+
           lit(1).as(tPref + "__x"): _*)
       val sP = sourceDf.select(
         merge.sourceTable.output.map(a =>
@@ -189,28 +224,58 @@ case class GraftMergeCommand(merge: MergeIntoTable)
       val isMatched =
         col(tPref + "__x").isNotNull && col(sPref + "__x").isNotNull
       val targetOnly = col(sPref + "__x").isNull
-      val updBy: Map[String, Assignment] = matched match {
-        case MUpdate(as) => as.map(a => assignName(a) -> a).toMap
-        case _ => Map.empty
+      val sourceOnly = col(tPref + "__x").isNull
+      // per-clause tri-state machinery: a clause fires when its
+      // condition (null-safe: NULL = no) is true AND no earlier clause
+      // fired — folded as ordered `when` chains
+      def condCol(c: Option[Expression]) =
+        c.map(e => coalesce(colOf(e), lit(false))).getOrElse(lit(true))
+      // does the FIRST firing clause delete? (no clause fires → kept)
+      def deletedBy(clauses: Seq[(Option[Expression], Effect)]) =
+        clauses.reverse.foldLeft(lit(false)) {
+          case (tail, (c, eff)) =>
+            when(condCol(c), lit(eff == EDelete)).otherwise(tail)
+        }
+      val matchedDeleted = deletedBy(matchedClauses)
+      val nmbsDeleted = deletedBy(nmbsClauses)
+      // does ANY insert clause fire for a source-only row?
+      val insFires = insertClauses.reverse.foldLeft(lit(false)) {
+        case (tail, (c, _)) => when(condCol(c), lit(true)).otherwise(tail)
       }
-      val insBy: Map[String, Assignment] =
-        insert.map(_.map(a => assignName(a) -> a).toMap).getOrElse(Map.empty)
-      val kept = (matched match {
-        case MDelete => joined.filter(!isMatched)
-        case _ => joined
-      }) match {
-        case j if insert.isEmpty => j.filter(!col(tPref + "__x").isNull)
-        case j => j
-      }
+      val kept = joined.filter(
+        (isMatched && !matchedDeleted) ||
+          (targetOnly && !nmbsDeleted) ||
+          (sourceOnly && insFires))
+      // value of column `a` per branch: ordered when-chain over the
+      // branch's clauses; fall through = keep (matched / target-only)
+      // or NULL (insert — an unfired insert row is filtered out above)
+      def chainVal(clauses: Seq[(Option[Expression], Effect)],
+          a: Attribute, fallThrough: org.apache.spark.sql.Column) =
+        clauses.reverse.foldLeft(fallThrough) {
+          case (tail, (c, EUpdate(assigns))) =>
+            val v = assigns.find(x => assignName(x) == a.name)
+              .map(x => colOf(x.value).cast(a.dataType))
+              .getOrElse(col(tPref + a.name))
+            when(condCol(c), v).otherwise(tail)
+          case (tail, (c, EDelete)) =>
+            // deleted rows never survive the filter; keep the chain's
+            // shape so later (lower-priority) clauses stay shadowed
+            when(condCol(c), col(tPref + a.name)).otherwise(tail)
+          case (tail, _) => tail
+        }
+      val insChain = (a: Attribute) =>
+        insertClauses.reverse.foldLeft(lit(null).cast(a.dataType)) {
+          case (tail, (c, assigns)) =>
+            val v = assigns.find(x => assignName(x) == a.name)
+              .map(x => colOf(x.value).cast(a.dataType))
+              .getOrElse(lit(null).cast(a.dataType))
+            when(condCol(c), v).otherwise(tail)
+        }
       kept.select(targetCols.map { a =>
         val keepCol = col(tPref + a.name)
-        val updCol = updBy.get(a.name)
-          .map(x => colOf(x.value).cast(a.dataType)).getOrElse(keepCol)
-        val insCol = insBy.get(a.name)
-          .map(x => colOf(x.value).cast(a.dataType))
-          .getOrElse(lit(null).cast(a.dataType))
-        when(isMatched, updCol).when(targetOnly, keepCol)
-          .otherwise(insCol).as(a.name)
+        when(isMatched, chainVal(matchedClauses, a, keepCol))
+          .when(targetOnly, chainVal(nmbsClauses, a, keepCol))
+          .otherwise(insChain(a)).as(a.name)
       }: _*)
     }
 

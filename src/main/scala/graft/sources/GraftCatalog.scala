@@ -338,10 +338,15 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
       .map(pc => Array(org.apache.spark.sql.connector.expressions
         .Expressions.identity(pc))).getOrElse(Array.empty)
 
+  // AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE WITH SCHEMA EVOLUTION`:
+  // Spark's ResolveMergeIntoSchemaEvolution then widens the table
+  // through this catalog's alterTable (the metadata-only ADD COLUMN
+  // commit) before the graft merge rule plans the rewrite
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (!meta.hasDeleteSidecars) {

@@ -147,12 +147,87 @@ class SqlCatalogSpec extends GraftSuite {
     val filesAfter = Layout.snapshotMeta(spark, sqlRoot).paths.toSet
     assert((filesBefore intersect filesAfter).nonEmpty,
       "the merge must carry untouched files, not rewrite the table")
-    // unsupported shapes fail loudly, naming the Scala API
+    // unsupported shapes still fail loudly, naming the Scala API:
+    // a non-equality merge condition has no key-pruning story
     val ex = intercept[Exception] {
-      sql("""MERGE INTO gtest.tm t USING tm_changes s ON t.key = s.c_key
-            |WHEN MATCHED AND s.c_status = 'U' THEN DELETE""".stripMargin)
+      sql("""MERGE INTO gtest.tm t USING tm_changes s ON t.key >= s.c_key
+            |WHEN MATCHED THEN DELETE""".stripMargin)
     }
     assert(ex.getMessage.contains("snapshotMergeKeys"))
+  }
+
+  test("MERGE clause matrix: conditional multi-clause MATCHED, NOT MATCHED, and NOT MATCHED BY SOURCE — first clause wins") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.mc (k BIGINT, v DOUBLE, s STRING) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    // target: k 1..10, v = k*1.0, s = 'T'
+    (1L to 10L).map(k => (k, k.toDouble, "T")).toDF("k", "v", "s")
+      .createOrReplaceTempView("mc_src0")
+    sql("INSERT INTO gtest.mc SELECT * FROM mc_src0")
+    // source: matches k in {2,3,4,6}, new keys {20, 21}
+    Seq((2L, 100.0, "a"), (3L, 100.0, "b"), (4L, 100.0, "a"),
+      (6L, 100.0, "b"), (20L, 5.0, "a"), (21L, 5.0, "b"))
+      .toDF("mk", "mv", "mtag").createOrReplaceTempView("mc_chg")
+    sql("""MERGE INTO gtest.mc t USING mc_chg m ON t.k = m.mk
+          |WHEN MATCHED AND m.mtag = 'a' AND t.k < 3 THEN DELETE
+          |WHEN MATCHED AND m.mtag = 'a' THEN UPDATE SET v = m.mv * 2, s = 'A'
+          |WHEN MATCHED THEN UPDATE SET v = m.mv, s = 'B'
+          |WHEN NOT MATCHED AND m.mtag = 'a' THEN
+          |  INSERT (k, v, s) VALUES (m.mk, m.mv, 'NA')
+          |WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (m.mk, m.mv + 1, 'NB')
+          |WHEN NOT MATCHED BY SOURCE AND t.k = 9 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 1 THEN UPDATE SET s = 'X'
+          |""".stripMargin)
+    val got = sql("SELECT k, v, s FROM gtest.mc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    val expected = Seq(
+      (1L, 1.0, "X"),    // NMBS second clause (odd, not 9)
+      // 2 deleted: first matched clause (mtag=a, k<3)
+      (3L, 100.0, "B"),  // matched, mtag=b → third clause
+      (4L, 200.0, "A"),  // matched, mtag=a, k>=3 → second clause
+      (5L, 5.0, "X"),    // NMBS update
+      (6L, 100.0, "B"),  // matched fallback
+      (7L, 7.0, "X"),    // NMBS update
+      (8L, 8.0, "T"),    // target-only, no NMBS clause fires → unchanged
+      // 9 deleted: first NMBS clause shadows the odd-update clause
+      (10L, 10.0, "T"),
+      (20L, 5.0, "NA"),  // first insert clause
+      (21L, 6.0, "NB"))  // fallback insert (mv + 1)
+    assert(got == expected, s"got:\n${got.mkString("\n")}")
+    // nondeterministic clause conditions refuse loudly
+    val ex = intercept[Exception] {
+      sql("""MERGE INTO gtest.mc t USING mc_chg m ON t.k = m.mk
+            |WHEN MATCHED AND rand() > 0.5 THEN DELETE""".stripMargin)
+    }
+    assert(ex.getMessage.contains("nondeterministic"), ex.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: a new source column widens the table via the metadata-only ADD COLUMN path") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gtest.mse (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("mse_src0")
+    sql("INSERT INTO gtest.mse SELECT * FROM mse_src0")
+    // source carries a column the target lacks; WITH SCHEMA EVOLUTION
+    // routes through GraftCatalog.alterTable (ADD COLUMN, metadata-only)
+    // during analysis, then the merge assigns it
+    Seq((2L, 99.0, "fresh"), (3L, 30.0, "new"))
+      .toDF("k", "v", "note").createOrReplaceTempView("mse_chg")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gtest.mse t
+          |USING mse_chg s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+          |WHEN NOT MATCHED THEN INSERT (k, v, note) VALUES (s.k, s.v, s.note)
+          |""".stripMargin)
+    val got = sql("SELECT k, v, note FROM gtest.mse ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, 10.0, None), (2L, 99.0, Some("fresh")),
+      (3L, 30.0, Some("new"))),
+      s"evolved merge state wrong: $got")
   }
 
   test("MERGE WHEN MATCHED DELETE drops exactly the matched keys") {
