@@ -79,6 +79,22 @@ object KmvSketch {
   /** Default k: 2 KiB buffer, RSE ≈ 1/√254 ≈ 6.3%. */
   val K = 256
 
+  /** Manifest-resident k (per-file `ndvKey` synopses in [[graft.ops
+    * .Layout]] entries): 64 longs ≈ 512 B per column per file, RSE
+    * ≈ 1/√62 ≈ 12.7% — optimizer-grade (a broadcast/reorder decision
+    * needs the order of magnitude, not the third digit).
+    */
+  val ManifestK = 64
+
+  /** Merge two bottom-k synopses (k-smallest distinct union) — the
+    * read-side fold that turns per-file manifest sketches into a
+    * table-/partition-level NDV estimate.
+    */
+  def merge(a: Seq[Long], b: Seq[Long], k: Int = ManifestK): Seq[Long] = {
+    val agg = new KmvAggregator(k)
+    agg.merge(a.toArray, b.toArray).toSeq
+  }
+
   private val M = PortableHash.M32.toDouble // scrambled values live in [0, 2³²)
 
   def kmv(item: Column, k: Int = K): Column = udaf(new KmvAggregator(k)).apply(item)

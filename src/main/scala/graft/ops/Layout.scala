@@ -941,7 +941,14 @@ object Layout {
   case class FileStats(cols: Map[String, (Long, Long)],
       strCols: Map[String, (String, String)], rows: Long,
       nulls: Map[String, Long] = Map.empty,
-      dblCols: Map[String, (Double, Double)] = Map.empty)
+      dblCols: Map[String, (Double, Double)] = Map.empty,
+      // per-column KMV (bottom-k) distinct-count synopses for the
+      // table's declared `ndvKey` columns ([[graft.functions.KmvSketch]],
+      // k = [[graft.functions.KmvSketch.ManifestK]]): mergeable across
+      // files (k-smallest union), so a scan's kept-file set folds into
+      // a table/partition NDV estimate the optimizer reads through
+      // DSv2 column statistics
+      ndv: Map[String, Seq[Long]] = Map.empty)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -962,7 +969,7 @@ object Layout {
     * rename/drop engine for the mapping pair).
     */
   private[graft] val ReservedProps = Set("deleteKey", "statsKey", "partCol",
-    "clusterBy", "colmap", "tombstones") ++ EphemeralHeaders
+    "partSpec", "clusterBy", "colmap", "tombstones") ++ EphemeralHeaders
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
     hdr -- EphemeralHeaders
@@ -1071,6 +1078,11 @@ object Layout {
           // for every double including ±0.0 and infinities
           s"d=${enc(c)}:${java.lang.Double.doubleToRawLongBits(mn)}:" +
             s"${java.lang.Double.doubleToRawLongBits(mx)}"
+        } ++ s.ndv.toSeq.sortBy(_._1).map { case (c, sk) =>
+          // KMV synopsis: base64 of big-endian longs (≤ ManifestK · 8 B)
+          val bb = java.nio.ByteBuffer.allocate(sk.length * 8)
+          sk.foreach(bb.putLong)
+          s"k=${enc(c)}:${java.util.Base64.getEncoder.encodeToString(bb.array)}"
         })
     }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
@@ -1121,9 +1133,20 @@ object Layout {
       }
       case _ => None
     }.toMap
+    val ndv = kvs.flatMap {
+      case ("k", v) => v.split(":") match {
+        case Array(c, b64) => scala.util.Try {
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          dec(c) -> Seq.fill(bytes.length / 8)(bb.getLong)
+        }.toOption
+        case _ => None
+      }
+      case _ => None
+    }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .map(n => FileStats(cols, strCols, n, nulls, dblCols))
+      .map(n => FileStats(cols, strCols, n, nulls, dblCols, ndv))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -1412,12 +1435,39 @@ object Layout {
   private def entriesForNewFiles(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
+    // per-file KMV distinct-count synopses for the declared `ndvKey`
+    // columns: ONE distributed aggregate over only the new files (the
+    // amortized commit-time price, like the stats footer pass), merged
+    // at read into optimizer-visible NDV ([[graft.sources.GraftScan]]).
+    val ndv: Map[String, Map[String, Seq[Long]]] = props.get("ndvKey") match {
+      case Some(spec) =>
+        import graft.functions.KmvSketch
+        val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          .filter(df.columns.contains)
+        if (cols.isEmpty) Map.empty
+        else {
+          val aggs = cols.map(c =>
+            KmvSketch.kmv(col(c).cast("string"),
+              KmvSketch.ManifestK).as(c))
+          df.groupBy(input_file_name().as("__graft_f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              uriPath(r.getString(0)) -> cols.zipWithIndex.map {
+                case (c, i) => c -> r.getSeq[Long](i + 1)
+              }.toMap
+            }.toMap
+        }
+      case None => Map.empty
+    }
     val stats: Map[String, FileStats] = props.get("statsKey") match {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
           .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
-            ms.nulls, ms.dblCols))
+            ms.nulls, ms.dblCols,
+            ndv.getOrElse(uriPath(ms.path), Map.empty)))
           .toMap
       case None => Map.empty
     }
@@ -1433,7 +1483,35 @@ object Layout {
           .distinct().collect()
           .groupBy(r => uriPath(r.getString(0)))
           .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
-      case None => Map.empty
+      case None => props.get("partSpec") match {
+        // PARTITION TRANSFORMS ([[PartSpec]]): record each file's
+        // distinct TRANSFORMED values per dimension, prefixed "i:" —
+        // one distributed distinct over only the new files, all dims in
+        // a single explode pass. A dim whose column is absent from this
+        // batch (schema evolution) records nothing — its files keep on
+        // every probe of that dim, conservative.
+        case Some(spec) =>
+          val dims = PartSpec.parse(spec)
+          val df = spark.read.parquet(files: _*)
+          val resolver = spark.sessionState.conf.resolver
+          val dimCols = dims.flatMap { d =>
+            df.schema.fields.find(f => resolver(f.name, d.col)).flatMap {
+              f =>
+                PartSpec.transformExpr(d,
+                  org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute(Seq(f.name)), f.dataType)
+                  .map(e => concat(lit(s"${d.idx}:"),
+                    org.apache.spark.sql.GraftColumnBridge.column(e)))
+            }
+          }
+          if (dimCols.isEmpty) Map.empty
+          else df.select(input_file_name().as("__graft_f"),
+              explode(array(dimCols: _*)).as("__graft_p"))
+            .distinct().collect()
+            .groupBy(r => uriPath(r.getString(0)))
+            .view.mapValues(_.map(_.getString(1)).toSeq.sorted).toMap
+        case None => Map.empty
+      }
     }
     files.map(f => FileEntry(f, stats.get(f), parts.get(uriPath(f))))
   }
@@ -1473,13 +1551,53 @@ object Layout {
       if (shuffleByPartition) df.repartition(col(partCol)) else df,
       statsKey, Some(partCol), extraProps = extraProps)
 
+  /** [[snapshotAppend]] for a TRANSFORM-PARTITIONED table
+    * ([[PartSpec]]): `spec` (e.g. `"days(ts),bucket(16,key)"`),
+    * declared on the first commit, becomes the `partSpec` table
+    * property; every commit records each new file's distinct
+    * TRANSFORMED value set per dimension, and both static predicates
+    * and DPP-delivered runtime filters on the SOURCE columns prune
+    * through the recorded dims. By default the batch is shuffled on
+    * the transformed dimensions so files are value-localized (the
+    * layout pruning pays for); the spec is validated against the
+    * frame's schema at declaration — a transform that cannot apply
+    * refuses at CREATE, never records nothing silently.
+    */
+  def snapshotAppendSpec(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, spec: String,
+      statsKey: Option[String] = None,
+      shuffleByPartition: Boolean = true,
+      extraProps: Map[String, String] = Map.empty): Int = {
+    val dims = PartSpec.parse(spec)
+    PartSpec.validate(dims, df.schema, spark.sessionState.conf.resolver)
+    val shuffled =
+      if (!shuffleByPartition) df
+      else {
+        val cols = dims.flatMap { d =>
+          df.schema.fields
+            .find(f => spark.sessionState.conf.resolver(f.name, d.col))
+            .flatMap(f => PartSpec.transformExpr(d,
+              org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute(Seq(f.name)), f.dataType))
+            .map(org.apache.spark.sql.GraftColumnBridge.column)
+        }
+        if (cols.isEmpty) df else df.repartition(cols: _*)
+      }
+    appendInternal(spark, root, shuffled, statsKey, None,
+      extraProps = extraProps, partSpec = Some(PartSpec.render(dims)))
+  }
+
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
       root: String, df: DataFrame, statsKey: Option[String],
       partCol: Option[String], clusterBy: Option[String] = None,
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      partSpec: Option[String] = None): Int = {
     require(extraProps.keySet.intersect(ReservedProps).isEmpty,
       s"extraProps must not set engine-owned keys: " +
         extraProps.keySet.intersect(ReservedProps).mkString(", "))
+    require(partCol.isEmpty || partSpec.isEmpty,
+      "a table declares either partCol (single identity) or partSpec " +
+        "(transforms / multi-column), not both")
     // declared properties must agree with the table's: silently switching
     // the stats column would leave old entries' stats wrong for pruning
     def propsAgainst(prevHdr: Map[String, String]): Map[String, String] = {
@@ -1487,6 +1605,8 @@ object Layout {
         require(e == k, s"table stats column is '$e', not '$k'")
       for (p <- partCol; e <- prevHdr.get("partCol"))
         require(e == p, s"table partition column is '$e', not '$p'")
+      for (s <- partSpec; e <- prevHdr.get("partSpec"))
+        require(e == s, s"table partition spec is '$e', not '$s'")
       for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
         require(e == c, s"table cluster columns are '$e', not '$c'")
       // user properties (incl. check.* constraints) may DECLARE at the
@@ -1494,6 +1614,7 @@ object Layout {
       (if (prevHdr.isEmpty) extraProps else Map.empty[String, String]) ++
         carriedProps(prevHdr) ++
         statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
+        partSpec.map("partSpec" -> _) ++
         clusterBy.map("clusterBy" -> _)
     }
     val prev = snapshotVersions(spark, root)
@@ -1586,7 +1707,8 @@ object Layout {
       // a concurrent first commit may have declared stats/partition
       // properties this attempt's entries were not computed under
       if (effProps.get("statsKey") != attemptProps.get("statsKey") ||
-          effProps.get("partCol") != attemptProps.get("partCol")) {
+          effProps.get("partCol") != attemptProps.get("partCol") ||
+          effProps.get("partSpec") != attemptProps.get("partSpec")) {
         entries = entriesForNewFiles(spark, newFiles, effProps)
       }
       // a concurrent SET TBLPROPERTIES may have added a constraint this
@@ -2337,7 +2459,8 @@ object Layout {
       else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         f.copy(name = cmap.getOrElse(f.name, f.name))))
     val index = new graft.sources.SnapshotFileIndex(
-      spark, root, entries, hdr.get("partCol"))
+      spark, root, entries, hdr.get("partCol"),
+      hdr.get("partSpec").map(PartSpec.parse).getOrElse(Nil))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),

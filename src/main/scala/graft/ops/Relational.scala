@@ -2995,6 +2995,74 @@ object Relational {
       |SELECT key, price, status FROM merged WHERE NOT deleted
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** TEMPORAL-TRANSFORM STAR JOIN ON THE ORACLE GATE — q100's DPP shape
+    * over a `days(odate)` TRANSFORM-partitioned fact
+    * ([[graft.ops.PartSpec]], `PARTITIONED BY (days(odate))`): the fact
+    * records each file's epoch-day set in the manifest; the date-dim's
+    * selective predicate survives to runtime, and the DPP-delivered
+    * `IN` filter on the raw TIMESTAMP join column maps through the
+    * days() transform to re-prune the fact's file list — the "join
+    * facts to a date dimension, keep one year" query every telemetry
+    * warehouse runs, now pruning from transformed partition metadata
+    * with no static predicate on the fact at all.
+    * `PartitionTransformSpec` pins the file-count evidence; this row
+    * pins the row-level answer against the oracle.
+    */
+  private def transformStarTables(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "ptstar")
+      spark.conf.set("spark.sql.catalog.graft_pts",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_pts.root", wh)
+      val factRoot = s"$wh/q104f"
+      if (Layout.snapshotVersions(spark, factRoot).isEmpty) {
+        val prevOtt = spark.conf.getOption(
+          "spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+          "TIMESTAMP_MICROS")
+        try {
+          val fact = t(spark, sfDir, "orders")
+            .select(col("o_orderkey").as("key"),
+              dec(col("o_totalprice")).cast("double").as("price"),
+              col("o_orderdate").as("odate"))
+          Layout.snapshotAppendSpec(spark, factRoot, fact, "days(odate)")
+          val dim = fact.select(col("odate")).distinct()
+            .withColumn("keep",
+              when(year(col("odate")) === 1996, lit("yes"))
+                .otherwise(lit("no")))
+          Layout.snapshotAppend(spark, s"$wh/q104d", dim)
+        } finally prevOtt match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+          case None =>
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        }
+      }
+      wh
+    }
+
+  def q104TransformStarJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    transformStarTables(spark, sfDir)
+    spark.sql(
+      """SELECT f.key, f.price FROM graft_pts.q104f f
+        |JOIN graft_pts.q104d d ON f.odate = d.odate
+        |WHERE d.keep = 'yes'
+        |ORDER BY f.key""".stripMargin)
+  }
+
+  val q104Sql: String =
+    """WITH fact AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  o_orderdate AS odate FROM orders),
+      |dim AS (SELECT DISTINCT odate,
+      |  CASE WHEN EXTRACT(year FROM odate) = 1996 THEN 'yes' ELSE 'no'
+      |  END AS keep FROM fact)
+      |SELECT f.key, f.price FROM fact f
+      |JOIN dim d ON f.odate = d.odate
+      |WHERE d.keep = 'yes'
+      |ORDER BY f.key""".stripMargin
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3870,6 +3938,7 @@ object Relational {
     "q101_rename_read" -> (q101RenameRead _),
     "q102_partition_overwrite" -> (q102PartitionOverwrite _),
     "q103_multi_clause_merge" -> (q103MultiClauseMerge _),
+    "q104_transform_star_join" -> (q104TransformStarJoin _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -4023,6 +4092,7 @@ object Relational {
     "q101_rename_read" -> q101Sql,
     "q102_partition_overwrite" -> q102Sql,
     "q103_multi_clause_merge" -> q103Sql,
+    "q104_transform_star_join" -> q104Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

@@ -161,19 +161,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // `PARTITIONED BY (col)` — ONE identity transform — is sugar for the
-    // partCol table property (the column stays IN the data; the manifest
-    // records each file's value set). Bucket/temporal transforms refuse:
-    // graft's layout vocabulary is partCol + clusterBy.
-    val partFromTransforms: Option[String] = partitions.toSeq match {
-      case Nil => None
+    // `PARTITIONED BY (col)` — ONE identity transform — stays sugar for
+    // the partCol table property (the SPJ/overwrite-scoped layout).
+    // Transforms and multi-column specs (`PARTITIONED BY (days(ts),
+    // bucket(16, key))`) become the partSpec property
+    // ([[graft.ops.PartSpec]]): each file records its distinct
+    // TRANSFORMED value set per dimension, and predicates/DPP on the
+    // source columns prune through them. Either way the columns stay IN
+    // the data (no directory encoding).
+    def dimOf(t: Transform, i: Int): graft.ops.PartSpec.Dim = {
+      def colOf: String = {
+        require(t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+          s"partition transform ${t.describe} must reference one " +
+            "top-level column")
+        t.references()(0).fieldNames()(0)
+      }
+      def intArg: Int = t.arguments.collectFirst {
+        case lv: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lv.value.isInstanceOf[Number] =>
+          lv.value.asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"partition transform ${t.describe} needs an integer argument"))
+      t.name.toLowerCase match {
+        case "identity" => graft.ops.PartSpec.Identity(i, colOf)
+        case "days" => graft.ops.PartSpec.Days(i, colOf)
+        case "hours" => graft.ops.PartSpec.Hours(i, colOf)
+        case "bucket" => graft.ops.PartSpec.Bucket(i, intArg, colOf)
+        case "truncate" => graft.ops.PartSpec.Truncate(i, intArg, colOf)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' — supported: " +
+            "identity, days, hours, bucket(n, c), truncate(w, c) " +
+            "(calendar months/years intentionally absent: their " +
+            "session-timezone dependence would make write-side and " +
+            "prune-side values diverge across deployments)")
+      }
+    }
+    val (partFromTransforms, specFromTransforms)
+        : (Option[String], Option[String]) = partitions.toSeq match {
+      case Nil => (None, None)
       case Seq(t) if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
-        Some(t.references()(0).fieldNames()(0))
-      case other => throw new IllegalArgumentException(
-        "graft tables take at most ONE identity PARTITIONED BY column " +
-          s"(got: ${other.mkString(", ")}); use 'clusterBy' TBLPROPERTIES " +
-          "for multi-column layouts")
+        (Some(t.references()(0).fieldNames()(0)), None)
+      case ts =>
+        val dims = ts.zipWithIndex.map { case (t, i) => dimOf(t, i) }
+        graft.ops.PartSpec.validate(dims, schema,
+          spark.sessionState.conf.resolver)
+        (None, Some(graft.ops.PartSpec.render(dims)))
     }
     val root = rootOf(ident)
     if (Layout.snapshotVersions(spark, root).nonEmpty)
@@ -187,6 +221,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       require(p1 == p2, s"PARTITIONED BY ($p1) and TBLPROPERTIES " +
         s"partCol='$p2' disagree")
     val partCol = partFromTransforms.orElse(prop("partCol"))
+    val partSpec = specFromTransforms.orElse(prop("partSpec"))
+    require(partCol.isEmpty || partSpec.isEmpty,
+      "declare either a single identity partition (partCol) or a " +
+        "transform spec (partSpec), not both")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     // user properties (incl. check.* constraints) declare at CREATE and
@@ -202,10 +240,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "option.path", "path").contains(lk) &&
         !lk.startsWith("option.")
     }
-    partCol match {
-      case Some(pc) => Layout.snapshotAppendPartitioned(spark, root, empty,
-        pc, statsKey = prop("statsKey"), extraProps = userProps)
-      case None => Layout.snapshotAppend(spark, root, empty,
+    (partCol, partSpec) match {
+      case (Some(pc), _) => Layout.snapshotAppendPartitioned(spark, root,
+        empty, pc, statsKey = prop("statsKey"), extraProps = userProps)
+      case (None, Some(sp)) => Layout.snapshotAppendSpec(spark, root,
+        empty, sp, statsKey = prop("statsKey"), extraProps = userProps)
+      case (None, None) => Layout.snapshotAppend(spark, root, empty,
         statsKey = prop("statsKey"), clusterBy = prop("clusterBy"),
         extraProps = userProps)
     }
@@ -332,11 +372,25 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
     meta.header.asJava
 
   // a declared partCol surfaces as identity partitioning (DESCRIBE /
-  // SHOW CREATE show it; INSERT OVERWRITE … PARTITION resolves on it)
-  override def partitioning(): Array[Transform] =
+  // SHOW CREATE show it; INSERT OVERWRITE … PARTITION resolves on it);
+  // a partSpec surfaces its transforms
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
     meta.header.get("partCol")
-      .map(pc => Array(org.apache.spark.sql.connector.expressions
-        .Expressions.identity(pc))).getOrElse(Array.empty)
+      .map(pc => Array(Expressions.identity(pc)))
+      .orElse(meta.header.get("partSpec").map(sp =>
+        graft.ops.PartSpec.parse(sp).map {
+          case d: graft.ops.PartSpec.Identity => Expressions.identity(d.col)
+          case d: graft.ops.PartSpec.Days => Expressions.days(d.col)
+          case d: graft.ops.PartSpec.Hours => Expressions.hours(d.col)
+          case d: graft.ops.PartSpec.Bucket => Expressions.bucket(d.n, d.col)
+          case d: graft.ops.PartSpec.Truncate =>
+            Expressions.apply("truncate",
+              Expressions.literal(Integer.valueOf(d.w)),
+              Expressions.column(d.col))
+        }.toArray))
+      .getOrElse(Array.empty)
+  }
 
   // AUTOMATIC_SCHEMA_EVOLUTION gates `MERGE WITH SCHEMA EVOLUTION`:
   // Spark's ResolveMergeIntoSchemaEvolution then widens the table

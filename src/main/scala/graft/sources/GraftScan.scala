@@ -222,7 +222,9 @@ private[graft] class GraftScanBuilder(root: String, identName: String,
 
   override def build(): Scan = aggScan.getOrElse {
     val (v, entries, header) = manifest
-    val index = new SnapshotFileIndex(spark, root, entries, header.get("partCol"))
+    val index = new SnapshotFileIndex(spark, root, entries,
+      header.get("partCol"),
+      header.get("partSpec").map(graft.ops.PartSpec.parse).getOrElse(Nil))
     new GraftScan(root, identName, v, index, header, tableSchema,
       required, filters, options)
   }
@@ -520,7 +522,12 @@ private[graft] class GraftScan(val root: String, identName: String,
     if (staticGroups.isDefined) return Array.empty
     val statCols = staticKept.flatMap(_._1.stats.toSeq.flatMap(s =>
       s.cols.keys ++ s.strCols.keys ++ s.dblCols.keys)).distinct
-    (header.get("partCol").toSeq ++ statCols).distinct
+    // partition-transform SOURCE columns prune too: a runtime IN on
+    // e.g. the days(ts) source column maps through the transform to the
+    // recorded dim values ([[SnapshotFileIndex]]'s dimRestr path)
+    val specCols = header.get("partSpec").toSeq
+      .flatMap(s => graft.ops.PartSpec.parse(s).map(_.col))
+    (header.get("partCol").toSeq ++ specCols ++ statCols).distinct
       .map(Expressions.column).toArray
   }
 

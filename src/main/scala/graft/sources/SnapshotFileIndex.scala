@@ -37,7 +37,8 @@ class SnapshotFileIndex(
     spark: SparkSession,
     root: String,
     entries: Seq[Layout.FileEntry],
-    partCol: Option[String]) extends FileIndex {
+    partCol: Option[String],
+    partSpec: Seq[graft.ops.PartSpec.Dim] = Nil) extends FileIndex {
 
   // One listStatus per distinct parent directory (a commit's data dir),
   // not one RPC per file: the statuses carry the sizes Spark needs for
@@ -305,6 +306,61 @@ class SnapshotFileIndex(
       val vs = dataFilters.flatMap(partValuesOf(_, pc))
       if (vs.isEmpty) None else Some(vs.reduce(_ intersect _))
     }
+    // PARTITION-TRANSFORM restrictions ([[graft.ops.PartSpec]]): per
+    // dim, the set of transformed probe values equality/IN conjuncts
+    // allow, and — for monotone dims — the transformed interval range
+    // conjuncts allow. Each is a NECESSARY per-dim condition, so
+    // requiring a recorded value inside every restricted dim is sound.
+    val dimRestr: Seq[(graft.ops.PartSpec.Dim, Option[Set[String]],
+        Option[(Long, Long)])] =
+      partSpec.flatMap { d =>
+        def isDimCol(x: Expression) = x match {
+          case a: Attribute => spark.sessionState.conf.resolver(a.name, d.col)
+          case _ => false
+        }
+        val sets = dataFilters.flatMap { e =>
+          (e match {
+            case EqualTo(a, l: Literal) if isDimCol(a) =>
+              Some(Seq(l))
+            case EqualTo(l: Literal, a) if isDimCol(a) =>
+              Some(Seq(l))
+            case In(a, vs) if isDimCol(a) &&
+                vs.forall(_.isInstanceOf[Literal]) =>
+              Some(vs.collect { case l: Literal => l })
+            case _ => None
+          }).flatMap { lits =>
+            val mapped = lits.flatMap(graft.ops.PartSpec.valueOf(d, _))
+            // every literal must translate, else the conjunct proves
+            // nothing for this dim (conservative)
+            if (mapped.size == lits.size) Some(mapped.toSet) else None
+          }
+        }
+        val set = if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+        val range: Option[(Long, Long)] =
+          if (!d.monotone) None
+          else {
+            val dt = dataFilters.flatMap(_.collect {
+              case a: Attribute
+                  if spark.sessionState.conf.resolver(a.name, d.col) =>
+                a.dataType
+            }).headOption
+            dt.flatMap { t =>
+              val bs = dataFilters.flatMap(boundOf(_, d.col))
+              if (bs.isEmpty) None
+              else {
+                val (lo, hi) = bs.reduce((x, y) =>
+                  (math.max(x._1, y._1), math.min(x._2, y._2)))
+                for {
+                  dl <- if (lo == Long.MinValue) Some(Long.MinValue)
+                        else graft.ops.PartSpec.boundOf(d, lo, t)
+                  dh <- if (hi == Long.MaxValue) Some(Long.MaxValue)
+                        else graft.ops.PartSpec.boundOf(d, hi, t)
+                } yield (dl, dh)
+              }
+            }
+          }
+        if (set.isEmpty && range.isEmpty) None else Some((d, set, range))
+      }
     def keep(e: Layout.FileEntry): Boolean = {
       // a file the manifest KNOWS is empty (rows=0 — e.g. the data file
       // behind CREATE TABLE's empty first commit) contributes nothing to
@@ -330,6 +386,32 @@ class SnapshotFileIndex(
         }
       }
       val partOk = partWant.forall(want => e.parts.forall(_.exists(want)))
+      val specOk = dimRestr.forall { case (d, set, range) =>
+        val prefix = s"${d.idx}:"
+        e.parts match {
+          case None => true // legacy entry: nothing recorded, keep
+          case Some(ps) =>
+            val vs = ps.collect {
+              case s if s.startsWith(prefix) => s.substring(prefix.length)
+            }
+            if (vs.isEmpty) true // dim not recorded for this file: keep
+            else {
+              val setOk = set.forall(w => vs.exists(w))
+              val rangeOk = range.forall { case (lo, hi) =>
+                vs.exists { v =>
+                  v.toLongOption match {
+                    case Some(l) => l >= lo && l <= hi
+                    // the NUL sentinel marks null source rows — a range
+                    // predicate is never true on null; any other
+                    // unparseable value keeps (conservative)
+                    case None => v != graft.ops.PartSpec.NullSentinel
+                  }
+                }
+              }
+              setOk && rangeOk
+            }
+        }
+      }
       // null-count pruning: `c IS NULL` skips files recording zero nulls
       // in c; `c IS NOT NULL` skips files whose every row is null in c
       // (an all-null file under an IS NOT NULL conjunct yields no rows).
@@ -345,7 +427,7 @@ class SnapshotFileIndex(
               st.rows > 0 }))
         case _ => true
       }
-      statsOk && strOk && dblOk && partOk && nullOk
+      statsOk && strOk && dblOk && partOk && specOk && nullOk
     }
     entries.filter(keep).map(e => e -> statusOf(e))
   }
