@@ -969,7 +969,8 @@ object Layout {
     * rename/drop engine for the mapping pair).
     */
   private[graft] val ReservedProps = Set("deleteKey", "statsKey", "partCol",
-    "partSpec", "clusterBy", "colmap", "tombstones") ++ EphemeralHeaders
+    "partSpec", "ndvKey", "clusterBy", "colmap", "tombstones") ++
+    EphemeralHeaders
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
     hdr -- EphemeralHeaders
@@ -1435,11 +1436,13 @@ object Layout {
   private def entriesForNewFiles(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
-    // per-file KMV distinct-count synopses for the declared `ndvKey`
-    // columns: ONE distributed aggregate over only the new files (the
-    // amortized commit-time price, like the stats footer pass), merged
-    // at read into optimizer-visible NDV ([[graft.sources.GraftScan]]).
-    val ndv: Map[String, Map[String, Seq[Long]]] = props.get("ndvKey") match {
+    // per-file KMV distinct-count synopses (and null counts) for the
+    // declared `ndvKey` columns: ONE distributed aggregate over only
+    // the new files (the amortized commit-time price, like the stats
+    // footer pass), merged at read into optimizer-visible NDV
+    // ([[graft.sources.GraftScan]]).
+    val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long])] =
+      props.get("ndvKey") match {
       case Some(spec) =>
         import graft.functions.KmvSketch
         val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
@@ -1447,16 +1450,22 @@ object Layout {
           .filter(df.columns.contains)
         if (cols.isEmpty) Map.empty
         else {
+          // sketch + null count per column in ONE pass: CBO's
+          // hasCountStats needs BOTH (distinctCount alone is ignored)
           val aggs = cols.map(c =>
             KmvSketch.kmv(col(c).cast("string"),
-              KmvSketch.ManifestK).as(c))
+              KmvSketch.ManifestK).as(c)) ++
+            cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+              .as(s"__z_$c"))
           df.groupBy(input_file_name().as("__graft_f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()
             .map { r =>
-              uriPath(r.getString(0)) -> cols.zipWithIndex.map {
+              uriPath(r.getString(0)) -> (cols.zipWithIndex.map {
                 case (c, i) => c -> r.getSeq[Long](i + 1)
-              }.toMap
+              }.toMap, cols.zipWithIndex.map {
+                case (c, i) => c -> r.getLong(cols.size + i + 1)
+              }.toMap)
             }.toMap
         }
       case None => Map.empty
@@ -1465,9 +1474,14 @@ object Layout {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
-          .map(ms => ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
-            ms.nulls, ms.dblCols,
-            ndv.getOrElse(uriPath(ms.path), Map.empty)))
+          .map { ms =>
+            val (sk, zs) = ndv.getOrElse(uriPath(ms.path),
+              (Map.empty[String, Seq[Long]], Map.empty[String, Long]))
+            // ndv-pass null counts fill in for columns the footer pass
+            // didn't cover (ndvKey need not be a statsKey column)
+            ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
+              zs ++ ms.nulls, ms.dblCols, sk)
+          }
           .toMap
       case None => Map.empty
     }
@@ -1528,8 +1542,10 @@ object Layout {
   def snapshotAppend(spark: org.apache.spark.sql.SparkSession, root: String,
       df: DataFrame, statsKey: Option[String] = None,
       clusterBy: Option[String] = None,
-      extraProps: Map[String, String] = Map.empty): Int =
-    appendInternal(spark, root, df, statsKey, None, clusterBy, extraProps)
+      extraProps: Map[String, String] = Map.empty,
+      ndvKey: Option[String] = None): Int =
+    appendInternal(spark, root, df, statsKey, None, clusterBy, extraProps,
+      ndvKey = ndvKey)
 
   /** [[snapshotAppend]] for a PARTITIONED table: `partCol`, declared on
     * the first commit, becomes a table property; the data is shuffled so
@@ -1591,7 +1607,8 @@ object Layout {
       root: String, df: DataFrame, statsKey: Option[String],
       partCol: Option[String], clusterBy: Option[String] = None,
       extraProps: Map[String, String] = Map.empty,
-      partSpec: Option[String] = None): Int = {
+      partSpec: Option[String] = None,
+      ndvKey: Option[String] = None): Int = {
     require(extraProps.keySet.intersect(ReservedProps).isEmpty,
       s"extraProps must not set engine-owned keys: " +
         extraProps.keySet.intersect(ReservedProps).mkString(", "))
@@ -1607,6 +1624,8 @@ object Layout {
         require(e == p, s"table partition column is '$e', not '$p'")
       for (s <- partSpec; e <- prevHdr.get("partSpec"))
         require(e == s, s"table partition spec is '$e', not '$s'")
+      for (n <- ndvKey; e <- prevHdr.get("ndvKey"))
+        require(e == n, s"table NDV columns are '$e', not '$n'")
       for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
         require(e == c, s"table cluster columns are '$e', not '$c'")
       // user properties (incl. check.* constraints) may DECLARE at the
@@ -1615,6 +1634,7 @@ object Layout {
         carriedProps(prevHdr) ++
         statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
         partSpec.map("partSpec" -> _) ++
+        ndvKey.map("ndvKey" -> _) ++
         clusterBy.map("clusterBy" -> _)
     }
     val prev = snapshotVersions(spark, root)
@@ -1708,7 +1728,8 @@ object Layout {
       // properties this attempt's entries were not computed under
       if (effProps.get("statsKey") != attemptProps.get("statsKey") ||
           effProps.get("partCol") != attemptProps.get("partCol") ||
-          effProps.get("partSpec") != attemptProps.get("partSpec")) {
+          effProps.get("partSpec") != attemptProps.get("partSpec") ||
+          effProps.get("ndvKey") != attemptProps.get("ndvKey")) {
         entries = entriesForNewFiles(spark, newFiles, effProps)
       }
       // a concurrent SET TBLPROPERTIES may have added a constraint this
@@ -2354,9 +2375,14 @@ object Layout {
           s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
         e.stats.map(_.dblCols.view.mapValues { case (mn, mx) =>
           s"$mn..$mx" }.toMap).getOrElse(Map.empty[String, String]),
-        e.parts.getOrElse(Seq.empty[String]))
+        e.parts.getOrElse(Seq.empty[String]),
+        // per-file NDV estimates from the ndvKey KMV synopses
+        e.stats.map(_.ndv.view.mapValues(sk => math.max(1L, math.round(
+          graft.functions.KmvSketch.estimateDistinct(sk.toArray,
+            graft.functions.KmvSketch.ManifestK)))).toMap)
+          .getOrElse(Map.empty[String, Long]))
     }.toDF("path", "rows", "col_ranges", "str_ranges", "dbl_ranges",
-      "partitions")
+      "partitions", "ndv")
   }
 
   /** METADATA-ONLY ROW COUNT — `SELECT count(*)` answered from the

@@ -247,7 +247,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         empty, sp, statsKey = prop("statsKey"), extraProps = userProps)
       case (None, None) => Layout.snapshotAppend(spark, root, empty,
         statsKey = prop("statsKey"), clusterBy = prop("clusterBy"),
-        extraProps = userProps)
+        extraProps = userProps, ndvKey = prop("ndvKey"))
     }
     GraftTable(root, ident.toString, -1)
   }

@@ -497,17 +497,83 @@ private[graft] class GraftScan(val root: String, identName: String,
   /** Optimizer-visible statistics from the manifest: pruned real bytes
     * always; exact row counts only when no residual filter could shrink
     * the output below the manifest's count (i.e. an unfiltered scan
-    * whose every kept entry carries stats).
+    * whose every kept entry carries stats); and per-column DISTINCT
+    * counts for the table's declared `ndvKey` columns — the kept files'
+    * KMV synopses merge (k-smallest union) into one estimate, which
+    * Spark's `transformV2Stats` carries into the logical plan's
+    * attributeStats where CBO's aggregate/join estimation reads it.
+    * NDV reports only on unfiltered scans (a residual filter shrinks
+    * true NDV unboundably — reporting the unfiltered value could steer
+    * the optimizer wrong in the OTHER direction than conservative).
     */
+  /** Pushed filters that provably remove NO rows from the kept files —
+    * `IsNotNull(c)` where every kept entry records zero nulls in `c`
+    * (the filter residue join/aggregate planning pushes down in the
+    * common case). Under such filters the unfiltered manifest counts
+    * are still EXACT, so numRows/columnStats keep reporting; anything
+    * else refuses (a count that ignores a row-dropping filter would
+    * overstate, steering CBO wrong).
+    */
+  private def filtersProvablyNoOp(fs: Seq[Expression]): Boolean =
+    staticKept.nonEmpty && fs.forall {
+      case org.apache.spark.sql.catalyst.expressions
+          .IsNotNull(a: Attribute) =>
+        val phys = cmap.getOrElse(a.name, a.name)
+        staticKept.forall(_._1.stats.exists(
+          _.nulls.get(phys).contains(0L)))
+      case _ => false
+    }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(staticKept.map(_._2.getLen).sum)
     override def numRows(): OptionalLong =
-      if (dataFilters.isEmpty && staticKept.nonEmpty &&
+      if ((dataFilters.isEmpty || filtersProvablyNoOp(dataFilters)) &&
+          staticKept.nonEmpty &&
           staticKept.forall(_._1.stats.isDefined))
         OptionalLong.of(staticKept.map(_._1.stats.get.rows).sum)
       else if (staticKept.isEmpty) OptionalLong.of(0L)
       else OptionalLong.empty()
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import graft.functions.KmvSketch
+      if ((dataFilters.nonEmpty && !filtersProvablyNoOp(dataFilters)) ||
+          staticKept.isEmpty)
+        return java.util.Collections.emptyMap()
+      val cols = staticKept.flatMap(_._1.stats.toSeq.flatMap(_.ndv.keys))
+        .distinct
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      cols.foreach { c =>
+        val sketches = staticKept.map(_._1.stats.toSeq
+          .flatMap(_.ndv.get(c)).headOption)
+        // every kept file must carry the synopsis, else the merge is a
+        // partial view and the estimate a silent undercount
+        val nullCounts = staticKept.map(_._1.stats.toSeq
+          .flatMap(_.nulls.get(c)).headOption)
+        if (sketches.forall(_.isDefined) && nullCounts.forall(_.isDefined)) {
+          val merged = sketches.flatten
+            .reduce((a, b) => KmvSketch.merge(a, b))
+          val est = math.max(1L, math.round(
+            KmvSketch.estimateDistinct(merged.toArray,
+              KmvSketch.ManifestK)))
+          val nulls = nullCounts.flatten.sum
+          // logical (post-rename) name for the optimizer; BOTH counts
+          // reported — catalyst's hasCountStats gate ignores a distinct
+          // count arriving without its null count
+          val logical = reverseMap.getOrElse(c, c)
+          out.put(Expressions.column(logical),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(est)
+              override def nullCount(): OptionalLong =
+                OptionalLong.of(nulls)
+            })
+        }
+      }
+      out
+    }
   }
 
   /** The columns a runtime `IN` filter can prune files on: the table's
@@ -527,7 +593,13 @@ private[graft] class GraftScan(val root: String, identName: String,
     // recorded dim values ([[SnapshotFileIndex]]'s dimRestr path)
     val specCols = header.get("partSpec").toSeq
       .flatMap(s => graft.ops.PartSpec.parse(s).map(_.col))
+    val resolver = SparkSession.active.sessionState.conf.resolver
     (header.get("partCol").toSeq ++ specCols ++ statCols).distinct
+      // only columns surviving the PROJECTION: Spark's PartitionPruning
+      // resolves advertised refs against the scan's pruned output and
+      // THROWS on a miss — a filterable column the query never reads
+      // must simply not be advertised
+      .filter(c => required.fields.exists(f => resolver(f.name, c)))
       .map(Expressions.column).toArray
   }
 

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+import graft.ops.Layout
+
+/** Manifest NDV statistics: per-file KMV synopses for the declared
+  * `ndvKey` columns, merged at scan into optimizer-visible per-column
+  * distinct counts (DSv2 column statistics → catalyst attributeStats)
+  * — proven by a JOIN-SIDE BROADCAST DECISION FLIP: the same
+  * aggregate-then-join query broadcasts its aggregated side only when
+  * the NDV says the group count is tiny.
+  */
+class NdvStatsSpec extends GraftSuite {
+
+  private lazy val wh: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndv").toString
+    spark.conf.set("spark.sql.catalog.gndv",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gndv.root", dir)
+    dir
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  /** Broadcast in the STATIC physical plan — the cost-based decision
+    * the statistics drive. (AQE would later convert any small-enough
+    * shuffle at runtime regardless of estimates; the point of optimizer
+    * NDV is making the right plan BEFORE running anything, which at
+    * 100 TB is the difference between planning a shuffle and not.)
+    */
+  private def hasBroadcast(df: DataFrame): Boolean = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+    // executedPlan (exchanges inserted); the test runs with AQE OFF so
+    // this is exactly the static cost-based plan
+    walk(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastExchangeLike])
+  }
+
+  test("KMV synopses ride the manifest; merged estimate lands in graft.t.files and scan column stats") {
+    wh
+    import spark.implicits._
+    sql("CREATE TABLE gndv.t (k BIGINT, g STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k', 'ndvKey'='g')")
+    // two inserts, 10 distinct g values over 4000 rows
+    for (half <- 0 to 1) {
+      (0 until 2000).map(i => (half * 2000L + i, s"g${i % 10}", i / 2.0))
+        .toDF("k", "g", "v").createOrReplaceTempView("ndv_src")
+      sql("INSERT INTO gndv.t SELECT * FROM ndv_src")
+    }
+    // per-file estimates exposed in the metadata table
+    val ndvRows = sql("SELECT ndv FROM gndv.t.files WHERE rows > 0")
+      .collect().map(_.getMap[String, Long](0))
+    assert(ndvRows.nonEmpty && ndvRows.forall(m => m.contains("g")),
+      s"every data file must carry a g synopsis: ${ndvRows.toSeq}")
+    assert(ndvRows.forall(m => m("g") == 10L),
+      s"below k the estimate is exact: ${ndvRows.map(_("g")).toSeq}")
+    // the scan's merged column stats see ONE estimate across files
+    val scanStats = new graft.sources.GraftScanBuilderProbe(
+      spark, s"$wh/t").columnStats()
+    assert(scanStats.get("g").contains(10L),
+      s"merged scan NDV must be 10: $scanStats")
+  }
+
+  test("NDV flips the broadcast decision on an aggregate-join (CBO)") {
+    wh
+    import spark.implicits._
+    // twin fact tables: same data, one WITH ndvKey, one WITHOUT
+    for (t <- Seq("fa", "fb")) {
+      sql(s"CREATE TABLE gndv.$t (k BIGINT, g STRING, v DOUBLE) " +
+        "TBLPROPERTIES ('statsKey'='k'" +
+        (if (t == "fa") ", 'ndvKey'='g'" else "") + ")")
+      (0 until 20000).map(i => (i.toLong, s"grp${i % 8}", i / 2.0))
+        .toDF("k", "g", "v").createOrReplaceTempView(s"${t}_src")
+      sql(s"INSERT INTO gndv.$t SELECT * FROM ${t}_src")
+    }
+    // the probe side must be BIG (over the broadcast threshold), so the
+    // only broadcastable side is the aggregate — whose size estimate is
+    // exactly what the NDV statistic determines
+    sql("CREATE TABLE gndv.big (g STRING, w DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='w')")
+    (0 until 20000).map(i => (s"grp${i % 8}", i * 1.0)).toDF("g", "w")
+      .createOrReplaceTempView("big_src")
+    sql("INSERT INTO gndv.big SELECT * FROM big_src")
+    def aggJoin(t: String): DataFrame = sql(
+      s"""SELECT j.g, j.c, b.w FROM
+         |  (SELECT g, count(*) AS c FROM gndv.$t GROUP BY g) j
+         |JOIN gndv.big b ON j.g = b.g""".stripMargin)
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val savedThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // a threshold below the raw table size but far above 8 grouped rows
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    // AQE off: it would convert any small runtime shuffle regardless of
+    // estimates — the point here is the STATIC cost-based decision
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val withNdv = aggJoin("fa")
+      val without = aggJoin("fb")
+      assert(withNdv.collect().length == 20000 &&
+        without.collect().length == 20000, "answers agree")
+      assert(hasBroadcast(withNdv),
+        "NDV=8 → the aggregate is provably tiny → broadcast:\n" +
+          withNdv.queryExecution.executedPlan)
+      // the twin without NDV estimates the aggregate at its child's
+      // size and must NOT broadcast under the same threshold — the
+      // flip isolates the statistic as the cause
+      assert(!hasBroadcast(without),
+        "without NDV the same plan must stay shuffle-joined:\n" +
+          without.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThr)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
+  test("NDV survives the append path and stays mergeable across many files") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ndv2").toString + "/t"
+    // 5 appends, overlapping value sets: true NDV = 200
+    for (b <- 0 until 5) {
+      Layout.snapshotAppend(spark, root,
+        (0 until 1000).map(i => (b * 1000L + i, s"u${(i + b * 37) % 200}"))
+          .toDF("k", "u"),
+        statsKey = Some("k"), ndvKey = Some("u"))
+    }
+    val (_, index) = Layout.snapshotTableWithIndex(spark, root)
+    val entries = index.inputFiles
+    assert(entries.length >= 5, s"need >=5 files, got ${entries.length}")
+    val sketches = Layout.snapshotMeta(spark, root).header // header check
+    val merged = Layout.snapshotFilesTable(spark, root)
+      .select("ndv").collect().map(_.getMap[String, Long](0))
+      .filter(_.nonEmpty)
+    assert(merged.nonEmpty)
+    // scan-level merged estimate within KMV tolerance of 200
+    val est = new graft.sources.GraftScanBuilderProbe(spark, root)
+      .columnStats()("u")
+    assert(est > 150 && est < 260,
+      s"merged estimate $est should be within ~13% RSE of 200")
+  }
+}
