@@ -55,3 +55,101 @@ final class FnTokenizer(f: String => Seq[String]) extends Tokenizer {
     u(text)
   }
 }
+
+/** A REAL BPE behind the seam — the byte-pair-encoding algorithm of
+  * Sennrich et al. 2016 (the GPT-2-family shape): a word starts as its
+  * character sequence and the highest-priority adjacent pair (lowest
+  * merge rank) merges everywhere, repeatedly, until no ranked pair
+  * remains; the merges table IS the model. This is the deployable form
+  * of the seam: load a standard `merges.txt` (one `left right` pair per
+  * line, priority = line order), BROADCAST the ranks once, and every
+  * token-pricing operator (t1 counts, t11 packing, a12 budget
+  * admission, ST28's live gate) prices with the real vocabulary —
+  * executors hold ONE shared copy of the table, not one per task
+  * closure.
+  *
+  * Pre-tokenization is whitespace (the corpus contract); merges are
+  * word-internal. Unknown characters pass through as single-character
+  * tokens (count-stable — a pricing tokenizer must never drop text).
+  */
+final class BpeTokenizer(
+    ranks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+    extends Tokenizer {
+  override def tokenizeCol(text: Column): Column = {
+    val u = udf((s: String) =>
+      if (s == null) Seq.empty[String]
+      else BpeTokenizer.encode(s, ranks.value))
+    u(text)
+  }
+}
+
+object BpeTokenizer {
+  /** Build from merge lines (`left right` per line, priority = order;
+    * `#`-prefixed header lines and blanks skipped — the merges.txt
+    * convention).
+    */
+  def fromMerges(spark: org.apache.spark.sql.SparkSession,
+      lines: Seq[String]): BpeTokenizer = {
+    val ranks = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.flatMap { case (l, i) =>
+        l.split("\\s+") match {
+          case Array(a, b) => Some((a, b) -> i)
+          case _ => None
+        }
+      }.toMap
+    require(ranks.nonEmpty, "empty merges table")
+    new BpeTokenizer(spark.sparkContext.broadcast(ranks))
+  }
+
+  /** Load a merges file from any Hadoop-visible path. */
+  def fromMergesFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeTokenizer = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    fromMerges(spark, lines)
+  }
+
+  /** Whitespace pre-tokenize, then BPE each word. */
+  def encode(text: String, ranks: Map[(String, String), Int]): Seq[String] =
+    text.split(' ').toSeq.filter(_.nonEmpty)
+      .flatMap(encodeWord(_, ranks))
+
+  /** Greedy rank-order merging: repeatedly find the adjacent pair with
+    * the LOWEST rank and merge every occurrence, until no pair ranks.
+    * Words are short; the quadratic-worst-case loop is fine per word.
+    */
+  private[functions] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    if (word.isEmpty) return Nil
+    var symbols: Vector[String] = word.map(_.toString).toVector
+    while (symbols.length > 1) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < symbols.length - 1) {
+        val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (symbols(i), symbols(i + 1)) }
+        i += 1
+      }
+      if (best == null) return symbols
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < symbols.length) {
+        if (j < symbols.length - 1 &&
+            symbols(j) == best._1 && symbols(j + 1) == best._2) {
+          out += best._1 + best._2
+          j += 2
+        } else {
+          out += symbols(j)
+          j += 1
+        }
+      }
+      symbols = out.result()
+    }
+    symbols
+  }
+}

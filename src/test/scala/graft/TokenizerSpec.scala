@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FnTokenizer, RegexBpeTokenizer, WhitespaceTokenizer}
+import graft.functions.{BpeTokenizer, FnTokenizer, RegexBpeTokenizer,
+  WhitespaceTokenizer}
 
 /** The Tokenizer boundary (the Decoder seam for token-priced operators):
   * default ≡ pre-seam behavior, a kernel-function tokenizer matches its
@@ -51,6 +52,39 @@ class TokenizerSpec extends GraftSuite {
       "packing bins must be driven by the injected tokenizer's counts")
     // and they genuinely differ from the whitespace packing
     assert(got.exceptAll(text.TextOps.t11SeqPacking(spark, sf)).count() > 0)
+  }
+
+  test("BpeTokenizer: merge ranks apply in priority order; vocab pack loads, broadcasts, and drives t11 + a12") {
+    // the classic BPE walkthrough: with merges (l,o) < (lo,w) < (e,r),
+    // "lower" → l o w e r → lo w e r → low e r → low er
+    val merges = Seq("# version: test", "l o", "lo w", "e r")
+    val ranks = Seq(("l", "o") -> 0, ("lo", "w") -> 1, ("e", "r") -> 2).toMap
+    assert(BpeTokenizer.encode("lower lowest low", ranks) ==
+      Seq("low", "er", "low", "e", "s", "t", "low"),
+      "rank order decides the merge sequence")
+    assert(BpeTokenizer.encode("", ranks).isEmpty)
+    assert(BpeTokenizer.encode("xyz", ranks) == Seq("x", "y", "z"),
+      "unranked characters pass through — pricing never drops text")
+    // load the pack from a file, broadcast, and run the real operators
+    val mf = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.write(mf, merges.mkString("\n").getBytes("UTF-8"))
+    val bpe = BpeTokenizer.fromMergesFile(spark, mf.toString)
+    // the UDF path must agree exactly with driver-side encode
+    val kernelTwin = new FnTokenizer(s =>
+      BpeTokenizer.encode(s, ranks))
+    val viaPack = text.TextOps.t11SeqPackingWith(spark, sf, bpe)
+    val viaTwin = text.TextOps.t11SeqPackingWith(spark, sf, kernelTwin)
+    assert(viaPack.exceptAll(viaTwin).isEmpty &&
+      viaTwin.exceptAll(viaPack).isEmpty,
+      "broadcast-pack tokenization ≡ driver-side encode through packing")
+    // and it genuinely re-prices vs whitespace (different bins)
+    assert(viaPack.exceptAll(text.TextOps.t11SeqPacking(spark, sf))
+      .count() > 0)
+    val a12Pack = ops.Sampling.a12TokenBudgetMixWith(spark, sf, bpe)
+    val a12Twin = ops.Sampling.a12TokenBudgetMixWith(spark, sf, kernelTwin)
+    assert(a12Pack.exceptAll(a12Twin).isEmpty &&
+      a12Twin.exceptAll(a12Pack).isEmpty,
+      "budget admission under the vocab pack ≡ the same kernel inline")
   }
 
   test("ST28 admission gate prices batches with the injected tokenizer") {
