@@ -1646,7 +1646,8 @@ object Dedup {
               coalesce(col("n_copies"), lit(0L))).as("n_copies"))
       }
     Layout.snapshotOverwrite(spark, viewRoot,
-      newState.withColumn("base_version", lit(head)))
+      newState.withColumn("base_version", lit(head)),
+      extraHeader = Map("mvBase" -> head.toString))
     head
   }
 

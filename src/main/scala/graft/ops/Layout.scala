@@ -962,7 +962,8 @@ object Layout {
     * everything else carries across commits (the `deleteKey` carry rule,
     * generalized to user properties and `check.*` constraints).
     */
-  private val EphemeralHeaders = Set("ts", "writer", "epoch", "schema")
+  private val EphemeralHeaders = Set("ts", "writer", "epoch", "schema",
+    "mvBase")
 
   /** Engine-owned properties a user must not SET/UNSET directly — each
     * has its own evolution path (declaration at first commit; the
@@ -1772,7 +1773,7 @@ object Layout {
     * (an overwrite's content carries no sidecar debt).
     */
   def snapshotOverwrite(spark: org.apache.spark.sql.SparkSession, root: String,
-      df: DataFrame): Int = {
+      df: DataFrame, extraHeader: Map[String, String] = Map.empty): Int = {
     val prev = snapshotVersions(spark, root)
     val v = prev.lastOption.getOrElse(0) + 1
     // an overwrite REPLACES the content with the caller's logical frame:
@@ -1784,9 +1785,12 @@ object Layout {
     enforceConstraints(props, df, "overwrite")
     val dataDir = attemptDir(root, "data", v)
     df.write.mode("error").parquet(dataDir)
+    // extraHeader: PER-COMMIT metadata (EphemeralHeaders — never
+    // carried), e.g. the maintainers' mvBase freshness stamp
     commitManifest(spark, root, v, Nil,
       entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props ++ schemaHeaderOf(mergeSchemas(None, df.schema)))
+      header = props ++ extraHeader ++
+        schemaHeaderOf(mergeSchemas(None, df.schema)))
     v
   }
 
@@ -3253,16 +3257,26 @@ object Layout {
     else ds.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** The base version a maintainer's view table currently reflects (the
-    * max `base_version` stamp), 0 for an empty view — the shared read of
-    * the maintainer protocol.
+  /** The base version a maintainer's view table currently reflects —
+    * from the view head's `mvBase` commit header when present (an
+    * O(manifest) METADATA read: the MV rewrite's per-query freshness
+    * check must not cost a Spark job), falling back to the max
+    * `base_version` row stamp for views committed before the header
+    * existed; 0 for an empty view. The header is EPHEMERAL (never
+    * carried), so only a maintainer's own commit can assert it — any
+    * other overwrite drops it and the row fallback stays authoritative.
     */
   def viewProcessedVersion(spark: org.apache.spark.sql.SparkSession,
-      viewRoot: String): Int =
-    if (snapshotVersions(spark, viewRoot).isEmpty) 0
-    else readSnapshot(spark, viewRoot)
-      .agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col("base_version"))).head().getInt(0)
+      viewRoot: String): Int = {
+    val vs = snapshotVersions(spark, viewRoot)
+    if (vs.isEmpty) 0
+    else manifestHeader(spark, viewRoot, vs.last).get("mvBase")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(readSnapshot(spark, viewRoot)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("base_version")))
+        .head().getInt(0))
+  }
 
   /** Append-only lineage test between two versions: every `from` data
     * file still referenced at `to` AND no delete-sidecar change (a MOR
@@ -3386,7 +3400,8 @@ object Layout {
             mergedNn.as("nn"))
       }
     snapshotOverwrite(spark, viewRoot,
-      newState.withColumn("base_version", lit(head)))
+      newState.withColumn("base_version", lit(head)),
+      extraHeader = Map("mvBase" -> head.toString))
     head
   }
 
@@ -3449,7 +3464,8 @@ object Layout {
           .filter(col("n") > 0)
       }
     snapshotOverwrite(spark, viewRoot,
-      newState.withColumn("base_version", lit(head)))
+      newState.withColumn("base_version", lit(head)),
+      extraHeader = Map("mvBase" -> head.toString))
     head
   }
 

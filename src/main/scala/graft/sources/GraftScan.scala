@@ -355,6 +355,9 @@ private[graft] class GraftScan(val root: String, identName: String,
   /** Total entries, for plan-evidence ("kept/total"). */
   private val totalFiles = index.inputFiles.length
 
+  /** Observability twin of [[lastPlannedFiles]]'s denominator. */
+  def totalFilesVisible: Int = totalFiles
+
   /** Runtime (DPP-delivered) filters; empty until [[filter]] runs. */
   @volatile private var runtime: Seq[Expression] = Nil
 
@@ -362,6 +365,9 @@ private[graft] class GraftScan(val root: String, identName: String,
     * the pruning specs, mirroring [[SnapshotFileIndex.lastListedFiles]].
     */
   @volatile var lastPlannedFiles: Int = staticKept.size
+
+  /** Bytes behind the most recently planned file list. */
+  @volatile var lastPlannedBytes: Long = staticKept.map(_._2.getLen).sum
 
   // the inner scan is rebuilt per toBatch call because BatchScanExec
   // re-invokes toBatch AFTER delivering runtime filters; schema is
@@ -373,6 +379,7 @@ private[graft] class GraftScan(val root: String, identName: String,
         index.prunedEntries(physFilters(dataFilters ++ runtime)),
         physFilters(dataFilters ++ runtime))
     lastPlannedFiles = kept.size
+    lastPlannedBytes = kept.map(_._2.getLen).sum
     GraftScanUtil.innerScan(identName, physSchema(tableSchema),
       physSchema(required), physFilters(dataFilters ++ runtime),
       kept.map(_._1.path), options)
