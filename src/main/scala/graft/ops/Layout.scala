@@ -1434,6 +1434,103 @@ object Layout {
     * later read ever re-derives them. Files missing the stats column
     * record the conservative full range (prune nothing, stay correct).
     */
+  /** Per-file (KMV sketch, null count, row count) for `cols` over
+    * `files` — ONE distributed aggregate; the shared engine under the
+    * commit-time `ndvKey` pass and [[snapshotAnalyze]]'s backfill.
+    * Columns absent from the files' merged schema are skipped
+    * (recorded-nothing = prune-nothing, conservative).
+    */
+  private def ndvSynopsesFor(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], cols0: Seq[String])
+      : Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] = {
+    import graft.functions.KmvSketch
+    if (files.isEmpty || cols0.isEmpty) return Map.empty
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val cols = cols0.filter(df.columns.contains)
+    if (cols.isEmpty) return Map.empty
+    // sketch + null count per column (and the file's row count) in ONE
+    // pass: CBO's hasCountStats needs BOTH counts (a distinct count
+    // arriving alone is ignored)
+    val aggs = cols.map(c =>
+      KmvSketch.kmv(col(c).cast("string"), KmvSketch.ManifestK).as(c)) ++
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"__z_$c")) :+ count(lit(1)).as("__graft_rows")
+    df.groupBy(input_file_name().as("__graft_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        uriPath(r.getString(0)) -> (cols.zipWithIndex.map {
+          case (c, i) => c -> r.getSeq[Long](i + 1)
+        }.toMap, cols.zipWithIndex.map {
+          case (c, i) => c -> r.getLong(cols.size + i + 1)
+        }.toMap, r.getLong(2 * cols.size + 1))
+      }.toMap
+  }
+
+  /** ANALYZE TABLE — the statistics-backfill commit: compute KMV NDV
+    * synopses (+ null counts, + exact row counts) for `cols` over EVERY
+    * data file of the head and republish the manifest with the enriched
+    * entries — one distributed pass over the table (the ANALYZE price a
+    * user opts into), one O(files) metadata commit, zero data rewritten
+    * (entries re-serialize inline; the files themselves are untouched
+    * and stay carried by path). Declares `ndvKey = cols` so every
+    * SUBSEQUENT append keeps the synopses fresh at commit time — after
+    * one ANALYZE the table maintains its own statistics. Entries that
+    * had no stats at all (tables created before a statsKey, raw
+    * appends) gain exact row counts, which also unlocks the
+    * metadata-only COUNT pushdown and optimizer row counts for them.
+    * Returns the committed version.
+    */
+  def snapshotAnalyze(spark: org.apache.spark.sql.SparkSession,
+      root: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "ANALYZE needs at least one column")
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val head = vs.last
+    val hdr = manifestHeader(spark, root, head)
+    val entries = manifestEntries(spark, root, head)
+    val dataFiles = entries.map(_.path)
+    // stats ride PHYSICAL names (the files' own columns)
+    val phys = cols.map(c => physicalNameOf(hdr, c))
+    if (dataFiles.nonEmpty) {
+      // fail loudly on a column the files don't have — a silently
+      // skipped column would "analyze" nothing while declaring ndvKey
+      val have = spark.read.option("mergeSchema", "true")
+        .parquet(dataFiles: _*).columns.toSet
+      val missing = phys.filterNot(have)
+      require(missing.isEmpty,
+        s"ANALYZE columns not in the table: ${missing.mkString(", ")}")
+    }
+    val syn = ndvSynopsesFor(spark, dataFiles, phys)
+    val enriched = entries.map { e =>
+      syn.get(uriPath(e.path)) match {
+        case None =>
+          // the pass read EVERY data file, so a file with no group
+          // provably holds zero rows (e.g. CREATE's empty first file):
+          // record that — exact empty stats, an empty sketch per
+          // column — so it stops blocking whole-scan statistics
+          val st = e.stats.getOrElse(FileStats(Map.empty, Map.empty, 0L,
+            phys.map(_ -> 0L).toMap, Map.empty,
+            phys.map(_ -> Seq.empty[Long]).toMap))
+          e.copy(stats = Some(st))
+        case Some((sk, zs, rows)) =>
+          val st = e.stats match {
+            case Some(s) => s.copy(nulls = zs ++ s.nulls, ndv = sk)
+            case None => FileStats(Map.empty, Map.empty, rows, zs,
+              Map.empty, sk)
+          }
+          e.copy(stats = Some(st))
+      }
+    }
+    val carried = carriedStateOf(spark, root, Some(head))
+    val v = head + 1
+    commitManifest(spark, root, v, Nil, enriched,
+      header = carried.props + ("ndvKey" -> cols.mkString(",")) ++
+        schemaHeaderOf(carried.schema),
+      deletes = carried.deletes)
+    v
+  }
+
   private def entriesForNewFiles(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
@@ -1442,49 +1539,31 @@ object Layout {
     // the new files (the amortized commit-time price, like the stats
     // footer pass), merged at read into optimizer-visible NDV
     // ([[graft.sources.GraftScan]]).
-    val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long])] =
+    val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] =
       props.get("ndvKey") match {
-      case Some(spec) =>
-        import graft.functions.KmvSketch
-        val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-        val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-          .filter(df.columns.contains)
-        if (cols.isEmpty) Map.empty
-        else {
-          // sketch + null count per column in ONE pass: CBO's
-          // hasCountStats needs BOTH (distinctCount alone is ignored)
-          val aggs = cols.map(c =>
-            KmvSketch.kmv(col(c).cast("string"),
-              KmvSketch.ManifestK).as(c)) ++
-            cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
-              .as(s"__z_$c"))
-          df.groupBy(input_file_name().as("__graft_f"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect()
-            .map { r =>
-              uriPath(r.getString(0)) -> (cols.zipWithIndex.map {
-                case (c, i) => c -> r.getSeq[Long](i + 1)
-              }.toMap, cols.zipWithIndex.map {
-                case (c, i) => c -> r.getLong(cols.size + i + 1)
-              }.toMap)
-            }.toMap
-        }
-      case None => Map.empty
-    }
+        case Some(spec) => ndvSynopsesFor(spark, files,
+          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case None => Map.empty
+      }
     val stats: Map[String, FileStats] = props.get("statsKey") match {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
           .map { ms =>
-            val (sk, zs) = ndv.getOrElse(uriPath(ms.path),
-              (Map.empty[String, Seq[Long]], Map.empty[String, Long]))
+            val (sk, zs, _) = ndv.getOrElse(uriPath(ms.path),
+              (Map.empty[String, Seq[Long]], Map.empty[String, Long], 0L))
             // ndv-pass null counts fill in for columns the footer pass
             // didn't cover (ndvKey need not be a statsKey column)
             ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
               zs ++ ms.nulls, ms.dblCols, sk)
           }
           .toMap
-      case None => Map.empty
+      case None =>
+        // ndvKey WITHOUT statsKey (the post-ANALYZE legacy-table shape):
+        // entries still carry row/null/synopsis stats from the ndv pass
+        files.flatMap(f => ndv.get(uriPath(f)).map { case (sk, zs, rows) =>
+          f -> FileStats(Map.empty, Map.empty, rows, zs, Map.empty, sk)
+        }).toMap
     }
     val parts: Map[String, Seq[String]] = props.get("partCol") match {
       case Some(pc) =>

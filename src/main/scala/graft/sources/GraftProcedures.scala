@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "maintain", "restore", "clone", "index")
+    Seq("optimize", "vacuum", "maintain", "restore", "clone", "index",
+      "analyze")
 
   def load(spark: => SparkSession, warehouse: String,
       ident: Identifier): UnboundProcedure = {
@@ -53,6 +54,7 @@ private[sources] object GraftProcedures {
       case "restore" => new RestoreProcedure(spark, rootOf)
       case "clone" => new CloneProcedure(spark, rootOf)
       case "index" => new IndexProcedure(spark, rootOf)
+      case "analyze" => new AnalyzeProcedure(spark, rootOf)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure 'system.$other' " +
           s"(available: ${Names.mkString(", ")})")
@@ -153,6 +155,37 @@ private[sources] object GraftProcedures {
       val root = rootOf(input.getUTF8String(0).toString)
       val v = Layout.maintainBloomIndexFor(spark, root,
         input.getUTF8String(1).toString)
+      result(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `CALL graft.system.analyze(table, cols)` — the ANALYZE TABLE slot:
+    * backfill per-file KMV NDV synopses (+ null counts, + exact row
+    * counts for previously stat-less entries) for the comma-separated
+    * `cols` over every head data file ([[Layout.snapshotAnalyze]]: one
+    * distributed pass, one metadata commit, zero data rewritten), and
+    * declare `ndvKey` so subsequent appends keep the statistics fresh.
+    * After one ANALYZE the optimizer's CBO sees per-column distinct
+    * counts on this table ([[GraftScan]] column statistics).
+    */
+  private final class AnalyzeProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "backfill per-file NDV synopses and declare ndvKey"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("cols", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("analyzed_version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = Layout.snapshotAnalyze(spark, root, cols)
       result(outSchema, InternalRow(v))
     }
   }

@@ -121,6 +121,45 @@ class NdvStatsSpec extends GraftSuite {
     }
   }
 
+  test("CALL graft.system.analyze backfills synopses for pre-existing files and declares ndvKey") {
+    wh
+    import spark.implicits._
+    // table created WITHOUT ndvKey and WITHOUT statsKey: entries carry
+    // no stats at all — the legacy-table shape ANALYZE exists for
+    sql("CREATE TABLE gndv.legacy (k BIGINT, g STRING)")
+    for (b <- 0 to 1) {
+      (0 until 1500).map(i => (b * 1500L + i, s"g${i % 12}"))
+        .toDF("k", "g").createOrReplaceTempView("legacy_src")
+      sql("INSERT INTO gndv.legacy SELECT * FROM legacy_src")
+    }
+    // before: no synopses anywhere
+    assert(new graft.sources.GraftScanBuilderProbe(spark, s"$wh/legacy")
+      .columnStats().isEmpty)
+    val v = sql("CALL gndv.system.analyze(table => 'legacy', cols => 'g')")
+      .head().getInt(0)
+    assert(v == Layout.snapshotVersions(spark, s"$wh/legacy").last)
+    // after: the merged scan estimate is exact (12 < k), the property
+    // is declared, content is untouched
+    assert(new graft.sources.GraftScanBuilderProbe(spark, s"$wh/legacy")
+      .columnStats().get("g").contains(12L))
+    assert(Layout.snapshotMeta(spark, s"$wh/legacy").header
+      .get("ndvKey").contains("g"))
+    assert(sql("SELECT count(*) FROM gndv.legacy").head().getLong(0) == 3000)
+    // previously stat-less entries gained EXACT row counts: the
+    // metadata-only COUNT pushdown now answers with zero tasks
+    val plan = sql("SELECT count(*) FROM gndv.legacy")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"post-ANALYZE count must answer from the manifest:\n$plan")
+    // subsequent INSERTs keep the statistics fresh via the declared key
+    (5000 until 5100).map(i => (i.toLong, s"h${i % 5}"))
+      .toDF("k", "g").createOrReplaceTempView("legacy_more")
+    sql("INSERT INTO gndv.legacy SELECT * FROM legacy_more")
+    assert(new graft.sources.GraftScanBuilderProbe(spark, s"$wh/legacy")
+      .columnStats().get("g").contains(17L),
+      "fresh files' synopses merge with the backfilled ones (12 g + 5 h)")
+  }
+
   test("NDV survives the append path and stays mergeable across many files") {
     import spark.implicits._
     val root = java.nio.file.Files
