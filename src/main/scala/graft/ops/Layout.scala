@@ -1923,16 +1923,8 @@ object Layout {
       case Some(ps) if !ps.exists(want) => 0               // wholly outside
       case _ => 1                                          // mixed/unknown
     }
-    val touched = tagged.filter(t => scopeOf(t._2) > 0)
-    val touchedSegs = touched.map(_._1).toSet
-    val carriedSegs = manifestSegRefs(spark, root, base)
-      .filterNot(touchedSegs)
-    val residual = tagged.collect {
-      case (seg, e) if scopeOf(e) == 0 && (seg == "" || touchedSegs(seg)) => e
-    }
-    val mixed = touched.collect { case (_, e) if scopeOf(e) == 1 => e }
-    val v = base + 1
-    val dataDir = attemptDir(root, "data", v)
+    val mixed = tagged.collect { case (_, e) if scopeOf(e) == 1 => e }
+    val dataDir = attemptDir(root, "data", base + 1)
     val props = carriedProps(hdr)
     enforceConstraints(props, df, "partition overwrite")
     // survivors of mixed files: rows OUTSIDE the replaced partitions
@@ -1954,13 +1946,58 @@ object Layout {
       }
     }
     newContent.write.mode("error").parquet(dataDir)
-    val schema = manifestSchema(spark, root, base)
-      .flatMap(ps => mergeSchemas(Some(ps), df.schema))
-    commitManifest(spark, root, v, carriedSegs,
-      residual ++
-        entriesForNewFiles(spark, listDataFiles(spark, dataDir), props),
-      header = props ++ schemaHeaderOf(schema))
-    v
+    val newEntries =
+      entriesForNewFiles(spark, listDataFiles(spark, dataDir), props)
+    // LOGICAL CONFLICT RESOLUTION, the daily-reload edition: losing the
+    // claim to a pure append whose files lie PROVABLY WHOLLY OUTSIDE
+    // the replaced partitions commutes — rebase, carrying the appended
+    // entries with the other out-of-scope files (zero data re-I/O).
+    // An appended file inside the scope — or one whose partition set is
+    // unrecorded (can't prove) — conflicts: the reload's output was
+    // computed without those rows.
+    val maxRetries = spark.conf
+      .get("spark.graft.commit.maxRetries", "3").toInt
+    var attempt = 0
+    var curBase = base
+    var curTagged = tagged
+    while (true) {
+      val touchedSegsNow =
+        curTagged.filter(t => scopeOf(t._2) > 0).map(_._1).toSet
+      val carriedSegsNow = manifestSegRefs(spark, root, curBase)
+        .filterNot(touchedSegsNow)
+      val residualNow = curTagged.collect {
+        case (seg, e) if scopeOf(e) == 0 &&
+          (seg == "" || touchedSegsNow(seg)) => e
+      }
+      val schema = manifestSchema(spark, root, curBase)
+        .flatMap(ps => mergeSchemas(Some(ps), df.schema))
+      try {
+        commitManifest(spark, root, curBase + 1, carriedSegsNow,
+          residualNow ++ newEntries, header = props ++ schemaHeaderOf(schema))
+        return curBase + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val newHead = snapshotVersions(spark, root).last
+          val added = appendOnlyDiff(spark, root, curBase, newHead) match {
+            case Left(why) => throw new ConcurrentWriteConflictException(
+              root, curBase, newHead, "partition overwrite", why)
+            case Right(a) => a
+          }
+          val inScope = added.filterNot(e =>
+            e.parts.exists(ps => ps.nonEmpty && !ps.exists(want)))
+          if (inScope.nonEmpty)
+            throw new ConcurrentWriteConflictException(root, curBase,
+              newHead, "partition overwrite",
+              "concurrently appended files carry rows inside (or not " +
+                "provably outside) the replaced partition scope — the " +
+                "reload was computed without them")
+          curBase = newHead
+          curTagged = manifestEntriesTagged(spark, root, newHead)
+      }
+    }
+    -1 // unreachable
   }
 
   /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):

@@ -116,4 +116,57 @@ class PartitionOverwriteSpec extends GraftSuite {
     spark.sql("INSERT OVERWRITE gpo.t SELECT * FROM po_src")
     assert(spark.sql("SELECT count(*) FROM gpo.t").head().getLong(0) == 200L)
   }
+
+  test("LOGICAL RESOLUTION: a partition reload racing an OUT-OF-SCOPE append — both land; an in-scope append refuses") {
+    import spark.implicits._
+    import graft.ops.Layout
+    spark.conf.set("spark.sql.catalog.gpo_occ",
+      classOf[graft.sources.GraftCatalog].getName)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-po-occ").toString
+    spark.conf.set("spark.sql.catalog.gpo_occ.root", wh)
+    val root = s"$wh/t"
+    spark.conf.set("spark.graft.commit.arbiter",
+      classOf[RacingArbiter].getName)
+    try {
+      Layout.snapshotAppendPartitioned(spark, root,
+        (0 until 200).map(i => (i.toLong, s"p${i % 4}")).toDF("k", "p"), "p")
+      // writer B appends rows in p3 — OUTSIDE the reloaded p0 — inside
+      // the reload's claim window
+      RacingArbiter.racer = () => Layout.snapshotAppendPartitioned(
+        spark, root, Seq((900L, "p3")).toDF("k", "p"), "p")
+      RacingArbiter.armed = true
+      val v = Layout.snapshotOverwritePartitions(spark, root,
+        Seq((1000L, "p0"), (1001L, "p0")).toDF("k", "p"), Seq("p0"))
+      assert(v == 3, s"reload must rebase past the append (got v$v)")
+      val head = Layout.readSnapshot(spark, root)
+      assert(head.filter(col("p") === "p0").count() == 2,
+        "p0 fully replaced")
+      assert(head.filter(col("k") === 900L).count() == 1,
+        "the interleaved out-of-scope append survives")
+      assert(head.count() == 150 + 2 + 1)
+      // an IN-SCOPE append refuses deterministically: the reload was
+      // computed without those rows
+      RacingArbiter.racer = () => Layout.snapshotAppendPartitioned(
+        spark, root, Seq((901L, "p0")).toDF("k", "p"), "p")
+      RacingArbiter.armed = true
+      val ex = intercept[graft.ops.ConcurrentWriteConflictException] {
+        Layout.snapshotOverwritePartitions(spark, root,
+          Seq((2000L, "p0")).toDF("k", "p"), Seq("p0"))
+      }
+      assert(ex.getMessage.contains("inside"), ex.getMessage)
+      // the winner's append is intact; re-running the reload replaces
+      // BOTH the old p0 rows and the interleaved one
+      assert(Layout.readSnapshot(spark, root)
+        .filter(col("k") === 901L).count() == 1)
+      Layout.snapshotOverwritePartitions(spark, root,
+        Seq((2000L, "p0")).toDF("k", "p"), Seq("p0"))
+      val p0 = Layout.readSnapshot(spark, root).filter(col("p") === "p0")
+        .collect().map(_.getLong(0)).toSeq
+      assert(p0 == Seq(2000L), s"re-run reload owns the scope: $p0")
+    } finally {
+      spark.conf.unset("spark.graft.commit.arbiter")
+      RacingArbiter.reset()
+    }
+  }
 }
