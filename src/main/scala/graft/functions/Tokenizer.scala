@@ -113,9 +113,12 @@ object BpeTokenizer {
     fromMerges(spark, lines)
   }
 
-  /** Whitespace pre-tokenize, then BPE each word. */
+  /** Whitespace pre-tokenize (ALL whitespace, not just spaces — a
+    * tab/newline embedded in a "word" would skew every token price),
+    * then BPE each word.
+    */
   def encode(text: String, ranks: Map[(String, String), Int]): Seq[String] =
-    text.split(' ').toSeq.filter(_.nonEmpty)
+    text.split("\\s+").toSeq.filter(_.nonEmpty)
       .flatMap(encodeWord(_, ranks))
 
   /** Greedy rank-order merging: repeatedly find the adjacent pair with

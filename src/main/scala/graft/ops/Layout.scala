@@ -1136,7 +1136,12 @@ object Layout {
       case _ => None
     }.toMap
     val ndv = kvs.flatMap {
-      case ("k", v) => v.split(":") match {
+      // -1 limit keeps the trailing empty field: an EMPTY synopsis
+      // (all-NULL column in the file) serializes as "k=c:" and must
+      // round-trip as an empty sketch, not vanish — a dropped entry
+      // silently kills table-wide NDV reporting (which requires every
+      // kept file to carry one)
+      case ("k", v) => v.split(":", -1) match {
         case Array(c, b64) => scala.util.Try {
           val bytes = java.util.Base64.getDecoder.decode(b64)
           val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -1441,12 +1446,18 @@ object Layout {
     * (recorded-nothing = prune-nothing, conservative).
     */
   private def ndvSynopsesFor(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[String], cols0: Seq[String])
+      files: Seq[String], cols0: Seq[String],
+      failOnMissing: Boolean = false)
       : Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] = {
     import graft.functions.KmvSketch
     if (files.isEmpty || cols0.isEmpty) return Map.empty
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val cols = cols0.filter(df.columns.contains)
+    if (failOnMissing) {
+      val missing = cols0.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"ANALYZE columns not in the table: ${missing.mkString(", ")}")
+    }
     if (cols.isEmpty) return Map.empty
     // sketch + null count per column (and the file's row count) in ONE
     // pass: CBO's hasCountStats needs BOTH counts (a distinct count
@@ -1492,16 +1503,10 @@ object Layout {
     val dataFiles = entries.map(_.path)
     // stats ride PHYSICAL names (the files' own columns)
     val phys = cols.map(c => physicalNameOf(hdr, c))
-    if (dataFiles.nonEmpty) {
-      // fail loudly on a column the files don't have — a silently
-      // skipped column would "analyze" nothing while declaring ndvKey
-      val have = spark.read.option("mergeSchema", "true")
-        .parquet(dataFiles: _*).columns.toSet
-      val missing = phys.filterNot(have)
-      require(missing.isEmpty,
-        s"ANALYZE columns not in the table: ${missing.mkString(", ")}")
-    }
-    val syn = ndvSynopsesFor(spark, dataFiles, phys)
+    // failOnMissing: a silently skipped column would "analyze" nothing
+    // while declaring ndvKey (one footer pass serves the check AND the
+    // aggregate)
+    val syn = ndvSynopsesFor(spark, dataFiles, phys, failOnMissing = true)
     val enriched = entries.map { e =>
       syn.get(uriPath(e.path)) match {
         case None =>
@@ -1542,7 +1547,11 @@ object Layout {
     val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] =
       props.get("ndvKey") match {
         case Some(spec) => ndvSynopsesFor(spark, files,
-          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          // ndvKey names are LOGICAL; the files speak physical (a table
+          // ANALYZEd after a rename) — synopses key physical names, the
+          // scan's reverse map logicalizes them on report
+          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            .map(c => physicalNameOf(props, c)))
         case None => Map.empty
       }
     val stats: Map[String, FileStats] = props.get("statsKey") match {
@@ -1639,13 +1648,14 @@ object Layout {
       root: String, df: DataFrame, partCol: String,
       statsKey: Option[String] = None,
       shuffleByPartition: Boolean = true,
-      extraProps: Map[String, String] = Map.empty): Int =
+      extraProps: Map[String, String] = Map.empty,
+      ndvKey: Option[String] = None): Int =
     appendInternal(spark, root,
       // value-localized files by default; pass shuffleByPartition=false
       // when the caller already arranged a layout (e.g. key-clustered
       // within a single partition value) that the shuffle would destroy
       if (shuffleByPartition) df.repartition(col(partCol)) else df,
-      statsKey, Some(partCol), extraProps = extraProps)
+      statsKey, Some(partCol), extraProps = extraProps, ndvKey = ndvKey)
 
   /** [[snapshotAppend]] for a TRANSFORM-PARTITIONED table
     * ([[PartSpec]]): `spec` (e.g. `"days(ts),bucket(16,key)"`),
@@ -1663,7 +1673,8 @@ object Layout {
       root: String, df: DataFrame, spec: String,
       statsKey: Option[String] = None,
       shuffleByPartition: Boolean = true,
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      ndvKey: Option[String] = None): Int = {
     val dims = PartSpec.parse(spec)
     PartSpec.validate(dims, df.schema, spark.sessionState.conf.resolver)
     val shuffled =
@@ -1680,7 +1691,8 @@ object Layout {
         if (cols.isEmpty) df else df.repartition(cols: _*)
       }
     appendInternal(spark, root, shuffled, statsKey, None,
-      extraProps = extraProps, partSpec = Some(PartSpec.render(dims)))
+      extraProps = extraProps, partSpec = Some(PartSpec.render(dims)),
+      ndvKey = ndvKey)
   }
 
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
@@ -2144,7 +2156,13 @@ object Layout {
   private def reservedCols(hdr: Map[String, String]): Set[String] =
     (hdr.get("statsKey").toSeq.flatMap(_.split(",")) ++
       hdr.get("partCol") ++ hdr.get("deleteKey") ++
-      hdr.get("clusterBy").toSeq.flatMap(_.split(",")))
+      hdr.get("clusterBy").toSeq.flatMap(_.split(",")) ++
+      // NDV synopses and partition-transform dims key off these columns
+      // in every manifest entry — renaming/dropping them would silently
+      // orphan the recorded statistics / partition metadata
+      hdr.get("ndvKey").toSeq.flatMap(_.split(",")) ++
+      hdr.get("partSpec").toSeq.flatMap(s =>
+        scala.util.Try(PartSpec.parse(s).map(_.col)).getOrElse(Nil)))
       .map(_.trim).filter(_.nonEmpty).toSet
 
   /** A NEW column name must not collide with any physical name still
@@ -3489,7 +3507,11 @@ object Layout {
       .agg(sum(col(valCol).cast("double")).as("sum_v"),
         count(lit(1)).as("n"), count(col(valCol)).as("nn"))
     val appendLineage = processed > 0 &&
-      snapshotAppendLineage(spark, baseRoot, processed, head)
+      snapshotAppendLineage(spark, baseRoot, processed, head) &&
+      // LEGACY MIGRATION: a view committed before the nn column existed
+      // cannot merge incrementally (old.select("nn") would crash) — one
+      // full recompute migrates it to the current layout
+      readSnapshot(spark, viewRoot).columns.contains("nn")
     val newState =
       if (!appendLineage) {
         // overwrite in the lineage (or first run): one full head scan
@@ -3548,8 +3570,12 @@ object Layout {
     val head = baseVs.last
     val processed = viewProcessedVersion(spark, viewRoot)
     if (processed == head) return head
+    // LEGACY MIGRATION: a pre-nn view cannot merge deltas (its select
+    // of nn would crash) — one full recompute migrates the layout
+    val canMerge = processed > 0 &&
+      readSnapshot(spark, viewRoot).columns.contains("nn")
     val newState =
-      if (processed == 0) {
+      if (!canMerge) {
         readSnapshot(spark, baseRoot, head)
           .groupBy(col(groupCol))
           .agg(sum(col(valCol).cast("double")).as("sum_v"),
@@ -3618,13 +3644,16 @@ object Layout {
     */
   def snapshotMergeKeys(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String, changeKeys: DataFrame,
-      rewrite: DataFrame => DataFrame): Int =
-    snapshotMergeImpl(spark, root, keyCol, Right(changeKeys), rewrite)
+      rewrite: DataFrame => DataFrame,
+      readsWholeTable: Boolean = false): Int =
+    snapshotMergeImpl(spark, root, keyCol, Right(changeKeys), rewrite,
+      readsWholeTable)
 
   private def snapshotMergeImpl(spark: org.apache.spark.sql.SparkSession,
       root: String, keyCol: String,
       keys: Either[Array[Long], DataFrame],
-      rewrite: DataFrame => DataFrame): Int = {
+      rewrite: DataFrame => DataFrame,
+      readsWholeTable: Boolean = false): Int = {
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots at $root")
     val base = vs.last
@@ -3741,6 +3770,19 @@ object Layout {
               root, curBase, newHead, "MERGE", why)
             case Right(a) => a
           }
+          // a WHEN-NOT-MATCHED-BY-SOURCE merge reads (and may act on)
+          // EVERY target row: its read set is the whole table, so ANY
+          // concurrently appended row overlaps — an appended key absent
+          // from the source should have been updated/deleted by the
+          // NMBS clause, and carrying it verbatim would contradict
+          // every serial order. Key disjointness only applies to merges
+          // whose read set IS their key set.
+          if (readsWholeTable && added.nonEmpty)
+            throw new ConcurrentWriteConflictException(root, curBase,
+              newHead, "MERGE",
+              "this merge's NOT MATCHED BY SOURCE clause reads every " +
+                "target row; concurrently appended rows are inside its " +
+                "read set by definition")
           if (rangesOverlapKeys(keyRangesOfEntries(spark, added,
               physicalNameOf(hdr, keyCol))))
             throw new ConcurrentWriteConflictException(root, curBase,

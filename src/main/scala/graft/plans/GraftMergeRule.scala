@@ -280,7 +280,10 @@ case class GraftMergeCommand(merge: MergeIntoTable)
     }
 
     Layout.snapshotMergeKeys(spark, gt.tableRoot, tKey.name,
-      changeKeys, rewrite)
+      changeKeys, rewrite,
+      // NMBS reads every target row — its commit must conflict with
+      // ANY concurrent append, not just key-overlapping ones
+      readsWholeTable = nmbsClauses.nonEmpty)
     Nil
   }
 }

@@ -242,9 +242,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     (partCol, partSpec) match {
       case (Some(pc), _) => Layout.snapshotAppendPartitioned(spark, root,
-        empty, pc, statsKey = prop("statsKey"), extraProps = userProps)
+        empty, pc, statsKey = prop("statsKey"), extraProps = userProps,
+        ndvKey = prop("ndvKey"))
       case (None, Some(sp)) => Layout.snapshotAppendSpec(spark, root,
-        empty, sp, statsKey = prop("statsKey"), extraProps = userProps)
+        empty, sp, statsKey = prop("statsKey"), extraProps = userProps,
+        ndvKey = prop("ndvKey"))
       case (None, None) => Layout.snapshotAppend(spark, root, empty,
         statsKey = prop("statsKey"), clusterBy = prop("clusterBy"),
         extraProps = userProps, ndvKey = prop("ndvKey"))

@@ -112,6 +112,49 @@ class MvRewriteSpec extends GraftSuite {
     assert(!usesView(q))
   }
 
+  test("a LEGACY view (no nn column) migrates via full recompute instead of crashing the maintainer") {
+    wh
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mv-legacy").toString
+    Layout.snapshotAppend(spark, s"$root/base",
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("k", "cat", "price"))
+    // hand-write the PRE-nn view layout a previous release committed
+    Layout.snapshotOverwrite(spark, s"$root/view",
+      Seq(("a", 30.0, 2L), ("b", 5.0, 1L))
+        .toDF("cat", "sum_v", "n")
+        .withColumn("base_version", lit(1)))
+    // base advances with a pure append — the OLD code's incremental
+    // merge would select the missing nn column and crash
+    Layout.snapshotAppend(spark, s"$root/base",
+      Seq((4L, "b", 7.0)).toDF("k", "cat", "price"))
+    val v = Layout.maintainSumView(spark, s"$root/base", s"$root/view",
+      "cat", "price")
+    assert(v == 2)
+    val got = Layout.readSnapshot(spark, s"$root/view")
+      .select("cat", "sum_v", "n", "nn").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 30.0, 2L, 2L), ("b", 12.0, 2L, 2L)),
+      s"full recompute migrates the layout: $got")
+    // the CDC maintainer migrates the same way
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-mv-legacy2").toString
+    Layout.snapshotAppend(spark, s"$root2/base",
+      Seq((1L, "x", 1.0)).toDF("k", "cat", "price"))
+    Layout.snapshotOverwrite(spark, s"$root2/view",
+      Seq(("x", 1.0, 1L)).toDF("cat", "sum_v", "n")
+        .withColumn("base_version", lit(1)))
+    Layout.snapshotAppend(spark, s"$root2/base",
+      Seq((2L, "x", 2.0)).toDF("k", "cat", "price"))
+    Layout.maintainSumViewCdc(spark, s"$root2/base", s"$root2/view",
+      "cat", "price")
+    assert(Layout.readSnapshot(spark, s"$root2/view")
+      .select("sum_v", "nn").head() ==
+      org.apache.spark.sql.Row(3.0, 2L))
+  }
+
   test("a nondeterministic filter refuses the rewrite") {
     base
     MvRewriteRule.register(s"$wh/base", s"$wh/base_by_cat", "cat", "price")

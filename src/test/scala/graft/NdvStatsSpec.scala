@@ -160,6 +160,49 @@ class NdvStatsSpec extends GraftSuite {
       "fresh files' synopses merge with the backfilled ones (12 g + 5 h)")
   }
 
+  test("an all-NULL file's EMPTY synopsis round-trips the manifest; ndvKey threads through partitioned CREATE; reserved columns refuse rename") {
+    wh
+    import spark.implicits._
+    // partitioned CREATE must not silently drop the ndvKey declaration
+    sql("CREATE TABLE gndv.pt (k BIGINT, g STRING, p STRING) " +
+      "PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('statsKey'='k', 'ndvKey'='g')")
+    assert(Layout.snapshotMeta(spark, s"$wh/pt").header
+      .get("ndvKey").contains("g"),
+      "ndvKey must survive the partitioned CREATE path")
+    // first insert: g entirely NULL → EMPTY sketch, serialized "k=g:"
+    (0 until 100).map(i =>
+        (i.toLong, null.asInstanceOf[String], s"p${i % 2}"))
+      .toDF("k", "g", "p").createOrReplaceTempView("pt_null")
+    sql("INSERT INTO gndv.pt SELECT * FROM pt_null")
+    // second insert: real values
+    (100 until 200).map(i => (i.toLong, s"g${i % 6}", s"p${i % 2}"))
+      .toDF("k", "g", "p").createOrReplaceTempView("pt_vals")
+    sql("INSERT INTO gndv.pt SELECT * FROM pt_vals")
+    // the empty synopsis must SURVIVE the manifest round-trip — a
+    // dropped entry would block the whole table's statistics
+    val stats = new graft.sources.GraftScanBuilderProbe(spark, s"$wh/pt")
+      .columnStats()
+    assert(stats.get("g").contains(6L),
+      s"all-NULL file's empty sketch merges as a no-op: $stats")
+    // columns the statistics/partition properties reference refuse
+    // rename — renaming would orphan every recorded synopsis
+    val ex = intercept[Exception] {
+      Layout.snapshotRenameColumn(spark, s"$wh/pt", "g", "label")
+    }
+    assert(ex.getMessage.contains("overwrite-class"), ex.getMessage)
+    // partSpec source columns refuse too
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-ndv-ps").toString + "/t"
+    Layout.snapshotAppendSpec(spark, root2,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("k", "ts"), "days(ts)")
+    val ex2 = intercept[Exception] {
+      Layout.snapshotRenameColumn(spark, root2, "ts", "event_ts")
+    }
+    assert(ex2.getMessage.contains("overwrite-class"), ex2.getMessage)
+  }
+
   test("NDV survives the append path and stays mergeable across many files") {
     import spark.implicits._
     val root = java.nio.file.Files

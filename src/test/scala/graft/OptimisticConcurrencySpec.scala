@@ -250,6 +250,54 @@ class OptimisticConcurrencySpec extends GraftSuite {
     }
   }
 
+  test("LOGICAL RESOLUTION: a NOT-MATCHED-BY-SOURCE merge refuses ANY concurrent append — even key-disjoint ones") {
+    withArbiter {
+      import spark.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-occ-nmbs").toString
+      spark.conf.set("spark.sql.catalog.gnmbs",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gnmbs.root", wh)
+      try {
+        spark.sql("CREATE TABLE gnmbs.t (k BIGINT, v STRING) " +
+          "TBLPROPERTIES ('statsKey'='k')")
+        (1L to 10L).map(k => (k, "old")).toDF("k", "v")
+          .createOrReplaceTempView("nmbs_src")
+        spark.sql("INSERT INTO gnmbs.t SELECT * FROM nmbs_src")
+        Seq((1L, "fresh")).toDF("sk", "sv")
+          .createOrReplaceTempView("nmbs_chg")
+        // writer B appends key 1000 — DISJOINT from the source keys,
+        // but the NMBS clause reads (and deletes!) every key absent
+        // from the source, so the append is inside the merge's read
+        // set: rebasing would let key 1000 survive a delete-all-others
+        // merge, a history no serial order produces
+        RacingArbiter.racer = () => Layout.snapshotAppend(spark,
+          s"$wh/t", Seq((1000L, "interleaved")).toDF("k", "v"))
+        RacingArbiter.armed = true
+        val ex = intercept[graft.ops.ConcurrentWriteConflictException] {
+          spark.sql(
+            """MERGE INTO gnmbs.t t USING nmbs_chg s ON t.k = s.sk
+              |WHEN MATCHED THEN UPDATE SET v = s.sv
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        }
+        assert(ex.getMessage.contains("NOT MATCHED BY SOURCE"),
+          ex.getMessage)
+        // the winner's append is intact; the re-run merge then deletes
+        // it along with every other unmatched key
+        assert(Layout.readSnapshot(spark, s"$wh/t")
+          .filter(col("k") === 1000L).count() == 1)
+        spark.sql(
+          """MERGE INTO gnmbs.t t USING nmbs_chg s ON t.k = s.sk
+            |WHEN MATCHED THEN UPDATE SET v = s.sv
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        val rows = Layout.readSnapshot(spark, s"$wh/t")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rows == Seq((1L, "fresh")),
+          s"the re-run merge owns the whole table: $rows")
+      } finally spark.conf.unset("spark.sql.catalog.gnmbs")
+    }
+  }
+
   test("rebase adopts properties a concurrent FIRST commit declared") {
     withArbiter {
       import spark.implicits._

@@ -65,6 +65,10 @@ class TokenizerSpec extends GraftSuite {
     assert(BpeTokenizer.encode("", ranks).isEmpty)
     assert(BpeTokenizer.encode("xyz", ranks) == Seq("x", "y", "z"),
       "unranked characters pass through — pricing never drops text")
+    assert(BpeTokenizer.encode("low\nlow\tlow", ranks) ==
+      Seq("low", "low", "low"),
+      "ALL whitespace pre-tokenizes — a tab/newline embedded in a " +
+        "'word' would skew every token price")
     // load the pack from a file, broadcast, and run the real operators
     val mf = java.nio.file.Files.createTempFile("graft-merges", ".txt")
     java.nio.file.Files.write(mf, merges.mkString("\n").getBytes("UTF-8"))
