@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction,
+  ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/** The `bucket(n, col)` V2 FUNCTION — what makes BUCKETED
+  * storage-partitioned joins resolvable: Spark's
+  * `V2ScanPartitioningAndOrdering` turns a scan-reported
+  * `KeyGroupedPartitioning(bucket(n, col))` into a catalyst
+  * `TransformExpression` only if the table's catalog
+  * ([[GraftCatalog]], a `FunctionCatalog`) can load and bind the named
+  * function; two scans whose transforms bind to the SAME canonical
+  * function with the same bucket count are then co-partitioned and
+  * their join plans with NO shuffle on either side.
+  *
+  * Semantics are [[graft.ops.PartSpec.Bucket]]'s, BY CONSTRUCTION: the
+  * bound function evaluates the very catalyst expression the write
+  * side records with — `pmod(xxhash64(value, seed 42), n)` — so a
+  * bucket id computed here can never disagree with a manifest-recorded
+  * one.
+  */
+class GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(xxhash64(col), n) — graft's layout hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType,
+      s"bucket expects (int numBuckets, value); got $inputType")
+    new GraftBucketBound(inputType.fields(1).dataType)
+  }
+}
+
+class GraftBucketBound(valueType: DataType)
+    extends ScalarFunction[Integer] {
+  override def name(): String = "bucket"
+  // the equality SPJ compares across the two join sides
+  override def canonicalName(): String = s"graft.bucket($valueType)"
+  override def inputTypes(): Array[DataType] =
+    Array(IntegerType, valueType)
+  override def resultType(): DataType = IntegerType
+  override def isDeterministic: Boolean = true
+
+  // the SAME hash expression PartSpec's write side records with
+  @transient private lazy val hash =
+    XxHash64(Seq(BoundReference(1, valueType, nullable = true)), 42L)
+
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(1)) return null
+    val n = input.getInt(0)
+    val h = hash.eval(input).asInstanceOf[Long]
+    Integer.valueOf(Math.floorMod(h, n.toLong).toInt)
+  }
+}

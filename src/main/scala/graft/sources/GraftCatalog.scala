@@ -59,7 +59,8 @@ import graft.ops.Layout
   * the Scala-side [[Layout.snapshotTable]] path, and all data I/O is
   * Spark's native vectorized parquet reader.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -89,6 +90,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     Layout.snapshotVersions(spark, rootOf(ident)).nonEmpty
+
+  // ---- FunctionCatalog: the layout functions partition transforms
+  // resolve through (bucket → shuffle-free bucketed SPJ; see
+  // [[GraftBucketUnbound]])
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      new GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")

@@ -423,33 +423,71 @@ private[graft] class GraftScan(val root: String, identName: String,
     SparkSession.active.sessionState.conf
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
 
-  /** (value, that value's file paths), sorted by value — or None when
-    * any planned file is not provably single-valued.
+  /** A provably key-grouped layout: the reported transform plus
+    * (internal key value, that key's file paths) sorted groups — or
+    * None when any planned file is not provably single-valued.
+    * Two shapes qualify:
+    *  - identity on a string `partCol` (key = the value, UTF8String);
+    *  - a SINGLE `bucket(n, col)` partSpec dim (key = the bucket id,
+    *    Integer) — the transform resolves through [[GraftCatalog]]'s
+    *    FunctionCatalog to [[GraftBucketBound]], so two tables
+    *    bucketed with the same n on the join key co-partition and the
+    *    fact-fact join plans WITHOUT A SHUFFLE on either side.
     */
-  private def keyedGroupsOf(kept: Seq[(Layout.FileEntry,
-      org.apache.hadoop.fs.FileStatus)]): Option[Seq[(String, Seq[String])]] =
-    header.get("partCol").flatMap { pc =>
-      val resolver = SparkSession.active.sessionState.conf.resolver
-      val typed = tableSchema.fields.exists(f => resolver(f.name, pc) &&
-        f.dataType == org.apache.spark.sql.types.StringType)
-      val projected = required.fields.exists(f => resolver(f.name, pc))
-      val pure = kept.nonEmpty && kept.forall(_._1.parts.exists(ps =>
-        ps.size == 1 && ps.head != "\u0000"))
-      if (!typed || !projected || !pure) None
-      else Some(kept.groupBy(_._1.parts.get.head).view
-        .mapValues(_.map(_._1.path)).toSeq.sortBy(_._1))
-    }
+  private case class KeyedLayout(
+      transform: org.apache.spark.sql.connector.expressions.Transform,
+      groups: Seq[(Any, Seq[String])])
 
-  private lazy val staticGroups: Option[Seq[(String, Seq[String])]] =
+  private def keyedGroupsOf(kept: Seq[(Layout.FileEntry,
+      org.apache.hadoop.fs.FileStatus)]): Option[KeyedLayout] = {
+    val resolver = SparkSession.active.sessionState.conf.resolver
+    header.get("partCol") match {
+      case Some(pc) =>
+        val typed = tableSchema.fields.exists(f => resolver(f.name, pc) &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+        val projected = required.fields.exists(f => resolver(f.name, pc))
+        val pure = kept.nonEmpty && kept.forall(_._1.parts.exists(ps =>
+          ps.size == 1 && ps.head != "\u0000"))
+        if (!typed || !projected || !pure) None
+        else Some(KeyedLayout(Expressions.identity(pc),
+          kept.groupBy(_._1.parts.get.head).view
+            .mapValues(_.map(_._1.path)).toSeq.sortBy(_._1)
+            .map { case (v, ps) =>
+              (org.apache.spark.unsafe.types.UTF8String.fromString(v): Any,
+                ps)
+            }))
+      case None => header.get("partSpec")
+        .map(sp => scala.util.Try(graft.ops.PartSpec.parse(sp))
+          .getOrElse(Nil))
+        .collect { case Seq(b: graft.ops.PartSpec.Bucket) => b }
+        .flatMap { b =>
+          val projected = required.fields.exists(f =>
+            resolver(f.name, b.col))
+          val keys = kept.map(_._1.parts match {
+            // single recorded dim value "0:<bucket>" (the sentinel and
+            // multi-bucket files parse to None → fall back shuffled)
+            case Some(Seq(one)) if one.startsWith("0:") =>
+              one.substring(2).toIntOption
+            case _ => None
+          })
+          if (!projected || kept.isEmpty || keys.exists(_.isEmpty)) None
+          else Some(KeyedLayout(Expressions.bucket(b.n, b.col),
+            kept.zip(keys.map(_.get)).groupBy(_._2).view
+              .mapValues(_.map(_._1._1.path)).toSeq.sortBy(_._1)
+              .map { case (k, ps) => (Integer.valueOf(k): Any, ps) }))
+        }
+    }
+  }
+
+  private lazy val staticGroups: Option[KeyedLayout] =
     if (bucketingOn) keyedGroupsOf(staticKept) else None
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     staticGroups match {
-      case Some(groups) =>
+      case Some(kl) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            Array(Expressions.identity(header("partCol"))), groups.size)
+          .KeyGroupedPartitioning(Array(kl.transform), kl.groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -459,11 +497,11 @@ private[graft] class GraftScan(val root: String, identName: String,
     * merge into a single FilePartition (SPJ runs one task per key
     * anyway), read by the shared parquet reader factory.
     */
-  private def keyedBatch(groups: Seq[(String, Seq[String])]): Batch =
+  private def keyedBatch(kl: KeyedLayout): Batch =
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
-        lastPlannedFiles = groups.map(_._2.size).sum
-        groups.zipWithIndex.map { case ((value, paths), i) =>
+        lastPlannedFiles = kl.groups.map(_._2.size).sum
+        kl.groups.zipWithIndex.map { case ((value, paths), i) =>
           val files = GraftScanUtil
             .innerScan(identName, physSchema(tableSchema),
               physSchema(required), physFilters(dataFilters ++ runtime),
@@ -473,8 +511,7 @@ private[graft] class GraftScan(val root: String, identName: String,
               .datasources.FilePartition].files)
           GraftKeyedPartition(
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](org.apache.spark.unsafe.types.UTF8String
-                .fromString(value))),
+              Array[Any](value)),
             org.apache.spark.sql.execution.datasources.FilePartition(i, files))
         }.toArray
       }

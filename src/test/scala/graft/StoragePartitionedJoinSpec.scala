@@ -104,6 +104,61 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     }
   }
 
+  test("BUCKETED SPJ: two tables bucketed bucket(8, k) join with no exchange below the join") {
+    wh
+    import spark.implicits._
+    // value-localized bucket layouts: snapshotAppendSpec shuffles on
+    // the bucket hash, one append per bucket keeps files single-bucket
+    val fa = (0 until 400).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val fb = (0 until 400).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
+    for (b <- 0 until 8) {
+      val inB = (c: org.apache.spark.sql.Column) =>
+        pmod(xxhash64(c), lit(8)) === b
+      Layout.snapshotAppendSpec(spark, s"$wh/ba",
+        fa.filter(inB(col("k"))).coalesce(1), "bucket(8,k)",
+        shuffleByPartition = false)
+      Layout.snapshotAppendSpec(spark, s"$wh/bb",
+        fb.filter(inB(col("k"))).coalesce(1), "bucket(8,k)",
+        shuffleByPartition = false)
+    }
+    val q = "SELECT a.k, a.va, b.vb FROM gspj.ba a " +
+      "JOIN gspj.bb b ON a.k = b.k"
+    val (spjShuffles, spjRows) = withSpj(on = true) {
+      val df = sql(q)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected a join:\n$plan")
+      (shuffles(df), df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)
+    }
+    val (ctlShuffles, ctlRows) = withSpj(on = false) {
+      val df = sql(q)
+      (shuffles(df), df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)
+    }
+    assert(spjRows == ctlRows && spjRows.length == 400,
+      "bucketed SPJ must not change the answer")
+    assert(ctlShuffles > 0 && spjShuffles == 0,
+      s"bucket(8,k) co-partitioning must plan a shuffle-free join: " +
+        s"spj=$spjShuffles control=$ctlShuffles")
+  }
+
+  test("mismatched bucket counts fall back to the shuffled plan and stay exact") {
+    wh
+    import spark.implicits._
+    Layout.snapshotAppendSpec(spark, s"$wh/bc",
+      (0 until 100).map(i => (i.toLong, s"x$i")).toDF("k", "vc"),
+      "bucket(4,k)")
+    withSpj(on = true) {
+      val df = sql("SELECT a.k, c.vc FROM gspj.ba a " +
+        "JOIN gspj.bc c ON a.k = c.k")
+      val rows = df.collect()
+      assert(rows.length == 100, "answers stay exact under the fallback")
+    }
+  }
+
   test("a table with multi-value files falls back to the shuffled plan and stays exact") {
     tables
     import spark.implicits._
