@@ -131,33 +131,41 @@ object PartSpec {
     * nothing). Shared by the write-side commit pass (in = the column)
     * and the prune-side probe (in = a predicate literal).
     */
-  def transformExpr(dim: Dim, in: Expression,
-      dt: DataType): Option[Expression] = {
-    val raw: Option[Expression] = dim match {
-      case _: Identity => Some(in)
-      case _: Days => dt match {
-        case DateType => Some(DateDiff(in, Literal(0, DateType)))
-        case TimestampType => Some(floorDiv(micros(in), MicrosPerDay))
-        case _ => None
-      }
-      case _: Hours => dt match {
-        case TimestampType => Some(floorDiv(micros(in), MicrosPerHour))
-        case _ => None
-      }
-      case b: Bucket =>
-        // seed 42 = the SQL xxhash64() default, so `pmod(xxhash64(c), n)`
-        // written in plain SQL produces identical buckets
-        Some(Pmod(XxHash64(Seq(in), 42L), Literal(b.n.toLong, LongType)))
-      case t: Truncate => dt match {
-        case StringType => Some(
-          org.apache.spark.sql.catalyst.expressions.Substring(in,
-            Literal(1, IntegerType), Literal(t.w, IntegerType)))
-        case _ => None
-      }
+  /** The RAW transformed value of `in` (typed `dt`) for `dim` — the
+    * pre-stringification expression shared by [[transformExpr]] and the
+    * V2 layout functions ([[graft.sources.GraftBucketFunction]] and
+    * kin), so a bucket/day id computed at PLAN time (SPJ transform
+    * evaluation) is the very expression the WRITE side recorded with.
+    */
+  def rawTransformExpr(dim: Dim, in: Expression,
+      dt: DataType): Option[Expression] = dim match {
+    case _: Identity => Some(in)
+    case _: Days => dt match {
+      case DateType => Some(DateDiff(in, Literal(0, DateType)))
+      case TimestampType => Some(floorDiv(micros(in), MicrosPerDay))
+      case _ => None
     }
-    raw.map(r => If(IsNull(in), Literal.create(NullSentinel, StringType),
-      Cast(r, StringType)))
+    case _: Hours => dt match {
+      case TimestampType => Some(floorDiv(micros(in), MicrosPerHour))
+      case _ => None
+    }
+    case b: Bucket =>
+      // seed 42 = the SQL xxhash64() default, so `pmod(xxhash64(c), n)`
+      // written in plain SQL produces identical buckets
+      Some(Pmod(XxHash64(Seq(in), 42L), Literal(b.n.toLong, LongType)))
+    case t: Truncate => dt match {
+      case StringType => Some(
+        org.apache.spark.sql.catalyst.expressions.Substring(in,
+          Literal(1, IntegerType), Literal(t.w, IntegerType)))
+      case _ => None
+    }
   }
+
+  def transformExpr(dim: Dim, in: Expression,
+      dt: DataType): Option[Expression] =
+    rawTransformExpr(dim, in, dt).map(r =>
+      If(IsNull(in), Literal.create(NullSentinel, StringType),
+        Cast(r, StringType)))
 
   /** Probe value: the recorded string a row with this literal value
     * would carry in `dim` — None when untranslatable (prunes nothing)

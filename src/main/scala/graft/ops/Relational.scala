@@ -3063,6 +3063,76 @@ object Relational {
       |WHERE d.keep = 'yes'
       |ORDER BY f.key""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** BUCKETED STORAGE-PARTITIONED JOIN ON THE ORACLE GATE — two tables
+    * declared `PARTITIONED BY (bucket(16, key))`
+    * ([[graft.ops.PartSpec]]) joined on the bucket column with Spark's
+    * SPJ switch on: the scans report
+    * `KeyGroupedPartitioning(bucket(16, key))`, the transform resolves
+    * through [[graft.sources.GraftCatalog]]'s function catalog, and
+    * when every planned file is single-bucket the join runs with ZERO
+    * exchanges (`StoragePartitionedJoinSpec` pins that plan shape; this
+    * row pins the row-level answer against a plain-SQL join oracle —
+    * and stays correct either way, since impure layouts fall back to
+    * the shuffled plan). 100 TB: the bucketed fact-fact join is THE
+    * join shape hash layouts exist for.
+    */
+  private def bucketJoinTables(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val wh = sessionRoot(sfDir, "bktcat")
+      spark.conf.set("spark.sql.catalog.graft_bkt",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_bkt.root", wh)
+      if (Layout.snapshotVersions(spark, s"$wh/q105a").isEmpty) {
+        val base = t(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("key"),
+            dec(col("o_totalprice")).cast("double").as("price"))
+        // one append per bucket → single-bucket files, the layout SPJ
+        // keys off (a plain multi-bucket append would only cost the
+        // fallback shuffle, never correctness)
+        for (b <- 0 until 16) {
+          val inB = pmod(xxhash64(col("key")), lit(16)) === b
+          Layout.snapshotAppendSpec(spark, s"$wh/q105a",
+            base.filter(inB).coalesce(1), "bucket(16,key)",
+            shuffleByPartition = false)
+          Layout.snapshotAppendSpec(spark, s"$wh/q105b",
+            base.filter(col("key") % 3 === 0)
+              .select(col("key"), (col("key") % 7).as("qty"))
+              .filter(inB).coalesce(1), "bucket(16,key)",
+            shuffleByPartition = false)
+        }
+      }
+      wh
+    }
+
+  def q105BucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    bucketJoinTables(spark, sfDir)
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.sql(
+        """SELECT a.key, a.price, b.qty FROM graft_bkt.q105a a
+          |JOIN graft_bkt.q105b b ON a.key = b.key
+          |ORDER BY a.key""".stripMargin)
+      df.collect() // materialize under the SPJ conf
+      df
+    } finally saved match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  val q105Sql: String =
+    """WITH a AS (SELECT o_orderkey AS key,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |  FROM orders),
+      |b AS (SELECT key, key % 7 AS qty FROM a WHERE key % 3 = 0)
+      |SELECT a.key, a.price, b.qty FROM a
+      |JOIN b ON a.key = b.key
+      |ORDER BY a.key""".stripMargin
+
   val q96Sql: String =
     """WITH base AS (SELECT o_orderkey AS key,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
@@ -3939,6 +4009,7 @@ object Relational {
     "q102_partition_overwrite" -> (q102PartitionOverwrite _),
     "q103_multi_clause_merge" -> (q103MultiClauseMerge _),
     "q104_transform_star_join" -> (q104TransformStarJoin _),
+    "q105_bucket_join" -> (q105BucketJoin _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -4093,6 +4164,7 @@ object Relational {
     "q102_partition_overwrite" -> q102Sql,
     "q103_multi_clause_merge" -> q103Sql,
     "q104_transform_star_join" -> q104Sql,
+    "q105_bucket_join" -> q105Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

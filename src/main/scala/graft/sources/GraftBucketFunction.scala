@@ -56,3 +56,52 @@ class GraftBucketBound(valueType: DataType)
     Integer.valueOf(Math.floorMod(h, n.toLong).toInt)
   }
 }
+
+/** `days(ts)` / `hours(ts)` as V2 functions — the temporal twins of
+  * [[GraftBucketUnbound]]: two tables `PARTITIONED BY (days(ts))`
+  * joined on the raw timestamp co-partition by epoch day and the join
+  * plans exchange-free (the q104 star-join shape with the fact-side
+  * shuffle removed by layout). The bound form evaluates
+  * [[graft.ops.PartSpec.rawTransformExpr]] — the exact write-side
+  * recording expression (epoch floor-division on internal
+  * micros/days), so a plan-time day id always equals the
+  * manifest-recorded one.
+  */
+class GraftTemporalUnbound(fn: String) extends UnboundFunction {
+  override def name(): String = fn
+  override def description(): String =
+    s"$fn(ts): epoch-${fn.stripSuffix("s")} floor — graft's layout unit"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$fn expects one DATE/TIMESTAMP argument; got $inputType")
+    new GraftTemporalBound(fn, inputType.fields(0).dataType)
+  }
+}
+
+class GraftTemporalBound(fn: String, valueType: DataType)
+    extends ScalarFunction[Integer] {
+  import graft.ops.PartSpec
+  override def name(): String = fn
+  override def canonicalName(): String = s"graft.$fn($valueType)"
+  override def inputTypes(): Array[DataType] = Array(valueType)
+  override def resultType(): DataType = IntegerType
+  override def isDeterministic: Boolean = true
+
+  @transient private lazy val expr = {
+    val dim = if (fn == "days") PartSpec.Days(0, "c")
+              else PartSpec.Hours(0, "c")
+    PartSpec.rawTransformExpr(dim,
+      BoundReference(0, valueType, nullable = true), valueType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$fn does not apply to $valueType"))
+  }
+
+  override def produceResult(input: InternalRow): Integer = {
+    if (input.isNullAt(0)) return null
+    expr.eval(input) match {
+      case l: java.lang.Long => Integer.valueOf(l.toInt)
+      case i: java.lang.Integer => i
+      case other => Integer.valueOf(String.valueOf(other).toInt)
+    }
+  }
+}

@@ -95,15 +95,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   // resolve through (bucket → shuffle-free bucketed SPJ; see
   // [[GraftBucketUnbound]])
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "hours")
+        .map(Identifier.of(Array.empty[String], _))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name == "bucket")
-      new GraftBucketUnbound
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name match {
+      case "bucket" if ident.namespace.isEmpty => new GraftBucketUnbound
+      case f @ ("days" | "hours") if ident.namespace.isEmpty =>
+        new GraftTemporalUnbound(f)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")

@@ -459,19 +459,30 @@ private[graft] class GraftScan(val root: String, identName: String,
       case None => header.get("partSpec")
         .map(sp => scala.util.Try(graft.ops.PartSpec.parse(sp))
           .getOrElse(Nil))
-        .collect { case Seq(b: graft.ops.PartSpec.Bucket) => b }
-        .flatMap { b =>
+        .flatMap {
+          // single hash or temporal dim → transform-keyed groups; the
+          // named transform resolves through [[GraftCatalog]]'s
+          // function catalog ([[GraftBucketFunction]] and kin)
+          case Seq(b: graft.ops.PartSpec.Bucket) =>
+            Some((b.col, Expressions.bucket(b.n, b.col)))
+          case Seq(d: graft.ops.PartSpec.Days) =>
+            Some((d.col, Expressions.days(d.col)))
+          case Seq(h: graft.ops.PartSpec.Hours) =>
+            Some((h.col, Expressions.hours(h.col)))
+          case _ => None
+        }
+        .flatMap { case (dimCol, transform) =>
           val projected = required.fields.exists(f =>
-            resolver(f.name, b.col))
+            resolver(f.name, dimCol))
           val keys = kept.map(_._1.parts match {
-            // single recorded dim value "0:<bucket>" (the sentinel and
-            // multi-bucket files parse to None → fall back shuffled)
+            // single recorded dim value "0:<id>" (the sentinel and
+            // multi-value files parse to None → fall back shuffled)
             case Some(Seq(one)) if one.startsWith("0:") =>
               one.substring(2).toIntOption
             case _ => None
           })
           if (!projected || kept.isEmpty || keys.exists(_.isEmpty)) None
-          else Some(KeyedLayout(Expressions.bucket(b.n, b.col),
+          else Some(KeyedLayout(transform,
             kept.zip(keys.map(_.get)).groupBy(_._2).view
               .mapValues(_.map(_._1._1.path)).toSeq.sortBy(_._1)
               .map { case (k, ps) => (Integer.valueOf(k): Any, ps) }))

@@ -145,6 +145,45 @@ class StoragePartitionedJoinSpec extends GraftSuite {
         s"spj=$spjShuffles control=$ctlShuffles")
   }
 
+  test("TEMPORAL SPJ: two days(ts)-partitioned tables join on the raw timestamp with no exchange below the join") {
+    wh
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-05-$d%02d 12:00:00")
+    val fa = (0 until 240).map(i => (ts(i % 6 + 1), i.toLong))
+      .toDF("t", "va")
+    val fb = (0 until 180).map(i => (ts(i % 6 + 1), i * 10L))
+      .toDF("t", "vb")
+    // one append per day → single-day files
+    for (d <- 1 to 6) {
+      Layout.snapshotAppendSpec(spark, s"$wh/da",
+        fa.filter(col("t") === ts(d)).coalesce(1), "days(t)",
+        shuffleByPartition = false)
+      Layout.snapshotAppendSpec(spark, s"$wh/db",
+        fb.filter(col("t") === ts(d)).coalesce(1), "days(t)",
+        shuffleByPartition = false)
+    }
+    val q = """SELECT a.t, count(*) AS n, sum(a.va + b.vb) AS s
+              |FROM gspj.da a JOIN gspj.db b ON a.t = b.t
+              |GROUP BY a.t""".stripMargin
+    val (spjShuffles, spjRows) = withSpj(on = true) {
+      val df = sql(q)
+      (shuffles(df), df.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1.getTime).toSeq)
+    }
+    val (ctlShuffles, ctlRows) = withSpj(on = false) {
+      val df = sql(q)
+      (shuffles(df), df.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1.getTime).toSeq)
+    }
+    assert(spjRows == ctlRows && spjRows.length == 6,
+      "temporal SPJ must not change the answer")
+    assert(ctlShuffles > spjShuffles,
+      s"days(t) co-partitioning must remove the join shuffles: " +
+        s"spj=$spjShuffles control=$ctlShuffles")
+  }
+
   test("mismatched bucket counts fall back to the shuffled plan and stay exact") {
     wh
     import spark.implicits._
