@@ -1527,13 +1527,39 @@ object Layout {
           e.copy(stats = Some(st))
       }
     }
-    val carried = carriedStateOf(spark, root, Some(head))
-    val v = head + 1
-    commitManifest(spark, root, v, Nil, enriched,
-      header = carried.props + ("ndvKey" -> cols.mkString(",")) ++
-        schemaHeaderOf(carried.schema),
-      deletes = carried.deletes)
-    v
+    // metadata-only commit with LOGICAL CONFLICT RESOLUTION: a pure
+    // append interleaving commutes — rebase, carrying the appended
+    // entries UN-enriched (they simply wait for the next ANALYZE /
+    // their own commit-time ndv pass; statistics reporting stays
+    // refused until every file carries a synopsis — conservative).
+    val maxRetries = spark.conf
+      .get("spark.graft.commit.maxRetries", "3").toInt
+    var attempt = 0
+    var curBase = head
+    var allEntries = enriched
+    while (true) {
+      val carried = carriedStateOf(spark, root, Some(curBase))
+      try {
+        commitManifest(spark, root, curBase + 1, Nil, allEntries,
+          header = carried.props + ("ndvKey" -> cols.mkString(",")) ++
+            schemaHeaderOf(carried.schema),
+          deletes = carried.deletes)
+        return curBase + 1
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+          val newHead = snapshotVersions(spark, root).last
+          appendOnlyDiff(spark, root, curBase, newHead) match {
+            case Left(why) => throw new ConcurrentWriteConflictException(
+              root, curBase, newHead, "ANALYZE", why)
+            case Right(added) =>
+              allEntries = allEntries ++ added
+              curBase = newHead
+          }
+      }
+    }
+    -1 // unreachable
   }
 
   private def entriesForNewFiles(spark: org.apache.spark.sql.SparkSession,

@@ -155,6 +155,34 @@ class PartitionTransformSpec extends GraftSuite {
       s"bucket equality must prune: ${index.lastListedFiles} of $total")
   }
 
+  test("streaming epoch commits record partSpec dims and ndv synopses (shared entry pass)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pt-epoch").toString + "/t"
+    // declare the layout + statistics on the first (batch) commit
+    Layout.snapshotAppendSpec(spark, root,
+      Seq((1L, ts("2024-06-01 08:00:00"), "a"))
+        .toDF("k", "ts", "g"),
+      "days(ts)", ndvKey = Some("g"))
+    // the exactly-once streaming path appends epochs; its entries ride
+    // the SAME commit pass, so dims + synopses must record without any
+    // sink-side configuration
+    Layout.snapshotAppendEpoch(spark, root,
+      Seq((2L, ts("2024-06-02 09:00:00"), "b"),
+        (3L, ts("2024-06-02 10:00:00"), "b"))
+        .toDF("k", "ts", "g"),
+      epoch = 100L, writerId = "w1", appendToExisting = true)
+    val rows = Layout.snapshotFilesTable(spark, root)
+      .select("partitions", "ndv").collect()
+    val day2 = (ts("2024-06-02 00:00:00").getTime / 86400000L).toString
+    assert(rows.exists(r =>
+      r.getSeq[String](0).contains(s"0:$day2") &&
+        r.getMap[String, Long](1).get("g").contains(1L)),
+      s"the epoch commit's file must carry its day dim and g synopsis: " +
+        rows.map(r => (r.getSeq[String](0), r.getMap[String, Long](1)))
+          .mkString("; "))
+  }
+
   test("runtime filtering (DPP) prunes through a days(ts) transform on the fact") {
     wh
     import spark.implicits._
