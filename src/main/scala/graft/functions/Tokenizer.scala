@@ -113,12 +113,16 @@ object BpeTokenizer {
     fromMerges(spark, lines)
   }
 
+  // precompiled: encode runs once per ROW in the pricing UDFs — a
+  // per-call Pattern.compile would be pure hot-path overhead
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace pre-tokenize (ALL whitespace, not just spaces — a
     * tab/newline embedded in a "word" would skew every token price),
     * then BPE each word.
     */
   def encode(text: String, ranks: Map[(String, String), Int]): Seq[String] =
-    text.split("\\s+").toSeq.filter(_.nonEmpty)
+    Ws.split(text).toSeq.filter(_.nonEmpty)
       .flatMap(encodeWord(_, ranks))
 
   /** Greedy rank-order merging: repeatedly find the adjacent pair with

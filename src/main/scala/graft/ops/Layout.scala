@@ -3532,12 +3532,15 @@ object Layout {
       .groupBy(col(groupCol))
       .agg(sum(col(valCol).cast("double")).as("sum_v"),
         count(lit(1)).as("n"), count(col(valCol)).as("nn"))
+    // ONE view read serves the legacy check and the merge's old state
+    val viewDf =
+      if (processed > 0) Some(readSnapshot(spark, viewRoot)) else None
     val appendLineage = processed > 0 &&
       snapshotAppendLineage(spark, baseRoot, processed, head) &&
       // LEGACY MIGRATION: a view committed before the nn column existed
       // cannot merge incrementally (old.select("nn") would crash) — one
       // full recompute migrates it to the current layout
-      readSnapshot(spark, viewRoot).columns.contains("nn")
+      viewDf.exists(_.columns.contains("nn"))
     val newState =
       if (!appendLineage) {
         // overwrite in the lineage (or first run): one full head scan
@@ -3545,7 +3548,7 @@ object Layout {
       } else {
         val deltaAgg = rollup(
           snapshotDeltasUnion(spark, baseRoot, processed, head))
-        val old = readSnapshot(spark, viewRoot)
+        val old = viewDf.get
           .select(col(groupCol), col("sum_v").as("old_sum"),
             col("n").as("old_n"), col("nn").as("old_nn"))
         // q80's combine: full-outer on the group key, coalesce-add the
@@ -3596,10 +3599,12 @@ object Layout {
     val head = baseVs.last
     val processed = viewProcessedVersion(spark, viewRoot)
     if (processed == head) return head
+    // ONE view read serves the legacy check and the merge's old state.
     // LEGACY MIGRATION: a pre-nn view cannot merge deltas (its select
     // of nn would crash) — one full recompute migrates the layout
-    val canMerge = processed > 0 &&
-      readSnapshot(spark, viewRoot).columns.contains("nn")
+    val viewDf =
+      if (processed > 0) Some(readSnapshot(spark, viewRoot)) else None
+    val canMerge = viewDf.exists(_.columns.contains("nn"))
     val newState =
       if (!canMerge) {
         readSnapshot(spark, baseRoot, head)
@@ -3616,7 +3621,7 @@ object Layout {
             sum(sign.cast("long")).as("d_n"),
             sum(when(col(valCol).isNotNull, sign).otherwise(lit(0))
               .cast("long")).as("d_nn"))
-        val old = readSnapshot(spark, viewRoot)
+        val old = viewDf.get
           .select(col(groupCol), col("sum_v").as("old_sum"),
             col("n").as("old_n"), col("nn").as("old_nn"))
         val mergedNn = coalesce(col("old_nn"), lit(0L)) +

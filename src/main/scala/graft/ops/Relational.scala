@@ -3083,7 +3083,17 @@ object Relational {
       spark.conf.set("spark.sql.catalog.graft_bkt",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set("spark.sql.catalog.graft_bkt.root", wh)
-      if (Layout.snapshotVersions(spark, s"$wh/q105a").isEmpty) {
+      // completion guard on BOTH tables' full version counts: a crash
+      // mid-build must trigger a clean rebuild, never a silent partial
+      // corpus persisting across runs
+      def complete(t: String) =
+        Layout.snapshotVersions(spark, s"$wh/$t").size >= 16
+      if (!complete("q105a") || !complete("q105b")) {
+        for (t <- Seq("q105a", "q105b")) {
+          val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         val base = t(spark, sfDir, "orders")
           .select(col("o_orderkey").as("key"),
             dec(col("o_totalprice")).cast("double").as("price"))

@@ -74,7 +74,12 @@ class GraftTemporalUnbound(fn: String) extends UnboundFunction {
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1,
       s"$fn expects one DATE/TIMESTAMP argument; got $inputType")
-    new GraftTemporalBound(fn, inputType.fields(0).dataType)
+    val bound = new GraftTemporalBound(fn, inputType.fields(0).dataType)
+    // type-check EAGERLY: bind is the analysis-time contract — a
+    // wrong-typed argument must refuse here, not crash per-task when
+    // the lazy expression first evaluates on an executor
+    bound.validate()
+    bound
   }
 }
 
@@ -87,14 +92,20 @@ class GraftTemporalBound(fn: String, valueType: DataType)
   override def resultType(): DataType = IntegerType
   override def isDeterministic: Boolean = true
 
-  @transient private lazy val expr = {
+  private def buildExpr = {
     val dim = if (fn == "days") PartSpec.Days(0, "c")
               else PartSpec.Hours(0, "c")
     PartSpec.rawTransformExpr(dim,
       BoundReference(0, valueType, nullable = true), valueType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$fn does not apply to $valueType"))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$fn does not apply to $valueType (days needs DATE/TIMESTAMP, " +
+          "hours needs TIMESTAMP)"))
   }
+
+  /** Analysis-time type check — called from bind. */
+  private[sources] def validate(): Unit = buildExpr
+
+  @transient private lazy val expr = buildExpr
 
   override def produceResult(input: InternalRow): Integer = {
     if (input.isNullAt(0)) return null

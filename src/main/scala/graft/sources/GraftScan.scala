@@ -423,6 +423,13 @@ private[graft] class GraftScan(val root: String, identName: String,
     SparkSession.active.sessionState.conf
       .getConfString("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
 
+  /** Temporal (days/hours) keyed layouts are a separate opt-in: see
+    * [[keyedGroupsOf]]'s tradeoff note.
+    */
+  private def temporalSpjOn: Boolean =
+    SparkSession.active.sessionState.conf
+      .getConfString("spark.graft.spj.temporal.enabled", "false") == "true"
+
   /** A provably key-grouped layout: the reported transform plus
     * (internal key value, that key's file paths) sorted groups — or
     * None when any planned file is not provably single-valued.
@@ -462,12 +469,22 @@ private[graft] class GraftScan(val root: String, identName: String,
         .flatMap {
           // single hash or temporal dim → transform-keyed groups; the
           // named transform resolves through [[GraftCatalog]]'s
-          // function catalog ([[GraftBucketFunction]] and kin)
+          // function catalog ([[GraftBucketFunction]] and kin).
+          // BUCKET layouts key under the standard bucketing switch:
+          // their task count is the n the user CHOSE, and bucketed
+          // joins are what the layout exists for. TEMPORAL dims need
+          // the EXTRA spark.graft.spj.temporal.enabled opt-in — a
+          // keyed scan trades away DPP (per-scan exclusivity) and
+          // plans one task per key, which on a years-deep days(ts)
+          // table is a parallelism collapse and the LOSS of the
+          // pruning that table shape exists for; only a deployment
+          // actually running co-partitioned temporal joins should pay
+          // that on every query.
           case Seq(b: graft.ops.PartSpec.Bucket) =>
             Some((b.col, Expressions.bucket(b.n, b.col)))
-          case Seq(d: graft.ops.PartSpec.Days) =>
+          case Seq(d: graft.ops.PartSpec.Days) if temporalSpjOn =>
             Some((d.col, Expressions.days(d.col)))
-          case Seq(h: graft.ops.PartSpec.Hours) =>
+          case Seq(h: graft.ops.PartSpec.Hours) if temporalSpjOn =>
             Some((h.col, Expressions.hours(h.col)))
           case _ => None
         }

@@ -104,11 +104,13 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     }
   }
 
-  test("BUCKETED SPJ: two tables bucketed bucket(8, k) join with no exchange below the join") {
+  /** Value-localized bucket layouts, shared by the bucket tests (one
+    * append per bucket keeps files single-bucket). A lazy fixture like
+    * `tables`, so each test is order-independent.
+    */
+  private lazy val bucketTables: Unit = {
     wh
     import spark.implicits._
-    // value-localized bucket layouts: snapshotAppendSpec shuffles on
-    // the bucket hash, one append per bucket keeps files single-bucket
     val fa = (0 until 400).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
     val fb = (0 until 400).map(i => (i.toLong, i * 3.0)).toDF("k", "vb")
     for (b <- 0 until 8) {
@@ -121,6 +123,10 @@ class StoragePartitionedJoinSpec extends GraftSuite {
         fb.filter(inB(col("k"))).coalesce(1), "bucket(8,k)",
         shuffleByPartition = false)
     }
+  }
+
+  test("BUCKETED SPJ: two tables bucketed bucket(8, k) join with no exchange below the join") {
+    bucketTables
     val q = "SELECT a.k, a.va, b.vb FROM gspj.ba a " +
       "JOIN gspj.bb b ON a.k = b.k"
     val (spjShuffles, spjRows) = withSpj(on = true) {
@@ -165,12 +171,15 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     val q = """SELECT a.t, count(*) AS n, sum(a.va + b.vb) AS s
               |FROM gspj.da a JOIN gspj.db b ON a.t = b.t
               |GROUP BY a.t""".stripMargin
-    val (spjShuffles, spjRows) = withSpj(on = true) {
+    // temporal keyed layouts are their OWN opt-in (they trade away DPP
+    // and one-task-per-key parallelism; see GraftScan.keyedGroupsOf)
+    spark.conf.set("spark.graft.spj.temporal.enabled", "true")
+    val (spjShuffles, spjRows) = try withSpj(on = true) {
       val df = sql(q)
       (shuffles(df), df.collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1.getTime).toSeq)
-    }
+    } finally spark.conf.unset("spark.graft.spj.temporal.enabled")
     val (ctlShuffles, ctlRows) = withSpj(on = false) {
       val df = sql(q)
       (shuffles(df), df.collect()
@@ -182,10 +191,16 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     assert(ctlShuffles > spjShuffles,
       s"days(t) co-partitioning must remove the join shuffles: " +
         s"spj=$spjShuffles control=$ctlShuffles")
+    // WITHOUT the opt-in, a days-partitioned table keeps DPP and normal
+    // task parallelism even under the bucketing switch: the scan stays
+    // un-keyed (the plan simply shuffles — exactness and pruning first)
+    val unkeyed = withSpj(on = true) { shuffles(sql(q)) }
+    assert(unkeyed > spjShuffles,
+      "temporal keying must not engage without its own opt-in")
   }
 
   test("mismatched bucket counts fall back to the shuffled plan and stay exact") {
-    wh
+    bucketTables
     import spark.implicits._
     Layout.snapshotAppendSpec(spark, s"$wh/bc",
       (0 until 100).map(i => (i.toLong, s"x$i")).toDF("k", "vc"),
