@@ -68,16 +68,25 @@ final class FnTokenizer(f: String => Seq[String]) extends Tokenizer {
   * executors hold ONE shared copy of the table, not one per task
   * closure.
   *
-  * Pre-tokenization is whitespace (the corpus contract); merges are
-  * word-internal. Unknown characters pass through as single-character
-  * tokens (count-stable — a pricing tokenizer must never drop text).
+  * Pre-tokenization is whitespace by default (the corpus contract);
+  * merges are word-internal. Unknown characters pass through as
+  * single-character tokens (count-stable — a pricing tokenizer must
+  * never drop text). `byteLevel = true` switches to the GPT-2-family
+  * deployment shape instead: the standard GPT-2 pre-tokenizer regex
+  * (contractions, letter/number runs with ONE attached leading space,
+  * punctuation runs, trailing-whitespace splitting) followed by the
+  * byte→unicode alphabet remap, so a real released `merges.txt`
+  * (whose symbols live in that remapped alphabet — `Ġ` for space, `Ċ`
+  * for newline) prices text exactly as the deployment it came from.
   */
 final class BpeTokenizer(
-    ranks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]])
+    ranks: org.apache.spark.broadcast.Broadcast[Map[(String, String), Int]],
+    byteLevel: Boolean = false)
     extends Tokenizer {
   override def tokenizeCol(text: Column): Column = {
     val u = udf((s: String) =>
       if (s == null) Seq.empty[String]
+      else if (byteLevel) BpeTokenizer.encodeGpt2(s, ranks.value)
       else BpeTokenizer.encode(s, ranks.value))
     u(text)
   }
@@ -89,7 +98,7 @@ object BpeTokenizer {
     * convention).
     */
   def fromMerges(spark: org.apache.spark.sql.SparkSession,
-      lines: Seq[String]): BpeTokenizer = {
+      lines: Seq[String], byteLevel: Boolean = false): BpeTokenizer = {
     val ranks = lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex.flatMap { case (l, i) =>
@@ -99,18 +108,21 @@ object BpeTokenizer {
         }
       }.toMap
     require(ranks.nonEmpty, "empty merges table")
-    new BpeTokenizer(spark.sparkContext.broadcast(ranks))
+    new BpeTokenizer(spark.sparkContext.broadcast(ranks), byteLevel)
   }
 
-  /** Load a merges file from any Hadoop-visible path. */
+  /** Load a merges file from any Hadoop-visible path. A released
+    * GPT-2-family `merges.txt` wants `byteLevel = true` (its symbols
+    * live in the byte→unicode alphabet).
+    */
   def fromMergesFile(spark: org.apache.spark.sql.SparkSession,
-      path: String): BpeTokenizer = {
+      path: String, byteLevel: Boolean = false): BpeTokenizer = {
     val p = new org.apache.hadoop.fs.Path(path)
     val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    fromMerges(spark, lines)
+    fromMerges(spark, lines, byteLevel)
   }
 
   // precompiled: encode runs once per ROW in the pricing UDFs — a
@@ -124,6 +136,72 @@ object BpeTokenizer {
   def encode(text: String, ranks: Map[(String, String), Int]): Seq[String] =
     Ws.split(text).toSeq.filter(_.nonEmpty)
       .flatMap(encodeWord(_, ranks))
+
+  // The standard GPT-2 pre-tokenizer (radford et al. 2019 / the
+  // huggingface ByteLevel pre-tokenizer): contractions bind to the
+  // apostrophe, a letter/number/punct run carries AT MOST ONE leading
+  // space, and `\s+(?!\S)` peels inter-token whitespace runs so the
+  // last whitespace char stays attached to the following word.
+  // UNICODE_CHARACTER_CLASS: \s/\p{L}/\p{N} must be unicode-aware like
+  // the python `regex` module the deployment tokenizers use.
+  private val Gpt2Pre = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** GPT-2's byte→unicode remap: the 188 printable latin-1 bytes map to
+    * themselves; the other 68 (controls, space, DEL, 0xAD, …) map to
+    * U+0100+n in discovery order — a bijection onto printable chars so
+    * every byte sequence round-trips through `merges.txt`'s string
+    * alphabet (space → `Ġ` U+0120, newline → `Ċ` U+010A).
+    */
+  private[functions] val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++
+      ('®' to 'ÿ')).map(_.toInt).toSet
+    var next = 256
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = next.toChar; next += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** GPT-2 byte-level encode: regex pre-tokenize, UTF-8 each piece,
+    * remap every byte into the merges alphabet, BPE the remapped
+    * string. Whitespace is DATA here (priced as `Ġ`/`Ċ` symbols), so
+    * token counts match the released deployments that published the
+    * merges table — the whole point of byte-level pricing.
+    */
+  def encodeGpt2(text: String,
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    val m = Gpt2Pre.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val mapped = new Array[Char](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        mapped(i) = byteToUnicode(bytes(i) & 0xff)
+        i += 1
+      }
+      out ++= encodeWord(new String(mapped), ranks)
+    }
+    out.result()
+  }
+
+  /** The pre-tokenizer split alone (pre-remap) — what the spec pins
+    * against hand-computed GPT-2 splits, and a calibration hook for
+    * anyone validating a vocab pack against a known tokenization.
+    */
+  def gpt2Pieces(text: String): Seq[String] = {
+    val m = Gpt2Pre.matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
 
   /** Greedy rank-order merging: repeatedly find the adjacent pair with
     * the LOWEST rank and merge every occurrence, until no pair ranks.

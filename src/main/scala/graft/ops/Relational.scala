@@ -3124,7 +3124,13 @@ object Relational {
         """SELECT a.key, a.price, b.qty FROM graft_bkt.q105a a
           |JOIN graft_bkt.q105b b ON a.key = b.key
           |ORDER BY a.key""".stripMargin)
-      df.collect() // materialize under the SPJ conf
+      // Force PHYSICAL planning while the SPJ conf is on:
+      // `QueryExecution.executedPlan` is a cached lazy val, so the
+      // caller's own materialization (the driver hashes this frame
+      // exactly once) runs the zero-exchange storage-partitioned plan
+      // — no double execution, and the session conf is restored below
+      // so the switch never leaks into unrelated queries.
+      df.queryExecution.executedPlan
       df
     } finally saved match {
       case Some(v) =>

@@ -91,6 +91,49 @@ class TokenizerSpec extends GraftSuite {
       "budget admission under the vocab pack ≡ the same kernel inline")
   }
 
+  test("GPT-2 byte-level mode: pre-tokenizer splits match hand-computed GPT-2; byte remap prices whitespace and non-ASCII") {
+    // hand-computed against the published GPT-2 pre-tokenizer regex
+    // (contraction suffixes; ONE leading space binds to a run; the
+    // (?!\S) alternative peels whitespace runs so the LAST whitespace
+    // char stays attached to the following word)
+    assert(BpeTokenizer.gpt2Pieces("don't stop") ==
+      Seq("don", "'t", " stop"))
+    assert(BpeTokenizer.gpt2Pieces("I'll pay 42 dollars!!") ==
+      Seq("I", "'ll", " pay", " 42", " dollars", "!!"))
+    assert(BpeTokenizer.gpt2Pieces("x  y") == Seq("x", " ", " y"),
+      "double space: run peels, last space binds forward")
+    assert(BpeTokenizer.gpt2Pieces("a\n b") == Seq("a", "\n", " b"))
+    assert(BpeTokenizer.gpt2Pieces("hi ") == Seq("hi", " "),
+      "trailing whitespace is its own piece")
+    // byte remap: space → Ġ (U+0120), newline → Ċ (U+010A); merges
+    // written in the remapped alphabet apply exactly as released
+    // merges.txt files do. "hello world" → hello | Ġworld; with
+    // (Ġ,w) < (Ġw,o) < (l,d):
+    val ranks = Seq(("Ġ", "w") -> 0, ("Ġw", "o") -> 1,
+      ("l", "d") -> 2).toMap
+    assert(BpeTokenizer.encodeGpt2("hello world", ranks) ==
+      Seq("h", "e", "l", "l", "o", "Ġwo", "r", "ld"))
+    assert(BpeTokenizer.encodeGpt2("a\nb", Map.empty[(String, String), Int])
+      == Seq("a", "Ċ", "b"),
+      "whitespace is DATA in byte-level mode — priced, never dropped")
+    // é is UTF-8 C3 A9; both bytes are latin-1-printable → map to
+    // themselves → two unmerged symbols (byte-level counts bytes)
+    assert(BpeTokenizer.encodeGpt2("é", Map.empty[(String, String), Int])
+      == Seq("Ã", "©"))
+    // the byteLevel pack drives the operators through the same seam
+    val mf = java.nio.file.Files.createTempFile("graft-merges-g2", ".txt")
+    java.nio.file.Files.write(mf,
+      "Ġ w\nĠw o\nl d".getBytes("UTF-8"))
+    val bpe = BpeTokenizer.fromMergesFile(spark, mf.toString,
+      byteLevel = true)
+    val twin = new FnTokenizer(s => BpeTokenizer.encodeGpt2(s, ranks))
+    val viaPack = text.TextOps.t11SeqPackingWith(spark, sf, bpe)
+    val viaTwin = text.TextOps.t11SeqPackingWith(spark, sf, twin)
+    assert(viaPack.exceptAll(viaTwin).isEmpty &&
+      viaTwin.exceptAll(viaPack).isEmpty,
+      "byte-level broadcast pack ≡ driver-side encodeGpt2 through packing")
+  }
+
   test("ST28 admission gate prices batches with the injected tokenizer") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-tokgate").toString
