@@ -566,51 +566,38 @@ private[graft] class GraftScan(val root: String, identName: String,
     }
   }
 
-  /** Optimizer-visible statistics from the manifest: pruned real bytes
-    * always; exact row counts only when no residual filter could shrink
-    * the output below the manifest's count (i.e. an unfiltered scan
-    * whose every kept entry carries stats); and per-column DISTINCT
-    * counts for the table's declared `ndvKey` columns — the kept files'
-    * KMV synopses merge (k-smallest union) into one estimate, which
-    * Spark's `transformV2Stats` carries into the logical plan's
-    * attributeStats where CBO's aggregate/join estimation reads it.
-    * NDV reports only on unfiltered scans (a residual filter shrinks
-    * true NDV unboundably — reporting the unfiltered value could steer
-    * the optimizer wrong in the OTHER direction than conservative).
+  /** Optimizer-visible statistics from the manifest, describing THE
+    * SCAN NODE'S OUTPUT — which is every row of the statically-KEPT
+    * files, because [[GraftScanBuilder.pushFilters]] returns all
+    * conjuncts as post-scan residuals (pruning only drops whole files
+    * whose rows provably cannot match; Spark re-evaluates the full
+    * predicate above the scan). So under a pushed filter the kept
+    * files' row sum and merged synopses are EXACT scan-output
+    * statistics, not estimates: Catalyst's own FilterEstimation owns
+    * the residual's selectivity on top of this base — the same layering
+    * v1 file sources get from `PruneFileSourcePartitions` + ANALYZE
+    * stats. Reported: pruned real bytes always; row counts whenever
+    * every kept entry carries stats; per-column DISTINCT counts for
+    * the declared `ndvKey` columns — the KEPT files' KMV synopses
+    * merge (k-smallest union) into one estimate, which
+    * `transformV2Stats` carries into the logical plan's attributeStats
+    * where CBO's filter/aggregate/join estimation reads it. For a
+    * filtered scan the merge covers only surviving files, so the CBO
+    * input tightens with the pruning instead of disappearing — the
+    * common shape (join on a filtered fact) keeps its statistics.
     */
-  /** Pushed filters that provably remove NO rows from the kept files —
-    * `IsNotNull(c)` where every kept entry records zero nulls in `c`
-    * (the filter residue join/aggregate planning pushes down in the
-    * common case). Under such filters the unfiltered manifest counts
-    * are still EXACT, so numRows/columnStats keep reporting; anything
-    * else refuses (a count that ignores a row-dropping filter would
-    * overstate, steering CBO wrong).
-    */
-  private def filtersProvablyNoOp(fs: Seq[Expression]): Boolean =
-    staticKept.nonEmpty && fs.forall {
-      case org.apache.spark.sql.catalyst.expressions
-          .IsNotNull(a: Attribute) =>
-        val phys = cmap.getOrElse(a.name, a.name)
-        staticKept.forall(_._1.stats.exists(
-          _.nulls.get(phys).contains(0L)))
-      case _ => false
-    }
-
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(staticKept.map(_._2.getLen).sum)
     override def numRows(): OptionalLong =
-      if ((dataFilters.isEmpty || filtersProvablyNoOp(dataFilters)) &&
-          staticKept.nonEmpty &&
-          staticKept.forall(_._1.stats.isDefined))
+      if (staticKept.isEmpty) OptionalLong.of(0L)
+      else if (staticKept.forall(_._1.stats.isDefined))
         OptionalLong.of(staticKept.map(_._1.stats.get.rows).sum)
-      else if (staticKept.isEmpty) OptionalLong.of(0L)
       else OptionalLong.empty()
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       import graft.functions.KmvSketch
-      if ((dataFilters.nonEmpty && !filtersProvablyNoOp(dataFilters)) ||
-          staticKept.isEmpty)
+      if (staticKept.isEmpty)
         return java.util.Collections.emptyMap()
       val cols = staticKept.flatMap(_._1.stats.toSeq.flatMap(_.ndv.keys))
         .distinct

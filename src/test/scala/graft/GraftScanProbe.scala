@@ -9,16 +9,30 @@ import graft.ops.Layout
   * optimizer-visible per-column distinct counts.
   */
 class GraftScanBuilderProbe(spark: SparkSession, root: String) {
-  def columnStats(): Map[String, Long] = {
+  def columnStats(): Map[String, Long] = stats()._2
+
+  def numRows(): Option[Long] = stats()._1
+
+  /** Build the scan with `filters` pushed (what a WHERE clause delivers)
+    * and read back (numRows, per-column NDV) — the base statistics the
+    * optimizer sees for a FILTERED scan.
+    */
+  def stats(filters: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression] = Nil): (Option[Long], Map[String, Long]) = {
     val schema = Layout.readSnapshot(spark, root).schema
-    val scan = new GraftScanBuilder(root, "probe", -1, schema,
-      CaseInsensitiveStringMap.empty()).build()
+    val sb = new GraftScanBuilder(root, "probe", -1, schema,
+      CaseInsensitiveStringMap.empty())
+    if (filters.nonEmpty) sb.pushFilters(filters)
+    val scan = sb.build()
       .asInstanceOf[org.apache.spark.sql.connector.read
         .SupportsReportStatistics]
     import scala.jdk.CollectionConverters._
-    scan.estimateStatistics().columnStats().asScala.map {
+    val st = scan.estimateStatistics()
+    val rows = if (st.numRows().isPresent) Some(st.numRows().getAsLong)
+      else None
+    (rows, st.columnStats().asScala.map {
       case (ref, cs) => ref.fieldNames().mkString(".") ->
         cs.distinctCount().orElse(-1L)
-    }.toMap
+    }.toMap)
   }
 }

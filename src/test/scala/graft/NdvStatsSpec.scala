@@ -121,6 +121,85 @@ class NdvStatsSpec extends GraftSuite {
     }
   }
 
+  test("FILTERED scans keep base statistics: kept-file rows/NDV report and flip the broadcast on a filtered join side") {
+    wh
+    import spark.implicits._
+    // twin facts again, but this time the aggregate side carries a
+    // pushed WHERE — the common production shape (join on a filtered
+    // fact) that round 13's gate refused stats for entirely
+    for (t <- Seq("ff", "fg")) {
+      sql(s"CREATE TABLE gndv.$t (k BIGINT, g STRING, v DOUBLE) " +
+        "TBLPROPERTIES ('statsKey'='k'" +
+        (if (t == "ff") ", 'ndvKey'='g'" else "") + ")")
+      for (half <- 0 to 1) {
+        (0 until 20000).map(i => (half * 20000L + i, s"grp${i % 8}",
+            i / 2.0))
+          .toDF("k", "g", "v").createOrReplaceTempView(s"${t}_src")
+        sql(s"INSERT INTO gndv.$t SELECT * FROM ${t}_src")
+      }
+    }
+    // scan-level base stats under a pushed range filter: pushFilters
+    // returns every conjunct as a residual, so the scan emits exactly
+    // the KEPT files' rows — numRows/NDV must keep reporting (they
+    // describe the scan's output; FilterEstimation owns the residual)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val under30k = Seq(LessThan(AttributeReference("k", LongType)(),
+      Literal(30000L)))
+    val (rowsF, ndvF) = new graft.sources.GraftScanBuilderProbe(
+      spark, s"$wh/ff").stats(under30k)
+    assert(rowsF.exists(r => r >= 20000L && r <= 40000L),
+      s"kept-file row sum must report under a filter (files overlapping " +
+        s"k<30000 stay; exact value depends on chunking): $rowsF")
+    assert(ndvF.get("g").contains(8L),
+      s"kept-file synopses must merge under a filter: $ndvF")
+    // a filter PRUNING files tightens the base stats to the kept subset
+    // (the k<20000 boundary is clean: insert 2 starts at exactly 20000,
+    // so every one of its files prunes regardless of chunking)
+    val under20k = Seq(LessThan(AttributeReference("k", LongType)(),
+      Literal(20000L)))
+    val (rowsP, ndvP) = new graft.sources.GraftScanBuilderProbe(
+      spark, s"$wh/ff").stats(under20k)
+    assert(rowsP.contains(20000L),
+      s"insert 2's files (k ≥ 20000) all prune away: $rowsP")
+    assert(ndvP.get("g").contains(8L), s"kept subset still reports: $ndvP")
+    // and the statistics drive the plan: the same filtered
+    // aggregate-join broadcasts only when the NDV is declared
+    sql("CREATE TABLE gndv.big2 (g STRING, w DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='w')")
+    (0 until 20000).map(i => (s"grp${i % 8}", i * 1.0)).toDF("g", "w")
+      .createOrReplaceTempView("big2_src")
+    sql("INSERT INTO gndv.big2 SELECT * FROM big2_src")
+    def aggJoin(t: String): DataFrame = sql(
+      s"""SELECT j.g, j.c, b.w FROM
+         |  (SELECT g, count(*) AS c FROM gndv.$t
+         |   WHERE k < 30000 GROUP BY g) j
+         |JOIN gndv.big2 b ON j.g = b.g""".stripMargin)
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val savedThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val withNdv = aggJoin("ff")
+      val without = aggJoin("fg")
+      assert(withNdv.collect().length == 20000 &&
+        without.collect().length == 20000, "answers agree")
+      assert(hasBroadcast(withNdv),
+        "filtered side with NDV → aggregate provably tiny → broadcast:\n" +
+          withNdv.queryExecution.executedPlan)
+      assert(!hasBroadcast(without),
+        "without NDV the filtered twin must stay shuffle-joined:\n" +
+          without.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThr)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("CALL graft.system.analyze backfills synopses for pre-existing files and declares ndvKey") {
     wh
     import spark.implicits._
