@@ -246,6 +246,194 @@ class LockRootArbiter extends ClaimArbiter {
   }
 }
 
+/** Conditional-put claim arbiter AGAINST THE DATA STORE ITSELF — for
+  * object stores whose PUT honors create-exclusive (If-None-Match)
+  * semantics, which every major store now exposes. No lock root, no
+  * second system: the claim is an object under the table's own
+  * `_manifests/` directory, and the store's conditional write is the
+  * arbitration. This removes the last deployment dependency the other
+  * two arbiters carry (one-driver contract / separate atomic store).
+  *
+  * {{{
+  * spark.conf.set("spark.graft.commit.arbiter",
+  *   classOf[graft.ops.ConditionalPutArbiter].getName)
+  * // certify the scheme(s) whose PUT is conditional-write-capable:
+  * spark.conf.set("spark.graft.commit.conditionalPutSchemes", "s3a")
+  * }}}
+  *
+  * Layout: `<root>/_manifests/v<N>.cput.g<G>` — GENERATION-numbered
+  * claim objects, because a flat store has conditional put but NO
+  * atomic rename, so the lock-root tombstone break doesn't transplant.
+  * The protocol uses only put-if-absent + list + read:
+  *
+  *  - CLAIM: list the version's claim objects; none → conditional-put
+  *    generation 0 (one racer's PUT succeeds — the store arbitrates).
+  *  - HOLDER: the content of the HIGHEST generation (what the
+  *    pre-rename re-read compares).
+  *  - BREAK: the highest generation stale past
+  *    [[Layout.ClaimGraceMillis]] with NO committed manifest →
+  *    conditional-put generation G+1. Concurrent breakers race on the
+  *    SAME object name, so exactly one wins; the broken writer's next
+  *    holder re-read resolves to the higher generation and it aborts
+  *    instead of renaming (the same documented post-stall window as
+  *    the other arbiters).
+  *  - RELEASE (own failed rename only): delete the highest-gen object
+  *    if it still carries our token. The read-then-delete window is
+  *    tolerated for the same reason [[LockRootArbiter.release]]'s is —
+  *    the pre-rename holder re-read absorbs an early-expired claim.
+  *
+  * The scheme must be CERTIFIED via
+  * `spark.graft.commit.conditionalPutSchemes` (comma-separated) —
+  * an uncertified flat scheme's create-exclusive is HEAD-then-PUT and
+  * would reintroduce the exact hazard this exists to close. Schemes in
+  * [[Layout.AtomicClaimSchemes]] are accepted without certification
+  * (their create-exclusive already implies it).
+  */
+class ConditionalPutArbiter extends ClaimArbiter {
+  import Arbiters._
+  import org.apache.hadoop.fs.FileSystem
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def msDir(root: String) = new Path(s"$root/_manifests")
+
+  private def certifiedSchemes(spark: SparkSession): Set[String] =
+    spark.conf.get("spark.graft.commit.conditionalPutSchemes", "")
+      .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
+  private def checkedFs(spark: SparkSession, root: String): FileSystem = {
+    val fs = fsOf(spark, msDir(root))
+    val scheme = Option(fs.getScheme).getOrElse("").toLowerCase
+    if (!Layout.AtomicClaimSchemes.contains(scheme) &&
+        !certifiedSchemes(spark).contains(scheme))
+      throw new IllegalStateException(
+        s"ConditionalPutArbiter on scheme '$scheme': this store is not " +
+          "certified conditional-put-capable. If its PUT honors " +
+          "If-None-Match (create-exclusive enforced server-side), add " +
+          "the scheme to spark.graft.commit.conditionalPutSchemes; " +
+          "otherwise its create(overwrite=false) is HEAD-then-PUT and " +
+          "cannot arbitrate a claim — use LockRootArbiter or " +
+          "SingleDriverArbiter instead.")
+    fs
+  }
+
+  private def claimPath(root: String, version: Int, gen: Int): Path =
+    new Path(msDir(root), s"v$version.cput.g$gen")
+
+  /** The version's claim objects, ascending by generation. */
+  private def claims(fs: FileSystem, root: String,
+      version: Int): Seq[(Int, org.apache.hadoop.fs.FileStatus)] = {
+    val dir = msDir(root)
+    val pre = s"v$version.cput.g"
+    val listed =
+      try fs.listStatus(dir).toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    listed.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(pre) && n.length > pre.length &&
+          n.drop(pre.length).forall(_.isDigit))
+        Some(n.drop(pre.length).toInt -> st)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** One conditional PUT: kernel-atomic O_EXCL on local paths (the
+    * same RawLocalFileSystem caveat as [[LockRootArbiter]]);
+    * `create(overwrite=false)` elsewhere — which on a certified store
+    * IS the If-None-Match write.
+    */
+  private def condPut(fs: FileSystem, p: Path, token: String): Boolean = {
+    fs.mkdirs(p.getParent)
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    }
+  }
+
+  private def contentOf(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  override def tryClaim(spark: SparkSession, root: String, version: Int,
+      token: String): Boolean = {
+    val fs = checkedFs(spark, root)
+    claims(fs, root, version).lastOption match {
+      case None => condPut(fs, claimPath(root, version, 0), token)
+      case Some((g, st)) =>
+        // break path: the TARGET generation (G+1) came from THIS
+        // listing, so a concurrent breaker that saw the same listing
+        // races on the same object name and the store picks one winner;
+        // a breaker working from a NEWER listing targets a generation
+        // we'd lose to anyway
+        val stale = System.currentTimeMillis() -
+          st.getModificationTime > Layout.ClaimGraceMillis
+        if (stale && !manifestExists(spark, root, version))
+          condPut(fs, claimPath(root, version, g + 1), token)
+        else false
+    }
+  }
+
+  override def holder(spark: SparkSession, root: String,
+      version: Int): Option[String] = {
+    val fs = fsOf(spark, msDir(root))
+    claims(fs, root, version).lastOption
+      .flatMap { case (_, st) => contentOf(fs, st.getPath) }
+  }
+
+  override def release(spark: SparkSession, root: String, version: Int,
+      token: String): Unit = {
+    val fs = fsOf(spark, msDir(root))
+    // read-then-delete window tolerated: release runs only on our own
+    // failed rename, and an early-expired claim is absorbed by every
+    // writer's pre-rename holder re-read (see LockRootArbiter.release)
+    claims(fs, root, version).lastOption.foreach { case (_, st) =>
+      if (contentOf(fs, st.getPath).contains(token))
+        fs.delete(st.getPath, false)
+    }
+  }
+}
+
+object ConditionalPutArbiter {
+  /** Housekeeping: drop claim objects of COMMITTED versions past the
+    * grace (inert history) — the conditional-put mirror of
+    * [[LockRootArbiter.sweep]]. Live uncommitted claims survive.
+    */
+  def sweep(spark: SparkSession, tableRoot: String): Int = {
+    val dir = new Path(s"$tableRoot/_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val now = System.currentTimeMillis()
+    val Pat = "v(\\d+)\\.cput\\.g\\d+".r
+    fs.listStatus(dir).toSeq.count { st =>
+      st.getPath.getName match {
+        case Pat(v) =>
+          Arbiters.manifestExists(spark, tableRoot, v.toInt) &&
+            now - st.getModificationTime > Layout.ClaimGraceMillis &&
+            fs.delete(st.getPath, false)
+        case _ => false
+      }
+    }
+  }
+}
+
 object LockRootArbiter {
   /** Housekeeping: drop locks whose version HAS a committed manifest
     * (inert history) and are older than the grace — the lock-root

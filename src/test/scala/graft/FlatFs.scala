@@ -22,6 +22,14 @@ object FlatFs {
     * files and manifest temps, pass through), then disarms.
     */
   @volatile var betweenHeadAndPut: Path => Unit = null
+
+  /** CONDITIONAL-PUT mode: when true, `create(overwrite = false)`
+    * becomes a true If-None-Match write (kernel-atomic O_EXCL
+    * reservation) — the modern object-store capability
+    * [[graft.ops.ConditionalPutArbiter]] certifies. When false (the
+    * default), the HEAD-then-PUT hazard stands.
+    */
+  @volatile var conditionalPut: Boolean = false
 }
 
 class FlatFs extends RawLocalFileSystem {
@@ -29,8 +37,23 @@ class FlatFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("flat:///")
 
   // HEAD (exists) … hook … then PUT unconditionally — the
-  // non-atomicity under test
+  // non-atomicity under test. In conditional-put mode the path is
+  // instead RESERVED atomically (one racer's PUT wins, the store
+  // enforces it server-side).
   private def headThenPut(f: Path): Unit = {
+    if (FlatFs.conditionalPut) {
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      // an object store has no directories — "parents" always exist
+      if (p.getParent != null)
+        java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.createFile(p)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            f.toString)
+      }
+      return
+    }
     if (exists(f))
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
     val hook = FlatFs.betweenHeadAndPut

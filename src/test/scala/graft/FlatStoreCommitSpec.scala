@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Arbiters, CommitConflictException, Layout,
-  LockRootArbiter, SingleDriverArbiter}
+import graft.ops.{Arbiters, CommitConflictException, ConditionalPutArbiter,
+  Layout, LockRootArbiter, SingleDriverArbiter}
 
 /** [[LockRootArbiter]] with a test seam on the holder re-read — the
   * "meanwhile, on another writer" hook firing between a commit's claim
@@ -20,6 +20,21 @@ class HookedLockRootArbiter extends LockRootArbiter {
   }
 }
 object HookedLockRootArbiter {
+  @volatile var onHolderRead: () => Unit = null
+}
+
+/** [[ConditionalPutArbiter]] with the same test seam on the holder
+  * re-read as [[HookedLockRootArbiter]].
+  */
+class HookedConditionalPutArbiter extends ConditionalPutArbiter {
+  override def holder(spark: SparkSession, root: String,
+      version: Int): Option[String] = {
+    val hook = HookedConditionalPutArbiter.onHolderRead
+    if (hook != null) { HookedConditionalPutArbiter.onHolderRead = null; hook() }
+    super.holder(spark, root, version)
+  }
+}
+object HookedConditionalPutArbiter {
   @volatile var onHolderRead: () => Unit = null
 }
 
@@ -244,6 +259,176 @@ class FlatStoreCommitSpec extends GraftSuite {
       assert(ex.getMessage.contains("swept or re-claimed"))
       assert(Layout.snapshotVersions(spark, root) == Seq(1),
         "the stalled writer renamed nothing")
+    }
+  }
+
+  private def withConditionalPut[T](body: => T): T = {
+    FlatFs.conditionalPut = true
+    try body finally FlatFs.conditionalPut = false
+  }
+
+  private def backdateClaim(root: String, name: String): Unit = {
+    val f = new java.io.File(
+      root.stripPrefix("flat:") + "/_manifests/" + name)
+    assert(f.exists(), s"claim object $name must exist to backdate")
+    assert(f.setLastModified(
+      System.currentTimeMillis() - Layout.ClaimGraceMillis - 60000))
+  }
+
+  test("ConditionalPutArbiter refuses an uncertified flat scheme; certification + conditional PUT arbitrates the claim") {
+    import spark.implicits._
+    val root = flatRoot("flat-cp-refuse")
+    withConf("spark.graft.commit.arbiter" ->
+        classOf[ConditionalPutArbiter].getName) {
+      // 'flat' not certified → loud refusal (its create-exclusive is
+      // HEAD-then-PUT — exactly the hazard)
+      val ex = intercept[IllegalStateException] {
+        Layout.snapshotAppend(spark, root, Seq((0L, "x")).toDF("k", "tag"))
+      }
+      assert(ex.getMessage.contains("conditionalPutSchemes"))
+      withConf("spark.graft.commit.conditionalPutSchemes" -> "flat") {
+        withConditionalPut {
+          Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+          // two driver instances race v2: the store's conditional PUT
+          // picks exactly one winner (generation 0)
+          val a1 = new ConditionalPutArbiter
+          val a2 = new ConditionalPutArbiter
+          val w1 = a1.tryClaim(spark, root, 2, "driver-1")
+          val w2 = a2.tryClaim(spark, root, 2, "driver-2")
+          assert(w1 && !w2, "conditional put on the data store arbitrates")
+          assert(a2.holder(spark, root, 2).contains("driver-1"))
+          // loser's release is content-guarded: no-op
+          a2.release(spark, root, 2, "driver-2")
+          assert(a1.holder(spark, root, 2).contains("driver-1"))
+          // winner's own release (failed-rename path) frees the slot
+          a1.release(spark, root, 2, "driver-1")
+          assert(a1.holder(spark, root, 2).isEmpty)
+          assert(a2.tryClaim(spark, root, 2, "driver-2"),
+            "a released claim re-opens generation 0")
+        }
+      }
+    }
+  }
+
+  test("ConditionalPutArbiter generation break: stale+uncommitted breaks via g+1 with ONE winner; committed versions are inert; sweep") {
+    import spark.implicits._
+    val root = flatRoot("flat-cp-gen")
+    withConf(
+      "spark.graft.commit.arbiter" -> classOf[ConditionalPutArbiter].getName,
+      "spark.graft.commit.conditionalPutSchemes" -> "flat") {
+      withConditionalPut {
+        Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+        val arb = new ConditionalPutArbiter
+        // a crashed writer holds v2's g0; fresh → blocks commits
+        assert(arb.tryClaim(spark, root, 2, "crashed"))
+        intercept[CommitConflictException] {
+          Layout.snapshotAppend(spark, root,
+            Seq((1L, "blocked")).toDF("k", "tag"))
+        }
+        // aged past grace: TWO concurrent breakers race the SAME next
+        // generation object — exactly one wins
+        backdateClaim(root, "v2.cput.g0")
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import scala.concurrent.duration._
+        val wins = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((1 to 2).map(i =>
+            scala.concurrent.Future {
+              new ConditionalPutArbiter()
+                .tryClaim(spark, root, 2, s"breaker-$i")
+            })), 60.seconds)
+        assert(wins.count(identity) == 1,
+          s"exactly one breaker may win generation 1 (got $wins)")
+        val winner = arb.holder(spark, root, 2).get
+        assert(winner.startsWith("breaker-"),
+          s"the break hands the claim forward (holder=$winner)")
+        // the broken writer's pre-rename re-read now sees the breaker
+        assert(!arb.holder(spark, root, 2).contains("crashed"))
+        // release the breaker's claim and let a real commit through
+        new ConditionalPutArbiter().release(spark, root, 2, winner)
+        assert(Layout.snapshotAppend(spark, root,
+          Seq((1L, "after-break")).toDF("k", "tag")) == 2)
+        // v2 committed: even an ancient claim object never re-hands out
+        val leftover = new java.io.File(
+          root.stripPrefix("flat:") + "/_manifests").listFiles()
+          .filter(_.getName.startsWith("v2.cput.g"))
+        leftover.foreach(f => f.setLastModified(
+          System.currentTimeMillis() - 10 * Layout.ClaimGraceMillis))
+        assert(!arb.tryClaim(spark, root, 2, "time-traveler"),
+          "a committed version's claim history is inert")
+        // claim v3 fresh (uncommitted, live): sweep must keep it while
+        // dropping v2's inert objects
+        assert(arb.tryClaim(spark, root, 3, "live"))
+        val swept = ConditionalPutArbiter.sweep(spark, root)
+        assert(swept >= 1, s"v2's aged claim objects sweep (got $swept)")
+        assert(arb.holder(spark, root, 3).contains("live"),
+          "the live uncommitted claim survives the sweep")
+      }
+    }
+  }
+
+  test("ConditionalPutArbiter end-to-end: concurrent appends on the flat store commit a linear lossless history — no lock root, no second system") {
+    import spark.implicits._
+    val root = flatRoot("flat-cp-e2e")
+    withConf(
+      "spark.graft.commit.arbiter" -> classOf[ConditionalPutArbiter].getName,
+      "spark.graft.commit.conditionalPutSchemes" -> "flat") {
+      withConditionalPut {
+        Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+        val writers = 8
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = (1 to writers).map { w =>
+          scala.concurrent.Future {
+            Layout.withCommitRetry(attempts = writers + 2) {
+              Layout.snapshotAppend(spark, root,
+                Seq((w.toLong, s"writer$w")).toDF("k", "tag"))
+            }
+          }
+        }
+        import scala.concurrent.duration._
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs), 120.seconds)
+        pool.shutdown()
+        assert(Layout.snapshotVersions(spark, root) == (1 to writers + 1),
+          "linear history arbitrated by the data store's conditional PUT")
+        val rows = Layout.readSnapshot(spark, root)
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(rows == ((0L, "base") +:
+          (1 to writers).map(w => (w.toLong, s"writer$w"))).sorted,
+          "no commit lost, none duplicated")
+      }
+    }
+  }
+
+  test("stalled-writer guard through conditional put: a generation break mid-commit aborts before rename") {
+    import spark.implicits._
+    val root = flatRoot("flat-cp-stall")
+    withConf(
+      "spark.graft.commit.arbiter" ->
+        classOf[HookedConditionalPutArbiter].getName,
+      "spark.graft.commit.conditionalPutSchemes" -> "flat") {
+      withConditionalPut {
+        Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+        // between this writer's g0 claim of v2 and its pre-rename
+        // re-read, another driver breaks to generation 1 (as a stale
+        // break would) — the higher generation IS the holder now
+        HookedConditionalPutArbiter.onHolderRead = () => {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              root.stripPrefix("flat:") + "/_manifests/v2.cput.g1"),
+            "other-driver".getBytes("UTF-8"))
+        }
+        val ex = intercept[IllegalStateException] {
+          Layout.snapshotAppend(spark, root,
+            Seq((1L, "stalled")).toDF("k", "tag"))
+        }
+        assert(ex.getMessage.contains("swept or re-claimed"))
+        assert(Layout.snapshotVersions(spark, root) == Seq(1),
+          "the stalled writer renamed nothing")
+      }
     }
   }
 
