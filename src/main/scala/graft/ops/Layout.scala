@@ -963,7 +963,7 @@ object Layout {
     * generalized to user properties and `check.*` constraints).
     */
   private val EphemeralHeaders = Set("ts", "writer", "epoch", "schema",
-    "mvBase")
+    "mvBase", "cdcKey")
 
   /** Engine-owned properties a user must not SET/UNSET directly — each
     * has its own evolution path (declaration at first commit; the
@@ -1350,6 +1350,9 @@ object Layout {
               "both claim the same version. Commit from an " +
               s"atomic-create store (${AtomicClaimSchemes.mkString(", ")}), " +
               "configure spark.graft.commit.arbiter — shipped: " +
+              "graft.ops.ConditionalPutArbiter (this store's PUT honors " +
+              "If-None-Match; certify via " +
+              "spark.graft.commit.conditionalPutSchemes), " +
               "graft.ops.SingleDriverArbiter (all writers in one driver " +
               "JVM) or graft.ops.LockRootArbiter (+ " +
               "spark.graft.commit.lockRoot on an atomic store), or any " +
@@ -2445,6 +2448,11 @@ object Layout {
   def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
     import spark.implicits._
+    // named refs surface on the versions they point at: "tag:<name>" /
+    // "branch:<name>" (a branch shows at its fork point on main)
+    val refsByV = snapshotRefs(spark, root)
+      .groupBy(_.version).map { case (v, rs) =>
+        v -> rs.map(r => s"${r.kind}:${r.name}").sorted }
     snapshotVersions(spark, root).map { v =>
       val hdr = manifestHeader(spark, root, v)
       val entries = manifestEntries(spark, root, v)
@@ -2455,9 +2463,10 @@ object Layout {
         Some(entries.map(_.stats.get.rows).sum) else None
       (v, hdr.get("ts").map(_.toLong).getOrElse(0L),
         entries.size, nDel,
-        rows, hdr.get("writer"), hdr.get("epoch").map(_.toLong))
+        rows, hdr.get("writer"), hdr.get("epoch").map(_.toLong),
+        refsByV.getOrElse(v, Nil))
     }.toDF("version", "commit_ts", "n_files", "n_delete_files",
-      "recorded_rows", "writer", "epoch")
+      "recorded_rows", "writer", "epoch", "refs")
   }
 
   /** Delta's `DESCRIBE DETAIL` as a metadata table (`graft.t.detail`):
@@ -3175,12 +3184,19 @@ object Layout {
   /** OP-TYPED CHANGE FEED — the `_change_type` surface (Delta CDF's
     * shape) on top of the version diff: every row the `from → to`
     * transition ADDED tagged `insert`, every row it REMOVED tagged
-    * `delete`, multiset-exact. Consumers that must handle retractions
-    * (maintained joins, downstream mirrors) read this instead of the
-    * insert-only [[snapshotDiff]]. APPEND lineage (file-set inclusion +
-    * unchanged sidecars) short-circuits the delete side to empty with
-    * ZERO extra scans — the common case stays metadata-priced; any
-    * other lineage (overwrite, compaction, MOR delete) pays the two-scan
+    * `delete` — and, across a COW rewrite whose commit stamped a
+    * `cdcKey` header (every [[snapshotMerge]] does), a key-matched
+    * changed row surfaces as the `update_preimage`/`update_postimage`
+    * PAIR instead, exactly Delta CDF's typing. Multiset-exact either
+    * way: {insert, update_postimage} minus {delete, update_preimage}
+    * IS the version diff — replaying consumers must treat the two
+    * addition types (and the two retraction types) together.
+    * APPEND lineage (file-set inclusion + unchanged sidecars)
+    * short-circuits the delete side to empty with ZERO extra scans —
+    * the common case stays metadata-priced; MOR-delete lineage prices
+    * at O(scoped files); a cdcKey COW rewrite prices at O(rewritten +
+    * added files) via [[cowTypedChanges]]; only untyped overwrite
+    * lineage (compaction, INSERT OVERWRITE) pays the two-scan
     * row-level diff, correct for every history.
     */
   def snapshotChanges(spark: org.apache.spark.sql.SparkSession, root: String,
@@ -3199,12 +3215,86 @@ object Layout {
         // resolve from the NEW sidecar entries alone — O(scoped files)
         dels.withColumn("_change_type", lit("delete"))
       case None =>
-        ins.unionByName(
-          readSnapshot(spark, root, fromVersion)
-            .exceptAll(readSnapshot(spark, root, toVersion))
-            .withColumn("_change_type", lit("delete")),
-          allowMissingColumns = true)
+        cowTypedChanges(spark, root, fromVersion, toVersion).getOrElse(
+          ins.unionByName(
+            readSnapshot(spark, root, fromVersion)
+              .exceptAll(readSnapshot(spark, root, toVersion))
+              .withColumn("_change_type", lit("delete")),
+            allowMissingColumns = true))
     }
+  }
+
+  /** TYPED UPDATES ACROSS A COW REWRITE — the change feed's merge fast
+    * path: when the `to` version's commit stamped a `cdcKey` (the merge
+    * key — [[snapshotMergeImpl]] records it, EPHEMERAL like `mvBase`:
+    * carried by no later commit, so it asserts only the transition that
+    * produced it), the row diff is derivable from the REWRITTEN files
+    * alone — carried files are byte-identical on both sides and cancel
+    * out of any multiset diff, so reading them would be pure waste.
+    * Cost O(removed + added files), not two full scans: a MERGE
+    * touching 0.1% of a 100 TB table prices its CDC at the touched
+    * gigabytes.
+    *
+    * Typing: after cancelling rows the rewrite carried UNCHANGED
+    * (pre ∩ post multiset), a key with EXACTLY ONE changed row on each
+    * side is an update — its old row tags `update_preimage`, its new
+    * row `update_postimage` (what downstream mirrors and CDC-capable
+    * view maintainers key on). Any other multiplicity (dup keys, true
+    * inserts, true deletes) degrades honestly to `insert`/`delete` —
+    * the typing never guesses a pairing, and null keys never pair
+    * (join semantics drop them to the degraded path by construction).
+    *
+    * None (caller falls back to the two-scan diff) when: no cdcKey on
+    * `to`; delete sidecars on either end (raw file reads would
+    * resurrect MOR-deleted rows); lineage isn't a rewrite (nothing
+    * removed or nothing added); the key vanished; or the logical
+    * schemas diverged across the span (a rename/evolution makes the
+    * positional diff unsound).
+    */
+  private def cowTypedChanges(spark: org.apache.spark.sql.SparkSession,
+      root: String, fromVersion: Int, toVersion: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val key = manifestHeader(spark, root, toVersion).getOrElse("cdcKey",
+      return None)
+    if (manifestDeleteFiles(spark, root, fromVersion).nonEmpty ||
+        manifestDeleteFiles(spark, root, toVersion).nonEmpty) return None
+    val fromFiles = manifestFiles(spark, root, fromVersion)
+    val toFiles = manifestFiles(spark, root, toVersion)
+    val removed = fromFiles.filterNot(toFiles.toSet)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    if (removed.isEmpty || added.isEmpty) return None
+    // each side reads its own version's files ALIGNED to that version's
+    // recorded logical schema — same contract as snapshotDiff's fast path
+    def readScoped(version: Int, files: Seq[String]): DataFrame = {
+      val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      manifestSchema(spark, root, version) match {
+        case Some(sc) =>
+          toLogicalFrame(raw, manifestHeader(spark, root, version), sc)
+        case None => raw
+      }
+    }
+    val pre = readScoped(fromVersion, removed)
+    val post = readScoped(toVersion, added)
+    if (pre.columns.toSet != post.columns.toSet ||
+        !post.columns.contains(key)) return None
+    val preA = pre.select(post.columns.toSeq.map(col): _*)
+    // carried-unchanged rows inside rewritten files cancel here — only
+    // genuinely changed rows survive to be typed (exchange reuse keeps
+    // the repeated subplans below single-computed)
+    val preD = preA.exceptAll(post)
+    val postD = post.exceptAll(preA)
+    val one = (df: DataFrame) => df.groupBy(col(key)).count()
+      .where(col("count") === 1).select(col(key))
+    val updKeys = one(preD).join(one(postD), Seq(key), "inner")
+    val ct = "_change_type"
+    Some(postD.join(updKeys, Seq(key), "left_semi")
+      .withColumn(ct, lit("update_postimage"))
+      .unionByName(preD.join(updKeys, Seq(key), "left_semi")
+        .withColumn(ct, lit("update_preimage")))
+      .unionByName(postD.join(updKeys, Seq(key), "left_anti")
+        .withColumn(ct, lit("insert")))
+      .unionByName(preD.join(updKeys, Seq(key), "left_anti")
+        .withColumn(ct, lit("delete"))))
   }
 
   /** The CDC FAST PATH for a merge-on-read delete transition: when
@@ -3613,7 +3703,11 @@ object Layout {
             count(lit(1)).as("n"), count(col(valCol)).as("nn"))
       } else {
         val ch = snapshotChanges(spark, baseRoot, processed, head)
-        val sign = when(col("_change_type") === "insert", lit(1))
+        // additions are {insert, update_postimage}, retractions
+        // {delete, update_preimage} — a COW MERGE's typed feed merges
+        // incrementally here instead of falling back on merge lineage
+        val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), lit(1))
           .otherwise(lit(-1))
         val deltaAgg = ch
           .groupBy(col(groupCol))
@@ -3788,8 +3882,13 @@ object Layout {
       val schema = manifestSchema(spark, root, curBase)
         .flatMap(ps => mergeSchemas(Some(ps), rewritten.schema))
       try {
+        // cdcKey: EPHEMERAL header (the mvBase pattern — never carried)
+        // telling the change feed this transition is a key-scoped COW
+        // rewrite, unlocking [[cowTypedChanges]]'s typed
+        // update_preimage/postimage rows at O(touched files)
         commitManifest(spark, root, curBase + 1, carriedSegs,
-          residual ++ newEntries, header = props ++ schemaHeaderOf(schema))
+          residual ++ newEntries,
+          header = props ++ schemaHeaderOf(schema) + ("cdcKey" -> keyCol))
         return curBase + 1
       } catch {
         case e: CommitConflictException =>
@@ -3985,6 +4084,206 @@ object Layout {
     1
   }
 
+  // ------------------------------------------------------------- refs
+  // NAMED REFS on the manifest layer — Iceberg's branch/tag slot:
+  // small files under <root>/_refs pointing into version history.
+  //  - TAG: an immutable name for a committed version ("the v2.1
+  //    training set") — time travel by name, protected from retention.
+  //  - BRANCH: a named line of development. The workspace
+  //    <root>/_refs/<name>.branch is a FULL table root seeded by
+  //    [[snapshotClone]] (zero data copy — entries reference the fork
+  //    version's files absolutely), so EVERY existing operator —
+  //    append, MERGE, compaction, constraints, its own time travel —
+  //    runs against a branch unchanged. Main never sees branch commits
+  //    until [[snapshotBranchPublish]] FAST-FORWARDS them in: one main
+  //    commit adopting the branch head's entries by reference (zero
+  //    data I/O), allowed only while main's head is still the fork —
+  //    anything else is a real divergence and refuses typed.
+  // Retention: [[protectedVersions]] stops the vacuum prefix at the
+  // first tagged/forked version, so a named version's manifest and
+  // files survive any retention policy while the ref lives.
+
+  private def refsDir(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_refs")
+
+  /** One named ref: `kind` ∈ {tag, branch}; `version` is the tagged
+    * version (tag) or the fork point on MAIN (branch — advanced by each
+    * publish).
+    */
+  case class SnapshotRef(name: String, kind: String, version: Int)
+
+  /** Ref names must be distinguishable from `VERSION AS OF <int>` and
+    * filesystem-safe.
+    */
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+") && !name.forall(_.isDigit),
+      s"ref name '$name' must be [A-Za-z0-9._-]+ and not all digits " +
+        "(an all-digit name would be ambiguous with VERSION AS OF n)")
+
+  /** The branch's workspace root — a complete table root of its own;
+    * run any Layout operator or catalog write against it.
+    */
+  def snapshotBranchRoot(root: String, name: String): String =
+    s"$root/_refs/$name.branch"
+
+  private def refPath(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(refsDir(root), s"$name.ref")
+
+  private def writeRef(spark: org.apache.spark.sql.SparkSession,
+      root: String, ref: SnapshotRef, overwrite: Boolean): Unit = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(refsDir(root))
+    val p = refPath(root, ref.name)
+    if (!overwrite) require(!fs.exists(p),
+      s"ref '${ref.name}' already exists at $root")
+    val out = fs.create(p, overwrite)
+    try out.write(s"kind=${ref.kind}\nv=${ref.version}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readRef(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): Option[SnapshotRef] = {
+    val p = refPath(root, name)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+      finally in.close()
+    for (k <- kv.get("kind"); v <- kv.get("v"))
+      yield SnapshotRef(name, k, v.toInt)
+  }
+
+  /** Every named ref at `root`, name-sorted. */
+  def snapshotRefs(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[SnapshotRef] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(refsDir(root))) return Nil
+    fs.listStatus(refsDir(root)).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".ref")).map(_.stripSuffix(".ref")).sorted
+      .flatMap(readRef(spark, root, _))
+  }
+
+  /** Resolve a ref for reads: a TAG reads main pinned at its version; a
+    * BRANCH reads its workspace head (the fork content until the first
+    * branch commit). Returns (the root to read, the version to pin).
+    */
+  def snapshotRefTarget(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): (String, Int) = {
+    val ref = readRef(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $root"))
+    if (ref.kind == "tag") (root, ref.version)
+    else {
+      val bRoot = snapshotBranchRoot(root, name)
+      (bRoot, snapshotVersions(spark, bRoot).last)
+    }
+  }
+
+  /** TAG a committed version (default: the head). Immutable — drop and
+    * re-create to move it; never overwritten in place.
+    */
+  def snapshotTag(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, version: Int = -1): SnapshotRef = {
+    requireRefName(name)
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not committed at $root")
+    val ref = SnapshotRef(name, "tag", v)
+    writeRef(spark, root, ref, overwrite = false)
+    ref
+  }
+
+  /** CREATE A BRANCH at `fromVersion` (default: the head): clone the
+    * fork version into the workspace (zero data copy) and record the
+    * fork. Returns the workspace root to write against.
+    */
+  def snapshotBranch(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, fromVersion: Int = -1): String = {
+    requireRefName(name)
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val fork = if (fromVersion < 0) vs.last else fromVersion
+    require(vs.contains(fork), s"version $fork not committed at $root")
+    val bRoot = snapshotBranchRoot(root, name)
+    writeRef(spark, root, SnapshotRef(name, "branch", fork),
+      overwrite = false)
+    snapshotClone(spark, root, bRoot, fork)
+    bRoot
+  }
+
+  /** FAST-FORWARD PUBLISH: make main's next version the branch head's
+    * exact content — one commit adopting the branch head's entries,
+    * sidecars, properties, and schema BY REFERENCE (zero data I/O; the
+    * branch's new files live under the workspace, inside main's
+    * ownership boundary, so main's lifecycle manages them from here).
+    * Allowed only while main's head IS the branch's fork — Iceberg's
+    * fast-forward rule; a main that moved on refuses with the typed
+    * conflict (merge the branch manually or re-branch). The ref's fork
+    * advances to the published version, so the branch can keep going.
+    */
+  def snapshotBranchPublish(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): Int = {
+    val ref = readRef(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $root"))
+    require(ref.kind == "branch", s"ref '$name' is a ${ref.kind}, not a branch")
+    val bRoot = snapshotBranchRoot(root, name)
+    val bHead = snapshotVersions(spark, bRoot).last
+    val mainHead = snapshotVersions(spark, root).last
+    if (mainHead != ref.version)
+      throw new ConcurrentWriteConflictException(root, ref.version, mainHead,
+        s"branch '$name' publish",
+        "main advanced past the branch's fork point — not a fast-forward")
+    commitManifest(spark, root, mainHead + 1, Nil,
+      manifestEntries(spark, bRoot, bHead),
+      header = carriedProps(manifestHeader(spark, bRoot, bHead)) ++
+        schemaHeaderOf(manifestSchema(spark, bRoot, bHead)),
+      deletes = manifestDeleteFiles(spark, bRoot, bHead))
+    writeRef(spark, root, SnapshotRef(name, "branch", mainHead + 1),
+      overwrite = true)
+    mainHead + 1
+  }
+
+  /** Drop a ref. A tag just unpins. A branch additionally loses its
+    * workspace: if NO main manifest references workspace files (never
+    * published, or published content since vacuumed) the whole
+    * workspace deletes; otherwise only the branch's own manifests go —
+    * the published data files now belong to main's lifecycle (they sit
+    * inside main's ownership boundary, so main's vacuum retires them
+    * when they fall out of retained versions).
+    */
+  def snapshotDropRef(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String): Unit = {
+    val ref = readRef(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(s"no ref '$name' at $root"))
+    val fs = fsOf(spark, root)
+    if (ref.kind == "branch") {
+      val bRoot = snapshotBranchRoot(root, name)
+      val prefix = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(bRoot)).toUri.getPath + "/"
+      val referencedByMain = snapshotVersions(spark, root).exists(v =>
+        (manifestFiles(spark, root, v) ++ manifestDeleteFiles(spark, root, v))
+          .exists(f =>
+            new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(prefix)))
+      if (referencedByMain)
+        fs.delete(msDir(bRoot), true)
+      else
+        fs.delete(new org.apache.hadoop.fs.Path(bRoot), true)
+    }
+    fs.delete(refPath(root, name), false)
+  }
+
+  /** Versions retention must not drop while their ref lives: tag
+    * targets and branch fork points.
+    */
+  private def protectedVersions(spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Int] =
+    snapshotRefs(spark, root).map(_.version).toSet
+
   /** INCREMENTAL JOIN-VIEW MAINTENANCE over TWO versioned tables — the
     * classical bilinear delta rule (ΔV = ΔL ⋈ R_new ∪ L_old ⋈ ΔR, the
     * textbook IVM identity for inner equi-joins) made exact by the
@@ -4109,7 +4408,11 @@ object Layout {
       keep: Int): VacuumStats = {
     require(keep >= 1, "must keep at least the latest version")
     val vs = snapshotVersions(spark, root)
-    vacuumDrop(spark, root, vs.dropRight(keep))
+    // refs protect: the prefix TRUNCATES at the first tagged/forked
+    // version (never a hole in the middle — every surviving version
+    // still time-travels and diffs exactly)
+    val prot = protectedVersions(spark, root)
+    vacuumDrop(spark, root, vs.dropRight(keep).takeWhile(!prot(_)))
   }
 
   /** AGE-BASED retention — the form every deployment actually schedules
@@ -4124,8 +4427,9 @@ object Layout {
       root: String, cutoffMillis: Long, minKeep: Int = 1): VacuumStats = {
     require(minKeep >= 1, "must keep at least the latest version")
     val stamped = snapshotTimestamps(spark, root)
+    val prot = protectedVersions(spark, root)
     val drop = stamped.dropRight(minKeep)
-      .takeWhile(_._2 < cutoffMillis).map(_._1)
+      .takeWhile(s => s._2 < cutoffMillis && !prot(s._1)).map(_._1)
     vacuumDrop(spark, root, drop)
   }
 

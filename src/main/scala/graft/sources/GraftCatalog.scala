@@ -149,16 +149,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   /** `VERSION AS OF n` — the snapshot version number, exactly the
     * integer [[Layout.snapshotAppend]] returned / `snapshotHistory`
-    * lists.
+    * lists. A NON-integer resolves as a NAMED REF
+    * ([[Layout.snapshotRefs]]): `VERSION AS OF 'stable'` reads the
+    * tagged version; `VERSION AS OF 'dev'` reads the branch's workspace
+    * head — Iceberg's branch/tag read surface.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    val root = existingRoot(ident)
     val v =
       try version.toInt
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"VERSION AS OF '$version': graft snapshot versions are integers")
+        val (refRoot, refV) =
+          try Layout.snapshotRefTarget(spark, root, version)
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$version': not an integer version and " +
+                s"no ref with that name (${e.getMessage})")
+          }
+        return GraftTable(refRoot, ident.toString, refV)
       }
-    val root = existingRoot(ident)
     require(Layout.snapshotVersions(spark, root).contains(v),
       s"version $v not committed at $root")
     GraftTable(root, ident.toString, v)
@@ -609,7 +618,8 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
   * head's per-file stats inventory), and `graft.t.changes` (the FULL
   * op-typed change feed, Delta's `table_changes` TVF as a plain table:
   * every version's [[Layout.snapshotChanges]] delta stamped
-  * `_graft_version`, `_change_type` ∈ {insert, delete}). history/files
+  * `_graft_version`, `_change_type` ∈ {insert, delete,
+  * update_preimage, update_postimage}). history/files
   * are manifest-priced (planning and execution never touch a data
   * byte); `changes` accepts VERSION-RANGE PUSHDOWN — conjuncts on
   * `_graft_version` (`>`, `>=`, `<`, `<=`, `=`, `IN`, `BETWEEN`)

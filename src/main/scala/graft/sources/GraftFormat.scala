@@ -25,7 +25,7 @@ import graft.ops.Layout
   * [[Layout.snapshotChanges]] — sidecar-aware, never wrong); writes are
   * manifest commits ([[Layout.snapshotAppend]] /
   * [[Layout.snapshotOverwrite]]), never bare file drops. `changesFrom`
-  * serves the op-typed feed (`_change_type` insert/delete), the batch
+  * serves the op-typed feed (`_change_type` insert/delete/update pair), the batch
   * twin of the `graft-cdf` stream's cdc mode — `table_changes(...)`
   * without needing a TVF.
   */

@@ -38,7 +38,8 @@ import graft.ops.Layout
   * not emitted as retractions (maintainers that need delete awareness
   * check [[Layout.snapshotAppendLineage]] and recompute, same contract
   * as the poll path). `.option("mode", "cdc")` switches to the OP-TYPED
-  * feed: each batch carries `_change_type` ∈ {insert, delete} rows from
+  * feed: each batch carries `_change_type` ∈ {insert, delete,
+  * update_preimage, update_postimage} rows from
   * [[Layout.snapshotChanges]] — what a downstream mirror or maintained
   * join consumes to apply retractions exactly.
   *

@@ -109,10 +109,89 @@ class CdcViewSpec extends GraftSuite {
       orders.filter(col("key") % 97 === 0))
     Layout.maintainSumViewCdc(spark, baseR, viewR, "status", "price")
     checkView()
+    // COW MERGE → the typed update feed merges incrementally (the
+    // preimage retracts the old value, the postimage adds the new one)
+    val mKeys = Layout.readSnapshot(spark, baseR)
+      .filter(col("status") === "O").select("key")
+      .orderBy("key").limit(10).collect().map(_.getLong(0))
+    assert(mKeys.nonEmpty)
+    Layout.snapshotMerge(spark, baseR, "key", mKeys, df =>
+      df.withColumn("price", when(col("key").isin(mKeys.toSeq: _*),
+        col("price") + 500.0).otherwise(col("price"))))
+    Layout.maintainSumViewCdc(spark, baseR, viewR, "status", "price")
+    checkView()
     // idempotent: at head, a rerun publishes nothing
     val vv = Layout.snapshotVersions(spark, viewR)
     Layout.maintainSumViewCdc(spark, baseR, viewR, "status", "price")
     assert(Layout.snapshotVersions(spark, viewR) == vv)
+  }
+
+  test("typed COW feed: a MERGE's changes are update pre/post pairs from rewritten files only; inserts, deletes, dup keys degrade honestly") {
+    import spark.implicits._
+    val root = tmp("cdc-typed") + "/t"
+    Layout.snapshotAppend(spark, root,
+      orders.repartitionByRange(4, col("key"))
+        .sortWithinPartitions(col("key")), statsKey = Some("key")) // v1
+    val v1Files = Layout.readSnapshot(spark, root, 1).inputFiles.toSet
+    val ks = Layout.readSnapshot(spark, root).select("key").orderBy("key")
+      .limit(2).collect().map(_.getLong(0))
+    val (kUpd, kDel) = (ks(0), ks(1))
+    val kNew = Layout.readSnapshot(spark, root)
+      .agg(max(col("key"))).head().getLong(0) + 1000
+    Layout.snapshotMerge(spark, root, "key", Array(kUpd, kDel, kNew), df =>
+      df.withColumn("price", when(col("key") === kUpd,
+          col("price") + 1000.0).otherwise(col("price")))
+        .filter(col("key") =!= kDel)
+        .unionByName(Seq((kNew, "Z", 1.0)).toDF("key", "status", "price")))
+    val ch = Layout.snapshotChanges(spark, root, 1, 2).localCheckpoint()
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "delete" -> 1L, "insert" -> 1L),
+      s"carried-unchanged rows must cancel out of the typed feed: $byType")
+    // the pair carries the key and the exact value transition
+    assert(ch.filter(col("_change_type") === "update_preimage")
+      .select("key").head().getLong(0) == kUpd)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .select("key").head().getLong(0) == kUpd)
+    val preP = ch.filter(col("_change_type") === "update_preimage")
+      .select("price").head().getDouble(0)
+    val postP = ch.filter(col("_change_type") === "update_postimage")
+      .select("price").head().getDouble(0)
+    assert(math.abs(postP - preP - 1000.0) < 1e-9,
+      "postimage must be the preimage's rewritten value")
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("key").head().getLong(0) == kDel)
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("key").head().getLong(0) == kNew)
+    // O(touched): untouched carried files are never read by the feed
+    val untouched = Layout.readSnapshot(spark, root, 2).inputFiles.toSet
+      .intersect(v1Files)
+    assert(untouched.nonEmpty, "merge must carry untouched files by reference")
+    assert(ch.inputFiles.toSet.intersect(untouched).isEmpty,
+      "the typed feed must scan only rewritten + added files")
+    // replay identity: additions minus retractions ≡ the version diff
+    val adds = ch.filter(col("_change_type")
+      .isin("insert", "update_postimage")).drop("_change_type")
+    val rets = ch.filter(col("_change_type")
+      .isin("delete", "update_preimage")).drop("_change_type")
+    val replayed = Layout.readSnapshot(spark, root, 1)
+      .unionByName(adds).exceptAll(rets)
+    val head = Layout.readSnapshot(spark, root, 2)
+    assert(replayed.exceptAll(head).isEmpty && head.exceptAll(replayed).isEmpty)
+    // DUP KEYS: two rows under one key rewrite — the typing must not
+    // guess a pairing; both degrade to delete+insert, still exact
+    Layout.snapshotAppend(spark, root,
+      Seq((kUpd, "D", 2.0)).toDF("key", "status", "price"))       // v3
+    Layout.snapshotMerge(spark, root, "key", Array(kUpd), df =>
+      df.withColumn("price", when(col("key") === kUpd,
+        col("price") * 2).otherwise(col("price"))))               // v4
+    val ch34 = Layout.snapshotChanges(spark, root, 3, 4).localCheckpoint()
+    assert(ch34.filter(col("_change_type")
+      .isin("update_preimage", "update_postimage")).count() == 0,
+      "dup-key rewrites must degrade, never guess pairings")
+    assert(ch34.filter(col("_change_type") === "insert").count() == 2 &&
+      ch34.filter(col("_change_type") === "delete").count() == 2)
   }
 
   test("sink auto-maintenance: small-file debt from micro-batches compacts on cadence, stream stays exactly-once") {
@@ -157,7 +236,7 @@ class CdcViewSpec extends GraftSuite {
     assert(Layout.readSnapshot(spark, dstRoot).inputFiles.length < 12)
   }
 
-  test("model: chained snapshotChanges replay reconstructs every version across random appends, deletes, compactions") {
+  test("model: chained snapshotChanges replay reconstructs every version across random appends, deletes, compactions, merges") {
     val root = tmp("cdc-model") + "/t"
     val rnd = new scala.util.Random(11)
     val pool = orders.limit(200).localCheckpoint()
@@ -165,10 +244,10 @@ class CdcViewSpec extends GraftSuite {
       pool.filter(col("key") % 5 === 0)
         .repartitionByRange(2, col("key")).sortWithinPartitions(col("key")),
       statsKey = Some("key"))
-    for (step <- 1 to 8) {
+    for (step <- 1 to 9) {
       val vs = Layout.snapshotVersions(spark, root)
       val live = Layout.readSnapshot(spark, root)
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // append a random slice
           Layout.snapshotAppend(spark, root,
             pool.filter(col("key") % 7 === rnd.nextInt(7)))
@@ -182,19 +261,35 @@ class CdcViewSpec extends GraftSuite {
             pool.filter(col("key") % 11 === 0))
         case 2 => // compact (folds sidecars; overwrite lineage)
           Layout.snapshotCompact(spark, root, 64L << 20)
+        case 3 => // COW merge (typed update feed; dup keys degrade) —
+          // compact first: merge refuses live delete sidecars
+          Layout.snapshotCompact(spark, root, 64L << 20)
+          val ks = Layout.readSnapshot(spark, root)
+            .select("key").distinct().orderBy("key")
+            .limit(20).collect().map(_.getLong(0))
+          if (ks.nonEmpty) {
+            val target = rnd.shuffle(ks.toSeq).take(1 + rnd.nextInt(4))
+            Layout.snapshotMerge(spark, root, "key", target.toArray, df =>
+              df.withColumn("price", when(col("key").isin(target: _*),
+                col("price") * 1.5).otherwise(col("price"))))
+          }
       }
     }
-    // REPLAY: for every consecutive version pair, prev ⊎ inserts ∖
-    // deletes must equal next — multiset-exact, any lineage
+    // REPLAY: for every consecutive version pair, prev ⊎ additions ∖
+    // retractions must equal next — multiset-exact, any lineage
+    // (additions = insert + update_postimage; retractions = delete +
+    // update_preimage: the two-set contract every consumer follows)
     val versions = Layout.snapshotVersions(spark, root)
     for ((a, b) <- versions.zip(versions.tail)) {
       val prev = Layout.readSnapshot(spark, root, a).localCheckpoint()
       val next = Layout.readSnapshot(spark, root, b).localCheckpoint()
       val ch = Layout.snapshotChanges(spark, root, a, b).localCheckpoint()
       val replayed = prev
-        .unionByName(ch.filter(col("_change_type") === "insert")
+        .unionByName(ch.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
           .drop("_change_type"), allowMissingColumns = true)
-        .exceptAll(ch.filter(col("_change_type") === "delete")
+        .exceptAll(ch.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
           .drop("_change_type"))
       assert(replayed.exceptAll(next).isEmpty && next.exceptAll(replayed).isEmpty,
         s"replaying changes $a -> $b must reconstruct v$b exactly")

@@ -145,13 +145,34 @@ class CdfSourceSpec extends GraftSuite {
         "the MOR delete must retract exactly the deleted rows")
       assert(dels.select("key").collect().map(_.getLong(0)).sorted
         .sameElements(delKeys.sorted))
-      // APPLYING the feed reproduces the head: inserts minus deletes
+      // a COW MERGE arrives TYPED: update_preimage/postimage pairs for
+      // the rewritten key (compact first — merge refuses sidecars;
+      // compaction is content-preserving so v4 contributes no rows)
+      Layout.snapshotCompact(spark, root, 128L << 20) // v4
+      val uKey = Layout.readSnapshot(spark, root)
+        .select("key").orderBy("key").limit(1).head().getLong(0)
+      Layout.snapshotMerge(spark, root, "key", Array(uKey), df =>
+        df.withColumn("price", when(col("key") === uKey,
+          col("price") + 77.0).otherwise(col("price")))) // v5
+      q.processAllAvailable()
+      val got2 = spark.table("cdf_cdc")
+      val v5 = got2.filter(col("_graft_version") === 5).localCheckpoint()
+      val v5types = v5.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(v5types == Map("update_preimage" -> 1L,
+        "update_postimage" -> 1L),
+        s"a one-key MERGE must stream exactly one typed pair: $v5types")
+      assert(v5.select("key").distinct().head().getLong(0) == uKey)
+      // APPLYING the feed reproduces the head: additions minus
+      // retractions — update types count with their set
       // (localCheckpoint: both sides of the self-except need distinct
       // attribute ids)
-      val gotC = got.localCheckpoint()
-      val applied = gotC.filter(col("_change_type") === "insert")
+      val gotC = got2.localCheckpoint()
+      val applied = gotC.filter(col("_change_type")
+          .isin("insert", "update_postimage"))
         .drop("_change_type", "_graft_version")
-        .exceptAll(gotC.filter(col("_change_type") === "delete")
+        .exceptAll(gotC.filter(col("_change_type")
+            .isin("delete", "update_preimage"))
           .drop("_change_type", "_graft_version"))
       val head = Layout.readSnapshot(spark, root)
       assert(applied.exceptAll(head).isEmpty && head.exceptAll(applied).isEmpty,

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConcurrentWriteConflictException, Layout}
+
+/** Named refs on the manifest layer — tags (immutable version names)
+  * and branches (isolated zero-copy workspaces with fast-forward
+  * publish), with retention protecting referenced versions and the
+  * read surface riding `VERSION AS OF '<name>'`.
+  */
+class RefsSpec extends GraftSuite {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  private def orders = Tables(spark, sf, "orders")
+    .select(col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast("double").as("price"))
+
+  test("tags: immutable named versions; history shows them; retention stops at a tagged version until the tag drops") {
+    val root = tmp("refs-tag") + "/t"
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 0))
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 1))
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 3 === 2))
+    Layout.snapshotTag(spark, root, "train-v1", 2)
+    // duplicate names refuse; all-digit names refuse (VERSION AS OF
+    // ambiguity); a tag of an uncommitted version refuses
+    intercept[IllegalArgumentException] {
+      Layout.snapshotTag(spark, root, "train-v1", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.snapshotTag(spark, root, "7", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.snapshotTag(spark, root, "ghost", 99)
+    }
+    // the ref resolves to the pinned content
+    val (r, v) = Layout.snapshotRefTarget(spark, root, "train-v1")
+    assert(r == root && v == 2)
+    // history surfaces the ref at its version
+    val hist = Layout.snapshotHistory(spark, root)
+      .select("version", "refs").collect()
+      .map(row => row.getInt(0) -> row.getSeq[String](1)).toMap
+    assert(hist(2) == Seq("tag:train-v1") && hist(1).isEmpty)
+    // retention: the drop-prefix truncates at the tagged version — v1
+    // goes, v2 (tagged) and v3 survive even under keep=1
+    Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(Layout.snapshotVersions(spark, root) == Seq(2, 3),
+      "a tagged version must survive any retention policy")
+    assert(Layout.readSnapshot(spark, root, 2).count() > 0,
+      "the tagged version's files survive too")
+    // dropping the tag unpins; the next retention pass may reclaim it
+    Layout.snapshotDropRef(spark, root, "train-v1")
+    Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(Layout.snapshotVersions(spark, root) == Seq(3))
+  }
+
+  test("branches: zero-copy fork, isolation both ways, fast-forward publish adopts the head by reference, non-FF refuses typed") {
+    val root = tmp("refs-br") + "/t"
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 2 === 0),
+      statsKey = Some("key"))
+    val mainBefore = Layout.readSnapshot(spark, root).localCheckpoint()
+    val bRoot = Layout.snapshotBranch(spark, root, "dev")
+    assert(bRoot == Layout.snapshotBranchRoot(root, "dev"))
+    // the branch is born as the fork content with ZERO data copy:
+    // its files ARE main's files
+    assert(Layout.readSnapshot(spark, bRoot).inputFiles.toSet ==
+      Layout.readSnapshot(spark, root).inputFiles.toSet,
+      "branch creation must not copy a data byte")
+    // writes to the branch: ordinary Layout ops against the workspace
+    Layout.snapshotAppend(spark, bRoot,
+      orders.filter(col("key") % 2 === 1))         // branch v2
+    // ISOLATION: main unchanged; branch sees its own writes
+    val main = Layout.readSnapshot(spark, root)
+    assert(main.exceptAll(mainBefore).isEmpty &&
+      mainBefore.exceptAll(main).isEmpty,
+      "branch commits must be invisible to main before publish")
+    assert(Layout.readSnapshot(spark, bRoot).count() == orders.count())
+    // history shows the branch at its fork point
+    assert(Layout.snapshotHistory(spark, root)
+      .filter(col("version") === 1).select("refs")
+      .head().getSeq[String](0) == Seq("branch:dev"))
+    // FAST-FORWARD PUBLISH: one main commit, content = branch head,
+    // files adopted BY REFERENCE (no rewrite)
+    val pub = Layout.snapshotBranchPublish(spark, root, "dev")
+    assert(pub == 2)
+    val mainNow = Layout.readSnapshot(spark, root)
+    val branchHead = Layout.readSnapshot(spark, bRoot)
+    assert(mainNow.exceptAll(branchHead).isEmpty &&
+      branchHead.exceptAll(mainNow).isEmpty,
+      "published main must equal the branch head exactly")
+    assert(Layout.readSnapshot(spark, root, 2).inputFiles.toSet ==
+      branchHead.inputFiles.toSet,
+      "publish must adopt the branch's files by reference, not rewrite")
+    // the ref advanced to the published version; the branch continues
+    assert(Layout.snapshotRefs(spark, root)
+      .exists(r => r.name == "dev" && r.version == 2))
+    Layout.snapshotAppend(spark, bRoot,
+      orders.filter(col("key") % 97 === 0))
+    // NON-fast-forward: main advances past the fork → typed refusal
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 89 === 0))
+    val ex = intercept[ConcurrentWriteConflictException] {
+      Layout.snapshotBranchPublish(spark, root, "dev")
+    }
+    assert(ex.getMessage.contains("fast-forward"))
+  }
+
+  test("branch drop: an unpublished workspace deletes whole; a published one keeps its adopted data files for main") {
+    val root = tmp("refs-drop") + "/t"
+    Layout.snapshotAppend(spark, root, orders.limit(50))
+    // unpublished branch: drop removes the entire workspace
+    val b1 = Layout.snapshotBranch(spark, root, "scratch")
+    Layout.snapshotAppend(spark, b1, orders.limit(10))
+    Layout.snapshotDropRef(spark, root, "scratch")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(b1)),
+      "an unpublished branch's workspace is garbage — delete it whole")
+    assert(Layout.snapshotRefs(spark, root).isEmpty)
+    // published branch: main references workspace data files — drop
+    // keeps them (main's vacuum owns their lifecycle now)
+    val b2 = Layout.snapshotBranch(spark, root, "shipit")
+    Layout.snapshotAppend(spark, b2, orders.limit(20))
+    Layout.snapshotBranchPublish(spark, root, "shipit")
+    val adopted = Layout.readSnapshot(spark, root).inputFiles
+      .filter(_.contains("/_refs/shipit.branch/"))
+    assert(adopted.nonEmpty, "published main must reference workspace files")
+    Layout.snapshotDropRef(spark, root, "shipit")
+    assert(Layout.readSnapshot(spark, root).count() == 70,
+      "main must stay fully readable after dropping a published branch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$b2/_manifests")),
+      "the dropped branch's own manifests go")
+  }
+
+  test("SQL surface: VERSION AS OF resolves tag and branch names through the catalog") {
+    import spark.implicits._
+    val wh = tmp("refs-sql")
+    spark.conf.set("spark.sql.catalog.grefs",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grefs.root", wh)
+    spark.sql("CREATE TABLE grefs.t (k BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("r_src")
+    spark.sql("INSERT INTO grefs.t SELECT * FROM r_src")         // v2
+    val root = s"$wh/t"
+    Layout.snapshotTag(spark, root, "golden")                    // tag @ v2
+    Seq((3L, 3.0)).toDF("k", "v").createOrReplaceTempView("r_src2")
+    spark.sql("INSERT INTO grefs.t SELECT * FROM r_src2")        // v3
+    assert(spark.sql("SELECT * FROM grefs.t VERSION AS OF 'golden'")
+      .count() == 2, "the tag pins v2 regardless of later commits")
+    // branch: write to the workspace, read it by name
+    val bRoot = Layout.snapshotBranch(spark, root, "exp")
+    Layout.snapshotAppend(spark, bRoot,
+      Seq((100L, 100.0)).toDF("k", "v"))
+    assert(spark.sql("SELECT * FROM grefs.t VERSION AS OF 'exp'")
+      .count() == 4, "the branch name reads the workspace head")
+    assert(spark.sql("SELECT count(*) FROM grefs.t").head().getLong(0) == 3,
+      "main stays isolated from the branch")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM grefs.t VERSION AS OF 'nope'").collect()
+    }
+    assert(ex.getMessage.contains("no ref") ||
+      ex.getMessage.contains("not an integer"))
+  }
+
+  test("age-based retention also stops at a protected version") {
+    val root = tmp("refs-age") + "/t"
+    Layout.snapshotAppend(spark, root, orders.limit(10))
+    Layout.snapshotAppend(spark, root, orders.limit(20))
+    Layout.snapshotAppend(spark, root, orders.limit(30))
+    Layout.snapshotBranch(spark, root, "hold", fromVersion = 2)
+    // cutoff far in the future would drop v1 and v2 — the fork stops it
+    val stats = Layout.vacuumSnapshotsOlderThan(spark, root,
+      cutoffMillis = System.currentTimeMillis() + 1000000, minKeep = 1)
+    assert(Layout.snapshotVersions(spark, root) == Seq(2, 3),
+      "the branch fork version must survive age-based retention")
+  }
+}
