@@ -430,20 +430,24 @@ private[graft] class GraftScan(val root: String, identName: String,
     SparkSession.active.sessionState.conf
       .getConfString("spark.graft.spj.temporal.enabled", "false") == "true"
 
-  /** A provably key-grouped layout: the reported transform plus
-    * (internal key value, that key's file paths) sorted groups — or
-    * None when any planned file is not provably single-valued.
-    * Two shapes qualify:
+  /** A provably key-grouped layout: the reported transforms (one per
+    * dimension) plus (internal key tuple, that tuple's file paths)
+    * sorted groups — or None when any planned file is not provably
+    * single-valued in EVERY dimension. Qualifying shapes:
     *  - identity on a string `partCol` (key = the value, UTF8String);
-    *  - a SINGLE `bucket(n, col)` partSpec dim (key = the bucket id,
-    *    Integer) — the transform resolves through [[GraftCatalog]]'s
-    *    FunctionCatalog to [[GraftBucketBound]], so two tables
-    *    bucketed with the same n on the join key co-partition and the
-    *    fact-fact join plans WITHOUT A SHUFFLE on either side.
+    *  - a partSpec whose EVERY dim is `bucket(n, col)` (keyed under
+    *    the bucketing switch) or days/hours (keyed under the temporal
+    *    opt-in) — MULTI-DIMENSIONAL specs like
+    *    `bucket(16, key), days(ts)` report a compound
+    *    KeyGroupedPartitioning, so two tables sharing the spec join
+    *    with zero exchanges on (key, ts). Every named transform
+    *    resolves through [[GraftCatalog]]'s FunctionCatalog
+    *    ([[GraftBucketBound]] and kin) to the exact write-side
+    *    recording expression.
     */
   private case class KeyedLayout(
-      transform: org.apache.spark.sql.connector.expressions.Transform,
-      groups: Seq[(Any, Seq[String])])
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform],
+      groups: Seq[(Seq[Any], Seq[String])])
 
   private def keyedGroupsOf(kept: Seq[(Layout.FileEntry,
       org.apache.hadoop.fs.FileStatus)]): Option[KeyedLayout] = {
@@ -456,53 +460,70 @@ private[graft] class GraftScan(val root: String, identName: String,
         val pure = kept.nonEmpty && kept.forall(_._1.parts.exists(ps =>
           ps.size == 1 && ps.head != "\u0000"))
         if (!typed || !projected || !pure) None
-        else Some(KeyedLayout(Expressions.identity(pc),
+        else Some(KeyedLayout(Array(Expressions.identity(pc)),
           kept.groupBy(_._1.parts.get.head).view
             .mapValues(_.map(_._1.path)).toSeq.sortBy(_._1)
             .map { case (v, ps) =>
-              (org.apache.spark.unsafe.types.UTF8String.fromString(v): Any,
-                ps)
+              (Seq(org.apache.spark.unsafe.types.UTF8String
+                .fromString(v): Any), ps)
             }))
       case None => header.get("partSpec")
         .map(sp => scala.util.Try(graft.ops.PartSpec.parse(sp))
           .getOrElse(Nil))
-        .flatMap {
-          // single hash or temporal dim → transform-keyed groups; the
-          // named transform resolves through [[GraftCatalog]]'s
-          // function catalog ([[GraftBucketFunction]] and kin).
-          // BUCKET layouts key under the standard bucketing switch:
-          // their task count is the n the user CHOSE, and bucketed
-          // joins are what the layout exists for. TEMPORAL dims need
-          // the EXTRA spark.graft.spj.temporal.enabled opt-in — a
-          // keyed scan trades away DPP (per-scan exclusivity) and
-          // plans one task per key, which on a years-deep days(ts)
-          // table is a parallelism collapse and the LOSS of the
-          // pruning that table shape exists for; only a deployment
-          // actually running co-partitioned temporal joins should pay
-          // that on every query.
-          case Seq(b: graft.ops.PartSpec.Bucket) =>
-            Some((b.col, Expressions.bucket(b.n, b.col)))
-          case Seq(d: graft.ops.PartSpec.Days) if temporalSpjOn =>
-            Some((d.col, Expressions.days(d.col)))
-          case Seq(h: graft.ops.PartSpec.Hours) if temporalSpjOn =>
-            Some((h.col, Expressions.hours(h.col)))
-          case _ => None
-        }
-        .flatMap { case (dimCol, transform) =>
-          val projected = required.fields.exists(f =>
-            resolver(f.name, dimCol))
-          val keys = kept.map(_._1.parts match {
-            // single recorded dim value "0:<id>" (the sentinel and
-            // multi-value files parse to None → fall back shuffled)
-            case Some(Seq(one)) if one.startsWith("0:") =>
-              one.substring(2).toIntOption
+        .flatMap { dims =>
+          // hash/temporal dims → transform-keyed groups; the named
+          // transforms resolve through [[GraftCatalog]]'s function
+          // catalog ([[GraftBucketFunction]] and kin). BUCKET dims key
+          // under the standard bucketing switch: bucketed joins are
+          // what the layout exists for. TEMPORAL dims need the EXTRA
+          // spark.graft.spj.temporal.enabled opt-in — a keyed scan
+          // still trades away DPP (per-scan exclusivity), so only a
+          // deployment actually running co-partitioned temporal joins
+          // should pay that on every query. (Task parallelism is NOT
+          // traded anymore: [[keyedBatch]] emits one keyed partition
+          // per parquet split, and Spark's own partition grouping
+          // merges same-key splits only when the join demands exact
+          // clustering — under partially-clustered distribution a
+          // year-deep days(ts) side keeps its per-file tasks.)
+          val xs = dims.map {
+            case b: graft.ops.PartSpec.Bucket =>
+              Some((b.col, Expressions.bucket(b.n, b.col)))
+            case d: graft.ops.PartSpec.Days if temporalSpjOn =>
+              Some((d.col, Expressions.days(d.col)))
+            case h: graft.ops.PartSpec.Hours if temporalSpjOn =>
+              Some((h.col, Expressions.hours(h.col)))
             case _ => None
-          })
+          }
+          if (dims.isEmpty || xs.exists(_.isEmpty)) None
+          else Some((dims, xs.map(_.get)))
+        }
+        .flatMap { case (dims, colsAndTransforms) =>
+          val projected = colsAndTransforms.forall { case (c, _) =>
+            required.fields.exists(f => resolver(f.name, c)) }
+          // per-file key TUPLE: exactly one recorded value in EVERY dim
+          // (a sentinel or multi-value file parses to None → the whole
+          // scan falls back shuffled)
+          val keys: Seq[Option[Seq[Int]]] = kept.map { case (e, _) =>
+            e.parts.flatMap { ps =>
+              val byDim = ps.groupBy(s => s.takeWhile(_ != ':'))
+              val vals = dims.map(d =>
+                byDim.getOrElse(d.idx.toString, Nil) match {
+                  case Seq(one) =>
+                    one.substring(one.indexOf(':') + 1).toIntOption
+                  case _ => None
+                })
+              if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+            }
+          }
           if (!projected || kept.isEmpty || keys.exists(_.isEmpty)) None
-          else Some(KeyedLayout(transform,
-            kept.zip(keys.map(_.get)).groupBy(_._2).view
-              .mapValues(_.map(_._1._1.path)).toSeq.sortBy(_._1)
-              .map { case (k, ps) => (Integer.valueOf(k): Any, ps) }))
+          else {
+            import scala.math.Ordering.Implicits.seqOrdering
+            Some(KeyedLayout(colsAndTransforms.map(_._2).toArray,
+              kept.zip(keys.map(_.get)).groupBy(_._2).view
+                .mapValues(_.map(_._1._1.path)).toSeq.sortBy(_._1)
+                .map { case (k, ps) =>
+                  (k.map(Integer.valueOf(_): Any), ps) }))
+          }
         }
     }
   }
@@ -515,32 +536,47 @@ private[graft] class GraftScan(val root: String, identName: String,
     staticGroups match {
       case Some(kl) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(kl.transform), kl.groups.size)
+          .KeyGroupedPartitioning(
+            kl.transforms.toArray[org.apache.spark.sql.connector
+              .expressions.Expression],
+            kl.groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
 
-  /** One keyed InputPartition per partition value: each value's files
-    * merge into a single FilePartition (SPJ runs one task per key
-    * anyway), read by the shared parquet reader factory.
+  /** One keyed InputPartition PER PARQUET SPLIT (the Iceberg contract),
+    * each carrying its key-tuple row: Spark's own partition grouping
+    * ([[org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanExecBase]])
+    * merges same-key splits into one task only when the join demands
+    * exact clustering, and KEEPS them as separate tasks under
+    * partially-clustered distribution
+    * (`spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled`)
+    * — so a skewed or temporal side preserves its task parallelism
+    * while still skipping the shuffle.
     */
   private def keyedBatch(kl: KeyedLayout): Batch =
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         lastPlannedFiles = kl.groups.map(_._2.size).sum
-        kl.groups.zipWithIndex.map { case ((value, paths), i) =>
-          val files = GraftScanUtil
+        var i = 0
+        kl.groups.flatMap { case (values, paths) =>
+          val key = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(values.toArray)
+          GraftScanUtil
             .innerScan(identName, physSchema(tableSchema),
               physSchema(required), physFilters(dataFilters ++ runtime),
               paths, options)
             .toBatch.planInputPartitions()
-            .flatMap(_.asInstanceOf[org.apache.spark.sql.execution
-              .datasources.FilePartition].files)
-          GraftKeyedPartition(
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](value)),
-            org.apache.spark.sql.execution.datasources.FilePartition(i, files))
+            .map { p =>
+              val fp = p.asInstanceOf[org.apache.spark.sql.execution
+                .datasources.FilePartition]
+              val out = GraftKeyedPartition(key,
+                org.apache.spark.sql.execution.datasources
+                  .FilePartition(i, fp.files))
+              i += 1
+              out
+            }
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =

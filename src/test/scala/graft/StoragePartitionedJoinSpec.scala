@@ -171,8 +171,9 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     val q = """SELECT a.t, count(*) AS n, sum(a.va + b.vb) AS s
               |FROM gspj.da a JOIN gspj.db b ON a.t = b.t
               |GROUP BY a.t""".stripMargin
-    // temporal keyed layouts are their OWN opt-in (they trade away DPP
-    // and one-task-per-key parallelism; see GraftScan.keyedGroupsOf)
+    // temporal keyed layouts are their OWN opt-in (a keyed scan trades
+    // away DPP — see GraftScan.keyedGroupsOf; task parallelism is kept
+    // via per-split keyed partitions, pinned below)
     spark.conf.set("spark.graft.spj.temporal.enabled", "true")
     val (spjShuffles, spjRows) = try withSpj(on = true) {
       val df = sql(q)
@@ -197,6 +198,106 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     val unkeyed = withSpj(on = true) { shuffles(sql(q)) }
     assert(unkeyed > spjShuffles,
       "temporal keying must not engage without its own opt-in")
+  }
+
+  test("MULTI-DIM SPJ: two (bucket(4,k), days(t)) tables join on (k, t) with no exchange below the join") {
+    wh
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d 08:00:00")
+    val fa = (0 until 240).map(i => (i.toLong, ts(i % 3 + 1), i * 2.0))
+      .toDF("k", "t", "va")
+    val fb = (0 until 240).map(i => (i.toLong, ts(i % 3 + 1), i * 3.0))
+      .toDF("k", "t", "vb")
+    // one append per (bucket, day) combination → files single-valued in
+    // BOTH dims
+    for (b <- 0 until 4; d <- 1 to 3) {
+      val slice = (c: DataFrame) => c.filter(
+        pmod(xxhash64(col("k")), lit(4)) === b && col("t") === ts(d))
+      Layout.snapshotAppendSpec(spark, s"$wh/m2a",
+        slice(fa).coalesce(1), "bucket(4,k),days(t)",
+        shuffleByPartition = false)
+      Layout.snapshotAppendSpec(spark, s"$wh/m2b",
+        slice(fb).coalesce(1), "bucket(4,k),days(t)",
+        shuffleByPartition = false)
+    }
+    val q = "SELECT a.k, a.t, a.va, b.vb FROM gspj.m2a a " +
+      "JOIN gspj.m2b b ON a.k = b.k AND a.t = b.t"
+    spark.conf.set("spark.graft.spj.temporal.enabled", "true")
+    val (spjShuffles, spjRows) = try withSpj(on = true) {
+      val df = sql(q)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), s"expected a join:\n$plan")
+      (shuffles(df), df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1).toSeq)
+    } finally spark.conf.unset("spark.graft.spj.temporal.enabled")
+    val (ctlShuffles, ctlRows) = withSpj(on = false) {
+      val df = sql(q)
+      (shuffles(df), df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1).toSeq)
+    }
+    assert(spjRows == ctlRows && spjRows.length == 240,
+      "multi-dim SPJ must not change the answer")
+    assert(ctlShuffles > 0 && spjShuffles == 0,
+      s"a compound (bucket, days) layout must plan a shuffle-free join: " +
+        s"spj=$spjShuffles control=$ctlShuffles")
+  }
+
+  test("PARTIALLY-CLUSTERED SPJ: a side with many files per bucket keeps >1 task per key group, still zero exchanges") {
+    wh
+    import spark.implicits._
+    val big = (0 until 2000).map(i => (i.toLong, i * 2.0)).toDF("k", "vl")
+    val small = (0 until 200).map(i => (i.toLong, i * 3.0)).toDF("k", "vs")
+    // the BIG side writes FOUR single-bucket files per bucket (16 files
+    // over 4 buckets); the small side one per bucket
+    for (b <- 0 until 4) {
+      val inB = pmod(xxhash64(col("k")), lit(4)) === b
+      for (s <- 0 until 4)
+        Layout.snapshotAppendSpec(spark, s"$wh/pca",
+          big.filter(inB && col("k") % 4 === s).coalesce(1), "bucket(4,k)",
+          shuffleByPartition = false)
+      Layout.snapshotAppendSpec(spark, s"$wh/pcb",
+        small.filter(inB).coalesce(1), "bucket(4,k)",
+        shuffleByPartition = false)
+    }
+    val q = "SELECT a.k, a.vl, b.vs FROM gspj.pca a " +
+      "JOIN gspj.pcb b ON a.k = b.k"
+    val extra = Seq(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    val savedExtra = extra.map(k => k -> spark.conf.getOption(k))
+    extra.foreach(spark.conf.set(_, "true"))
+    try withSpj(on = true) {
+      val df = sql(q)
+      val rows = df.collect()
+      assert(rows.length == 200, "answers stay exact")
+      val plan = df.queryExecution.executedPlan
+      assert(!plan.toString.contains("Exchange"),
+        s"partially-clustered SPJ still plans zero exchanges:\n$plan")
+      // the big side keeps its per-file tasks instead of collapsing to
+      // one task per bucket — the parallelism the production form keeps
+      def all(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => all(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => s +: all(s.plan)
+        case other => other +: other.children.flatMap(all)
+      }
+      val scanParts = all(plan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.inputRDD.getNumPartitions
+      }
+      assert(scanParts.nonEmpty, s"expected BatchScanExec nodes:\n$plan")
+      assert(scanParts.max > 4,
+        s"the multi-file side must keep >1 task per key group " +
+          s"(groups=4, tasks per scan=$scanParts)")
+    } finally savedExtra.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("mismatched bucket counts fall back to the shuffled plan and stay exact") {
