@@ -14,7 +14,11 @@ object TimeQuery {
     val reps = args.lift(2).map(_.toInt).getOrElse(4)
     val explain = args.lift(3).contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXT=1 builds the session WITH GraftExtensions (Bench's
+    // exact shape) — the A/B for attributing session-extension overhead
+    val b0 = SparkSession.builder()
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXT").contains("1"))
+        b0.withExtensions(new graft.functions.GraftExtensions) else b0)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
