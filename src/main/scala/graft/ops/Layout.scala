@@ -4210,9 +4210,17 @@ object Layout {
     val fork = if (fromVersion < 0) vs.last else fromVersion
     require(vs.contains(fork), s"version $fork not committed at $root")
     val bRoot = snapshotBranchRoot(root, name)
+    // ref first (create-exclusive claims the NAME against concurrent
+    // creates), then the workspace clone; a failed clone must not
+    // leave a dangling ref pointing at nothing
     writeRef(spark, root, SnapshotRef(name, "branch", fork),
       overwrite = false)
-    snapshotClone(spark, root, bRoot, fork)
+    try snapshotClone(spark, root, bRoot, fork)
+    catch {
+      case e: Throwable =>
+        fsOf(spark, root).delete(refPath(root, name), false)
+        throw e
+    }
     bRoot
   }
 

@@ -3026,7 +3026,17 @@ object Relational {
             .select(col("o_orderkey").as("key"),
               dec(col("o_totalprice")).cast("double").as("price"),
               col("o_orderdate").as("odate"))
-          Layout.snapshotAppendSpec(spark, factRoot, fact, "days(odate)")
+          // RANGE-cluster on the event time before the append: a hash
+          // shuffle by day scatters every year across every file (each
+          // file records ~all days → transform pruning keeps all);
+          // contiguous day ranges per file are the layout a temporal
+          // table actually ships with, and what lets the dim's
+          // year-1996 filter prune files both statically and via DPP —
+          // visible in §5.4's planned-file counts at sf1
+          Layout.snapshotAppendSpec(spark, factRoot,
+            fact.repartitionByRange(8, col("odate"))
+              .sortWithinPartitions(col("odate")),
+            "days(odate)", shuffleByPartition = false)
           val dim = fact.select(col("odate")).distinct()
             .withColumn("keep",
               when(year(col("odate")) === 1996, lit("yes"))

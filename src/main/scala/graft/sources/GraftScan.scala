@@ -555,33 +555,64 @@ private[graft] class GraftScan(val root: String, identName: String,
     * — so a skewed or temporal side preserves its task parallelism
     * while still skipping the shuffle.
     */
-  private def keyedBatch(kl: KeyedLayout): Batch =
-    new Batch {
-      override def planInputPartitions(): Array[InputPartition] = {
-        lastPlannedFiles = kl.groups.map(_._2.size).sum
-        var i = 0
-        kl.groups.flatMap { case (values, paths) =>
-          val key = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(values.toArray)
-          GraftScanUtil
-            .innerScan(identName, physSchema(tableSchema),
-              physSchema(required), physFilters(dataFilters ++ runtime),
-              paths, options)
-            .toBatch.planInputPartitions()
-            .map { p =>
-              val fp = p.asInstanceOf[org.apache.spark.sql.execution
-                .datasources.FilePartition]
-              val out = GraftKeyedPartition(key,
-                org.apache.spark.sql.execution.datasources
-                  .FilePartition(i, fp.files))
-              i += 1
-              out
-            }
-        }.toArray
-      }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new GraftKeyedReaderFactory(currentInner().toBatch.createReaderFactory())
+  // ---- Batch identity: [[org.apache.spark.sql.execution.datasources
+  // .v2.BatchScanExec]] compares scans through their BATCH objects
+  // (`this.batch == other.batch`), and exchange/subquery REUSE —
+  // including AQE's PlanAdaptiveDynamicPruningFilters, which silently
+  // replaces a DPP filter with TRUE when no reusable broadcast is
+  // found — rides that equality. An anonymous Batch per toBatch call
+  // makes every graft scan unequal to every other, which killed DPP
+  // whenever the DIM side of a star join was itself a graft table
+  // (observed: q104's fact planning 8/8 under a selective dim). The
+  // named classes below delegate equality to the OWNING scan's
+  // semantic equality (runtime filters stay excluded, per the
+  // invariant on [[equals]]; BatchScanExec compares runtimeFilters
+  // itself).
+  private class GraftKeyedBatch(val owner: GraftScan, kl: KeyedLayout)
+      extends Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      lastPlannedFiles = kl.groups.map(_._2.size).sum
+      var i = 0
+      kl.groups.flatMap { case (values, paths) =>
+        val key = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(values.toArray)
+        GraftScanUtil
+          .innerScan(identName, physSchema(tableSchema),
+            physSchema(required), physFilters(dataFilters ++ runtime),
+            paths, options)
+          .toBatch.planInputPartitions()
+          .map { p =>
+            val fp = p.asInstanceOf[org.apache.spark.sql.execution
+              .datasources.FilePartition]
+            val out = GraftKeyedPartition(key,
+              org.apache.spark.sql.execution.datasources
+                .FilePartition(i, fp.files))
+            i += 1
+            out
+          }
+      }.toArray
     }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftKeyedReaderFactory(currentInner().toBatch.createReaderFactory())
+    override def equals(o: Any): Boolean = o match {
+      case b: GraftKeyedBatch => b.owner == owner
+      case _ => false
+    }
+    override def hashCode(): Int = owner.hashCode()
+  }
+
+  private class GraftPlainBatch(val owner: GraftScan) extends Batch {
+    private lazy val inner: Batch = currentInner().toBatch
+    override def planInputPartitions(): Array[InputPartition] =
+      inner.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      inner.createReaderFactory()
+    override def equals(o: Any): Boolean = o match {
+      case b: GraftPlainBatch => b.owner == owner
+      case _ => false
+    }
+    override def hashCode(): Int = owner.hashCode()
+  }
 
   override def toBatch: Batch = {
     val groups =
@@ -591,14 +622,8 @@ private[graft] class GraftScan(val root: String, identName: String,
         index.prunedEntries(physFilters(dataFilters ++ runtime)),
         physFilters(dataFilters ++ runtime)))
     groups match {
-      case Some(g) => keyedBatch(g)
-      case None => new Batch {
-        private lazy val inner: Batch = currentInner().toBatch
-        override def planInputPartitions(): Array[InputPartition] =
-          inner.planInputPartitions()
-        override def createReaderFactory(): PartitionReaderFactory =
-          inner.createReaderFactory()
-      }
+      case Some(g) => new GraftKeyedBatch(this, g)
+      case None => new GraftPlainBatch(this)
     }
   }
 
@@ -730,9 +755,16 @@ private[graft] class GraftScan(val root: String, identName: String,
   // SEMANTICS (not just pruning), they must join this comparison.
   override def equals(other: Any): Boolean = other match {
     case g: GraftScan =>
+      // filters compare as a canonicalized SET: conjunct ORDER is plan
+      // noise, and an order-sensitive comparison breaks sameResult
+      // between a join's dim scan and its DPP subquery's twin — AQE's
+      // PlanAdaptiveDynamicPruningFilters then finds no reusable
+      // broadcast and silently replaces the DPP filter with TRUE
+      // (observed: q104's fact planning 8/8 under a selective dim)
       g.root == root && g.version == version &&
         g.required == required &&
-        g.dataFilters.map(_.canonicalized) == dataFilters.map(_.canonicalized)
+        g.dataFilters.map(_.canonicalized).toSet ==
+          dataFilters.map(_.canonicalized).toSet
     case _ => false
   }
 

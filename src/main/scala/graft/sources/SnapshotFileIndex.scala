@@ -274,7 +274,17 @@ class SnapshotFileIndex(
     * re-prunes on runtime (DPP) filters through it.
     */
   def prunedEntries(
-      dataFilters: Seq[Expression]): Seq[(Layout.FileEntry, FileStatus)] = {
+      rawFilters: Seq[Expression]): Seq[(Layout.FileEntry, FileStatus)] = {
+    // NORMALIZE InSet → In before matching: the optimizer rewrites any
+    // IN list past spark.sql.optimizer.inSetConversionThreshold
+    // (default 10) into InSet, whose values are INTERNAL forms —
+    // without this, a 366-day DPP probe or a wide static IN proves
+    // nothing and the scan silently keeps every file (observed on the
+    // q104 ladder at sf1: 8/8 planned where 2/8 match)
+    val dataFilters = rawFilters.map(_.transform {
+      case InSet(child, hset) =>
+        In(child, hset.toSeq.map(Literal(_, child.dataType)))
+    })
     val statsCols = entries.flatMap(_.stats.toSeq.flatMap(_.cols.keys)).distinct
     val strStatsCols = entries.flatMap(_.stats.toSeq.flatMap(_.strCols.keys)).distinct
     // per stats column: the intersection of every conjunct's bound

@@ -183,6 +183,71 @@ class PartitionTransformSpec extends GraftSuite {
           .mkString("; "))
   }
 
+  test("a WIDE static IN (InSet past the optimizer threshold) still prunes through the transform") {
+    wh
+    import spark.implicits._
+    // 6 single-day appends, then an IN of 20 timestamps (> the
+    // spark.sql.optimizer.inSetConversionThreshold default of 10, so
+    // the optimizer rewrites it to InSet with INTERNAL values) covering
+    // only day 3 — the pruner must normalize InSet back to IN or the
+    // probe proves nothing and every file stays (the q104 sf1 ladder
+    // caught exactly that)
+    for (day <- 1 to 6) {
+      Layout.snapshotAppendSpec(spark, s"$wh/wide",
+        (0 until 100).map(i => (day * 100L + i,
+            ts(f"2024-07-0$day ${i % 24}%02d:00:00"), i * 1.0))
+          .toDF("k", "ts", "v").coalesce(1), "days(ts)",
+        shuffleByPartition = false)
+    }
+    val total = Layout.snapshotMeta(spark, s"$wh/wide").paths.size
+    assert(total >= 6)
+    val probes = (0 until 20).map(h =>
+      f"TIMESTAMP '2024-07-03 ${h % 24}%02d:00:00'").mkString(",")
+    val q = sql(s"SELECT k FROM gpt.wide WHERE ts IN ($probes)")
+    val n = q.collect().length
+    // day 3's rows have hour i % 24; the probes cover hours 0..19:
+    // 4 full cycles × 20 + the tail 96..99 (hours 0..3) = 84
+    assert(n == 84, s"sanity: got $n")
+    val scans = graftScans(q)
+    assert(scans.nonEmpty && scans.forall(_.lastPlannedFiles == 1),
+      s"a wide IN covering one day must plan ONE file: " +
+        s"${scans.map(_.lastPlannedFiles)} of $total")
+  }
+
+  test("DPP prunes when the DIM side is itself a graft table (broadcast reuse across DSv2 scans)") {
+    wh
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Layout.snapshotAppendSpec(spark, s"$wh/gdppf",
+      (0 until 800).map(i => (i.toLong,
+        ts(f"2024-05-0${i % 4 + 1} 12:00:00"), i / 2.0))
+        .toDF("k", "ts", "v"),
+      "days(ts)")
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", saved)
+    val factFiles = Layout.snapshotMeta(spark, s"$wh/gdppf").paths.size
+    assert(factFiles >= 2, s"need multiple fact files, got $factFiles")
+    // the dim is a GRAFT table: the DPP subquery's dim scan and the
+    // join's dim scan are two DSv2 scan instances, and AQE reuses the
+    // broadcast between them ONLY if the scans' Batch objects compare
+    // equal — an identity-equal anonymous Batch silently downgraded
+    // every graft-dim star join to an unpruned fact scan
+    Layout.snapshotAppend(spark, s"$wh/gdppd",
+      (1 to 4).map(d => (ts(s"2024-05-0$d 12:00:00"),
+        if (d == 3) "keep" else "drop")).toDF("dts", "attr"))
+    val q = sql("SELECT f.k FROM gpt.gdppf f " +
+      "JOIN gpt.gdppd d ON f.ts = d.dts WHERE d.attr = 'keep'")
+    val rows = q.collect()
+    assert(rows.length == 200 && rows.forall(_.getLong(0) % 4 == 2))
+    val scans = graftScans(q)
+    assert(scans.nonEmpty)
+    assert(scans.exists(s => s.lastPlannedFiles < factFiles),
+      s"DPP with a graft dim must prune the fact: " +
+        s"${scans.map(s => s"${s.lastPlannedFiles}")} of $factFiles\n" +
+        q.queryExecution.executedPlan)
+  }
+
   test("runtime filtering (DPP) prunes through a days(ts) transform on the fact") {
     wh
     import spark.implicits._
