@@ -4129,6 +4129,13 @@ object Layout {
   private def refPath(root: String, name: String) =
     new org.apache.hadoop.fs.Path(refsDir(root), s"$name.ref")
 
+  /** Ref-file writes are exists-then-create, NOT the commit protocol's
+    * arbitrated claim: refs are operator-issued names (a human or a
+    * scheduler creates "v2.1" once), not contended commit slots, and
+    * a duplicate-name race at worst surfaces as one creator's require
+    * failing late. Everything refs PROTECT (publish commits, version
+    * content) still goes through the arbitrated manifest commit.
+    */
   private def writeRef(spark: org.apache.spark.sql.SparkSession,
       root: String, ref: SnapshotRef, overwrite: Boolean): Unit = {
     val fs = fsOf(spark, root)
