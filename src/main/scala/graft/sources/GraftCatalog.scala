@@ -124,11 +124,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val r = rootOf(ident)
     if (Layout.snapshotVersions(spark, r).nonEmpty)
       GraftTable(r, ident.toString, -1)
-    else metaTableOf(ident).getOrElse {
+    else metaTableOf(ident).orElse(branchTableOf(ident)).getOrElse {
       existingRoot(ident) // throws the canonical NoSuchTableException
       throw new IllegalStateException("unreachable")
     }
   }
+
+  /** WRITABLE BRANCH IDENTIFIERS (Iceberg's `t.branch_<name>` shape):
+    * `graft.t.branch_dev` resolves to the branch's workspace — a full
+    * table root — as an ordinary read/WRITE table, so
+    * `INSERT INTO graft.t.branch_dev …`, `MERGE INTO`, `UPDATE`,
+    * `DELETE`, and metadata reads all run against the branch with the
+    * main line untouched until `CALL graft.system.publish`. A real
+    * table at the same identifier shadows the branch name (checked
+    * first above, like the metadata tables).
+    */
+  private def branchTableOf(ident: Identifier): Option[Table] =
+    if (ident.namespace.isEmpty || !ident.name.startsWith("branch_")) None
+    else {
+      val name = ident.name.stripPrefix("branch_")
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val parentRoot = rootOf(parent)
+      if (Layout.snapshotVersions(spark, parentRoot).isEmpty) None
+      else if (!Layout.snapshotRefs(spark, parentRoot)
+          .exists(rf => rf.name == name && rf.kind == "branch")) None
+      else Some(GraftTable(Layout.snapshotBranchRoot(parentRoot, name),
+        ident.toString, -1))
+    }
 
   /** Iceberg-style METADATA TABLES: `SELECT … FROM graft.t.history` /
     * `graft.t.files` serve the per-version commit log and the head's

@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "maintain", "restore", "clone", "index",
-      "analyze")
+      "analyze", "tag", "branch", "publish", "drop_ref")
 
   def load(spark: => SparkSession, warehouse: String,
       ident: Identifier): UnboundProcedure = {
@@ -55,6 +55,10 @@ private[sources] object GraftProcedures {
       case "clone" => new CloneProcedure(spark, rootOf)
       case "index" => new IndexProcedure(spark, rootOf)
       case "analyze" => new AnalyzeProcedure(spark, rootOf)
+      case "tag" => new TagProcedure(spark, rootOf)
+      case "branch" => new BranchProcedure(spark, rootOf)
+      case "publish" => new PublishProcedure(spark, rootOf)
+      case "drop_ref" => new DropRefProcedure(spark, rootOf)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure 'system.$other' " +
           s"(available: ${Names.mkString(", ")})")
@@ -156,6 +160,122 @@ private[sources] object GraftProcedures {
       val v = Layout.maintainBloomIndexFor(spark, root,
         input.getUTF8String(1).toString)
       result(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `CALL graft.system.tag(table, name, [version])` — name a committed
+    * version ([[Layout.snapshotTag]]): immutable, time-travels via
+    * `VERSION AS OF '<name>'`, protected from retention while it lives.
+    */
+  private final class TagProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "tag a committed version with an immutable name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("name", StringType),
+      pd("version", IntegerType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val ref = Layout.snapshotTag(spark,
+        rootOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString, input.getInt(2))
+      result(outSchema, InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ref.name),
+        ref.version))
+    }
+  }
+
+  /** `CALL graft.system.branch(table, name, [from_version])` — create a
+    * zero-copy branch workspace ([[Layout.snapshotBranch]]); write to it
+    * as `graft.<table>.branch_<name>` or via the Scala API, read it as
+    * `VERSION AS OF '<name>'`, land it with `publish`.
+    */
+  private final class BranchProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "create a zero-copy branch workspace from a committed version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("name", StringType),
+      pd("from_version", IntegerType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("fork_version", IntegerType, nullable = false),
+      StructField("workspace", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val nm = input.getUTF8String(1).toString
+      val ws = Layout.snapshotBranch(spark, root, nm, input.getInt(2))
+      val fork = Layout.snapshotRefs(spark, root)
+        .find(_.name == nm).map(_.version).getOrElse(-1)
+      result(outSchema, InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(nm), fork,
+        org.apache.spark.unsafe.types.UTF8String.fromString(ws)))
+    }
+  }
+
+  /** `CALL graft.system.publish(table, name)` — fast-forward the branch
+    * head into main ([[Layout.snapshotBranchPublish]]): one commit
+    * adopting the branch's entries by reference; refuses typed when main
+    * moved past the fork.
+    */
+  private final class PublishProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "fast-forward a branch head into the main line"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("name", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("published_version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val v = Layout.snapshotBranchPublish(spark,
+        rootOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `CALL graft.system.drop_ref(table, name)` — drop a tag or branch
+    * ([[Layout.snapshotDropRef]]); retention may then reclaim the
+    * versions it protected.
+    */
+  private final class DropRefProcedure(sparkF: => SparkSession,
+      rootOf: String => String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_ref"
+    override def description(): String = "drop a tag or branch ref"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      p("name", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("dropped", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = sparkF
+      val root = rootOf(input.getUTF8String(0).toString)
+      val nm = input.getUTF8String(1).toString
+      val kind = Layout.snapshotRefs(spark, root)
+        .find(_.name == nm).map(_.kind).getOrElse(
+          throw new IllegalArgumentException(s"no ref '$nm' at $root"))
+      Layout.snapshotDropRef(spark, root, nm)
+      result(outSchema, InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$kind:$nm")))
     }
   }
 

@@ -164,6 +164,72 @@ class RefsSpec extends GraftSuite {
       ex.getMessage.contains("not an integer"))
   }
 
+  test("SQL procedures + writable branch identifier: CALL tag/branch/publish/drop_ref; INSERT INTO t.branch_<name> isolates until publish") {
+    import spark.implicits._
+    val wh = tmp("refs-proc")
+    spark.conf.set("spark.sql.catalog.gproc",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", wh)
+    spark.sql("CREATE TABLE gproc.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("pr_src")
+    spark.sql("INSERT INTO gproc.t SELECT * FROM pr_src")       // v2
+    // tag via SQL
+    val tagRow = spark.sql(
+      "CALL gproc.system.tag(table => 't', name => 'golden')").head()
+    assert(tagRow.getString(0) == "golden" && tagRow.getInt(1) == 2)
+    // branch via SQL, write through the branch identifier
+    val br = spark.sql(
+      "CALL gproc.system.branch(table => 't', name => 'dev')").head()
+    assert(br.getString(0) == "dev" && br.getInt(1) == 2)
+    Seq((10L, 10.0)).toDF("k", "v").createOrReplaceTempView("pr_src2")
+    spark.sql("INSERT INTO gproc.t.branch_dev SELECT * FROM pr_src2")
+    assert(spark.sql("SELECT count(*) FROM gproc.t.branch_dev")
+      .head().getLong(0) == 3, "the branch identifier reads its workspace")
+    assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 2,
+      "main must stay isolated from branch-identifier writes")
+    // SQL row-level ops run on the branch too (the workspace is a full
+    // table root behind the same catalog surface)
+    spark.sql("UPDATE gproc.t.branch_dev SET v = v + 100 WHERE k = 10")
+    assert(spark.sql(
+      "SELECT v FROM gproc.t.branch_dev WHERE k = 10").head().getDouble(0)
+      == 110.0)
+    // publish via SQL: main becomes the branch head
+    val pub = spark.sql(
+      "CALL gproc.system.publish(table => 't', name => 'dev')").head()
+    assert(pub.getInt(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 3)
+    assert(spark.sql("SELECT v FROM gproc.t WHERE k = 10")
+      .head().getDouble(0) == 110.0)
+    // drop via SQL; the identifier stops resolving
+    assert(spark.sql("CALL gproc.system.drop_ref(table => 't', " +
+      "name => 'golden')").head().getString(0) == "tag:golden")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gproc.t VERSION AS OF 'golden'").collect()
+    }
+  }
+
+  test("SQL UPDATE emits the typed CDC pair (routes through snapshotMergeKeys, which stamps cdcKey)") {
+    import spark.implicits._
+    val wh = tmp("refs-sqlupd")
+    spark.conf.set("spark.sql.catalog.gupd",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gupd.root", wh)
+    spark.sql("CREATE TABLE gupd.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='k')")
+    (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("su_src")
+    spark.sql("INSERT INTO gupd.t SELECT * FROM su_src")        // v2
+    spark.sql("UPDATE gupd.t SET v = v + 1000 WHERE k = 42")    // v3 (COW)
+    val ch = Layout.snapshotChanges(spark, s"$wh/t", 2, 3).localCheckpoint()
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"a one-row SQL UPDATE must type exactly one pair: $byType")
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .select("v").head().getDouble(0) == 1042.0)
+  }
+
   test("age-based retention also stops at a protected version") {
     val root = tmp("refs-age") + "/t"
     Layout.snapshotAppend(spark, root, orders.limit(10))
