@@ -3507,6 +3507,39 @@ object Layout {
     else ds.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The OP-TYPED change feed over a multi-commit span, priced PER
+    * COMMIT — the Delta-CDF contract, and the walking twin of
+    * [[snapshotDeltasUnion]]: each consecutive pair contributes
+    * [[snapshotChanges]] under ITS OWN lineage (append → metadata-only
+    * insert delta; MOR delete → O(scoped files) retractions; cdcKey
+    * COW merge → typed update pairs from rewritten files), so a span
+    * mixing appends and merges never collapses to the endpoint
+    * two-full-scan diff the single-call form falls back to (the
+    * endpoints' header can't prove anything about the middle).
+    * Telescoping makes it exact: Σ (vᵢ₊₁ − vᵢ) as a signed multiset IS
+    * v_head − v_since, and every consumer already treats
+    * {insert, update_postimage} / {delete, update_preimage} as the two
+    * sets. A compaction pair still pays its row-diff (which proves
+    * empty — content-preserving), same price as the endpoint form.
+    * Same `head` cap discipline as [[snapshotDeltasUnion]].
+    */
+  def snapshotChangesUnion(spark: org.apache.spark.sql.SparkSession,
+      root: String, since: Int, head: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = snapshotVersions(spark, root)
+      .filter(v => v > since && v <= head)
+    if (vs.isEmpty)
+      return readSnapshot(spark, root, head).where(lit(false))
+        .withColumn("_change_type", lit("insert"))
+    var prev = since
+    val ds = vs.map { v =>
+      val d = snapshotChanges(spark, root, prev, v)
+      prev = v
+      d
+    }
+    ds.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The base version a maintainer's view table currently reflects —
     * from the view head's `mvBase` commit header when present (an
     * O(manifest) METADATA read: the MV rewrite's per-query freshness
@@ -3702,7 +3735,10 @@ object Layout {
           .agg(sum(col(valCol).cast("double")).as("sum_v"),
             count(lit(1)).as("n"), count(col(valCol)).as("nn"))
       } else {
-        val ch = snapshotChanges(spark, baseRoot, processed, head)
+        // PER-COMMIT walking feed: a span mixing appends and merges
+        // prices each commit by its own lineage instead of falling
+        // back to the endpoint two-scan diff
+        val ch = snapshotChangesUnion(spark, baseRoot, processed, head)
         // additions are {insert, update_postimage}, retractions
         // {delete, update_preimage} — a COW MERGE's typed feed merges
         // incrementally here instead of falling back on merge lineage

@@ -3075,7 +3075,7 @@ object Relational {
 
   // ---------------------------------------------------------------- q105
   /** BUCKETED STORAGE-PARTITIONED JOIN ON THE ORACLE GATE — two tables
-    * declared `PARTITIONED BY (bucket(16, key))`
+    * declared `PARTITIONED BY (bucket(8, key))`
     * ([[graft.ops.PartSpec]]) joined on the bucket column with Spark's
     * SPJ switch on: the scans report
     * `KeyGroupedPartitioning(bucket(16, key))`, the transform resolves
@@ -3097,30 +3097,44 @@ object Relational {
       // mid-build must trigger a clean rebuild, never a silent partial
       // corpus persisting across runs
       def complete(t: String) =
-        Layout.snapshotVersions(spark, s"$wh/$t").size >= 16
+        Layout.snapshotVersions(spark, s"$wh/$t").size >= 8
       if (!complete("q105a") || !complete("q105b")) {
         for (t <- Seq("q105a", "q105b")) {
           val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) fs.delete(p, true)
         }
+        // one materialization serves all 16 per-bucket appends (each
+        // append otherwise re-scans and re-derives the projection)
         val base = t(spark, sfDir, "orders")
           .select(col("o_orderkey").as("key"),
             dec(col("o_totalprice")).cast("double").as("price"))
+          .localCheckpoint()
         // one append per bucket → single-bucket files, the layout SPJ
         // keys off (a plain multi-bucket append would only cost the
         // fallback shuffle, never correctness)
-        for (b <- 0 until 16) {
-          val inB = pmod(xxhash64(col("key")), lit(16)) === b
-          Layout.snapshotAppendSpec(spark, s"$wh/q105a",
-            base.filter(inB).coalesce(1), "bucket(16,key)",
-            shuffleByPartition = false)
-          Layout.snapshotAppendSpec(spark, s"$wh/q105b",
-            base.filter(col("key") % 3 === 0)
-              .select(col("key"), (col("key") % 7).as("qty"))
-              .filter(inB).coalesce(1), "bucket(16,key)",
-            shuffleByPartition = false)
-        }
+        // 8 buckets (16 appends): the fixture build dominates the
+        // query's sweep cost — half the appends, same plan shape (the
+        // SPJ spec pins zero-exchange plans on its own fixtures; this
+        // row pins the row-level answer). The two tables build in
+        // parallel threads: commits to DIFFERENT tables never contend,
+        // while each table's own appends stay sequential (clean
+        // version claims, no retry churn).
+        def inB(b: Int) = pmod(xxhash64(col("key")), lit(8)) === b
+        val builders = Seq(
+          () => for (b <- 0 until 8)
+            Layout.snapshotAppendSpec(spark, s"$wh/q105a",
+              base.filter(inB(b)).coalesce(1), "bucket(8,key)",
+              shuffleByPartition = false),
+          () => for (b <- 0 until 8)
+            Layout.snapshotAppendSpec(spark, s"$wh/q105b",
+              base.filter(col("key") % 3 === 0)
+                .select(col("key"), (col("key") % 7).as("qty"))
+                .filter(inB(b)).coalesce(1), "bucket(8,key)",
+              shuffleByPartition = false))
+        val threads = builders.map(f => new Thread(() => f()))
+        threads.foreach(_.start())
+        threads.foreach(_.join())
       }
       wh
     }

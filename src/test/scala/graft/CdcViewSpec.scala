@@ -194,6 +194,49 @@ class CdcViewSpec extends GraftSuite {
       ch34.filter(col("_change_type") === "delete").count() == 2)
   }
 
+  test("snapshotChangesUnion: a span mixing appends and merges prices per commit — typed rows survive, untouched files unread") {
+    import spark.implicits._
+    val root = tmp("cdc-walk") + "/t"
+    Layout.snapshotAppend(spark, root,
+      orders.repartitionByRange(4, col("key"))
+        .sortWithinPartitions(col("key")), statsKey = Some("key")) // v1
+    val processed = 1
+    val kUpd = Layout.readSnapshot(spark, root)
+      .select("key").orderBy("key").limit(1).head().getLong(0)
+    // the span: append (v2), COW merge on one key (v3), append (v4) —
+    // the ENDPOINT pair (1→4) has no cdcKey on v4's header, so the
+    // single-call feed would fall back to two full scans; the walking
+    // feed types the merge and keeps every pair at its own price
+    Layout.snapshotAppend(spark, root,
+      Seq((2000001L, "X", 5.0)).toDF("key", "status", "price"))    // v2
+    Layout.snapshotMerge(spark, root, "key", Array(kUpd), df =>
+      df.withColumn("price", when(col("key") === kUpd,
+        col("price") + 7.0).otherwise(col("price"))))               // v3
+    Layout.snapshotAppend(spark, root,
+      Seq((2000002L, "Y", 6.0)).toDF("key", "status", "price"))     // v4
+    val ch = Layout.snapshotChangesUnion(spark, root, processed, 4)
+      .localCheckpoint()
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 2L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L),
+      s"two appended rows + one typed pair expected: $byType")
+    // telescoped replay ≡ the endpoint state
+    val replayed = Layout.readSnapshot(spark, root, processed)
+      .unionByName(ch.filter(col("_change_type")
+          .isin("insert", "update_postimage")).drop("_change_type"))
+      .exceptAll(ch.filter(col("_change_type")
+          .isin("delete", "update_preimage")).drop("_change_type"))
+    val head = Layout.readSnapshot(spark, root, 4)
+    assert(replayed.exceptAll(head).isEmpty && head.exceptAll(replayed).isEmpty)
+    // scale shape: files of v1 the merge did NOT rewrite are never read
+    val untouched = Layout.readSnapshot(spark, root, 4).inputFiles.toSet
+      .intersect(Layout.readSnapshot(spark, root, 1).inputFiles.toSet)
+    assert(untouched.nonEmpty)
+    assert(ch.inputFiles.toSet.intersect(untouched).isEmpty,
+      "the walking feed must read only each commit's touched files")
+  }
+
   test("sink auto-maintenance: small-file debt from micro-batches compacts on cadence, stream stays exactly-once") {
     val dir = tmp("sink-maint")
     val srcRoot = s"$dir/src"
