@@ -3132,9 +3132,17 @@ object Relational {
                 .select(col("key"), (col("key") % 7).as("qty"))
                 .filter(inB(b)).coalesce(1), "bucket(8,key)",
               shuffleByPartition = false))
-        val threads = builders.map(f => new Thread(() => f()))
+        // a builder failure must propagate, not leave a silent partial
+        // corpus this call then serves (the completion guard only
+        // protects the NEXT call)
+        val failure = new java.util.concurrent.atomic
+          .AtomicReference[Throwable]()
+        val threads = builders.map(f => new Thread(() =>
+          try f() catch { case t: Throwable =>
+            failure.compareAndSet(null, t) }))
         threads.foreach(_.start())
         threads.foreach(_.join())
+        if (failure.get() != null) throw failure.get()
       }
       wh
     }
