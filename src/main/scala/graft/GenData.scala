@@ -165,7 +165,10 @@ object GenData {
       ui(28, nUsers).cast("long").as("user_id"),
       pick(29, Seq("click", "error", "purchase", "signup", "view"))
         .as("event_type"),
-      round(u(30) * u(31) * 560, 2).as("value"),
+      // exponential-ish value (profiled: mean ≈ 50, max ≈ 560):
+      // inverse-CDF on the uniform draw, capped at the observed max
+      round(least(-log(lit(1.0) - u(30) * 0.9999) * 50.0, lit(560.0)), 2)
+        .as("value"),
       format_string("{\"k\": %d}", ui(32, 100)).as("props"))
     })
 
