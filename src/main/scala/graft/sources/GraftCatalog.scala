@@ -660,6 +660,14 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
     case "files" => Layout.snapshotFilesTable(spark, root)
     case "partitions" => Layout.snapshotPartitionsTable(spark, root)
     case "detail" => Layout.snapshotDetail(spark, root)
+    case "refs" =>
+      // named refs inventory (`graft.t.refs`): one row per tag/branch
+      // — the queryable twin of history's per-version refs column
+      val sp = spark
+      import sp.implicits._
+      Layout.snapshotRefs(spark, root)
+        .map(r => (r.name, r.kind, r.version))
+        .toDF("name", "kind", "version")
   }
 
   private def changesSchema: StructType = {
@@ -790,5 +798,5 @@ case class GraftMetaTable(root: String, kind: String, identName: String)
 
 object GraftMetaTable {
   val Kinds: Set[String] =
-    Set("history", "files", "changes", "partitions", "detail")
+    Set("history", "files", "changes", "partitions", "detail", "refs")
 }

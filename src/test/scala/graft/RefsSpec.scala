@@ -201,6 +201,12 @@ class RefsSpec extends GraftSuite {
     assert(spark.sql("SELECT count(*) FROM gproc.t").head().getLong(0) == 3)
     assert(spark.sql("SELECT v FROM gproc.t WHERE k = 10")
       .head().getDouble(0) == 110.0)
+    // graft.t.refs metadata table: the queryable inventory
+    val refs = spark.sql("SELECT name, kind, version FROM gproc.t.refs " +
+      "ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(refs == Seq(("dev", "branch", 3), ("golden", "tag", 2)),
+      s"refs inventory: $refs")
     // drop via SQL; the identifier stops resolving
     assert(spark.sql("CALL gproc.system.drop_ref(table => 't', " +
       "name => 'golden')").head().getString(0) == "tag:golden")
