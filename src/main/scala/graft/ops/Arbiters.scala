@@ -197,7 +197,24 @@ class LockRootArbiter extends ClaimArbiter {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        // same error taxonomy as [[ConditionalPutArbiter.condPut]]: only
+        // already-exists means a lost race; an ambiguous error re-reads
+        // (own token = landed), and a store fault rethrows as I/O
+        case e: java.io.IOException =>
+          val readBack =
+            try {
+              val in = fs.open(p)
+              try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+              finally in.close()
+            } catch { case _: java.io.FileNotFoundException => None }
+          readBack match {
+            case Some(c) if c == token => true
+            case Some(_) => false
+            case None => throw new java.io.IOException(
+              s"create-exclusive of lock $p failed with a STORE error, not " +
+                "a concurrent claim (the lock is absent after the error): " +
+                "an I/O fault to retry/alert on, not commit contention", e)
+          }
       }
     }
   }
@@ -342,6 +359,19 @@ class ConditionalPutArbiter extends ClaimArbiter {
     * same RawLocalFileSystem caveat as [[LockRootArbiter]]);
     * `create(overwrite=false)` elsewhere — which on a certified store
     * IS the If-None-Match write.
+    *
+    * ERROR TAXONOMY matters here: only the store's conditional-write-
+    * failure signal (already-exists / precondition-failed) means "a
+    * concurrent claim won". Any OTHER IOException is a store fault —
+    * mapping it to `false` would surface an outage as
+    * CommitConflictException (diagnostics chase a non-existent
+    * concurrent writer), and a PUT that LANDED but lost its response
+    * would orphan the writer's own claim, blocking the version for the
+    * full grace. So: ambiguous error → re-read the object; our token
+    * there = the PUT succeeded (claim won); someone else's = lost;
+    * absent = a real store fault, rethrown as I/O with a named
+    * diagnostic so the caller's retry/alerting sees an outage, not
+    * contention.
     */
   private def condPut(fs: FileSystem, p: Path, token: String): Boolean = {
     fs.mkdirs(p.getParent)
@@ -360,7 +390,16 @@ class ConditionalPutArbiter extends ClaimArbiter {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case e: java.io.IOException =>
+          contentOf(fs, p) match {
+            case Some(c) if c == token => true // own PUT landed; response lost
+            case Some(_) => false // a concurrent claim really is there
+            case None => throw new java.io.IOException(
+              s"conditional PUT of claim $p failed with a STORE error, not " +
+                "a concurrent claim (the object is absent after the error): " +
+                "this is an I/O fault to retry/alert on, not commit " +
+                "contention", e)
+          }
       }
     }
   }

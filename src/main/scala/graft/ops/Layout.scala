@@ -963,7 +963,7 @@ object Layout {
     * generalized to user properties and `check.*` constraints).
     */
   private val EphemeralHeaders = Set("ts", "writer", "epoch", "schema",
-    "mvBase", "cdcKey")
+    "mvBase", "cdcKey", "publishRef", "publishSrc")
 
   /** Engine-owned properties a user must not SET/UNSET directly — each
     * has its own evolution path (declaration at first commit; the
@@ -3275,26 +3275,40 @@ object Layout {
     }
     val pre = readScoped(fromVersion, removed)
     val post = readScoped(toVersion, added)
-    if (pre.columns.toSet != post.columns.toSet ||
+    // schema divergence across the span must compare TYPES, not just
+    // names: a type evolution with the same column names would make the
+    // exceptAll below throw instead of degrading to the two-scan diff
+    val preTypes = pre.schema.fields
+      .map(f => f.name -> asNullable(f.dataType)).toMap
+    val typesAligned = post.schema.fields.forall(f =>
+      preTypes.get(f.name).contains(asNullable(f.dataType)))
+    if (pre.columns.toSet != post.columns.toSet || !typesAligned ||
         !post.columns.contains(key)) return None
-    val preA = pre.select(post.columns.toSeq.map(col): _*)
-    // carried-unchanged rows inside rewritten files cancel here — only
-    // genuinely changed rows survive to be typed (exchange reuse keeps
-    // the repeated subplans below single-computed)
-    val preD = preA.exceptAll(post)
-    val postD = post.exceptAll(preA)
-    val one = (df: DataFrame) => df.groupBy(col(key)).count()
-      .where(col("count") === 1).select(col(key))
-    val updKeys = one(preD).join(one(postD), Seq(key), "inner")
-    val ct = "_change_type"
-    Some(postD.join(updKeys, Seq(key), "left_semi")
-      .withColumn(ct, lit("update_postimage"))
-      .unionByName(preD.join(updKeys, Seq(key), "left_semi")
-        .withColumn(ct, lit("update_preimage")))
-      .unionByName(postD.join(updKeys, Seq(key), "left_anti")
-        .withColumn(ct, lit("insert")))
-      .unionByName(preD.join(updKeys, Seq(key), "left_anti")
-        .withColumn(ct, lit("delete"))))
+    // belt and braces under the type guard above: any residual analysis
+    // incompatibility between the two sides (foreign-writer evolution
+    // the guard's normalization didn't anticipate) must degrade to the
+    // documented two-scan fallback, never throw — construction resolves
+    // eagerly, so a Try here catches exactly the analysis phase
+    scala.util.Try {
+      val preA = pre.select(post.columns.toSeq.map(col): _*)
+      // carried-unchanged rows inside rewritten files cancel here — only
+      // genuinely changed rows survive to be typed (exchange reuse keeps
+      // the repeated subplans below single-computed)
+      val preD = preA.exceptAll(post)
+      val postD = post.exceptAll(preA)
+      val one = (df: DataFrame) => df.groupBy(col(key)).count()
+        .where(col("count") === 1).select(col(key))
+      val updKeys = one(preD).join(one(postD), Seq(key), "inner")
+      val ct = "_change_type"
+      postD.join(updKeys, Seq(key), "left_semi")
+        .withColumn(ct, lit("update_postimage"))
+        .unionByName(preD.join(updKeys, Seq(key), "left_semi")
+          .withColumn(ct, lit("update_preimage")))
+        .unionByName(postD.join(updKeys, Seq(key), "left_anti")
+          .withColumn(ct, lit("insert")))
+        .unionByName(preD.join(updKeys, Seq(key), "left_anti")
+          .withColumn(ct, lit("delete")))
+    }.toOption
   }
 
   /** The CDC FAST PATH for a merge-on-read delete transition: when
@@ -4267,15 +4281,35 @@ object Layout {
     bRoot
   }
 
-  /** FAST-FORWARD PUBLISH: make main's next version the branch head's
-    * exact content — one commit adopting the branch head's entries,
-    * sidecars, properties, and schema BY REFERENCE (zero data I/O; the
-    * branch's new files live under the workspace, inside main's
+  /** PUBLISH a branch into main — one commit adopting the branch head's
+    * entries, sidecars, properties, and schema BY REFERENCE (zero data
+    * I/O; the branch's new files live under the workspace, inside main's
     * ownership boundary, so main's lifecycle manages them from here).
-    * Allowed only while main's head IS the branch's fork — Iceberg's
-    * fast-forward rule; a main that moved on refuses with the typed
-    * conflict (merge the branch manually or re-branch). The ref's fork
-    * advances to the published version, so the branch can keep going.
+    * Two shapes, resolved by where main's head sits:
+    *
+    *  - FAST-FORWARD (main's head IS the fork): Iceberg's rule — main's
+    *    next version is the branch head's exact content.
+    *  - REBASE PAST PURE APPENDS (main moved, but every interleaved
+    *    main commit was a pure append — [[appendOnlyDiff]]: no file
+    *    removed/rewritten, sidecars/mapping/properties/schema
+    *    unchanged): the published commit is the branch head's content
+    *    PLUS main's appended files. File-level disjointness is
+    *    structural — main's new files postdate the fork, so the branch
+    *    cannot have touched them — the same logical-conflict resolution
+    *    MERGE commits already use to land past concurrent appenders
+    *    (Nessie/Iceberg's real merge story). Anything else refuses with
+    *    the typed conflict naming the overlapping change.
+    *
+    * CRASH-ATOMIC ref advance: the publish commit stamps
+    * `#publishRef=<name>` / `#publishSrc=<branch head>` (ephemeral —
+    * never carried as table properties), so a crash between the commit
+    * and the ref write is repaired on the NEXT publish: an already-
+    * landed head is detected from the stamp, the ref catches up, and an
+    * unchanged branch returns that version idempotently instead of
+    * refusing "not a fast-forward" forever.
+    *
+    * The ref's fork advances to the published version, so the branch
+    * can keep going.
     */
   def snapshotBranchPublish(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String): Int = {
@@ -4284,16 +4318,59 @@ object Layout {
     require(ref.kind == "branch", s"ref '$name' is a ${ref.kind}, not a branch")
     val bRoot = snapshotBranchRoot(root, name)
     val bHead = snapshotVersions(spark, bRoot).last
-    val mainHead = snapshotVersions(spark, root).last
-    if (mainHead != ref.version)
-      throw new ConcurrentWriteConflictException(root, ref.version, mainHead,
-        s"branch '$name' publish",
-        "main advanced past the branch's fork point — not a fast-forward")
+    val mainVs = snapshotVersions(spark, root)
+    val mainHead = mainVs.last
+    var fork = ref.version
+    if (mainHead != fork) {
+      // repair a crashed predecessor: its commit landed, its ref write
+      // didn't — catch the ref up to the last publish stamped with this
+      // branch's name instead of refusing forever
+      val landed = mainVs.filter(_ > fork).filter(v =>
+        manifestHeader(spark, root, v).get("publishRef").contains(name))
+      if (landed.nonEmpty) {
+        val v = landed.max
+        writeRef(spark, root, SnapshotRef(name, "branch", v), overwrite = true)
+        fork = v
+        // the branch hasn't moved since that publish → idempotent no-op
+        if (manifestHeader(spark, root, v).get("publishSrc")
+            .contains(bHead.toString) && v == mainHead) return v
+      }
+    }
+    val mainAdded: Seq[FileEntry] =
+      if (mainHead == fork) Nil
+      else appendOnlyDiff(spark, root, fork, mainHead) match {
+        case Right(added) => added
+        case Left(why) =>
+          throw new ConcurrentWriteConflictException(root, fork, mainHead,
+            s"branch '$name' publish",
+            s"main advanced past the branch's fork point and $why — not " +
+              "rebasable; merge manually or re-branch")
+      }
+    // rebase the BRANCH first: one workspace commit adopting main's
+    // appended files by reference, so branch head content == what's
+    // about to publish — without this, the NEXT fast-forward publish
+    // (whose content is the branch head alone) would silently drop
+    // main's appends. Crash-safe ordering: a crash after this commit
+    // leaves only an already-rebased branch; the publish retry finds
+    // nothing left to adopt and proceeds.
+    val bPaths = manifestFiles(spark, bRoot, bHead).toSet
+    val rebaseAdds = mainAdded.filterNot(e => bPaths(e.path))
+    val pubHead =
+      if (rebaseAdds.isEmpty) bHead
+      else {
+        commitManifest(spark, bRoot, bHead + 1,
+          manifestSegRefs(spark, bRoot, bHead), rebaseAdds,
+          header = carriedProps(manifestHeader(spark, bRoot, bHead)) ++
+            schemaHeaderOf(manifestSchema(spark, bRoot, bHead)),
+          deletes = manifestDeleteFiles(spark, bRoot, bHead))
+        bHead + 1
+      }
     commitManifest(spark, root, mainHead + 1, Nil,
-      manifestEntries(spark, bRoot, bHead),
-      header = carriedProps(manifestHeader(spark, bRoot, bHead)) ++
-        schemaHeaderOf(manifestSchema(spark, bRoot, bHead)),
-      deletes = manifestDeleteFiles(spark, bRoot, bHead))
+      manifestEntries(spark, bRoot, pubHead),
+      header = carriedProps(manifestHeader(spark, bRoot, pubHead)) ++
+        schemaHeaderOf(manifestSchema(spark, bRoot, pubHead)) ++
+        Map("publishRef" -> name, "publishSrc" -> pubHead.toString),
+      deletes = manifestDeleteFiles(spark, bRoot, pubHead))
     writeRef(spark, root, SnapshotRef(name, "branch", mainHead + 1),
       overwrite = true)
     mainHead + 1
@@ -4334,6 +4411,48 @@ object Layout {
   private def protectedVersions(spark: org.apache.spark.sql.SparkSession,
       root: String): Set[Int] =
     snapshotRefs(spark, root).map(_.version).toSet
+
+  private val BranchWorkspaceRe = "^(.*)/_refs/[A-Za-z0-9._-]+\\.branch/?$".r
+
+  /** If `root` is a branch WORKSPACE (`<parent>/_refs/<name>.branch`),
+    * the parent table root it nests inside.
+    */
+  private def branchParentRoot(root: String): Option[String] =
+    root.stripSuffix("/") match {
+      case BranchWorkspaceRe(parent) => Some(parent)
+      case _ => None
+    }
+
+  /** Workspace files the PARENT table's live versions reference, as
+    * normalized URI paths — empty for a non-workspace root.
+    *
+    * [[snapshotBranchPublish]] adopts workspace files into main BY
+    * REFERENCE (zero data I/O), so after a publish the workspace holds
+    * files that main's history depends on. Vacuum and the orphan sweep
+    * reason per-root; run against the workspace (explicitly supported —
+    * it is a full table root) they would otherwise count a published
+    * file as dead the moment the BRANCH's own manifests stop
+    * referencing it (branch compacts then expires its history; a
+    * dropped-and-re-created branch name whose old workspace data is
+    * still live on main) — silent data loss on the MAIN line. Every
+    * workspace-side delete path must treat these as live; only the
+    * parent's own vacuum may ever retire them (it owns everything under
+    * its root, workspaces included).
+    */
+  private def parentProtectedPaths(spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[String] =
+    branchParentRoot(root) match {
+      case None => Set.empty
+      case Some(parent) =>
+        val prefix = fsOf(spark, root)
+          .makeQualified(new org.apache.hadoop.fs.Path(root))
+          .toUri.getPath.stripSuffix("/") + "/"
+        snapshotVersions(spark, parent).flatMap(v =>
+          manifestFiles(spark, parent, v) ++
+            manifestDeleteFiles(spark, parent, v))
+          .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+          .filter(_.startsWith(prefix)).toSet
+    }
 
   /** INCREMENTAL JOIN-VIEW MAINTENANCE over TWO versioned tables — the
     * classical bilinear delta rule (ΔV = ΔL ⋈ R_new ∪ L_old ⋈ ΔR, the
@@ -4498,10 +4617,14 @@ object Layout {
   def vacuumOrphanFiles(spark: org.apache.spark.sql.SparkSession,
       root: String, cutoffMillis: Long = Long.MaxValue): Int = {
     val fs = fsOf(spark, root)
+    // on a branch workspace, files the PARENT's versions reference are
+    // live even when no workspace manifest lists them (see
+    // [[parentProtectedPaths]]) — sweeping them would lose main's data
     val referenced = snapshotVersions(spark, root)
       .flatMap(v => manifestFiles(spark, root, v) ++
         manifestDeleteFiles(spark, root, v))
-      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet ++
+      parentProtectedPaths(spark, root)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).toSeq.flatMap { st =>
@@ -4564,7 +4687,14 @@ object Layout {
     def owned(f: String) =
       new org.apache.hadoop.fs.Path(f).toUri.getPath
         .startsWith(ownRoot.stripSuffix("/") + "/")
+    // on a branch workspace, ownership is nested: a published file lives
+    // under THIS root but belongs to the parent's history too — the
+    // workspace may expire its own versions, never the file main adopted
+    // (see [[parentProtectedPaths]])
+    val parentLive = parentProtectedPaths(spark, root)
     val deadFiles = (drop.flatMap(refs).toSet -- keptFiles).filter(owned)
+      .filterNot(f =>
+        parentLive.contains(new org.apache.hadoop.fs.Path(f).toUri.getPath))
     // segments are references like files: dead = referenced ONLY by
     // dropped manifests (an append chain shares segments, so most segs
     // survive any prefix vacuum; an overwrite orphans the whole chain)

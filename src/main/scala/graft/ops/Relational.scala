@@ -3078,7 +3078,7 @@ object Relational {
     * declared `PARTITIONED BY (bucket(8, key))`
     * ([[graft.ops.PartSpec]]) joined on the bucket column with Spark's
     * SPJ switch on: the scans report
-    * `KeyGroupedPartitioning(bucket(16, key))`, the transform resolves
+    * `KeyGroupedPartitioning(bucket(8, key))`, the transform resolves
     * through [[graft.sources.GraftCatalog]]'s function catalog, and
     * when every planned file is single-bucket the join runs with ZERO
     * exchanges (`StoragePartitionedJoinSpec` pins that plan shape; this

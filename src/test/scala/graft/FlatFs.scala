@@ -30,6 +30,17 @@ object FlatFs {
     * default), the HEAD-then-PUT hazard stands.
     */
   @volatile var conditionalPut: Boolean = false
+
+  /** Transient-fault injection for conditional puts, firing once on the
+    * next matching exclusive create then disarming:
+    *  - [[faultBeforePut]]: the store errors BEFORE the object exists —
+    *    a genuine outage; the arbiter must surface I/O, not contention.
+    *  - [[faultAfterPut]]: the bytes LAND but the response is lost
+    *    (close persists, then errors) — ambiguous success; the arbiter's
+    *    re-read must recognize its own token instead of orphaning it.
+    */
+  @volatile var faultBeforePut: Path => Boolean = null
+  @volatile var faultAfterPut: Path => Boolean = null
 }
 
 class FlatFs extends RawLocalFileSystem {
@@ -41,6 +52,11 @@ class FlatFs extends RawLocalFileSystem {
   // instead RESERVED atomically (one racer's PUT wins, the store
   // enforces it server-side).
   private def headThenPut(f: Path): Unit = {
+    val before = FlatFs.faultBeforePut
+    if (before != null && before(f)) {
+      FlatFs.faultBeforePut = null
+      throw new java.io.IOException(s"injected store fault (pre-PUT): $f")
+    }
     if (FlatFs.conditionalPut) {
       val p = java.nio.file.Paths.get(f.toUri.getPath)
       // an object store has no directories — "parents" always exist
@@ -62,6 +78,22 @@ class FlatFs extends RawLocalFileSystem {
     }
   }
 
+  // "PUT landed, response lost": bytes write through and close persists
+  // them, THEN the caller sees an error — the ambiguous-success shape
+  private def maybeLossy(f: Path, out: FSDataOutputStream): FSDataOutputStream = {
+    val after = FlatFs.faultAfterPut
+    if (after == null || !after(f)) return out
+    FlatFs.faultAfterPut = null
+    new FSDataOutputStream(new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = {
+        super.close()
+        throw new java.io.IOException(s"injected response loss (post-PUT): $f")
+      }
+    }, null)
+  }
+
   // both create overloads RawLocalFileSystem routes exclusive creates
   // through: with and without an explicit permission
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -69,8 +101,8 @@ class FlatFs extends RawLocalFileSystem {
       progress: Progressable): FSDataOutputStream = {
     if (!overwrite) {
       headThenPut(f)
-      return super.create(f, permission, true, bufferSize, replication,
-        blockSize, progress)
+      return maybeLossy(f, super.create(f, permission, true, bufferSize,
+        replication, blockSize, progress))
     }
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
@@ -81,8 +113,8 @@ class FlatFs extends RawLocalFileSystem {
       progress: Progressable): FSDataOutputStream = {
     if (!overwrite) {
       headThenPut(f)
-      return super.create(f, true, bufferSize, replication, blockSize,
-        progress)
+      return maybeLossy(f, super.create(f, true, bufferSize, replication,
+        blockSize, progress))
     }
     super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }

@@ -432,6 +432,56 @@ class FlatStoreCommitSpec extends GraftSuite {
     }
   }
 
+  test("ConditionalPutArbiter error taxonomy: a store fault surfaces as I/O (not contention); a lost PUT response resolves via own-token re-read") {
+    import spark.implicits._
+    val root = flatRoot("flat-cp-fault")
+    withConf(
+      "spark.graft.commit.arbiter" -> classOf[ConditionalPutArbiter].getName,
+      "spark.graft.commit.conditionalPutSchemes" -> "flat") {
+      withConditionalPut {
+        Layout.snapshotAppend(spark, root, Seq((0L, "base")).toDF("k", "tag"))
+        // 1) genuine store fault (object never lands): the arbiter must
+        //    NOT map it to "claim lost" — diagnostics would chase a
+        //    non-existent concurrent writer. The named I/O diagnostic
+        //    propagates through the commit path.
+        FlatFs.faultBeforePut = _.getName.contains(".cput.")
+        try {
+          val ex = intercept[java.io.IOException] {
+            Layout.snapshotAppend(spark, root,
+              Seq((1L, "fault")).toDF("k", "tag"))
+          }
+          assert(ex.getMessage.contains("STORE error"),
+            s"named store-fault diagnostic, got: ${ex.getMessage}")
+          assert(!ex.isInstanceOf[CommitConflictException])
+        } finally FlatFs.faultBeforePut = null
+        // the failed attempt left no claim behind: the version is free
+        assert(new ConditionalPutArbiter().holder(spark, root, 2).isEmpty)
+        // 2) ambiguous success (PUT landed, response lost): the re-read
+        //    recognizes the writer's own token — the claim is WON, not
+        //    orphaned blocking the version for the grace period.
+        FlatFs.faultAfterPut = _.getName.contains(".cput.")
+        try {
+          val arb = new ConditionalPutArbiter
+          assert(arb.tryClaim(spark, root, 2, "me"),
+            "own-token re-read resolves a lost PUT response as success")
+          assert(arb.holder(spark, root, 2).contains("me"))
+          arb.release(spark, root, 2, "me")
+        } finally FlatFs.faultAfterPut = null
+        // 3) ambiguous error with a CONCURRENT claim present: still a
+        //    lost race, not an I/O failure
+        val win = new ConditionalPutArbiter
+        assert(win.tryClaim(spark, root, 2, "other"))
+        FlatFs.faultBeforePut = null
+        // (no injection needed: already-exists is the store's own signal)
+        assert(!new ConditionalPutArbiter().tryClaim(spark, root, 2, "me"))
+        win.release(spark, root, 2, "other")
+        // commits still work after the fault episodes
+        Layout.snapshotAppend(spark, root, Seq((2L, "after")).toDF("k", "tag"))
+        assert(Layout.readSnapshot(spark, root).count() == 2)
+      }
+    }
+  }
+
   test("LockRootArbiter refuses an unset or non-atomic lock root loudly") {
     import spark.implicits._
     val root = flatRoot("flat-lr-refuse")

@@ -99,12 +99,110 @@ class RefsSpec extends GraftSuite {
       .exists(r => r.name == "dev" && r.version == 2))
     Layout.snapshotAppend(spark, bRoot,
       orders.filter(col("key") % 97 === 0))
-    // NON-fast-forward: main advances past the fork → typed refusal
+    // MAIN MOVED with a PURE APPEND disjoint from the branch's files:
+    // publish REBASES — the published commit carries the branch head's
+    // content PLUS main's appended files (file-level disjointness is
+    // structural: main's new files postdate the fork)
     Layout.snapshotAppend(spark, root, orders.filter(col("key") % 89 === 0))
+    val pub2 = Layout.snapshotBranchPublish(spark, root, "dev")
+    val expected = orders
+      .unionAll(orders.filter(col("key") % 97 === 0))
+      .unionAll(orders.filter(col("key") % 89 === 0))
+    val got = Layout.readSnapshot(spark, root)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "rebase publish must land BOTH the branch content and main's append")
+    // the BRANCH was rebased too: its head equals the published content,
+    // so the NEXT fast-forward publish cannot drop main's appended rows
+    val bNow = Layout.readSnapshot(spark, bRoot)
+    assert(bNow.exceptAll(got).isEmpty && got.exceptAll(bNow).isEmpty,
+      "the workspace must adopt main's appends during a rebase publish")
+    assert(Layout.snapshotRefs(spark, root)
+      .exists(r => r.name == "dev" && r.version == pub2))
+    // OVERLAPPING main change (a compaction rewrote files the fork
+    // read): not rebasable → typed refusal naming the change
+    Layout.snapshotAppend(spark, bRoot, orders.limit(5))
+    Layout.snapshotCompact(spark, root, 64L << 20)
     val ex = intercept[ConcurrentWriteConflictException] {
       Layout.snapshotBranchPublish(spark, root, "dev")
     }
-    assert(ex.getMessage.contains("fast-forward"))
+    assert(ex.getMessage.contains("not rebasable"))
+  }
+
+  test("publish crash repair: a landed commit whose ref write was lost is detected from the stamp — idempotent catch-up, then normal publishing") {
+    val root = tmp("refs-repair") + "/t"
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 2 === 0))
+    val bRoot = Layout.snapshotBranch(spark, root, "dev")
+    Layout.snapshotAppend(spark, bRoot, orders.filter(col("key") % 2 === 1))
+    val pub = Layout.snapshotBranchPublish(spark, root, "dev")
+    // simulate the crash window: the publish commit landed but the ref
+    // write didn't — rewind the ref to the old fork by hand (through the
+    // Hadoop fs so the CRC sidecar follows)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val refOut = hfs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_refs/dev.ref"), true)
+    try refOut.write("kind=branch\nv=1\n".getBytes("UTF-8"))
+    finally refOut.close()
+    // next publish detects the landed head from #publishRef/#publishSrc,
+    // repairs the ref, and returns the landed version WITHOUT a new
+    // commit (the branch hasn't moved)
+    val repaired = Layout.snapshotBranchPublish(spark, root, "dev")
+    assert(repaired == pub, "an already-landed head repairs, not refuses")
+    assert(Layout.snapshotVersions(spark, root).last == pub,
+      "idempotent repair must not commit a duplicate version")
+    assert(Layout.snapshotRefs(spark, root)
+      .exists(r => r.name == "dev" && r.version == pub))
+    // and the branch keeps publishing normally afterwards
+    Layout.snapshotAppend(spark, bRoot, orders.limit(7))
+    val next = Layout.snapshotBranchPublish(spark, root, "dev")
+    assert(next == pub + 1)
+    val got = Layout.readSnapshot(spark, root)
+    val expected = orders.unionAll(orders.limit(7))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("workspace vacuum safety: branch-side vacuum and orphan sweep never delete files main's published versions reference") {
+    val root = tmp("refs-wsvac") + "/t"
+    Layout.snapshotAppend(spark, root, orders.filter(col("key") % 2 === 0))
+    val bRoot = Layout.snapshotBranch(spark, root, "dev")
+    Layout.snapshotAppend(spark, bRoot, orders.filter(col("key") % 2 === 1))
+    Layout.snapshotBranchPublish(spark, root, "dev")
+    val mainBefore = Layout.readSnapshot(spark, root).localCheckpoint()
+    val adopted = Layout.readSnapshot(spark, root).inputFiles
+      .filter(_.contains("/_refs/dev.branch/"))
+    assert(adopted.nonEmpty, "fixture: main must reference workspace files")
+    // the branch keeps working: a compaction rewrites its files, so the
+    // published files are now referenced ONLY by old branch versions —
+    // and by MAIN. Branch-side retention + orphan sweep (explicitly
+    // supported on a workspace — it is a full table root) must protect
+    // them: per-root reasoning alone would count them dead.
+    Layout.snapshotCompact(spark, bRoot, 64L << 20)
+    Layout.vacuumSnapshots(spark, bRoot, keep = 1)
+    Layout.vacuumOrphanFiles(spark, bRoot)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adopted.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"published file $f must survive workspace-side vacuum — deleting " +
+          "it is silent data loss on the MAIN line")
+    }
+    val mainNow = Layout.readSnapshot(spark, root)
+    assert(mainNow.exceptAll(mainBefore).isEmpty &&
+      mainBefore.exceptAll(mainNow).isEmpty,
+      "main must read identically after workspace maintenance")
+    // the dropped-and-re-created branch name replays the same hazard:
+    // the NEW workspace's orphan sweep sees the old published files as
+    // unreferenced garbage unless the parent's references protect them
+    Layout.snapshotDropRef(spark, root, "dev")
+    Layout.snapshotBranch(spark, root, "dev")
+    Layout.vacuumOrphanFiles(spark, Layout.snapshotBranchRoot(root, "dev"))
+    adopted.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"published file $f must survive the re-created branch's sweep")
+    }
+    val mainAfter = Layout.readSnapshot(spark, root)
+    assert(mainAfter.exceptAll(mainBefore).isEmpty &&
+      mainBefore.exceptAll(mainAfter).isEmpty)
   }
 
   test("branch drop: an unpublished workspace deletes whole; a published one keeps its adopted data files for main") {
