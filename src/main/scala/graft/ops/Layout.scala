@@ -2168,14 +2168,15 @@ object Layout {
     * header-only columns null-fill — the read-side mapping boundary.
     */
   private def toLogicalFrame(df: DataFrame, hdr: Map[String, String],
-      sc: org.apache.spark.sql.types.StructType): DataFrame = {
+      sc: org.apache.spark.sql.types.StructType,
+      extras: Seq[String] = Nil): DataFrame = {
     val cmap = colMapOf(hdr)
     val have = df.columns.toSet
     df.select(sc.fields.toIndexedSeq.map { f =>
       val phys = cmap.getOrElse(f.name, f.name)
       if (have.contains(phys)) col(s"`$phys`").as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    } ++ extras.filter(have).map(c => col(s"`$c`")): _*)
   }
 
   /** Columns the table's layout/engine properties reference (always
@@ -2677,26 +2678,49 @@ object Layout {
     (df, index)
   }
 
+  /** Whether a delete-sidecar path is a POSITION sidecar
+    * ([[snapshotDeletePositions]] writes them under `deletes/pos-v<N>-…`)
+    * vs the equality kind ([[snapshotDeleteMOR]], `deletes/v<N>-…`). The
+    * kind is path-encoded so every reference-walking consumer (vacuum,
+    * lineage tests, clone/publish carries) treats both uniformly as
+    * opaque references.
+    */
+  private def isPosSidecar(p: String): Boolean =
+    p.contains("/deletes/pos-")
+
   /** MOR-aware read of the SUBSET of a version's files passing `keep` —
     * the shared engine under [[readSnapshot]]'s partition pruning and
     * [[snapshotPointLookup]]'s bloom candidates: delete sidecars still
     * apply over the kept dirty files, so any file-level pruning composes
-    * with MOR deletes without re-deriving the anti-join.
+    * with MOR deletes without re-deriving the anti-join. BOTH sidecar
+    * kinds apply: equality deletes ((file, key) rows anti-joined on the
+    * declared `deleteKey`) and position deletes ((file, pos) ordinal
+    * rows anti-joined on the scan's hidden `_metadata.row_index` — the
+    * deletion-vector shape, key-free).
+    *
+    * `lineage = true` additionally carries `__graft_file` (base name)
+    * and `__graft_pos` (in-file ordinal) per surviving row — what
+    * [[snapshotDeletePositions]] needs to address the rows a predicate
+    * matches without rewriting a byte.
     */
   private def readSnapshotSubset(spark: org.apache.spark.sql.SparkSession,
       root: String, v: Int, hdr: Map[String, String],
-      keep: FileEntry => Boolean): DataFrame = {
+      keep: FileEntry => Boolean, lineage: Boolean = false): DataFrame = {
+    val lineageCols = Seq("__graft_file", "__graft_pos")
     val files = manifestEntries(spark, root, v).filter(keep).map(_.path)
     if (files.isEmpty) {
       // every file pruned: an empty frame with the version's schema —
       // from the manifest header when recorded (O(1)); footer-union
       // inference only for legacy history
-      return manifestSchema(spark, root, v) match {
+      val empty = manifestSchema(spark, root, v) match {
         case Some(sc) => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
         case None => spark.read.option("mergeSchema", "true")
           .parquet(manifestFiles(spark, root, v): _*).where(lit(false))
       }
+      return if (!lineage) empty
+      else empty.withColumn("__graft_file", lit(null).cast("string"))
+        .withColumn("__graft_pos", lit(null).cast("long"))
     }
     val dels = manifestDeleteFiles(spark, root, v)
     // SCHEMA EVOLUTION: a version's schema is the union of its files'
@@ -2706,6 +2730,12 @@ object Layout {
     // manifest-grade planning metadata; conflicting types fail loudly.
     def read(fs: Seq[String]) =
       spark.read.option("mergeSchema", "true").parquet(fs: _*)
+    // lineage helpers ride the scan's hidden file-metadata struct:
+    // split-safe, codegen'd, and the row ordinal is the file-physical
+    // position a deletion vector addresses
+    def withMeta(df: DataFrame) = df
+      .withColumn("__graft_file", col("_metadata.file_name"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
     // LOGICAL alignment: project the physical frame to exactly the
     // header's recorded (logical) schema —
     //  - HEADER-ONLY columns ([[snapshotAddColumns]] — zero new files)
@@ -2720,36 +2750,62 @@ object Layout {
       hdr.get("schema").map(j => org.apache.spark.sql.types.DataType
           .fromJson(java.net.URLDecoder.decode(j, "UTF-8"))) match {
         case Some(sc: org.apache.spark.sql.types.StructType) =>
-          toLogicalFrame(df, hdr, sc)
+          toLogicalFrame(df, hdr, sc, if (lineage) lineageCols else Nil)
         case _ => df
       }
-    if (dels.isEmpty) return align(read(files))
-    val keyCol = hdr.getOrElse("deleteKey",
-      throw new IllegalStateException(
-        s"v$v carries delete sidecars but no #deleteKey header"))
-    val side = spark.read.parquet(dels: _*)
-      .select(col("file").as("__graft_del_file"), col("key").as("__graft_del_key"))
+    if (dels.isEmpty)
+      return align(if (lineage) withMeta(read(files)) else read(files))
+    val (posDels, eqDels) = dels.partition(isPosSidecar)
+    val eqSide = if (eqDels.isEmpty) None else Some(
+      spark.read.parquet(eqDels: _*)
+        .select(col("file").as("__graft_del_file"),
+          col("key").as("__graft_del_key")))
+    val posSide = if (posDels.isEmpty) None else Some(
+      spark.read.parquet(posDels: _*)
+        .select(col("file").as("__graft_pdel_file"),
+          col("pos").as("__graft_pdel_pos")))
     // dirty-file resolution is manifest-grade planning metadata (same
     // price class as a footer read): O(touched files) names
-    val dirty = side.select(col("__graft_del_file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    def dirtyOf(side: DataFrame, c: String): Set[String] =
+      side.select(col(c)).distinct().collect().map(_.getString(0)).toSet
+    val eqDirty = eqSide.map(dirtyOf(_, "__graft_del_file"))
+      .getOrElse(Set.empty[String])
+    val posDirty = posSide.map(dirtyOf(_, "__graft_pdel_file"))
+      .getOrElse(Set.empty[String])
+    val dirty = eqDirty ++ posDirty
     // scope match on the file's BASE NAME: parquet part files carry a
-    // per-job UUID, and input_file_name()'s URI normalization (file:/ vs
-    // file:///) must not defeat the join
+    // per-job UUID, and URI normalization (file:/ vs file:///) must not
+    // defeat the join — _metadata.file_name is already the base name
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)
     val (dirtyFiles, cleanFiles) = files.partition(f => dirty.contains(baseName(f)))
-    val cleanDf =
+    val cleanRaw =
       if (cleanFiles.isEmpty) read(files).where(lit(false))
       else read(cleanFiles)
+    val cleanDf = if (lineage) withMeta(cleanRaw) else cleanRaw
     val dirtyDf =
       if (dirtyFiles.isEmpty) cleanDf.where(lit(false))
-      else read(dirtyFiles)
-        .withColumn("__graft_file",
-          element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(side),
-          col("__graft_file") === col("__graft_del_file") &&
-            col(keyCol) === col("__graft_del_key"), "left_anti")
-        .drop("__graft_file")
+      else {
+        var d = withMeta(read(dirtyFiles))
+        eqSide.foreach { side =>
+          val keyCol = hdr.getOrElse("deleteKey",
+            throw new IllegalStateException(
+              s"v$v carries equality delete sidecars but no #deleteKey header"))
+          // equality sidecars are broadcast-small by nature (deletion
+          // requests arrive row-at-a-time between compactions)
+          d = d.join(broadcast(side),
+            col("__graft_file") === col("__graft_del_file") &&
+              col(keyCol) === col("__graft_del_key"), "left_anti")
+        }
+        posSide.foreach { side =>
+          // position sidecars can be O(matched rows) of a bulk DELETE —
+          // no broadcast hint; the planner picks broadcast vs shuffled
+          // from the sidecar's real size
+          d = d.join(side,
+            col("__graft_file") === col("__graft_pdel_file") &&
+              col("__graft_pos") === col("__graft_pdel_pos"), "left_anti")
+        }
+        if (lineage) d else d.drop(lineageCols: _*)
+      }
     // schema evolution can leave the clean/dirty halves with different
     // column sets (old files lack added columns) — align on names,
     // missing columns read null
@@ -2892,6 +2948,60 @@ object Layout {
     commitManifest(spark, root, v, carried.segs, carried.inline,
       header = hdrOut + ("deleteKey" -> keyCol),
       deletes = carried.deletes ++ listDataFiles(spark, delDir))
+    v
+  }
+
+  /** POSITION-DELETE (deletion-vector) MOR DELETE — the
+    * arbitrary-predicate sibling of [[snapshotDeleteMOR]], for tables
+    * WITHOUT a unique key (Iceberg position deletes / Delta deletion
+    * vectors, built from first principles on the manifest layer): a
+    * predicate DELETE commits a SIDECAR of (file, pos) ordinal rows —
+    * the row's physical position within its data file, from the scan's
+    * `_metadata.row_index` — leaving every data file byte-identical.
+    * Readers ([[readSnapshot]]'s subset engine) mask by ordinal;
+    * [[snapshotCompact]] folds both sidecar kinds into clean files.
+    *
+    * The predicate evaluates over the CURRENT LOGICAL content (existing
+    * equality AND position sidecars already applied), so already-deleted
+    * rows never re-enter the sidecar, and it composes with any prior
+    * delete. Re-insert semantics are exact: a later append of an equal
+    * row lands in a NEW file, which no (file, pos) entry addresses.
+    *
+    * 100 TB: the write side is one predicate SCAN (filter pushed to
+    * parquet; at O(matched rows) output) and ZERO data-file writes —
+    * where the COW path rewrites every touched file, this commits
+    * O(matched) metadata, which is what makes a low-selectivity
+    * predicate DELETE on a petabyte table an SLA of minutes. Read-side
+    * debt is the ordinal anti-join, bounded by compaction cadence like
+    * the equality kind. No `deleteKey` declaration is needed — ordinals
+    * are the key. Returns the committed version.
+    */
+  def snapshotDeletePositions(spark: org.apache.spark.sql.SparkSession,
+      root: String, predicate: Column): Int = {
+    val vs = snapshotVersions(spark, root)
+    require(vs.nonEmpty, s"no snapshots at $root")
+    val base = vs.last
+    val hdr = manifestHeader(spark, root, base)
+    val matched = readSnapshotSubset(spark, root, base, hdr, _ => true,
+      lineage = true)
+      .filter(predicate)
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+    val v = base + 1
+    val carried = carriedStateOf(spark, root, Some(base))
+    val hdrOut = carried.props ++ schemaHeaderOf(carried.schema)
+    if (matched.isEmpty) {
+      // nothing matched: still commit — one version per request (audit
+      // trail), same contract as the equality form
+      commitManifest(spark, root, v, carried.segs, carried.inline,
+        header = hdrOut, deletes = carried.deletes)
+      return v
+    }
+    // the pos- prefix IS the sidecar-kind marker (see [[isPosSidecar]])
+    val delDir = s"$root/deletes/pos-v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    matched.coalesce(1).write.mode("error").parquet(delDir)
+    commitManifest(spark, root, v, carried.segs, carried.inline,
+      header = hdrOut, deletes = carried.deletes ++ listDataFiles(spark, delDir))
     v
   }
 
@@ -3331,6 +3441,34 @@ object Layout {
     val toDel = manifestDeleteFiles(spark, root, toVersion).toSet
     if (fromFiles != toFilesSeq.toSet || !fromDel.subsetOf(toDel) ||
         fromDel == toDel) return None
+    // POSITION-sidecar growth has its own exact fast path: the retracted
+    // multiset is `from`'s logical content AT the new ordinals — one
+    // lineage read of only the scoped files, semi-joined on (file, pos).
+    // `from`'s masks already applied means previously-deleted rows never
+    // re-retract. Mixed new-kind commits (eq + pos in one span) fall
+    // back (no committer writes both kinds in one commit today).
+    val newDels = (toDel -- fromDel).toSeq
+    if (newDels.forall(isPosSidecar)) {
+      val hdrFrom = manifestHeader(spark, root, fromVersion)
+      val newSide = spark.read.parquet(newDels: _*)
+        .select(col("file").as("__graft_nf"), col("pos").as("__graft_np"))
+      val scopedNames = newSide.select("__graft_nf").distinct()
+        .collect().map(_.getString(0)).toSet
+      def bn(s: String) = s.substring(s.lastIndexOf('/') + 1)
+      val retracted = readSnapshotSubset(spark, root, fromVersion, hdrFrom,
+        e => scopedNames.contains(bn(e.path)), lineage = true)
+        .join(newSide,
+          col("__graft_file") === col("__graft_nf") &&
+            col("__graft_pos") === col("__graft_np"), "left_semi")
+        .drop("__graft_file", "__graft_pos")
+      return Some(retracted)
+    }
+    if (newDels.exists(isPosSidecar)) return None
+    // equality-sidecar growth below: old POS sidecars (already applied
+    // in `from`) still mask via the old-side anti-join requirement —
+    // but the (file, key) old-side read can't parse them, so a mixed
+    // HISTORY also falls back to the generic diff
+    if (fromDel.exists(isPosSidecar)) return None
     val keyCol = manifestHeader(spark, root, toVersion).getOrElse("deleteKey",
       return None)
     def baseName(s: String) = s.substring(s.lastIndexOf('/') + 1)

@@ -4018,6 +4018,53 @@ object Relational {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** POSITION-DELETE READ ON THE ORACLE GATE — an arbitrary-predicate
+    * DELETE on a table with NO unique key (lineitem keeps duplicate
+    * orderkeys), committed as a (file, ordinal) sidecar
+    * ([[Layout.snapshotDeletePositions]] — Iceberg position deletes /
+    * Delta deletion vectors): zero data files rewritten, O(matched
+    * rows) of metadata, and the read masks by the scan's hidden
+    * `_metadata.row_index`. The oracle recomputes the survivors with a
+    * plain `WHERE NOT (...)` — row-exact equality proves the ordinal
+    * mask deletes exactly the matched rows and nothing sharing their
+    * keys. 100 TB: this is the GDPR/quality-purge delete shape — a
+    * predicate over a petabyte corpus priced at one scan plus KBs of
+    * sidecar instead of rewriting every touched file.
+    */
+  private def posDelTable(spark: SparkSession, sfDir: String): String =
+    baseBuildLock.synchronized {
+      val root = sessionRoot(sfDir, "posdel") + "/q106t"
+      if (Layout.snapshotVersions(spark, root).isEmpty) {
+        val base = t(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("key"),
+            dec(col("l_quantity")).cast("double").as("qty"),
+            col("l_returnflag").as("flag"),
+            col("l_linestatus").as("status"))
+          .repartition(4)
+        Layout.snapshotAppend(spark, root, base)
+        Layout.snapshotDeletePositions(spark, root,
+          col("flag") === "R" && col("qty") > 30)
+      }
+      root
+    }
+
+  def q106PosDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = posDelTable(spark, sfDir)
+    Layout.readSnapshot(spark, root)
+      .groupBy(col("flag"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_key"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  val q106Sql: String =
+    """SELECT l_returnflag AS flag, l_linestatus AS status,
+      |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem
+      |WHERE NOT (l_returnflag = 'R'
+      |  AND CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) > 30)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_quality_audit" -> (q75QualityAudit _),
@@ -4058,6 +4105,7 @@ object Relational {
     "q103_multi_clause_merge" -> (q103MultiClauseMerge _),
     "q104_transform_star_join" -> (q104TransformStarJoin _),
     "q105_bucket_join" -> (q105BucketJoin _),
+    "q106_pos_delete" -> (q106PosDelete _),
     "q86_integrity_audit" -> (q86IntegrityAudit _),
     "q87_scd2_pit" -> (q87Scd2Pit _),
     "q79_scd2_dim" -> (q79Scd2Dim _),
@@ -4213,6 +4261,7 @@ object Relational {
     "q103_multi_clause_merge" -> q103Sql,
     "q104_transform_star_join" -> q104Sql,
     "q105_bucket_join" -> q105Sql,
+    "q106_pos_delete" -> q106Sql,
     "q99_time_slice" ->
       """SELECT o_orderkey AS key, o_orderdate AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price

@@ -64,7 +64,8 @@ case class GraftMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftUpdateCommand(u)
       // DELETE: leave the MOR-servable shapes (no WHERE / key = / key IN)
       // to the DSv2 SupportsDelete path — O(keys) sidecar commit, zero
-      // data I/O; everything richer rewrites COW here
+      // data I/O; everything richer commits a position-delete sidecar
+      // here (or a COW rewrite under spark.graft.delete.mode=cow)
       case d: DeleteFromTable if d.resolved &&
           graftTarget(d.table).isDefined && !morServable(d.condition) =>
         GraftDeleteCommand(d)
@@ -405,14 +406,18 @@ case class GraftUpdateCommand(update: UpdateTable)
   }
 }
 
-/** `DELETE FROM graft.t WHERE <arbitrary predicate>` → COW rewrite of
-  * only the touched files, rows failing the predicate (or evaluating it
-  * null) preserved exactly. The key-equality/IN shapes never reach here
-  * (the rule leaves them to the O(keys) MOR sidecar path); this command
-  * is the exact-any-predicate completion, correct even when a key is
-  * NOT unique — an equality sidecar would over-delete every row sharing
-  * a matched row's key, the COW rewrite re-evaluates the predicate per
-  * row.
+/** `DELETE FROM graft.t WHERE <arbitrary predicate>` → by default a
+  * POSITION-DELETE sidecar commit ([[Layout.snapshotDeletePositions]]):
+  * one predicate scan, O(matched rows) of metadata, zero data files
+  * rewritten — correct even when no key is unique, because ordinals are
+  * the key (an equality sidecar would over-delete every row sharing a
+  * matched row's key). Rows failing the predicate or evaluating it null
+  * are preserved exactly (SQL semantics). The key-equality/IN shapes
+  * never reach here (the rule leaves them to the O(keys) equality
+  * sidecar path — zero scan). `spark.graft.delete.mode=cow` opts into
+  * the rewriting form: COW of only the touched files, re-evaluating the
+  * predicate per row — no read-side debt, at O(touched bytes) write
+  * cost.
   */
 case class GraftDeleteCommand(delete: DeleteFromTable)
     extends LeafRunnableCommand with GraftRowLevelCommand {
@@ -422,6 +427,19 @@ case class GraftDeleteCommand(delete: DeleteFromTable)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (rel, gt) = relationOf(delete.table)
+    require(gt.writable,
+      s"DELETE targets ${gt.name()} pinned by time travel — read-only")
+    // DEFAULT: position-delete sidecar (deletion-vector path) — one
+    // predicate scan, O(matched rows) of committed metadata, ZERO data
+    // files rewritten, and no unique key or statsKey required. SQL NULL
+    // semantics ride the same coalesce (null predicate = no match).
+    // `spark.graft.delete.mode=cow` opts back into the rewriting form
+    // (e.g. to avoid read-side sidecar debt on a write-once table).
+    if (spark.conf.get("spark.graft.delete.mode", "pos") != "cow") {
+      Layout.snapshotDeletePositions(spark, gt.tableRoot,
+        coalesce(colOf(delete.condition), lit(false)))
+      return Nil
+    }
     val keyCol = pruneKeyOf(rel, gt)
     val changeKeys = matchedKeys(spark, gt, keyCol, Some(delete.condition))
     val rewrite: DataFrame => DataFrame = { touched =>

@@ -617,7 +617,8 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(_.isInstanceOf[AlwaysTrue]) ||
-      deleteKeysOf(filters).isDefined
+      deleteKeysOf(filters).isDefined ||
+      filters.forall(V1Filters.exactColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE")
@@ -626,11 +627,23 @@ case class GraftTable(root: String, identName: String, pinnedVersion: Int)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema()))
     } else deleteKeysOf(filters) match {
       case Some((keyCol, keys)) =>
+        // keyed shape: equality sidecar — zero data I/O on the write
+        // side (manifest-stat scoping), the cheapest delete there is
         Layout.snapshotDeleteMOR(spark, root, keyCol, keys)
-      case None => throw new UnsupportedOperationException(
-        "graft DELETE supports `key = v`, `key IN (…)`, or no WHERE " +
-          "(truncate); for arbitrary predicates run a COW rewrite via " +
-          "Layout.snapshotMergeKeys")
+      case None =>
+        // ARBITRARY predicate: position-delete sidecar — one predicate
+        // scan, O(matched rows) of metadata committed, zero data files
+        // rewritten (the deletion-vector path; no unique key required).
+        // Translation must be EXACT — a weakened predicate would
+        // over-delete.
+        val exact = filters.map(V1Filters.exactColumn)
+        if (exact.forall(_.isDefined) && exact.nonEmpty)
+          Layout.snapshotDeletePositions(spark, root,
+            exact.flatten.reduce(_ && _))
+        else throw new UnsupportedOperationException(
+          "graft DELETE could not translate the WHERE clause exactly; " +
+            "for predicates outside the V1 filter surface run a COW " +
+            "rewrite via Layout.snapshotMergeKeys")
     }
   }
 }

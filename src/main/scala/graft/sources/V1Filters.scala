@@ -47,6 +47,14 @@ private[graft] object V1Filters {
     case other => leaf(other)
   }
 
+  /** EXACT (lossless) translation — `None` unless every leaf
+    * translates. This is what a row-MUTATING consumer (DELETE) must
+    * use: the weakening form below keeps partial conjunctions, which is
+    * sound for a scan filter (rows re-checked upstream) but would
+    * over-delete.
+    */
+  def exactColumn(f: Filter): Option[Column] = exact(f)
+
   /** Best-effort WEAKENING translation (see polarity rule above). */
   def toColumn(f: Filter): Option[Column] = f match {
     case And(l, r) =>

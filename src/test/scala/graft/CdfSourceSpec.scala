@@ -278,4 +278,45 @@ class CdfSourceSpec extends GraftSuite {
       assert(got.count() == slices(3).count())
     } finally q2.stop()
   }
+
+  test("ST36: CDF streams over a branch workspace root; a publish lands on main's stream exactly once") {
+    val dir = freshDir("cdf-br")
+    val root = s"$dir/t"
+    val evens = orders.filter(col("key") % 2 === 0)
+    val odds = orders.filter(col("key") % 2 === 1)
+    Layout.snapshotAppend(spark, root, evens) // main v1
+    val bRoot = Layout.snapshotBranch(spark, root, "dev")
+    // the workspace is a FULL table root — the engine-native source
+    // streams it like any table
+    val qb = spark.readStream.format("graft-cdf").option("path", bRoot).load()
+      .writeStream.format("memory").queryName("cdf_branch")
+      .option("checkpointLocation", s"$dir/ckpt_b").start()
+    val qm = spark.readStream.format("graft-cdf").option("path", root).load()
+      .writeStream.format("memory").queryName("cdf_main")
+      .option("checkpointLocation", s"$dir/ckpt_m").start()
+    try {
+      qb.processAllAvailable(); qm.processAllAvailable()
+      assert(spark.table("cdf_branch").count() == evens.count(),
+        "the branch stream backfills the fork content (branch v1)")
+      Layout.snapshotAppend(spark, bRoot, odds) // branch v2
+      qb.processAllAvailable(); qm.processAllAvailable()
+      assert(spark.table("cdf_branch").count() == orders.count(),
+        "branch commits flow on the workspace stream")
+      assert(spark.table("cdf_main").count() == evens.count(),
+        "pre-publish branch commits are invisible to main's stream")
+      // publish: ONE main commit adopting the branch head — main's
+      // stream must see the adopted rows exactly once
+      Layout.snapshotBranchPublish(spark, root, "dev")
+      qm.processAllAvailable()
+      val gotMain = spark.table("cdf_main")
+      assert(gotMain.count() == orders.count(),
+        "the publish commit's delta is exactly the branch's new rows")
+      val pubRows = gotMain.filter(col("_graft_version") === 2)
+        .drop("_graft_version")
+      assert(pubRows.exceptAll(odds).isEmpty && odds.exceptAll(pubRows).isEmpty,
+        "the adopted commit arrives once, stamped with the publish version")
+      val data = gotMain.drop("_graft_version")
+      assert(data.exceptAll(orders).isEmpty && orders.exceptAll(data).isEmpty)
+    } finally { qb.stop(); qm.stop() }
+  }
 }

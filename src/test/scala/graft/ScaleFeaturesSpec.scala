@@ -761,6 +761,111 @@ class ScaleFeaturesSpec extends GraftSuite {
     assert(rHead.exceptAll(before).count() === 0 &&
       before.exceptAll(rHead).count() === 0)
   }
+
+  test("position deletes: arbitrary-predicate DELETE without a unique key — byte-identity, O(matched) sidecar, CDC retraction, both kinds fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-posdel").toString
+    // lineitem keeps DUPLICATE orderkeys — the no-unique-key table an
+    // equality delete cannot serve without collateral damage
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("key"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_returnflag").as("flag"))
+    ops.Layout.snapshotAppend(spark, root, li.repartition(4))
+    def dataListing() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$root/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    def posSidecarRows() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      val dels = new java.io.File(s"$root/deletes")
+      val fs = if (!dels.exists()) Nil
+      else walk(dels).filter(f => f.getName.endsWith(".parquet") &&
+        f.getPath.contains("/deletes/pos-"))
+      if (fs.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(fs.map(_.getPath): _*)
+    }
+    val filesV1 = dataListing()
+    val pred = col("flag") === "R" && col("qty") > 30
+    assert(li.filter(pred).count() > 0 && // predicate rows share keys with
+      li.filter(pred).select("key")       // survivors: no key is unique
+        .join(li.filter(!pred).select("key"), Seq("key"), "left_semi")
+        .count() > 0, "fixture: the predicate must split duplicate keys")
+    val v2 = ops.Layout.snapshotDeletePositions(spark, root, pred)
+    assert(v2 === 2)
+    // the deal: ZERO data files written or rewritten
+    assert(dataListing() === filesV1,
+      "position delete must leave every data file byte-identical")
+    // the sidecar prices at O(matched rows), exactly
+    assert(posSidecarRows().count() === li.filter(pred).count(),
+      "sidecar must carry exactly one ordinal per matched row")
+    // read semantics: rows masked by ordinal; duplicates of the same key
+    // that did NOT match survive; time travel intact
+    val want2 = li.filter(!pred)
+    val r2 = ops.Layout.readSnapshot(spark, root, 2)
+    assert(r2.exceptAll(want2).count() === 0 && want2.exceptAll(r2).count() === 0)
+    assert(ops.Layout.readSnapshot(spark, root, 1).count() === li.count())
+    // a SECOND predicate delete evaluates over the CURRENT logical
+    // content: already-deleted rows never re-enter the sidecar
+    val pred2 = col("qty") > 30 // strict superset of pred
+    val v3 = ops.Layout.snapshotDeletePositions(spark, root, pred2)
+    assert(posSidecarRows().count() === li.filter(pred2).count(),
+      "second delete adds only the NEWLY matched ordinals")
+    val want3 = li.filter(!pred2)
+    val r3 = ops.Layout.readSnapshot(spark, root, v3)
+    assert(r3.exceptAll(want3).count() === 0 && want3.exceptAll(r3).count() === 0)
+    // CDC across the pos transition: the exact retracted multiset, typed
+    // delete, derived from the new sidecar entries alone
+    val ch = ops.Layout.snapshotChanges(spark, root, 2, 3)
+    assert(ch.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    val retracted = ch.drop("_change_type")
+    val wantRetract = li.filter(pred2 && !pred)
+    assert(retracted.exceptAll(wantRetract).count() === 0 &&
+      wantRetract.exceptAll(retracted).count() === 0,
+      "retraction = newly matched rows only (old deletes never re-retract)")
+    // RE-INSERT semantics: an equal row appended later lands in a NEW
+    // file no (file, pos) entry addresses — it survives
+    import spark.implicits._
+    val dead = li.filter(pred2).limit(1).collect().head
+    val v4 = ops.Layout.snapshotAppend(spark, root,
+      Seq((dead.getLong(0), dead.getDouble(1), dead.getString(2)))
+        .toDF("key", "qty", "flag"))
+    assert(ops.Layout.readSnapshot(spark, root, v4)
+      .filter(col("key") === dead.getLong(0) && col("qty") === dead.getDouble(1)
+        && col("flag") === dead.getString(2)).count() === 1,
+      "re-inserted row must be visible; the original stays deleted")
+    // BOTH KINDS COEXIST: an equality delete on top of the position
+    // sidecars — the read applies each kind to its scoped files
+    val eqKey = want3.groupBy("key").count().filter(col("count") > 1)
+      .select("key").head().getLong(0)
+    val v5 = ops.Layout.snapshotDeleteMOR(spark, root, "key", Array(eqKey))
+    val want5 = want3.filter(col("key") =!= eqKey)
+      .unionAll(Seq((dead.getLong(0), dead.getDouble(1), dead.getString(2)))
+        .toDF("key", "qty", "flag")
+        .filter(lit(dead.getLong(0)) =!= eqKey))
+    val r5 = ops.Layout.readSnapshot(spark, root, v5)
+    assert(r5.exceptAll(want5).count() === 0 && want5.exceptAll(r5).count() === 0,
+      "equality and position sidecars must compose on one version")
+    // compaction folds BOTH sidecar kinds; vacuum then reclaims them
+    val before = ops.Layout.readSnapshot(spark, root).localCheckpoint()
+    val v6 = ops.Layout.snapshotCompact(spark, root, targetBytes = 1L << 22)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_manifests/v$v6.manifest")), "UTF-8")
+    assert(!manifest.contains("delete:"),
+      "compaction must fold equality AND position sidecars")
+    val r6 = ops.Layout.readSnapshot(spark, root, v6)
+    assert(r6.exceptAll(before).count() === 0 && before.exceptAll(r6).count() === 0)
+    ops.Layout.vacuumSnapshots(spark, root, keep = 1)
+    assert(posSidecarRows().isEmpty,
+      "vacuum must reclaim the unreferenced position sidecars")
+    val rHead2 = ops.Layout.readSnapshot(spark, root)
+    assert(rHead2.exceptAll(before).count() === 0 &&
+      before.exceptAll(rHead2).count() === 0)
+  }
 }
 
 /** ST29: the snapshot layer as an exactly-once streaming table sink. */

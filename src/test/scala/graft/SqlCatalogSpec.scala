@@ -303,7 +303,7 @@ class SqlCatalogSpec extends GraftSuite {
       s"error must name the missing property, got: ${ex.getMessage}")
   }
 
-  test("DELETE with an arbitrary predicate is a COW rewrite: exact rows, NULL-predicate rows kept, no sidecar") {
+  test("DELETE with an arbitrary predicate commits a position-delete sidecar (no rewrite); mode=cow opts into the rewrite; NULL-predicate rows kept") {
     wh
     import spark.implicits._
     sql("CREATE TABLE gtest.tdc (key BIGINT, price DOUBLE, tag STRING) " +
@@ -312,23 +312,51 @@ class SqlCatalogSpec extends GraftSuite {
         (4L, 40.0, "F"), (5L, 50.0, "O"))
       .toDF("key", "price", "tag").createOrReplaceTempView("tdc_src")
     sql("INSERT INTO gtest.tdc SELECT * FROM tdc_src")
-    // predicate no MOR sidecar can serve (non-key column, conjunction);
-    // the NULL-tag row must SURVIVE (SQL: null predicate doesn't match)
+    def dataFiles() = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(s"$wh/tdc/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val filesBefore = dataFiles()
+    // predicate no EQUALITY sidecar can serve (non-key column,
+    // conjunction): the position-delete path commits O(matched)
+    // metadata, rewrites nothing, and the NULL-tag row SURVIVES (SQL:
+    // null predicate doesn't match)
     sql("DELETE FROM gtest.tdc WHERE tag = 'F' AND price < 35")
     val after = sql("SELECT key FROM gtest.tdc").collect()
       .map(_.getLong(0)).sorted
     assert(after.sameElements(Array(2L, 3L, 4L, 5L)),
       s"only (1, 'F', 10.0) matches; saw ${after.mkString(",")}")
-    assert(Layout.snapshotHistory(spark, s"$wh/tdc")
-      .agg(sum("n_delete_files")).head().getLong(0) == 0,
-      "predicate DELETE is COW — never a sidecar")
-    // the key-IN shape still rides the O(keys) MOR fast path
-    sql("DELETE FROM gtest.tdc WHERE key IN (2, 5)")
+    assert(dataFiles() === filesBefore,
+      "predicate DELETE must not add or rewrite any data file")
     assert(Layout.snapshotHistory(spark, s"$wh/tdc")
       .agg(sum("n_delete_files")).head().getLong(0) == 1,
-      "key-IN DELETE must stay on the MOR sidecar path")
+      "predicate DELETE is one position sidecar")
+    // the key-IN shape still rides the O(keys) equality fast path
+    sql("DELETE FROM gtest.tdc WHERE key IN (2, 5)")
+    assert(Layout.snapshotHistory(spark, s"$wh/tdc")
+      .agg(sum("n_delete_files")).head().getLong(0) == 3, // 1 pos + carried + eq
+      "key-IN DELETE must stay on the equality sidecar path")
     assert(sql("SELECT key FROM gtest.tdc").collect()
       .map(_.getLong(0)).sorted.sameElements(Array(3L, 4L)))
+    // mode=cow restores the rewriting form: predicate delete rewrites
+    // touched files and commits NO new sidecar (COW requires a
+    // sidecar-free base — fold the debt first, the documented contract)
+    Layout.snapshotCompact(spark, s"$wh/tdc", targetBytes = 1L << 22)
+    spark.conf.set("spark.graft.delete.mode", "cow")
+    try {
+      val sidecarsBefore = Layout.snapshotHistory(spark, s"$wh/tdc")
+        .agg(sum("n_delete_files")).head().getLong(0)
+      sql("DELETE FROM gtest.tdc WHERE price > 35")
+      assert(sql("SELECT key FROM gtest.tdc").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L))
+      val sidecarsAfter = Layout.snapshotHistory(spark, s"$wh/tdc")
+        .agg(sum("n_delete_files")).head().getLong(0)
+      assert(sidecarsAfter == sidecarsBefore,
+        "mode=cow must not commit a new sidecar")
+    } finally spark.conf.unset("spark.graft.delete.mode")
   }
 
   test("metadata tables: graft.t.history / graft.t.files answer from manifests; real tables shadow the names") {
