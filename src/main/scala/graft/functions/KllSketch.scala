@@ -98,11 +98,110 @@ class KllAggregator(cap: Int, qs: Seq[Double])
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
 
+/** Null-skipping wrapper over [[KllAggregator]] — the manifest
+  * histogram pass aggregates arbitrary (possibly null) columns; a null
+  * or NaN contributes nothing to the rank structure (the paired null
+  * COUNT is recorded separately).
+  */
+class KllNullSafeAggregator(cap: Int, qs: Seq[Double])
+    extends Aggregator[java.lang.Double, KllState, Seq[Double]] {
+  private val inner = new KllAggregator(cap, qs)
+  override def zero: KllState = inner.zero
+  override def reduce(b: KllState, x: java.lang.Double): KllState =
+    if (x == null || x.isNaN) b else inner.reduce(b, x.doubleValue())
+  override def merge(a: KllState, b: KllState): KllState = inner.merge(a, b)
+  override def finish(st: KllState): Seq[Double] = inner.finish(st)
+  override def bufferEncoder: Encoder[KllState] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Seq[Double]] = inner.outputEncoder
+}
+
 object QuantileSketch {
   val Cap = 200
+
+  /** Bin count of the manifest histogram synopsis: per-file boundary
+    * lists are HistBins+1 doubles; the scan-build merge re-extracts
+    * HistBins global equi-height bins. 32 bins ≈ 3% rank granularity —
+    * the histogram CBO precision class — at 264 B per column per file.
+    */
+  val HistBins = 32
 
   /** Column form: aggregate a double column into quantile estimates at
     * fractions `qs`. */
   def kllQuantiles(col: Column, qs: Seq[Double], cap: Int = Cap): Column =
     udaf(new KllAggregator(cap, qs)).apply(col)
+
+  /** Equi-height boundary extraction (nulls/NaNs skipped): the
+    * [[HistBins]]+1 quantile fractions 0, 1/B, …, 1 of a column — the
+    * per-file histogram synopsis the manifest records.
+    */
+  def kllBoundaries(col: Column, bins: Int = HistBins,
+      cap: Int = Cap): Column =
+    udaf(new KllNullSafeAggregator(cap,
+      (0 to bins).map(_.toDouble / bins))).apply(col)
+
+  /** MERGE per-file equi-height synopses into ONE global equi-height
+    * boundary list — the scan-build fold matching KMV's k-smallest
+    * union. Model: each file contributes `rows/B` mass uniform on each
+    * of its B bins, so the global CDF is a sum of piecewise-linear
+    * CDFs; the merged boundaries invert it exactly (one sweep over the
+    * sorted segment endpoints, point masses for zero-width bins).
+    * Error adds sub-linearly like any mergeable summary: each file's
+    * boundaries are within its own sketch error, and the piecewise-
+    * uniform model is exact at the recorded boundaries.
+    */
+  def mergeEquiHeight(perFile: Seq[(Seq[Double], Long)],
+      bins: Int = HistBins): Seq[Double] = {
+    // segments: (lo, hi, mass); zero-width = point mass
+    val segs = perFile.flatMap { case (bs, rows) =>
+      if (bs.length < 2 || rows <= 0) Nil
+      else {
+        val m = rows.toDouble / (bs.length - 1)
+        bs.sliding(2).map { case Seq(lo, hi) => (lo, hi, m) }.toSeq
+      }
+    }
+    if (segs.isEmpty) return Nil
+    val total = segs.map(_._3).sum
+    // one sweep over sorted endpoints — O(F·B log(F·B)), never O(F²·B²):
+    // linear segments contribute slope on [lo, hi]; zero-width bins are
+    // point masses (CDF jumps AT their x)
+    val pointMass = scala.collection.mutable.HashMap.empty[Double, Double]
+    val slopeAt = scala.collection.mutable.HashMap.empty[Double, Double]
+    segs.foreach { case (lo, hi, m) =>
+      if (lo == hi) pointMass(lo) = pointMass.getOrElse(lo, 0.0) + m
+      else {
+        val sl = m / (hi - lo)
+        slopeAt(lo) = slopeAt.getOrElse(lo, 0.0) + sl
+        slopeAt(hi) = slopeAt.getOrElse(hi, 0.0) - sl
+      }
+    }
+    val xs = (pointMass.keySet ++ slopeAt.keySet).toArray.sorted
+    val cum = new Array[Double](xs.length)
+    var slope = 0.0
+    var acc = 0.0
+    var prev = xs(0)
+    var i = 0
+    while (i < xs.length) {
+      acc += slope * (xs(i) - prev)
+      acc += pointMass.getOrElse(xs(i), 0.0)
+      cum(i) = acc
+      slope += slopeAt.getOrElse(xs(i), 0.0)
+      prev = xs(i)
+      i += 1
+    }
+    // invert: boundary j at mass j·total/B — linear within a gap up to
+    // the right endpoint's jump, the jump itself lands on the endpoint
+    (0 to bins).map { j =>
+      val target = total * j / bins
+      if (target <= cum(0)) xs(0)
+      else if (target >= cum(xs.length - 1)) xs(xs.length - 1)
+      else {
+        var k = 1
+        while (cum(k) < target) k += 1
+        val (x0, x1, c0, c1) = (xs(k - 1), xs(k), cum(k - 1), cum(k))
+        val linTop = c1 - pointMass.getOrElse(x1, 0.0)
+        if (target > linTop || linTop == c0) x1
+        else x0 + (x1 - x0) * (target - c0) / (linTop - c0)
+      }
+    }
+  }
 }

@@ -948,7 +948,15 @@ object Layout {
       // files (k-smallest union), so a scan's kept-file set folds into
       // a table/partition NDV estimate the optimizer reads through
       // DSv2 column statistics
-      ndv: Map[String, Seq[Long]] = Map.empty)
+      ndv: Map[String, Seq[Long]] = Map.empty,
+      // per-column EQUI-HEIGHT QUANTILE BOUNDARIES for the table's
+      // declared `histKey` columns (HistBins+1 doubles, from the
+      // commit-time KLL pass — [[graft.functions.QuantileSketch]]): the
+      // file's value distribution as a piecewise-uniform synopsis,
+      // merged at scan build into the DSv2 histogram CBO's range
+      // FilterEstimation reads — the `WHERE ts BETWEEN` shape NDV and
+      // min/max alone cannot price under skew
+      hist: Map[String, Seq[Double]] = Map.empty)
 
   /** One data-file entry of a manifest segment: path, optional
     * [[FileStats]] on the table's statsKey column, and the file's
@@ -970,7 +978,7 @@ object Layout {
     * rename/drop engine for the mapping pair).
     */
   private[graft] val ReservedProps = Set("deleteKey", "statsKey", "partCol",
-    "partSpec", "ndvKey", "clusterBy", "colmap", "tombstones") ++
+    "partSpec", "ndvKey", "histKey", "clusterBy", "colmap", "tombstones") ++
     EphemeralHeaders
 
   private def carriedProps(hdr: Map[String, String]): Map[String, String] =
@@ -1085,6 +1093,12 @@ object Layout {
           val bb = java.nio.ByteBuffer.allocate(sk.length * 8)
           sk.foreach(bb.putLong)
           s"k=${enc(c)}:${java.util.Base64.getEncoder.encodeToString(bb.array)}"
+        } ++ s.hist.toSeq.sortBy(_._1).map { case (c, bs) =>
+          // quantile boundaries: base64 of raw-bits doubles (exact
+          // round-trip; HistBins+1 · 8 B per column)
+          val bb = java.nio.ByteBuffer.allocate(bs.length * 8)
+          bs.foreach(v => bb.putLong(java.lang.Double.doubleToRawLongBits(v)))
+          s"q=${enc(c)}:${java.util.Base64.getEncoder.encodeToString(bb.array)}"
         })
     }
     val ps = e.parts.toSeq.map(vs => "p=" + vs.map(
@@ -1151,9 +1165,23 @@ object Layout {
       }
       case _ => None
     }.toMap
+    val hist = kvs.flatMap {
+      // -1 limit as for "k=": an empty boundary list (all-NULL column)
+      // round-trips as empty, not absent
+      case ("q", v) => v.split(":", -1) match {
+        case Array(c, b64) => scala.util.Try {
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          dec(c) -> Seq.fill(bytes.length / 8)(
+            java.lang.Double.longBitsToDouble(bb.getLong))
+        }.toOption
+        case _ => None
+      }
+      case _ => None
+    }.toMap
     val stats = kvs.collectFirst { case ("n", v) => v }
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .map(n => FileStats(cols, strCols, n, nulls, dblCols, ndv))
+      .map(n => FileStats(cols, strCols, n, nulls, dblCols, ndv, hist))
     val parts = kvs.collectFirst { case ("p", v) => v }
       .map(_.split(",").toSeq.map(java.net.URLDecoder.decode(_, "UTF-8")))
     FileEntry(toks.head, stats, parts)
@@ -1442,42 +1470,63 @@ object Layout {
     * later read ever re-derives them. Files missing the stats column
     * record the conservative full range (prune nothing, stay correct).
     */
-  /** Per-file (KMV sketch, null count, row count) for `cols` over
-    * `files` — ONE distributed aggregate; the shared engine under the
-    * commit-time `ndvKey` pass and [[snapshotAnalyze]]'s backfill.
+  /** Per-file (KMV sketch, null count, row count, quantile boundaries)
+    * for `cols0` (NDV) and `histCols0` (histogram) over `files` — ONE
+    * distributed aggregate; the shared engine under the commit-time
+    * `ndvKey`/`histKey` pass and [[snapshotAnalyze]]'s backfill.
     * Columns absent from the files' merged schema are skipped
-    * (recorded-nothing = prune-nothing, conservative).
+    * (recorded-nothing = prune-nothing, conservative). Boundary lists
+    * record for every histKey column of every file — a file whose
+    * column is all-null records an EMPTY list (zero histogram mass,
+    * still a recorded synopsis), never NaNs.
     */
   private def ndvSynopsesFor(spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], cols0: Seq[String],
+      histCols0: Seq[String] = Nil,
       failOnMissing: Boolean = false)
-      : Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] = {
-    import graft.functions.KmvSketch
-    if (files.isEmpty || cols0.isEmpty) return Map.empty
+      : Map[String, (Map[String, Seq[Long]], Map[String, Long], Long,
+        Map[String, Seq[Double]])] = {
+    import graft.functions.{KmvSketch, QuantileSketch}
+    if (files.isEmpty || (cols0.isEmpty && histCols0.isEmpty))
+      return Map.empty
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val cols = cols0.filter(df.columns.contains)
+    val hCols = histCols0.filter(df.columns.contains)
     if (failOnMissing) {
-      val missing = cols0.filterNot(df.columns.contains)
+      val missing = (cols0 ++ histCols0).distinct
+        .filterNot(df.columns.contains)
       require(missing.isEmpty,
         s"ANALYZE columns not in the table: ${missing.mkString(", ")}")
     }
-    if (cols.isEmpty) return Map.empty
-    // sketch + null count per column (and the file's row count) in ONE
-    // pass: CBO's hasCountStats needs BOTH counts (a distinct count
-    // arriving alone is ignored)
+    if (cols.isEmpty && hCols.isEmpty) return Map.empty
+    // null counts cover BOTH column sets: CBO's hasCountStats needs the
+    // null count next to a distinct count, and the histogram's mass is
+    // the NON-null row count
+    val zCols = (cols ++ hCols).distinct
+    // sketch + null count + boundaries per column (and the file's row
+    // count) in ONE pass
     val aggs = cols.map(c =>
       KmvSketch.kmv(col(c).cast("string"), KmvSketch.ManifestK).as(c)) ++
-      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
-        .as(s"__z_$c")) :+ count(lit(1)).as("__graft_rows")
+      zCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"__z_$c")) ++
+      hCols.map(c => QuantileSketch.kllBoundaries(col(c).cast("double"))
+        .as(s"__q_$c")) :+ count(lit(1)).as("__graft_rows")
     df.groupBy(input_file_name().as("__graft_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
+        val histOff = 1 + cols.size + zCols.size
         uriPath(r.getString(0)) -> (cols.zipWithIndex.map {
           case (c, i) => c -> r.getSeq[Long](i + 1)
-        }.toMap, cols.zipWithIndex.map {
+        }.toMap, zCols.zipWithIndex.map {
           case (c, i) => c -> r.getLong(cols.size + i + 1)
-        }.toMap, r.getLong(2 * cols.size + 1))
+        }.toMap, r.getLong(histOff + hCols.size),
+        hCols.zipWithIndex.map { case (c, i) =>
+          val bs = r.getSeq[Double](histOff + i)
+          // all-null (or unparseable) column → the aggregator returns
+          // NaNs; record EMPTY (zero mass), never NaN boundaries
+          c -> (if (bs.exists(_.isNaN)) Seq.empty[Double] else bs)
+        }.toMap)
       }.toMap
   }
 
@@ -1496,8 +1545,9 @@ object Layout {
     * Returns the committed version.
     */
   def snapshotAnalyze(spark: org.apache.spark.sql.SparkSession,
-      root: String, cols: Seq[String]): Int = {
-    require(cols.nonEmpty, "ANALYZE needs at least one column")
+      root: String, cols: Seq[String], histCols: Seq[String] = Nil): Int = {
+    require(cols.nonEmpty || histCols.nonEmpty,
+      "ANALYZE needs at least one column")
     val vs = snapshotVersions(spark, root)
     require(vs.nonEmpty, s"no snapshots at $root")
     val head = vs.last
@@ -1506,10 +1556,12 @@ object Layout {
     val dataFiles = entries.map(_.path)
     // stats ride PHYSICAL names (the files' own columns)
     val phys = cols.map(c => physicalNameOf(hdr, c))
+    val physHist = histCols.map(c => physicalNameOf(hdr, c))
     // failOnMissing: a silently skipped column would "analyze" nothing
-    // while declaring ndvKey (one footer pass serves the check AND the
-    // aggregate)
-    val syn = ndvSynopsesFor(spark, dataFiles, phys, failOnMissing = true)
+    // while declaring ndvKey/histKey (one footer pass serves the check
+    // AND the aggregate)
+    val syn = ndvSynopsesFor(spark, dataFiles, phys, physHist,
+      failOnMissing = true)
     val enriched = entries.map { e =>
       syn.get(uriPath(e.path)) match {
         case None =>
@@ -1518,14 +1570,16 @@ object Layout {
           // record that — exact empty stats, an empty sketch per
           // column — so it stops blocking whole-scan statistics
           val st = e.stats.getOrElse(FileStats(Map.empty, Map.empty, 0L,
-            phys.map(_ -> 0L).toMap, Map.empty,
-            phys.map(_ -> Seq.empty[Long]).toMap))
+            (phys ++ physHist).map(_ -> 0L).toMap, Map.empty,
+            phys.map(_ -> Seq.empty[Long]).toMap,
+            physHist.map(_ -> Seq.empty[Double]).toMap))
           e.copy(stats = Some(st))
-        case Some((sk, zs, rows)) =>
+        case Some((sk, zs, rows, hs)) =>
           val st = e.stats match {
-            case Some(s) => s.copy(nulls = zs ++ s.nulls, ndv = sk)
+            case Some(s) => s.copy(nulls = zs ++ s.nulls, ndv = sk,
+              hist = hs ++ s.hist)
             case None => FileStats(Map.empty, Map.empty, rows, zs,
-              Map.empty, sk)
+              Map.empty, sk, hs)
           }
           e.copy(stats = Some(st))
       }
@@ -1543,9 +1597,13 @@ object Layout {
     while (true) {
       val carried = carriedStateOf(spark, root, Some(curBase))
       try {
+        val declHdr = carried.props ++
+          (if (cols.nonEmpty) Map("ndvKey" -> cols.mkString(","))
+           else Map.empty) ++
+          (if (histCols.nonEmpty) Map("histKey" -> histCols.mkString(","))
+           else Map.empty)
         commitManifest(spark, root, curBase + 1, Nil, allEntries,
-          header = carried.props + ("ndvKey" -> cols.mkString(",")) ++
-            schemaHeaderOf(carried.schema),
+          header = declHdr ++ schemaHeaderOf(carried.schema),
           deletes = carried.deletes)
         return curBase + 1
       } catch {
@@ -1569,38 +1627,44 @@ object Layout {
       files: Seq[String], props: Map[String, String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil
     // per-file KMV distinct-count synopses (and null counts) for the
-    // declared `ndvKey` columns: ONE distributed aggregate over only
-    // the new files (the amortized commit-time price, like the stats
-    // footer pass), merged at read into optimizer-visible NDV
-    // ([[graft.sources.GraftScan]]).
-    val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long], Long)] =
-      props.get("ndvKey") match {
-        case Some(spec) => ndvSynopsesFor(spark, files,
-          // ndvKey names are LOGICAL; the files speak physical (a table
-          // ANALYZEd after a rename) — synopses key physical names, the
-          // scan's reverse map logicalizes them on report
-          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            .map(c => physicalNameOf(props, c)))
-        case None => Map.empty
-      }
+    // declared `ndvKey` columns, plus per-file quantile boundaries for
+    // the declared `histKey` columns: ONE distributed aggregate over
+    // only the new files (the amortized commit-time price, like the
+    // stats footer pass), merged at read into optimizer-visible NDV and
+    // histograms ([[graft.sources.GraftScan]]).
+    def declared(key: String): Seq[String] = props.get(key).toSeq
+      // names are LOGICAL; the files speak physical (a table ANALYZEd
+      // after a rename) — synopses key physical names, the scan's
+      // reverse map logicalizes them on report
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(c => physicalNameOf(props, c))
+    val ndvCols = declared("ndvKey")
+    val histCols = declared("histKey")
+    val ndv: Map[String, (Map[String, Seq[Long]], Map[String, Long], Long,
+        Map[String, Seq[Double]])] =
+      if (ndvCols.isEmpty && histCols.isEmpty) Map.empty
+      else ndvSynopsesFor(spark, files, ndvCols, histCols)
     val stats: Map[String, FileStats] = props.get("statsKey") match {
       case Some(k) =>
         val cols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         fileMultiStatsOf(spark, files, cols)
           .map { ms =>
-            val (sk, zs, _) = ndv.getOrElse(uriPath(ms.path),
-              (Map.empty[String, Seq[Long]], Map.empty[String, Long], 0L))
+            val (sk, zs, _, hs) = ndv.getOrElse(uriPath(ms.path),
+              (Map.empty[String, Seq[Long]], Map.empty[String, Long], 0L,
+                Map.empty[String, Seq[Double]]))
             // ndv-pass null counts fill in for columns the footer pass
             // didn't cover (ndvKey need not be a statsKey column)
             ms.path -> FileStats(ms.longCols, ms.strCols, ms.rows,
-              zs ++ ms.nulls, ms.dblCols, sk)
+              zs ++ ms.nulls, ms.dblCols, sk, hs)
           }
           .toMap
       case None =>
-        // ndvKey WITHOUT statsKey (the post-ANALYZE legacy-table shape):
-        // entries still carry row/null/synopsis stats from the ndv pass
-        files.flatMap(f => ndv.get(uriPath(f)).map { case (sk, zs, rows) =>
-          f -> FileStats(Map.empty, Map.empty, rows, zs, Map.empty, sk)
+        // ndvKey/histKey WITHOUT statsKey (the post-ANALYZE legacy-table
+        // shape): entries still carry row/null/synopsis stats from the
+        // ndv pass
+        files.flatMap(f => ndv.get(uriPath(f)).map {
+          case (sk, zs, rows, hs) =>
+            f -> FileStats(Map.empty, Map.empty, rows, zs, Map.empty, sk, hs)
         }).toMap
     }
     val parts: Map[String, Seq[String]] = props.get("partCol") match {
@@ -1661,9 +1725,10 @@ object Layout {
       df: DataFrame, statsKey: Option[String] = None,
       clusterBy: Option[String] = None,
       extraProps: Map[String, String] = Map.empty,
-      ndvKey: Option[String] = None): Int =
+      ndvKey: Option[String] = None,
+      histKey: Option[String] = None): Int =
     appendInternal(spark, root, df, statsKey, None, clusterBy, extraProps,
-      ndvKey = ndvKey)
+      ndvKey = ndvKey, histKey = histKey)
 
   /** [[snapshotAppend]] for a PARTITIONED table: `partCol`, declared on
     * the first commit, becomes a table property; the data is shuffled so
@@ -1678,13 +1743,15 @@ object Layout {
       statsKey: Option[String] = None,
       shuffleByPartition: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
-      ndvKey: Option[String] = None): Int =
+      ndvKey: Option[String] = None,
+      histKey: Option[String] = None): Int =
     appendInternal(spark, root,
       // value-localized files by default; pass shuffleByPartition=false
       // when the caller already arranged a layout (e.g. key-clustered
       // within a single partition value) that the shuffle would destroy
       if (shuffleByPartition) df.repartition(col(partCol)) else df,
-      statsKey, Some(partCol), extraProps = extraProps, ndvKey = ndvKey)
+      statsKey, Some(partCol), extraProps = extraProps, ndvKey = ndvKey,
+      histKey = histKey)
 
   /** [[snapshotAppend]] for a TRANSFORM-PARTITIONED table
     * ([[PartSpec]]): `spec` (e.g. `"days(ts),bucket(16,key)"`),
@@ -1703,7 +1770,8 @@ object Layout {
       statsKey: Option[String] = None,
       shuffleByPartition: Boolean = true,
       extraProps: Map[String, String] = Map.empty,
-      ndvKey: Option[String] = None): Int = {
+      ndvKey: Option[String] = None,
+      histKey: Option[String] = None): Int = {
     val dims = PartSpec.parse(spec)
     PartSpec.validate(dims, df.schema, spark.sessionState.conf.resolver)
     val shuffled =
@@ -1721,7 +1789,8 @@ object Layout {
       }
     appendInternal(spark, root, shuffled, statsKey, None,
       extraProps = extraProps, partSpec = Some(PartSpec.render(dims)),
-      ndvKey = ndvKey)
+      ndvKey = ndvKey,
+      histKey = histKey)
   }
 
   private def appendInternal(spark: org.apache.spark.sql.SparkSession,
@@ -1729,7 +1798,8 @@ object Layout {
       partCol: Option[String], clusterBy: Option[String] = None,
       extraProps: Map[String, String] = Map.empty,
       partSpec: Option[String] = None,
-      ndvKey: Option[String] = None): Int = {
+      ndvKey: Option[String] = None,
+      histKey: Option[String] = None): Int = {
     require(extraProps.keySet.intersect(ReservedProps).isEmpty,
       s"extraProps must not set engine-owned keys: " +
         extraProps.keySet.intersect(ReservedProps).mkString(", "))
@@ -1747,6 +1817,8 @@ object Layout {
         require(e == s, s"table partition spec is '$e', not '$s'")
       for (n <- ndvKey; e <- prevHdr.get("ndvKey"))
         require(e == n, s"table NDV columns are '$e', not '$n'")
+      for (h <- histKey; e <- prevHdr.get("histKey"))
+        require(e == h, s"table histogram columns are '$e', not '$h'")
       for (c <- clusterBy; e <- prevHdr.get("clusterBy"))
         require(e == c, s"table cluster columns are '$e', not '$c'")
       // user properties (incl. check.* constraints) may DECLARE at the
@@ -1756,6 +1828,7 @@ object Layout {
         statsKey.map("statsKey" -> _) ++ partCol.map("partCol" -> _) ++
         partSpec.map("partSpec" -> _) ++
         ndvKey.map("ndvKey" -> _) ++
+        histKey.map("histKey" -> _) ++
         clusterBy.map("clusterBy" -> _)
     }
     val prev = snapshotVersions(spark, root)
@@ -2191,6 +2264,7 @@ object Layout {
       // in every manifest entry — renaming/dropping them would silently
       // orphan the recorded statistics / partition metadata
       hdr.get("ndvKey").toSeq.flatMap(_.split(",")) ++
+      hdr.get("histKey").toSeq.flatMap(_.split(",")) ++
       hdr.get("partSpec").toSeq.flatMap(s =>
         scala.util.Try(PartSpec.parse(s).map(_.col)).getOrElse(Nil)))
       .map(_.trim).filter(_.nonEmpty).toSet

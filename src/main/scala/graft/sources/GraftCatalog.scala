@@ -294,13 +294,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     (partCol, partSpec) match {
       case (Some(pc), _) => Layout.snapshotAppendPartitioned(spark, root,
         empty, pc, statsKey = prop("statsKey"), extraProps = userProps,
-        ndvKey = prop("ndvKey"))
+        ndvKey = prop("ndvKey"), histKey = prop("histKey"))
       case (None, Some(sp)) => Layout.snapshotAppendSpec(spark, root,
         empty, sp, statsKey = prop("statsKey"), extraProps = userProps,
-        ndvKey = prop("ndvKey"))
+        ndvKey = prop("ndvKey"), histKey = prop("histKey"))
       case (None, None) => Layout.snapshotAppend(spark, root, empty,
         statsKey = prop("statsKey"), clusterBy = prop("clusterBy"),
-        extraProps = userProps, ndvKey = prop("ndvKey"))
+        extraProps = userProps, ndvKey = prop("ndvKey"),
+        histKey = prop("histKey"))
     }
     GraftTable(root, ident.toString, -1)
   }

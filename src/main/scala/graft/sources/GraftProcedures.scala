@@ -279,14 +279,17 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** `CALL graft.system.analyze(table, cols)` — the ANALYZE TABLE slot:
-    * backfill per-file KMV NDV synopses (+ null counts, + exact row
-    * counts for previously stat-less entries) for the comma-separated
-    * `cols` over every head data file ([[Layout.snapshotAnalyze]]: one
-    * distributed pass, one metadata commit, zero data rewritten), and
-    * declare `ndvKey` so subsequent appends keep the statistics fresh.
-    * After one ANALYZE the optimizer's CBO sees per-column distinct
-    * counts on this table ([[GraftScan]] column statistics).
+  /** `CALL graft.system.analyze(table, cols, [hist_cols])` — the
+    * ANALYZE TABLE slot: backfill per-file KMV NDV synopses (+ null
+    * counts, + exact row counts for previously stat-less entries) for
+    * the comma-separated `cols`, and per-file equi-height quantile
+    * boundaries for the numeric `hist_cols`, over every head data file
+    * ([[Layout.snapshotAnalyze]]: one distributed pass, one metadata
+    * commit, zero data rewritten), declaring `ndvKey`/`histKey` so
+    * subsequent appends keep the statistics fresh. After one ANALYZE
+    * the optimizer's CBO sees per-column distinct counts — and, for
+    * hist_cols, the equi-height histogram range FilterEstimation reads
+    * ([[GraftScan]] column statistics).
     */
   private final class AnalyzeProcedure(sparkF: => SparkSession,
       rootOf: String => String) extends UnboundProcedure with BoundProcedure {
@@ -297,15 +300,18 @@ private[sources] object GraftProcedures {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       p("table", StringType),
-      p("cols", StringType))
+      p("cols", StringType),
+      pd("hist_cols", StringType, "''"))
     private val outSchema = StructType(Seq(
       StructField("analyzed_version", IntegerType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = sparkF
       val root = rootOf(input.getUTF8String(0).toString)
-      val cols = input.getUTF8String(1).toString
-        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val v = Layout.snapshotAnalyze(spark, root, cols)
+      def csv(i: Int): Seq[String] =
+        if (input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = Layout.snapshotAnalyze(spark, root, csv(1), csv(2))
       result(outSchema, InternalRow(v))
     }
   }

@@ -657,38 +657,135 @@ private[graft] class GraftScan(val root: String, identName: String,
       else OptionalLong.empty()
     override def columnStats(): java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-      import graft.functions.KmvSketch
+      import graft.functions.{KmvSketch, QuantileSketch}
+      import org.apache.spark.sql.connector.read.colstats.{
+        Histogram => V2Histogram, HistogramBin => V2HistogramBin}
       if (staticKept.isEmpty)
         return java.util.Collections.emptyMap()
-      val cols = staticKept.flatMap(_._1.stats.toSeq.flatMap(_.ndv.keys))
+      val entries = staticKept.map(_._1)
+      val ndvCols = entries.flatMap(_.stats.toSeq.flatMap(_.ndv.keys))
         .distinct
+      val histCols = entries.flatMap(_.stats.toSeq.flatMap(_.hist.keys))
+        .distinct
+      // CBO's numeric estimation expects min/max/bin bounds in the
+      // attribute's own value class; non-numeric types carry no
+      // histogram (FilterEstimation wouldn't read one)
+      def external(v: Double, dt: org.apache.spark.sql.types.DataType)
+          : Option[Object] = dt match {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
+          Some(java.lang.Long.valueOf(math.round(v)))
+        case org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.DateType =>
+          Some(java.lang.Integer.valueOf(math.round(v).toInt))
+        case org.apache.spark.sql.types.ShortType =>
+          Some(java.lang.Short.valueOf(math.round(v).toShort))
+        case org.apache.spark.sql.types.DoubleType =>
+          Some(java.lang.Double.valueOf(v))
+        case org.apache.spark.sql.types.FloatType =>
+          Some(java.lang.Float.valueOf(v.toFloat))
+        case _ => None
+      }
+      val resolver = SparkSession.active.sessionState.conf.resolver
+      def dataTypeOf(c: String) = tableSchema.fields
+        .find(f => resolver(f.name, c)).map(_.dataType)
       val out = new java.util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      cols.foreach { c =>
-        val sketches = staticKept.map(_._1.stats.toSeq
-          .flatMap(_.ndv.get(c)).headOption)
-        // every kept file must carry the synopsis, else the merge is a
+      (ndvCols ++ histCols).distinct.foreach { c =>
+        // every kept file must carry a synopsis, else the merge is a
         // partial view and the estimate a silent undercount
-        val nullCounts = staticKept.map(_._1.stats.toSeq
+        val sketches = entries.map(_.stats.toSeq
+          .flatMap(_.ndv.get(c)).headOption)
+        val nullCounts = entries.map(_.stats.toSeq
           .flatMap(_.nulls.get(c)).headOption)
-        if (sketches.forall(_.isDefined) && nullCounts.forall(_.isDefined)) {
-          val merged = sketches.flatten
-            .reduce((a, b) => KmvSketch.merge(a, b))
-          val est = math.max(1L, math.round(
-            KmvSketch.estimateDistinct(merged.toArray,
-              KmvSketch.ManifestK)))
-          val nulls = nullCounts.flatten.sum
-          // logical (post-rename) name for the optimizer; BOTH counts
-          // reported — catalyst's hasCountStats gate ignores a distinct
-          // count arriving without its null count
+        val distinctEst: Option[Long] =
+          if (ndvCols.contains(c) && sketches.forall(_.isDefined) &&
+              nullCounts.forall(_.isDefined))
+            Some(math.max(1L, math.round(KmvSketch.estimateDistinct(
+              sketches.flatten.reduce((a, b) => KmvSketch.merge(a, b))
+                .toArray, KmvSketch.ManifestK))))
+          else None
+        val nullsTotal: Option[Long] =
+          if (nullCounts.forall(_.isDefined)) Some(nullCounts.flatten.sum)
+          else None
+        // HISTOGRAM: kept files' equi-height synopses fold into one
+        // global equi-height histogram (piecewise-linear CDF sum,
+        // inverted) — an EMPTY per-file list is a recorded zero-mass
+        // synopsis (all-null column in that file), only an ABSENT one
+        // blocks. Mass is the non-null row count, so the histogram
+        // models exactly the values range predicates select over.
+        val histOpt: Option[(Seq[Double], Double)] =
+          if (histCols.contains(c) &&
+              entries.forall(_.stats.exists(_.hist.contains(c)))) {
+            val perFile = entries.map { e =>
+              val s = e.stats.get
+              (s.hist(c), math.max(0L, s.rows - s.nulls.getOrElse(c, 0L)))
+            }
+            val totalMass = perFile.map(_._2).sum
+            val bounds = QuantileSketch.mergeEquiHeight(perFile)
+            if (bounds.length >= 2 && totalMass > 0)
+              Some((bounds, totalMass.toDouble / (bounds.length - 1)))
+            else None
+          } else None
+        if (distinctEst.isDefined || histOpt.isDefined) {
+          // logical (post-rename) name for the optimizer; distinct and
+          // null counts report TOGETHER — catalyst's hasCountStats gate
+          // ignores a distinct count arriving without its null count
           val logical = reverseMap.getOrElse(c, c)
+          val dt = dataTypeOf(c)
+          val v2hist: Option[V2Histogram] = for {
+            (bounds, h) <- histOpt
+            d <- dt
+            if external(bounds.head, d).isDefined
+          } yield {
+            val nb = bounds.length - 1
+            val binNdv = distinctEst
+              .map(n => math.max(1L, math.round(n.toDouble / nb)))
+              .getOrElse(math.max(1L, math.round(h)))
+            val binArr = bounds.sliding(2).map { w =>
+              val (bLo, bHi) = (w.head, w.last)
+              new V2HistogramBin {
+                override def lo(): Double = bLo
+                override def hi(): Double = bHi
+                override def ndv(): Long = binNdv
+              }
+            }.toArray
+            new V2Histogram {
+              override def height(): Double = h
+              override def bins(): Array[V2HistogramBin] = binArr
+            }
+          }
+          // min/max from the boundary extremes (the 0%/100% quantiles)
+          // — FilterEstimation's interval checks want them beside a
+          // histogram; sketch-exact at the ends by construction
+          val (minV, maxV) = histOpt.flatMap { case (bounds, _) =>
+            dt.flatMap(d => for {
+              mn <- external(bounds.head, d)
+              mx <- external(bounds.last, d)
+            } yield (mn, mx))
+          } match {
+            case Some((mn, mx)) =>
+              (java.util.Optional.of(mn), java.util.Optional.of(mx))
+            case None => (java.util.Optional.empty[Object](),
+              java.util.Optional.empty[Object]())
+          }
           out.put(Expressions.column(logical),
             new org.apache.spark.sql.connector.read.colstats
               .ColumnStatistics {
               override def distinctCount(): OptionalLong =
-                OptionalLong.of(est)
+                distinctEst.map(OptionalLong.of)
+                  .getOrElse(OptionalLong.empty())
               override def nullCount(): OptionalLong =
-                OptionalLong.of(nulls)
+                if (distinctEst.isDefined || v2hist.isDefined)
+                  nullsTotal.map(OptionalLong.of)
+                    .getOrElse(OptionalLong.empty())
+                else OptionalLong.empty()
+              override def min(): java.util.Optional[Object] = minV
+              override def max(): java.util.Optional[Object] = maxV
+              override def histogram(): java.util.Optional[V2Histogram] =
+                v2hist.map(java.util.Optional.of[V2Histogram])
+                  .getOrElse(java.util.Optional.empty[V2Histogram]())
             })
         }
       }

@@ -35,4 +35,26 @@ class GraftScanBuilderProbe(spark: SparkSession, root: String) {
         cs.distinctCount().orElse(-1L)
     }.toMap)
   }
+
+  /** The merged equi-height histogram the scan reports for `col`:
+    * (height, bins as (lo, hi, ndv)), plus the reported min/max.
+    */
+  def histogram(col: String): Option[(Double, Seq[(Double, Double, Long)],
+      Option[Any], Option[Any])] = {
+    val schema = Layout.readSnapshot(spark, root).schema
+    val sb = new GraftScanBuilder(root, "probe", -1, schema,
+      CaseInsensitiveStringMap.empty())
+    val scan = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    import scala.jdk.CollectionConverters._
+    scan.estimateStatistics().columnStats().asScala.collectFirst {
+      case (ref, cs) if ref.fieldNames().mkString(".") == col &&
+          cs.histogram().isPresent =>
+        val h = cs.histogram().get()
+        (h.height(), h.bins().toSeq.map(b => (b.lo(), b.hi(), b.ndv())),
+          if (cs.min().isPresent) Some(cs.min().get()) else None,
+          if (cs.max().isPresent) Some(cs.max().get()) else None)
+    }
+  }
 }
