@@ -476,49 +476,62 @@ private[graft] class GraftScan(val root: String, identName: String,
           // catalog ([[GraftBucketFunction]] and kin). BUCKET dims key
           // under the standard bucketing switch: bucketed joins are
           // what the layout exists for. TEMPORAL dims need the EXTRA
-          // spark.graft.spj.temporal.enabled opt-in — a keyed scan
-          // still trades away DPP (per-scan exclusivity), so only a
-          // deployment actually running co-partitioned temporal joins
-          // should pay that on every query. (Task parallelism is NOT
-          // traded anymore: [[keyedBatch]] emits one keyed partition
-          // per parquet split, and Spark's own partition grouping
-          // merges same-key splits only when the join demands exact
-          // clustering — under partially-clustered distribution a
-          // year-deep days(ts) side keeps its per-file tasks.)
-          val xs = dims.map {
+          // spark.graft.spj.temporal.enabled opt-in — keying a dim
+          // trades away DPP on THAT dim (key columns stay
+          // un-advertised; non-key dims remain runtime-filterable —
+          // see [[filterAttributes]]), so only a deployment actually
+          // running co-partitioned temporal joins should pay that on
+          // every query. (Task parallelism is NOT traded: the keyed
+          // batch emits one keyed partition per parquet split, and
+          // Spark's own partition grouping merges same-key splits only
+          // when the join demands exact clustering — under
+          // partially-clustered distribution a year-deep days(ts) side
+          // keeps its per-file tasks.)
+          // PARTIAL KEYING: key on the KEYABLE SUBSET of dims (bucket
+          // always; days/hours under the temporal opt-in) — a compound
+          // spec like `bucket(8, key), days(ts)` without the temporal
+          // opt-in still reports KeyGroupedPartitioning(bucket) (the
+          // zero-exchange bucketed join stands), while the NON-keyed
+          // dims stay runtime-filterable: a DPP IN on ts prunes files
+          // WITHIN the bucket groups (see [[filterAttributes]]/
+          // [[toBatch]]).
+          val keyable = dims.flatMap {
             case b: graft.ops.PartSpec.Bucket =>
-              Some((b.col, Expressions.bucket(b.n, b.col)))
+              Some((b.idx, b.col,
+                Expressions.bucket(b.n, b.col): org.apache.spark.sql
+                  .connector.expressions.Transform))
             case d: graft.ops.PartSpec.Days if temporalSpjOn =>
-              Some((d.col, Expressions.days(d.col)))
+              Some((d.idx, d.col, Expressions.days(d.col): org.apache
+                .spark.sql.connector.expressions.Transform))
             case h: graft.ops.PartSpec.Hours if temporalSpjOn =>
-              Some((h.col, Expressions.hours(h.col)))
+              Some((h.idx, h.col, Expressions.hours(h.col): org.apache
+                .spark.sql.connector.expressions.Transform))
             case _ => None
           }
-          if (dims.isEmpty || xs.exists(_.isEmpty)) None
-          else Some((dims, xs.map(_.get)))
+          if (keyable.isEmpty) None else Some(keyable)
         }
-        .flatMap { case (dims, colsAndTransforms) =>
-          val projected = colsAndTransforms.forall { case (c, _) =>
+        .flatMap { keyable =>
+          val projected = keyable.forall { case (_, c, _) =>
             required.fields.exists(f => resolver(f.name, c)) }
-          // per-file key TUPLE: exactly one recorded value in EVERY dim
-          // (a sentinel or multi-value file parses to None → the whole
-          // scan falls back shuffled)
+          // per-file key TUPLE: exactly one recorded value in every
+          // KEYED dim (a sentinel or multi-value file parses to None →
+          // the whole scan falls back shuffled)
           val keys: Seq[Option[Seq[Int]]] = kept.map { case (e, _) =>
             e.parts.flatMap { ps =>
               val byDim = ps.groupBy(s => s.takeWhile(_ != ':'))
-              val vals = dims.map(d =>
-                byDim.getOrElse(d.idx.toString, Nil) match {
+              val vals = keyable.map { case (idx, _, _) =>
+                byDim.getOrElse(idx.toString, Nil) match {
                   case Seq(one) =>
                     one.substring(one.indexOf(':') + 1).toIntOption
                   case _ => None
-                })
+                }}
               if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
             }
           }
           if (!projected || kept.isEmpty || keys.exists(_.isEmpty)) None
           else {
             import scala.math.Ordering.Implicits.seqOrdering
-            Some(KeyedLayout(colsAndTransforms.map(_._2).toArray,
+            Some(KeyedLayout(keyable.map(_._3).toArray,
               kept.zip(keys.map(_.get)).groupBy(_._2).view
                 .mapValues(_.map(_._1._1.path)).toSeq.sortBy(_._1)
                 .map { case (k, ps) =>
@@ -576,7 +589,18 @@ private[graft] class GraftScan(val root: String, identName: String,
       kl.groups.flatMap { case (values, paths) =>
         val key = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(values.toArray)
-        GraftScanUtil
+        if (paths.isEmpty) {
+          // a key group whose files a runtime (DPP) filter pruned away
+          // still emits ONE empty partition carrying its key: the
+          // reported KeyGroupedPartitioning's value set must survive
+          // runtime filtering exactly (BatchScanExec refuses new or a
+          // changed set), and the SPJ partner's alignment depends on it
+          val out = GraftKeyedPartition(key,
+            org.apache.spark.sql.execution.datasources
+              .FilePartition(i, Array.empty))
+          i += 1
+          Seq(out)
+        } else GraftScanUtil
           .innerScan(identName, physSchema(tableSchema),
             physSchema(required), physFilters(dataFilters ++ runtime),
             paths, options)
@@ -589,7 +613,7 @@ private[graft] class GraftScan(val root: String, identName: String,
                 .FilePartition(i, fp.files))
             i += 1
             out
-          }
+          }.toSeq
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -618,9 +642,24 @@ private[graft] class GraftScan(val root: String, identName: String,
     val groups =
       if (!bucketingOn) None
       else if (runtime.isEmpty) staticGroups
-      else keyedGroupsOf(bloomPrune(
-        index.prunedEntries(physFilters(dataFilters ++ runtime)),
-        physFilters(dataFilters ++ runtime)))
+      else staticGroups match {
+        case Some(kl) =>
+          // keyed scan + runtime (DPP) filters — delivered only on
+          // NON-key columns ([[filterAttributes]]): re-prune file lists
+          // WITHIN the static key groups, KEEPING every group (an
+          // emptied group emits an empty partition), so the reported
+          // KeyGroupedPartitioning is preserved exactly — the bucketed
+          // join stays zero-exchange while the date-dim DPP filter cuts
+          // the planned files
+          val keptNow = bloomPrune(
+            index.prunedEntries(physFilters(dataFilters ++ runtime)),
+            physFilters(dataFilters ++ runtime)).map(_._1.path).toSet
+          Some(kl.copy(groups =
+            kl.groups.map { case (k, ps) => (k, ps.filter(keptNow)) }))
+        case None => keyedGroupsOf(bloomPrune(
+          index.prunedEntries(physFilters(dataFilters ++ runtime)),
+          physFilters(dataFilters ++ runtime)))
+      }
     groups match {
       case Some(g) => new GraftKeyedBatch(this, g)
       case None => new GraftPlainBatch(this)
@@ -797,12 +836,6 @@ private[graft] class GraftScan(val root: String, identName: String,
     * partition column plus every column any entry records stats for.
     */
   override def filterAttributes(): Array[NamedReference] = {
-    // a KEYED (storage-partitioned-join) scan opts out of runtime
-    // filtering: SPJ already avoids the shuffle DPP exists to shrink,
-    // and a runtime re-plan that drops partition values would interact
-    // with Spark's keyed-partition consistency checks — one mechanism
-    // per scan, decided by which one is active
-    if (staticGroups.isDefined) return Array.empty
     val statCols = staticKept.flatMap(_._1.stats.toSeq.flatMap(s =>
       s.cols.keys ++ s.strCols.keys ++ s.dblCols.keys)).distinct
     // partition-transform SOURCE columns prune too: a runtime IN on
@@ -811,7 +844,19 @@ private[graft] class GraftScan(val root: String, identName: String,
     val specCols = header.get("partSpec").toSeq
       .flatMap(s => graft.ops.PartSpec.parse(s).map(_.col))
     val resolver = SparkSession.active.sessionState.conf.resolver
+    // a KEYED (storage-partitioned-join) scan accepts runtime filters
+    // on its NON-key columns only: [[toBatch]] re-prunes file lists
+    // WITHIN the static key groups (empty groups emit empty
+    // partitions), so the reported KeyGroupedPartitioning survives
+    // runtime filtering byte-for-byte. KEY columns stay un-advertised:
+    // a runtime filter dropping a partition VALUE would trade the
+    // zero-exchange join for the prune — and SPJ already avoids the
+    // shuffle DPP exists to shrink on those dims.
+    val keyedSrc: Seq[String] = staticGroups.toSeq.flatMap(
+      _.transforms.toSeq.flatMap(
+        _.references().toSeq.flatMap(_.fieldNames().toSeq)))
     (header.get("partCol").toSeq ++ specCols ++ statCols).distinct
+      .filterNot(c => keyedSrc.exists(resolver(_, c)))
       // only columns surviving the PROJECTION: Spark's PartitionPruning
       // resolves advertised refs against the scan's pruned output and
       // THROWS on a miss — a filterable column the query never reads

@@ -314,6 +314,84 @@ class StoragePartitionedJoinSpec extends GraftSuite {
     }
   }
 
+  test("DPP on the NON-keyed dim of a compound spec: the bucket join stays zero-exchange while a date-dim filter cuts the planned files") {
+    wh
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-06-$d%02d 08:00:00")
+    val fa = (0 until 240).map(i => (i.toLong, ts(i % 3 + 1), i * 2.0))
+      .toDF("k", "t", "va")
+    val fb = (0 until 240).map(i => (i.toLong, ts(i % 3 + 1), i * 3.0))
+      .toDF("k", "t", "vb")
+    // one file per (bucket, day): 12 files each; WITHOUT the temporal
+    // opt-in the scan keys on the bucket dim ALONE (partial keying) and
+    // the days dim stays runtime-filterable
+    for (b <- 0 until 4; d <- 1 to 3) {
+      val slice = (c: DataFrame) => c.filter(
+        pmod(xxhash64(col("k")), lit(4)) === b && col("t") === ts(d))
+      Layout.snapshotAppendSpec(spark, s"$wh/m3a",
+        slice(fa).coalesce(1), "bucket(4,k),days(t)",
+        shuffleByPartition = false)
+      Layout.snapshotAppendSpec(spark, s"$wh/m3b",
+        slice(fb).coalesce(1), "bucket(4,k),days(t)",
+        shuffleByPartition = false)
+    }
+    val factFiles = Layout.snapshotMeta(spark, s"$wh/m3a").paths.size
+    assert(factFiles == 12)
+    // file-backed dim (so the selective predicate survives to runtime);
+    // broadcast hint keeps the dim join shuffle-free and gives DPP its
+    // reusable broadcast
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("gspj-dim").toString
+    (1 to 3).map(d => (ts(d), if (d == 2) "keep" else "drop"))
+      .toDF("dts", "attr").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("spj_dim")
+    // the dim broadcast is hinted (DPP rides broadcast reuse) even
+    // though withSpj disables auto-broadcast for the fact join
+    val q = "SELECT /*+ BROADCAST(d) */ a.k, a.t, a.va, b.vb " +
+      "FROM gspj.m3a a " +
+      "JOIN gspj.m3b b ON a.k = b.k " +
+      "JOIN spj_dim d ON a.t = d.dts WHERE d.attr = 'keep'"
+    def graftScans(df: DataFrame): Seq[graft.sources.GraftScan] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          s +: walk(s.plan)
+        case other => other +: (other.children.flatMap(walk) ++
+          other.subqueries.flatMap(walk))
+      }
+      walk(df.queryExecution.executedPlan)
+        .collect { case b: org.apache.spark.sql.execution.datasources
+          .v2.BatchScanExec => b.scan }
+        .collect { case g: graft.sources.GraftScan => g }
+    }
+    val (spjRows, spjShuffleEx, spjPlanned) = withSpj(on = true) {
+      val df = sql(q)
+      val rows = df.collect()
+      val shuffleEx = df.queryExecution.executedPlan.toString.split("\n")
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      (rows.map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq,
+        shuffleEx, graftScans(df).map(_.lastPlannedFiles))
+    }
+    val ctlRows = withSpj(on = false) {
+      sql(q).collect().map(r => (r.getLong(0), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    }
+    assert(spjRows == ctlRows && spjRows.length == 80,
+      "partial keying + DPP must not change the answer")
+    assert(spjShuffleEx == 0,
+      s"the bucket-keyed join must stay zero-exchange under DPP " +
+        s"(got $spjShuffleEx shuffle exchanges)")
+    assert(spjPlanned.exists(_ < factFiles),
+      s"the date-dim DPP filter must cut the planned files within the " +
+        s"bucket groups: $spjPlanned of $factFiles")
+    // the day slice keeps 4 of 12 files (one per bucket)
+    assert(spjPlanned.min <= 4,
+      s"day=2 keeps one file per bucket: $spjPlanned")
+  }
+
   test("a table with multi-value files falls back to the shuffled plan and stays exact") {
     tables
     import spark.implicits._
