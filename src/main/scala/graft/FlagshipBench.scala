@@ -29,6 +29,21 @@ object FlagshipBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CKPT=disk routes every operator pin through a
+    // reliable disk checkpoint ([[graft.ops.Pin]]) — the single-JVM
+    // memory budget knob (local[32] concentrates the whole cluster's
+    // pinned working set in one heap; see SURVEY §5.4)
+    sys.env.get("SPARK_GRAFT_CKPT").foreach(m =>
+      spark.conf.set("spark.graft.checkpoint.mode", m))
+    // SPARK_GRAFT_AUTOBCAST=<bytes> caps both broadcast thresholds —
+    // the second half of the single-JVM memory budget (a broadcast
+    // hash relation builds in the ONE shared heap while 32 tasks hold
+    // execution pages; on a real cluster the build has an executor to
+    // itself)
+    sys.env.get("SPARK_GRAFT_AUTOBCAST").foreach { b =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", b)
+    }
     spark.range(1000).selectExpr("sum(id)").collect() // warm up
 
     if (prod) {

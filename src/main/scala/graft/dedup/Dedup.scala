@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
+import graft.ops.Pin.Pinned
 
 /** Deduplication operators over `documents` (SURVEY.md §2.3).
   *
@@ -69,7 +70,7 @@ object Dedup {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
-      .localCheckpoint()
+      .pin()
 
   def d2MinHashLsh(spark: SparkSession, sfDir: String): DataFrame =
     d2PairsFromSignatures(signatures(spark, sfDir))
@@ -144,7 +145,7 @@ object Dedup {
   def d3SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
-      .localCheckpoint()
+      .pin()
     val blockLen = SimHashBitsN / SimHashBlocks
     // Pack each 12-bit block into a long (fold acc*2+bit — exact, so block
     // equality is preserved bit-for-bit, unlike a lossy hash).
@@ -201,7 +202,7 @@ object Dedup {
       .select(col("doc_id"),
         stringShingles(col("text")).as("sh"),
         slice(array_sort(shingleHashes(col("text"))), 1, 2).as("keys"))
-      .localCheckpoint()
+      .pin()
     // candidate ids dedup BEFORE touching the heavy shingle arrays — the
     // distinct shuffles two longs, the arrays join back afterwards by id
     val keyed = docs.select(col("doc_id"), explode(col("keys")).as("key"))
@@ -277,7 +278,7 @@ object Dedup {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint()
+      .pin()
     hyperplaneCandidates(e, nT, nP)
       .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
       .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
@@ -296,7 +297,7 @@ object Dedup {
       hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
     val eb = e.select(col("vec_id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint() // buckets compute once, not per self-join side
+      .pin() // buckets compute once, not per self-join side
     eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
@@ -373,10 +374,10 @@ object Dedup {
     */
   private[graft] def labelClusters(pairs: DataFrame, idCol: String,
       maxRounds: Int = 50): DataFrame = {
-    val p = pairs.localCheckpoint()
+    val p = pairs.pin()
     val edges = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))
     val nodes = edges.select(col("i").as(idCol)).distinct()
-    var labels = nodes.withColumn("cluster", col(idCol)).localCheckpoint()
+    var labels = nodes.withColumn("cluster", col(idCol)).pin()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -395,7 +396,7 @@ object Dedup {
       val joined = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .pin()
       val changes = joined.filter(col("cluster") =!= col("old")).count()
       labels = joined.select(col(idCol), col("cluster"))
       converged = changes == 0
@@ -585,7 +586,7 @@ object Dedup {
     val docs = shingled
       .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint() // sorted shingles compute once, not per join branch
+      .pin() // sorted shingles compute once, not per join branch
     val prefixLen = (col("n") - col("n") % 10) / 10 + 1 // ⌊0.1·n⌋ + 1, integer-exact
     val prefixes = docs
       .select(col("doc_id").as("i"), col("n").as("n_i"),
@@ -803,7 +804,7 @@ object Dedup {
     val sig = array((0 until SimHashWords).map(w =>
       hyperplaneBucket(col("v"), WordPlanes, D5Dim,
         D14PlaneBase + w * WordPlanes, scrambled = true)): _*)
-    val es = e.select(col("vec_id"), sig.as("sig")).localCheckpoint()
+    val es = e.select(col("vec_id"), sig.as("sig")).pin()
     hyperplaneCandidates(e, D5Tables, D5Planes)
       .join(es.select(col("vec_id").as("i"), col("sig").as("sig_i")), Seq("i"))
       .join(es.select(col("vec_id").as("j"), col("sig").as("sig_j")), Seq("j"))
@@ -900,7 +901,7 @@ object Dedup {
   private[graft] def d15Pairs(docs: DataFrame): DataFrame = {
     val keys = docs
       .select(col("doc_id"), d15Key(col("text")).as("k"))
-      .localCheckpoint() // 4 plan branches below; build the keys once
+      .pin() // 4 plan branches below; build the keys once
     def extract(slots: Seq[(Int, Int, Int)]) = keys.select(col("doc_id"),
         col("k"),
         explode(array(slots.map { case (i, p, l) =>
@@ -981,7 +982,7 @@ object Dedup {
   private[graft] def d17Pairs(docs: DataFrame): DataFrame = {
     val keys = docs
       .select(col("doc_id"), d15Key(col("text")).as("k"))
-      .localCheckpoint()
+      .pin()
     // Slot = (seg, start, len, mode). mode encodes WHICH variants a
     // window's image length makes reachable (asymmetric emission):
     //   len 11 ⇒ the image lost a char ⇒ it IS a member of del1(index
@@ -1298,7 +1299,7 @@ object Dedup {
     val L = SubstrWin
     val docs = documents
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .localCheckpoint() // feeds windows, the token explode, and the summary
+      .pin() // feeds windows, the token explode, and the summary
     val ord = col("doc_id") * 1000000L + col("pos")
     val wins = docs.filter(size(col("t")) >= L)
       .select(col("doc_id"),
@@ -1404,7 +1405,7 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint()
+      .pin()
     val prefixLen = ((col("n") - col("n") % 10) / 10 + 1).cast("int")
     def prefixes(d: DataFrame) = d.select(col("doc_id").as("i"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
@@ -1541,7 +1542,7 @@ object Dedup {
     // PATH_NOT_FOUND on the missing sibling instead of recovering
     def dirExists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
     val hasState = dirExists(bandsDir)
-    val sig = signaturesOf(batch).localCheckpoint()
+    val sig = signaturesOf(batch).pin()
     val bands = bandSignatures(sig)
     val selfCand = bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -1572,7 +1573,7 @@ object Dedup {
           size(array_union(col("sh_i"), col("sh_j"))))
       .filter(col("jac") >= 0.8)
       .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
-      .localCheckpoint() // pin BEFORE the writes mutate the standing dirs
+      .pin() // pin BEFORE the writes mutate the standing dirs
     bands.write.mode("overwrite").parquet(s"$bandsDir/e=$epoch")
     sig.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$shinglesDir/e=$epoch")
@@ -1711,7 +1712,7 @@ object Dedup {
     val docs = batch.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint()
+      .pin()
     val prefixLen = ((col("n") - col("n") % 10) / 10 + 1).cast("int")
     val bPref = docs.select(col("doc_id").as("i"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
@@ -1744,7 +1745,7 @@ object Dedup {
           size(col("sh_i")))
       .filter(col("containment") >= ContainmentTau)
       .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
-      .localCheckpoint() // pin BEFORE the writes mutate the standing dirs
+      .pin() // pin BEFORE the writes mutate the standing dirs
     bIdx.write.mode("overwrite").parquet(s"$idxDir/e=$epoch")
     bPref.write.mode("overwrite").parquet(s"$prefDir/e=$epoch")
     docs.select(col("doc_id"), col("sh"))

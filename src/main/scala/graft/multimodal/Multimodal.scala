@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.Pin.Pinned
 
 /** Multimodal column plumbing (SURVEY.md §2.6).
   *
@@ -289,7 +290,7 @@ object Multimodal {
     val f = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), feat.as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint() // featurize ONCE; both join branches read it
+      .pin() // featurize ONCE; both join branches read it
     val q = f.filter(col("doc_id") < M5Queries)
       .select(col("doc_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("q_id"))
@@ -387,7 +388,7 @@ object Multimodal {
           Row(id, hash)
         }
       }
-    }(enc).localCheckpoint() // one decoder pass; blocks + verify re-read it
+    }(enc).pin() // one decoder pass; blocks + verify re-read it
     val blockLen = M6Bits / M6Blocks
     val blocks = dh.select(col("doc_id"), col("dhash"),
         posexplode(transform(sequence(lit(0), lit(M6Blocks - 1)), b =>

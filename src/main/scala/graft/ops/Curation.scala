@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
+import graft.ops.Pin.Pinned
 
 /** Flagship composition (SparkEntry.entry): an end-to-end LLM training-data
   * curation pass over `documents`, built from the §2 operators:
@@ -79,7 +80,7 @@ object Curation {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         tokens(col("text")).as("t"), sh.as("sh"),
         minHashSignature(sh, graft.dedup.Dedup.MinHashPerms).as("mh"))
-      .localCheckpoint()
+      .pin()
   }
 
   private def gatedUncapped(spark: SparkSession, sfDir: String): DataFrame = {
@@ -483,7 +484,7 @@ object Curation {
     // the mixing-rate aggregation AND the final join both read the gated
     // survivors — materialize them once (at 100 TB: the persisted
     // post-gate intermediate), instead of re-running stages 1-8 per branch
-    val curated = gatedSurvivors(spark, sfDir).localCheckpoint()
+    val curated = gatedSurvivors(spark, sfDir).pin()
 
     // 9. temperature mixing over the SURVIVOR language distribution (a5
     //    semantics: counts are one aggregated pass, keep is a map-side

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Pin.Pinned
 
 /** Iterative graph analytics over the purchase graph (SURVEY.md §2.2's
   * graph slot beyond d7/d8's connected components).
@@ -61,8 +62,8 @@ object Graph {
     val ed = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(nPart, col("src"))
-      .localCheckpoint() // referenced by all 10 iterations — build once
-    val nodes = ed.select(col("src").as("node")).distinct().localCheckpoint()
+      .pin() // referenced by all 10 iterations — build once
+    val nodes = ed.select(col("src").as("node")).distinct().pin()
     // n is the one driver-side scalar (a model parameter, like k-means'
     // centroids): the init/teleport constants must be literals in-plan.
     val n = nodes.count()
@@ -81,7 +82,7 @@ object Graph {
       // a scheduled job — at 10 iterations the per-job floor, not the
       // shuffle, dominates, so halving the cuts halves the loop's fixed
       // cost while the shuffle volume is unchanged
-      if (i % 2 == 0 || i == Iters) ranks = ranks.localCheckpoint()
+      if (i % 2 == 0 || i == Iters) ranks = ranks.pin()
     }
     ranks.orderBy(col("rank").desc, col("node"))
       .limit(TopK)
@@ -155,14 +156,14 @@ object Graph {
     val edges = e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val ed = edges.repartition(nPart, col("src")).localCheckpoint()
+    val ed = edges.repartition(nPart, col("src")).pin()
     // Each round's frontier is checkpointed ONCE (it feeds two consumers:
     // the next edge join and the final union); the cumulative reached set
     // stays a LAZY union of those checkpoint roots — re-materializing it
     // per round (the round-6 form) paid an extra job over ever-growing
     // data for nothing, since every leaf below the union is already a
     // checkpoint and the lineage depth is bounded by MaxHops.
-    var frontier = s.localCheckpoint() // nodes first reached last round
+    var frontier = s.pin() // nodes first reached last round
     val frontiers = scala.collection.mutable.ListBuffer((frontier, 0L))
     var reachedNodes = frontier // ids only, lazy union of checkpoints
     var h = 1
@@ -170,7 +171,7 @@ object Graph {
       frontier = ed.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
         .join(reachedNodes, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .pin()
       frontiers += ((frontier, h.toLong))
       reachedNodes = reachedNodes.unionAll(frontier)
       h += 1

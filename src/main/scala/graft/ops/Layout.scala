@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.zvalue
+import graft.ops.Pin.Pinned
 
 /** A snapshot commit lost its version claim to a concurrent writer —
   * the OPTIMISTIC-CONCURRENCY signal. Appends catch it internally and
@@ -586,18 +587,18 @@ object Layout {
     import graft.functions.Bloom
     val kdf = keys.select(col(keys.columns.head).cast("long")
         .as("__graft_probe")).distinct()
-      .localCheckpoint() // probes feed the requirements AND the semi-join
+      .pin() // probes feed the requirements AND the semi-join
     val reqs = kdf
       .select(col("__graft_probe").as("pid"),
         explode(Bloom.positionsFor(col("__graft_probe"), mBits)).as("p"))
       .select(col("pid"), (col("p") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("m"))
       .groupBy(col("pid"), col("w")).agg(bit_or(col("m")).as("need"))
-      .localCheckpoint() // read by the hit pass and the need-count pass
+      .pin() // read by the hit pass and the need-count pass
     val needCounts = reqs.groupBy(col("pid")).agg(count(lit(1)).as("n_need"))
     val idx = spark.read.parquet(bloomIdxDir(path, keyCol))
       .groupBy(col("file"), col("w")).agg(bit_or(col("bits")).as("bits"))
-      .localCheckpoint() // hit pass + indexed-file listing
+      .pin() // hit pass + indexed-file listing
     val satisfied: Set[String] = idx.join(broadcast(reqs), Seq("w"))
       .filter((col("bits").bitwiseAND(col("need"))) === col("need"))
       .groupBy(col("file"), col("pid")).agg(count(lit(1)).as("n_ok"))

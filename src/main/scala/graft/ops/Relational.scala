@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.ops.Pin.Pinned
 
 /** Relational operator library (SURVEY.md §2.2).
   *
@@ -2063,7 +2064,8 @@ object Relational {
         (dec(col("o_totalprice")) * lit(1.1).cast("decimal(18,2)")).as("c_price"),
         lit("U").as("c_status"))
     val inserts = base.filter(col("o_orderkey") % 1000 === 3)
-      .select((col("o_orderkey") + 10000000L).as("c_key"),
+      .select((col("o_orderkey") + insertOffset(base, "o_orderkey"))
+        .as("c_key"),
         dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
     val changes = updates.unionAll(inserts)
     base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
@@ -2085,7 +2087,7 @@ object Relational {
       |    'U' AS c_status
       |  FROM base WHERE o_orderkey % 7 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000 AS c_key,
+      |  SELECT o_orderkey + (SELECT (CAST(floor(max(o_orderkey)/10000000) AS BIGINT)+1)*10000000 FROM base) AS c_key,
       |    CAST(o_totalprice AS DECIMAL(18,2)) AS c_price, 'N' AS c_status
       |  FROM base WHERE o_orderkey % 1000 = 3)
       |SELECT coalesce(o_orderkey, c_key) AS key,
@@ -2118,6 +2120,21 @@ object Relational {
     * untouched-files ∪ rewritten-files — exactly a COW table format's
     * post-MERGE state.
     */
+  /** Scale-adaptive synthetic-insert key offset: the next multiple of
+    * 10^7 strictly above the corpus' max key, so merge-fixture inserts
+    * CLEAR the keyspace at every scale. At sf ≤ 1 (max key < 10^7) this
+    * is exactly the historical 10,000,000 constant — oracle values are
+    * bit-identical on the driver corpus — while at sf10+ a constant
+    * offset would interleave the inserts with live keys, making the
+    * merge touch (and rewrite, unclustered) most of the table: a
+    * fixture artifact that read as a pruning regression in the ladder.
+    * Every SQL oracle computes the same expression inline.
+    */
+  private def insertOffset(df: DataFrame, keyCol: String): Long = {
+    val mx = df.agg(max(col(keyCol))).head().getLong(0)
+    mx / 10000000L * 10000000L + 10000000L
+  }
+
   /** Session+SF-scoped tmp root: pid-tagged so concurrent JVMs never race
     * each other's overwrites — the ONE spelling of the idiom (q78/q82 COW
     * base, q83/q85 snapshot table, q80 IVM state).
@@ -2166,7 +2183,8 @@ object Relational {
         (dec(col("o_totalprice")) * lit(1.1).cast("decimal(18,2)")).as("c_price"),
         lit("U").as("c_status"))
     val inserts = base.filter(col("o_orderkey") % 1000 === 3)
-      .select((col("o_orderkey") + 10000000L).as("c_key"),
+      .select((col("o_orderkey") + insertOffset(base, "o_orderkey"))
+        .as("c_key"),
         dec(col("o_totalprice")).as("c_price"), lit("N").as("c_status"))
     val changes = updates.unionAll(inserts)
     // the changelog stays a DATAFRAME end to end (cowMergeKeys): the
@@ -2208,7 +2226,7 @@ object Relational {
       |    'U' AS c_status
       |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey <= (SELECT c FROM cutoff)
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000 AS c_key,
+      |  SELECT o_orderkey + (SELECT (CAST(floor(max(o_orderkey)/10000000) AS BIGINT)+1)*10000000 FROM base) AS c_key,
       |    CAST(o_totalprice AS DECIMAL(18,2)) AS c_price, 'N' AS c_status
       |  FROM base WHERE o_orderkey % 1000 = 3)
       |SELECT coalesce(o_orderkey, c_key) AS key,
@@ -2250,7 +2268,7 @@ object Relational {
     val requests = base
       .filter(col("o_orderkey") % 13 === 1 && col("o_orderkey") <= cutoff)
       .select(col("o_orderkey").as("d_key"))
-      .localCheckpoint() // probes the file ranges AND feeds the anti-join
+      .pin() // probes the file ranges AND feeds the anti-join
     // DataFrame changelog end to end: the request set never collects —
     // touched files resolve via the broadcast range join
     val stats = Layout.cowMergeKeys(spark, baseDir, "o_orderkey", requests,
@@ -2456,9 +2474,9 @@ object Relational {
         .select(col("key").as("c_key"), (col("totalprice") * 1.1).as("c_price"),
           lit("U").as("c_status"))
         .unionAll(base.filter(col("key") % 1000 === 3)
-          .select((col("key") + 10000000L).as("c_key"),
+          .select((col("key") + insertOffset(base, "key")).as("c_key"),
             col("totalprice").as("c_price"), lit("N").as("c_status")))
-        .localCheckpoint() // the touched-file probe + rewrite both read it
+        .pin() // the touched-file probe + rewrite both read it
       // DataFrame changelog interface: touched files resolve via the
       // manifest-stats range join; no key array ever materializes
       Layout.snapshotMergeKeys(spark, root, "key",
@@ -2486,7 +2504,7 @@ object Relational {
       |  SELECT key AS c_key, totalprice * 1.1 AS c_price, 'U' AS c_status
       |  FROM base WHERE key % 7 = 0 AND key <= (SELECT c FROM cutoff)
       |  UNION ALL
-      |  SELECT key + 10000000 AS c_key, totalprice AS c_price, 'N' AS c_status
+      |  SELECT key + (SELECT (CAST(floor(max(key)/10000000) AS BIGINT)+1)*10000000 FROM base) AS c_key, totalprice AS c_price, 'N' AS c_status
       |  FROM base WHERE key % 1000 = 3)
       |SELECT coalesce(key, c_key) AS key,
       |  coalesce(c_price, totalprice) AS totalprice,
@@ -2659,9 +2677,9 @@ object Relational {
           .select(col("key").as("c_key"),
             (col("totalprice") * 1.1).as("c_price"), lit("U").as("c_status"))
           .unionAll(base.filter(col("key") % 1000 === 3)
-            .select((col("key") + 10000000L).as("c_key"),
+            .select((col("key") + insertOffset(base, "key")).as("c_key"),
               col("totalprice").as("c_price"), lit("N").as("c_status")))
-          .localCheckpoint() // the merge probes + rewrites read it twice
+          .pin() // the merge probes + rewrites read it twice
           .createOrReplaceTempView("q98_changes")
         spark.sql("CREATE TABLE graft_sql.q98t " +
           "(key BIGINT, totalprice DOUBLE, status STRING) " +
@@ -2928,7 +2946,8 @@ object Relational {
           """SELECT key AS k, price * 1.1 AS sprice, 'U' AS tag
             |FROM q103_base WHERE key % 7 = 0
             |UNION ALL
-            |SELECT key + 10000000 AS k, price AS sprice,
+            |SELECT key + (SELECT (CAST(floor(max(key)/10000000) AS BIGINT)+1)*10000000
+            |  FROM q103_base) AS k, price AS sprice,
             |  CASE WHEN key % 2000 = 3 THEN 'N' ELSE 'O' END AS tag
             |FROM q103_base WHERE key % 1000 = 3""".stripMargin)
           .createOrReplaceTempView("q103_src")
@@ -2963,7 +2982,7 @@ object Relational {
       |  SELECT key AS k, price * 1.1 AS sprice, 'U' AS tag
       |  FROM base WHERE key % 7 = 0
       |  UNION ALL
-      |  SELECT key + 10000000 AS k, price AS sprice,
+      |  SELECT key + (SELECT (CAST(floor(max(key)/10000000) AS BIGINT)+1)*10000000 FROM base) AS k, price AS sprice,
       |    CASE WHEN key % 2000 = 3 THEN 'N' ELSE 'O' END AS tag
       |  FROM base WHERE key % 1000 = 3),
       |joined AS (SELECT t.key AS tkey, t.price AS tprice,
@@ -3109,7 +3128,7 @@ object Relational {
         val base = t(spark, sfDir, "orders")
           .select(col("o_orderkey").as("key"),
             dec(col("o_totalprice")).cast("double").as("price"))
-          .localCheckpoint()
+          .pin()
         // one append per bucket → single-bucket files, the layout SPJ
         // keys off (a plain multi-bucket append would only cost the
         // fallback shuffle, never correctness)
@@ -3191,7 +3210,7 @@ object Relational {
       |  SELECT key AS c_key, totalprice * 1.1 AS c_price, 'U' AS c_status
       |  FROM base WHERE key % 7 = 0 AND key <= (SELECT c FROM cutoff)
       |  UNION ALL
-      |  SELECT key + 10000000 AS c_key, totalprice AS c_price, 'N' AS c_status
+      |  SELECT key + (SELECT (CAST(floor(max(key)/10000000) AS BIGINT)+1)*10000000 FROM base) AS c_key, totalprice AS c_price, 'N' AS c_status
       |  FROM base WHERE key % 1000 = 3),
       |merged AS (
       |  SELECT coalesce(key, c_key) AS key,
@@ -3703,7 +3722,7 @@ object Relational {
       .agg(countDistinct(col("a.o")).as("c"))
       .filter(col("c") >= Q81MinCo)
       .select(col("i"), col("j"))
-      .localCheckpoint() // read 3×: degrees, wedge sides, closure probe
+      .pin() // read 3×: degrees, wedge sides, closure probe
     val deg = co.select(explode(array(col("i"), col("j"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val lower = (da: Column, a: Column, db: Column, b: Column) =>
@@ -3718,7 +3737,7 @@ object Relational {
           .otherwise(col("i")).as("dst"),
         when(lower(col("di"), col("i"), col("dj"), col("j")), col("dj"))
           .otherwise(col("di")).as("ddst"))
-      .localCheckpoint() // wedge self-join + closure probe
+      .pin() // wedge self-join + closure probe
     val wedges = directed.alias("x").join(directed.alias("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddst") < col("y.ddst") ||

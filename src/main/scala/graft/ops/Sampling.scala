@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
+import graft.ops.Pin.Pinned
 
 /** Data-mixing / sampling operators (SURVEY.md §2.5b extension).
   *
@@ -355,7 +356,7 @@ object Sampling {
           A12Bands).as("band"),
         hashBucket(concat(col("source"), lit("@"), col("doc_id").cast("string")),
           1000000).as("pos"))
-      .localCheckpoint() // tokenize+hash once: the cumsum branch AND the
+      .pin() // tokenize+hash once: the cumsum branch AND the
       // offset aggregate both read this (t15's featurize-once rule —
       // without it the corpus is scanned and tokenized twice)
     val wIn = Window.partitionBy(col("source"), col("band"))
@@ -461,7 +462,7 @@ object Sampling {
       .withColumn("start_tokens", col("consumed") + col("cum") - col("n_tokens"))
       .filter(col("start_tokens") < budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("start_tokens"))
-      .localCheckpoint() // pin BEFORE the counter write mutates the state
+      .pin() // pin BEFORE the counter write mutates the state
     admitted.groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
       .write.mode("overwrite").parquet(s"$countersDir/e=$epoch")
     admitted
@@ -594,7 +595,7 @@ object Sampling {
     val keyed = scored
       .withColumn("g",
         round(col("dsir_score") / A14Temp - log(-log(u)), 6) + lit(0.0))
-      .localCheckpoint() // score+key once: rank branch and offsets both read it
+      .pin() // score+key once: rank branch and offsets both read it
     val k = keyed.count() / 5
     bandedRank(keyed, col("g"), col("doc_id"))
       .filter(col("rank") <= k)

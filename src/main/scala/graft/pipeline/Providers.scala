@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
+import graft.ops.Pin.Pinned
 
 /** Concrete sources/sinks (SURVEY.md §2.1 P6/P7). */
 
@@ -193,7 +194,7 @@ final class QuarantineSink(inner: DataSink, constraint: Column,
   override def put(dataType: String, df: DataFrame): Unit =
     put(dataType, df, Query.empty)
   override def put(dataType: String, df: DataFrame, query: Query): Unit = {
-    val rows = df.localCheckpoint() // partition ONE materialization
+    val rows = df.pin() // partition ONE materialization
     val pass = coalesce(constraint, lit(false))
     inner.put(dataType, rows.filter(pass), query)
     inner.put(s"${dataType}__quarantine",

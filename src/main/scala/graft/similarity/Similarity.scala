@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
+import graft.ops.Pin.Pinned
 
 /** Similarity search over `embeddings` (SURVEY.md §2.4).
   *
@@ -88,7 +89,7 @@ object Similarity {
       hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
     val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint()
+      .pin()
     val qb = eb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("t"), col("bucket"))
@@ -292,7 +293,7 @@ object Similarity {
       k: Int = NLists, iters: Int = 5): (Array[Array[Double]], Seq[Double]) =
     trainOn(Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(), k, iters)
+      .pin(), k, iters)
 
   /** Lloyd's on an arbitrary materialized (vec_id, v) frame — also the
     * per-subspace trainer for PQ sub-codebooks. Init may be given
@@ -312,7 +313,7 @@ object Similarity {
         .withColumn("best", assignBest(col("v"), centSeq))
         .select(col("vec_id"), col("v"),
           col("best.cid").as("cid"), col("best.d2").as("d2"))
-        .localCheckpoint()
+        .pin()
       inertias += assign.agg(sum(col("d2"))).head().getDouble(0)
       val means = assign.select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
@@ -345,7 +346,7 @@ object Similarity {
     val cvec = element_at(typedlit(cMat), assignCid(col("v"), cents) + 1)
     val resid = e
       .select(col("vec_id"), zip_with(col("v"), cvec, (a, b) => a - b).as("r"))
-      .localCheckpoint()
+      .pin()
     val out = (0 until PqM).map { m =>
       val sub = resid.select(col("vec_id"),
         slice(col("r"), m * PqSubDim + 1, PqSubDim).as("v"))
@@ -912,7 +913,7 @@ object Similarity {
       hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
     val eb = e.select(col("vec_id"), col("v"), col("norm"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint() // buckets compute once, not per self-join side
+      .pin() // buckets compute once, not per self-join side
     val qb = eb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("t"), col("bucket"))
@@ -1020,7 +1021,7 @@ object Similarity {
     val isBatch = col("vec_id") % S12BatchMod === 3 && col("vec_id") >= NLists
     val cents = stubCentroids(e)
     val standing = residualEncode(e.filter(!isBatch), cents)
-      .localCheckpoint() // the standing index: built once, never re-read from v
+      .pin() // the standing index: built once, never re-read from v
     val appended = standing.unionAll(residualEncode(e.filter(isBatch), cents))
     adcPipeline(e, appended, cents, nProbe)
   }
@@ -1208,7 +1209,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cents = stubCentroids(e)
     // the standing index: built once over the full corpus, never rewritten
-    val standing = residualEncode(e, cents).localCheckpoint()
+    val standing = residualEncode(e, cents).pin()
     val isDeleted =
       col("vec_id") % S14DelMod === S14DelRes && col("vec_id") >= NLists
     val tombstones = e.filter(isDeleted).select(col("vec_id"))
@@ -1248,7 +1249,7 @@ object Similarity {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint() // featurize once: bucket build + both join-backs
+      .pin() // featurize once: bucket build + both join-backs
     val buckets = array((0 until nT).map(t =>
       hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
     // ids-only bucket table: with EVERY node a query, the s2 shape's
@@ -1257,7 +1258,7 @@ object Similarity {
     // id-distinct-then-join-back rule applies verbatim
     val eb = e.select(col("vec_id"), posexplode(buckets))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .localCheckpoint() // self-joined: compute the explode once
+      .pin() // self-joined: compute the explode once
     val cand = eb.alias("x").join(eb.alias("y"), Seq("t", "bucket"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("nid"))
@@ -1434,14 +1435,14 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("id"), col("cosq"), col("v"), col("norm"))
       .withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= MmrCandidates)
-      .localCheckpoint() // feeds the pair build and every unrolled step
+      .pin() // feeds the pair build and every unrolled step
     val pair = cand.select(col("q_id"), col("id"), col("v"), col("norm"))
       .join(cand.select(col("q_id"), col("id").as("j"), col("v").as("vj"),
         col("norm").as("nj")), Seq("q_id"))
       .filter(col("id") =!= col("j"))
       .select(col("q_id"), col("id"), col("j"),
         round(dot(col("v"), col("vj")) / (col("norm") * col("nj")), 9).as("cosij"))
-      .localCheckpoint()
+      .pin()
     val ids = cand.select(col("q_id"), col("id"), col("cosq"))
     val wPick = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
     var sel = ids
@@ -1462,9 +1463,9 @@ object Similarity {
       // flatten each step's plan: without the checkpoint the step-s plan
       // stacks s anti-joins and s window passes, and analysis/codegen
       // time (not data) dominates the unrolled loop
-      sel = sel.unionByName(pick).localCheckpoint()
+      sel = sel.unionByName(pick).pin()
       rem = rem.join(pick.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
-        .localCheckpoint()
+        .pin()
     }
     sel.select(col("q_id"), col("rank"), col("id").as("neighbor_id"), col("mmr"))
       .orderBy(col("q_id"), col("rank"))
@@ -1541,7 +1542,7 @@ object Similarity {
     val cents = stubCentroids(e)
     val exact = s1CosineTopK(spark, sfDir)
       .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint() // the O(corpus·queries) baseline computes ONCE:
+      .pin() // the O(corpus·queries) baseline computes ONCE:
       // both the denominator count and the attribution join read it
     val assign = e.select(col("vec_id").as("neighbor_id"),
       assignCid(col("v"), cents).as("cid"))
@@ -1617,11 +1618,11 @@ object Similarity {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint() // scored at every hop
+      .pin() // scored at every hop
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
-    val edges = s20Edges(spark, sfDir).localCheckpoint() // built once
+    val edges = s20Edges(spark, sfDir).pin() // built once
     def score(ids: DataFrame): DataFrame = ids
       .join(e.select(col("vec_id").as("id"), col("v"), col("norm")),
         Seq("id"))
@@ -1636,7 +1637,7 @@ object Similarity {
     var beam = score(q.select(col("q_id"),
         explode(array((0 until S20Entries).map(i => lit(i.toLong)): _*))
           .as("id")))
-      .localCheckpoint()
+      .pin()
     for (_ <- 1 to hops) {
       val grown = beam.select(col("q_id"), col("id"))
         .unionByName(beam
@@ -1649,7 +1650,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beamWidth)
         .select(col("q_id"), col("id"), col("cos"))
-        .localCheckpoint()
+        .pin()
     }
     beam.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -1743,7 +1744,7 @@ object Similarity {
     require(beams.nonEmpty && beams.forall(_ > 0), "beams must be positive")
     val exact = s1CosineTopK(spark, sfDir)
       .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint() // the O(corpus·queries) baseline computes ONCE
+      .pin() // the O(corpus·queries) baseline computes ONCE
     val denom = exact.count().toDouble
     val sweep = beams.sorted.map { b =>
       val got = graphAnnWith(spark, sfDir, b, S20Hops)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions._
+import graft.ops.Pin.Pinned
 
 /** Text-analysis operators over `documents` (SURVEY.md §2.5).
   *
@@ -527,7 +528,7 @@ object TextOps {
   def t9Contamination(spark: SparkSession, sfDir: String): DataFrame =
     t9FromShingles(Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .localCheckpoint()) // shingles compute once for both roles
+      .pin()) // shingles compute once for both roles
       .orderBy(col("doc_id"))
 
   /** t9's core on a prebuilt (doc_id, sh) shingle frame — the input must
@@ -797,7 +798,7 @@ object TextOps {
     val docs = Tables(spark, sfDir, "documents")
     val uni = docs.select(explode(ts).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds c1, c2 AND the n total — build once
+      .pin() // feeds c1, c2 AND the n total — build once
     // sequence(1, n-1) DESCENDS when n = 1 (Spark generates backwards
     // sequences) — guard 1-token docs to an empty bigram list
     val pairCounts = docs.select(explode(when(size(ts) >= 2, transform(
@@ -807,7 +808,7 @@ object TextOps {
       .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint() // feeds the survivors AND the nb total
+      .pin() // feeds the survivors AND the nb total
     // totals fold from the AGGREGATED tables (sums of counts are exact),
     // so documents scans twice — not four times — and the totals aggs run
     // over |vocab| rows, not the 5M-row token/bigram streams
@@ -865,7 +866,7 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint()
+      .pin()
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).cast("double").as("df"))
     val nDocs = Tables(spark, sfDir, "documents")
       .agg(count(lit(1)).cast("double").as("n_docs"))
@@ -914,10 +915,10 @@ object TextOps {
   def t16BloomDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-      .localCheckpoint() // shingles compute once: bench build + corpus probe
+      .pin() // shingles compute once: bench build + corpus probe
     val bench = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("bsh")).distinct()
-      .localCheckpoint() // read twice: bloom build (action) + exact verify
+      .pin() // read twice: bloom build (action) + exact verify
     val bits = Bloom.build(bench, col("bsh"))
     val shared = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .filter(Bloom.contains(bits, col("s"))) // map-side 2 KiB prefilter
