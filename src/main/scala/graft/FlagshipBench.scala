@@ -44,6 +44,13 @@ object FlagshipBench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b)
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", b)
     }
+    // generic conf hook for A/B diagnosis: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     spark.range(1000).selectExpr("sum(id)").collect() // warm up
 
     if (prod) {

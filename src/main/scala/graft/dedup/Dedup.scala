@@ -914,7 +914,13 @@ object Dedup {
       d <- -D15K to D15K
       q = p + d if q >= 1 && q + l - 1 <= D15KeyLen
     } yield (i, q, l))
-    val cand = indexSide.alias("a").join(probeSide.alias("b"),
+    // the exploded sides are CORPUS × SEGMENTS — the one frame shape the
+    // optimizer cannot price (Generate passes its child's size estimate
+    // through, and the child is the measured-but-tiny keys frame), so an
+    // unhinted planner broadcasts a ~30×-amplified build at every scale.
+    // The candidate join is big-big by construction: hint it shuffled.
+    val cand = indexSide.hint("shuffle_hash").alias("a")
+      .join(probeSide.hint("shuffle_hash").alias("b"),
         col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
@@ -1025,7 +1031,11 @@ object Dedup {
       if q >= 1 && q + lam - 1 <= D15KeyLen
     } yield (i, q, lam, if (lam < D17SegLen) 0
       else if (lam > D17SegLen) 1 else 2))
-    val cand = indexSide.alias("a").join(probeSide.alias("b"),
+    // same shuffled-candidate rationale as d15Pairs: the exploded sides
+    // defeat size estimation (Generate passthrough over the tiny keys
+    // frame), and the pigeonhole join is big-big by construction
+    val cand = indexSide.hint("shuffle_hash").alias("a")
+      .join(probeSide.hint("shuffle_hash").alias("b"),
         col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
