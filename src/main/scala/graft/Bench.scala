@@ -98,6 +98,9 @@ object Bench {
     val loadStart = loadFactor()
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // SPARK_GRAFT_BENCH_VERBOSE=1 → per-query progress on stderr (long
+    // sweeps at big SFs are otherwise silent until the final JSON line)
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
     def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordError: Boolean): Double = {
       val t0 = System.nanoTime()
@@ -106,7 +109,9 @@ object Bench {
         if (recordError) errors += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (verbose) System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+      sec
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, time(name, fn, recordError = true))
