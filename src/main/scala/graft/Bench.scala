@@ -119,8 +119,14 @@ object Bench {
 
     // Queries under 0.3 s anchor sit on the scheduler floor and jitter
     // freely — never flagged. Threshold 1.5x over the committed anchor.
+    // SPARK_GRAFT_BENCH_NORERUN=1 disables the anchor comparison
+    // entirely: the anchors are sf0.1 numbers, so a sweep at another SF
+    // would flag (and pointlessly re-run) nearly every query — a
+    // multi-hour sf10 sweep would double.
+    val noRerun = sys.env.get("SPARK_GRAFT_BENCH_NORERUN").contains("1")
     def regressed(name: String, sec: Double): Boolean =
-      anchor.get(name).exists(base => base >= 0.3 && sec > base * 1.5)
+      !noRerun &&
+        anchor.get(name).exists(base => base >= 0.3 && sec > base * 1.5)
 
     // End-of-sweep confirmation pass (see class doc): rerun each flagged
     // query now — minutes after its first measurement — keep the min, and
@@ -139,7 +145,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Surviving flags self-adjudicate: each carries the load factor probed
     // at its rerun. Reported, not fatal: the driver must still get a line.
-    val regressions: Seq[String] = results.flatMap { case (name, sec) =>
+    val regressions: Seq[String] = if (noRerun) Nil
+    else results.flatMap { case (name, sec) =>
       anchor.get(name).collect {
         case base if base >= 0.3 && sec > base * 1.5 =>
           val lf = rerunLoad.getOrElse(name, loadStart)

@@ -3042,14 +3042,26 @@ object Layout {
     * delete. Re-insert semantics are exact: a later append of an equal
     * row lands in a NEW file, which no (file, pos) entry addresses.
     *
-    * 100 TB: the write side is one predicate SCAN (filter pushed to
-    * parquet; at O(matched rows) output) and ZERO data-file writes —
+    * 100 TB: the write side is ONE predicate SCAN (filter pushed to
+    * parquet; O(matched rows) output) and ZERO data-file writes —
     * where the COW path rewrites every touched file, this commits
     * O(matched) metadata, which is what makes a low-selectivity
-    * predicate DELETE on a petabyte table an SLA of minutes. Read-side
-    * debt is the ordinal anti-join, bounded by compaction cadence like
-    * the equality kind. No `deleteKey` declaration is needed — ordinals
-    * are the key. Returns the committed version.
+    * predicate DELETE on a petabyte table an SLA of minutes. The scan
+    * runs exactly once: the matched ordinals are pinned ([[Pin]] cuts
+    * lineage eagerly), so the emptiness check and the sidecar write
+    * both read the pinned blocks instead of re-evaluating the
+    * predicate over the table. The sidecar itself SHARDS: above
+    * `spark.graft.posdelete.rowsPerFile` (default 4 M ordinal rows per
+    * file) the write range-partitions on (file, pos) into
+    * ceil(matched / threshold) parallel tasks — a broad predicate on a
+    * big table no longer funnels O(matched) rows through one task, and
+    * the (file, pos)-clustered, sorted layout keeps each data file's
+    * mask contiguous for the reader ([[readSnapshotSubset]] reads all
+    * sidecar parts as one frame, so shard count is invisible to
+    * semantics). Read-side debt is the ordinal anti-join, bounded by
+    * compaction cadence like the equality kind. No `deleteKey`
+    * declaration is needed — ordinals are the key. Returns the
+    * committed version.
     */
   def snapshotDeletePositions(spark: org.apache.spark.sql.SparkSession,
       root: String, predicate: Column): Int = {
@@ -3057,14 +3069,17 @@ object Layout {
     require(vs.nonEmpty, s"no snapshots at $root")
     val base = vs.last
     val hdr = manifestHeader(spark, root, base)
-    val matched = readSnapshotSubset(spark, root, base, hdr, _ => true,
+    // pin = the single evaluation of the predicate scan; every later
+    // action (count, write) reads the materialized blocks
+    val matched = Pin(readSnapshotSubset(spark, root, base, hdr, _ => true,
       lineage = true)
       .filter(predicate)
-      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos")))
+    val nMatched = matched.count()
     val v = base + 1
     val carried = carriedStateOf(spark, root, Some(base))
     val hdrOut = carried.props ++ schemaHeaderOf(carried.schema)
-    if (matched.isEmpty) {
+    if (nMatched == 0) {
       // nothing matched: still commit — one version per request (audit
       // trail), same contract as the equality form
       commitManifest(spark, root, v, carried.segs, carried.inline,
@@ -3074,7 +3089,14 @@ object Layout {
     // the pos- prefix IS the sidecar-kind marker (see [[isPosSidecar]])
     val delDir = s"$root/deletes/pos-v$v-" +
       java.util.UUID.randomUUID().toString.take(8)
-    matched.coalesce(1).write.mode("error").parquet(delDir)
+    val rowsPerFile = spark.conf
+      .get("spark.graft.posdelete.rowsPerFile", "4000000").toLong
+    val nShards = math.max(1L, (nMatched + rowsPerFile - 1) / rowsPerFile)
+    val out =
+      if (nShards == 1L) matched.coalesce(1)
+      else matched.repartitionByRange(nShards.toInt, col("file"), col("pos"))
+    out.sortWithinPartitions(col("file"), col("pos"))
+      .write.mode("error").parquet(delDir)
     commitManifest(spark, root, v, carried.segs, carried.inline,
       header = hdrOut, deletes = carried.deletes ++ listDataFiles(spark, delDir))
     v

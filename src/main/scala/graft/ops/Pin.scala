@@ -67,7 +67,10 @@ object Pin {
     * construction — the same frame broadcasts at sf0.1 and shuffles at
     * sf1, each because of its true size. `spark.graft.checkpoint.stats
     * = false` opts out (saves the measuring pass on latency-critical
-    * loops whose frames never join).
+    * loops whose frames never join) — a PERF-ONLY knob: frames revert
+    * to the origin plan's default estimates, which can cost a plan
+    * choice but can never change an answer (no correctness path reads
+    * these statistics; `PinSpec` pins both directions).
     */
   private def measured[T](pinned: Dataset[T]): Dataset[T] = {
     val spark = pinned.sparkSession

@@ -184,6 +184,76 @@ class HistStatsSpec extends GraftSuite {
     }
   }
 
+  test("CALL analyze(hist_cols) on a STAT-LESS legacy table flips the same broadcast decision the CREATE-declared histKey does") {
+    wh
+    import spark.implicits._
+    // twin LEGACY tables: created with NO ndvKey and NO histKey — the
+    // migration shape (data written before statistics were declared).
+    // Identical skewed data; dc gets the ANALYZE backfill, dd stays
+    // stat-less as the control.
+    val n = 40000
+    for (t <- Seq("dc", "dd")) {
+      sql(s"CREATE TABLE ghist.$t (k BIGINT, v BIGINT, g STRING) " +
+        "TBLPROPERTIES ('statsKey'='k')")
+      (0 until n).map { i =>
+        val v = if (i % 20 == 19) 100L + (i.toLong * 50L) % 999900L
+                else (i % 100).toLong
+        (i.toLong, v, s"grp${i % 64}")
+      }.toDF("k", "v", "g").createOrReplaceTempView(s"${t}_src")
+      sql(s"INSERT INTO ghist.$t SELECT * FROM ${t}_src")
+    }
+    sql("CREATE TABLE ghist.fact2 (g STRING, w DOUBLE) " +
+      "TBLPROPERTIES ('statsKey'='w')")
+    (0 until 40000).map(i => (s"grp${i % 64}", i * 1.0)).toDF("g", "w")
+      .createOrReplaceTempView("fact2_src")
+    sql("INSERT INTO ghist.fact2 SELECT * FROM fact2_src")
+    // the backfill: one distributed footer-and-data pass over the
+    // EXISTING files — no rewrite — recording NDV sketches AND
+    // equi-height boundaries, and declaring ndvKey/histKey so later
+    // appends stay fresh
+    sql("CALL ghist.system.analyze('dc', 'v', 'v')")
+    def joined(t: String): DataFrame = sql(
+      s"""SELECT d.k, d.v, f.w FROM
+         |  (SELECT * FROM ghist.$t WHERE v > 100) d
+         |JOIN ghist.fact2 f ON d.g = f.g""".stripMargin)
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val savedThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val truth = n / 20
+      val withHist = sql("SELECT * FROM ghist.dc WHERE v > 100")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(withHist.exists(rc => rc.toLong > truth / 3 &&
+        rc.toLong < truth * 3),
+        s"backfilled histogram must price the 5% tail ($truth): $withHist")
+      val sizeWith = sql("SELECT * FROM ghist.dc WHERE v > 100")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val sizeWithout = sql("SELECT * FROM ghist.dd WHERE v > 100")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sizeWith < sizeWithout,
+        s"the backfill must shrink the size estimate exactly as the " +
+          s"declared path does: $sizeWith vs $sizeWithout")
+      val thr = (sizeWith + (sizeWithout - sizeWith) / 2).min(
+        BigInt(Long.MaxValue / 4)).toLong
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      val a = joined("dc")
+      val b = joined("dd")
+      assert(a.collect().length == b.collect().length, "answers agree")
+      assert(hasBroadcast(a),
+        "ANALYZE-backfilled side → provably small under the range " +
+          "filter → broadcast:\n" + a.queryExecution.executedPlan)
+      assert(!hasBroadcast(b),
+        "the stat-less twin must stay shuffle-joined:\n" +
+          b.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThr)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("ANALYZE backfills histograms on an existing table and histKey keeps them fresh on later appends") {
     wh
     import spark.implicits._

@@ -320,4 +320,54 @@ class OptimisticConcurrencySpec extends GraftSuite {
       assert(got == Seq(10L, 20L))
     }
   }
+
+  test("POSITION DELETE racing a COMPACTION loses loudly: stale file-relative ordinals never apply to rewritten files") {
+    withArbiter {
+      import spark.implicits._
+      val root = freshRoot("occ-posdel-compact")
+      // duplicate keys → no equality form could serve this delete
+      Layout.snapshotAppend(spark, root,
+        (1L to 50L).map(k => (k, "a")).toDF("k", "v"))
+      Layout.snapshotAppend(spark, root,
+        (1L to 50L).map(k => (k, "b")).toDF("k", "v")) // v2, 2+ files
+      val before = Layout.readSnapshot(spark, root, 2).collect().toSet
+      // a compaction interleaves between the pos-delete's predicate scan
+      // (ordinals computed against v2's physical files) and its claim at
+      // v3 — the rewrite invalidates every (file, pos) the delete holds
+      RacingArbiter.racer = () => Layout.snapshotCompact(spark, root,
+        targetBytes = 128L * 1024 * 1024)
+      RacingArbiter.armed = true
+      val thrown = intercept[CommitConflictException] {
+        Layout.snapshotDeletePositions(spark, root, col("k") <= 10L)
+      }
+      assert(thrown.root === root && thrown.version === 3,
+        "the typed conflict must name the contested table and version")
+      // READ-DEPENDENT = NO SILENT REBASE: ordinals are file-relative;
+      // rebasing them onto the compacted head would mask ARBITRARY rows
+      // of the rewritten files. The head must be exactly the compaction's
+      // content — zero rows deleted, zero rows lost.
+      val head = Layout.readSnapshot(spark, root)
+      assert(head.collect().toSet === before,
+        "losing pos-delete must leave the compacted head untouched")
+      // the loser's orphaned sidecar is UNREFERENCED: no committed
+      // manifest carries a pos- delete line, so no reader ever applies
+      // the stale mask to a rewritten file
+      val msDir = new java.io.File(s"$root/_manifests")
+      val manifests = msDir.listFiles().filter(_.getName.endsWith(".manifest"))
+      assert(manifests.nonEmpty)
+      manifests.foreach { m =>
+        val body = new String(java.nio.file.Files.readAllBytes(m.toPath),
+          "UTF-8")
+        assert(!body.contains("delete:") || !body.contains("/pos-"),
+          s"${m.getName}: a stale ordinal sidecar must never be referenced")
+      }
+      // RETRY-FROM-HEAD is exact: re-evaluating the predicate against the
+      // compacted head computes FRESH ordinals for the rewritten files
+      val v = Layout.snapshotDeletePositions(spark, root, col("k") <= 10L)
+      val want = before.filterNot(_.getLong(0) <= 10L)
+      assert(Layout.readSnapshot(spark, root, v).collect().toSet === want,
+        "the retried delete must mask exactly the predicate rows against " +
+          "the rewritten files")
+    }
+  }
 }

@@ -73,4 +73,35 @@ class PinSpec extends GraftSuite {
         "a measured-small pinned build side still broadcasts")
     } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
+
+  test("stats opt-out is PERF-ONLY: spark.graft.checkpoint.stats=false reverts to default estimates but never changes an answer") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.graft.checkpoint.stats", "false")
+    try {
+      // same array-heavy frame as the measured test: without the
+      // measuring pass the LogicalRDD keeps the origin plan's default
+      // widths — the estimate reverts to the (lying) small number …
+      val big = spark.range(20000).select(col("id"),
+        array((0 until 128).map(i => col("id") * i): _*).as("mh")).pin()
+      val est = big.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(est < BigInt(10L << 20),
+        s"opt-out must skip the measuring pass (default estimate, got $est)")
+      // … but nothing downstream DEPENDS on the estimate for
+      // correctness: the lineage cut still holds and every row is intact
+      assert(big.count() === 20000)
+      val probe = spark.range(0, 20000, 7).toDF("id")
+      val joined = probe.join(big, "id")
+      assert(joined.count() === probe.count(),
+        "join answers are estimate-independent — the knob only moves " +
+          "the plan choice, never the result")
+      // the flagship end-to-end under the opt-out: identical doc set
+      val ids = ops.Curation.curate(spark, sf)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      spark.conf.unset("spark.graft.checkpoint.stats")
+      val idsMeasured = ops.Curation.curate(spark, sf)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === idsMeasured,
+        "stats opt-out must be invisible in results (perf-only knob)")
+    } finally spark.conf.unset("spark.graft.checkpoint.stats")
+  }
 }

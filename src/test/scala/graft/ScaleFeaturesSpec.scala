@@ -866,6 +866,51 @@ class ScaleFeaturesSpec extends GraftSuite {
     assert(rHead2.exceptAll(before).count() === 0 &&
       before.exceptAll(rHead2).count() === 0)
   }
+
+  test("position deletes: broad predicates SHARD the sidecar (no single-task funnel) and evaluate the predicate scan ONCE") {
+    val root = java.nio.file.Files.createTempDirectory("graft-posshard")
+      .toString
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("key"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_returnflag").as("flag"))
+    ops.Layout.snapshotAppend(spark, root, li.repartition(4))
+    val nRows = li.count()
+    // SINGLE-EVALUATION EVIDENCE: the predicate routes every row through
+    // an accumulator-counting UDF (no pushdown, no short-circuit), so a
+    // second evaluation of the scan would read 2× the table. The matched
+    // frame is pinned before any action — the emptiness check and the
+    // sidecar write both consume the pinned blocks.
+    val acc = spark.sparkContext.longAccumulator("graft-posdel-predEvals")
+    val counted = udf { (q: Double) => acc.add(1L); q > 10.0 }
+    // a LOW threshold forces the sharded write path: ceil(matched/2000)
+    // range-partitioned files instead of coalesce(1)
+    val v2 = withConf("spark.graft.posdelete.rowsPerFile" -> "2000") {
+      ops.Layout.snapshotDeletePositions(spark, root, counted(col("qty")))
+    }
+    assert(acc.value === nRows,
+      s"predicate must evaluate exactly once per row (${acc.value} evals " +
+        s"for $nRows rows — a re-scan would double it)")
+    val matched = li.filter(col("qty") > 10.0).count()
+    assert(matched > 4000, "fixture: the predicate must be broad enough " +
+      "to exceed the 2000-row shard threshold at least twice over")
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+    val sidecarFiles = walk(new java.io.File(s"$root/deletes"))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.getPath.contains("/deletes/pos-"))
+    assert(sidecarFiles.size > 1,
+      s"a ${matched}-row sidecar over a 2000-row threshold must shard " +
+        s"across parallel write tasks (got ${sidecarFiles.size} file)")
+    assert(spark.read.parquet(sidecarFiles.map(_.getPath): _*).count()
+      === matched, "sharding must not drop or duplicate ordinals")
+    // shard count is invisible to read semantics: the multi-file sidecar
+    // masks exactly the matched rows
+    val want = li.filter(!(col("qty") > 10.0))
+    val r = ops.Layout.readSnapshot(spark, root, v2)
+    assert(r.exceptAll(want).count() === 0 && want.exceptAll(r).count() === 0,
+      "multi-file sidecar must behave identically to the single-file kind")
+  }
 }
 
 /** ST29: the snapshot layer as an exactly-once streaming table sink. */
