@@ -278,30 +278,97 @@ object Dedup {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .pin()
-    hyperplaneCandidates(e, nT, nP)
-      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
-      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
-      .withColumn("cos", dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+    hyperplanePairJoin(e, nT, nP, Seq("v", "norm"))
+      .withColumn("cos", dot(col("pi.v"), col("pj.v")) /
+        (col("pi.norm") * col("pj.norm")))
       .filter(col("cos") >= CosineThreshold)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** OR-amplified hyperplane-bucket candidate pairs (i < j, distinct) over
-    * a (vec_id, v) frame — d5's blocking, shared with d14. Ids only enter
-    * the pair shuffle; payloads join back after the id-level distinct.
+  /** OR-amplified hyperplane-bucket PAIR JOIN (i < j, each colliding pair
+    * emitted EXACTLY ONCE) over a (vec_id, v, …) frame — d5's blocking,
+    * shared with d14. Returns (i, j, pi, pj) where pi/pj are structs of
+    * the requested `payload` columns, so the caller verifies (exact
+    * cosine, hamming estimate) ON THE JOIN STREAM and reduces to output
+    * rows with NO pair-level shuffle at all:
+    *
+    *  - payloads ride the bucket rows INLINE — O(n·tables) shuffle —
+    *    instead of joining back per candidate pair (the former
+    *    ids-then-join-back shape shuffled the CANDIDATE multiset, which
+    *    under dense-blob geometry is ~quadratic: the sf10 rung's 200 k
+    *    vectors in 10 fixed label blobs spilled >60 GB and died);
+    *  - cross-table duplicates are dropped STRUCTURALLY, not by a
+    *    distinct: each row carries its full bucket vector `bs`, and a
+    *    pair survives only at its FIRST colliding table (no earlier
+    *    entry of `bs` matches pairwise) — the candidate-distinct that
+    *    was the other quadratic shuffle disappears, exactly.
+    *
+    * The candidate SET is unchanged (same OR-amplified buckets, i < j),
+    * so callers' outputs are bit-identical; only the plan shape moved
+    * from shuffle-bound to stream-bound. In-bucket pair enumeration
+    * stays CPU-quadratic per bucket — inherent to "list all qualifying
+    * pairs" on data whose qualifying pairs are themselves quadratic
+    * (the production escape for that regime is the per-doc form: d12's
+    * estimate gate, d20's degree-bounded kNN clusters).
     */
-  private[graft] def hyperplaneCandidates(e: DataFrame, nT: Int, nP: Int): DataFrame = {
+  /** Sub-blocks per bucket for the skew grid below: a bucket's pair
+    * space splits into G(G+1)/2 independently-joinable cells, so one
+    * dense-blob bucket parallelizes across ~G²/2 tasks instead of
+    * serializing on whichever task drew its (t, bucket) key.
+    */
+  private val PairGridG = 8
+
+  private[graft] def hyperplanePairJoin(e: DataFrame, nT: Int, nP: Int,
+      payload: Seq[String]): DataFrame = {
     val buckets = array((0 until nT).map(t =>
       hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
-    val eb = e.select(col("vec_id"), posexplode(buckets))
+    val eb = e
+      .withColumn("bs", buckets)
+      .select(col("vec_id") +: col("bs") +:
+        payload.map(col) :+ posexplode(col("bs")): _*)
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
+      .select(col("vec_id"), col("bs"), col("t"), col("bucket"),
+        struct(payload.map(col): _*).as("p"))
+      // SKEW GRID: deterministic sub-block of each row within its bucket
+      .withColumn("g",
+        pmod(xxhash64(col("vec_id"), lit(909)), lit(PairGridG)).cast("int"))
       .pin() // buckets compute once, not per self-join side
-    eb.alias("a").join(eb.alias("b"), Seq("t", "bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
+    // Each bucket's pair space is enumerated as a G×G upper-triangular
+    // grid of cells: a row in sub-block g plays the LEFT role of cells
+    // (g, g..G-1) and the RIGHT role of cells (0..g, g); a pair with
+    // blocks (gi, gj) meets in exactly ONE cell (min, max) — once for
+    // off-diagonal cells, twice on the diagonal where the id filter
+    // dedups. Without the grid, one dense-blob bucket (the fixed-blob
+    // corpus regimes: 10 label clusters at every SF) serializes its
+    // entire ~quadratic pair space on a single task — measured as a
+    // 27-minute straggler at the sf10 rung.
+    val left = eb.withColumn("cgb",
+      explode(sequence(col("g"), lit(PairGridG - 1))))
+      .withColumnRenamed("g", "cga")
+    val right = eb.withColumn("cga", explode(sequence(lit(0), col("g"))))
+      .withColumnRenamed("g", "cgb")
+    // shuffle_hash: the cells are still equal-key join groups, and a
+    // sort-merge join RE-ITERATES its spilled right-side group once per
+    // left row (disk reads quadratic in cell size); the hash join holds
+    // the partition's build rows in one in-memory map and streams the
+    // probe side once
+    left.alias("a").hint("shuffle_hash")
+      .join(right.alias("b"), Seq("t", "bucket", "cga", "cgb"))
+      .filter((col("cga") =!= col("cgb") ||
+          col("a.vec_id") < col("b.vec_id")) &&
+        col("a.vec_id") =!= col("b.vec_id") &&
+        // first-collision emission: no table BEFORE t bucketed this pair
+        // together (entries 0..t-1 of the carried bucket vectors) — a
+        // codegen'd loop ([[graft.functions.PrefixCollideExpr]]), since
+        // this predicate runs once per in-bucket candidate row
+        !prefixCollide(col("a.bs"), col("b.bs"), col("t")))
+      // id-ordered pair, ROLE-ordered payloads: pi/pj belong to the
+      // a/b roles, not to i/j — callers' verify functions are symmetric
+      // (cosine, hamming), so the roles never matter
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("i"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("j"),
+        col("a.p").as("pi"), col("b.p").as("pj"))
   }
 
   val d5Sql: String =
@@ -581,6 +648,34 @@ object Dedup {
   /** d10's core on a prebuilt (doc_id, sh) shingle frame (sh unsorted) —
     * sorts, sizes, and materializes its own working copy (every join
     * branch re-reads it). Returns UNORDERED (i, j, containment).
+    *
+    * SHINGLE-SPACE SATURATION (the sf10 ladder's finding): when corpus
+    * growth outruns shingle entropy (boilerplate-heavy corpora; the
+    * synthetic rung's fixed 30-word vocabulary), every postings list
+    * grows ~linearly with the corpus and the bare prefix⋈index join's
+    * output goes ~quadratic even though the TRUE ≥τ pairs stay sparse.
+    * The response is LOSSLESS and keeps every pair-level row OFF the
+    * shuffle:
+    *
+    *  - PPJoin-family filters prune candidate rows in the join: for a
+    *    qualifying pair, the smallest shared shingle s* (global
+    *    ascending hash order) sits in A's prefix AND within B's first
+    *    |B| − ⌈τ|A|⌉ + 1 positions (all ⌈τ|A|⌉ shared shingles are
+    *    ≥ s* in both sorted docs), and |B| ≥ ⌈τ|A|⌉ outright — the
+    *    POSITIONAL and LENGTH filters.
+    *  - shingle arrays ride the exploded rows INLINE (index-side
+    *    amplification O(n·|sh|) — linear in the corpus), so the exact
+    *    verify runs ON THE JOIN STREAM instead of per-pair join-backs.
+    *  - each pair emits EXACTLY ONCE structurally: only the candidate
+    *    row whose join key equals the pair's smallest shared shingle
+    *    (the head of the sorted intersection) survives — there is no
+    *    candidate `distinct` left to shuffle the ~quadratic multiset
+    *    (the round-16 re-measure: the bare shape spilled the sf10
+    *    rung's disk twice — first the join-backs, then the distinct).
+    *
+    * Same candidate SET, same verify arithmetic — the oracle agrees
+    * row-for-row as before; only the plan moved from shuffle-bound to
+    * stream-bound.
     */
   private[graft] def d10FromShingles(shingled: DataFrame): DataFrame = {
     val docs = shingled
@@ -588,20 +683,41 @@ object Dedup {
       .withColumn("n", size(col("sh")))
       .pin() // sorted shingles compute once, not per join branch
     val prefixLen = (col("n") - col("n") % 10) / 10 + 1 // ⌊0.1·n⌋ + 1, integer-exact
+    val minShared = ceil(lit(ContainmentTau) * col("n_i")) // ⌈τ|A|⌉
+    // payloads ride the exploded rows INLINE (O(n·|sh|) amplification on
+    // the index side — linear in the corpus) so the verify runs ON THE
+    // JOIN STREAM: under saturation the candidate multiset is ~quadratic
+    // and must never hit a shuffle, neither as a distinct nor as
+    // join-backs
     val prefixes = docs
       .select(col("doc_id").as("i"), col("n").as("n_i"),
+        col("sh").as("sh_i"),
         explode(slice(col("sh"), lit(1), prefixLen.cast("int"))).as("key"))
-    val index = docs.select(col("doc_id").as("j"), explode(col("sh")).as("key"))
-    val cand = prefixes.join(index, Seq("key"))
-      .filter(col("i") =!= col("j"))
-      .select(col("i"), col("j"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
-      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+    val index = docs
+      .select(col("doc_id").as("j"), col("n").as("n_j"),
+        col("sh").as("sh_j"), posexplode(col("sh")))
+      .select(col("j"), col("n_j"), col("sh_j"), (col("pos") + 1).as("l"),
+        col("col").as("key"))
+    // the A-prefix side is the ~10×-smaller one: build it (shuffle_hash
+    // keeps the big index side sort-free — a size-only planner cannot
+    // price two exploded sides)
+    prefixes.hint("shuffle_hash").join(index, Seq("key"))
+      .filter(col("i") =!= col("j") &&
+        col("n_j") >= minShared && // length: |B| ≥ ⌈τ|A|⌉
+        col("l") <= col("n_j") - minShared + 1) // positional: room for ⌈τ|A|⌉ shared ≥ s*
+      // FIRST-SHARED-KEY emission: both arrays are sorted, so the merge
+      // scan's first hit is the pair's smallest shared shingle s*; only
+      // the candidate row whose join key IS s* survives — each pair
+      // verifies exactly once, with no distinct (for a qualifying pair
+      // the s* row provably passes the filters above: all ⌈τ|A|⌉ shared
+      // shingles are ≥ s* in both docs). Both probes are codegen'd merge
+      // scans ([[graft.functions.SortedIntersectHeadExpr]]) — the verify
+      // runs on ~10⁹ rows at the saturated rung, where array_intersect's
+      // per-row hash set was the wall.
+      .filter(sortedIntersectHead(col("sh_i"), col("sh_j")) === col("key"))
       .withColumn("containment",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(col("sh_i")))
+        sortedIntersectCount(col("sh_i"), col("sh_j")).cast("double") /
+          col("n_i"))
       .filter(col("containment") >= ContainmentTau)
       .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
   }
@@ -799,18 +915,18 @@ object Dedup {
   val D14HammingMax = 94 // ⌊256·acos(0.4)/π⌋ — keep ⇔ cos(π·h/256) ≥ 0.4
 
   def d14EmbeddingSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val sig = array((0 until SimHashWords).map(w =>
       hyperplaneBucket(col("v"), WordPlanes, D5Dim,
         D14PlaneBase + w * WordPlanes, scrambled = true)): _*)
-    val es = e.select(col("vec_id"), sig.as("sig")).pin()
-    hyperplaneCandidates(e, D5Tables, D5Planes)
-      .join(es.select(col("vec_id").as("i"), col("sig").as("sig_i")), Seq("i"))
-      .join(es.select(col("vec_id").as("j"), col("sig").as("sig_j")), Seq("j"))
-      .withColumn("hamming", aggregate(
-        zip_with(col("sig_i"), col("sig_j"), (a, b) => bit_count(a.bitwiseXOR(b))),
-        lit(0L), (acc, x) => acc + x))
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sig", sig)
+    // the verify payload is the 32-BYTE signature, not the 512-byte
+    // vector — the ship-the-sketch story now also holds on the wire:
+    // bucket rows carry sigs inline and the hamming estimate runs on the
+    // join stream (see [[hyperplanePairJoin]] — no pair-level shuffle)
+    hyperplanePairJoin(e, D5Tables, D5Planes, Seq("sig"))
+      .withColumn("hamming", bitHamming(col("pi.sig"), col("pj.sig")))
       .filter(col("hamming") <= D14HammingMax)
       .select(col("i"), col("j"), col("hamming"),
         round(cos(lit(math.Pi) * col("hamming") / lit(SimHashWords * WordPlanes)), 6)
@@ -1417,25 +1533,34 @@ object Dedup {
       .withColumn("n", size(col("sh")))
       .pin()
     val prefixLen = ((col("n") - col("n") % 10) / 10 + 1).cast("int")
+    // d10's saturation-proof probe shape, applied per direction: inline
+    // payloads, length + positional filters, verify on the join stream,
+    // first-shared-key exactly-once emission — no candidate distinct, no
+    // pair-level join-backs (see [[d10FromShingles]])
     def prefixes(d: DataFrame) = d.select(col("doc_id").as("i"),
+      col("n").as("n_i"), col("sh").as("sh_i"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("key"))
-    def index(d: DataFrame) = d.select(col("doc_id").as("j"),
-      explode(col("sh")).as("key"))
+    def index(d: DataFrame) = d
+      .select(col("doc_id").as("j"), col("n").as("n_j"),
+        col("sh").as("sh_j"), posexplode(col("sh")))
+      .select(col("j"), col("n_j"), col("sh_j"), (col("pos") + 1).as("l"),
+        col("col").as("key"))
+    val minShared = ceil(lit(ContainmentTau) * col("n_i"))
+    def probe(p: DataFrame, x: DataFrame) = p.hint("shuffle_hash")
+      .join(x, Seq("key"))
+      .filter(col("n_j") >= minShared &&
+        col("l") <= col("n_j") - minShared + 1)
+      .filter(sortedIntersectHead(col("sh_i"), col("sh_j")) === col("key"))
+      .withColumn("containment",
+        sortedIntersectCount(col("sh_i"), col("sh_j")).cast("double") /
+          col("n_i"))
+      .filter(col("containment") >= ContainmentTau)
+      .select(col("i"), col("j"),
+        round(col("containment"), 6).as("containment"))
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
-    val cand = prefixes(batch).join(index(corpus), Seq("key"))
-      .select(col("i"), col("j"))
-      .unionAll(prefixes(corpus).join(index(batch), Seq("key"))
-        .select(col("i"), col("j")))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
-      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
-      .withColumn("containment",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(col("sh_i")))
-      .filter(col("containment") >= ContainmentTau)
-      .select(col("i"), col("j"), round(col("containment"), 6).as("containment"))
+    probe(prefixes(batch), index(corpus))
+      .unionAll(probe(prefixes(corpus), index(batch)))
       .orderBy(col("i"), col("j"))
   }
 

@@ -397,3 +397,185 @@ case class StringShinglesExpr(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): StringShinglesExpr = copy(c)
 }
+
+/** Count of common elements of two SORTED-ASCENDING distinct bigint
+  * arrays — ≡ `size(array_intersect(a, b))` on such inputs, as one
+  * merge scan straight over the unsafe arrays: no per-row hash set, no
+  * allocation, codegen'd. The saturation-regime containment verify
+  * (d10/d23) evaluates this on ~10⁹ candidate join rows per sf10 sweep
+  * rung; `array_intersect` builds a hash set per row (~10 µs) where
+  * this scans in ~100 ns.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $l.numElements();
+         |final int $m = $r.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $x = $l.getLong($i);
+         |  final long $y = $r.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Smallest common element of two SORTED-ASCENDING distinct bigint
+  * arrays — ≡ `element_at(array_intersect(a, b), 1)` on such inputs
+  * (null when disjoint): the first hit of the same merge scan as
+  * [[SortedIntersectCountExpr]]. d10/d23's exactly-once pair emission
+  * compares this against the candidate join key, so it runs on every
+  * candidate row that survives the positional filters.
+  */
+case class SortedIntersectHeadExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) return x
+      else if (x < y) i += 1
+      else j += 1
+    }
+    null
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $l.numElements();
+         |final int $m = $r.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.isNull} = true;
+         |while ($i < $n && $j < $m) {
+         |  final long $x = $l.getLong($i);
+         |  final long $y = $r.getLong($j);
+         |  if ($x == $y) { ${ev.isNull} = false; ${ev.value} = $x; break; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** True iff the first `n` entries of two equal-length bigint arrays
+  * collide pairwise anywhere — `exists(zip_with(slice(a,1,n), slice(b,1,n),
+  *   _ === _), identity)` as one codegen'd loop (no sliced-array or
+  * zipped-array allocation per row). The OR-amplified LSH pair join
+  * ([[graft.dedup.Dedup.hyperplanePairJoin]]) evaluates this on every
+  * in-bucket candidate row for its first-colliding-table exactly-once
+  * emission — ~10¹⁰ rows at the sf10 rung's dense-blob geometry, where
+  * the higher-order-function form allocates three arrays per row.
+  */
+case class PrefixCollideExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(l: Any, r: Any, k: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val lim = math.min(k.asInstanceOf[Int],
+      math.min(a.numElements(), b.numElements()))
+    var i = 0
+    while (i < lim) {
+      if (a.getLong(i) == b.getLong(i)) return true
+      i += 1
+    }
+    false
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r, k) => {
+      val i = ctx.freshName("i"); val lim = ctx.freshName("lim")
+      s"""
+         |int $lim = $k;
+         |if ($l.numElements() < $lim) $lim = $l.numElements();
+         |if ($r.numElements() < $lim) $lim = $r.numElements();
+         |${ev.value} = false;
+         |for (int $i = 0; $i < $lim; $i++) {
+         |  if ($l.getLong($i) == $r.getLong($i)) { ${ev.value} = true; break; }
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** Σ bit_count(a[i] XOR b[i]) over two equal-length bigint arrays —
+  * `aggregate(zip_with(a, b, bit_count(xor)), 0, +)` as one codegen'd
+  * loop. d14's 256-bit signature hamming runs on every surviving LSH
+  * candidate row.
+  */
+case class BitHammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    require(a.numElements() == b.numElements(),
+      s"bit_hamming: mismatched lengths ${a.numElements()} vs ${b.numElements()}")
+    var d = 0L; var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
+    }
+    d
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "bit_hamming: mismatched lengths " + $n + " vs " + $r.numElements());
+         |}
+         |long $d = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d += java.lang.Long.bitCount($l.getLong($i) ^ $r.getLong($i));
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

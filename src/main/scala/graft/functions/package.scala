@@ -89,6 +89,28 @@ package object functions {
   /** Sequential-fold dot product (index order — matches DuckDB bitwise). */
   def dot(a: Column, b: Column): Column = native(DotProductExpr(ex(a), ex(b)))
 
+  /** size(array_intersect(a, b)) for SORTED distinct bigint arrays — one
+    * codegen'd merge scan, no per-row hash set.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    native(SortedIntersectCountExpr(ex(a), ex(b)))
+
+  /** element_at(array_intersect(a, b), 1) for SORTED distinct bigint
+    * arrays (null when disjoint) — first hit of the merge scan.
+    */
+  def sortedIntersectHead(a: Column, b: Column): Column =
+    native(SortedIntersectHeadExpr(ex(a), ex(b)))
+
+  /** Any pairwise collision among the first n entries of two bigint
+    * arrays — the LSH first-colliding-table check, one codegen'd loop.
+    */
+  def prefixCollide(a: Column, b: Column, n: Column): Column =
+    native(PrefixCollideExpr(ex(a), ex(b), ex(n)))
+
+  /** Σ bit_count(a[i] xor b[i]) — bit-level hamming over long arrays. */
+  def bitHamming(a: Column, b: Column): Column =
+    native(BitHammingExpr(ex(a), ex(b)))
+
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
