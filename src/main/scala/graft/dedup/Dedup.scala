@@ -320,9 +320,17 @@ object Dedup {
   private val PairGridG = 8
 
   private[graft] def hyperplanePairJoin(e: DataFrame, nT: Int, nP: Int,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    hyperplanePairJoinWith(e, nT, nP, payload, D5Dim)
+
+  /** [[hyperplanePairJoin]] with an explicit vector dimension — the
+    * similarity family (s15's kNN graph) shares the identical bucket
+    * family and pair-join shape.
+    */
+  private[graft] def hyperplanePairJoinWith(e: DataFrame, nT: Int, nP: Int,
+      payload: Seq[String], dim: Int): DataFrame = {
     val buckets = array((0 until nT).map(t =>
-      hyperplaneBucket(col("v"), nP, D5Dim, t * nP)): _*)
+      hyperplaneBucket(col("v"), nP, dim, t * nP)): _*)
     val eb = e
       .withColumn("bs", buckets)
       .select(col("vec_id") +: col("bs") +:

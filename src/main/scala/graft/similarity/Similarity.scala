@@ -1249,33 +1249,34 @@ object Similarity {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .pin() // featurize once: bucket build + both join-backs
-    val buckets = array((0 until nT).map(t =>
-      hyperplaneBucket(col("v"), nP, Dim, t * nP)): _*)
-    // ids-only bucket table: with EVERY node a query, the s2 shape's
-    // payload-carrying distinct would shuffle two 64-dim arrays per
-    // candidate (measured 44 s vs 3 s at sf0.1) — the dedup family's
-    // id-distinct-then-join-back rule applies verbatim
-    val eb = e.select(col("vec_id"), posexplode(buckets))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
-      .pin() // self-joined: compute the explode once
-    val cand = eb.alias("x").join(eb.alias("y"), Seq("t", "bucket"))
-      .filter(col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("nid"))
-      .distinct() // 16 bytes per candidate pair, nothing else
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand
-      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm")), Seq("q_id"))
-      .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), Seq("nid"))
-      .select(col("q_id"), col("nid").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 9).as("cos"))
-      // project BEFORE the window: the rank exchange/sort carries 24-byte
-      // rows, not vector payloads
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= S15K)
-      .select(col("q_id"), col("rank"), col("neighbor_id"), col("cos"))
+    // STREAM-BOUND build (round 16): the former ids-distinct-then-
+    // join-back-then-window shape shuffled the CANDIDATE pair space —
+    // under dense-blob geometry (every node a query, fixed label blobs)
+    // that is ~quadratic, and the sf10 rung spilled the disk dry inside
+    // d20's graph build. Now the candidate stream comes from the shared
+    // skew-gridded LSH pair join (payload vectors inline, exactly-once
+    // per pair), the cosine verifies on the join stream, and the top-k
+    // reduction happens IN THE AGGREGATE: [[graft.functions.TopKAgg]]
+    // partial-aggregates a bounded k-row buffer map-side, so only
+    // k rows per (partition, node) ever reach a shuffle. Same geometry,
+    // same candidates, same (cos desc, neighbor asc) selection — the
+    // negation round-trips bit-exactly, so the output is unchanged.
+    val und = graft.dedup.Dedup.hyperplanePairJoinWith(e, nT, nP,
+      Seq("v", "norm"), Dim)
+      .withColumn("cos", round(dot(col("pi.v"), col("pj.v")) /
+        (col("pi.norm") * col("pj.norm")), 9))
+      // every node is a query: each undirected pair feeds both endpoints
+      .select(explode(array(
+        struct(col("i").as("q_id"), col("j").as("neighbor_id"), col("cos")),
+        struct(col("j").as("q_id"), col("i").as("neighbor_id"), col("cos"))))
+        .as("r"))
+      .select(col("r.q_id"), col("r.neighbor_id"), col("r.cos"))
+    und.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topK(S15K, -col("cos"),
+        col("neighbor_id"), lit(0)).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id1").as("neighbor_id"), (-col("col.priceNeg")).as("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
