@@ -198,26 +198,32 @@ object Dedup {
     * applies the identical blocking, so results match exactly.
     */
   def d4NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // STREAM-BOUND (round 16): the ids-distinct-then-join-back shape
+    // died at the sf10 rung — under shingle saturation the 2-smallest-
+    // hash buckets are the corpus' hottest postings lists and the
+    // candidate distinct shuffles ~quadratically. Now the SORTED HASH
+    // shingle arrays ride the bucket rows inline (the string arrays
+    // were only ever counted — intersect/union sizes over the distinct
+    // hash sets are the same integers), the jaccard verifies on the
+    // join stream via the codegen'd merge scan, and a pair emits
+    // exactly once at the SMALLER of its shared blocking keys.
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
-        stringShingles(col("text")).as("sh"),
-        slice(array_sort(shingleHashes(col("text"))), 1, 2).as("keys"))
+        array_sort(shingleHashes(col("text"))).as("sh"))
+      .withColumn("keys", slice(col("sh"), 1, 2))
+      .withColumn("n", size(col("sh")))
       .pin()
-    // candidate ids dedup BEFORE touching the heavy shingle arrays — the
-    // distinct shuffles two longs, the arrays join back afterwards by id
-    val keyed = docs.select(col("doc_id"), explode(col("keys")).as("key"))
-    val cand = keyed.alias("x").join(keyed.alias("y"),
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
-      .join(docs.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
-      .withColumn("jac",
-        size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-          size(array_union(col("sh_i"), col("sh_j"))))
+    val side = docs.select(col("doc_id"), col("sh"), col("keys"), col("n"),
+      explode(col("keys")).as("key"))
+    side.alias("x").hint("shuffle_hash").join(side.alias("y"), Seq("key"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        sortedIntersectHead(col("x.keys"), col("y.keys")) === col("key"))
+      .withColumn("ninter", sortedIntersectCount(col("x.sh"), col("y.sh")))
+      .withColumn("jac", col("ninter").cast("double") /
+        (col("x.n") + col("y.n") - col("ninter")).cast("double"))
       .filter(col("jac") >= 0.8)
-      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        round(col("jac"), 6).as("jaccard"))
       .orderBy(col("i"), col("j"))
   }
 
