@@ -1049,19 +1049,31 @@ object Dedup {
     // through, and the child is the measured-but-tiny keys frame), so an
     // unhinted planner broadcasts a ~30×-amplified build at every scale.
     // The candidate join is big-big by construction: hint it shuffled.
+    // STREAM-BOUND VERIFY (round 16): the candidate-multiset distinct is
+    // collision-driven — at the sf10 rung the saturated segment space
+    // made it ~quadratic and the shuffle spilled the disk dry. The
+    // multiset now never hits a shuffle: the 60-char keys frame is
+    // BROADCAST (n·68 B — 34 MB at 500 k docs; ~10 M docs is the honest
+    // bound of this form, past which the index side carries its key
+    // inline and only the probe side broadcasts), both join-backs are
+    // map-side, the banded levenshtein evaluates on the join stream, and
+    // the only pair-level shuffle is the distinct over true ≤K pairs —
+    // output-sized by definition.
     val cand = indexSide.hint("shuffle_hash").alias("a")
       .join(probeSide.hint("shuffle_hash").alias("b"),
         col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-      .distinct()
     cand
-      .join(keys.select(col("doc_id").as("i"), col("k").as("ki")), Seq("i"))
-      .join(keys.select(col("doc_id").as("j"), col("k").as("kj")), Seq("j"))
+      .join(broadcast(keys.select(col("doc_id").as("i"), col("k").as("ki"))),
+        Seq("i"))
+      .join(broadcast(keys.select(col("doc_id").as("j"), col("k").as("kj"))),
+        Seq("j"))
       .withColumn("dist", levenshtein(col("ki"), col("kj"), D15K).cast("long"))
       .filter(col("dist") >= 0) // threshold variant returns -1 past K
       .select(col("i"), col("j"), col("dist"))
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 
@@ -1164,19 +1176,24 @@ object Dedup {
     // same shuffled-candidate rationale as d15Pairs: the exploded sides
     // defeat size estimation (Generate passthrough over the tiny keys
     // frame), and the pigeonhole join is big-big by construction
+    // same stream-bound verify as d15Pairs: no candidate distinct,
+    // broadcast keys map-side, banded levenshtein on the stream,
+    // output-sized distinct of the true ≤K pairs
     val cand = indexSide.hint("shuffle_hash").alias("a")
       .join(probeSide.hint("shuffle_hash").alias("b"),
         col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-      .distinct()
     cand
-      .join(keys.select(col("doc_id").as("i"), col("k").as("ki")), Seq("i"))
-      .join(keys.select(col("doc_id").as("j"), col("k").as("kj")), Seq("j"))
+      .join(broadcast(keys.select(col("doc_id").as("i"), col("k").as("ki"))),
+        Seq("i"))
+      .join(broadcast(keys.select(col("doc_id").as("j"), col("k").as("kj"))),
+        Seq("j"))
       .withColumn("dist", levenshtein(col("ki"), col("kj"), D15K).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("i"), col("j"), col("dist"))
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 
