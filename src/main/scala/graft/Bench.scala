@@ -75,8 +75,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
 
+    // ANCHOR BY SF (round 17): the committed anchors are per-rung files —
+    // tools/bench_anchor.json holds the sf0.1 numbers (the driver's
+    // per-round rung), tools/bench_anchor_sf10.json the sf10 sweep's —
+    // picked by the sf tag in the data dir's basename, overridable via
+    // SPARK_GRAFT_BENCH_ANCHOR. With the right anchor set per rung the
+    // regression gate works at every measured SF and
+    // SPARK_GRAFT_BENCH_NORERUN is only needed for a rung with no
+    // committed anchors yet.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", {
+      val tag = "sf[0-9.]+[0-9]|sf[0-9]+".r
+        .findFirstIn(new java.io.File(sfDir).getName).getOrElse("")
+      val tagged = s"tools/bench_anchor_$tag.json"
+      if (tag.nonEmpty && new java.io.File(tagged).exists()) tagged
+      else "tools/bench_anchor.json"
+    })
     val anchor: Map[String, Double] = {
-      val anchorFile = new java.io.File("tools/bench_anchor.json")
+      val anchorFile = new java.io.File(anchorPath)
       if (!anchorFile.exists()) Map.empty
       else """"([a-z0-9_]+)":\s*([0-9.]+)""".r
         .findAllMatchIn(scala.io.Source.fromFile(anchorFile).mkString)
@@ -106,6 +121,16 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
+        // ABORT, don't iterate, on a dead context (round 16's partial
+        // sweep log grew 35 bogus sub-second "timings" after a harness
+        // timeout stopped the SparkContext mid-query — every subsequent
+        // query fails instantly and the log reads like data)
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] $name ABORT: SparkContext stopped " +
+            "mid-sweep — no further queries will be timed; per-query " +
+            "lines above this point are the complete partial result")
+          sys.exit(2)
+        }
         if (recordError) errors += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }

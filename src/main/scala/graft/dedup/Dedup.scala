@@ -137,34 +137,76 @@ object Dedup {
     * hamming ≤ 3. Candidates come from pigeonholing the 48 bits into 4
     * blocks of 12 — hamming ≤ 3 guarantees at least one identical block,
     * so the blocking is *exactly* lossless (the oracle brute-forces).
+    *
+    * STREAM-BOUND (round 17, the last family member converted): the
+    * former block-join → candidate `.distinct()` shape shuffled the
+    * candidate MULTISET with the 48-element bit arrays riding every row —
+    * under band saturation (30-word vocab ⇒ near-dup text clusters share
+    * whole 12-bit blocks, postings lists ~n/4096) that multiset is
+    * ~quadratic and the sf10 rung measured it at 641 s of spill-bound
+    * survival. Now the per-doc state is two packed columns — `sigs`
+    * (4×12-bit block signatures, exact fold) and `w` (all 48 bits in one
+    * long) — riding the O(n·4·G) bucket rows inline; a pair emits
+    * EXACTLY ONCE at its FIRST shared block (codegen'd
+    * [[graft.functions.PrefixCollideExpr]] over the carried `sigs`, the
+    * d5/d14 rule), the hamming verifies on the join stream as one
+    * `bit_count(xor)` over the packed words, and the only pair-level
+    * shuffle left is the output-sized orderBy. Dense (blk, sig) buckets
+    * parallelize across the same G×G upper-triangular skew grid as
+    * [[hyperplanePairJoin]] — one saturated block key becomes ~G²/2
+    * independent join cells instead of a single-task straggler. The
+    * candidate SET (pairs sharing ≥1 block, i < j) and the hamming
+    * integer are unchanged, so the output is bit-identical.
     */
   val SimHashBitsN = 48
   val SimHashBlocks = 4
   val HammingMax = 3
 
   def d3SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val blockLen = SimHashBitsN / SimHashBlocks
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
-      .pin()
-    val blockLen = SimHashBitsN / SimHashBlocks
-    // Pack each 12-bit block into a long (fold acc*2+bit — exact, so block
-    // equality is preserved bit-for-bit, unlike a lossy hash).
-    val blocks = docs.select(col("doc_id"), col("bits"),
-        posexplode(transform(sequence(lit(0), lit(SimHashBlocks - 1)), k =>
+      // Pack each 12-bit block into a long (fold acc*2+bit — exact, so
+      // block equality is preserved bit-for-bit, unlike a lossy hash),
+      // and the full 48 bits into one word for the xor-popcount verify.
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(SimHashBlocks - 1)), k =>
           aggregate(slice(col("bits"), k * blockLen + 1, lit(blockLen)),
-            lit(0L), (acc, x) => acc * 2 + x))))
+            lit(0L), (acc, x) => acc * 2 + x)).as("sigs"),
+        aggregate(col("bits"), lit(0L), (acc, x) => acc * 2 + x).as("w"))
+    val side = docs
+      .select(col("doc_id"), col("sigs"), col("w"),
+        posexplode(col("sigs")))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "sig")
-    blocks.alias("x").join(blocks.alias("y"),
-        col("x.blk") === col("y.blk") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.bits").as("bi"), col("y.bits").as("bj"))
-      .distinct()
-      .withColumn("hamming", hamming(col("bi"), col("bj")))
+      // skew grid: deterministic sub-block within the (blk, sig) bucket
+      .withColumn("g",
+        pmod(xxhash64(col("doc_id"), lit(909)), lit(SimHashGridG)).cast("int"))
+      .pin() // signatures compute once, not per self-join side
+    val left = side.withColumn("cgb",
+        explode(sequence(col("g"), lit(SimHashGridG - 1))))
+      .withColumnRenamed("g", "cga")
+    val right = side.withColumn("cga", explode(sequence(lit(0), col("g"))))
+      .withColumnRenamed("g", "cgb")
+    // shuffle_hash for the same reason as hyperplanePairJoin: sort-merge
+    // re-iterates its spilled group once per probe row in dense cells
+    left.alias("a").hint("shuffle_hash")
+      .join(right.alias("b"), Seq("blk", "sig", "cga", "cgb"))
+      .filter((col("cga") =!= col("cgb") ||
+          col("a.doc_id") < col("b.doc_id")) &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        // exactly-once: no block BEFORE blk matches pairwise
+        !prefixCollide(col("a.sigs"), col("b.sigs"), col("blk")))
+      .withColumn("hamming",
+        bit_count(col("a.w").bitwiseXOR(col("b.w"))).cast("long"))
       .filter(col("hamming") <= HammingMax)
-      .select(col("i"), col("j"), col("hamming"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** d3's skew-grid width — same rationale as [[PairGridG]]; named
+    * separately so the two families tune independently. */
+  private val SimHashGridG = 8
 
   val d3Sql: String = {
     val ths = sqlTokenHashes("text")
@@ -188,7 +230,10 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d4
-  /** N-gram Jaccard near-dup pairs on *string* shingles, with
+  /** N-gram Jaccard near-dup pairs on the distinct *hashed* shingle sets
+    * (portable mod-P shingle hashes — BOTH engines compute jaccard over
+    * the identical hash sets, so the oracle gate is exact by construction
+    * rather than modulo hash injectivity), with
     * prefix-filter blocking: candidates must share one of their two
     * smallest shingle *hashes* (deterministic blocking keys — for a random
     * hash family, a J≥0.8 pair shares the global minimum with prob ≥ J, and
@@ -229,13 +274,16 @@ object Dedup {
 
   val d4Sql: String = {
     val ths = sqlTokenHashes("text")
+    // sh = the distinct HASHED shingle set (same sqlShingles family as
+    // d10Sql/d23Sql) — the engine verifies over sorted hash arrays, and
+    // an oracle that re-derived string shingles would disagree with it
+    // on any corpus where two co-occurring shingles hash-collide.
     val docsSub =
       s"""SELECT doc_id,
-         | list_distinct([t[k+1] || ' ' || t[k+2] || ' ' || t[k+3]
-         |   for k in range(len(t) - 2)]) AS sh,
+         | ${sqlShingles("ths")} AS sh,
          | list_sort(${sqlShingles("ths")})[1:2] AS keys
-         |FROM (SELECT doc_id, string_split(text, ' ') AS t, $ths AS ths
-         |      FROM documents)""".stripMargin.replaceAll("\n", " ")
+         |FROM (SELECT doc_id, $ths AS ths FROM documents)"""
+        .stripMargin.replaceAll("\n", " ")
     s"""SELECT i, j,
       |  round(CAST(len(list_intersect(sh_i, sh_j)) AS DOUBLE)
       |        / len(list_distinct(list_concat(sh_i, sh_j))), 6) AS jaccard
@@ -1026,18 +1074,92 @@ object Dedup {
   def d15EditDedup(spark: SparkSession, sfDir: String): DataFrame =
     d15Pairs(Tables(spark, sfDir, "documents"))
 
+  /** Corpus-size bound for the edit-dedup family's keys BROADCAST:
+    * up to this many docs the 60-char keys frame (n·68 B — 34 MB at
+    * 500 k docs, ~680 MB at the bound) broadcasts and the two candidate
+    * join-backs are map-side; PAST it d15/d17 switch to the INLINE-CARRY
+    * form (each exploded side rides its own key on the candidate join
+    * stream, no broadcast anywhere) instead of silently driving the
+    * driver off a memory cliff — the `broadcast()` hint bypasses
+    * `autoBroadcastJoinThreshold`, so without this gate the failure mode
+    * past ~10 M docs was an opaque driver OOM. Tune per deployment via
+    * `spark.graft.editDedup.broadcastKeysMaxRows`; set it to 0 to force
+    * the inline form (the equivalence spec does exactly that).
+    */
+  val EditKeysBroadcastMaxRows = 10000000L
+  val EditKeysBroadcastMaxRowsConf = "spark.graft.editDedup.broadcastKeysMaxRows"
+
+  /** True when the corpus is past the broadcast bound and the edit-dedup
+    * verify must carry keys inline. One count() on the pinned keys frame
+    * — metadata-cheap next to either blocking. */
+  private def editKeysInline(keys: DataFrame): Boolean = {
+    val bound = graft.functions.confLong(keys.sparkSession,
+      EditKeysBroadcastMaxRowsConf, EditKeysBroadcastMaxRows)
+    bound <= 0 || keys.count() > bound
+  }
+
+  /** Shared verify tail for the edit-distance family (d15/d17): candidate
+    * (seg, part) equi-join → banded levenshtein → output-sized distinct.
+    * STREAM-BOUND both ways (round 16's rule: the candidate multiset
+    * never hits a shuffle — at the sf10 rung the saturated segment space
+    * made it ~quadratic and a candidate distinct spilled the disk dry):
+    *
+    *  - BROADCAST form (≤ [[EditKeysBroadcastMaxRows]] docs): candidates
+    *    reduce to (i, j), both key join-backs are broadcast map-side,
+    *    the banded levenshtein evaluates on that stream;
+    *  - INLINE-CARRY form (past the bound, or bound = 0): each exploded
+    *    side carries its own 60-char key on the candidate join stream
+    *    and the levenshtein evaluates directly on (a.k, b.k) — no
+    *    broadcast at all, shuffle volume O(n · slots · 68 B), the
+    *    truly corpus-size-unbounded shape.
+    *
+    * Both forms end in the same distinct over true ≤K pairs —
+    * output-sized by definition — so the output is bit-identical
+    * ([[graft.EditDedupInlineKeysSpec]] proves it with the broadcast
+    * path disabled).
+    */
+  private def editPairsVerify(keys: DataFrame, indexSide: DataFrame,
+      probeSide: DataFrame, inline: Boolean): DataFrame = {
+    val cand = indexSide.hint("shuffle_hash").alias("a")
+      .join(probeSide.hint("shuffle_hash").alias("b"),
+        col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+    val scored =
+      if (inline)
+        // levenshtein is symmetric, so the (a, b) role order is free
+        cand.select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("j"),
+          levenshtein(col("a.k"), col("b.k"), D15K).cast("long").as("dist"))
+      else
+        cand.select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
+          .join(broadcast(keys.select(col("doc_id").as("i"),
+            col("k").as("ki"))), Seq("i"))
+          .join(broadcast(keys.select(col("doc_id").as("j"),
+            col("k").as("kj"))), Seq("j"))
+          .select(col("i"), col("j"),
+            levenshtein(col("ki"), col("kj"), D15K).cast("long").as("dist"))
+    scored
+      .filter(col("dist") >= 0) // threshold variant returns -1 past K
+      .select(col("i"), col("j"), col("dist"))
+      .distinct()
+      .orderBy(col("i"), col("j"))
+  }
+
   /** d15's core on any (doc_id, text) frame — split out so the PassJoin
     * fuzz spec can drive it with planted ≤K-edit pairs. */
   private[graft] def d15Pairs(docs: DataFrame): DataFrame = {
     val keys = docs
       .select(col("doc_id"), d15Key(col("text")).as("k"))
       .pin() // 4 plan branches below; build the keys once
+    val inline = editKeysInline(keys)
     def extract(slots: Seq[(Int, Int, Int)]) = keys.select(col("doc_id"),
         col("k"),
         explode(array(slots.map { case (i, p, l) =>
           struct(lit(i).as("seg"), lit(p).as("p"), lit(l).as("l")) }: _*)).as("s"))
-      .select(col("doc_id"), col("s.seg").as("seg"),
-        col("k").substr(col("s.p"), col("s.l")).as("part"))
+      .select(col("doc_id") +: col("s.seg").as("seg") +:
+        col("k").substr(col("s.p"), col("s.l")).as("part") +:
+        (if (inline) Seq(col("k")) else Nil): _*)
     val indexSide = extract(d15Segments)
     val probeSide = extract(for {
       (i, p, l) <- d15Segments
@@ -1049,32 +1171,8 @@ object Dedup {
     // through, and the child is the measured-but-tiny keys frame), so an
     // unhinted planner broadcasts a ~30×-amplified build at every scale.
     // The candidate join is big-big by construction: hint it shuffled.
-    // STREAM-BOUND VERIFY (round 16): the candidate-multiset distinct is
-    // collision-driven — at the sf10 rung the saturated segment space
-    // made it ~quadratic and the shuffle spilled the disk dry. The
-    // multiset now never hits a shuffle: the 60-char keys frame is
-    // BROADCAST (n·68 B — 34 MB at 500 k docs; ~10 M docs is the honest
-    // bound of this form, past which the index side carries its key
-    // inline and only the probe side broadcasts), both join-backs are
-    // map-side, the banded levenshtein evaluates on the join stream, and
-    // the only pair-level shuffle is the distinct over true ≤K pairs —
-    // output-sized by definition.
-    val cand = indexSide.hint("shuffle_hash").alias("a")
-      .join(probeSide.hint("shuffle_hash").alias("b"),
-        col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-    cand
-      .join(broadcast(keys.select(col("doc_id").as("i"), col("k").as("ki"))),
-        Seq("i"))
-      .join(broadcast(keys.select(col("doc_id").as("j"), col("k").as("kj"))),
-        Seq("j"))
-      .withColumn("dist", levenshtein(col("ki"), col("kj"), D15K).cast("long"))
-      .filter(col("dist") >= 0) // threshold variant returns -1 past K
-      .select(col("i"), col("j"), col("dist"))
-      .distinct()
-      .orderBy(col("i"), col("j"))
+    // Verify is stream-bound either way — see [[editPairsVerify]].
+    editPairsVerify(keys, indexSide, probeSide, inline)
   }
 
   /** Oracle: brute-force Levenshtein over all pairs — the blocking must be
@@ -1131,6 +1229,7 @@ object Dedup {
     val keys = docs
       .select(col("doc_id"), d15Key(col("text")).as("k"))
       .pin()
+    val inline = editKeysInline(keys)
     // Slot = (seg, start, len, mode). mode encodes WHICH variants a
     // window's image length makes reachable (asymmetric emission):
     //   len 11 ⇒ the image lost a char ⇒ it IS a member of del1(index
@@ -1153,9 +1252,12 @@ object Dedup {
         .when(col("s.mode") === 1, dels)
         .otherwise(concat(array(w), dels))
       keys.select(col("doc_id"), col("k"), explode(slotArr).as("s"))
-        .select(col("doc_id"), col("s.seg").as("seg"),
-          explode(variants).as("pstr"))
-        .select(col("doc_id"), col("seg"), xxhash64(col("pstr")).as("part"))
+        .select(col("doc_id") +: col("s.seg").as("seg") +:
+          explode(variants).as("pstr") +:
+          (if (inline) Seq(col("k")) else Nil): _*)
+        .select(col("doc_id") +: col("seg") +:
+          xxhash64(col("pstr")).as("part") +:
+          (if (inline) Seq(col("k")) else Nil): _*)
     }
     val indexSide = extract(d17Starts.zipWithIndex.map { case (p, i) =>
       (i, p, D17SegLen, 2) })
@@ -1175,26 +1277,9 @@ object Dedup {
       else if (lam > D17SegLen) 1 else 2))
     // same shuffled-candidate rationale as d15Pairs: the exploded sides
     // defeat size estimation (Generate passthrough over the tiny keys
-    // frame), and the pigeonhole join is big-big by construction
-    // same stream-bound verify as d15Pairs: no candidate distinct,
-    // broadcast keys map-side, banded levenshtein on the stream,
-    // output-sized distinct of the true ≤K pairs
-    val cand = indexSide.hint("shuffle_hash").alias("a")
-      .join(probeSide.hint("shuffle_hash").alias("b"),
-        col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("j"))
-    cand
-      .join(broadcast(keys.select(col("doc_id").as("i"), col("k").as("ki"))),
-        Seq("i"))
-      .join(broadcast(keys.select(col("doc_id").as("j"), col("k").as("kj"))),
-        Seq("j"))
-      .withColumn("dist", levenshtein(col("ki"), col("kj"), D15K).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("i"), col("j"), col("dist"))
-      .distinct()
-      .orderBy(col("i"), col("j"))
+    // frame), and the pigeonhole join is big-big by construction.
+    // Verify is stream-bound either way — see [[editPairsVerify]].
+    editPairsVerify(keys, indexSide, probeSide, inline)
   }
 
   // ---------------------------------------------------------------- d19

@@ -42,6 +42,12 @@ package object functions {
     try spark.conf.get(key, dflt.toString).toInt
     catch { case _: Exception => dflt }
 
+  /** [[confInt]] for long-valued knobs (row-count bounds). */
+  def confLong(spark: org.apache.spark.sql.SparkSession, key: String,
+      dflt: Long): Long =
+    try spark.conf.get(key, dflt.toString).toLong
+    catch { case _: Exception => dflt }
+
   // ------------------------------------------------------------ Spark side
 
   /** Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column. Spark 4

@@ -1249,6 +1249,15 @@ object Similarity {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      // CONTRACT: zero-norm vectors have no cosine direction — they are
+      // excluded from the graph (both as node and neighbor) rather than
+      // ranked by NaN. Pre-round-17 the window's cos DESC ranked NaN
+      // first while TopKAgg's java total order ranks it last; this
+      // filter makes the output NaN-free and ordering-independent. The
+      // fixture corpus has no zero-norm rows, so oracle output is
+      // unchanged; [[graft.KnnGraphZeroNormSpec]] plants one and
+      // asserts the exclusion.
+      .filter(col("norm") > 0d)
     // STREAM-BOUND build (round 16): the former ids-distinct-then-
     // join-back-then-window shape shuffled the CANDIDATE pair space —
     // under dense-blob geometry (every node a query, fixed label blobs)
