@@ -1089,6 +1089,12 @@ object Dedup {
   val EditKeysBroadcastMaxRows = 10000000L
   val EditKeysBroadcastMaxRowsConf = "spark.graft.editDedup.broadcastKeysMaxRows"
 
+  /** Sub-blocks per side for the edit-family candidate join's skew grid
+    * (see [[editPairsVerify]]): a hot (seg, part) group parallelizes
+    * across G² cells at ×G shuffle replication per side. */
+  val EditGridG = 8
+  val EditGridGConf = "spark.graft.editDedup.gridG"
+
   /** True when the corpus is past the broadcast bound and the edit-dedup
     * verify must carry keys inline. One count() on the pinned keys frame
     * — metadata-cheap next to either blocking. */
@@ -1120,9 +1126,31 @@ object Dedup {
     */
   private def editPairsVerify(keys: DataFrame, indexSide: DataFrame,
       probeSide: DataFrame, inline: Boolean): DataFrame = {
-    val cand = indexSide.hint("shuffle_hash").alias("a")
-      .join(probeSide.hint("shuffle_hash").alias("b"),
+    // SKEW GRID (round 17): under segment saturation a handful of hot
+    // (seg, part) values concentrate a ~quadratic candidate space on
+    // whichever shuffle partition drew them — the r17 sf10 sweep
+    // measured d15's join stage collapsing from 32 busy cores to 4
+    // stragglers for over an hour. Same cure as [[hyperplanePairJoin]],
+    // simpler decomposition because index × probe is NOT a self-join:
+    // each side carries its own doc_id sub-block and cross-explodes the
+    // other side's G values, so a (seg, part) group's A×B cell grid
+    // splits G²-ways with ×G row replication per side and every
+    // (x, y) candidate meets in EXACTLY one cell (ga(x), gb(y)) — the
+    // candidate multiset is unchanged, only its placement.
+    val G = graft.functions.confInt(keys.sparkSession, EditGridGConf,
+      EditGridG)
+    val a0 = indexSide
+      .withColumn("ga",
+        pmod(xxhash64(col("doc_id"), lit(311)), lit(G)).cast("int"))
+      .withColumn("gb", explode(sequence(lit(0), lit(G - 1))))
+    val b0 = probeSide
+      .withColumn("gb",
+        pmod(xxhash64(col("doc_id"), lit(311)), lit(G)).cast("int"))
+      .withColumn("ga", explode(sequence(lit(0), lit(G - 1))))
+    val cand = a0.hint("shuffle_hash").alias("a")
+      .join(b0.hint("shuffle_hash").alias("b"),
         col("a.seg") === col("b.seg") && col("a.part") === col("b.part") &&
+          col("a.ga") === col("b.ga") && col("a.gb") === col("b.gb") &&
           col("a.doc_id") =!= col("b.doc_id"))
     val scored =
       if (inline)

@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Promote an sf10 sweep's BENCH_FULL.json to tools/bench_anchor_sf10.json.
+
+graft.Bench picks tools/bench_anchor_<sftag>.json by the sf tag in the data
+dir's basename (round 17), so once this file is committed an sf10 re-sweep
+runs WITHOUT SPARK_GRAFT_BENCH_NORERUN and the 1.5x regression gate works
+at this rung too. The calibration anchor is machine load calibration, not
+SF-dependent — it is copied through from the sf0.1 anchor file.
+
+Usage: tools/make_anchor_sf10.py <BENCH_FULL.json> [out.json]
+"""
+import json
+import sys
+
+src = sys.argv[1]
+out = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_anchor_sf10.json"
+
+with open(src) as f:
+    bench = json.load(f)
+with open("tools/bench_anchor.json") as f:
+    cal = json.load(f).get("calibration_sec")
+
+if bench.get("errors"):
+    sys.exit(f"refusing to anchor a sweep with errors: {bench['errors']}")
+
+anchor = {"calibration_sec": cal}
+anchor.update({k: round(v, 3) for k, v in sorted(bench["queries"].items())})
+anchor["_source"] = {
+    "sweep_total_sec": bench["value"],
+    "load_factor": bench.get("load_factor"),
+    "n_queries": bench.get("n_queries"),
+    "sf": bench.get("sf"),
+}
+with open(out, "w") as f:
+    json.dump(anchor, f, indent=1)
+print(f"wrote {out}: {len(bench['queries'])} queries, "
+      f"total {bench['value']:.1f}s, load {bench.get('load_factor')}")
