@@ -39,6 +39,20 @@ object Tables {
   def readerConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // ObjectHashAggregate (every typed-Aggregator UDAF: TopKAgg, the
+    // sketch family) falls back to SORT-BASED aggregation after a mere
+    // 128 distinct keys per partition (Spark's default) — which SORTS
+    // THE ENTIRE INPUT STREAM per partition. For s15's top-k over the
+    // ~10⁹-row candidate pair stream that silently re-introduced the
+    // quadratic disk spill the stream-bound restructure exists to
+    // prevent (measured: d20 died of SPILL_OUT_OF_MEMORY at the sf10
+    // rung with 70 GB free). Our aggregation buffers are small and
+    // bounded (k-row top-k, KB-scale sketches), so the hash map is the
+    // right regime at ANY key count the corpus can produce: raise the
+    // fallback threshold so it never triggers.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "100000000")
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -12,8 +12,9 @@ Usage: tools/make_anchor_sf10.py <BENCH_FULL.json> [out.json]
 import json
 import sys
 
-src = sys.argv[1]
-out = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_anchor_sf10.json"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+src = args[0]
+out = args[1] if len(args) > 1 else "tools/bench_anchor_sf10.json"
 
 with open(src) as f:
     bench = json.load(f)
@@ -21,7 +22,11 @@ with open("tools/bench_anchor.json") as f:
     cal = json.load(f).get("calibration_sec")
 
 if bench.get("errors"):
-    sys.exit(f"refusing to anchor a sweep with errors: {bench['errors']}")
+    if "--partial" not in sys.argv:
+        sys.exit(f"refusing to anchor a sweep with errors: {bench['errors']}"
+                 " (pass --partial to anchor the clean rows only)")
+    print(f"PARTIAL anchor: errored/unmeasured rows get no anchor "
+          f"(regression gate skips them): {bench['errors']}")
 
 anchor = {"calibration_sec": cal}
 anchor.update({k: round(v, 3) for k, v in sorted(bench["queries"].items())})
