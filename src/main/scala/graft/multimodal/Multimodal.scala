@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.prefixCollide
 import graft.ops.Pin.Pinned
 
 /** Multimodal column plumbing (SURVEY.md §2.6).
@@ -338,13 +339,34 @@ object Multimodal {
     * The corpus plants same-length substitution copies (id+1000000, bytes
     * 11–15 overwritten) — the re-encode analogue; the spec asserts ALL
     * planted pairs are recovered and hamming ≤ 1 slice-window of edits.
+    *
+    * STREAM-BOUND (round 18, d3's template verbatim — this family was the
+    * last carrier of the ids-distinct shape): the former block-join →
+    * candidate `.distinct()` → two dhash join-backs shuffled the candidate
+    * MULTISET — under block saturation (near-dup media clusters share
+    * whole 12-bit blocks) that multiset is ~quadratic, and the r17 sf10
+    * sweep measured it at 779 s / 14 GB spill here and killed m7 outright
+    * (`UNABLE_TO_ACQUIRE_MEMORY` building on these pairs). Now the per-doc
+    * state rides the O(n·4·G) bucket rows inline — `sigs` (the 4 unpacked
+    * 12-bit block values) and `w` (the dhash word itself) — a pair emits
+    * EXACTLY ONCE at its FIRST shared block (codegen'd
+    * [[graft.functions.PrefixCollideExpr]] over the carried `sigs`), the
+    * hamming verifies on the join stream as one `bit_count(xor)` over the
+    * packed words, and the only pair-level shuffle left is the
+    * output-sized orderBy. Dense (blk, sig) buckets parallelize across the
+    * same G×G upper-triangular skew grid as d3. Candidate SET and hamming
+    * are unchanged, so the output is bit-identical.
     * 100 TB: dHash is one decoder pass per payload, partition-parallel,
     * 6 bytes of signature shipped per asset (never the media); candidate
-    * generation is the (blk, sig) equi-join — shuffle O(n·4) longs.
+    * generation is the (blk, sig) equi-join — shuffle O(n·4·G) longs.
     */
   val M6Bits = 48
   val M6Blocks = 4
   val M6Tau = 3
+
+  /** m6's skew-grid width — same rationale as d3's; named separately so
+    * the media family tunes independently of the text simhash family. */
+  private val M6GridG = 8
 
   private val dhashSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -388,25 +410,42 @@ object Multimodal {
           Row(id, hash)
         }
       }
-    }(enc).pin() // one decoder pass; blocks + verify re-read it
+    }(enc)
     val blockLen = M6Bits / M6Blocks
-    val blocks = dh.select(col("doc_id"), col("dhash"),
-        posexplode(transform(sequence(lit(0), lit(M6Blocks - 1)), b =>
+    // Per-doc state inline on the bucket rows: `sigs` = the 4 unpacked
+    // 12-bit block values (plain shifts of the already-packed word —
+    // block equality preserved exactly), `w` = the dhash word for the
+    // xor-popcount verify. No join-backs anywhere downstream.
+    val side = dh
+      .select(col("doc_id"), col("dhash").as("w"),
+        transform(sequence(lit(0), lit(M6Blocks - 1)), b =>
           call_function("shiftright", col("dhash"), b * lit(blockLen))
-            .bitwiseAND(lit((1L << blockLen) - 1)))))
+            .bitwiseAND(lit((1L << blockLen) - 1))).as("sigs"))
+      .select(col("doc_id"), col("w"), col("sigs"), posexplode(col("sigs")))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "sig")
-    val cand = blocks.alias("x").join(blocks.alias("y"),
-        col("x.blk") === col("y.blk") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
-    cand
-      .join(dh.select(col("doc_id").as("i"), col("dhash").as("h_i")), Seq("i"))
-      .join(dh.select(col("doc_id").as("j"), col("dhash").as("h_j")), Seq("j"))
+      // skew grid: deterministic sub-block within the (blk, sig) bucket
+      .withColumn("g",
+        pmod(xxhash64(col("doc_id"), lit(909)), lit(M6GridG)).cast("int"))
+      .pin() // ONE decoder pass feeds both self-join sides
+    val left = side.withColumn("cgb",
+        explode(sequence(col("g"), lit(M6GridG - 1))))
+      .withColumnRenamed("g", "cga")
+    val right = side.withColumn("cga", explode(sequence(lit(0), col("g"))))
+      .withColumnRenamed("g", "cgb")
+    // shuffle_hash for d3's reason: sort-merge re-iterates its spilled
+    // group once per probe row in dense (blk, sig) cells
+    left.alias("a").hint("shuffle_hash")
+      .join(right.alias("b"), Seq("blk", "sig", "cga", "cgb"))
+      .filter((col("cga") =!= col("cgb") ||
+          col("a.doc_id") < col("b.doc_id")) &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        // exactly-once: no block BEFORE blk matches pairwise
+        !prefixCollide(col("a.sigs"), col("b.sigs"), col("blk")))
       .withColumn("hamming",
-        bit_count(col("h_i").bitwiseXOR(col("h_j"))).cast("int"))
+        bit_count(col("a.w").bitwiseXOR(col("b.w"))).cast("int"))
       .filter(col("hamming") <= M6Tau)
-      .select(col("i"), col("j"), col("hamming"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
 
