@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
 object FlagshipBench {
   def main(args: Array[String]): Unit = {
     val prod = args.headOption.contains("prod")
-    val rest = if (prod) args.drop(1) else args
+    // `entry` mode: time ONLY the SparkEntry.entry configuration
+    // (default-knob Curation.curate) — the flagship row the sf10 table
+    // carries; prints a tools/merge_sweep_segments.py-compatible
+    // `[bench] flagship <sec> s` line (first pass = the sweep-comparable
+    // number, per the anchor convention).
+    val entryMode = args.headOption.contains("entry")
+    val rest = if (prod || entryMode) args.drop(1) else args
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -53,6 +59,20 @@ object FlagshipBench {
     })
     spark.range(1000).selectExpr("sum(id)").collect() // warm up
 
+    if (entryMode) {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = ops.Curation.curate(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"flagship entry-config: $s%.2f s ($n rows)")
+        s
+      }
+      println(f"flagship_sec first=${times.head}%.2f min=${times.min}%.2f")
+      println(f"[bench] flagship ${times.head}%.3f s")
+      spark.stop()
+      return
+    }
+
     if (prod) {
       spark.conf.set("spark.graft.curation.estimateDedup", "true")
       spark.conf.set("spark.graft.curation.editDedup", "true")
@@ -67,6 +87,7 @@ object FlagshipBench {
         s
       }
       println(f"flagship_prod_sec first=${times.head}%.2f min=${times.min}%.2f")
+      println(f"[bench] flagship_prod ${times.head}%.3f s")
       spark.stop()
       return
     }

@@ -50,10 +50,23 @@ object Tables {
     // bounded (k-row top-k, KB-scale sketches), so the hash map is the
     // right regime at ANY key count the corpus can produce: raise the
     // fallback threshold so it never triggers.
+    //
+    // ESCAPE HATCH: the raise applies session-wide — to any UDAF a user
+    // runs in a graft session, including one with UNBOUNDED per-group
+    // buffers (a collect_list-style aggregator), which would now OOM
+    // rather than degrade to sort+spill. Such a deployment sets
+    // spark.graft.objectHashFallbackThreshold (e.g. back to Spark's
+    // default 128) and graft applies THAT value instead; graft's own
+    // aggregators are all bounded-buffer, so correctness never depends
+    // on the setting — only the pair-family throughput does.
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "100000000")
+      spark.conf.get(ObjectHashFallbackConf, "100000000"))
   }
+
+  /** See [[readerConfs]]: overrides the ObjectHashAggregate sort-fallback
+    * threshold graft applies (default 10⁸ — hash mode everywhere). */
+  val ObjectHashFallbackConf = "spark.graft.objectHashFallbackThreshold"
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name), {

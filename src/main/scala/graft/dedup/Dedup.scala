@@ -1096,12 +1096,18 @@ object Dedup {
   val EditGridGConf = "spark.graft.editDedup.gridG"
 
   /** True when the corpus is past the broadcast bound and the edit-dedup
-    * verify must carry keys inline. One count() on the pinned keys frame
-    * — metadata-cheap next to either blocking. */
+    * verify must carry keys inline. The keys frame is already pinned
+    * (materialized), so prefer the exact row count its measured
+    * statistics carry (the disk-checkpoint path records one — zero extra
+    * jobs); the memory-pin path's block-manager stats don't, so fall
+    * back to one count() over the already-materialized blocks —
+    * metadata-cheap next to either blocking, and never run at all when
+    * the bound is 0 (forced inline). */
   private def editKeysInline(keys: DataFrame): Boolean = {
     val bound = graft.functions.confLong(keys.sparkSession,
       EditKeysBroadcastMaxRowsConf, EditKeysBroadcastMaxRows)
-    bound <= 0 || keys.count() > bound
+    bound <= 0 || keys.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(keys.count()) > bound
   }
 
   /** Shared verify tail for the edit-distance family (d15/d17): candidate
@@ -1116,8 +1122,9 @@ object Dedup {
     *  - INLINE-CARRY form (past the bound, or bound = 0): each exploded
     *    side carries its own 60-char key on the candidate join stream
     *    and the levenshtein evaluates directly on (a.k, b.k) — no
-    *    broadcast at all, shuffle volume O(n · slots · 68 B), the
-    *    truly corpus-size-unbounded shape.
+    *    broadcast at all, shuffle volume O(n · slots · G · 68 B) (the
+    *    skew grid below replicates each side ×G), the truly
+    *    corpus-size-unbounded shape.
     *
     * Both forms end in the same distinct over true ≤K pairs —
     * output-sized by definition — so the output is bit-identical

@@ -19,7 +19,16 @@ out = args[1] if len(args) > 1 else "tools/bench_anchor_sf10.json"
 with open(src) as f:
     bench = json.load(f)
 with open("tools/bench_anchor.json") as f:
-    cal = json.load(f).get("calibration_sec")
+    # bench_anchor.json nests the per-query map (incl. calibration_sec)
+    # under "queries"; Bench's regex scraper is flat so it finds the key
+    # either way — look in both places so this script does too (the r17
+    # anchor shipped with calibration_sec: null from a top-level-only get,
+    # which made every sf10 re-sweep report a constant 1.0 load factor).
+    a = json.load(f)
+    cal = a.get("calibration_sec") or a.get("queries", {}).get(
+        "calibration_sec")
+if cal is None:
+    sys.exit("calibration_sec not found in tools/bench_anchor.json")
 
 if bench.get("errors"):
     if "--partial" not in sys.argv:
@@ -30,11 +39,13 @@ if bench.get("errors"):
 
 anchor = {"calibration_sec": cal}
 anchor.update({k: round(v, 3) for k, v in sorted(bench["queries"].items())})
-anchor["_source"] = {
-    "sweep_total_sec": bench["value"],
-    "load_factor": bench.get("load_factor"),
-    "n_queries": bench.get("n_queries"),
-    "sf": bench.get("sf"),
+# metadata keys UPPERCASE so Bench's regex scraper ("([a-z0-9_]+)": <num>)
+# cannot mistake them for query anchors
+anchor["_SOURCE"] = {
+    "SWEEP_TOTAL_SEC": bench["value"],
+    "LOAD_FACTOR": bench.get("load_factor"),
+    "N_QUERIES": bench.get("n_queries"),
+    "SF": bench.get("sf"),
 }
 with open(out, "w") as f:
     json.dump(anchor, f, indent=1)

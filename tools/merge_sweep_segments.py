@@ -26,6 +26,13 @@ for path in sys.argv[2:]:
     # failed IN THIS FILE never records a time from this file; only a
     # later segment's clean row clears it
     failed_here: set[str] = set()
+    # WITHIN one log, a query can print TWO clean rows: Bench's
+    # end-of-sweep confirmation rerun (runs when the rung has committed
+    # anchors). Bench itself keeps min(first, rerun) — mirror that here;
+    # later-row-wins would bake the possibly-slower rerun into the merged
+    # table and then into the anchor. ACROSS logs, later segments still
+    # win outright (that is the point of re-running on a fixed classpath).
+    seg_q: dict[str, float] = {}
     with open(path, errors="replace") as f:
         for line in f:
             m = re.match(r"^\[bench\] ([a-z0-9_]+) +([0-9.]+) s\s*$", line)
@@ -33,16 +40,19 @@ for path in sys.argv[2:]:
                 name, sec = m.group(1), float(m.group(2))
                 if name in failed_here:
                     continue
-                failed.discard(name)  # a later segment re-measured it
-                queries[name] = sec
-                seg["rows"] += 1
+                seg_q[name] = min(sec, seg_q.get(name, sec))
                 continue
             m = re.match(r"^\[bench\] ([a-z0-9_]+) (FAILED|ABORT)", line)
             if m:
                 name = m.group(1)
                 failed_here.add(name)
                 failed.add(name)
+                seg_q.pop(name, None)
                 queries.pop(name, None)
+    for name, sec in seg_q.items():
+        failed.discard(name)  # this segment re-measured it cleanly
+        queries[name] = sec
+    seg["rows"] = len(seg_q)
     segments.append(seg)
 
 doc = {
