@@ -26,6 +26,15 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // generic conf hook (FlagshipBench's): SPARK_GRAFT_CONF="k=v;k=v" —
+    // the A/B lever for conf-gated plan shapes (e.g. the edit-dedup skew
+    // grid's spark.graft.editDedup.gridG)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     spark.range(1000).selectExpr("sum(id)").collect()
     // SPARK_GRAFT_PRELUDE=a,b,c runs those queries first in the SAME
     // session — reproduces sweep-context effects (accumulated session
