@@ -1091,9 +1091,28 @@ object Dedup {
 
   /** Sub-blocks per side for the edit-family candidate join's skew grid
     * (see [[editPairsVerify]]): a hot (seg, part) group parallelizes
-    * across G² cells at ×G shuffle replication per side. */
+    * across G² cells at ×G shuffle replication per side.
+    *
+    * PER-ARM DEFAULTS, both measured (round 18): the grid's ×G
+    * replication prices the WHOLE exploded side, so it only pays where
+    * hot groups actually exist.
+    *  - d15's 6-7-char exact segments collide massively on natural text
+    *    (the r17 sf10 autopsy: one hot (seg, part) group pinned the join
+    *    on 3-4 cores for 2h45m) — G = 8 turns that into a measured
+    *    full-width 32-core completion, and its probe side is only ~139
+    *    rows/doc so the ×8 replication is cheap (identical sf0.1 time
+    *    grid-on vs grid-off, measured 3.5 s both ways).
+    *  - d17's 11-13-char near-exact keys collide ~10³× less — there is
+    *    no comparable hot group to split — while its DOMINANT term is
+    *    the ~1.4k-row/doc variant explode, which ×8 turns into a
+    *    >65 GB shuffle at sf10 (measured: disk-full death) and a 2×
+    *    slowdown at sf0.1 (measured 10.5 s at G = 1 vs 23.3 s at G = 8).
+    *    The selective arm therefore defaults to G = 1.
+    * Both knobs stay conf-tunable per deployment. */
   val EditGridG = 8
   val EditGridGConf = "spark.graft.editDedup.gridG"
+  val EditSelectiveGridG = 1
+  val EditSelectiveGridGConf = "spark.graft.editDedup.selectiveGridG"
 
   /** True when the corpus is past the broadcast bound and the edit-dedup
     * verify must carry keys inline. The keys frame is already pinned
@@ -1132,7 +1151,7 @@ object Dedup {
     * path disabled).
     */
   private def editPairsVerify(keys: DataFrame, indexSide: DataFrame,
-      probeSide: DataFrame, inline: Boolean): DataFrame = {
+      probeSide: DataFrame, inline: Boolean, gridG: Int): DataFrame = {
     // SKEW GRID (round 17): under segment saturation a handful of hot
     // (seg, part) values concentrate a ~quadratic candidate space on
     // whichever shuffle partition drew them — the r17 sf10 sweep
@@ -1143,9 +1162,11 @@ object Dedup {
     // other side's G values, so a (seg, part) group's A×B cell grid
     // splits G²-ways with ×G row replication per side and every
     // (x, y) candidate meets in EXACTLY one cell (ga(x), gb(y)) — the
-    // candidate multiset is unchanged, only its placement.
-    val G = graft.functions.confInt(keys.sparkSession, EditGridGConf,
-      EditGridG)
+    // candidate multiset is unchanged, only its placement. G is a
+    // PER-ARM decision (see [[EditGridG]]/[[EditSelectiveGridG]]): the
+    // replication prices the whole exploded side, so the selective arm
+    // whose blocking keys don't produce hot groups runs ungridded.
+    val G = gridG
     val a0 = indexSide
       .withColumn("ga",
         pmod(xxhash64(col("doc_id"), lit(311)), lit(G)).cast("int"))
@@ -1207,7 +1228,8 @@ object Dedup {
     // unhinted planner broadcasts a ~30×-amplified build at every scale.
     // The candidate join is big-big by construction: hint it shuffled.
     // Verify is stream-bound either way — see [[editPairsVerify]].
-    editPairsVerify(keys, indexSide, probeSide, inline)
+    editPairsVerify(keys, indexSide, probeSide, inline,
+      graft.functions.confInt(docs.sparkSession, EditGridGConf, EditGridG))
   }
 
   /** Oracle: brute-force Levenshtein over all pairs — the blocking must be
@@ -1314,7 +1336,13 @@ object Dedup {
     // defeat size estimation (Generate passthrough over the tiny keys
     // frame), and the pigeonhole join is big-big by construction.
     // Verify is stream-bound either way — see [[editPairsVerify]].
-    editPairsVerify(keys, indexSide, probeSide, inline)
+    // UNGRIDDED by default ([[EditSelectiveGridG]] = 1, measured): the
+    // selective keys produce no hot groups worth splitting, and ×G here
+    // multiplies the dominant variant-explode shuffle — at sf10 the
+    // G = 8 form is a measured >65 GB disk-full death.
+    editPairsVerify(keys, indexSide, probeSide, inline,
+      graft.functions.confInt(docs.sparkSession, EditSelectiveGridGConf,
+        EditSelectiveGridG))
   }
 
   // ---------------------------------------------------------------- d19
