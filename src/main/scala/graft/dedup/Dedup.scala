@@ -67,7 +67,10 @@ object Dedup {
     * d2, d11 and the flagship curation all feed from ONE build of it.
     */
   private[graft] def signatures(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
+    // widen BEFORE the shingle+128-perm MinHash compute (10³+ ops/byte):
+    // scan width tracks input bytes, not the hash work per byte
+    widen(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), shingleHashes(col("text")).as("sh"))
       .withColumn("mh", minHashSignature(col("sh"), MinHashPerms))
       .pin()
@@ -164,7 +167,9 @@ object Dedup {
 
   def d3SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     val blockLen = SimHashBitsN / SimHashBlocks
-    val docs = Tables(spark, sfDir, "documents")
+    // widen before the 48-bit-per-token SimHash fold (see [[widen]])
+    val docs = widen(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), simHashBits(col("text"), SimHashBitsN).as("bits"))
       // Pack each 12-bit block into a long (fold acc*2+bit — exact, so
       // block equality is preserved bit-for-bit, unlike a lossy hash),
@@ -329,8 +334,10 @@ object Dedup {
     val nP = confInt(spark, graft.similarity.Similarity.PlanesConf, D5Planes)
     // Norms are computed once per vector (not per pair) — both engines then
     // evaluate cos = dot / (norm_a · norm_b) with identical float steps.
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // widen straight off the scan so the norm AND the bucket compute
+    // downstream parallelize (see [[widen]])
+    val e = widen(Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     hyperplanePairJoin(e, nT, nP, Seq("v", "norm"))
       .withColumn("cos", dot(col("pi.v"), col("pj.v")) /
@@ -385,6 +392,11 @@ object Dedup {
       payload: Seq[String], dim: Int): DataFrame = {
     val buckets = array((0 until nT).map(t =>
       hyperplaneBucket(col("v"), nP, dim, t * nP)): _*)
+    // parallelism note: CALLERS widen before the per-row signature/norm
+    // compute (d5/d14/s15 all widen straight off the scan — see
+    // [[graft.functions.widen]]); widening here again would call `.rdd`
+    // on an exchange-bearing plan, which executes the exchange at plan
+    // time under AQE
     val eb = e
       .withColumn("bs", buckets)
       .select(col("vec_id") +: col("bs") +:
@@ -504,7 +516,42 @@ object Dedup {
   private[graft] def labelClusters(pairs: DataFrame, idCol: String,
       maxRounds: Int = 50): DataFrame = {
     val p = pairs.pin()
-    val edges = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))
+    val nPart = p.sparkSession.sessionState.conf.numShufflePartitions
+    // ROUND-18 SHUFFLE REUSE (guide §2.4): the edge list — the loop's only
+    // O(n·k) frame — is hash-partitioned on the probe key ONCE and pinned
+    // (a localCheckpoint preserves outputPartitioning). Every round's
+    // labels side arrives hash-partitioned on the SAME key by construction
+    // (each round's output is keyed by idCol through the agg and the left
+    // join), so when the labels side is too big to broadcast the per-round
+    // probe join plans with ZERO exchanges on the edge list — before, the
+    // edges re-shuffled every round, the d8-family's dominant sf10 term.
+    // No join hints: the pins carry MEASURED stats, so the planner
+    // broadcasts the labels side while it provably fits (the toy-scale
+    // fast path, keeps rounds down to 2 stages) and falls back to the
+    // co-partitioned merge join — with the edge exchange already paid —
+    // when it doesn't. The one exchange left per round is the groupBy
+    // transpose, inherent to propagating labels along edges.
+    // conf-gated (A/B lever; default on — the pre-partitioned form):
+    // spark.graft.cc.copartition=false reverts to the lazy-union edges
+    // whose every consumer re-shuffles them.
+    val copart = p.sparkSession.conf
+      .get("spark.graft.cc.copartition", "true") == "true"
+    val edgesRaw = p.unionAll(p.select(col("j").as("i"), col("i").as("j")))
+    // Partition count from the MEASURED pair bytes (the pin's stats), at
+    // AQE's own advisory partition size — NOT a flat numShufflePartitions:
+    // a toy edge list stays at 1–2 partitions (measured: 32 partitions ×
+    // ~10 rounds of ~120 ms fixed per-task cost added ~2 s at sf0.1,
+    // where AQE had coalesced the same loop to 2 tasks/round), a big one
+    // fans out to the session width. Same sizing rule AQE applies to its
+    // coalesced exchanges, applied to the pinned layout.
+    val advisory = math.max(1L, p.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val edgeBytes = 2L * p.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val nEdge = math.max(1, math.min(nPart.toLong,
+      (edgeBytes + advisory - 1) / advisory)).toInt
+    val edges = if (copart) edgesRaw.repartition(nEdge, col("j")).pin()
+      else edgesRaw
     val nodes = edges.select(col("i").as(idCol)).distinct()
     var labels = nodes.withColumn("cluster", col(idCol)).pin()
     var converged = false
@@ -624,7 +671,11 @@ object Dedup {
     * shuffle. Shared by d9 (ownership dedup) and t12 (boilerplate removal).
     */
   private[graft] def segments(spark: SparkSession, sfDir: String): DataFrame =
-    segmentsOf(Tables(spark, sfDir, "documents")
+    // widen before tokenize + the ×n_seg explode (see [[widen]]); NOT
+    // inside [[segmentsOf]] — the flagship feeds it an already-pinned
+    // (and already-wide) shared signature-pass frame
+    segmentsOf(widen(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("t")))
 
   /** [[segments]] on a prebuilt (doc_id, t) token frame — lets the flagship
@@ -980,8 +1031,10 @@ object Dedup {
     val sig = array((0 until SimHashWords).map(w =>
       hyperplaneBucket(col("v"), WordPlanes, D5Dim,
         D14PlaneBase + w * WordPlanes, scrambled = true)): _*)
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // widen straight off the scan: the 256-plane signature compute is
+    // the heavy per-row step here (see [[widen]])
+    val e = widen(Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("sig", sig)
     // the verify payload is the 32-BYTE signature, not the 512-byte
     // vector — the ship-the-sketch story now also holds on the wire:
@@ -1205,8 +1258,12 @@ object Dedup {
   /** d15's core on any (doc_id, text) frame — split out so the PassJoin
     * fuzz spec can drive it with planted ≤K-edit pairs. */
   private[graft] def d15Pairs(docs: DataFrame): DataFrame = {
-    val keys = docs
-      .select(col("doc_id"), d15Key(col("text")).as("k"))
+    // widen the 68 B/doc keys before pinning: the probe explode below
+    // amplifies ×~139 rows/doc and inherits the pin's partitioning —
+    // unwidened, a few-split documents scan runs the whole variant
+    // generation on as many cores (see [[widen]]; measured single-task)
+    val keys = widen(docs
+      .select(col("doc_id"), d15Key(col("text")).as("k")))
       .pin() // 4 plan branches below; build the keys once
     val inline = editKeysInline(keys)
     def extract(slots: Seq[(Int, Int, Int)]) = keys.select(col("doc_id"),
@@ -1283,8 +1340,11 @@ object Dedup {
     d17Pairs(Tables(spark, sfDir, "documents"))
 
   private[graft] def d17Pairs(docs: DataFrame): DataFrame = {
-    val keys = docs
-      .select(col("doc_id"), d15Key(col("text")).as("k"))
+    // widen before pin for the same reason as d15Pairs — and ×10 the
+    // stakes: d17's probe side amplifies ×~1.4k rows/doc (measured at
+    // sf0.1: one 12.6 s task in a 13.9 s query before the widen)
+    val keys = widen(docs
+      .select(col("doc_id"), d15Key(col("text")).as("k")))
       .pin()
     val inline = editKeysInline(keys)
     // Slot = (seg, start, len, mode). mode encodes WHICH variants a

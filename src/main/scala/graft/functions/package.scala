@@ -48,6 +48,33 @@ package object functions {
     try spark.conf.get(key, dflt.toString).toLong
     catch { case _: Exception => dflt }
 
+  /** WIDEN-BEFORE-AMPLIFY (round 18; optimization guide §2.2/§2.5): a
+    * CPU-amplifying stage — a generator exploding ×10²–10³ rows per input
+    * row (edit-dedup variant neighborhoods, LSH band/bucket explodes,
+    * bigram windows) or a per-row compute doing 10³+ ops per input byte
+    * (128-perm MinHash, hyperplane dot products, payload decoders) —
+    * inherits its task count from its INPUT's partitioning. A compact
+    * frame scanned from a few parquet splits therefore runs the whole
+    * amplification on a handful of cores regardless of cluster width
+    * (measured at sf0.1: d17's ~1.4k-row/doc variant explode was ONE
+    * 12.6 s task in a 14 s query; the same mechanism is the sf10 "join
+    * stage collapsed to 3–4 cores" straggler class — scan width tracks
+    * input BYTES, which amplification makes a lie).
+    *
+    * Fix: round-robin repartition the compact frame to the session
+    * shuffle width first. No-op when the frame is already at least that
+    * wide — at big inputs scan width grows with the data, so this never
+    * adds a shuffle at scale; when it does fire, it moves only the
+    * PRE-amplification rows (≤ 1/amplification of the bytes the next
+    * exchange moves anyway). Call it only on exchange-free frames
+    * (scan/projection/pinned): `.rdd` on a plan that already contains
+    * exchanges would trigger AQE stage execution at plan time.
+    */
+  def widen(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   // ------------------------------------------------------------ Spark side
 
   /** Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column. Spark 4

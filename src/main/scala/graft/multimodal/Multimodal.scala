@@ -383,8 +383,11 @@ object Multimodal {
 
   def m6PhashNearDup(spark: SparkSession, sfDir: String,
       decoder: Decoder = StubDecoder): DataFrame = {
-    val bin = m6Corpus(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // widen before the decoder pass (see [[graft.functions.widen]]): the
+    // per-payload decode is the heavy per-row step and inherits the scan's
+    // byte-proportional task count, not the cluster's
+    val bin = graft.functions.widen(m6Corpus(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
     val enc = RowEncoder.encoderFor(dhashSchema)
     val nSlices = M6Bits + 1
     val dh = bin.mapPartitions { rows =>

@@ -53,15 +53,31 @@ object Graph {
   def q74PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // pin e0 (round 18): the union below and the degree join reference the
+    // (c, s) relation FOUR times — unpinned, each plan branch re-executed
+    // the orders ⋈ lineitem join + distinct (measured: two ~730 ms twin
+    // stages at sf0.1 for one ~5 MB relation)
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .pin()
     val edges = e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // ed's pin width from MEASURED bytes at AQE's advisory size (round 18,
+    // the labelClusters rule): a toy edge table pins to 1 partition — its
+    // 10 per-iteration joins then run 1–2 tasks instead of 32 broadcast-
+    // deserializing ones — while a big one fans out to the session width
+    // and the iterations reuse the pinned layout instead of re-shuffling
+    val advisory = math.max(1L, spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val e0Bytes = e0.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val edW = math.max(1, math.min(nPart.toLong,
+      (3L * e0Bytes + advisory - 1) / advisory)).toInt
     val ed = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(nPart, col("src"))
+      .repartition(edW, col("src"))
       .pin() // referenced by all 10 iterations — build once
     val nodes = ed.select(col("src").as("node")).distinct().pin()
     // n is the one driver-side scalar (a model parameter, like k-means'
@@ -150,13 +166,21 @@ object Graph {
       .select((col("s_suppkey") * 2 + 1).as("node")).distinct()
     val o = Tables(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = Tables(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // pin e0 + measured-bytes ed width — q74's rationale verbatim
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+      .pin()
     val edges = e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val ed = edges.repartition(nPart, col("src")).pin()
+    val advisory = math.max(1L, spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val e0Bytes = e0.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
+    val edW = math.max(1, math.min(nPart.toLong,
+      (2L * e0Bytes + advisory - 1) / advisory)).toInt
+    val ed = edges.repartition(edW, col("src")).pin()
     // Each round's frontier is checkpointed ONCE (it feeds two consumers:
     // the next edge join and the final union); the cumulative reached set
     // stays a LAZY union of those checkpoint roots — re-materializing it

@@ -1246,8 +1246,10 @@ object Similarity {
   def s15KnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
     val nT = confInt(spark, TablesConf, NTables)
     val nP = confInt(spark, PlanesConf, PlanesPerTable)
-    val e = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // widen straight off the scan (see [[graft.functions.widen]]): norm,
+    // buckets and the ×nT explode downstream all parallelize
+    val e = widen(Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       // CONTRACT: zero-norm vectors have no cosine direction — they are
       // excluded from the graph (both as node and neighbor) rather than

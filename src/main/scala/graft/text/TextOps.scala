@@ -795,7 +795,9 @@ object TextOps {
 
   def t14Collocations(spark: SparkSession, sfDir: String): DataFrame = {
     val ts = tokens(col("text"))
-    val docs = Tables(spark, sfDir, "documents")
+    // widen before the token/bigram explodes (×~200 rows/doc with struct
+    // payloads — measured as one 2.7 s task at sf0.1; see [[widen]])
+    val docs = widen(Tables(spark, sfDir, "documents").select(col("text")))
     val uni = docs.select(explode(ts).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .pin() // feeds c1, c2 AND the n total — build once
