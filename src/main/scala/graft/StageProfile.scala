@@ -53,13 +53,14 @@ object StageProfile {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    var rowsOut = 0L
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      rowsOut = fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
     Thread.sleep(1000) // let the listener bus drain the final stage events
-    println(f"$name: ${times.map(t => f"$t%.3f").mkString(", ")} s (of $reps reps; stages below are the SUM over reps)")
+    println(f"$name: ${times.map(t => f"$t%.3f").mkString(", ")} s (of $reps reps; $rowsOut rows; stages below are the SUM over reps)")
     println(f"${"stage"}%-6s${"tasks"}%6s${"wall_ms"}%9s${"run_ms"}%9s${"cpu_ms"}%9s${"shR_MB"}%9s${"shW_MB"}%9s${"spill"}%7s  callsite")
     rows.toList.sortBy(-_.wallMs).take(40).foreach { r =>
       println(f"${r.id}%-6d${r.tasks}%6d${r.wallMs}%9d${r.runMs}%9d${r.cpuMs}%9d${r.srMB}%9.1f${r.swMB}%9.1f${r.spillMB}%7.1f  ${r.name}")

@@ -381,16 +381,19 @@ object Multimodal {
           substring(col("text"), 16, 1 << 24)).as("text")))
   }
 
-  def m6PhashNearDup(spark: SparkSession, sfDir: String,
-      decoder: Decoder = StubDecoder): DataFrame = {
-    // widen before the decoder pass (see [[graft.functions.widen]]): the
-    // per-payload decode is the heavy per-row step and inherits the scan's
-    // byte-proportional task count, not the cluster's
+  /** The (doc_id, dhash) frame — ONE decoder pass over the planted
+    * corpus, widened first (see [[graft.functions.widen]]: the
+    * per-payload decode is the heavy per-row step and inherits the
+    * scan's byte-proportional task count, not the cluster's). Shared by
+    * m6 (pairs over all docs) and m7 (contracted CC over hash values).
+    */
+  private def m6Dhash(spark: SparkSession, sfDir: String,
+      decoder: Decoder): DataFrame = {
     val bin = graft.functions.widen(m6Corpus(spark, sfDir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
     val enc = RowEncoder.encoderFor(dhashSchema)
     val nSlices = M6Bits + 1
-    val dh = bin.mapPartitions { rows =>
+    bin.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         batch.map { r =>
           val id = r.getLong(0)
@@ -414,6 +417,18 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  def m6PhashNearDup(spark: SparkSession, sfDir: String,
+      decoder: Decoder = StubDecoder): DataFrame =
+    phashPairs(m6Dhash(spark, sfDir, decoder))
+      .orderBy(col("i"), col("j"))
+
+  /** The ≤[[M6Tau]]-hamming pair stream over any (doc_id, dhash) frame —
+    * m6's stream-bound pigeonhole join, factored so m7 can run it over
+    * the DISTINCT-hash contraction. Returns UNORDERED (i, j, hamming).
+    */
+  private def phashPairs(dh: DataFrame): DataFrame = {
     val blockLen = M6Bits / M6Blocks
     // Per-doc state inline on the bucket rows: `sigs` = the 4 unpacked
     // 12-bit block values (plain shifts of the already-packed word —
@@ -449,7 +464,6 @@ object Multimodal {
       .filter(col("hamming") <= M6Tau)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("j"), col("hamming"))
-      .orderBy(col("i"), col("j"))
   }
 
   /** Oracle: brute-force dHash pairs (ASCII text ⟹ byte == codepoint, so
@@ -506,9 +520,50 @@ object Multimodal {
     * CC iterates over 8-byte edges with localCheckpoint truncation —
     * d7's scale argument verbatim, applied to media signatures.
     */
-  def m7PhashClusters(spark: SparkSession, sfDir: String): DataFrame =
-    graft.dedup.Dedup.labelClusters(
-      m6PhashNearDup(spark, sfDir).select(col("i"), col("j")), "doc_id")
+  /** CONTRACT-EQUAL-HASHES-FIRST CC (round 18). m6's pair LIST is
+    * inherently quadratic in equal-dhash clique sizes (measured at sf10:
+    * 168.9 M pairs from a 555 k-doc corpus — the stub dhash produces
+    * giant hamming-0 cliques), so `labelClusters(m6 pairs)` pinned a
+    * ~20 GB edge list and died of execution memory at the sf10 rung
+    * (r17's autopsy AND this round's re-probe after the m6 restructure:
+    * `UNABLE_TO_ACQUIRE_MEMORY` in the CC's first aggregation). The
+    * components, though, are determined by the HASH-VALUE graph: docs
+    * sharing a dhash are hamming-0 connected (always one component), and
+    * cross-group edges depend only on the two hash values. So: contract
+    * each distinct dhash to its min-doc_id representative, run the same
+    * pigeonhole pair stream over the DISTINCT hash values, CC over those
+    * O(|values|)-sized rep pairs, and expand labels back through the
+    * (doc_id, dhash) frame. Output-equivalent by construction — a
+    * component's min doc_id is the min over its groups' reps, a doc has
+    * an m6 edge iff its group has size ≥ 2 (a hamming-0 partner) or its
+    * hash value has a ≤τ neighbor — and [[graft.M7ContractionSpec]]
+    * re-proves equality against the uncontracted CC on the fixture
+    * corpus. The quadratic pair MULTISET now exists nowhere: m6 streams
+    * it (bounded-disk, output-sized only through its final sort), m7
+    * never materializes it at all.
+    */
+  def m7PhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val dh = m6Dhash(spark, sfDir, StubDecoder).pin() // groups + expansion
+    val groups = dh.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("csize"))
+      .pin() // rep pairs + the label expansion both read it
+    val repPairs = phashPairs(
+        groups.select(col("rep").as("doc_id"), col("dhash")))
+      .select(col("i"), col("j"))
+    val repLabels = graft.dedup.Dedup.labelClusters(repPairs, "rep_id")
+      .select(col("rep_id").as("rep"), col("cluster"))
+    val glab = groups
+      .join(repLabels, Seq("rep"), "left")
+      // membership contract (same as labelClusters over the full pairs):
+      // a doc is in the output iff it has ≥1 m6 edge — an equal-hash
+      // partner (csize ≥ 2) or a ≤τ cross-value neighbor (rep labeled)
+      .filter(col("cluster").isNotNull || col("csize") >= 2)
+      .select(col("dhash"), coalesce(col("cluster"), col("rep")).as("cluster"))
+    dh.join(glab, Seq("dhash"))
+      .withColumn("is_kept", (col("doc_id") === col("cluster")).cast("int"))
+      .select(col("doc_id"), col("cluster"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
 
   val m7Sql: String =
     s"""WITH RECURSIVE $m6DhCtes,

@@ -76,7 +76,12 @@ object Curation {
     */
   private def signaturePass(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleHashes(col("text"))
-    Tables(spark, sfDir, "documents")
+    // widen BEFORE the tokenize + shingle + 128-perm MinHash compute
+    // (round 18, [[graft.functions.widen]]): the signature arithmetic is
+    // 10³+ ops/byte and otherwise runs at the scan's byte-proportional
+    // task count
+    widen(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source")))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         tokens(col("text")).as("t"), sh.as("sh"),
         minHashSignature(sh, graft.dedup.Dedup.MinHashPerms).as("mh"))
